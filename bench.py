@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line with per-query wall times.
+
+One shared SparkSession amortizes JVM/session startup (BASELINE.md);
+a warmup run triggers file listing + codegen before timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: scan-agg, multi-join, window, sort-limit, tier-X ops.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "a_count_distinct",
+    "w_topk_per_group",
+    "o_order_limit",
+    "x_dedup_exact",
+    "x_dedup_minhash_lsh",
+    "x_ann_cosine_topk",
+    "x_text_quality",
+]
+
+
+def main() -> None:
+    from mcp_iceberg_duckdb_spark import registry
+    from mcp_iceberg_duckdb_spark.session import build_session
+
+    registry.load_all()
+    spark = build_session(app_name="bench")
+
+    names = [n for n in BENCH_QUERIES if n in registry.QUERIES]
+
+    # warmup: run the flagship once so codegen/file-listing costs are
+    # not billed to the first timed query
+    registry.QUERIES[names[0]].builder(spark, SF_DIR).collect()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        builder = registry.QUERIES[name].builder
+        start = time.perf_counter()
+        df = builder(spark, SF_DIR)
+        n = df.count() if "count" not in df.columns else len(df.collect())
+        _ = n
+        elapsed = time.perf_counter() - start
+        per_query[name] = round(elapsed, 3)
+        total += elapsed
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

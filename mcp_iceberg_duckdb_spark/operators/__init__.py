@@ -1,0 +1,9 @@
+"""Operator modules — importing this package registers every query
+builder into mcp_iceberg_duckdb_spark.registry.QUERIES."""
+
+from mcp_iceberg_duckdb_spark.operators import (  # noqa: F401
+    joins,
+    relational,
+    scalars,
+    windows,
+)

@@ -1,0 +1,762 @@
+"""Core relational surface: projections, filters, aggregations,
+sorts/limits, set ops, CTEs, subqueries.
+
+Covers SURVEY.md §2.2 (P1-P12), §2.4 (A1-A10), §2.6 (O1-O6). In the
+reference all of these are tier D — delegated verbatim to embedded
+DuckDB over the single scanned table (IcebergConnection.py:114-116);
+here each is an idiomatic Spark DataFrame/SQL plan with pushdown and
+partial aggregation for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mcp_iceberg_duckdb_spark.operators._util import ntz, r2, r4, r6, sql_query, t
+from mcp_iceberg_duckdb_spark.registry import query
+
+# ---------------------------------------------------------------- flagship
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "flagship"),
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan→filter→hash-agg→(sort at caller). The
+    filter pushes into the parquet scan; Spark plans partial+final
+    hash aggregation (map-side combine) automatically, so the shuffle
+    carries only |groups|×partitions rows — the pattern that holds at
+    100 TB. Reference: full scan then DuckDB agg
+    (IcebergConnection.py:109-116)."""
+    li = t(spark, sf_dir).lineitem
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= ntz("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            r2(F.sum("l_quantity")).alias("sum_qty"),
+            r2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            r2(F.sum(disc_price)).alias("sum_disc_price"),
+            r2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            r4(F.avg("l_quantity")).alias("avg_qty"),
+            r4(F.avg("l_extendedprice")).alias("avg_price"),
+            r6(F.avg("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ------------------------------------------------------- projections (P1-P4)
+
+
+@query(
+    "p_projection",
+    oracle="SELECT p_partkey, p_name, p_size FROM part",
+    tags=("projection",),
+)
+def p_projection(spark, sf_dir):
+    """P1 column projection — pruned down to 3 columns at the scan."""
+    return t(spark, sf_dir).part.select("p_partkey", "p_name", "p_size")
+
+
+@query("p_select_star", oracle="SELECT * FROM region", tags=("projection",))
+def p_select_star(spark, sf_dir):
+    """P2 SELECT * (reference test_IcebergConnection.py:195)."""
+    return t(spark, sf_dir).region.select("*")
+
+
+@query(
+    "p_expr_alias",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           l_quantity + 1.0 AS qty_plus_one
+    FROM lineitem
+    """,
+    tags=("projection",),
+)
+def p_expr_alias(spark, sf_dir):
+    """P3 expression projection with aliases. Per-row arithmetic is
+    left unrounded — IEEE doubles are bit-identical across engines,
+    while round() at exact .xx5 halfway points is not (Spark rounds
+    the shortest decimal repr, DuckDB the binary value)."""
+    li = t(spark, sf_dir).lineitem
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        (F.col("l_quantity") + F.lit(1.0)).alias("qty_plus_one"),
+    )
+
+
+@query(
+    "p_distinct",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    tags=("projection",),
+)
+def p_distinct(spark, sf_dir):
+    """P4 DISTINCT — hash-dedup; Spark plans partial+final."""
+    return t(spark, sf_dir).lineitem.select("l_returnflag", "l_linestatus").distinct()
+
+
+# ------------------------------------------------------ predicates (P5-P12)
+
+
+@query(
+    "p_where_compare",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS total
+    FROM orders
+    WHERE o_totalprice > 100000.0 AND o_orderstatus <> 'F'
+    """,
+    tags=("filter",),
+)
+def p_where_compare(spark, sf_dir):
+    """P5 comparison predicates + P6 AND — both pushed to the scan."""
+    o = t(spark, sf_dir).orders
+    return o.filter(
+        (F.col("o_totalprice") > 100000.0) & (F.col("o_orderstatus") != "F")
+    ).select("o_orderkey", "o_orderstatus", r2("o_totalprice").alias("total"))
+
+
+@query(
+    "p_boolean_connectives",
+    oracle="""
+    SELECT l_orderkey, l_linenumber
+    FROM lineitem
+    WHERE (l_returnflag = 'R' OR l_linestatus = 'O')
+      AND NOT (l_quantity < 5.0)
+    """,
+    tags=("filter",),
+)
+def p_boolean_connectives(spark, sf_dir):
+    """P6 AND / OR / NOT."""
+    li = t(spark, sf_dir).lineitem
+    cond = ((F.col("l_returnflag") == "R") | (F.col("l_linestatus") == "O")) & ~(
+        F.col("l_quantity") < 5.0
+    )
+    return li.filter(cond).select("l_orderkey", "l_linenumber")
+
+
+@query(
+    "p_between",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_quantity BETWEEN 10.0 AND 20.0
+    """,
+    tags=("filter",),
+)
+def p_between(spark, sf_dir):
+    """P7 BETWEEN."""
+    li = t(spark, sf_dir).lineitem
+    return li.filter(F.col("l_quantity").between(10.0, 20.0)).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@query(
+    "p_in_list",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation
+    WHERE n_name IN ('FRANCE', 'GERMANY', 'JAPAN')
+    """,
+    tags=("filter",),
+)
+def p_in_list(spark, sf_dir):
+    """P8 IN (literal list)."""
+    n = t(spark, sf_dir).nation
+    return n.filter(F.col("n_name").isin("FRANCE", "GERMANY", "JAPAN")).select(
+        "n_nationkey", "n_name"
+    )
+
+
+@query(
+    "p_like",
+    oracle="""
+    SELECT p_partkey, p_name, p_type FROM part
+    WHERE p_name LIKE '%green%' OR p_type LIKE 'SMALL%'
+    """,
+    tags=("filter",),
+)
+def p_like(spark, sf_dir):
+    """P9 LIKE (contains + prefix patterns — both become scan
+    StringContains/StringStartsWith pushed filters)."""
+    p = t(spark, sf_dir).part
+    return p.filter(
+        F.col("p_name").like("%green%") | F.col("p_type").like("SMALL%")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+@query(
+    "p_is_null",
+    oracle="""
+    SELECT o_orderkey,
+           nullif(o_orderstatus, 'O') AS status_or_null,
+           (nullif(o_orderstatus, 'O') IS NULL) AS is_open,
+           (nullif(o_orderstatus, 'O') IS NOT NULL) AS is_closed
+    FROM orders
+    """,
+    tags=("filter",),
+)
+def p_is_null(spark, sf_dir):
+    """P10 IS NULL / IS NOT NULL (nulls synthesized via nullif — the
+    fixture tables are null-free)."""
+    o = t(spark, sf_dir).orders
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return o.select(
+        "o_orderkey",
+        status_or_null.alias("status_or_null"),
+        status_or_null.isNull().alias("is_open"),
+        status_or_null.isNotNull().alias("is_closed"),
+    )
+
+
+@query(
+    "p_case_when",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 200000.0 THEN 'large'
+                WHEN o_totalprice >= 50000.0  THEN 'medium'
+                ELSE 'small' END AS size_band
+    FROM orders
+    """,
+    tags=("filter",),
+)
+def p_case_when(spark, sf_dir):
+    """P11 CASE WHEN."""
+    o = t(spark, sf_dir).orders
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 200000.0, "large")
+        .when(F.col("o_totalprice") >= 50000.0, "medium")
+        .otherwise("small")
+        .alias("size_band"),
+    )
+
+
+@query(
+    "p_cast",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(l_quantity AS BIGINT)  AS qty_int,
+           CAST(l_orderkey AS VARCHAR) AS key_str,
+           CAST(l_shipdate AS DATE)    AS ship_day
+    FROM lineitem
+    """,
+    tags=("filter",),
+)
+def p_cast(spark, sf_dir):
+    """P12 CAST across numeric/string/temporal."""
+    li = t(spark, sf_dir).lineitem
+    return li.select(
+        "l_orderkey",
+        F.col("l_quantity").cast("bigint").alias("qty_int"),
+        F.col("l_orderkey").cast("string").alias("key_str"),
+        F.col("l_shipdate").cast("date").alias("ship_day"),
+    )
+
+
+# ---------------------------------------------------- aggregations (A1-A10)
+
+
+@query(
+    "a_scalar_agg",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           round(sum(l_extendedprice), 2) AS total_price,
+           round(avg(l_discount), 6)      AS avg_disc,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    """,
+    tags=("agg",),
+)
+def a_scalar_agg(spark, sf_dir):
+    """A2/A3/A5 ungrouped aggregate."""
+    li = t(spark, sf_dir).lineitem
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        r2(F.sum("l_extendedprice")).alias("total_price"),
+        r6(F.avg("l_discount")).alias("avg_disc"),
+        r2(F.min("l_extendedprice")).alias("min_price"),
+        r2(F.max("l_extendedprice")).alias("max_price"),
+    )
+
+
+@query(
+    "a_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey)    AS n_customers,
+           count(o_orderkey)            AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg",),
+)
+def a_count_distinct(spark, sf_dir):
+    """A4 COUNT(DISTINCT) — Spark expands to a two-phase plan
+    (distinct-shuffle then count) automatically."""
+    o = t(spark, sf_dir).orders
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("o_orderkey").alias("n_orders"),
+    )
+
+
+@query("a_approx_count_distinct", oracle=None, tags=("agg", "approx"))
+def a_approx_count_distinct(spark, sf_dir):
+    """A4b approx_count_distinct (HyperLogLog++) — the 100 TB scale
+    path for distinct counting; no oracle (DuckDB's sketch differs),
+    driver records the rows-only check. Accuracy asserted in tests
+    against the exact count (±5%)."""
+    li = t(spark, sf_dir).lineitem
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+@query(
+    "a_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 10
+    """,
+    tags=("agg",),
+)
+def a_having(spark, sf_dir):
+    """A6 HAVING = post-aggregation filter."""
+    o = t(spark, sf_dir).orders
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), r2(F.sum("o_totalprice")).alias("spend"))
+        .filter(F.col("n_orders") >= 10)
+    )
+
+
+@query(
+    "a_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 2) AS sd_price,
+           round(stddev_pop(l_extendedprice), 2)  AS sdp_price,
+           round(var_samp(l_discount), 6)         AS var_disc,
+           round(var_pop(l_discount), 6)          AS varp_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def a_stats(spark, sf_dir):
+    """A7 stddev / variance (sample + population)."""
+    li = t(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        r2(F.stddev_samp("l_extendedprice")).alias("sd_price"),
+        r2(F.stddev_pop("l_extendedprice")).alias("sdp_price"),
+        r6(F.var_samp("l_discount")).alias("var_disc"),
+        r6(F.var_pop("l_discount")).alias("varp_disc"),
+    )
+
+
+@query(
+    "a_median_percentile",
+    oracle="""
+    SELECT l_linestatus,
+           round(median(l_extendedprice), 4)            AS med_price,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+           round(quantile_cont(l_quantity, 0.25), 4)      AS q1_qty
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    tags=("agg",),
+)
+def a_median_percentile(spark, sf_dir):
+    """A8 exact median / continuous percentile (Spark F.median /
+    F.percentile == DuckDB median / quantile_cont). The approximate
+    scale path is percentile_approx — see a_percentile_approx."""
+    li = t(spark, sf_dir).lineitem
+    return li.groupBy("l_linestatus").agg(
+        r4(F.median("l_extendedprice")).alias("med_price"),
+        r4(F.percentile("l_extendedprice", 0.95)).alias("p95_price"),
+        r4(F.percentile("l_quantity", 0.25)).alias("q1_qty"),
+    )
+
+
+@query("a_percentile_approx", oracle=None, tags=("agg", "approx"))
+def a_percentile_approx(spark, sf_dir):
+    """A8b approx percentile (t-digest-style sketch) — the 100 TB
+    path; no oracle (sketch-dependent), accuracy asserted in tests."""
+    li = t(spark, sf_dir).lineitem
+    return li.agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median")
+    )
+
+
+@query(
+    "a_string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS names
+    FROM nation GROUP BY n_regionkey
+    """,
+    tags=("agg",),
+)
+def a_string_agg(spark, sf_dir):
+    """A9 string/list aggregation — collect_list is unordered in a
+    distributed engine, so sort the array before joining to make the
+    result deterministic (mirrors string_agg ... ORDER BY)."""
+    n = t(spark, sf_dir).nation
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names")
+    )
+
+
+@query(
+    "a_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def a_rollup(spark, sf_dir):
+    """A10 ROLLUP — hierarchical subtotals + grand total."""
+    li = t(spark, sf_dir).lineitem
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        r2(F.sum("l_quantity")).alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+@query(
+    "a_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def a_cube(spark, sf_dir):
+    """A10 CUBE — all grouping-set combinations."""
+    li = t(spark, sf_dir).lineitem
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        r2(F.sum("l_quantity")).alias("sum_qty")
+    )
+
+
+@query(
+    "a_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("agg",),
+)
+def a_grouping_sets(spark, sf_dir):
+    """A10 explicit GROUPING SETS (SQL form — Catalyst expands)."""
+    return sql_query(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )(spark, sf_dir)
+
+
+@query(
+    "a_corr_covar",
+    oracle="""
+    SELECT round(corr(l_quantity, l_extendedprice), 6)        AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4)  AS qty_price_covar
+    FROM lineitem
+    """,
+    tags=("agg",),
+)
+def a_corr_covar(spark, sf_dir):
+    """Bivariate aggregates: correlation / covariance."""
+    li = t(spark, sf_dir).lineitem
+    return li.agg(
+        r6(F.corr("l_quantity", "l_extendedprice")).alias("qty_price_corr"),
+        r4(F.covar_samp("l_quantity", "l_extendedprice")).alias("qty_price_covar"),
+    )
+
+
+# -------------------------------------------- sorts / limits / set ops (O1-O6)
+
+
+@query(
+    "o_order_limit",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS total
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    tags=("sort",),
+)
+def o_order_limit(spark, sf_dir):
+    """O1+O2+O3 top-k: ORDER BY ... LIMIT plans as
+    TakeOrderedAndProject — per-partition heaps, no global sort.
+    o_orderkey tiebreak makes the top-10 set deterministic."""
+    o = t(spark, sf_dir).orders
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", r2("o_totalprice").alias("total"))
+        .limit(10)
+    )
+
+
+@query(
+    "o_offset",
+    oracle="""
+    SELECT o_orderkey FROM orders
+    ORDER BY o_orderkey
+    LIMIT 20 OFFSET 100
+    """,
+    tags=("sort",),
+)
+def o_offset(spark, sf_dir):
+    """O2 LIMIT ... OFFSET over a deterministic (unique-key) order."""
+    o = t(spark, sf_dir).orders
+    return o.orderBy("o_orderkey").select("o_orderkey").offset(100).limit(20)
+
+
+@query(
+    "o_sort_nulls",
+    oracle="""
+    SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS prio
+    FROM orders
+    ORDER BY prio DESC NULLS LAST, o_orderkey
+    LIMIT 50
+    """,
+    tags=("sort",),
+)
+def o_sort_nulls(spark, sf_dir):
+    """O1 explicit NULLS FIRST/LAST (Spark and DuckDB have opposite
+    defaults — always spell it out when nulls can reach a sort)."""
+    o = t(spark, sf_dir).orders
+    prio = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    return (
+        o.select("o_orderkey", prio.alias("prio"))
+        .orderBy(F.col("prio").desc_nulls_last(), F.col("o_orderkey"))
+        .limit(50)
+    )
+
+
+@query(
+    "o_union_all",
+    oracle="""
+    SELECT c_custkey AS key, c_name AS name FROM customer WHERE c_custkey <= 50
+    UNION ALL
+    SELECT s_suppkey AS key, s_name AS name FROM supplier
+    """,
+    tags=("setop",),
+)
+def o_union_all(spark, sf_dir):
+    """O4 UNION ALL (bag union — no shuffle at all)."""
+    tt = t(spark, sf_dir)
+    c = tt.customer.filter(F.col("c_custkey") <= 50).select(
+        F.col("c_custkey").alias("key"), F.col("c_name").alias("name")
+    )
+    s = tt.supplier.select(
+        F.col("s_suppkey").alias("key"), F.col("s_name").alias("name")
+    )
+    return c.unionAll(s)
+
+
+@query(
+    "o_union_distinct",
+    oracle="""
+    SELECT l_returnflag AS flag FROM lineitem
+    UNION
+    SELECT o_orderstatus AS flag FROM orders
+    """,
+    tags=("setop",),
+)
+def o_union_distinct(spark, sf_dir):
+    """O4 UNION (set semantics = union + dedup)."""
+    tt = t(spark, sf_dir)
+    a = tt.lineitem.select(F.col("l_returnflag").alias("flag"))
+    b = tt.orders.select(F.col("o_orderstatus").alias("flag"))
+    return a.union(b).distinct()
+
+
+@query(
+    "o_intersect",
+    oracle="""
+    SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("setop",),
+)
+def o_intersect(spark, sf_dir):
+    """O4 INTERSECT (customers with both open and finished orders)."""
+    o = t(spark, sf_dir).orders
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("key"))
+    b = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("key"))
+    return a.intersect(b)
+
+
+@query(
+    "o_except",
+    oracle="""
+    SELECT c_custkey AS key FROM customer
+    EXCEPT
+    SELECT o_custkey AS key FROM orders
+    """,
+    tags=("setop",),
+)
+def o_except(spark, sf_dir):
+    """O4 EXCEPT (customers who never ordered)."""
+    tt = t(spark, sf_dir)
+    a = tt.customer.select(F.col("c_custkey").alias("key"))
+    b = tt.orders.select(F.col("o_custkey").alias("key"))
+    return a.exceptAll(b).distinct()
+
+
+_CTE_SQL = """
+WITH spend AS (
+    SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+)
+SELECT n_orders, count(*) AS n_customers,
+       round(avg(total_spend), 2) AS avg_spend
+FROM spend GROUP BY n_orders
+"""
+
+
+@query("o_cte", oracle=_CTE_SQL, tags=("setop",))
+def o_cte(spark, sf_dir):
+    """O5 CTE (WITH) — same text runs in both dialects; in Spark the
+    CTE is just a named logical subplan, inlined by Catalyst."""
+    return sql_query(_CTE_SQL)(spark, sf_dir)
+
+
+_SUBQ_IN_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (
+    SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+)
+"""
+
+
+@query("o_subquery_in", oracle=_SUBQ_IN_SQL, tags=("subquery",))
+def o_subquery_in(spark, sf_dir):
+    """O6 IN-subquery — Catalyst rewrites to a left-semi join."""
+    return sql_query(_SUBQ_IN_SQL)(spark, sf_dir)
+
+
+_SUBQ_EXISTS_SQL = """
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+)
+"""
+
+
+@query("o_subquery_not_exists", oracle=_SUBQ_EXISTS_SQL, tags=("subquery",))
+def o_subquery_not_exists(spark, sf_dir):
+    """O6 correlated NOT EXISTS — decorrelated to a left-anti join."""
+    return sql_query(_SUBQ_EXISTS_SQL)(spark, sf_dir)
+
+
+_SUBQ_SCALAR_SQL = """
+SELECT o_orderkey, round(o_totalprice, 2) AS total
+FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+"""
+
+
+@query("o_subquery_scalar", oracle=_SUBQ_SCALAR_SQL, tags=("subquery",))
+def o_subquery_scalar(spark, sf_dir):
+    """O6 scalar subquery in WHERE — planned as a broadcast of the
+    single aggregated value, not a driver-side collect."""
+    return sql_query(_SUBQ_SCALAR_SQL)(spark, sf_dir)
+
+
+@query(
+    "a_agg_filter_clause",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) FILTER (WHERE o_totalprice > 150000.0) AS n_big,
+           count(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg",),
+)
+def a_agg_filter_clause(spark, sf_dir):
+    """Aggregate FILTER clause (conditional aggregation)."""
+    return sql_query(
+        """
+        SELECT o_orderstatus,
+               count(*) FILTER (WHERE o_totalprice > 150000.0) AS n_big,
+               count(*) AS n
+        FROM orders GROUP BY o_orderstatus
+        """
+    )(spark, sf_dir)
+
+
+@query(
+    "p_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS qty_O,
+           round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def p_pivot(spark, sf_dir):
+    """PIVOT — groupBy().pivot() with explicit value list (no extra
+    distinct-values job); oracle via conditional aggregation."""
+    li = t(spark, sf_dir).lineitem
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return piv.select(
+        "l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F")
+    )
+
+
+@query(
+    "p_unpivot",
+    oracle="""
+    SELECT c_custkey, k AS metric, v AS val FROM (
+        SELECT c_custkey, 'acctbal' AS k, round(c_acctbal, 2) AS v FROM customer
+        UNION ALL
+        SELECT c_custkey, 'nationkey' AS k, CAST(c_nationkey AS DOUBLE) AS v FROM customer
+    )
+    """,
+    tags=("projection",),
+)
+def p_unpivot(spark, sf_dir):
+    """UNPIVOT / melt via stack() — wide→long without a shuffle."""
+    c = t(spark, sf_dir).customer
+    return c.select(
+        "c_custkey",
+        F.expr(
+            "stack(2, 'acctbal', round(c_acctbal, 2),"
+            " 'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, val)"
+        ),
+    )

@@ -1,0 +1,226 @@
+"""Window functions (SURVEY.md §2.5, W1-W5 — tier D via the
+reference's DuckDB delegation point, IcebergConnection.py:116).
+
+Every window here partitions before it orders — a window with no
+PARTITION BY forces all rows through one task at scale, so the
+inventory deliberately demonstrates partitioned forms. Order keys
+always end in a unique column (tiebreak) so ranks/offsets are
+deterministic under the driver's value-hash comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from mcp_iceberg_duckdb_spark.operators._util import r2, t
+from mcp_iceberg_duckdb_spark.registry import query
+
+
+@query(
+    "w_ranking",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           row_number() OVER w AS rn,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    tags=("window",),
+)
+def w_ranking(spark, sf_dir):
+    """W1 row_number / rank / dense_rank / ntile over a partitioned,
+    uniquely-ordered window."""
+    c = t(spark, sf_dir).customer
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "w_lag_lead",
+    oracle="""
+    SELECT user_id, event_id,
+           lag(event_type)     OVER w AS prev_type,
+           lead(event_type)    OVER w AS next_type,
+           lag(event_type, 2, 'none') OVER w AS prev2_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window",),
+)
+def w_lag_lead(spark, sf_dir):
+    """W2 lag / lead with offset + default."""
+    e = t(spark, sf_dir).events
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lag("event_type", 2, "none").over(w).alias("prev2_type"),
+    )
+
+
+@query(
+    "w_first_last",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           first_value(l_shipdate) OVER w AS first_ship,
+           last_value(l_shipdate)  OVER w AS last_ship
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window",),
+)
+def w_first_last(spark, sf_dir):
+    """W3 first_value / last_value with an explicit full frame —
+    last_value over the default frame is a classic footgun (it would
+    return the current row) in both engines."""
+    li = t(spark, sf_dir).lineitem
+    w = (
+        W.partitionBy("l_orderkey")
+        .orderBy("l_shipdate", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.first("l_shipdate").over(w).alias("first_ship"),
+        F.last("l_shipdate").over(w).alias("last_ship"),
+    )
+
+
+@query(
+    "w_running_agg",
+    oracle="""
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value,
+           count(*) OVER (PARTITION BY user_id) AS n_events
+    FROM events
+    """,
+    tags=("window",),
+)
+def w_running_agg(spark, sf_dir):
+    """W4 running aggregate + whole-partition count."""
+    e = t(spark, sf_dir).events
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+        F.count("*").over(W.partitionBy("user_id")).alias("n_events"),
+    )
+
+
+@query(
+    "w_sliding_frame",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           round(avg(l_quantity) OVER (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS qty_ma4
+    FROM lineitem
+    """,
+    tags=("window",),
+)
+def w_sliding_frame(spark, sf_dir):
+    """W5 ROWS sliding frame (4-row moving average per supplier)."""
+    li = t(spark, sf_dir).lineitem
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-3, W.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.avg("l_quantity").over(w), 4).alias("qty_ma4"),
+    )
+
+
+@query(
+    "w_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                 RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS n_near
+    FROM orders
+    """,
+    tags=("window",),
+)
+def w_range_frame(spark, sf_dir):
+    """W5 RANGE frame on a numeric key (peers by value distance —
+    set-valued, so deterministic even with duplicate keys)."""
+    o = t(spark, sf_dir).orders
+    w = W.partitionBy("o_custkey").orderBy("o_orderkey").rangeBetween(-100, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count("*").over(w).alias("n_near"),
+    )
+
+
+@query(
+    "w_topk_per_group",
+    oracle="""
+    SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS bal FROM (
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               row_number() OVER (PARTITION BY c_nationkey
+                    ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer
+    ) WHERE rn <= 3
+    """,
+    tags=("window",),
+)
+def w_topk_per_group(spark, sf_dir):
+    """Top-K per group — the canonical window idiom; Spark pushes the
+    rn<=3 limit into the window sort (WindowGroupLimit) so only K rows
+    per group survive the shuffle."""
+    c = t(spark, sf_dir).customer
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_nationkey", "c_custkey", r2("c_acctbal").alias("bal"))
+    )
+
+
+@query(
+    "w_cume_percent",
+    oracle="""
+    SELECT o_orderkey,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist()    OVER w, 6) AS cd
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window",),
+)
+def w_cume_percent(spark, sf_dir):
+    """W1 percent_rank / cume_dist (global window — demonstration
+    only; at scale these need a partition or a pre-bucketed range)."""
+    o = t(spark, sf_dir).orders
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )

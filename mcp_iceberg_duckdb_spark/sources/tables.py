@@ -1,0 +1,196 @@
+"""Table loaders for the driver's parquet fixtures (TESTDATA.md).
+
+This is the Spark replacement for the reference's scan layer
+(``IcebergConnection.py:107-114`` — ``catalog.load_table`` +
+unfiltered ``table.scan()`` → full in-memory Arrow copy). Here a
+"load" is *lazy*: ``spark.read.parquet`` only binds schema; Catalyst
+pushes filters / prunes columns into the parquet scan, so unlike the
+reference nothing is materialized until an action runs, and only the
+needed columns/row-groups are read.
+
+Schemas are declared explicitly (they are the fixed TESTDATA.md
+contract). Explicit schemas buy three things at scale:
+
+- no footer-sampling schema inference pass over 100 TB of files,
+- timestamps are pinned to TIMESTAMP_NTZ regardless of session conf
+  (the fixture parquet stores naive timestamps; the DuckDB oracle
+  reads them naive),
+- type intent is documented (e.g. ``embedding array<float>``).
+
+``events.ts`` is nanosecond-precision in parquet; Spark's NTZ reader
+and DuckDB both read it at microsecond precision via the explicit
+schema, so both sides see identical values.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+_NTZ = T.TimestampNTZType()
+
+SCHEMAS: dict[str, T.StructType] = {
+    "region": T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType()),
+            T.StructField("r_name", T.StringType()),
+        ]
+    ),
+    "nation": T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    ),
+    "customer": T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    ),
+    "supplier": T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    ),
+    "part": T.StructType(
+        [
+            T.StructField("p_partkey", T.LongType()),
+            T.StructField("p_name", T.StringType()),
+            T.StructField("p_brand", T.StringType()),
+            T.StructField("p_type", T.StringType()),
+            T.StructField("p_size", T.IntegerType()),
+            T.StructField("p_retailprice", T.DoubleType()),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", _NTZ),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    ),
+    "lineitem": T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_discount", T.DoubleType()),
+            T.StructField("l_tax", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", _NTZ),
+        ]
+    ),
+    # events.ts is TIMESTAMP(NANOS) in parquet, which Spark's reader
+    # rejects outright; read it as raw int64 nanos (legacy conf) and
+    # convert to µs-precision NTZ in load() — same truncation DuckDB
+    # applies, so oracle values agree exactly.
+    "events": T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    ),
+    "documents": T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    ),
+    "embeddings": T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    ),
+}
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazily bind one fixture table. Filters/projections on the
+    returned DataFrame push down into the parquet scan."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = SCHEMAS.get(name)
+    if name == "events":
+        # TIMESTAMP(NANOS) column: read as int64, truncate to µs NTZ.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.schema(schema).parquet(path)
+        ts_ntz = F.timestamp_add(
+            "MICROSECOND",
+            (F.col("ts") / 1000).cast("long"),
+            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        )
+        return df.withColumn("ts", ts_ntz)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+class Tables:
+    """Attribute-style lazy table access: ``t = Tables(spark, sf_dir);
+    t.lineitem``. Replaces the reference's per-query
+    ``catalog.load_table`` (IcebergConnection.py:108)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self._spark = spark
+        self._sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name not in TABLE_NAMES:
+            raise AttributeError(f"unknown fixture table: {name}")
+        if name not in self._cache:
+            self._cache[name] = load(self._spark, self._sf_dir, name)
+        return self._cache[name]
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> None:
+    """Register every fixture table as a temp view so the SQL entry
+    point (spark.sql / the router) can resolve bare table names —
+    the Spark analogue of the reference registering the scanned Arrow
+    table into DuckDB (IcebergConnection.py:114)."""
+    for name in names:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
