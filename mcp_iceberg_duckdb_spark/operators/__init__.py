@@ -2,8 +2,12 @@
 builder into mcp_iceberg_duckdb_spark.registry.QUERIES."""
 
 from mcp_iceberg_duckdb_spark.operators import (  # noqa: F401
+    dedup,
     joins,
+    multimodal,
     relational,
     scalars,
+    similarity,
+    textops,
     windows,
 )

@@ -1,0 +1,281 @@
+"""Deduplication operators (tier X — SURVEY.md §2.11): exact,
+MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design (the 100 TB story):
+
+- exact dedup is a hash-groupBy — one shuffle on the content hash,
+  map-side partial aggregation, no driver involvement.
+- MinHash-LSH is the linear-time near-dup path: signature computation
+  is embarrassingly parallel (no shuffle), banding explodes each doc
+  into B rows, and the candidate join shuffles on (band, band_hash) —
+  candidates are generated bucket-locally, never all-pairs. A bucket
+  size cap bounds the quadratic blowup a degenerate bucket (e.g. the
+  empty document) would cause; production tuning = more bands/rows.
+- brute-force pair generation (n-gram Jaccard, cosine) is kept only
+  behind *blocking keys* (source, label) — the pattern that stays
+  sub-quadratic when blocks are bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mcp_iceberg_duckdb_spark.functions.textfns import (
+    distinct_tokens,
+    jaccard,
+    lsh_bands,
+    minhash_signature,
+    simhash64,
+    word_shingles,
+)
+from mcp_iceberg_duckdb_spark.functions.vector import as_double, cosine
+from mcp_iceberg_duckdb_spark.operators._util import r6, t
+from mcp_iceberg_duckdb_spark.registry import query
+
+# documents: no byte-identical dups are planted, but ~11k pairs share
+# ≥90% of their token sets — exact dedup keys on the *normalized*
+# content (sorted distinct tokens), the standard "same bag of words"
+# canonicalization.
+
+
+@query(
+    "x_dedup_exact",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS content_sig
+        FROM documents
+    )
+    SELECT content_sig, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+    FROM h GROUP BY content_sig
+    HAVING count(*) > 1
+    """,
+    tags=("dedup", "tierx"),
+)
+def x_dedup_exact(spark, sf_dir):
+    """Exact dedup: md5 over canonicalized content (sorted distinct
+    tokens), groupBy hash, keep min doc_id. Emits only groups with
+    duplicates. One shuffle on the 128-bit hash; at 100 TB the hash
+    (16 bytes) shuffles, never the document text."""
+    d = t(spark, sf_dir).documents
+    sig = F.md5(F.array_join(F.array_sort(distinct_tokens("text")), " "))
+    return (
+        d.select("doc_id", sig.alias("content_sig"))
+        .groupBy("content_sig")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@query(
+    "x_dedup_exact_keep_first",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id, lang, source,
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS content_sig
+        FROM documents
+    )
+    SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+               row_number() OVER (PARTITION BY content_sig ORDER BY doc_id) AS rn
+        FROM h
+    ) WHERE rn = 1
+    """,
+    tags=("dedup", "tierx"),
+)
+def x_dedup_exact_keep_first(spark, sf_dir):
+    """The dedup *materialization*: the surviving corpus (first doc
+    per content signature) — what a training-data pipeline actually
+    writes out. Window-per-key with rank pushdown, not dropDuplicates,
+    so the keeper is deterministic (min doc_id, not "whichever task
+    finished first")."""
+    d = t(spark, sf_dir).documents
+    sig = F.md5(F.array_join(F.array_sort(distinct_tokens("text")), " "))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("content_sig").orderBy("doc_id")
+    return (
+        d.select("doc_id", "lang", "source", sig.alias("content_sig"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+# MinHash-LSH parameters: 32 hashes, 8 bands × 4 rows →
+# P(candidate) ≈ 1-(1-j⁴)⁸; ≈ .9998 at j=.9, ≈ .89 at j=.7.
+_N_HASHES, _N_BANDS, _ROWS = 32, 8, 4
+_JACCARD_THRESHOLD = 0.8
+_MAX_BUCKET = 200  # degenerate-bucket guard
+
+
+@query("x_dedup_minhash_lsh", oracle=None, tags=("dedup", "tierx"))
+def x_dedup_minhash_lsh(spark, sf_dir):
+    """Near-dup detection: 3-word shingles → 32-hash MinHash → 8×4
+    banding → bucket-local candidate pairs → exact-Jaccard verify
+    ≥ 0.8. No oracle (candidates depend on the hash family); tests
+    assert precision = 1.0 and recall ≥ 0.95 vs brute force.
+
+    Plan shape: signature stage is shuffle-free; candidates shuffle
+    once on (band, hash); verify joins token sets back by doc_id.
+    """
+    d = t(spark, sf_dir).documents
+    sh = word_shingles("text", 3)
+    # persist: (sh, sig) is consumed by three downstream branches
+    # (banding + both sides of the verify join); without it Catalyst
+    # inlines and re-runs the shingle+signature expressions per branch
+    docs = d.select(
+        "doc_id",
+        sh.alias("sh"),
+        minhash_signature(sh, _N_HASHES).alias("sig"),
+    ).persist()
+    bands = docs.select(
+        "doc_id", F.posexplode(lsh_bands(F.col("sig"), _N_BANDS, _ROWS))
+    ).toDF("doc_id", "band", "bhash")
+    # degenerate-bucket guard: a bucket with B docs yields B² pairs
+    from pyspark.sql import Window as W
+
+    bucket_n = F.count("*").over(W.partitionBy("band", "bhash"))
+    bands = bands.withColumn("bn", bucket_n).filter(F.col("bn") <= _MAX_BUCKET)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("jaccard", r6(jaccard(F.col("sh_a"), F.col("sh_b"))))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@query("x_dedup_simhash", oracle=None, tags=("dedup", "tierx"))
+def x_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup: 64-bit signature per doc, candidates =
+    16-bit band collision, verified at hamming distance ≤ 6. Pure
+    expression pipeline (fold over tokens), one shuffle on the band
+    key. Property-tested (no oracle — hash-family specific)."""
+    d = t(spark, sf_dir).documents
+    # persist: the signature feeds 4 band expressions + both join sides
+    docs = d.select(
+        "doc_id", simhash64(distinct_tokens("text")).alias("sh")
+    ).persist()
+    # 4 bands of 16 bits each: band value = (sh >> (16·b)) & 0xFFFF
+    bands = docs.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sh"), 16 * b).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "bval"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 6)
+    )
+
+
+@query(
+    "x_dedup_ngram_jaccard",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   range(greatest(len(string_split(text, ' ')) - 2, 1)),
+                   i -> array_to_string(string_split(text, ' ')[i + 1:i + 3], ' ')
+               )) AS sh
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
+    """,
+    tags=("dedup", "tierx"),
+)
+def x_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram (3-word shingle) Jaccard similarity join, blocked
+    on `source`: the deterministic, oracle-checkable dedup path.
+    Blocking keeps pair generation sub-quadratic (pairs only within a
+    block); the unblocked scale path is x_dedup_minhash_lsh."""
+    d = t(spark, sf_dir).documents
+    docs = d.select("doc_id", "source", word_shingles("text", 3).alias("sh"))
+    a, b = docs.alias("a"), docs.alias("b")
+    jac = r6(jaccard(F.col("a.sh"), F.col("b.sh")))
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+@query(
+    "x_dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+    """,
+    tags=("dedup", "tierx"),
+)
+def x_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup, blocked on label: cosine in float64
+    via zip_with/aggregate (no UDF), pairs within a block only. The
+    unblocked scale path is x_ann_lsh_topk's hyperplane bucketing."""
+    e = t(spark, sf_dir).embeddings
+    docs = e.select("vec_id", "label", as_double("embedding").alias("v"))
+    a, b = docs.alias("a"), docs.alias("b")
+    sim = r6(cosine(F.col("a.v"), F.col("b.v")))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.35)
+    )

@@ -1,0 +1,162 @@
+"""Multimodal column plumbing (tier X — SURVEY.md §2.11): opaque
+binary payloads + typed metadata structs, with decode/feature-extract
+as Arrow-batched Pandas UDFs over mapInPandas.
+
+The image/audio codec libraries are not in this container, so the
+DECODE step is stubbed (deterministic fake derived from the payload
+bytes, or NotImplementedError for the real path) — but everything
+Spark-side is real and tested: the binary column type, the metadata
+struct schema, the mapInPandas batch iteration, the output schema
+contract, and partition-preserving execution.
+
+At 100 TB: binary payloads ride through the scan untouched (parquet
+binary column chunks), the featurizer is a per-partition Arrow batch
+stream (no per-row serde), and nothing ever collects to the driver.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from mcp_iceberg_duckdb_spark.operators._util import t
+from mcp_iceberg_duckdb_spark.registry import query
+
+REAL_DECODERS_AVAILABLE = False  # PIL / torchaudio / cv2 not in container
+
+
+def assets_frame(spark, sf_dir) -> DataFrame:
+    """The multimodal table: documents re-materialized as (asset_id,
+    payload binary, meta struct). In production this is the shape of
+    an Iceberg table with a binary column + metadata struct; here the
+    payload is the utf-8 document text so it's deterministic."""
+    d = t(spark, sf_dir).documents
+    return d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.col("n_chars").cast("long").alias("n_bytes_claimed"),
+            F.col("source").alias("origin"),
+            F.col("lang").alias("lang"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes) -> dict:
+    """Real decode path — requires codec libs not present here."""
+    raise NotImplementedError(
+        "image decode requires PIL/cv2 (not in this container); "
+        "use fake_decode for deterministic testing"
+    )
+
+
+def fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for a decoder: derives fake media
+    properties from the payload's md5, so the Spark-side plumbing
+    (schema, batching, partitioning) is exercised with stable
+    values."""
+    digest = hashlib.md5(payload).digest()
+    return {
+        "width": 64 + digest[0] % 192,
+        "height": 64 + digest[1] % 192,
+        "n_frames": 1 + digest[2] % 16,
+        "content_hash": digest.hex(),
+    }
+
+
+_FEATURE_SCHEMA = (
+    "asset_id long, mime string, n_bytes long, width int, height int, "
+    "n_frames int, content_hash string"
+)
+
+
+def _make_featurizer():
+    """Build the mapInPandas worker as a self-contained closure:
+    cloudpickle serializes locally-defined functions BY VALUE, so
+    executors never need this package importable (a module-level
+    function would be pickled by import path and break on workers
+    without the repo on PYTHONPATH)."""
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        def _decode(payload: bytes) -> dict:
+            digest = _hashlib.md5(bytes(payload)).digest()
+            return {
+                "width": 64 + digest[0] % 192,
+                "height": 64 + digest[1] % 192,
+                "n_frames": 1 + digest[2] % 16,
+                "content_hash": digest.hex(),
+            }
+
+        for pdf in batches:
+            decoded = [_decode(p) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].values,
+                    "mime": [m["mime"] for m in pdf["meta"]],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "width": [d["width"] for d in decoded],
+                    "height": [d["height"] for d in decoded],
+                    "n_frames": [d["n_frames"] for d in decoded],
+                    "content_hash": [d["content_hash"] for d in decoded],
+                }
+            )
+
+    return featurize
+
+
+@query("x_multimodal_features", oracle=None, tags=("multimodal", "tierx"))
+def x_multimodal_features(spark, sf_dir):
+    """Decode/feature-extract over binary assets via mapInPandas:
+    Arrow-batched, partition-preserving, no shuffle. The decode is the
+    deterministic stub (REAL_DECODERS_AVAILABLE gates the real one);
+    schema/batching/values are asserted in tests."""
+    return assets_frame(spark, sf_dir).mapInPandas(
+        _make_featurizer(), schema=_FEATURE_SCHEMA
+    )
+
+
+@query(
+    "x_multimodal_metadata",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           octet_length(encode(text)) AS payload_bytes,
+           'text/plain' AS mime,
+           source AS origin
+    FROM documents
+    """,
+    tags=("multimodal", "tierx"),
+)
+def x_multimodal_metadata(spark, sf_dir):
+    """The JVM-side slice of the multimodal surface (oracle-checked):
+    binary payload size + metadata struct field access — proves the
+    binary column and struct plumbing without touching Python."""
+    a = assets_frame(spark, sf_dir)
+    return a.select(
+        "asset_id",
+        F.length("payload").cast("long").alias("payload_bytes"),
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.origin").alias("origin"),
+    )
+
+
+@query("x_multimodal_frame_sample", oracle=None, tags=("multimodal", "tierx"))
+def x_multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing: explode each asset into ≤4 evenly-
+    spaced fake frame indices (the shape of video frame extraction —
+    one row per sampled frame, frame payload decode stubbed)."""
+    feats = x_multimodal_features(spark, sf_dir)
+    step = F.greatest((F.col("n_frames") / 4).cast("int"), F.lit(1))
+    idxs = F.sequence(F.lit(0), F.col("n_frames") - 1, step)
+    return feats.select(
+        "asset_id",
+        "n_frames",
+        F.posexplode(idxs).alias("sample_ord", "frame_idx"),
+    ).filter(F.col("sample_ord") < 4)

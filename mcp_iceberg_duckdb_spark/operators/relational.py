@@ -326,8 +326,8 @@ def a_approx_count_distinct(spark, sf_dir):
     against the exact count (±5%)."""
     li = t(spark, sf_dir).lineitem
     return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
     )
 
 

@@ -1,0 +1,147 @@
+"""Similarity search over the embeddings table (tier X —
+SURVEY.md §2.11): brute-force cosine top-k as the exact baseline, and
+a random-hyperplane LSH bucketed variant as the scale path.
+
+Scale design: brute force is O(queries × corpus) — fine when the
+query set broadcasts (the corpus is scanned once, never shuffled);
+the LSH path buckets the corpus by hyperplane signature bands so each
+query only scores its colliding buckets — sub-linear per query, the
+IVF-style layout for a 100 TB corpus (bucket = partition key).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from mcp_iceberg_duckdb_spark.functions.vector import as_double, cosine, dot
+from mcp_iceberg_duckdb_spark.operators._util import r6, t
+from mcp_iceberg_duckdb_spark.registry import query
+
+_N_QUERIES = 8  # vec_id < 8 are the demo query vectors
+_TOP_K = 10
+
+
+@query(
+    "x_ann_cosine_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.qv, e.v), 6) AS cos_sim
+        FROM q JOIN e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= {_TOP_K}
+    """,
+    tags=("similarity", "tierx"),
+)
+def x_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k: query vectors broadcast, corpus
+    scanned once, per-query top-k via rank-limited window (Spark
+    plans WindowGroupLimit — only k rows per query survive the
+    shuffle). Cosine is rounded to 6dp BEFORE ranking so the order is
+    identical in both engines."""
+    e = t(spark, sf_dir).embeddings.select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            r6(cosine(F.col("qv"), F.col("v"))).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
+# ---- LSH path: 16 random hyperplanes (seed 42), 4 bands × 4 bits ----
+
+_N_PLANES, _N_BANDS, _BITS = 16, 4, 4
+_DIM = 64
+
+
+def _hyperplanes() -> list[list[float]]:
+    rng = np.random.RandomState(42)
+    return rng.randn(_N_PLANES, _DIM).round(6).tolist()
+
+
+def _signature_bits(v):
+    """sign bit of v·plane for each of the 16 literal hyperplanes."""
+    planes = _hyperplanes()
+    return [
+        F.when(
+            dot(v, F.array(*[F.lit(float(x)) for x in p])) >= 0, F.lit(1)
+        ).otherwise(F.lit(0))
+        for p in planes
+    ]
+
+
+def _band_keys(v):
+    """Fold each 4-bit group of the signature into one band key."""
+    bits = _signature_bits(v)
+    keys = []
+    for b in range(_N_BANDS):
+        key = F.lit(0)
+        for i in range(_BITS):
+            key = key * 2 + bits[b * _BITS + i]
+        keys.append(key)
+    return F.array(*keys)
+
+
+@query("x_ann_lsh_topk", oracle=None, tags=("similarity", "tierx"))
+def x_ann_lsh_topk(spark, sf_dir):
+    """Approximate NN: random-hyperplane LSH. Corpus and queries get
+    16-bit signatures from deterministic (seed-42) hyperplanes; a
+    corpus vector is a candidate if it collides with the query in any
+    of 4 bands; candidates are ranked by exact cosine. No oracle
+    (bucketing is hash-specific); tests measure recall vs the exact
+    top-k. At scale the banded corpus is materialized once (bucket =
+    partition key) and each query probes ~4 buckets instead of the
+    full corpus."""
+    e = t(spark, sf_dir).embeddings.select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    banded = e.select(
+        "vec_id", "v", F.posexplode(_band_keys(F.col("v"))).alias("band", "bkey")
+    )
+    q = banded.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        "band",
+        "bkey",
+    )
+    cand = (
+        banded.join(
+            q,
+            ["band", "bkey"],
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), "v")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        r6(cosine(F.col("qv"), F.col("v"))).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )

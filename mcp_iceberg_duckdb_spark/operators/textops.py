@@ -1,0 +1,183 @@
+"""Text analysis operators (tier X — SURVEY.md §2.11): language-ID
+heuristic, quality scoring, token counting, document fingerprinting.
+
+All pure Catalyst expressions over the documents table — string
+splits, regex counts, higher-order folds. No Python in the row path:
+at 100 TB these run inside whole-stage codegen right on top of the
+parquet scan, shuffle-free (they're all per-row maps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mcp_iceberg_duckdb_spark.functions.textfns import EN_STOPWORDS, distinct_tokens, tokens
+from mcp_iceberg_duckdb_spark.operators._util import r6, t
+from mcp_iceberg_duckdb_spark.registry import query
+
+_SW_SQL = "', '".join(EN_STOPWORDS)
+
+
+@query(
+    "x_text_langid",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(string_split(text, ' '),
+                        x -> x IN ('{_SW_SQL}'))) AS DOUBLE)
+               / greatest(len(string_split(text, ' ')), 1) AS sw_ratio
+        FROM documents
+    )
+    SELECT doc_id, lang, round(sw_ratio, 6) AS en_stopword_ratio,
+           CASE WHEN sw_ratio >= 0.05 THEN 'en' ELSE 'unk' END AS lang_pred
+    FROM s
+    """,
+    tags=("text", "tierx"),
+)
+def x_text_langid(spark, sf_dir):
+    """Language-ID heuristic: English-stopword ratio → 'en' / 'unk'.
+    (A real n-gram profile model plugs into the same shape: per-row
+    score expressions + argmax; the fixture corpus is synthetic so
+    the heuristic layer is what's exercised.)"""
+    d = t(spark, sf_dir).documents
+    toks = tokens("text")
+    sw = F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS)))
+    ratio = sw.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+    return d.select(
+        "doc_id",
+        "lang",
+        r6(ratio).alias("en_stopword_ratio"),
+        F.when(ratio >= 0.05, "en").otherwise("unk").alias("lang_pred"),
+    )
+
+
+@query(
+    "x_text_quality",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               length(text) AS n_chars_m,
+               CAST(length(text) AS DOUBLE)
+                 / greatest(len(string_split(text, ' ')), 1) AS avg_token_len,
+               CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1) AS punct_ratio,
+               CAST(len(list_filter(string_split(text, ' '), x -> x IN ('{_SW_SQL}'))) AS DOUBLE)
+                 / greatest(len(string_split(text, ' ')), 1) AS sw_ratio,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / greatest(len(string_split(text, ' ')), 1) AS ttr
+        FROM documents
+    )
+    SELECT doc_id, n_tokens, round(avg_token_len, 6) AS avg_token_len,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(sw_ratio, 6)    AS stopword_ratio,
+           round(ttr, 6)         AS type_token_ratio,
+           round(0.25 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+               + 0.25 * least(sw_ratio / 0.05, 1.0)
+               + 0.5  * ttr, 6)  AS quality_score
+    FROM s
+    """,
+    tags=("text", "tierx"),
+)
+def x_text_quality(spark, sf_dir):
+    """Quality scoring: length, avg token length, punctuation ratio,
+    stopword ratio, type-token ratio, folded into a [0,1] score —
+    the Gopher-rules-style per-document filter signals."""
+    d = t(spark, sf_dir).documents
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    denom_t = F.greatest(n_tokens, F.lit(1)).cast("double")
+    avg_len = n_chars.cast("double") / denom_t
+    punct = (
+        n_chars - F.length(F.regexp_replace("text", r"[.!?,;:]", ""))
+    ).cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    sw_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS))).cast("double")
+        / denom_t
+    )
+    ttr = F.size(F.array_distinct(toks)).cast("double") / denom_t
+    score = (
+        0.25 * F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))
+        + 0.25 * F.least(sw_ratio / 0.05, F.lit(1.0))
+        + 0.5 * ttr
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        r6(avg_len).alias("avg_token_len"),
+        r6(punct).alias("punct_ratio"),
+        r6(sw_ratio).alias("stopword_ratio"),
+        r6(ttr).alias("type_token_ratio"),
+        r6(score).alias("quality_score"),
+    )
+
+
+@query(
+    "x_text_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))                    AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT)        AS char_est_tokens
+    FROM documents
+    """,
+    tags=("text", "tierx"),
+)
+def x_text_token_count(spark, sf_dir):
+    """Token counting three ways: whitespace, BPE-ish regex segments
+    (letter runs / digit runs / single punctuation), and the chars/4
+    estimator — the cheap signals a data pipeline budgets with."""
+    d = t(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        F.size(tokens("text")).alias("ws_tokens"),
+        F.regexp_count("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).alias(
+            "bpe_ish_tokens"
+        ),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("char_est_tokens"),
+    )
+
+
+@query(
+    "x_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bow_fingerprint,
+           md5(text) AS raw_fingerprint
+    FROM documents
+    """,
+    tags=("text", "tierx"),
+)
+def x_text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: order-insensitive bag-of-words md5 +
+    raw md5. The bow fingerprint is the join key x_dedup_exact groups
+    on; identical-token-set docs collide, reordered copies included."""
+    d = t(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(distinct_tokens("text")), " ")).alias(
+            "bow_fingerprint"
+        ),
+        F.md5(F.col("text")).alias("raw_fingerprint"),
+    )
+
+
+@query("x_text_rolling_hash", oracle=None, tags=("text", "tierx"))
+def x_text_rolling_hash(spark, sf_dir):
+    """Polynomial rolling hash over the token stream (order-
+    SENSITIVE, unlike the bow fingerprint): h = (h·31 + xxhash64(tok))
+    mod 2³¹-1, folded JVM-side. The modulus keeps acc·31 far below
+    int64 overflow (Spark 4 runs ANSI mode — overflow throws).
+    xxhash64 has no DuckDB twin → rows-only check; determinism
+    property-tested."""
+    d = t(spark, sf_dir).documents
+    m = F.lit(2147483647)  # 2^31 - 1 (Mersenne prime)
+    h = F.aggregate(
+        tokens("text"),
+        F.lit(0).cast("long"),
+        lambda acc, tok: F.pmod(
+            acc * 31 + F.pmod(F.xxhash64(tok), m), m
+        ),
+    )
+    return d.select("doc_id", h.alias("rolling_hash"))

@@ -1,0 +1,160 @@
+"""Property tests for tier-X operators whose candidate generation is
+hash-family-specific (no DuckDB oracle): MinHash-LSH and SimHash
+dedup, hyperplane-LSH ANN, rolling hash, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+
+from mcp_iceberg_duckdb_spark import registry
+
+registry.load_all()
+
+
+def _run(name, spark, sf_dir):
+    return registry.QUERIES[name].builder(spark, sf_dir)
+
+
+def test_minhash_lsh_precision_and_recall(spark, duck, sf_dir):
+    """Ground truth = brute-force SHINGLE jaccard (the similarity the
+    operator defines near-dup on). Every reported pair must be a true
+    pair (precision 1.0 — the verify stage computes exact jaccard);
+    recall vs brute force must be >= 0.95 at the 0.9 level."""
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in _run("x_dedup_minhash_lsh", spark, sf_dir).collect()
+    }
+    assert got, "LSH found no near-dup pairs, but the corpus plants dozens"
+    truth = dict(
+        (tuple(r[:2]), r[2])
+        for r in duck.sql(
+            """
+        SELECT * FROM (
+            WITH d AS (SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(greatest(len(string_split(text,' ')) - 2, 1)),
+                           i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')
+                       )) AS sh
+                       FROM documents)
+            SELECT a.doc_id AS ia, b.doc_id AS ib,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+            FROM d a JOIN d b ON a.doc_id < b.doc_id
+        ) WHERE j >= 0.78
+        """
+        ).fetchall()
+    )
+    # precision: all reported pairs are genuine (>= threshold - rounding slack)
+    for pair, j in got.items():
+        assert pair in truth, f"false positive pair {pair} (jaccard={j})"
+    # recall at the high-similarity level
+    strong = {p for p, j in truth.items() if j >= 0.9}
+    found = strong & set(got)
+    recall = len(found) / len(strong)
+    assert recall >= 0.95, f"recall {recall:.3f} < 0.95 ({len(found)}/{len(strong)})"
+
+
+def test_simhash_flags_identical_token_sets(spark, duck, sf_dir):
+    """Docs with identical token sets must have identical simhash
+    (hamming 0) and be reported as candidates."""
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in _run("x_dedup_simhash", spark, sf_dir).collect()
+    }
+    identical = set(
+        tuple(r)
+        for r in duck.sql(
+            """
+        WITH d AS (SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS s
+                   FROM documents)
+        SELECT a.doc_id, b.doc_id FROM d a JOIN d b ON a.s = b.s AND a.doc_id < b.doc_id
+        """
+        ).fetchall()
+    )
+    for p in identical:
+        assert p in pairs, f"identical-token-set pair {p} missed by simhash"
+        assert pairs[p] == 0, f"identical pair {p} has hamming {pairs[p]}"
+
+
+def test_ann_lsh_recall_vs_exact(spark, sf_dir):
+    """Bucketed ANN must recover a reasonable fraction of the exact
+    top-10 (banded 16-bit signatures, random 64-dim data → recall is
+    approximate by design; assert it beats a trivial baseline and
+    returns well-formed per-query results)."""
+    exact = _run("x_ann_cosine_topk", spark, sf_dir).collect()
+    approx = _run("x_ann_lsh_topk", spark, sf_dir).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(approx_sets) == set(exact_sets), "missing query ids"
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.2, f"ANN mean recall {mean_recall:.2f} below floor"
+    for q, rows in approx_sets.items():
+        assert len(rows) <= 10
+
+
+def test_rolling_hash_deterministic_and_order_sensitive(spark, sf_dir):
+    rows1 = {r.doc_id: r.rolling_hash for r in _run("x_text_rolling_hash", spark, sf_dir).collect()}
+    rows2 = {r.doc_id: r.rolling_hash for r in _run("x_text_rolling_hash", spark, sf_dir).collect()}
+    assert rows1 == rows2, "rolling hash not deterministic across runs"
+    assert all(0 <= v < 2147483647 for v in rows1.values())
+
+
+def test_multimodal_features_schema_and_determinism(spark, sf_dir):
+    df = _run("x_multimodal_features", spark, sf_dir)
+    assert df.schema.simpleString() == (
+        "struct<asset_id:bigint,mime:string,n_bytes:bigint,width:int,"
+        "height:int,n_frames:int,content_hash:string>"
+    )
+    rows = {r.asset_id: r for r in df.collect()}
+    assert len(rows) > 0
+    r0 = rows[0]
+    assert r0.mime == "text/plain" and 64 <= r0.width < 256 and r0.n_bytes > 0
+    # content_hash must equal md5 of payload → re-derivable
+    import hashlib
+
+    from mcp_iceberg_duckdb_spark.operators.multimodal import assets_frame
+
+    payload0 = assets_frame(spark, sf_dir).filter("asset_id = 0").collect()[0].payload
+    assert r0.content_hash == hashlib.md5(bytes(payload0)).hexdigest()
+
+
+def test_multimodal_frame_sample_bounds(spark, sf_dir):
+    df = _run("x_multimodal_frame_sample", spark, sf_dir)
+    import pyspark.sql.functions as F
+
+    bad = df.groupBy("asset_id").count().filter(F.col("count") > 4).count()
+    assert bad == 0, "some asset sampled more than 4 frames"
+    oob = df.filter((F.col("frame_idx") < 0) | (F.col("frame_idx") >= F.col("n_frames"))).count()
+    assert oob == 0
+
+
+def test_real_decoder_is_gated():
+    from mcp_iceberg_duckdb_spark.operators import multimodal
+
+    assert not multimodal.REAL_DECODERS_AVAILABLE
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG...")
+
+
+def test_approx_count_distinct_accuracy(spark, duck, sf_dir):
+    row = _run("a_approx_count_distinct", spark, sf_dir).collect()[0]
+    exact_parts, exact_orders = duck.sql(
+        "SELECT count(DISTINCT l_partkey), count(DISTINCT l_orderkey) FROM lineitem"
+    ).fetchone()
+    assert abs(row.approx_parts - exact_parts) / exact_parts < 0.05
+    assert abs(row.approx_orders - exact_orders) / exact_orders < 0.05
+
+
+def test_percentile_approx_accuracy(spark, duck, sf_dir):
+    row = _run("a_percentile_approx", spark, sf_dir).collect()[0]
+    exact = duck.sql("SELECT median(l_extendedprice) FROM lineitem").fetchone()[0]
+    assert abs(row.approx_median - exact) / exact < 0.05
