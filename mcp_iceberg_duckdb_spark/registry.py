@@ -59,4 +59,4 @@ def all_oracles() -> dict[str, str]:
 
 def load_all() -> None:
     """Import every operator module so decorators run."""
-    from mcp_iceberg_duckdb_spark import operators  # noqa: F401
+    from mcp_iceberg_duckdb_spark import operators, streaming  # noqa: F401

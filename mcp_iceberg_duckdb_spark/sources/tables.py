@@ -155,9 +155,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # TIMESTAMP(NANOS) column: read as int64, truncate to µs NTZ.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.schema(schema).parquet(path)
+        # integer `div`, not `/`: float division of int64 nanos loses
+        # precision past 2^53 and lands ±1µs off the true value
         ts_ntz = F.timestamp_add(
             "MICROSECOND",
-            (F.col("ts") / 1000).cast("long"),
+            F.expr("ts div 1000"),
             F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
         )
         return df.withColumn("ts", ts_ntz)

@@ -1,0 +1,259 @@
+"""Streaming surface (SURVEY.md §2.10 — tier X; the reference is
+strictly batch, one table at a time).
+
+Two layers:
+
+1. **Batch-mode window operators** (registered in ``queries()`` with
+   DuckDB oracles): tumbling / sliding / session windows over the
+   events table. ``F.window`` / ``F.session_window`` produce the same
+   results in batch and streaming, so the batch run IS the
+   correctness check for the streaming aggregation logic.
+2. **True Structured Streaming builders** (``stream_*`` functions,
+   exercised by tests): readStream over the same parquet, watermarks
+   for late data, windowed aggregation in append mode,
+   dropDuplicatesWithinWatermark, and a custom stateful operator via
+   applyInPandasWithState.
+
+Scale notes: streaming state is keyed by (window, key) — watermarks
+bound state size; at 100 TB/day the shuffle partitions carry state in
+the state store, so keys must be well-distributed (event_type ×
+window here).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mcp_iceberg_duckdb_spark.operators._util import r4, t
+from mcp_iceberg_duckdb_spark.registry import query
+from mcp_iceberg_duckdb_spark.sources.tables import SCHEMAS
+
+# ---------------------------------------------------------------- batch-mode
+
+
+@query(
+    "s_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    tags=("streaming", "tierx"),
+)
+def s_tumbling_window(spark, sf_dir):
+    """Tumbling 1-hour window aggregation — the batch twin of the
+    streaming query in stream_tumbling_counts (same F.window call)."""
+    e = t(spark, sf_dir).events
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), r4(F.sum("value")).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "s_sliding_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '30 minutes', ts) - (k * INTERVAL '30 minutes') AS window_start,
+           count(*) AS n
+    FROM events, (SELECT unnest([0, 1]) AS k)
+    GROUP BY 1
+    """,
+    tags=("streaming", "tierx"),
+)
+def s_sliding_window(spark, sf_dir):
+    """Sliding window (1 hour long, 30-minute slide): every event
+    lands in exactly 2 windows. Oracle replicates the window
+    assignment arithmetic with a 2-element unnest."""
+    e = t(spark, sf_dir).events
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+
+
+@query(
+    "s_session_window",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER w <= INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "tierx"),
+)
+def s_session_window(spark, sf_dir):
+    """Session window (30-minute gap) per user — F.session_window in
+    batch mode; the oracle sessionizes classically via lag + cumsum.
+    session_window merges events whose gap ≤ 30 min; window.start =
+    first event of the session."""
+    e = t(spark, sf_dir).events
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "s_event_funnel",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'view')     AS views,
+           count(*) FILTER (WHERE event_type = 'click')    AS clicks,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchases
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) FILTER (WHERE event_type = 'purchase') > 0
+    """,
+    tags=("streaming", "tierx"),
+)
+def s_event_funnel(spark, sf_dir):
+    """Event funnel rollup per user (conditional counts) — the
+    hypertable-rollup shape over the stream table."""
+    e = t(spark, sf_dir).events
+    views = F.count(F.when(F.col("event_type") == "view", 1))
+    clicks = F.count(F.when(F.col("event_type") == "click", 1))
+    purchases = F.count(F.when(F.col("event_type") == "purchase", 1))
+    return (
+        e.groupBy("user_id")
+        .agg(
+            views.alias("views"),
+            clicks.alias("clicks"),
+            purchases.alias("purchases"),
+        )
+        .filter(F.col("purchases") > 0)
+    )
+
+
+# ----------------------------------------------------- streaming builders
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events fixture. Parquet TIMESTAMP(NANOS)
+    needs the same int64 + convert treatment as the batch loader, but
+    to TIMESTAMP (LTZ) here: watermarks reject TIMESTAMP_NTZ event
+    time. Under the UTC session timezone the wall-clock values match
+    the batch loader's NTZ ones. maxFilesPerTrigger=1 keeps
+    micro-batches deterministic in tests."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = sf_dir
+    if path.endswith(".parquet") and os.path.isfile(path):
+        # the file source wants a directory; stage a symlink dir so a
+        # single fixture file (sitting next to other-schema tables)
+        # can be streamed
+        digest = hashlib.md5(path.encode()).hexdigest()[:12]
+        stage = os.path.join(tempfile.gettempdir(), f"event_stream_{digest}")
+        os.makedirs(stage, exist_ok=True)
+        link = os.path.join(stage, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(path, link)
+        path = stage
+    raw = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    # integer `div` for exactness (see sources/tables.py)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_tumbling_counts(events: DataFrame) -> DataFrame:
+    """Watermarked tumbling-window counts — append mode emits a
+    window only once the watermark passes its end (late data within
+    10 minutes still lands in its window)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def stream_dedup_within_watermark(events: DataFrame) -> DataFrame:
+    """Streaming dedup on event_id with bounded state: duplicates
+    arriving within the watermark horizon are dropped; state for old
+    ids is evicted as the watermark advances."""
+    return events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def stream_user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running event count + value sum, emitted per micro-batch. The
+    state dict survives across batches in the state store."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, streaming_df: DataFrame, name: str, mode: str = "append"
+) -> DataFrame:
+    """Drive a streaming query to completion against the (finite)
+    fixture files and return the sink contents as a batch DataFrame."""
+    q = (
+        streaming_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")

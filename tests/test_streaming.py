@@ -1,0 +1,89 @@
+"""True Structured Streaming tests: drive streaming queries over the
+finite events fixture to completion (memory sink +
+processAllAvailable) and check against batch equivalents."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from mcp_iceberg_duckdb_spark.sources.tables import load
+from mcp_iceberg_duckdb_spark.streaming.events import (
+    read_event_stream,
+    run_stream_to_memory,
+    stream_dedup_within_watermark,
+    stream_tumbling_counts,
+    stream_user_running_totals,
+)
+
+
+@pytest.fixture(scope="module")
+def events_path(sf_dir):
+    return os.path.join(sf_dir, "events.parquet")
+
+
+def test_stream_tumbling_matches_batch(spark, sf_dir, events_path):
+    """Append-mode watermarked windows over the full (finite) stream
+    must equal the batch windowed aggregation."""
+    streamed = run_stream_to_memory(
+        spark,
+        stream_tumbling_counts(read_event_stream(spark, events_path)),
+        "t_tumbling",
+    )
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    s_rows = sorted(map(tuple, streamed.collect()))
+    b_rows = sorted(map(tuple, batch.collect()))
+    # append mode may withhold the final (never-closed-by-watermark)
+    # windows; everything emitted must match batch exactly
+    b_set = set(b_rows)
+    assert s_rows, "stream emitted nothing"
+    missing = [r for r in s_rows if tuple(r) not in b_set]
+    assert not missing, f"stream rows not in batch result: {missing[:3]}"
+    assert len(s_rows) >= 0.5 * len(b_rows), "stream emitted too few windows"
+
+
+def test_stream_dedup_within_watermark(spark, events_path):
+    out = run_stream_to_memory(
+        spark,
+        stream_dedup_within_watermark(read_event_stream(spark, events_path)),
+        "t_dedup",
+    )
+    n = out.count()
+    distinct_ids = out.select("event_id").distinct().count()
+    assert n == distinct_ids, "dedup emitted duplicate event_ids"
+    assert n > 0
+
+
+def test_stream_stateful_running_totals(spark, sf_dir, events_path):
+    """applyInPandasWithState: the LAST emission per user must equal
+    the batch per-user totals (state accumulated across batches)."""
+    out = run_stream_to_memory(
+        spark,
+        stream_user_running_totals(read_event_stream(spark, events_path)),
+        "t_state",
+        mode="update",
+    )
+    pdf = out.toPandas()
+    assert len(pdf) > 0
+    # per user take the max n_events (monotone across emissions)
+    last = pdf.groupby("user_id")["n_events"].max()
+    batch = {
+        r.user_id: r.n
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert dict(last) == batch
