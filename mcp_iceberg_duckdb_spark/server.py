@@ -1,0 +1,142 @@
+"""MCP façade — the reference's two-tool server shape
+(server.py:42-69: ``query_catalog`` + ``query_table``) on top of the
+Spark engine.
+
+Behavioral parity points (and deliberate improvements):
+
+- results are row-oriented JSON with non-JSON types stringified —
+  the reference's list-of-dicts + ``json.dumps(default=str)``
+  (IcebergConnection.py:119-127, server.py:101-104)
+- every response carries the execution time formatted to 2 decimals
+  (server.py:87-103)
+- errors come back as text, never raised to the client
+  (server.py:106-112)
+- results are LIMIT-guarded: MCP stdio caps payloads ~1 MB
+  (README.md:4); the reference relied on the caller adding LIMIT,
+  here a row cap is enforced engine-side
+- multi-table queries and joins work (the reference was single-table,
+  README.md:6)
+
+The ``mcp`` package is not in this container; the stdio wiring is
+gated behind an import-try, while the two tool functions are plain
+callables usable (and tested) without it.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from mcp_iceberg_duckdb_spark import router
+
+try:  # gated: mcp is optional
+    import mcp  # noqa: F401
+
+    MCP_AVAILABLE = True
+except ImportError:
+    MCP_AVAILABLE = False
+
+MAX_RESULT_ROWS = 1000  # keeps JSON payloads under the ~1 MB MCP cap
+
+
+@dataclass
+class ToolResult:
+    text: str
+    is_error: bool = False
+
+
+def _rows_to_json(df, limit: int = MAX_RESULT_ROWS) -> list[dict[str, Any]]:
+    """Row-oriented dict conversion at the client edge only — inside
+    the engine everything stays columnar (the reference converted
+    per-row in a Python loop, IcebergConnection.py:119-127)."""
+    return [r.asDict(recursive=True) for r in df.limit(limit).collect()]
+
+
+def _respond(rows: list[dict[str, Any]], elapsed: float) -> ToolResult:
+    body = json.dumps(rows, default=str)
+    return ToolResult(f"Query execution time: {elapsed:.2f} seconds\n{body}")
+
+
+def query_table(spark: SparkSession, query: str) -> ToolResult:
+    """The reference's ``query_table`` tool (server.py:96-99): run a
+    SQL statement against lake tables. SELECT/INSERT/CREATE/UPDATE/
+    DELETE all go through Spark SQL; errors return as text."""
+    start = time.time()
+    try:
+        df = router.execute(spark, query)
+        rows = _rows_to_json(df) if df is not None else [{"status": "OK"}]
+        return _respond(rows, time.time() - start)
+    except Exception as exc:  # parity: errors-as-text, server.py:106-112
+        return ToolResult(f"Error executing query: {exc}", is_error=True)
+
+
+def query_catalog(spark: SparkSession, query: str) -> ToolResult:
+    """The reference's ``query_catalog`` tool (server.py:86-94):
+    LIST NAMESPACES / LIST TABLES [IN ns] / DESCRIBE TABLE ns.t."""
+    start = time.time()
+    try:
+        routed = router.classify(query)
+        if routed.kind == "sql":
+            return ToolResult(
+                f"Unsupported catalog query type: {query!r}", is_error=True
+            )
+        df = router.execute(spark, query)
+        return _respond(_rows_to_json(df), time.time() - start)
+    except Exception as exc:
+        return ToolResult(f"Error executing query: {exc}", is_error=True)
+
+
+def serve(spark: SparkSession) -> None:  # pragma: no cover - needs mcp
+    """stdio MCP server exposing the two tools (reference
+    server.py:114-135). Requires the optional ``mcp`` package."""
+    if not MCP_AVAILABLE:
+        raise RuntimeError(
+            "the 'mcp' package is not installed; query_table/query_catalog "
+            "remain usable as plain functions"
+        )
+    import asyncio
+
+    from mcp.server import Server
+    from mcp.server.stdio import stdio_server
+    from mcp.types import TextContent, Tool
+
+    server = Server("mcp-iceberg-duckdb-spark")
+
+    @server.list_tools()
+    async def list_tools() -> list[Tool]:
+        return [
+            Tool(
+                name="query_catalog",
+                description="List namespaces/tables or describe a table",
+                inputSchema={
+                    "type": "object",
+                    "properties": {"query": {"type": "string"}},
+                    "required": ["query"],
+                },
+            ),
+            Tool(
+                name="query_table",
+                description="Run a SQL query against lake tables",
+                inputSchema={
+                    "type": "object",
+                    "properties": {"query": {"type": "string"}},
+                    "required": ["query"],
+                },
+            ),
+        ]
+
+    @server.call_tool()
+    async def call_tool(name: str, arguments: dict) -> list[TextContent]:
+        fn = query_catalog if name == "query_catalog" else query_table
+        result = fn(spark, arguments["query"])
+        return [TextContent(type="text", text=result.text)]
+
+    async def main() -> None:
+        async with stdio_server() as (read, write):
+            await server.run(read, write, server.create_initialization_options())
+
+    asyncio.run(main())

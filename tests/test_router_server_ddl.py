@@ -1,0 +1,156 @@
+"""Tests for the tier-R surface: statement router, MCP façade tools,
+DDL/DML (CREATE / INSERT multi-row / ALTER / UPDATE / DELETE / MERGE)
+— the verbs the reference hand-rolled or rejected."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from mcp_iceberg_duckdb_spark import ddl, router, server
+from mcp_iceberg_duckdb_spark.sources.tables import register_views
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _views(spark, sf_dir):
+    register_views(spark, sf_dir)
+
+
+# ------------------------------------------------------------------ router
+
+
+def test_classify_verbs():
+    assert router.classify("LIST NAMESPACES").kind == "list_namespaces"
+    assert router.classify("list namespaces in a.b").argument == "a.b"
+    assert router.classify("LIST TABLES IN main").kind == "list_tables"
+    assert router.classify("DESCRIBE TABLE ns.t;").argument == "ns.t"
+    assert router.classify("SELECT 1").kind == "sql"
+    assert router.classify("INSERT INTO t VALUES (1)").kind == "sql"
+    with pytest.raises(ValueError):
+        router.classify("   ")
+
+
+def test_router_sql_passthrough(spark):
+    df = router.execute(spark, "SELECT count(*) AS n FROM lineitem")
+    assert df.collect()[0].n > 0
+
+
+def test_router_join_is_supported(spark):
+    """The reference rejects multi-table queries (README.md:6); the
+    router must pass joins straight through to Spark."""
+    df = router.execute(
+        spark,
+        "SELECT n_name, r_name FROM nation JOIN region "
+        "ON n_regionkey = r_regionkey LIMIT 5",
+    )
+    assert df.count() == 5
+
+
+def test_router_list_namespaces(spark):
+    rows = router.execute(spark, "LIST NAMESPACES").collect()
+    assert any(r[0] == "default" for r in rows)
+
+
+def test_router_describe_table(spark):
+    rows = router.execute(spark, "DESCRIBE TABLE lineitem").collect()
+    names = {r.col_name for r in rows}
+    assert "l_orderkey" in names
+
+
+# ------------------------------------------------------------------ server
+
+
+def test_query_table_tool_json_shape(spark):
+    res = server.query_table(
+        spark, "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1"
+    )
+    assert not res.is_error
+    header, body = res.text.split("\n", 1)
+    assert header.startswith("Query execution time:")
+    rows = json.loads(body)
+    assert isinstance(rows, list) and {"l_returnflag", "n"} <= set(rows[0])
+
+
+def test_query_table_tool_row_cap(spark):
+    res = server.query_table(spark, "SELECT l_orderkey FROM lineitem")
+    rows = json.loads(res.text.split("\n", 1)[1])
+    assert len(rows) <= server.MAX_RESULT_ROWS
+
+
+def test_query_table_error_as_text(spark):
+    res = server.query_table(spark, "SELECT * FROM table_that_does_not_exist")
+    assert res.is_error and "Error executing query" in res.text
+
+
+def test_query_catalog_tool(spark):
+    res = server.query_catalog(spark, "LIST TABLES IN default")
+    assert not res.is_error
+    rows = json.loads(res.text.split("\n", 1)[1])
+    assert any(r.get("tableName") == "lineitem" for r in rows)
+
+
+def test_query_catalog_rejects_select(spark):
+    res = server.query_catalog(spark, "SELECT 1")
+    assert res.is_error and "Unsupported catalog query type" in res.text
+
+
+# ---------------------------------------------------------------- DDL / DML
+
+
+@pytest.fixture()
+def scratch_table(spark):
+    # lives in the session's default warehouse dir (spark-warehouse/,
+    # gitignored); dropped on teardown
+    name = "scratch_ddl"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    yield name
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_create_insert_update_delete_merge(spark, scratch_table):
+    name = scratch_table
+    ddl.create_table(spark, name, "id INT, name STRING, score DOUBLE")
+    # multi-row INSERT (reference: 1 row per statement, a roadmap TODO)
+    n = ddl.insert_rows(
+        spark, name, "(1, 'Alice', 1.5), (2, 'Bob', 2.5), (3, 'Cara', 3.5)"
+    )
+    assert n == 3
+
+    # INSERT ... SELECT
+    ddl.insert_select(spark, name, f"SELECT id + 10, name, score FROM {name}")
+    assert spark.table(name).count() == 6
+
+    # ALTER TABLE ADD COLUMNS
+    ddl.alter_add_column(spark, name, "flag STRING")
+    assert "flag" in spark.table(name).columns
+
+    # UPDATE (CoW fallback on parquet tables)
+    n_upd = ddl.update_where(spark, name, {"score": "score * 2"}, "id = 2")
+    assert n_upd == 1
+    assert spark.table(name).filter("id = 2").collect()[0].score == 5.0
+
+    # DELETE
+    n_del = ddl.delete_where(spark, name, "id > 10")
+    assert n_del == 3
+    assert spark.table(name).count() == 3
+
+    # MERGE upsert: update id=1, insert id=99
+    src = spark.createDataFrame(
+        [(1, "Alice2", 9.0, None), (99, "New", 0.5, None)],
+        "id INT, name STRING, score DOUBLE, flag STRING",
+    )
+    ddl.merge_upsert(spark, name, src, key="id")
+    tbl = {r.id: r for r in spark.table(name).collect()}
+    assert tbl[1].name == "Alice2" and 99 in tbl
+    assert spark.table(name).count() == 4
+
+
+def test_create_table_type_fidelity(spark, scratch_table):
+    """BIGINT must stay 64-bit (the reference's substring matching
+    mapped any *INT* to int32, IcebergConnection.py:190-191)."""
+    name = scratch_table
+    ddl.create_table(spark, name, "big BIGINT, small INT, dec DECIMAL(10,2)")
+    dtypes = dict(spark.table(name).dtypes)
+    assert dtypes == {"big": "bigint", "small": "int", "dec": "decimal(10,2)"}
