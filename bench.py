@@ -20,14 +20,20 @@ if str(REPO_ROOT) not in sys.path:
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline set: scan-agg, multi-join, window, sort-limit, tier-X ops.
+# Headline set: scan-agg, multi-join, window, sort-limit, temporal
+# join, streaming batch-twin, tier-X ops.
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_orders",
     "a_count_distinct",
     "w_topk_per_group",
     "o_order_limit",
+    "j_asof",
+    "s_tumbling_window",
     "x_dedup_exact",
     "x_dedup_minhash_lsh",
     "x_ann_cosine_topk",

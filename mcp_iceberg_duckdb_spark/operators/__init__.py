@@ -7,7 +7,10 @@ from mcp_iceberg_duckdb_spark.operators import (  # noqa: F401
     multimodal,
     relational,
     scalars,
+    scalars_extra,
     similarity,
+    temporal_joins,
     textops,
+    tpch_extra,
     windows,
 )

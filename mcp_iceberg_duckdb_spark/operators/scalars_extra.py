@@ -1,0 +1,218 @@
+"""Second scalar-function batch (SURVEY.md §2.7): map/struct access,
+trig/bit/hash families, min_by/max_by and boolean aggregates — each
+restricted to forms with exact Spark↔DuckDB equivalents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mcp_iceberg_duckdb_spark.operators._util import r6, t
+from mcp_iceberg_duckdb_spark.registry import query
+
+
+@query(
+    "f_struct",
+    oracle="""
+    SELECT o_orderkey,
+           struct_pack(status := o_orderstatus, total := round(o_totalprice, 2)).status AS status_out,
+           struct_pack(status := o_orderstatus, total := round(o_totalprice, 2)).total  AS total_out
+    FROM orders
+    """,
+    tags=("scalar", "struct"),
+)
+def f_struct(spark, sf_dir):
+    """Struct construction + field access (struct ↔ struct_pack).
+    Only the extracted scalars are projected: raw struct cells
+    serialize engine-specifically (Row vs dict) and would defeat the
+    value-hash comparison."""
+    o = t(spark, sf_dir).orders
+    info = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.round("o_totalprice", 2).alias("total"),
+    )
+    return o.select(
+        "o_orderkey",
+        info.getField("status").alias("status_out"),
+        info.getField("total").alias("total_out"),
+    )
+
+
+@query(
+    "f_map",
+    oracle="""
+    SELECT n_nationkey,
+           map_keys(MAP {'name': n_name, 'region': CAST(n_regionkey AS VARCHAR)})   AS ks,
+           map_values(MAP {'name': n_name, 'region': CAST(n_regionkey AS VARCHAR)}) AS vs,
+           MAP {'name': n_name, 'region': CAST(n_regionkey AS VARCHAR)}['name'][1]  AS name_val
+    FROM nation
+    """,
+    tags=("scalar", "map"),
+)
+def f_map(spark, sf_dir):
+    """Map construction, map_keys / map_values, key lookup. (DuckDB
+    map extraction returns a 1-element list — indexed with [1] to
+    match Spark's scalar element_at.)"""
+    n = t(spark, sf_dir).nation
+    m = F.create_map(
+        F.lit("name"),
+        F.col("n_name"),
+        F.lit("region"),
+        F.col("n_regionkey").cast("string"),
+    )
+    return n.select(
+        "n_nationkey",
+        F.map_keys(m).alias("ks"),
+        F.map_values(m).alias("vs"),
+        F.element_at(m, "name").alias("name_val"),
+    )
+
+
+@query(
+    "f_trig",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(sin(l_discount), 6)              AS sin_d,
+           round(cos(l_discount), 6)              AS cos_d,
+           round(atan2(l_discount, 0.1), 6)       AS atan2_d,
+           round(degrees(l_discount), 6)          AS deg_d,
+           round(radians(l_quantity), 6)          AS rad_q,
+           round(pi(), 6)                         AS pi_val
+    FROM lineitem
+    """,
+    tags=("scalar", "math"),
+)
+def f_trig(spark, sf_dir):
+    """Trigonometric family."""
+    li = t(spark, sf_dir).lineitem
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        r6(F.sin("l_discount")).alias("sin_d"),
+        r6(F.cos("l_discount")).alias("cos_d"),
+        r6(F.atan2(F.col("l_discount"), F.lit(0.1))).alias("atan2_d"),
+        r6(F.degrees("l_discount")).alias("deg_d"),
+        r6(F.radians("l_quantity")).alias("rad_q"),
+        r6(F.lit(3.141592653589793)).alias("pi_val"),
+    )
+
+
+@query(
+    "f_bits",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255            AS and_low,
+           o_orderkey | 4096           AS or_bit,
+           xor(o_orderkey, 1023)       AS xor_bits,
+           o_orderkey << 2             AS shl,
+           o_orderkey >> 3             AS shr,
+           CAST(bit_count(o_orderkey) AS INTEGER) AS popcount
+    FROM orders
+    """,
+    tags=("scalar", "bits"),
+)
+def f_bits(spark, sf_dir):
+    """Bit manipulation family."""
+    o = t(spark, sf_dir).orders
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("and_low"),
+        k.bitwiseOR(F.lit(4096)).alias("or_bit"),
+        k.bitwiseXOR(F.lit(1023)).alias("xor_bits"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+        F.bit_count(k).alias("popcount"),
+    )
+
+
+@query(
+    "f_hash_family",
+    oracle="""
+    SELECT doc_id,
+           md5(text)                       AS h_md5,
+           sha256(text)                    AS h_sha256,
+           CAST(position('spark' IN text) AS INTEGER) AS spark_pos,
+           ascii(substr(text, 1, 1))       AS first_cp,
+           chr(ascii(substr(text, 1, 1)))  AS first_ch,
+           repeat(lang, 3)                 AS lang3
+    FROM documents
+    """,
+    tags=("scalar", "hash"),
+)
+def f_hash_family(spark, sf_dir):
+    """Hashing + codepoint/string utilities with exact twins."""
+    d = t(spark, sf_dir).documents
+    first = F.substring("text", 1, 1)
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2(F.col("text"), 256).alias("h_sha256"),
+        F.instr(F.col("text"), "spark").alias("spark_pos"),
+        F.ascii(first).alias("first_cp"),
+        F.chr(F.ascii(first)).alias("first_ch"),
+        F.repeat(F.col("lang"), 3).alias("lang3"),
+    )
+
+
+@query(
+    "a_min_max_by",
+    oracle="""
+    SELECT o_orderstatus,
+           arg_max(o_orderkey, o_orderkey) AS last_order,
+           arg_min(o_orderkey, o_orderkey) AS first_order,
+           bool_and(o_totalprice > 0.0)    AS all_positive,
+           bool_or(o_totalprice > 400000.0) AS any_huge
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg",),
+)
+def a_min_max_by(spark, sf_dir):
+    """max_by/min_by (arg_max/arg_min) on a unique ordering key +
+    boolean aggregates."""
+    o = t(spark, sf_dir).orders
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", "o_orderkey").alias("last_order"),
+        F.min_by("o_orderkey", "o_orderkey").alias("first_order"),
+        F.bool_and(F.col("o_totalprice") > 0.0).alias("all_positive"),
+        F.bool_or(F.col("o_totalprice") > 400000.0).alias("any_huge"),
+    )
+
+
+@query(
+    "f_array_setops",
+    oracle="""
+    WITH pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               a.embedding AS va, b.embedding AS vb
+        FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        WHERE a.vec_id < 20
+    )
+    SELECT id_a, id_b,
+           len(list_intersect(list_transform(va, x -> CAST(round(x * 10) AS BIGINT)),
+                              list_transform(vb, x -> CAST(round(x * 10) AS BIGINT)))) AS n_common,
+           list_sort(list_distinct(list_transform(va, x -> CAST(round(x * 10) AS BIGINT)))) AS qa
+    FROM pairs
+    """,
+    tags=("scalar", "array"),
+)
+def f_array_setops(spark, sf_dir):
+    """Array set operations (intersect / distinct / sort) over
+    quantized embedding values."""
+    e = t(spark, sf_dir).embeddings
+    a = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    q = lambda v: F.transform(v, lambda x: F.round(x * 10).cast("bigint"))  # noqa: E731
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect(q(F.col("va")), q(F.col("vb")))).alias(
+                "n_common"
+            ),
+            F.array_sort(F.array_distinct(q(F.col("va")))).alias("qa"),
+        )
+    )

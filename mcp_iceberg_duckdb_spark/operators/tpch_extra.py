@@ -1,0 +1,212 @@
+"""Additional TPC-H-shaped flagship queries (adapted to the fixture
+schema, TESTDATA.md) — the join/agg patterns a warehouse workload is
+made of, each with its DuckDB oracle. These are the bench headliners:
+scan-heavy (Q6), exists/anti (Q4), join+topk (Q10), conditional agg
+(Q12/Q14 shapes), group-HAVING-join (Q18 shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mcp_iceberg_duckdb_spark.operators._util import ntz, r2, r4, t
+from mcp_iceberg_duckdb_spark.registry import query
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24.0
+    """,
+    tags=("agg", "flagship"),
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: pure scan-filter-sum — the I/O-bound benchmark. All
+    four predicates push into the parquet scan; zero shuffles (single
+    partial+final agg)."""
+    li = t(spark, sf_dir).lineitem
+    return li.filter(
+        (F.col("l_shipdate") >= ntz("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < ntz("1998-01-01 00:00:00"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24.0)
+    ).agg(
+        r2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "flagship"),
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4: EXISTS → left-semi join, then count per priority.
+    The semi join never widens orders rows, and lineitem is pruned to
+    its two join columns at the scan."""
+    tt = t(spark, sf_dir)
+    o = tt.orders.filter(
+        (F.col("o_orderdate") >= ntz("1997-01-01 00:00:00"))
+        & (F.col("o_orderdate") < ntz("1997-10-01 00:00:00"))
+    )
+    li = tt.lineitem.select("l_orderkey", "l_shipdate")
+    semi = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "flagship"),
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10: 4-way join + group + top-20 — returned-revenue per
+    customer. customer/nation broadcast; lineitem⋈orders is the one
+    shuffle; TakeOrderedAndProject caps the result."""
+    tt = t(spark, sf_dir)
+    o = tt.orders.filter(
+        (F.col("o_orderdate") >= ntz("1997-01-01 00:00:00"))
+        & (F.col("o_orderdate") < ntz("1997-07-01 00:00:00"))
+    )
+    li = tt.lineitem.filter(F.col("l_returnflag") == "R")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(tt.customer), o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(tt.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q12_priority_shipping",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE l_quantity >= 25.0) AS heavy_count,
+           count(*) FILTER (WHERE l_quantity <  25.0) AS light_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "flagship"),
+)
+def q12_priority_shipping(spark, sf_dir):
+    """TPC-H Q12 shape: join + conditional counts per priority."""
+    tt = t(spark, sf_dir)
+    li = tt.lineitem.filter(
+        (F.col("l_shipdate") >= ntz("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < ntz("1998-01-01 00:00:00"))
+    )
+    joined = tt.orders.join(li, tt.orders.o_orderkey == li.l_orderkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("l_quantity") >= 25.0, 1)).alias("heavy_count"),
+        F.count(F.when(F.col("l_quantity") < 25.0, 1)).alias("light_count"),
+    )
+
+
+@query(
+    "q14_promo_effect",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+    tags=("join", "flagship"),
+)
+def q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14: promo revenue share — broadcast part, single agg."""
+    tt = t(spark, sf_dir)
+    li = tt.lineitem.filter(
+        (F.col("l_shipdate") >= ntz("1997-09-01 00:00:00"))
+        & (F.col("l_shipdate") < ntz("1997-10-01 00:00:00"))
+    )
+    joined = li.join(F.broadcast(tt.part), li.l_partkey == tt.part.p_partkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return joined.agg(
+        r4(100.0 * F.sum(promo) / F.sum(rev)).alias("promo_pct")
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS total,
+           round(t.sum_qty, 2) AS sum_qty
+    FROM (
+        SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150.0
+    ) t
+    JOIN orders o   ON o.o_orderkey = t.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    tags=("join", "flagship"),
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING-filtered aggregate driving a join —
+    the aggregate shrinks lineitem to qualifying orderkeys BEFORE the
+    join (orders of magnitude less shuffle than join-then-filter)."""
+    tt = t(spark, sf_dir)
+    big = (
+        tt.lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 150.0)
+    )
+    return (
+        big.join(tt.orders, big.l_orderkey == tt.orders.o_orderkey)
+        .join(F.broadcast(tt.customer), tt.orders.o_custkey == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            r2("o_totalprice").alias("total"),
+            r2("qty").alias("sum_qty"),
+        )
+    )

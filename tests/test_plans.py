@@ -1,0 +1,99 @@
+"""Plan-shape regression tests: pin the physical-plan properties that
+make these queries viable at 100 TB (pushdown, pruning, broadcast,
+top-k, rank-limit). A change that silently turns a broadcast join
+into a shuffle join or loses a pushed filter fails here, not in
+production."""
+
+from __future__ import annotations
+
+import pytest
+
+from mcp_iceberg_duckdb_spark import registry
+from mcp_iceberg_duckdb_spark.plans import (
+    has_broadcast_hash_join,
+    has_pushed_filters,
+    has_take_ordered,
+    has_window_group_limit,
+    read_schema_columns,
+    shuffle_count,
+)
+
+registry.load_all()
+
+
+def _df(name, spark, sf_dir):
+    return registry.QUERIES[name].builder(spark, sf_dir)
+
+
+def test_q1_filter_pushed_and_pruned(spark, sf_dir):
+    df = _df("q1_pricing_summary", spark, sf_dir)
+    assert has_pushed_filters(df), "l_shipdate filter must reach the parquet scan"
+    cols = set(read_schema_columns(df, "lineitem"))
+    assert "l_partkey" not in cols and "l_suppkey" not in cols, (
+        f"scan reads more columns than the query needs: {cols}"
+    )
+    assert {"l_returnflag", "l_linestatus", "l_quantity"} <= cols
+
+
+def test_q6_is_shuffle_free(spark, sf_dir):
+    """Q6 is scan+agg: a single-stage partial/final agg — the only
+    exchange is the 1-row final-agg gather."""
+    df = _df("q6_forecast_revenue", spark, sf_dir)
+    assert has_pushed_filters(df)
+    assert shuffle_count(df) <= 1
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    df = _df("p_projection", spark, sf_dir)
+    cols = read_schema_columns(df, "part")
+    assert set(cols) == {"p_partkey", "p_name", "p_size"}
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    for name in ("j_inner_equi", "q3_shipping_priority", "q5_local_supplier_volume",
+                 "q10_returned_items", "q14_promo_effect"):
+        df = _df(name, spark, sf_dir)
+        assert has_broadcast_hash_join(df), f"{name}: dim join must broadcast"
+
+
+def test_q5_single_fact_shuffle(spark, sf_dir):
+    """Q5's only shuffle pair should be lineitem⋈orders (+ final agg);
+    all five dims broadcast. Allow the two join exchanges + agg."""
+    df = _df("q5_local_supplier_volume", spark, sf_dir)
+    assert shuffle_count(df) <= 3, "dimension joins are shuffling"
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    assert has_take_ordered(_df("o_order_limit", spark, sf_dir))
+    assert has_take_ordered(_df("q3_shipping_priority", spark, sf_dir))
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    assert has_window_group_limit(_df("w_topk_per_group", spark, sf_dir)), (
+        "rank<=k filter should push into the window sort"
+    )
+
+
+def test_semi_join_for_exists(spark, sf_dir):
+    from mcp_iceberg_duckdb_spark.plans import explain_str
+
+    plan = explain_str(_df("q4_order_priority", spark, sf_dir))
+    assert "LeftSemi" in plan or "left_semi" in plan.lower()
+
+
+def test_anti_join_for_not_exists(spark, sf_dir):
+    from mcp_iceberg_duckdb_spark.plans import explain_str
+
+    plan = explain_str(_df("o_subquery_not_exists", spark, sf_dir))
+    assert "LeftAnti" in plan or "left_anti" in plan.lower()
+
+
+def test_exact_dedup_partial_aggregates(spark, sf_dir):
+    """Exact dedup must shuffle only the 16-byte hash + partial
+    counts, i.e. plan a partial (map-side) aggregate before the
+    exchange."""
+    from mcp_iceberg_duckdb_spark.plans import explain_str
+
+    plan = explain_str(_df("x_dedup_exact", spark, sf_dir))
+    assert "HashAggregate" in plan
+    assert plan.count("HashAggregate") >= 2, "no partial aggregation"
