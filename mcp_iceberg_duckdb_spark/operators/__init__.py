@@ -12,5 +12,6 @@ from mcp_iceberg_duckdb_spark.operators import (  # noqa: F401
     temporal_joins,
     textops,
     tpch_extra,
+    udfs,
     windows,
 )

@@ -203,6 +203,22 @@ def p_like(spark, sf_dir):
 
 
 @query(
+    "p_ilike",
+    oracle="""
+    SELECT p_partkey, p_brand FROM part
+    WHERE p_brand ILIKE 'brand%' AND p_name NOT ILIKE '%ZZZZ%'
+    """,
+    tags=("filter",),
+)
+def p_ilike(spark, sf_dir):
+    """P9 ILIKE (case-insensitive LIKE) + NOT ILIKE."""
+    p = t(spark, sf_dir).part
+    return p.filter(
+        F.col("p_brand").ilike("brand%") & ~F.col("p_name").ilike("%ZZZZ%")
+    ).select("p_partkey", "p_brand")
+
+
+@query(
     "p_is_null",
     oracle="""
     SELECT o_orderkey,
