@@ -648,6 +648,43 @@ def o_except(spark, sf_dir):
     return a.exceptAll(b).distinct()
 
 
+@query(
+    "o_union_by_name",
+    oracle="""
+    SELECT c_custkey AS key, c_name AS name, c_acctbal AS bal
+    FROM customer WHERE c_custkey <= 20
+    UNION ALL BY NAME
+    SELECT s_name AS name, s_suppkey AS key, CAST(NULL AS DOUBLE) AS bal
+    FROM supplier
+    """,
+    tags=("setop",),
+)
+def o_union_by_name(spark, sf_dir):
+    """UNION BY NAME: column resolution by name, not position, with
+    a missing column null-filled (unionByName allowMissingColumns)."""
+    tt = t(spark, sf_dir)
+    a = tt.customer.filter(F.col("c_custkey") <= 20).select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    b = tt.supplier.select(
+        F.col("s_name").alias("name"), F.col("s_suppkey").alias("key")
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+@query("p_sample", oracle=None, tags=("projection", "approx"))
+def p_sample(spark, sf_dir):
+    """TABLESAMPLE: seeded Bernoulli sample — deterministic for a
+    fixed partitioning but engine-specific, so rows-only check; the
+    sampling-fraction bound is asserted in tests."""
+    li = t(spark, sf_dir).lineitem
+    return li.sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
 _CTE_SQL = """
 WITH spend AS (
     SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend,

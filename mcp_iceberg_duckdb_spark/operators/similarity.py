@@ -103,6 +103,69 @@ def _band_keys(v):
     return F.array(*keys)
 
 
+@query("x_ann_ivf_topk", oracle=None, tags=("similarity", "tierx"))
+def x_ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: coarse quantizer = per-label centroid (mean
+    vector); each query probes its nprobe=3 nearest cells and ranks
+    only those cells' vectors by exact cosine. This is the inverted-
+    file layout for a 100 TB corpus: vectors partitioned by cell id,
+    a query touches nprobe partitions instead of the full corpus.
+    Rows-only check; recall vs exact top-k asserted in tests."""
+    nprobe = 3
+    e = t(spark, sf_dir).embeddings.select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    # coarse quantizer: mean vector per cell (label); ~10 cells →
+    # broadcast-sized by construction, like real IVF codebooks
+    dim = 64
+    centroids = (
+        e.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("pm", lambda s: s.getField("m")).alias("cv"),
+        )
+    )
+    assert dim == 64
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    # assign each query its nprobe nearest cells by centroid cosine
+    qc = (
+        q.join(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "qv",
+            "cell",
+            cosine(F.col("qv"), F.col("cv")).alias("c_sim"),
+        )
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("c_sim").desc(), "cell")
+    probed = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    # search only the probed cells
+    cand = probed.join(e, probed.cell == e.label).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        r6(cosine(F.col("qv"), F.col("v"))).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
 @query("x_ann_lsh_topk", oracle=None, tags=("similarity", "tierx"))
 def x_ann_lsh_topk(spark, sf_dir):
     """Approximate NN: random-hyperplane LSH. Corpus and queries get

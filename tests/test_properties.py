@@ -1,0 +1,114 @@
+"""Hypothesis property tests for the expression-level primitives —
+an upgrade over the reference's mock-only unit tests (SURVEY.md §5):
+the Spark expressions must agree with plain-Python references on
+arbitrary inputs, not just fixtures."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mcp_iceberg_duckdb_spark import router
+
+
+# --- router classification: total function over arbitrary text ----------
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_classify_never_crashes_and_falls_back_to_sql(q):
+    if not q.strip():
+        with pytest.raises(ValueError):
+            router.classify(q)
+    else:
+        kind = router.classify(q).kind
+        assert kind in {"list_namespaces", "list_tables", "describe_table", "sql"}
+
+
+@given(st.sampled_from(["a", "ns1", "a.b", "a.b.c"]))
+@settings(deadline=None)
+def test_classify_extracts_namespace(ns):
+    assert router.classify(f"LIST TABLES IN {ns}").argument == ns
+    assert router.classify(f"list namespaces in {ns}").argument == ns
+
+
+# --- vector/text expression parity with Python references ----------------
+
+ARRAYS = st.lists(
+    st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+    min_size=4,
+    max_size=8,
+)
+
+
+@pytest.fixture(scope="module")
+def spark_mod(spark):
+    return spark
+
+
+@given(a=ARRAYS, b=ARRAYS)
+@settings(max_examples=20, deadline=None)
+def test_cosine_matches_python(spark_mod, a, b):
+    from mcp_iceberg_duckdb_spark.functions.vector import cosine
+
+    import pyspark.sql.functions as F
+
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    df = spark_mod.createDataFrame(
+        [(a, b)], "a array<double>, b array<double>"
+    ).select(cosine(F.col("a"), F.col("b")).alias("c"))
+    got = df.collect()[0].c
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    if na == 0 or nb == 0:
+        assert got is None
+    else:
+        want = sum(x * y for x, y in zip(a, b)) / (na * nb)
+        assert got == pytest.approx(want, rel=1e-9)
+
+
+@given(
+    toks=st.lists(
+        st.text(alphabet="abcdef ", min_size=1, max_size=12), min_size=1, max_size=12
+    ),
+    k=st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=20, deadline=None)
+def test_word_shingles_match_python(spark_mod, toks, k):
+    from mcp_iceberg_duckdb_spark.functions.textfns import word_shingles
+
+    text = " ".join(t.replace(" ", "_") or "_" for t in toks)
+    df = spark_mod.createDataFrame([(text,)], "text string").select(
+        word_shingles("text", k).alias("sh")
+    )
+    got = df.collect()[0].sh
+    words = text.split(" ")
+    want = []
+    for i in range(max(len(words) - k, 0) + 1):
+        s = " ".join(words[i : i + k])
+        if s not in want:
+            want.append(s)
+    assert got == want
+
+
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=5))
+@settings(max_examples=20, deadline=None)
+def test_hamming_symmetry_and_identity(spark_mod, vals):
+    import pyspark.sql.functions as F
+
+    from mcp_iceberg_duckdb_spark.functions.textfns import hamming64
+
+    pairs = [(v, vals[0]) for v in vals]
+    df = spark_mod.createDataFrame(pairs, "a long, b long").select(
+        hamming64(F.col("a"), F.col("b")).alias("ab"),
+        hamming64(F.col("b"), F.col("a")).alias("ba"),
+        hamming64(F.col("a"), F.col("a")).alias("aa"),
+    )
+    for r in df.collect():
+        assert r.ab == r.ba  # symmetric
+        assert r.aa == 0  # identity
+        assert 0 <= r.ab <= 64

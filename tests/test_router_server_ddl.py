@@ -147,6 +147,17 @@ def test_create_insert_update_delete_merge(spark, scratch_table):
     assert spark.table(name).count() == 4
 
 
+def test_iceberg_gating(spark):
+    """Iceberg runtime isn't in this container: the probe must say so
+    cleanly and the conf builder must still produce a valid config."""
+    from mcp_iceberg_duckdb_spark.sources import iceberg
+
+    assert iceberg.iceberg_available(spark) is False
+    conf = iceberg.configure_catalog(uri="http://catalog:8181", warehouse="s3://wh")
+    assert conf["spark.sql.catalog.iceberg"] == iceberg.ICEBERG_CATALOG_IMPL
+    assert conf["spark.sql.catalog.iceberg.uri"] == "http://catalog:8181"
+
+
 def test_create_table_type_fidelity(spark, scratch_table):
     """BIGINT must stay 64-bit (the reference's substring matching
     mapped any *INT* to int32, IcebergConnection.py:190-191)."""

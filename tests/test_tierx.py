@@ -101,6 +101,40 @@ def test_ann_lsh_recall_vs_exact(spark, sf_dir):
         assert len(rows) <= 10
 
 
+def test_ann_ivf_recall_and_subset(spark, sf_dir):
+    """IVF results must be a subset of what exact search over the
+    probed cells yields (cos_sim values must agree with exact search
+    where ids overlap), with sane per-query sizes."""
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in _run("x_ann_cosine_topk", spark, sf_dir).collect()
+    }
+    ivf_rows = _run("x_ann_ivf_topk", spark, sf_dir).collect()
+    assert ivf_rows
+    per_q = {}
+    for r in ivf_rows:
+        per_q.setdefault(r.query_id, []).append(r)
+        if (r.query_id, r.neighbor_id) in exact:
+            assert exact[(r.query_id, r.neighbor_id)] == r.cos_sim
+    for q, rows in per_q.items():
+        assert len(rows) <= 10
+    # recall floor (random 64-dim data; 3 of ~10 cells probed)
+    hits = sum(1 for key in exact if key in {(r.query_id, r.neighbor_id) for r in ivf_rows})
+    assert hits / len(exact) >= 0.15
+
+
+def test_sample_fraction_bounds(spark, sf_dir):
+    import pyspark.sql.functions as F  # noqa: F401
+
+    n_total = registry.QUERIES["p_projection"].builder(spark, sf_dir).count()
+    del n_total
+    li_rows = _run("p_sample", spark, sf_dir).count()
+    from mcp_iceberg_duckdb_spark.sources.tables import load
+
+    total = load(spark, sf_dir, "lineitem").count()
+    assert 0.05 * total <= li_rows <= 0.15 * total
+
+
 def test_rolling_hash_deterministic_and_order_sensitive(spark, sf_dir):
     rows1 = {r.doc_id: r.rolling_hash for r in _run("x_text_rolling_hash", spark, sf_dir).collect()}
     rows2 = {r.doc_id: r.rolling_hash for r in _run("x_text_rolling_hash", spark, sf_dir).collect()}
