@@ -60,8 +60,11 @@ def main() -> None:
         builder = registry.QUERIES[name].builder
         start = time.perf_counter()
         df = builder(spark, SF_DIR)
-        n = df.count() if "count" not in df.columns else len(df.collect())
-        _ = n
+        # noop sink: materializes EVERY output column distributed-side
+        # (count() would let Catalyst prune the computed columns away,
+        # under-measuring map-only queries; collect() would bill
+        # driver-side deserialization of large results)
+        df.write.format("noop").mode("overwrite").save()
         elapsed = time.perf_counter() - start
         per_query[name] = round(elapsed, 3)
         total += elapsed

@@ -119,16 +119,26 @@ def x_dedup_minhash_lsh(spark, sf_dir):
     Plan shape: signature stage is shuffle-free; candidates shuffle
     once on (band, hash); verify joins token sets back by doc_id.
     """
+    from mcp_iceberg_duckdb_spark.functions.textfns import bind
+
     d = t(spark, sf_dir).documents
-    sh = word_shingles("text", 3)
-    # persist: (sh, sig) is consumed by three downstream branches
-    # (banding + both sides of the verify join); without it Catalyst
-    # inlines and re-runs the shingle+signature expressions per branch
-    docs = d.select(
-        "doc_id",
-        sh.alias("sh"),
-        minhash_signature(sh, _N_HASHES).alias("sig"),
-    ).persist()
+    # one let-bound evaluation computes the shingle array AND its
+    # signature (projecting them as two columns would run the shingle
+    # expression twice); persist because three downstream branches
+    # (banding + both sides of the verify join) consume it
+    both = bind(
+        word_shingles("text", 3),
+        lambda sh: F.struct(
+            sh.alias("sh"), minhash_signature(sh, _N_HASHES).alias("sig")
+        ),
+    )
+    # persist the struct column itself: field-extracting projections
+    # placed before the persist would be collapsed back into two
+    # evaluations of the struct expression
+    cached = d.select("doc_id", both.alias("b")).persist()
+    docs = cached.select(
+        "doc_id", F.col("b.sh").alias("sh"), F.col("b.sig").alias("sig")
+    )
     bands = docs.select(
         "doc_id", F.posexplode(lsh_bands(F.col("sig"), _N_BANDS, _ROWS))
     ).toDF("doc_id", "band", "bhash")
