@@ -50,9 +50,19 @@ def main() -> None:
 
     names = [n for n in BENCH_QUERIES if n in registry.QUERIES]
 
-    # warmup: run the flagship once so codegen/file-listing costs are
-    # not billed to the first timed query
-    registry.QUERIES[names[0]].builder(spark, SF_DIR).collect()
+    # warmup pass: run every query once untimed — whole-stage-codegen
+    # compilation and JIT are per-plan-shape costs that would otherwise
+    # dominate the single timed run at this scale (q1 measures 0.64s
+    # cold vs 0.35s warm); the timed pass reports steady-state engine
+    # throughput
+    for name in names:
+        registry.QUERIES[name].builder(spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    # drop warmup persist() entries: CacheManager matches by logical
+    # plan, so the timed pass would otherwise read precomputed
+    # signatures instead of measuring the pipeline
+    spark.catalog.clearCache()
 
     per_query: dict[str, float] = {}
     total = 0.0

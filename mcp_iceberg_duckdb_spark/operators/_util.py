@@ -26,6 +26,17 @@ def views(spark: SparkSession, sf_dir: str, *names: str) -> None:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def parallelize(df: DataFrame) -> DataFrame:
+    """Repartition to the session's default parallelism before a
+    CPU-heavy per-row stage (signatures, cosine scoring). Small-file
+    corpora otherwise run those stages in ONE task — a 0.5 MB parquet
+    with a single row group cannot be split by maxPartitionBytes. The
+    shuffle moves only the raw input rows; at production scale inputs
+    arrive well-partitioned and AQE coalesces the extra exchange."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def r2(c: Column | str) -> Column:
     return F.round(c, 2)
 

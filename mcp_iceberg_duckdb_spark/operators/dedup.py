@@ -29,7 +29,7 @@ from mcp_iceberg_duckdb_spark.functions.textfns import (
     word_shingles,
 )
 from mcp_iceberg_duckdb_spark.functions.vector import as_double, cosine
-from mcp_iceberg_duckdb_spark.operators._util import r6, t
+from mcp_iceberg_duckdb_spark.operators._util import parallelize, r6, t
 from mcp_iceberg_duckdb_spark.registry import query
 
 # documents: no byte-identical dups are planted, but ~11k pairs share
@@ -135,7 +135,7 @@ def x_dedup_minhash_lsh(spark, sf_dir):
     # persist the struct column itself: field-extracting projections
     # placed before the persist would be collapsed back into two
     # evaluations of the struct expression
-    cached = d.select("doc_id", both.alias("b")).persist()
+    cached = parallelize(d).select("doc_id", both.alias("b")).persist()
     docs = cached.select(
         "doc_id", F.col("b.sh").alias("sh"), F.col("b.sig").alias("sig")
     )
@@ -177,7 +177,7 @@ def x_dedup_simhash(spark, sf_dir):
     key. Property-tested (no oracle — hash-family specific)."""
     d = t(spark, sf_dir).documents
     # persist: the signature feeds 4 band expressions + both join sides
-    docs = d.select(
+    docs = parallelize(d).select(
         "doc_id", simhash64(distinct_tokens("text")).alias("sh")
     ).persist()
     # 4 bands of 16 bits each: band value = (sh >> (16·b)) & 0xFFFF

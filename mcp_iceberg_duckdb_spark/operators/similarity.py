@@ -16,7 +16,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from mcp_iceberg_duckdb_spark.functions.vector import as_double, cosine, dot
-from mcp_iceberg_duckdb_spark.operators._util import r6, t
+from mcp_iceberg_duckdb_spark.operators._util import parallelize, r6, t
 from mcp_iceberg_duckdb_spark.registry import query
 
 _N_QUERIES = 8  # vec_id < 8 are the demo query vectors
@@ -47,8 +47,10 @@ def x_ann_cosine_topk(spark, sf_dir):
     plans WindowGroupLimit — only k rows per query survive the
     shuffle). Cosine is rounded to 6dp BEFORE ranking so the order is
     identical in both engines."""
-    e = t(spark, sf_dir).embeddings.select(
-        "vec_id", as_double("embedding").alias("v")
+    e = parallelize(
+        t(spark, sf_dir).embeddings.select(
+            "vec_id", as_double("embedding").alias("v")
+        )
     )
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -112,8 +114,10 @@ def x_ann_ivf_topk(spark, sf_dir):
     a query touches nprobe partitions instead of the full corpus.
     Rows-only check; recall vs exact top-k asserted in tests."""
     nprobe = 3
-    e = t(spark, sf_dir).embeddings.select(
-        "vec_id", "label", as_double("embedding").alias("v")
+    e = parallelize(
+        t(spark, sf_dir).embeddings.select(
+            "vec_id", "label", as_double("embedding").alias("v")
+        )
     )
     # coarse quantizer: mean vector per cell (label); ~10 cells →
     # broadcast-sized by construction, like real IVF codebooks
@@ -176,8 +180,10 @@ def x_ann_lsh_topk(spark, sf_dir):
     top-k. At scale the banded corpus is materialized once (bucket =
     partition key) and each query probes ~4 buckets instead of the
     full corpus."""
-    e = t(spark, sf_dir).embeddings.select(
-        "vec_id", as_double("embedding").alias("v")
+    e = parallelize(
+        t(spark, sf_dir).embeddings.select(
+            "vec_id", as_double("embedding").alias("v")
+        )
     )
     banded = e.select(
         "vec_id", "v", F.posexplode(_band_keys(F.col("v"))).alias("band", "bkey")
