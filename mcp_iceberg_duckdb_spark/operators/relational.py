@@ -746,6 +746,24 @@ def o_subquery_scalar(spark, sf_dir):
     return sql_query(_SUBQ_SCALAR_SQL)(spark, sf_dir)
 
 
+_SUBQ_CORR_SQL = """
+SELECT o.o_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS total
+FROM orders o
+WHERE o.o_totalprice = (
+    SELECT min(o2.o_totalprice) FROM orders o2
+    WHERE o2.o_custkey = o.o_custkey
+)
+"""
+
+
+@query("o_subquery_correlated_min", oracle=_SUBQ_CORR_SQL, tags=("subquery",))
+def o_subquery_correlated_min(spark, sf_dir):
+    """O6 correlated scalar subquery (TPC-H Q2 shape: row matching
+    the per-group minimum) — Catalyst decorrelates to an aggregate +
+    join, no per-row re-execution."""
+    return sql_query(_SUBQ_CORR_SQL)(spark, sf_dir)
+
+
 @query(
     "a_agg_filter_clause",
     oracle="""

@@ -105,15 +105,15 @@ def f_regex(spark, sf_dir):
     oracle="""
     SELECT l_orderkey, l_linenumber,
            abs(l_discount - 0.05)                   AS abs_d,
-           ceil(l_quantity)                         AS ceil_q,
-           floor(l_quantity)                        AS floor_q,
+           CAST(ceil(l_quantity) AS BIGINT)         AS ceil_q,
+           CAST(floor(l_quantity) AS BIGINT)        AS floor_q,
            round(sqrt(l_extendedprice), 6)          AS sqrt_p,
            round(pow(l_discount, 2), 6)             AS disc_sq,
            round(exp(l_discount), 6)                AS exp_d,
            round(ln(l_extendedprice), 6)            AS ln_p,
            round(log10(l_extendedprice), 6)         AS log10_p,
            CAST(l_orderkey % 7 AS BIGINT)           AS mod7,
-           sign(l_discount - 0.05)                  AS sgn,
+           CAST(sign(l_discount - 0.05) AS DOUBLE)  AS sgn,
            greatest(l_quantity, 25.0)               AS hi,
            least(l_quantity, 25.0)                  AS lo
     FROM lineitem

@@ -241,6 +241,23 @@ def stream_user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_static_enriched(events: DataFrame, funnel: DataFrame) -> DataFrame:
+    """Stream-static join: each micro-batch of the event stream joins
+    a static (batch) dimension — here the per-user funnel profile.
+    The static side is re-read per micro-batch and broadcast; no
+    stream state is kept, so this scales to unbounded streams."""
+    from pyspark.sql import functions as FF
+
+    return events.join(
+        FF.broadcast(funnel), events.user_id == funnel.user_id, "left"
+    ).select(
+        events.event_id,
+        events.user_id,
+        events.event_type,
+        funnel.purchases.alias("user_purchases"),
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, streaming_df: DataFrame, name: str, mode: str = "append"
 ) -> DataFrame:

@@ -46,16 +46,23 @@ def duck():
 
 
 def _norm_cell(v):
-    """Normalize a cell for cross-engine comparison."""
+    """Normalize a cell for cross-engine comparison. Type-tagged:
+    the driver value-hashes results, where 23 (BIGINT) and 23.0
+    (DOUBLE) differ — Python's 23 == 23.0 must not mask that, nor
+    bool vs int (bool is an int subclass)."""
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return ("f", "NaN")
         # collapse -0.0 / +0.0 and last-ulp noise the queries didn't
         # already round away
-        return round(v, 9) + 0.0
+        return ("f", round(v, 9) + 0.0)
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, list):
-        return tuple(_norm_cell(x) for x in v)
-    return v
+        return ("l", tuple(_norm_cell(x) for x in v))
+    return (type(v).__name__, v)
 
 
 def _rows_to_multiset(cols, rows):
