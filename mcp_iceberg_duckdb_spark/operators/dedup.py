@@ -169,6 +169,42 @@ def x_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+@query("x_dedup_minhash_mllib", oracle=None, tags=("dedup", "tierx"))
+def x_dedup_minhash_mllib(spark, sf_dir):
+    """The MLlib route to the same near-dup result: shingles →
+    HashingTF (binary) → ml.feature.MinHashLSH.approxSimilarityJoin
+    at Jaccard distance ≤ 0.2, i.e. similarity ≥ 0.8 over the hashed
+    shingle space. Kept alongside the expression pipeline
+    (x_dedup_minhash_lsh) as the library path — same banding idea,
+    vectorized columns instead of array expressions. Tests assert the
+    two agree on the high-similarity pairs."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = t(spark, sf_dir).documents
+    docs = parallelize(
+        d.select("doc_id", word_shingles("text", 3).alias("sh"))
+    ).persist()
+    tf = HashingTF(
+        inputCol="sh", outputCol="features", binary=True, numFeatures=1 << 18
+    )
+    feats = tf.transform(docs).filter(
+        # MinHashLSH rejects empty vectors
+        F.size("sh") > 0
+    )
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, 0.2, distCol="jdist")
+    return (
+        joined.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1.0 - F.col("jdist"), 6).alias("jaccard_est"),
+        )
+        .distinct()
+    )
+
+
 @query("x_dedup_simhash", oracle=None, tags=("dedup", "tierx"))
 def x_dedup_simhash(spark, sf_dir):
     """SimHash near-dup: 64-bit signature per doc, candidates =

@@ -29,8 +29,15 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-_LIST_NS = re.compile(r"^\s*LIST\s+NAMESPACES(?:\s+IN\s+([\w.]+))?\s*;?\s*$", re.I)
-_LIST_TABLES = re.compile(r"^\s*LIST\s+TABLES(?:\s+IN\s+([\w.]+))?\s*;?\s*$", re.I)
+# `IN` is optional before the namespace — the reference's parser
+# accepts both `LIST TABLES ns` and `LIST TABLES IN ns`
+# (test_QueryManager.py:35-51)
+_LIST_NS = re.compile(
+    r"^\s*LIST\s+NAMESPACES(?:\s+(?:IN\s+)?([\w.]+))?\s*;?\s*$", re.I
+)
+_LIST_TABLES = re.compile(
+    r"^\s*LIST\s+TABLES(?:\s+(?:IN\s+)?([\w.]+))?\s*;?\s*$", re.I
+)
 _DESCRIBE = re.compile(r"^\s*DESCRIBE\s+TABLE\s+([\w.]+)\s*;?\s*$", re.I)
 
 

@@ -21,6 +21,49 @@ def _views(spark, sf_dir):
 # ------------------------------------------------------------------ router
 
 
+@pytest.mark.parametrize(
+    ("q", "expected_kind"),
+    [
+        # mirrors the reference parser's type matrix
+        # (test_QueryManager.py:9-32); SQL verbs the reference merely
+        # *detected* (and partly rejected) route to Spark's parser here
+        ("SELECT * FROM users", "sql"),
+        ("SELECT name FROM customers WHERE active = 1", "sql"),
+        ("SELECT 1 + 1", "sql"),
+        ("INSERT INTO orders VALUES (1, 100)", "sql"),
+        ("INSERT INTO test.users (id, name) VALUES (1, 'John')", "sql"),
+        ("UPDATE products SET price = 10", "sql"),
+        ("DELETE FROM logs WHERE date < '2023-01-01'", "sql"),
+        ("CREATE TABLE new_table (id INT)", "sql"),
+        ("CREATE TABLE IF NOT EXISTS users (id INT, name STRING)", "sql"),
+        ("LIST NAMESPACES", "list_namespaces"),
+        ("LIST TABLES", "list_tables"),
+        ("LIST TABLES myNamespace", "list_tables"),
+        ("DESCRIBE TABLE silver.myTable", "describe_table"),
+        ("INVALID SQL QUERY", "sql"),  # Spark's parser errors later
+    ],
+)
+def test_classify_reference_matrix(q, expected_kind):
+    assert router.classify(q).kind == expected_kind
+
+
+@pytest.mark.parametrize(
+    ("q", "arg"),
+    [
+        # reference LIST argument extraction (test_QueryManager.py:35-51)
+        ("LIST NAMESPACES", None),
+        ("LIST NAMESPACES myNamespace", "myNamespace"),
+        ("LIST NAMESPACES IN myNamespace", "myNamespace"),
+        ("LIST TABLES", None),
+        ("LIST TABLES myNamespace", "myNamespace"),
+        ("LIST TABLES IN myNamespace", "myNamespace"),
+        ("LIST NAMESPACES IN myNamespace.subnamespace", "myNamespace.subnamespace"),
+    ],
+)
+def test_classify_list_arguments(q, arg):
+    assert router.classify(q).argument == arg
+
+
 def test_classify_verbs():
     assert router.classify("LIST NAMESPACES").kind == "list_namespaces"
     assert router.classify("list namespaces in a.b").argument == "a.b"

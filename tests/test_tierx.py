@@ -54,6 +54,27 @@ def test_minhash_lsh_precision_and_recall(spark, duck, sf_dir):
     assert recall >= 0.95, f"recall {recall:.3f} < 0.95 ({len(found)}/{len(strong)})"
 
 
+def test_minhash_mllib_agrees_with_custom(spark, sf_dir):
+    """The MLlib MinHashLSH route and the expression pipeline must
+    agree on the strong (jaccard >= 0.9) pairs; hashing-TF collisions
+    and distinct hash families allow fringe disagreement near the
+    threshold."""
+    custom = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in _run("x_dedup_minhash_lsh", spark, sf_dir).collect()
+    }
+    mllib = {
+        (r.doc_a, r.doc_b): r.jaccard_est
+        for r in _run("x_dedup_minhash_mllib", spark, sf_dir).collect()
+    }
+    assert mllib, "MLlib pipeline found nothing"
+    strong = {p for p, j in custom.items() if j >= 0.9}
+    overlap = strong & set(mllib)
+    assert len(overlap) >= 0.9 * len(strong), (
+        f"MLlib missed too many strong pairs: {len(overlap)}/{len(strong)}"
+    )
+
+
 def test_simhash_flags_identical_token_sets(spark, duck, sf_dir):
     """Docs with identical token sets must have identical simhash
     (hamming 0) and be reported as candidates."""
