@@ -180,6 +180,31 @@ def a_min_max_by(spark, sf_dir):
 
 
 @query(
+    "a_decimal_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(14,2))) AS DECIMAL(24,2)) AS total_dec,
+           CAST(min(CAST(round(o_totalprice, 2) AS DECIMAL(14,2))) AS DECIMAL(14,2)) AS min_dec,
+           CAST(max(CAST(round(o_totalprice, 2) AS DECIMAL(14,2))) AS DECIMAL(14,2)) AS max_dec
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg", "decimal"),
+)
+def a_decimal_agg(spark, sf_dir):
+    """Exact decimal aggregation — the money-safe path (double sums
+    are order-dependent; DECIMAL sums are exact and deterministic, no
+    rounding needed on the compare). Result scales pinned by explicit
+    casts since Spark and DuckDB widen sum() differently."""
+    o = t(spark, sf_dir).orders
+    dec = F.round("o_totalprice", 2).cast("decimal(14,2)")
+    return o.groupBy("o_orderstatus").agg(
+        F.sum(dec).cast("decimal(24,2)").alias("total_dec"),
+        F.min(dec).cast("decimal(14,2)").alias("min_dec"),
+        F.max(dec).cast("decimal(14,2)").alias("max_dec"),
+    )
+
+
+@query(
     "f_array_setops",
     oracle="""
     WITH pairs AS (

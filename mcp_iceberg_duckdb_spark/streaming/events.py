@@ -123,6 +123,55 @@ def s_session_window(spark, sf_dir):
 
 
 @query(
+    "s_gap_fill_resample",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        FROM events
+    ),
+    grid AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+        FROM bounds
+    ),
+    agg AS (
+        SELECT date_trunc('hour', ts) AS hour_start, event_type, count(*) AS n
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    )
+    SELECT g.hour_start,
+           coalesce(a.n, 0) AS n
+    FROM grid g LEFT JOIN agg a ON g.hour_start = a.hour_start
+    """,
+    tags=("streaming", "tierx"),
+)
+def s_gap_fill_resample(spark, sf_dir):
+    """Time-series gap-fill (hypertable resample): hourly purchase
+    counts over a dense hour grid, zero-filled where no events fall.
+    The grid is generated with sequence() from the aggregated bounds
+    (a 2-row broadcast), so no driver-side loop and no data-dependent
+    skew; the left join against the hourly aggregate is
+    broadcast-sized by construction."""
+    e = t(spark, sf_dir).events
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start")
+    )
+    agg = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(F.count("*").alias("n"))
+    )
+    return grid.join(agg, "hour_start", "left").select(
+        "hour_start", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+
+
+@query(
     "s_event_funnel",
     oracle="""
     SELECT user_id,

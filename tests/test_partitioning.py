@@ -99,6 +99,26 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+def test_multi_file_table_reads_like_single(spark, sf_dir, tmp_path):
+    """A table split across many parquet files (the only layout that
+    exists at 100 TB) must read identically to the single-file
+    fixture, with filters still pushed."""
+    from mcp_iceberg_duckdb_spark.plans.inspect import has_pushed_filters
+
+    out = str(tmp_path / "li_many")
+    li = load(spark, sf_dir, "lineitem")
+    li.repartition(16).write.mode("overwrite").parquet(out)
+    many = spark.read.schema(li.schema).parquet(out)
+    assert len(many.inputFiles()) >= 16
+    assert many.count() == li.count()
+    filtered = many.filter(F.col("l_quantity") > 45.0).select("l_orderkey")
+    assert has_pushed_filters(filtered)
+    assert (
+        filtered.count()
+        == li.filter(F.col("l_quantity") > 45.0).count()
+    )
+
+
 def test_repartition_colocates_write(spark, sf_dir, tmp_path):
     """repartitionByRange → sorted, range-partitioned output files
     (the layout that makes downstream range predicates prune)."""
