@@ -49,6 +49,35 @@ def r6(c: Column | str) -> Column:
     return F.round(c, 6)
 
 
+def dec_sum(c: Column, out_scale: int = 2, dec: str = "decimal(18,6)") -> Column:
+    """Deterministic money-style sum: per-row cast to DECIMAL (exact
+    and order-INDEPENDENT to add), exact decimal sum, back to double,
+    round.
+
+    round(sum(double), 2) is a latent cross-session hash-mismatch:
+    double summation order varies with partitioning (core count), and
+    with enough groups some sum lands within an ulp of a half-cent
+    midpoint — observed on TPC-H Q7 (1199 groups): 1413903.735 →
+    .73 on one session, .74 on another.
+
+    The final rounding must ALSO happen in the decimal domain: exact
+    decimal sums legitimately end in .xx5, and round(double, 2) of
+    such a midpoint resolves differently per engine (Spark rounds the
+    shortest decimal repr half-up, DuckDB the binary value), while
+    round(DECIMAL, 2) is half-away-from-zero in both. Decimal→decimal
+    CAST is NOT usable for this (DuckDB casts round half-even, Spark
+    half-up). SQL twin:
+    CAST(round(sum(CAST(x AS DECIMAL(18,6))), 2) AS DECIMAL(18,2))."""
+    return (
+        F.round(F.sum(c.cast(dec)), out_scale).cast(f"decimal(18,{out_scale})")
+    )
+
+
+def dec_avg(c: Column, out_scale: int = 4, dec: str = "decimal(18,6)") -> Column:
+    """Deterministic mean via exact decimal sum / count."""
+    return F.round(F.sum(c.cast(dec)).cast("double") / F.count(c), out_scale)
+
+
 def ntz(lit: str) -> Column:
     """Timestamp-NTZ literal (matches DuckDB's naive TIMESTAMP '...')."""
     return F.lit(lit).cast("timestamp_ntz")

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from mcp_iceberg_duckdb_spark.operators._util import ntz, r2, sql_query, t
+from mcp_iceberg_duckdb_spark.operators._util import dec_sum, ntz, r2, sql_query, t
 from mcp_iceberg_duckdb_spark.registry import query
 
 
@@ -199,7 +199,7 @@ def j_nonequi(spark, sf_dir):
     "q3_shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -227,7 +227,7 @@ def q3_shipping_priority(spark, sf_dir):
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             )
         )
@@ -241,7 +241,7 @@ def q3_shipping_priority(spark, sf_dir):
     "q5_local_supplier_volume",
     oracle="""
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -281,7 +281,7 @@ def q5_local_supplier_volume(spark, sf_dir):
         )
     )
     return joined.groupBy("n_name").agg(
-        r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "revenue"
         )
     )

@@ -12,7 +12,16 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from mcp_iceberg_duckdb_spark.operators._util import ntz, r2, r4, r6, sql_query, t
+from mcp_iceberg_duckdb_spark.operators._util import (
+    dec_avg,
+    dec_sum,
+    ntz,
+    r2,
+    r4,
+    r6,
+    sql_query,
+    t,
+)
 from mcp_iceberg_duckdb_spark.registry import query
 
 # ---------------------------------------------------------------- flagship
@@ -23,12 +32,12 @@ from mcp_iceberg_duckdb_spark.registry import query
     oracle="""
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS sum_charge,
            round(avg(l_quantity), 4)                                        AS avg_qty,
-           round(avg(l_extendedprice), 4)                                   AS avg_price,
-           round(avg(l_discount), 6)                                        AS avg_disc,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(l_extendedprice), 4) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(l_discount), 6) AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -45,17 +54,21 @@ def q1_pricing_summary(spark, sf_dir):
     (IcebergConnection.py:109-116)."""
     li = t(spark, sf_dir).lineitem
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # money sums/avgs go through exact DECIMAL (dec_sum/dec_avg) —
+    # order-dependent double summation flips rounded cents across
+    # sessions; quantity sums are integer-valued doubles (exact in
+    # any order) so plain sum/avg is deterministic there
     return (
         li.filter(F.col("l_shipdate") <= ntz("1998-09-02 00:00:00"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             r2(F.sum("l_quantity")).alias("sum_qty"),
-            r2(F.sum("l_extendedprice")).alias("sum_base_price"),
-            r2(F.sum(disc_price)).alias("sum_disc_price"),
-            r2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dec_sum(disc_price).alias("sum_disc_price"),
+            dec_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
             r4(F.avg("l_quantity")).alias("avg_qty"),
-            r4(F.avg("l_extendedprice")).alias("avg_price"),
-            r6(F.avg("l_discount")).alias("avg_disc"),
+            dec_avg(F.col("l_extendedprice"), 4).alias("avg_price"),
+            dec_avg(F.col("l_discount"), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -294,8 +307,8 @@ def p_cast(spark, sf_dir):
     "a_scalar_agg",
     oracle="""
     SELECT count(*) AS n_rows,
-           round(sum(l_extendedprice), 2) AS total_price,
-           round(avg(l_discount), 6)      AS avg_disc,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS total_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(l_discount), 6) AS avg_disc,
            round(min(l_extendedprice), 2) AS min_price,
            round(max(l_extendedprice), 2) AS max_price
     FROM lineitem
@@ -303,12 +316,12 @@ def p_cast(spark, sf_dir):
     tags=("agg",),
 )
 def a_scalar_agg(spark, sf_dir):
-    """A2/A3/A5 ungrouped aggregate."""
+    """A2/A3/A5 ungrouped aggregate (money sums via exact decimal)."""
     li = t(spark, sf_dir).lineitem
     return li.agg(
         F.count("*").alias("n_rows"),
-        r2(F.sum("l_extendedprice")).alias("total_price"),
-        r6(F.avg("l_discount")).alias("avg_disc"),
+        dec_sum(F.col("l_extendedprice")).alias("total_price"),
+        dec_avg(F.col("l_discount"), 6).alias("avg_disc"),
         r2(F.min("l_extendedprice")).alias("min_price"),
         r2(F.max("l_extendedprice")).alias("max_price"),
     )
@@ -350,7 +363,8 @@ def a_approx_count_distinct(spark, sf_dir):
 @query(
     "a_having",
     oracle="""
-    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+    SELECT o_custkey, count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS spend
     FROM orders
     GROUP BY o_custkey
     HAVING count(*) >= 10
@@ -362,7 +376,10 @@ def a_having(spark, sf_dir):
     o = t(spark, sf_dir).orders
     return (
         o.groupBy("o_custkey")
-        .agg(F.count("*").alias("n_orders"), r2(F.sum("o_totalprice")).alias("spend"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dec_sum(F.col("o_totalprice")).alias("spend"),
+        )
         .filter(F.col("n_orders") >= 10)
     )
 
@@ -687,12 +704,13 @@ def p_sample(spark, sf_dir):
 
 _CTE_SQL = """
 WITH spend AS (
-    SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spend,
+    SELECT o_custkey,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS total_spend,
            count(*) AS n_orders
     FROM orders GROUP BY o_custkey
 )
 SELECT n_orders, count(*) AS n_customers,
-       round(avg(total_spend), 2) AS avg_spend
+       max(total_spend) AS max_spend
 FROM spend GROUP BY n_orders
 """
 

@@ -344,18 +344,24 @@ def f_array_transform(spark, sf_dir):
     oracle="""
     SELECT event_id,
            json_extract_string(props, '$.k')            AS k_str,
-           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_typed
     FROM events
     """,
     tags=("scalar", "json"),
 )
 def f_json(spark, sf_dir):
     """JSON extraction from the events.props string column
-    (get_json_object ↔ json_extract_string)."""
+    (get_json_object ↔ json_extract_string) plus typed parsing via
+    from_json into a struct."""
     e = t(spark, sf_dir).events
     k = F.get_json_object(F.col("props"), "$.k")
+    typed = F.from_json(F.col("props"), "k INT")
     return e.select(
-        "event_id", k.alias("k_str"), k.cast("int").alias("k_int")
+        "event_id",
+        k.alias("k_str"),
+        k.cast("int").alias("k_int"),
+        typed.getField("k").alias("k_typed"),
     )
 
 

@@ -9,14 +9,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from mcp_iceberg_duckdb_spark.operators._util import ntz, r2, r4, t
+from mcp_iceberg_duckdb_spark.operators._util import dec_sum, ntz, r2, t
 from mcp_iceberg_duckdb_spark.registry import query
 
 
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS revenue,
            count(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -37,7 +37,7 @@ def q6_forecast_revenue(spark, sf_dir):
         & F.col("l_discount").between(0.03, 0.07)
         & (F.col("l_quantity") < 24.0)
     ).agg(
-        r2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
+        dec_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
         F.count("*").alias("n"),
     )
 
@@ -79,7 +79,7 @@ def q4_order_priority(spark, sf_dir):
     "q10_returned_items",
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS revenue,
            n.n_name
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -112,7 +112,7 @@ def q10_returned_items(spark, sf_dir):
     return (
         joined.groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             )
         )
@@ -152,9 +152,9 @@ def q12_priority_shipping(spark, sf_dir):
 @query(
     "q14_promo_effect",
     oracle="""
-    SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
-                        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+    SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%'
+                        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS promo_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
@@ -171,8 +171,66 @@ def q14_promo_effect(spark, sf_dir):
     joined = li.join(F.broadcast(tt.part), li.l_partkey == tt.part.p_partkey)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+
+    def dsum(c):
+        # exact decimal sums; the final ratio is an arbitrary real, so
+        # double division + round is deterministic (no .5 midpoints)
+        return F.sum(c.cast("decimal(18,6)")).cast("double")
+
     return joined.agg(
-        r4(100.0 * F.sum(promo) / F.sum(rev)).alias("promo_pct")
+        F.round(100.0 * dsum(promo) / dsum(rev), 4).alias("promo_pct")
+    )
+
+
+@query(
+    "q7_bilateral_volume",
+    oracle="""
+    SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS volume
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+    JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+    WHERE n1.n_nationkey <> n2.n_nationkey
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n1.n_name, n2.n_name, CAST(year(l.l_shipdate) AS INTEGER)
+    """,
+    tags=("join", "flagship"),
+)
+def q7_bilateral_volume(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between different
+    nations per year — the same dimension (nation) joined twice under
+    two roles, both broadcast. This query's 1199 groups are what
+    exposed the double-sum rounding hazard dec_sum exists for."""
+    tt = t(spark, sf_dir)
+    li = tt.lineitem.filter(
+        (F.col("l_shipdate") >= ntz("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < ntz("1999-01-01 00:00:00"))
+    )
+    n1 = tt.nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = tt.nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(tt.orders, li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(tt.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(tt.supplier), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .filter(F.col("c_nk") != F.col("s_nk"))
+    )
+    return joined.groupBy(
+        "cust_nation", "supp_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "volume"
+        )
     )
 
 

@@ -29,7 +29,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mcp_iceberg_duckdb_spark.operators._util import r4, t
+from mcp_iceberg_duckdb_spark.operators._util import t
 from mcp_iceberg_duckdb_spark.registry import query
 from mcp_iceberg_duckdb_spark.sources.tables import SCHEMAS
 
@@ -42,7 +42,7 @@ from mcp_iceberg_duckdb_spark.sources.tables import SCHEMAS
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            count(*) AS n,
-           round(sum(value), 4) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(28,12))), 4) AS DECIMAL(18,4)) AS total_value
     FROM events
     GROUP BY date_trunc('hour', ts), event_type
     """,
@@ -54,7 +54,12 @@ def s_tumbling_window(spark, sf_dir):
     e = t(spark, sf_dir).events
     return (
         e.groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(F.count("*").alias("n"), r4(F.sum("value")).alias("total_value"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(28,12)")), 4)
+            .cast("decimal(18,4)")
+            .alias("total_value"),
+        )
         .select(
             F.col("window.start").alias("window_start"),
             "event_type",
@@ -241,7 +246,15 @@ def stream_tumbling_counts(events: DataFrame) -> DataFrame:
     return (
         events.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(
+            F.count("*").alias("n"),
+            # decimal-exact: streaming state accumulates in arrival
+            # order, batch in scan order — double sums would round
+            # differently on unlucky windows
+            F.round(F.sum(F.col("value").cast("decimal(28,12)")), 4)
+            .cast("decimal(18,4)")
+            .alias("total_value"),
+        )
         .select(
             F.col("window.start").alias("window_start"),
             "event_type",

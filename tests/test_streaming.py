@@ -35,7 +35,12 @@ def test_stream_tumbling_matches_batch(spark, sf_dir, events_path):
     batch = (
         load(spark, sf_dir, "events")
         .groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(28,12)")), 4)
+            .cast("decimal(18,4)")
+            .alias("total_value"),
+        )
         .select(
             F.col("window.start").alias("window_start"),
             "event_type",
