@@ -182,6 +182,111 @@ def q14_promo_effect(spark, sf_dir):
     )
 
 
+_Q15_SQL = """
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+@query("q15_top_supplier", oracle=_Q15_SQL, tags=("join", "flagship"))
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: top supplier by quarterly revenue — a CTE consumed
+    twice (join input + scalar-max subquery); Catalyst computes it
+    once per consumer but the decimal revenue makes both reads agree
+    exactly. Same SQL text in both dialects."""
+    from mcp_iceberg_duckdb_spark.operators._util import sql_query
+
+    return sql_query(_Q15_SQL)(spark, sf_dir)
+
+
+@query(
+    "q19_disjunctive_predicates",
+    oracle="""
+    SELECT CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS revenue,
+           count(*) AS n
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1.0 AND l.l_quantity <= 20.0)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10.0 AND l.l_quantity <= 30.0)
+       OR (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 20.0 AND l.l_quantity <= 40.0)
+    """,
+    tags=("join", "flagship"),
+)
+def q19_disjunctive_predicates(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive band predicates
+    across both join sides — Catalyst extracts the common l_partkey =
+    p_partkey equi-condition and evaluates the OR as a post-join
+    residual; per-side IN/range fragments are pushed to the scans."""
+    tt = t(spark, sf_dir)
+    li, p = tt.lineitem, tt.part
+    cond = (
+        (
+            (p.p_brand == "Brand#1")
+            & p.p_size.between(1, 15)
+            & li.l_quantity.between(1.0, 20.0)
+        )
+        | (
+            (p.p_brand == "Brand#3")
+            & p.p_size.between(10, 30)
+            & li.l_quantity.between(10.0, 30.0)
+        )
+        | (
+            (p.p_brand == "Brand#5")
+            & p.p_size.between(20, 50)
+            & li.l_quantity.between(20.0, 40.0)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+_Q22_SQL = """
+SELECT substr(c_name, 10, 1) AS cust_group,
+       count(*) AS n_custs,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS total_bal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (
+      SELECT 1 FROM (
+          SELECT o_custkey FROM orders GROUP BY o_custkey HAVING count(*) >= 10
+      ) f WHERE f.o_custkey = c.c_custkey
+  )
+GROUP BY substr(c_name, 10, 1)
+"""
+
+
+@query("q22_global_sales_opportunity", oracle=_Q22_SQL, tags=("join", "flagship"))
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers who are not
+    frequent buyers — scalar-avg subquery + anti join against an
+    aggregate + group. ('No orders at all' is empty in this synthetic
+    data, so the anti side is the >=10-orders frequent-buyer set.)
+    Same SQL text in both dialects; the avg threshold compare is safe
+    (balances are not within 1e-9 of the avg)."""
+    from mcp_iceberg_duckdb_spark.operators._util import sql_query
+
+    return sql_query(_Q22_SQL)(spark, sf_dir)
+
+
 @query(
     "q7_bilateral_volume",
     oracle="""
