@@ -163,6 +163,97 @@ def x_text_fingerprint(spark, sf_dir):
     )
 
 
+@query(
+    "x_pipeline_corpus_curation",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang, source, text,
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS content_sig,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / greatest(len(string_split(text, ' ')), 1) AS ttr,
+               CAST(len(list_filter(string_split(text, ' '), x -> x IN ('{_SW_SQL}'))) AS DOUBLE)
+                 / greatest(len(string_split(text, ' ')), 1) AS sw_ratio
+        FROM documents
+    ),
+    quality AS (
+        SELECT *,
+               round(0.25 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                   + 0.25 * least(sw_ratio / 0.05, 1.0)
+                   + 0.5  * ttr, 6) AS quality_score
+        FROM scored
+    ),
+    deduped AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY content_sig ORDER BY quality_score DESC, doc_id) AS rn
+            FROM quality
+        ) WHERE rn = 1
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(sum(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_quality
+    FROM deduped
+    WHERE quality_score >= 0.5 AND n_tokens >= 10
+    GROUP BY lang
+    """,
+    tags=("text", "tierx", "flagship"),
+)
+def x_pipeline_corpus_curation(spark, sf_dir):
+    """The capstone training-data pipeline as ONE composable Spark
+    plan: score quality → dedup on content signature keeping the
+    best-scoring copy → filter by quality and length → per-language
+    corpus stats (doc count, token budget, mean quality).
+
+    Plan shape at 100 TB: scoring is a shuffle-free per-row map on
+    the scan; dedup shuffles the 16-byte signature + score (not the
+    text); the final rollup aggregates a few thousand groups. Every
+    stage is the oracle-checked building block registered separately
+    (x_text_quality, x_dedup_exact_keep_first) — this query is their
+    composition, proving the operators chain."""
+    d = t(spark, sf_dir).documents
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    denom = F.greatest(n_tokens, F.lit(1)).cast("double")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / denom
+    sw_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS))).cast("double") / denom
+    )
+    score = F.round(
+        0.25 * F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))
+        + 0.25 * F.least(sw_ratio / 0.05, F.lit(1.0))
+        + 0.5 * ttr,
+        6,
+    )
+    sig = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        sig.alias("content_sig"),
+        n_tokens.alias("n_tokens"),
+        score.alias("quality_score"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("content_sig").orderBy(
+        F.col("quality_score").desc(), "doc_id"
+    )
+    deduped = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .filter((F.col("quality_score") >= 0.5) & (F.col("n_tokens") >= 10))
+    )
+    return deduped.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum(F.col("quality_score").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_quality"),
+    )
+
+
 @query("x_text_rolling_hash", oracle=None, tags=("text", "tierx"))
 def x_text_rolling_hash(spark, sf_dir):
     """Polynomial rolling hash over the token stream (order-

@@ -320,6 +320,24 @@ def stream_static_enriched(events: DataFrame, funnel: DataFrame) -> DataFrame:
     )
 
 
+def stream_to_parquet_foreach_batch(
+    streaming_df: DataFrame, out_dir: str
+) -> "object":
+    """foreachBatch sink: per micro-batch, write an idempotent
+    partition keyed by the batch epoch — the exactly-once pattern for
+    sinks without native streaming support (each epoch's directory is
+    atomically overwritten on replay, so retries don't duplicate)."""
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        (
+            df.withColumn("_epoch", F.lit(epoch_id)).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out_dir, f"epoch={epoch_id}"))
+        )
+
+    return streaming_df.writeStream.outputMode("append").foreachBatch(write_batch)
+
+
 def run_stream_to_memory(
     spark: SparkSession, streaming_df: DataFrame, name: str, mode: str = "append"
 ) -> DataFrame:

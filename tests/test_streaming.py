@@ -71,6 +71,52 @@ def test_stream_dedup_within_watermark(spark, events_path):
     assert n > 0
 
 
+def test_stream_foreach_batch_parquet_sink(spark, sf_dir, events_path, tmp_path):
+    """foreachBatch exactly-once sink: all input rows land exactly
+    once across epoch directories."""
+    from mcp_iceberg_duckdb_spark.streaming.events import (
+        stream_to_parquet_foreach_batch,
+    )
+
+    out = str(tmp_path / "sink")
+    q = stream_to_parquet_foreach_batch(
+        read_event_stream(spark, events_path), out
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    written = spark.read.parquet(out)
+    n_src = load(spark, sf_dir, "events").count()
+    assert written.count() == n_src
+    assert written.select("event_id").distinct().count() == n_src
+
+
+def test_stream_sliding_window_subset_of_batch(spark, sf_dir, events_path):
+    """Sliding-window streaming aggregation (1h window, 30m slide):
+    emitted windows must match the batch twin."""
+    sliding = (
+        read_event_stream(spark, events_path)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+    streamed = run_stream_to_memory(spark, sliding, "t_sliding")
+    batch = {
+        (r.window_start, r.n)
+        for r in load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+        .collect()
+    }
+    s_rows = [tuple(r) for r in streamed.collect()]
+    assert s_rows, "no windows emitted"
+    missing = [r for r in s_rows if r not in batch]
+    assert not missing, f"stream windows disagree with batch: {missing[:3]}"
+
+
 def test_stream_stateful_running_totals(spark, sf_dir, events_path):
     """applyInPandasWithState: the LAST emission per user must equal
     the batch per-user totals (state accumulated across batches)."""
