@@ -27,8 +27,10 @@ BENCH_QUERIES = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q7_bilateral_volume",
     "q10_returned_items",
     "q18_large_orders",
+    "q19_disjunctive_predicates",
     "a_count_distinct",
     "w_topk_per_group",
     "o_order_limit",
@@ -38,6 +40,7 @@ BENCH_QUERIES = [
     "x_dedup_minhash_lsh",
     "x_ann_cosine_topk",
     "x_text_quality",
+    "x_pipeline_corpus_curation",
 ]
 
 

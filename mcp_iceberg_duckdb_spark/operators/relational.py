@@ -51,7 +51,12 @@ def q1_pricing_summary(spark, sf_dir):
     hash aggregation (map-side combine) automatically, so the shuffle
     carries only |groups|×partitions rows — the pattern that holds at
     100 TB. Reference: full scan then DuckDB agg
-    (IcebergConnection.py:109-116)."""
+    (IcebergConnection.py:109-116).
+
+    Perf note: decimal sums benched 2.0× a plain double sum here (the
+    sum-heaviest query; int64 fixed-point benched 1.1× but overflows
+    at extreme per-group scale). Decimal is kept — determinism of the
+    rounded cents is a correctness requirement, not a preference."""
     li = t(spark, sf_dir).lineitem
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     # money sums/avgs go through exact DECIMAL (dec_sum/dec_avg) —
