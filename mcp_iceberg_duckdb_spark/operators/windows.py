@@ -106,15 +106,19 @@ def w_first_last(spark, sf_dir):
     "w_running_agg",
     oracle="""
     SELECT user_id, event_id,
-           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value,
+           CAST(round(sum(CAST(value AS DECIMAL(28,12))) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DECIMAL(18,4)) AS running_value,
            count(*) OVER (PARTITION BY user_id) AS n_events
     FROM events
     """,
     tags=("window",),
 )
 def w_running_agg(spark, sf_dir):
-    """W4 running aggregate + whole-partition count."""
+    """W4 running aggregate + whole-partition count. The running sum
+    is decimal-exact: even with a frame-defined order, rounding the
+    same double can differ across engines when its shortest decimal
+    repr ends exactly at the rounding position (see _util.dec_sum)."""
     e = t(spark, sf_dir).events
     w = (
         W.partitionBy("user_id")
@@ -124,7 +128,9 @@ def w_running_agg(spark, sf_dir):
     return e.select(
         "user_id",
         "event_id",
-        F.round(F.sum("value").over(w), 4).alias("running_value"),
+        F.round(F.sum(F.col("value").cast("decimal(28,12)")).over(w), 4)
+        .cast("decimal(18,4)")
+        .alias("running_value"),
         F.count("*").over(W.partitionBy("user_id")).alias("n_events"),
     )
 
