@@ -164,6 +164,54 @@ def x_text_fingerprint(spark, sf_dir):
 
 
 @query(
+    "x_text_ngram_freq",
+    oracle="""
+    WITH grams AS (
+        SELECT d.lang, g.bigram
+        FROM documents d,
+             LATERAL (
+                SELECT array_to_string(string_split(d.text, ' ')[i + 1:i + 2], ' ') AS bigram
+                FROM (SELECT unnest(range(greatest(len(string_split(d.text, ' ')) - 1, 1))) AS i)
+             ) g
+    ),
+    counted AS (
+        SELECT lang, bigram, count(*) AS n FROM grams GROUP BY lang, bigram
+    )
+    SELECT lang, bigram, n FROM (
+        SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rn
+        FROM counted
+    ) WHERE rn <= 5
+    """,
+    tags=("text", "tierx"),
+)
+def x_text_ngram_freq(spark, sf_dir):
+    """Corpus n-gram frequency: top-5 word bigrams per language —
+    explode → count → rank-limited window. The distribution profile a
+    data pipeline uses for contamination checks and corpus weighting.
+    Plan: the explode fans each doc into ~|tokens| rows, partial
+    counts combine map-side, and WindowGroupLimit caps each language
+    at 5 rows before the final gather."""
+    d = t(spark, sf_dir).documents
+    bigrams = F.expr(
+        "transform(sequence(0, greatest(size(split(text, '\\\\s+')) - 2, 0)),"
+        " i -> array_join(slice(split(text, '\\\\s+'), i + 1, 2), ' '))"
+    )
+    from pyspark.sql import Window as W
+
+    counted = (
+        d.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), "bigram")
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "bigram", "n")
+    )
+
+
+@query(
     "x_pipeline_corpus_curation",
     oracle=f"""
     WITH scored AS (
