@@ -12,6 +12,7 @@ from mcp_iceberg_duckdb_spark.operators import (  # noqa: F401
     temporal_joins,
     textops,
     tpch_extra,
+    tpch_extra2,
     udfs,
     windows,
 )
