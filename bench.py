@@ -28,8 +28,10 @@ BENCH_QUERIES = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q7_bilateral_volume",
+    "q8_market_share",
     "q10_returned_items",
     "q18_large_orders",
+    "q21_waiting_supplier",
     "q19_disjunctive_predicates",
     "a_count_distinct",
     "w_topk_per_group",

@@ -97,3 +97,41 @@ def test_exact_dedup_partial_aggregates(spark, sf_dir):
     plan = explain_str(_df("x_dedup_exact", spark, sf_dir))
     assert "HashAggregate" in plan
     assert plan.count("HashAggregate") >= 2, "no partial aggregation"
+
+
+def test_q8_seven_joins_one_fact_shuffle(spark, sf_dir):
+    """Q8's seven-table join tree: every dimension broadcasts, so the
+    only exchanges are the fact-side join pair + final agg."""
+    df = _df("q8_market_share", spark, sf_dir)
+    assert has_broadcast_hash_join(df)
+    assert has_pushed_filters(df)
+    assert shuffle_count(df) <= 3, "a dimension join is shuffling"
+
+
+def test_q13_outer_join_keeps_on_residual(spark, sf_dir):
+    """The priority filter must stay in the join condition (ON
+    residual), not become a pushed scan filter on orders — pushing it
+    to WHERE would drop customers whose only orders are URGENT."""
+    from mcp_iceberg_duckdb_spark.plans import explain_str
+
+    df = _df("q13_customer_order_distribution", spark, sf_dir)
+    plan = explain_str(df)
+    assert "LeftOuter" in plan or "left_outer" in plan.lower()
+    assert shuffle_count(df) <= 3
+
+
+def test_q17_threshold_agg_broadcasts_back(spark, sf_dir):
+    """The per-part average is ~|part| rows — it must broadcast back
+    into the fact scan, never shuffle lineitem against it."""
+    df = _df("q17_small_quantity_revenue", spark, sf_dir)
+    assert has_broadcast_hash_join(df)
+
+
+def test_q21_semi_and_anti_on_same_fact(spark, sf_dir):
+    from mcp_iceberg_duckdb_spark.plans import explain_str
+
+    plan = explain_str(_df("q21_waiting_supplier", spark, sf_dir))
+    low = plan.lower()
+    assert "leftsemi" in low.replace("_", "") or "left_semi" in low
+    assert "leftanti" in low.replace("_", "") or "left_anti" in low
+    assert has_take_ordered(_df("q21_waiting_supplier", spark, sf_dir))
