@@ -385,3 +385,84 @@ def q21_waiting_supplier(spark, sf_dir):
 
 
 q21_waiting_supplier.__doc__ = _Q21_LATE_DOC
+
+
+_Q2_SQL = """
+WITH observed AS (
+    SELECT DISTINCT l.l_partkey AS partkey, l.l_suppkey AS suppkey
+    FROM lineitem l
+),
+ranked AS (
+    SELECT o.partkey, o.suppkey, s.s_acctbal, s.s_name, n.n_name
+    FROM observed o
+    JOIN supplier s ON s.s_suppkey = o.suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+)
+SELECT p.p_partkey, p.p_name, rk.s_name, rk.n_name, round(rk.s_acctbal, 2) AS acctbal
+FROM ranked rk
+JOIN part p ON p.p_partkey = rk.partkey
+WHERE p.p_size = 15
+  AND rk.s_acctbal = (
+      SELECT min(rk2.s_acctbal) FROM ranked rk2 WHERE rk2.partkey = rk.partkey
+  )
+  AND rk.suppkey = (
+      SELECT min(rk3.suppkey) FROM ranked rk3
+      WHERE rk3.partkey = rk.partkey AND rk3.s_acctbal = rk.s_acctbal
+  )
+"""
+
+
+@query("q2_min_cost_supplier", oracle=_Q2_SQL, tags=("join", "flagship"))
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: the cheapest European supplier for each
+    size-15 part (fixtures lack partsupp/ps_supplycost, so the
+    part-supplier relation is the observed lineitem pairs and 'cost'
+    is s_acctbal ascending). The correlated min subquery — plus a
+    min-suppkey tiebreak so the answer is a total function — is the
+    argmin-per-group pattern. Same SQL text in both dialects; on the
+    Spark side Catalyst decorrelates both subqueries into aggregate
+    joins over the shared `ranked` CTE. s_acctbal equality compares
+    raw parquet doubles (no arithmetic), so the oracle cannot
+    diverge."""
+    from mcp_iceberg_duckdb_spark.operators._util import sql_query
+
+    return sql_query(_Q2_SQL)(spark, sf_dir)
+
+
+_Q20_SQL = """
+WITH red_parts AS (
+    SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+),
+shipped AS (
+    SELECT l.l_partkey AS partkey, l.l_suppkey AS suppkey,
+           sum(CAST(l.l_quantity AS DECIMAL(18,6))) AS qty
+    FROM lineitem l JOIN red_parts g ON l.l_partkey = g.p_partkey
+    GROUP BY l.l_partkey, l.l_suppkey
+),
+part_total AS (
+    SELECT partkey, sum(qty) AS total_qty FROM shipped GROUP BY partkey
+)
+SELECT DISTINCT s.s_suppkey, s.s_name
+FROM shipped sh
+JOIN part_total pt ON pt.partkey = sh.partkey
+JOIN supplier s    ON s.s_suppkey = sh.suppkey
+JOIN nation n      ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name = 'NATION_7'
+  AND CAST(sh.qty AS DOUBLE) > 0.1 * CAST(pt.total_qty AS DOUBLE)
+"""
+
+
+@query("q20_excess_share_suppliers", oracle=_Q20_SQL, tags=("join", "flagship"))
+def q20_excess_share_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: NATION_7 suppliers holding an outsized share
+    (>10%) of any red part's shipped volume (fixtures lack
+    partsupp/availqty, so 'stock share' is shipped-quantity share).
+    Nested aggregation at two grains — per (part, supplier) then per
+    part — with the part-grain total joined back; quantities stay
+    exact decimals until one final double compare shared verbatim
+    with the oracle. Same SQL text through Catalyst and DuckDB."""
+    from mcp_iceberg_duckdb_spark.operators._util import sql_query
+
+    return sql_query(_Q20_SQL)(spark, sf_dir)
