@@ -325,3 +325,102 @@ def x_dedup_embedding_cosine(spark, sf_dir):
         )
         .filter(F.col("cos_sim") >= 0.35)
     )
+
+
+@query(
+    "x_dedup_cluster_cc",
+    oracle="""
+    WITH RECURSIVE d AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   range(greatest(len(string_split(text, ' ')) - 2, 1)),
+                   i -> array_to_string(string_split(text, ' ')[i + 1:i + 3], ' ')
+               )) AS sh
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db
+        FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
+    ),
+    edges AS (
+        SELECT da AS src, db AS dst FROM pairs
+        UNION
+        SELECT db AS src, da AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+    tags=("dedup", "tierx"),
+)
+def x_dedup_cluster_cc(spark, sf_dir):
+    """Near-dup CLUSTERING: connected components over the
+    deterministic n-gram-Jaccard pair graph (same edges as
+    x_dedup_ngram_jaccard) — pairs alone under-delete (A~B, B~C but
+    A≁C leaves a duplicate); the transitive closure is what a corpus
+    pipeline actually deduplicates by. cluster_id = min doc_id in the
+    component, so one keeper per cluster falls out for free.
+
+    Spark side: iterative min-label propagation — each round every
+    node takes the min label across itself and its neighbors; labels
+    decrease monotonically, so a round that leaves sum(label)
+    unchanged is the fixpoint. Rounds needed = graph diameter
+    (near-dup components are tiny cliques → 2-3 rounds); each round
+    is one distributed join+groupBy, the driver only compares two
+    int64 sums. The same loop scales to billion-edge graphs where
+    a recursive CTE (the DuckDB oracle's transitive closure, O(n·m)
+    state) cannot — for web-scale graphs swap in the large-star/
+    small-star variant, same loop skeleton.
+    """
+    d = t(spark, sf_dir).documents
+    docs = d.select("doc_id", "source", word_shingles("text", 3).alias("sh"))
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(r6(jaccard(F.col("a.sh"), F.col("b.sh"))) >= 0.5)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(20):  # ≥ diameter; dup components converge in 2-3
+        nmin = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(nmin, labels.node == nmin.src, "left")
+            .select(
+                F.col("node"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select("node", "label").toDF("doc_id", "cluster_id")
