@@ -320,3 +320,90 @@ def x_text_rolling_hash(spark, sf_dir):
         ),
     )
     return d.select("doc_id", h.alias("rolling_hash"))
+
+
+_SHARD_BUDGET = 5_000  # tokens per training shard
+
+
+@query(
+    "x_pack_token_shards",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS skey
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor(CAST(cum - n_tokens AS DOUBLE) / {_SHARD_BUDGET}) AS INTEGER) AS shard
+    FROM (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY skey, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM toks
+    )
+    """,
+    tags=("text", "tierx"),
+)
+def x_pack_token_shards(spark, sf_dir):
+    """Training-shard packing: deterministically shuffle the corpus
+    (order by md5(doc_id) — a seedable, engine-agnostic permutation),
+    then pack documents into shards by running token budget, shard =
+    floor(start_offset / budget).
+
+    The global running sum is the scale trap here: a naive
+    Window.orderBy() with no partitionBy collapses ALL rows into one
+    task. This builder uses the distributed two-pass prefix sum
+    instead: (1) range-repartition by the shuffle key so each task
+    holds a contiguous key range, (2) partition-local running sums
+    via a window keyed on the range-partition id, (3) collect one
+    partial sum PER PARTITION (P rows, not N) to the driver, turn
+    them into exclusive prefix offsets, and broadcast-join them back.
+    Identical output for any partition count; verified against
+    DuckDB's single-sequence window."""
+    d = t(spark, sf_dir).documents
+    toks = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("skey"),
+    )
+    sc = spark.sparkContext
+    nparts = max(sc.defaultParallelism, 2)
+    ranged = toks.repartitionByRange(nparts, "skey", "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    from pyspark.sql import Window as W
+
+    local_w = (
+        W.partitionBy("pid")
+        .orderBy("skey", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = ranged.withColumn("lcum", F.sum("n_tokens").over(local_w)).persist()
+    # one row per partition — the only driver-side data is P integers
+    totals = {
+        r["pid"]: r["tot"]
+        for r in local.groupBy("pid").agg(F.max("lcum").alias("tot")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "pid int, off long"
+        )
+    )
+    return (
+        local.join(off_df, "pid")
+        .withColumn("cum", F.col("off") + F.col("lcum"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(
+                (F.col("cum") - F.col("n_tokens")).cast("double") / _SHARD_BUDGET
+            )
+            .cast("int")
+            .alias("shard"),
+        )
+    )
