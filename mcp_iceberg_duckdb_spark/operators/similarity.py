@@ -214,3 +214,74 @@ def x_ann_lsh_topk(spark, sf_dir):
         .filter(F.col("rn") <= _TOP_K)
         .select("query_id", "neighbor_id", "cos_sim")
     )
+
+
+@query(
+    "x_embed_centroid_assign",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    flat AS (
+        SELECT e.label, g.i, e.v[g.i] AS x
+        FROM e, LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS i) g
+    ),
+    comp AS (
+        SELECT label, i, avg(x) AS cx FROM flat GROUP BY label, i
+    ),
+    cent AS (
+        SELECT label AS clabel, list(cx ORDER BY i) AS cv FROM comp GROUP BY label
+    ),
+    scored AS (
+        SELECT e.vec_id, e.label AS true_label, c.clabel,
+               list_cosine_similarity(e.v, c.cv) AS sim
+        FROM e CROSS JOIN cent c
+    )
+    SELECT vec_id, true_label, clabel AS assigned_label
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, clabel) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """,
+    tags=("similarity", "tierx"),
+)
+def x_embed_centroid_assign(spark, sf_dir):
+    """Nearest-centroid assignment — the k-means assignment step and
+    the primitive behind IVF cell routing and corpus re-clustering:
+    per-label centroids (elementwise mean via posexplode → one
+    groupBy on (label, dim)), then every vector scored against the
+    broadcast k×dim centroid table and assigned argmax-cosine.
+
+    Scale: the centroid aggregate shuffles |corpus|×dim scalar rows
+    once with full map-side partial aggregation (at 100 TB, dims
+    within a partition pre-combine to k×dim partials per task); the
+    k-row centroid table broadcasts, so assignment is a shuffle-free
+    map over the corpus scan followed by a per-vector window over k
+    candidate rows. Output keeps only integer ids/labels — argmax is
+    stable under the ~1-ulp float-mean divergence between engines,
+    where raw similarity values would not hash-match."""
+    e = t(spark, sf_dir).embeddings.select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    comp = (
+        e.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("cx"))
+    )
+    cent = comp.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cx"))), lambda s: s.cx
+        ).alias("cv")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        "clabel",
+        cosine(F.col("v"), F.col("cv")).alias("sim"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), "clabel")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "true_label", F.col("clabel").alias("assigned_label"))
+    )
