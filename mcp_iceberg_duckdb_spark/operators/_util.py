@@ -37,45 +37,76 @@ def parallelize(df: DataFrame) -> DataFrame:
     return df.repartition(sc.defaultParallelism)
 
 
+def rn(c: Column | str, n: int) -> Column:
+    """Version-inert display rounding for DOUBLE expressions:
+    floor(x·10ⁿ + 0.5) / 10ⁿ in pure IEEE double ops, which are
+    bit-identical across engines. Engine-native round(double, n) is
+    NOT: Spark rounds the shortest decimal repr HALF_UP while DuckDB
+    rounds the binary value, and the resolution of `.xx5`-looking
+    midpoints is additionally DuckDB-version-dependent — the round-1
+    driver hash mismatches (q3/q5/a_having, CORRECTNESS_r01) were
+    only ever observed on the driver's DuckDB, never locally. SQL
+    twin: floor((x) * 1eN + 0.5) / 1eN."""
+    if isinstance(c, str):
+        c = F.col(c)
+    p = F.lit(float(10**n))
+    return F.floor(c * p + F.lit(0.5)) / p
+
+
 def r2(c: Column | str) -> Column:
-    return F.round(c, 2)
+    return rn(c, 2)
 
 
 def r4(c: Column | str) -> Column:
-    return F.round(c, 4)
+    return rn(c, 4)
 
 
 def r6(c: Column | str) -> Column:
-    return F.round(c, 6)
+    return rn(c, 6)
+
+
+def dec_round(c: Column, n: int, widen: str = "decimal(30,6)") -> Column:
+    """Round an (already exact) DECIMAL column to n places and emit
+    DOUBLE, all in version-inert ops: the scaling/half-add/floor run
+    in exact decimal arithmetic (identical in any engine), the final
+    int→double cast and one division are exact-then-correctly-rounded
+    IEEE. No DECIMAL ever reaches the output schema — driver-side
+    hashing of DECIMAL values proved version-sensitive in round 1
+    (CORRECTNESS_r01: a_having mismatched although its sums are
+    exactly 2-dp, so the divergence was representation, not value).
+
+    `widen` must leave ≥ 8 digits of precision headroom so the
+    ·10ⁿ product stays inside DECIMAL(38,s) in BOTH engines (DuckDB
+    widens a multiply to p1+p2 and falls back to DOUBLE past 38)."""
+    s = c.cast(widen)
+    pw = F.lit(10**n).cast("decimal(9,0)")
+    units = F.floor(s * pw + F.lit(0.5).cast("decimal(2,1)"))
+    return units.cast("double") / F.lit(float(10**n))
 
 
 def dec_sum(c: Column, out_scale: int = 2, dec: str = "decimal(18,6)") -> Column:
     """Deterministic money-style sum: per-row cast to DECIMAL (exact
-    and order-INDEPENDENT to add), exact decimal sum, back to double,
-    round.
+    and order-INDEPENDENT to add), exact decimal sum, then
+    version-inert rounding to DOUBLE via dec_round.
 
     round(sum(double), 2) is a latent cross-session hash-mismatch:
     double summation order varies with partitioning (core count), and
     with enough groups some sum lands within an ulp of a half-cent
     midpoint — observed on TPC-H Q7 (1199 groups): 1413903.735 →
-    .73 on one session, .74 on another.
-
-    The final rounding must ALSO happen in the decimal domain: exact
-    decimal sums legitimately end in .xx5, and round(double, 2) of
-    such a midpoint resolves differently per engine (Spark rounds the
-    shortest decimal repr half-up, DuckDB the binary value), while
-    round(DECIMAL, 2) is half-away-from-zero in both. Decimal→decimal
-    CAST is NOT usable for this (DuckDB casts round half-even, Spark
-    half-up). SQL twin:
-    CAST(round(sum(CAST(x AS DECIMAL(18,6))), 2) AS DECIMAL(18,2))."""
-    return (
-        F.round(F.sum(c.cast(dec)), out_scale).cast(f"decimal(18,{out_scale})")
-    )
+    .73 on one session, .74 on another. Hence the exact decimal sum.
+    SQL twin:
+    CAST(floor(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DECIMAL(30,6))
+               * CAST(100 AS DECIMAL(3,0)) + 0.5) AS DOUBLE)
+      / CAST(100 AS DOUBLE)."""
+    return dec_round(F.sum(c.cast(dec)), out_scale, widen="decimal(30,6)")
 
 
 def dec_avg(c: Column, out_scale: int = 4, dec: str = "decimal(18,6)") -> Column:
-    """Deterministic mean via exact decimal sum / count."""
-    return F.round(F.sum(c.cast(dec)).cast("double") / F.count(c), out_scale)
+    """Deterministic mean via exact decimal sum / count, rounded
+    version-inertly (rn). SQL twin:
+    floor((CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(x))
+          * 1eN + 0.5) / 1eN."""
+    return rn(F.sum(c.cast(dec)).cast("double") / F.count(c), out_scale)
 
 
 def ntz(lit: str) -> Column:

@@ -29,7 +29,7 @@ from mcp_iceberg_duckdb_spark.functions.textfns import (
     word_shingles,
 )
 from mcp_iceberg_duckdb_spark.functions.vector import as_double, cosine
-from mcp_iceberg_duckdb_spark.operators._util import parallelize, r6, t
+from mcp_iceberg_duckdb_spark.operators._util import parallelize, r6, rn, t
 from mcp_iceberg_duckdb_spark.registry import query
 
 # documents: no byte-identical dups are planted, but ~11k pairs share
@@ -199,7 +199,7 @@ def x_dedup_minhash_mllib(spark, sf_dir):
         .select(
             F.col("datasetA.doc_id").alias("doc_a"),
             F.col("datasetB.doc_id").alias("doc_b"),
-            F.round(1.0 - F.col("jdist"), 6).alias("jaccard_est"),
+            rn(1.0 - F.col("jdist"), 6).alias("jaccard_est"),
         )
         .distinct()
     )
@@ -261,11 +261,11 @@ def x_dedup_simhash(spark, sf_dir):
         FROM documents
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+           floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh)))) * 1e6 + 0.5) / 1e6 AS jaccard
     FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
-    WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
+    WHERE floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.sh, b.sh)))) * 1e6 + 0.5) / 1e6 >= 0.5
     """,
     tags=("dedup", "tierx"),
 )
@@ -298,9 +298,9 @@ def x_dedup_ngram_jaccard(spark, sf_dir):
     oracle="""
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+           floor((list_cosine_similarity(a.v, b.v)) * 1e6 + 0.5) / 1e6 AS cos_sim
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+    WHERE floor((list_cosine_similarity(a.v, b.v)) * 1e6 + 0.5) / 1e6 >= 0.35
     """,
     tags=("dedup", "tierx"),
 )
@@ -341,8 +341,8 @@ def x_dedup_embedding_cosine(spark, sf_dir):
     pairs AS (
         SELECT a.doc_id AS da, b.doc_id AS db
         FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
-        WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                    / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.5
+        WHERE floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.sh, b.sh)))) * 1e6 + 0.5) / 1e6 >= 0.5
     ),
     edges AS (
         SELECT da AS src, db AS dst FROM pairs

@@ -26,7 +26,7 @@ from mcp_iceberg_duckdb_spark.registry import query
 @query(
     "j_inner_equi",
     oracle="""
-    SELECT o.o_orderkey, c.c_name, round(o.o_totalprice, 2) AS total
+    SELECT o.o_orderkey, c.c_name, floor((o.o_totalprice) * 1e2 + 0.5) / 1e2 AS total
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     WHERE c.c_mktsegment = 'BUILDING'
     """,
@@ -199,7 +199,7 @@ def j_nonequi(spark, sf_dir):
     "q3_shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS revenue,
+           CAST(floor(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DECIMAL(30,6)) * CAST(100 AS DECIMAL(3,0)) + 0.5) AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -241,7 +241,7 @@ def q3_shipping_priority(spark, sf_dir):
     "q5_local_supplier_volume",
     oracle="""
     SELECT n.n_name,
-           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS revenue
+           CAST(floor(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DECIMAL(30,6)) * CAST(100 AS DECIMAL(3,0)) + 0.5) AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -288,7 +288,7 @@ def q5_local_supplier_volume(spark, sf_dir):
 
 
 _LATERAL_SQL = """
-SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS total
+SELECT c.c_custkey, o.o_orderkey, floor((o.o_totalprice) * 1e2 + 0.5) / 1e2 AS total
 FROM customer c, LATERAL (
     SELECT o_orderkey, o_totalprice FROM orders
     WHERE o_custkey = c.c_custkey

@@ -31,13 +31,13 @@ from mcp_iceberg_duckdb_spark.registry import query
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS sum_base_price,
-           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS sum_disc_price,
-           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS sum_charge,
-           round(avg(l_quantity), 4)                                        AS avg_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(l_extendedprice), 4) AS avg_price,
-           round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(l_discount), 6) AS avg_disc,
+           floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2                                        AS sum_qty,
+           CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(30,6)) * CAST(100 AS DECIMAL(3,0)) + 0.5) AS DOUBLE) / CAST(100 AS DOUBLE) AS sum_base_price,
+           CAST(floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(30,6)) * CAST(100 AS DECIMAL(3,0)) + 0.5) AS DOUBLE) / CAST(100 AS DOUBLE) AS sum_disc_price,
+           CAST(floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(30,6)) * CAST(100 AS DECIMAL(3,0)) + 0.5) AS DOUBLE) / CAST(100 AS DOUBLE) AS sum_charge,
+           floor((avg(l_quantity)) * 1e4 + 0.5) / 1e4                                        AS avg_qty,
+           floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(l_extendedprice)) * 1e4 + 0.5) / 1e4 AS avg_price,
+           floor((CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(l_discount)) * 1e6 + 0.5) / 1e6 AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -111,7 +111,7 @@ def p_select_star(spark, sf_dir):
 def p_expr_alias(spark, sf_dir):
     """P3 expression projection with aliases. Per-row arithmetic is
     left unrounded — IEEE doubles are bit-identical across engines,
-    while round() at exact .xx5 halfway points is not (Spark rounds
+    while floor(() + 0.5) at exact .xx5 halfway points is not (Spark rounds
     the shortest decimal repr, DuckDB the binary value)."""
     li = t(spark, sf_dir).lineitem
     return li.select(
@@ -138,7 +138,7 @@ def p_distinct(spark, sf_dir):
 @query(
     "p_where_compare",
     oracle="""
-    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS total
+    SELECT o_orderkey, o_orderstatus, floor((o_totalprice) * 1e2 + 0.5) / 1e2 AS total
     FROM orders
     WHERE o_totalprice > 100000.0 AND o_orderstatus <> 'F'
     """,
@@ -312,10 +312,10 @@ def p_cast(spark, sf_dir):
     "a_scalar_agg",
     oracle="""
     SELECT count(*) AS n_rows,
-           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS total_price,
-           round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(l_discount), 6) AS avg_disc,
-           round(min(l_extendedprice), 2) AS min_price,
-           round(max(l_extendedprice), 2) AS max_price
+           CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(30,6)) * CAST(100 AS DECIMAL(3,0)) + 0.5) AS DOUBLE) / CAST(100 AS DOUBLE) AS total_price,
+           floor((CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(l_discount)) * 1e6 + 0.5) / 1e6 AS avg_disc,
+           floor((min(l_extendedprice)) * 1e2 + 0.5) / 1e2 AS min_price,
+           floor((max(l_extendedprice)) * 1e2 + 0.5) / 1e2 AS max_price
     FROM lineitem
     """,
     tags=("agg",),
@@ -369,7 +369,7 @@ def a_approx_count_distinct(spark, sf_dir):
     "a_having",
     oracle="""
     SELECT o_custkey, count(*) AS n_orders,
-           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS spend
+           CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(30,6)) * CAST(100 AS DECIMAL(3,0)) + 0.5) AS DOUBLE) / CAST(100 AS DOUBLE) AS spend
     FROM orders
     GROUP BY o_custkey
     HAVING count(*) >= 10
@@ -393,10 +393,10 @@ def a_having(spark, sf_dir):
     "a_stats",
     oracle="""
     SELECT l_returnflag,
-           round(stddev_samp(l_extendedprice), 2) AS sd_price,
-           round(stddev_pop(l_extendedprice), 2)  AS sdp_price,
-           round(var_samp(l_discount), 6)         AS var_disc,
-           round(var_pop(l_discount), 6)          AS varp_disc
+           floor((stddev_samp(l_extendedprice)) * 1e2 + 0.5) / 1e2 AS sd_price,
+           floor((stddev_pop(l_extendedprice)) * 1e2 + 0.5) / 1e2  AS sdp_price,
+           floor((var_samp(l_discount)) * 1e6 + 0.5) / 1e6         AS var_disc,
+           floor((var_pop(l_discount)) * 1e6 + 0.5) / 1e6          AS varp_disc
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("agg",),
@@ -416,9 +416,9 @@ def a_stats(spark, sf_dir):
     "a_median_percentile",
     oracle="""
     SELECT l_linestatus,
-           round(median(l_extendedprice), 4)            AS med_price,
-           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
-           round(quantile_cont(l_quantity, 0.25), 4)      AS q1_qty
+           floor((median(l_extendedprice)) * 1e4 + 0.5) / 1e4            AS med_price,
+           floor((quantile_cont(l_extendedprice, 0.95)) * 1e4 + 0.5) / 1e4 AS p95_price,
+           floor((quantile_cont(l_quantity, 0.25)) * 1e4 + 0.5) / 1e4      AS q1_qty
     FROM lineitem GROUP BY l_linestatus
     """,
     tags=("agg",),
@@ -468,7 +468,7 @@ def a_string_agg(spark, sf_dir):
     "a_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+           floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty, count(*) AS n
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     tags=("agg",),
@@ -485,7 +485,7 @@ def a_rollup(spark, sf_dir):
     "a_cube",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty
+           floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
     tags=("agg",),
@@ -521,8 +521,8 @@ def a_grouping_sets(spark, sf_dir):
 @query(
     "a_corr_covar",
     oracle="""
-    SELECT round(corr(l_quantity, l_extendedprice), 6)        AS qty_price_corr,
-           round(covar_samp(l_quantity, l_extendedprice), 4)  AS qty_price_covar
+    SELECT floor((corr(l_quantity, l_extendedprice)) * 1e6 + 0.5) / 1e6        AS qty_price_corr,
+           floor((covar_samp(l_quantity, l_extendedprice)) * 1e4 + 0.5) / 1e4  AS qty_price_covar
     FROM lineitem
     """,
     tags=("agg",),
@@ -542,7 +542,7 @@ def a_corr_covar(spark, sf_dir):
 @query(
     "o_order_limit",
     oracle="""
-    SELECT o_orderkey, round(o_totalprice, 2) AS total
+    SELECT o_orderkey, floor((o_totalprice) * 1e2 + 0.5) / 1e2 AS total
     FROM orders
     ORDER BY o_totalprice DESC, o_orderkey ASC
     LIMIT 10
@@ -710,7 +710,7 @@ def p_sample(spark, sf_dir):
 _CTE_SQL = """
 WITH spend AS (
     SELECT o_custkey,
-           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS total_spend,
+           CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(30,6)) * CAST(100 AS DECIMAL(3,0)) + 0.5) AS DOUBLE) / CAST(100 AS DOUBLE) AS total_spend,
            count(*) AS n_orders
     FROM orders GROUP BY o_custkey
 )
@@ -756,7 +756,7 @@ def o_subquery_not_exists(spark, sf_dir):
 
 
 _SUBQ_SCALAR_SQL = """
-SELECT o_orderkey, round(o_totalprice, 2) AS total
+SELECT o_orderkey, floor((o_totalprice) * 1e2 + 0.5) / 1e2 AS total
 FROM orders
 WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
 """
@@ -770,7 +770,7 @@ def o_subquery_scalar(spark, sf_dir):
 
 
 _SUBQ_CORR_SQL = """
-SELECT o.o_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS total
+SELECT o.o_custkey, o.o_orderkey, floor((o.o_totalprice) * 1e2 + 0.5) / 1e2 AS total
 FROM orders o
 WHERE o.o_totalprice = (
     SELECT min(o2.o_totalprice) FROM orders o2
@@ -813,8 +813,8 @@ def a_agg_filter_clause(spark, sf_dir):
     "p_pivot",
     oracle="""
     SELECT l_returnflag,
-           round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS qty_O,
-           round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS qty_F
+           floor((sum(l_quantity) FILTER (WHERE l_linestatus = 'O')) * 1e2 + 0.5) / 1e2 AS qty_O,
+           floor((sum(l_quantity) FILTER (WHERE l_linestatus = 'F')) * 1e2 + 0.5) / 1e2 AS qty_F
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("agg",),
@@ -826,7 +826,7 @@ def p_pivot(spark, sf_dir):
     piv = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.round(F.sum("l_quantity"), 2))
+        .agg(r2(F.sum("l_quantity")))
     )
     return piv.select(
         "l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F")
@@ -837,7 +837,7 @@ def p_pivot(spark, sf_dir):
     "p_unpivot",
     oracle="""
     SELECT c_custkey, k AS metric, v AS val FROM (
-        SELECT c_custkey, 'acctbal' AS k, round(c_acctbal, 2) AS v FROM customer
+        SELECT c_custkey, 'acctbal' AS k, floor((c_acctbal) * 1e2 + 0.5) / 1e2 AS v FROM customer
         UNION ALL
         SELECT c_custkey, 'nationkey' AS k, CAST(c_nationkey AS DOUBLE) AS v FROM customer
     )
@@ -850,7 +850,7 @@ def p_unpivot(spark, sf_dir):
     return c.select(
         "c_custkey",
         F.expr(
-            "stack(2, 'acctbal', round(c_acctbal, 2),"
+            "stack(2, 'acctbal', floor((c_acctbal) * 1e2 + 0.5) / 1e2,"
             " 'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, val)"
         ),
     )

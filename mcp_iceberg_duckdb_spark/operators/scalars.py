@@ -107,11 +107,11 @@ def f_regex(spark, sf_dir):
            abs(l_discount - 0.05)                   AS abs_d,
            CAST(ceil(l_quantity) AS BIGINT)         AS ceil_q,
            CAST(floor(l_quantity) AS BIGINT)        AS floor_q,
-           round(sqrt(l_extendedprice), 6)          AS sqrt_p,
-           round(pow(l_discount, 2), 6)             AS disc_sq,
-           round(exp(l_discount), 6)                AS exp_d,
-           round(ln(l_extendedprice), 6)            AS ln_p,
-           round(log10(l_extendedprice), 6)         AS log10_p,
+           floor((sqrt(l_extendedprice)) * 1e6 + 0.5) / 1e6          AS sqrt_p,
+           floor((pow(l_discount, 2)) * 1e6 + 0.5) / 1e6             AS disc_sq,
+           floor((exp(l_discount)) * 1e6 + 0.5) / 1e6                AS exp_d,
+           floor((ln(l_extendedprice)) * 1e6 + 0.5) / 1e6            AS ln_p,
+           floor((log10(l_extendedprice)) * 1e6 + 0.5) / 1e6         AS log10_p,
            CAST(l_orderkey % 7 AS BIGINT)           AS mod7,
            CAST(sign(l_discount - 0.05) AS DOUBLE)  AS sgn,
            greatest(l_quantity, 25.0)               AS hi,
@@ -266,7 +266,7 @@ def f_try_cast_format(spark, sf_dir):
            len(embedding)            AS dim,
            embedding[1]              AS first_elem,
            embedding[64]             AS last_elem,
-           round(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum'), 6) AS vec_sum
+           floor((list_aggregate(CAST(embedding AS DOUBLE[]), 'sum')) * 1e6 + 0.5) / 1e6 AS vec_sum
     FROM embeddings
     """,
     tags=("scalar", "array"),
@@ -290,7 +290,7 @@ def f_array(spark, sf_dir):
 @query(
     "f_array_explode",
     oracle="""
-    SELECT vec_id, u.pos, round(u.val, 6) AS val
+    SELECT vec_id, u.pos, floor((u.val) * 1e6 + 0.5) / 1e6 AS val
     FROM embeddings,
          LATERAL (SELECT CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos,
                          CAST(unnest(embedding) AS DOUBLE) AS val) u
@@ -308,7 +308,7 @@ def f_array_explode(spark, sf_dir):
         .select(
             "vec_id",
             (F.col("pos0") + 1).cast("int").alias("pos"),
-            F.round(F.col("val0").cast("double"), 6).alias("val"),
+            r6(F.col("val0").cast("double")).alias("val"),
         )
     )
 
@@ -317,7 +317,7 @@ def f_array_explode(spark, sf_dir):
     "f_array_transform",
     oracle="""
     SELECT vec_id,
-           round(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum'), 6) AS sq_norm,
+           floor((list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')) * 1e6 + 0.5) / 1e6 AS sq_norm,
            len(list_filter(embedding, x -> x > 0)) AS n_positive
     FROM embeddings
     """,

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from mcp_iceberg_duckdb_spark.operators._util import r6, t
+from mcp_iceberg_duckdb_spark.operators._util import dec_round, r2, r6, t
 from mcp_iceberg_duckdb_spark.registry import query
 
 
@@ -15,8 +15,8 @@ from mcp_iceberg_duckdb_spark.registry import query
     "f_struct",
     oracle="""
     SELECT o_orderkey,
-           struct_pack(status := o_orderstatus, total := round(o_totalprice, 2)).status AS status_out,
-           struct_pack(status := o_orderstatus, total := round(o_totalprice, 2)).total  AS total_out
+           struct_pack(status := o_orderstatus, total := floor((o_totalprice) * 1e2 + 0.5) / 1e2).status AS status_out,
+           struct_pack(status := o_orderstatus, total := floor((o_totalprice) * 1e2 + 0.5) / 1e2).total  AS total_out
     FROM orders
     """,
     tags=("scalar", "struct"),
@@ -29,7 +29,7 @@ def f_struct(spark, sf_dir):
     o = t(spark, sf_dir).orders
     info = F.struct(
         F.col("o_orderstatus").alias("status"),
-        F.round("o_totalprice", 2).alias("total"),
+        r2("o_totalprice").alias("total"),
     )
     return o.select(
         "o_orderkey",
@@ -72,12 +72,12 @@ def f_map(spark, sf_dir):
     "f_trig",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(sin(l_discount), 6)              AS sin_d,
-           round(cos(l_discount), 6)              AS cos_d,
-           round(atan2(l_discount, 0.1), 6)       AS atan2_d,
-           round(degrees(l_discount), 6)          AS deg_d,
-           round(radians(l_quantity), 6)          AS rad_q,
-           round(pi(), 6)                         AS pi_val
+           floor((sin(l_discount)) * 1e6 + 0.5) / 1e6              AS sin_d,
+           floor((cos(l_discount)) * 1e6 + 0.5) / 1e6              AS cos_d,
+           floor((atan2(l_discount, 0.1)) * 1e6 + 0.5) / 1e6       AS atan2_d,
+           floor((degrees(l_discount)) * 1e6 + 0.5) / 1e6          AS deg_d,
+           floor((radians(l_quantity)) * 1e6 + 0.5) / 1e6          AS rad_q,
+           floor((pi()) * 1e6 + 0.5) / 1e6                         AS pi_val
     FROM lineitem
     """,
     tags=("scalar", "math"),
@@ -183,9 +183,9 @@ def a_min_max_by(spark, sf_dir):
     "a_decimal_agg",
     oracle="""
     SELECT o_orderstatus,
-           CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(14,2))) AS DECIMAL(24,2)) AS total_dec,
-           CAST(min(CAST(round(o_totalprice, 2) AS DECIMAL(14,2))) AS DECIMAL(14,2)) AS min_dec,
-           CAST(max(CAST(round(o_totalprice, 2) AS DECIMAL(14,2))) AS DECIMAL(14,2)) AS max_dec
+           CAST(floor(CAST(sum(CAST(floor((o_totalprice) * 1e2 + 0.5) / 1e2 AS DECIMAL(14,2))) AS DECIMAL(30,6)) * CAST(100 AS DECIMAL(3,0)) + 0.5) AS DOUBLE) / CAST(100 AS DOUBLE) AS total_dec,
+           CAST(floor(CAST(min(CAST(floor((o_totalprice) * 1e2 + 0.5) / 1e2 AS DECIMAL(14,2))) AS DECIMAL(30,6)) * CAST(100 AS DECIMAL(3,0)) + 0.5) AS DOUBLE) / CAST(100 AS DOUBLE) AS min_dec,
+           CAST(floor(CAST(max(CAST(floor((o_totalprice) * 1e2 + 0.5) / 1e2 AS DECIMAL(14,2))) AS DECIMAL(30,6)) * CAST(100 AS DECIMAL(3,0)) + 0.5) AS DOUBLE) / CAST(100 AS DOUBLE) AS max_dec
     FROM orders GROUP BY o_orderstatus
     """,
     tags=("agg", "decimal"),
@@ -196,11 +196,11 @@ def a_decimal_agg(spark, sf_dir):
     rounding needed on the compare). Result scales pinned by explicit
     casts since Spark and DuckDB widen sum() differently."""
     o = t(spark, sf_dir).orders
-    dec = F.round("o_totalprice", 2).cast("decimal(14,2)")
+    dec = r2("o_totalprice").cast("decimal(14,2)")
     return o.groupBy("o_orderstatus").agg(
-        F.sum(dec).cast("decimal(24,2)").alias("total_dec"),
-        F.min(dec).cast("decimal(14,2)").alias("min_dec"),
-        F.max(dec).cast("decimal(14,2)").alias("max_dec"),
+        dec_round(F.sum(dec), 2).alias("total_dec"),
+        dec_round(F.min(dec), 2).alias("min_dec"),
+        dec_round(F.max(dec), 2).alias("max_dec"),
     )
 
 
@@ -214,9 +214,9 @@ def a_decimal_agg(spark, sf_dir):
         WHERE a.vec_id < 20
     )
     SELECT id_a, id_b,
-           len(list_intersect(list_transform(va, x -> CAST(round(x * 10) AS BIGINT)),
-                              list_transform(vb, x -> CAST(round(x * 10) AS BIGINT)))) AS n_common,
-           list_sort(list_distinct(list_transform(va, x -> CAST(round(x * 10) AS BIGINT)))) AS qa
+           len(list_intersect(list_transform(va, x -> CAST(floor(CAST(x AS DOUBLE) * 10 + 0.5) AS BIGINT)),
+                              list_transform(vb, x -> CAST(floor(CAST(x AS DOUBLE) * 10 + 0.5) AS BIGINT)))) AS n_common,
+           list_sort(list_distinct(list_transform(va, x -> CAST(floor(CAST(x AS DOUBLE) * 10 + 0.5) AS BIGINT)))) AS qa
     FROM pairs
     """,
     tags=("scalar", "array"),
@@ -229,7 +229,9 @@ def f_array_setops(spark, sf_dir):
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
     )
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    q = lambda v: F.transform(v, lambda x: F.round(x * 10).cast("bigint"))  # noqa: E731
+    q = lambda v: F.transform(  # noqa: E731
+        v, lambda x: F.floor(x.cast("double") * 10 + F.lit(0.5)).cast("bigint")
+    )
     return (
         a.join(b, F.col("id_b") == F.col("id_a") + 1)
         .select(

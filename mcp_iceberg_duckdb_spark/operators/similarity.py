@@ -30,7 +30,7 @@ _TOP_K = 10
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
     scored AS (
         SELECT q.query_id, e.vec_id AS neighbor_id,
-               round(list_cosine_similarity(q.qv, e.v), 6) AS cos_sim
+               floor((list_cosine_similarity(q.qv, e.v)) * 1e6 + 0.5) / 1e6 AS cos_sim
         FROM q JOIN e ON e.vec_id <> q.query_id
     )
     SELECT query_id, neighbor_id, cos_sim FROM (

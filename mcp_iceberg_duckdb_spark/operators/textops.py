@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from mcp_iceberg_duckdb_spark.functions.textfns import EN_STOPWORDS, distinct_tokens, tokens
-from mcp_iceberg_duckdb_spark.operators._util import r6, t
+from mcp_iceberg_duckdb_spark.operators._util import r6, rn, t
 from mcp_iceberg_duckdb_spark.registry import query
 
 _SW_SQL = "', '".join(EN_STOPWORDS)
@@ -28,7 +28,7 @@ _SW_SQL = "', '".join(EN_STOPWORDS)
                / greatest(len(string_split(text, ' ')), 1) AS sw_ratio
         FROM documents
     )
-    SELECT doc_id, lang, round(sw_ratio, 6) AS en_stopword_ratio,
+    SELECT doc_id, lang, floor((sw_ratio) * 1e6 + 0.5) / 1e6 AS en_stopword_ratio,
            CASE WHEN sw_ratio >= 0.05 THEN 'en' ELSE 'unk' END AS lang_pred
     FROM s
     """,
@@ -68,13 +68,13 @@ def x_text_langid(spark, sf_dir):
                  / greatest(len(string_split(text, ' ')), 1) AS ttr
         FROM documents
     )
-    SELECT doc_id, n_tokens, round(avg_token_len, 6) AS avg_token_len,
-           round(punct_ratio, 6) AS punct_ratio,
-           round(sw_ratio, 6)    AS stopword_ratio,
-           round(ttr, 6)         AS type_token_ratio,
-           round(0.25 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+    SELECT doc_id, n_tokens, floor((avg_token_len) * 1e6 + 0.5) / 1e6 AS avg_token_len,
+           floor((punct_ratio) * 1e6 + 0.5) / 1e6 AS punct_ratio,
+           floor((sw_ratio) * 1e6 + 0.5) / 1e6    AS stopword_ratio,
+           floor((ttr) * 1e6 + 0.5) / 1e6         AS type_token_ratio,
+           floor((0.25 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
                + 0.25 * least(sw_ratio / 0.05, 1.0)
-               + 0.5  * ttr, 6)  AS quality_score
+               + 0.5  * ttr) * 1e6 + 0.5) / 1e6  AS quality_score
     FROM s
     """,
     tags=("text", "tierx"),
@@ -226,9 +226,9 @@ def x_text_ngram_freq(spark, sf_dir):
     ),
     quality AS (
         SELECT *,
-               round(0.25 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+               floor((0.25 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
                    + 0.25 * least(sw_ratio / 0.05, 1.0)
-                   + 0.5  * ttr, 6) AS quality_score
+                   + 0.5  * ttr) * 1e6 + 0.5) / 1e6 AS quality_score
         FROM scored
     ),
     deduped AS (
@@ -240,7 +240,7 @@ def x_text_ngram_freq(spark, sf_dir):
     SELECT lang,
            count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-           round(CAST(sum(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_quality
+           floor((CAST(sum(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS mean_quality
     FROM deduped
     WHERE quality_score >= 0.5 AND n_tokens >= 10
     GROUP BY lang
@@ -267,7 +267,7 @@ def x_pipeline_corpus_curation(spark, sf_dir):
     sw_ratio = (
         F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS))).cast("double") / denom
     )
-    score = F.round(
+    score = rn(
         0.25 * F.least(n_tokens.cast("double") / 100.0, F.lit(1.0))
         + 0.25 * F.least(sw_ratio / 0.05, F.lit(1.0))
         + 0.5 * ttr,
@@ -294,7 +294,7 @@ def x_pipeline_corpus_curation(spark, sf_dir):
     return deduped.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
-        F.round(
+        rn(
             F.sum(F.col("quality_score").cast("decimal(18,6)")).cast("double")
             / F.count("*"),
             6,

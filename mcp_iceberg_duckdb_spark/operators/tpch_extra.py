@@ -9,14 +9,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from mcp_iceberg_duckdb_spark.operators._util import dec_sum, ntz, r2, t
+from mcp_iceberg_duckdb_spark.operators._util import dec_sum, ntz, r2, rn, t
 from mcp_iceberg_duckdb_spark.registry import query
 
 
 @query(
     "q6_forecast_revenue",
     oracle="""
-    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS revenue,
+    SELECT CAST(floor(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DECIMAL(30,6)) * CAST(100 AS DECIMAL(3,0)) + 0.5) AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue,
            count(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -79,7 +79,7 @@ def q4_order_priority(spark, sf_dir):
     "q10_returned_items",
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS revenue,
+           CAST(floor(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DECIMAL(30,6)) * CAST(100 AS DECIMAL(3,0)) + 0.5) AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue,
            n.n_name
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -152,9 +152,9 @@ def q12_priority_shipping(spark, sf_dir):
 @query(
     "q14_promo_effect",
     oracle="""
-    SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%'
+    SELECT floor((100.0 * CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%'
                         THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
-                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS promo_pct
+                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS promo_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
@@ -178,14 +178,14 @@ def q14_promo_effect(spark, sf_dir):
         return F.sum(c.cast("decimal(18,6)")).cast("double")
 
     return joined.agg(
-        F.round(100.0 * dsum(promo) / dsum(rev), 4).alias("promo_pct")
+        rn(100.0 * dsum(promo) / dsum(rev), 4).alias("promo_pct")
     )
 
 
 _Q15_SQL = """
 WITH revenue AS (
     SELECT l_suppkey AS supplier_no,
-           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS total_revenue
+           CAST(floor(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(30,6)) * CAST(100 AS DECIMAL(3,0)) + 0.5) AS DOUBLE) / CAST(100 AS DOUBLE) AS total_revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
@@ -211,7 +211,7 @@ def q15_top_supplier(spark, sf_dir):
 @query(
     "q19_disjunctive_predicates",
     oracle="""
-    SELECT CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS revenue,
+    SELECT CAST(floor(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DECIMAL(30,6)) * CAST(100 AS DECIMAL(3,0)) + 0.5) AS DOUBLE) / CAST(100 AS DOUBLE) AS revenue,
            count(*) AS n
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
@@ -262,7 +262,7 @@ def q19_disjunctive_predicates(spark, sf_dir):
 _Q22_SQL = """
 SELECT substr(c_name, 10, 1) AS cust_group,
        count(*) AS n_custs,
-       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS total_bal
+       CAST(floor(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(30,6)) * CAST(100 AS DECIMAL(3,0)) + 0.5) AS DOUBLE) / CAST(100 AS DOUBLE) AS total_bal
 FROM customer c
 WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
   AND NOT EXISTS (
@@ -292,7 +292,7 @@ def q22_global_sales_opportunity(spark, sf_dir):
     oracle="""
     SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
            CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
-           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS volume
+           CAST(floor(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DECIMAL(30,6)) * CAST(100 AS DECIMAL(3,0)) + 0.5) AS DOUBLE) / CAST(100 AS DOUBLE) AS volume
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -342,8 +342,8 @@ def q7_bilateral_volume(spark, sf_dir):
 @query(
     "q18_large_orders",
     oracle="""
-    SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS total,
-           round(t.sum_qty, 2) AS sum_qty
+    SELECT c.c_custkey, o.o_orderkey, floor((o.o_totalprice) * 1e2 + 0.5) / 1e2 AS total,
+           floor((t.sum_qty) * 1e2 + 0.5) / 1e2 AS sum_qty
     FROM (
         SELECT l_orderkey, sum(l_quantity) AS sum_qty
         FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150.0

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from mcp_iceberg_duckdb_spark.operators._util import dec_sum, ntz, t
+from mcp_iceberg_duckdb_spark.operators._util import dec_sum, ntz, rn, t
 from mcp_iceberg_duckdb_spark.registry import query
 
 _DEC = "decimal(18,6)"
@@ -32,8 +32,8 @@ _DEC = "decimal(18,6)"
     "q8_market_share",
     oracle="""
     SELECT o_year,
-           round(CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+           floor((CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS mkt_share
     FROM (
         SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
                CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) AS volume,
@@ -94,7 +94,7 @@ def q8_market_share(spark, sf_dir):
     return joined.groupBy(
         F.year("o_orderdate").alias("o_year")
     ).agg(
-        F.round(
+        rn(
             F.sum(nation_vol).cast("double") / F.sum(vol).cast("double"), 6
         ).alias("mkt_share")
     )
@@ -105,7 +105,7 @@ def q8_market_share(spark, sf_dir):
     oracle="""
     SELECT n.n_name AS nation,
            CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS profit
+           CAST(floor(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DECIMAL(30,6)) * CAST(100 AS DECIMAL(3,0)) + 0.5) AS DOUBLE) / CAST(100 AS DOUBLE) AS profit
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -154,7 +154,7 @@ WITH val AS (
     GROUP BY l.l_partkey
 )
 SELECT partkey,
-       CAST(round(value_dec, 2) AS DECIMAL(18,2)) AS part_value
+       CAST(floor((value_dec) * 1e2 + 0.5) / 1e2 AS DECIMAL(18,2)) AS part_value
 FROM val
 WHERE CAST(value_dec AS DOUBLE) >
       (SELECT CAST(sum(value_dec) AS DOUBLE) * 0.002 FROM val)
@@ -266,7 +266,7 @@ def q16_supplier_part_counts(spark, sf_dir):
                0.5 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*)) AS qty_threshold
         FROM lineitem GROUP BY l_partkey
     )
-    SELECT CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))), 2) AS DECIMAL(18,2)) AS total_revenue,
+    SELECT CAST(floor(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(30,6)) * CAST(100 AS DECIMAL(3,0)) + 0.5) AS DOUBLE) / CAST(100 AS DOUBLE) AS total_revenue,
            count(*) AS n
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -400,7 +400,7 @@ ranked AS (
     JOIN region r   ON r.r_regionkey = n.n_regionkey
     WHERE r.r_name = 'EUROPE'
 )
-SELECT p.p_partkey, p.p_name, rk.s_name, rk.n_name, round(rk.s_acctbal, 2) AS acctbal
+SELECT p.p_partkey, p.p_name, rk.s_name, rk.n_name, floor((rk.s_acctbal) * 1e2 + 0.5) / 1e2 AS acctbal
 FROM ranked rk
 JOIN part p ON p.p_partkey = rk.partkey
 WHERE p.p_size = 15

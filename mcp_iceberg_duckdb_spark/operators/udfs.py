@@ -13,6 +13,9 @@ tokenizers) in the same shape.
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -25,8 +28,8 @@ from mcp_iceberg_duckdb_spark.registry import query
     "x_udf_pandas_scalar",
     oracle="""
     SELECT doc_id,
-           round(CAST(len(string_split(text, ' ')) AS DOUBLE)
-                 / greatest(length(text), 1) * 100.0, 6) AS tokens_per_100_chars
+           floor((CAST(len(string_split(text, ' ')) AS DOUBLE)
+                 / greatest(length(text), 1) * 100.0) * 1e6 + 0.5) / 1e6 AS tokens_per_100_chars
     FROM documents
     """,
     tags=("udf", "tierx"),
@@ -40,7 +43,10 @@ def x_udf_pandas_scalar(spark, sf_dir):
     def token_density(text: pd.Series) -> pd.Series:
         n_tokens = text.str.split(" ").str.len().astype("float64")
         n_chars = text.str.len().clip(lower=1).astype("float64")
-        return (n_tokens / n_chars * 100.0).round(6)
+        # floor-form rounding: identical IEEE ops to the oracle's
+        # floor((x)*1e6+0.5)/1e6 (pandas .round is half-even and
+        # engine floor(() + 0.5) midpoint behavior is version-dependent)
+        return np.floor(n_tokens / n_chars * 100.0 * 1e6 + 0.5) / 1e6
 
     d = t(spark, sf_dir).documents
     return d.select("doc_id", token_density("text").alias("tokens_per_100_chars"))
@@ -50,8 +56,8 @@ def x_udf_pandas_scalar(spark, sf_dir):
     "x_udf_grouped_agg",
     oracle="""
     SELECT lang,
-           round(avg(CAST(n_chars AS DOUBLE)), 4) AS mean_chars,
-           round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 4) AS median_chars
+           floor((avg(CAST(n_chars AS DOUBLE))) * 1e4 + 0.5) / 1e4 AS mean_chars,
+           floor((quantile_cont(CAST(n_chars AS DOUBLE), 0.5)) * 1e4 + 0.5) / 1e4 AS median_chars
     FROM documents GROUP BY lang
     """,
     tags=("udf", "tierx"),
@@ -66,8 +72,13 @@ def x_udf_grouped_agg(spark, sf_dir):
         return pd.DataFrame(
             {
                 "lang": [pdf["lang"].iloc[0]],
-                "mean_chars": [round(chars.mean(), 4)],
-                "median_chars": [round(chars.quantile(0.5, interpolation="linear"), 4)],
+                "mean_chars": [math.floor(chars.mean() * 1e4 + 0.5) / 1e4],
+                "median_chars": [
+                    math.floor(
+                        chars.quantile(0.5, interpolation="linear") * 1e4 + 0.5
+                    )
+                    / 1e4
+                ],
             }
         )
 

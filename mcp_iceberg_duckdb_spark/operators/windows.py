@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from mcp_iceberg_duckdb_spark.operators._util import r2, t
+from mcp_iceberg_duckdb_spark.operators._util import dec_round, r2, rn, t
 from mcp_iceberg_duckdb_spark.registry import query
 
 
@@ -106,9 +106,10 @@ def w_first_last(spark, sf_dir):
     "w_running_agg",
     oracle="""
     SELECT user_id, event_id,
-           CAST(round(sum(CAST(value AS DECIMAL(28,12))) OVER (
+           CAST(floor(CAST(sum(CAST(value AS DECIMAL(28,12))) OVER (
                  PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DECIMAL(18,4)) AS running_value,
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(30,12))
+                 * CAST(10000 AS DECIMAL(5,0)) + 0.5) AS DOUBLE) / CAST(10000 AS DOUBLE) AS running_value,
            count(*) OVER (PARTITION BY user_id) AS n_events
     FROM events
     """,
@@ -128,9 +129,11 @@ def w_running_agg(spark, sf_dir):
     return e.select(
         "user_id",
         "event_id",
-        F.round(F.sum(F.col("value").cast("decimal(28,12)")).over(w), 4)
-        .cast("decimal(18,4)")
-        .alias("running_value"),
+        dec_round(
+            F.sum(F.col("value").cast("decimal(28,12)")).over(w),
+            4,
+            widen="decimal(30,12)",
+        ).alias("running_value"),
         F.count("*").over(W.partitionBy("user_id")).alias("n_events"),
     )
 
@@ -139,9 +142,9 @@ def w_running_agg(spark, sf_dir):
     "w_sliding_frame",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
-           round(avg(l_quantity) OVER (PARTITION BY l_suppkey
+           floor((avg(l_quantity) OVER (PARTITION BY l_suppkey
                  ORDER BY l_shipdate, l_orderkey, l_linenumber
-                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS qty_ma4
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) * 1e4 + 0.5) / 1e4 AS qty_ma4
     FROM lineitem
     """,
     tags=("window",),
@@ -158,7 +161,7 @@ def w_sliding_frame(spark, sf_dir):
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        F.round(F.avg("l_quantity").over(w), 4).alias("qty_ma4"),
+        rn(F.avg("l_quantity").over(w), 4).alias("qty_ma4"),
     )
 
 
@@ -187,7 +190,7 @@ def w_range_frame(spark, sf_dir):
 @query(
     "w_topk_per_group",
     oracle="""
-    SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS bal FROM (
+    SELECT c_nationkey, c_custkey, floor((c_acctbal) * 1e2 + 0.5) / 1e2 AS bal FROM (
         SELECT c_nationkey, c_custkey, c_acctbal,
                row_number() OVER (PARTITION BY c_nationkey
                     ORDER BY c_acctbal DESC, c_custkey) AS rn
@@ -213,8 +216,8 @@ def w_topk_per_group(spark, sf_dir):
     "w_cume_percent",
     oracle="""
     SELECT o_orderkey,
-           round(percent_rank() OVER w, 6) AS pr,
-           round(cume_dist()    OVER w, 6) AS cd
+           floor((percent_rank() OVER w) * 1e6 + 0.5) / 1e6 AS pr,
+           floor((cume_dist()    OVER w) * 1e6 + 0.5) / 1e6 AS cd
     FROM orders
     WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
     """,
@@ -227,6 +230,6 @@ def w_cume_percent(spark, sf_dir):
     w = W.orderBy("o_totalprice", "o_orderkey")
     return o.select(
         "o_orderkey",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        rn(F.percent_rank().over(w), 6).alias("pr"),
+        rn(F.cume_dist().over(w), 6).alias("cd"),
     )

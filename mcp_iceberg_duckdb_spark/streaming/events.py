@@ -23,13 +23,14 @@ window here).
 from __future__ import annotations
 
 import hashlib
+import math
 import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mcp_iceberg_duckdb_spark.operators._util import t
+from mcp_iceberg_duckdb_spark.operators._util import dec_round, t
 from mcp_iceberg_duckdb_spark.registry import query
 from mcp_iceberg_duckdb_spark.sources.tables import SCHEMAS
 
@@ -42,7 +43,7 @@ from mcp_iceberg_duckdb_spark.sources.tables import SCHEMAS
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            count(*) AS n,
-           CAST(round(sum(CAST(value AS DECIMAL(28,12))), 4) AS DECIMAL(18,4)) AS total_value
+           CAST(floor(CAST(sum(CAST(value AS DECIMAL(28,12))) AS DECIMAL(30,12)) * CAST(10000 AS DECIMAL(5,0)) + 0.5) AS DOUBLE) / CAST(10000 AS DOUBLE) AS total_value
     FROM events
     GROUP BY date_trunc('hour', ts), event_type
     """,
@@ -56,9 +57,11 @@ def s_tumbling_window(spark, sf_dir):
         e.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(28,12)")), 4)
-            .cast("decimal(18,4)")
-            .alias("total_value"),
+            dec_round(
+                F.sum(F.col("value").cast("decimal(28,12)")),
+                4,
+                widen="decimal(30,12)",
+            ).alias("total_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),
@@ -251,9 +254,11 @@ def stream_tumbling_counts(events: DataFrame) -> DataFrame:
             # decimal-exact: streaming state accumulates in arrival
             # order, batch in scan order — double sums would round
             # differently on unlucky windows
-            F.round(F.sum(F.col("value").cast("decimal(28,12)")), 4)
-            .cast("decimal(18,4)")
-            .alias("total_value"),
+            dec_round(
+                F.sum(F.col("value").cast("decimal(28,12)")),
+                4,
+                widen="decimal(30,12)",
+            ).alias("total_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),
@@ -291,7 +296,7 @@ def stream_user_running_totals(events: DataFrame) -> DataFrame:
         import pandas as pd
 
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+            {"user_id": [key[0]], "n_events": [n], "total_value": [math.floor(total * 1e4 + 0.5) / 1e4]}
         )
 
     return events.groupBy("user_id").applyInPandasWithState(

@@ -9,6 +9,7 @@ import os
 import pyspark.sql.functions as F
 import pytest
 
+from mcp_iceberg_duckdb_spark.operators._util import dec_round
 from mcp_iceberg_duckdb_spark.sources.tables import load
 from mcp_iceberg_duckdb_spark.streaming.events import (
     read_event_stream,
@@ -37,9 +38,11 @@ def test_stream_tumbling_matches_batch(spark, sf_dir, events_path):
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(28,12)")), 4)
-            .cast("decimal(18,4)")
-            .alias("total_value"),
+            dec_round(
+                F.sum(F.col("value").cast("decimal(28,12)")),
+                4,
+                widen="decimal(30,12)",
+            ).alias("total_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),
