@@ -19,11 +19,25 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, n_salts: int, col_name: str = "_salt") -> DataFrame:
-    """Scatter rows uniformly over n_salts buckets (deterministic per
-    row via a hash of all columns, not rand(), so retries/speculative
-    tasks produce identical buckets)."""
+    """Scatter rows uniformly over n_salts buckets.
+
+    The salt mixes a content hash with per-row position
+    (spark_partition_id + monotonically_increasing_id): a hash of the
+    columns ALONE sends fully-duplicated rows — the degenerate hot-key
+    case salting exists for — to one bucket, spreading nothing
+    (round-2 advisory, ADVICE.md). Position is deterministic for a
+    given input partitioning (retries/speculative tasks of the same
+    task recompute the same ids), unlike rand()."""
     return df.withColumn(
-        col_name, F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)).cast("int")
+        col_name,
+        F.pmod(
+            F.xxhash64(
+                *df.columns,
+                F.spark_partition_id(),
+                F.monotonically_increasing_id(),
+            ),
+            F.lit(n_salts),
+        ).cast("int"),
     )
 
 

@@ -44,10 +44,15 @@ def bind(col: Column, fn) -> Column:
 
 
 def tokens(text: Column | str) -> Column:
-    """Whitespace tokenization (the fixture corpus is already
-    lowercase space-separated; real corpora would normalize first)."""
+    """Single-space tokenization — the ONE tokenizer every operator
+    and every DuckDB oracle (string_split(text, ' ')) shares, so
+    token counts agree engine-to-engine even on consecutive-space /
+    tab / leading-whitespace input (both sides emit the same empty
+    tokens). Real corpora would normalize whitespace first; a \\s+
+    split here would silently diverge from the oracles on
+    multi-space input (round-2 advisory, ADVICE.md)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.split(c, r"\s+")
+    return F.split(c, " ")
 
 
 def distinct_tokens(text: Column | str) -> Column:

@@ -11,9 +11,11 @@ Scale design (the 100 TB story):
   candidates are generated bucket-locally, never all-pairs. A bucket
   size cap bounds the quadratic blowup a degenerate bucket (e.g. the
   empty document) would cause; production tuning = more bands/rows.
-- brute-force pair generation (n-gram Jaccard, cosine) is kept only
-  behind *blocking keys* (source, label) — the pattern that stays
-  sub-quadratic when blocks are bounded.
+- brute-force pair generation (n-gram Jaccard, cosine) exists only
+  behind *blocking keys* (source, label) as the deterministic
+  oracle-checkable twin; the clustering scale path
+  (x_dedup_cluster_cc_lsh) consumes LSH candidate pairs instead, so
+  no production path is ever O(block²).
 """
 
 from __future__ import annotations
@@ -109,15 +111,15 @@ _JACCARD_THRESHOLD = 0.8
 _MAX_BUCKET = 200  # degenerate-bucket guard
 
 
-@query("x_dedup_minhash_lsh", oracle=None, tags=("dedup", "tierx"))
-def x_dedup_minhash_lsh(spark, sf_dir):
-    """Near-dup detection: 3-word shingles → 32-hash MinHash → 8×4
-    banding → bucket-local candidate pairs → exact-Jaccard verify
-    ≥ 0.8. No oracle (candidates depend on the hash family); tests
-    assert precision = 1.0 and recall ≥ 0.95 vs brute force.
+def lsh_verified_pairs(spark, sf_dir, threshold=_JACCARD_THRESHOLD):
+    """Shared sub-quadratic near-dup pair generator: 3-word shingles
+    → 32-hash MinHash → 8×4 banding → bucket-local candidate pairs →
+    exact-Jaccard verify ≥ threshold. Returns (doc_a, doc_b, jaccard).
 
     Plan shape: signature stage is shuffle-free; candidates shuffle
     once on (band, hash); verify joins token sets back by doc_id.
+    Never all-pairs — this is the pair source the 100 TB paths
+    (x_dedup_minhash_lsh, x_dedup_cluster_cc_lsh) build on.
     """
     from mcp_iceberg_duckdb_spark.functions.textfns import bind
 
@@ -164,9 +166,17 @@ def x_dedup_minhash_lsh(spark, sf_dir):
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
         .withColumn("jaccard", r6(jaccard(F.col("sh_a"), F.col("sh_b"))))
-        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+@query("x_dedup_minhash_lsh", oracle=None, tags=("dedup", "tierx"))
+def x_dedup_minhash_lsh(spark, sf_dir):
+    """Near-dup detection via lsh_verified_pairs (≥ 0.8). No oracle
+    (candidates depend on the hash family); tests assert precision
+    = 1.0 and recall ≥ 0.95 vs brute force."""
+    return lsh_verified_pairs(spark, sf_dir)
 
 
 @query("x_dedup_minhash_mllib", oracle=None, tags=("dedup", "tierx"))
@@ -360,23 +370,18 @@ def x_dedup_embedding_cosine(spark, sf_dir):
     tags=("dedup", "tierx"),
 )
 def x_dedup_cluster_cc(spark, sf_dir):
-    """Near-dup CLUSTERING: connected components over the
-    deterministic n-gram-Jaccard pair graph (same edges as
-    x_dedup_ngram_jaccard) — pairs alone under-delete (A~B, B~C but
-    A≁C leaves a duplicate); the transitive closure is what a corpus
-    pipeline actually deduplicates by. cluster_id = min doc_id in the
-    component, so one keeper per cluster falls out for free.
+    """Near-dup CLUSTERING, deterministic oracle twin: connected
+    components (connected_components min-label loop) over the exact
+    n-gram-Jaccard pair graph (same edges as x_dedup_ngram_jaccard).
+    Pairs alone under-delete (A~B, B~C but A≁C leaves a duplicate);
+    the transitive closure is what a corpus pipeline actually
+    deduplicates by. cluster_id = min doc_id in the component, so one
+    keeper per cluster falls out for free.
 
-    Spark side: iterative min-label propagation — each round every
-    node takes the min label across itself and its neighbors; labels
-    decrease monotonically, so a round that leaves sum(label)
-    unchanged is the fixpoint. Rounds needed = graph diameter
-    (near-dup components are tiny cliques → 2-3 rounds); each round
-    is one distributed join+groupBy, the driver only compares two
-    int64 sums. The same loop scales to billion-edge graphs where
-    a recursive CTE (the DuckDB oracle's transitive closure, O(n·m)
-    state) cannot — for web-scale graphs swap in the large-star/
-    small-star variant, same loop skeleton.
+    The source-blocked exact pair join is O(block²) — fine for the
+    differential oracle at test scale, wrong at 100 TB where a block
+    is the corpus; the production path is x_dedup_cluster_cc_lsh,
+    same CC loop fed by sub-quadratic LSH candidate pairs.
     """
     d = t(spark, sf_dir).documents
     docs = d.select("doc_id", "source", word_shingles("text", 3).alias("sh"))
@@ -390,6 +395,25 @@ def x_dedup_cluster_cc(spark, sf_dir):
         .filter(r6(jaccard(F.col("a.sh"), F.col("b.sh"))) >= 0.5)
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
     )
+    return connected_components(pairs).toDF("doc_id", "cluster_id")
+
+
+def connected_components(pairs):
+    """Min-label propagation over an undirected pair graph
+    (src < dst rows in, (node, label) out; label = component min).
+
+    Each round every node takes the min label across itself and its
+    neighbors; labels decrease monotonically, so a round that leaves
+    sum(label) unchanged is the fixpoint. Rounds needed = graph
+    diameter (near-dup components are tiny cliques → 2-3 rounds);
+    each round is one distributed join+groupBy, the driver only
+    compares two int64 sums. localCheckpoint every round truncates
+    the iterative plan's lineage — without it round N's plan nests N
+    joins deep and the optimizer re-walks the whole chain each
+    round. The same loop scales to billion-edge graphs where a
+    recursive CTE (the DuckDB oracle's transitive closure, O(n·m)
+    state) cannot — for web-scale graphs swap in the large-star/
+    small-star variant, same loop skeleton."""
     edges = pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
@@ -397,7 +421,7 @@ def x_dedup_cluster_cc(spark, sf_dir):
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(20):  # ≥ diameter; dup components converge in 2-3
@@ -406,7 +430,7 @@ def x_dedup_cluster_cc(spark, sf_dir):
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        labels = (
             labels.join(nmin, labels.node == nmin.src, "left")
             .select(
                 F.col("node"),
@@ -414,13 +438,27 @@ def x_dedup_cluster_cc(spark, sf_dir):
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint()  # truncate lineage; prod: checkpoint()
         )
-        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
     edges.unpersist()
-    return labels.select("node", "label").toDF("doc_id", "cluster_id")
+    return labels.select("node", "label")
+
+
+@query("x_dedup_cluster_cc_lsh", oracle=None, tags=("dedup", "tierx"))
+def x_dedup_cluster_cc_lsh(spark, sf_dir):
+    """Near-dup clustering at the 100 TB scale: connected components
+    over the MinHash-LSH candidate pairs (lsh_verified_pairs,
+    exact-Jaccard-verified ≥ 0.8) — edge generation is sub-quadratic
+    (bucket-local, never all-pairs), unlike the source-blocked exact
+    twin x_dedup_cluster_cc whose O(block²) join exists only as the
+    deterministic oracle path. No oracle (the LSH candidate set is
+    hash-family-dependent); tests assert cluster precision 1.0 and
+    recall vs the brute-force pair graph at the same threshold."""
+    pairs = lsh_verified_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return connected_components(pairs).toDF("doc_id", "cluster_id")

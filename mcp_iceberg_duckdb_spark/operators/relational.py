@@ -658,16 +658,22 @@ def o_intersect(spark, sf_dir):
     oracle="""
     SELECT c_custkey AS key FROM customer
     EXCEPT
-    SELECT o_custkey AS key FROM orders
+    SELECT o_custkey AS key FROM orders WHERE o_totalprice > 150000.0
     """,
     tags=("setop",),
 )
 def o_except(spark, sf_dir):
-    """O4 EXCEPT (customers who never ordered)."""
+    """O4 EXCEPT (customers with no large order — non-empty at every
+    SF, unlike never-ordered). subtract() is Spark's EXCEPT DISTINCT
+    — exact set semantics. exceptAll().distinct() is NOT equivalent:
+    it keeps a row whose left multiplicity merely exceeds its right
+    multiplicity (round-2 advisory, ADVICE.md)."""
     tt = t(spark, sf_dir)
     a = tt.customer.select(F.col("c_custkey").alias("key"))
-    b = tt.orders.select(F.col("o_custkey").alias("key"))
-    return a.exceptAll(b).distinct()
+    b = tt.orders.filter(F.col("o_totalprice") > 150000.0).select(
+        F.col("o_custkey").alias("key")
+    )
+    return a.subtract(b)
 
 
 @query(

@@ -364,7 +364,7 @@ def x_pack_token_shards(spark, sf_dir):
     d = t(spark, sf_dir).documents
     toks = d.select(
         "doc_id",
-        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.size(tokens("text")).alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("skey"),
     )
     sc = spark.sparkContext

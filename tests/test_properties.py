@@ -112,3 +112,46 @@ def test_hamming_symmetry_and_identity(spark_mod, vals):
         assert r.ab == r.ba  # symmetric
         assert r.aa == 0  # identity
         assert 0 <= r.ab <= 64
+
+
+# --- tokenizer: ONE definition shared by Spark ops and DuckDB oracles ----
+
+TRICKY_TEXT = st.text(
+    alphabet=st.sampled_from(list("ab .\t\n")), min_size=0, max_size=40
+)
+
+
+@given(TRICKY_TEXT)
+@settings(max_examples=30, deadline=None)
+def test_tokens_match_duckdb_string_split(spark_mod, text):
+    """tokens() must agree with the oracles' string_split(text, ' ')
+    even on consecutive spaces, tabs, and leading/trailing whitespace
+    (a \\s+ split silently diverges there — ADVICE.md round 2)."""
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from mcp_iceberg_duckdb_spark.functions.textfns import tokens
+
+    got = (
+        spark_mod.createDataFrame([(text,)], "text string")
+        .select(tokens("text").alias("t"), F.size(tokens("text")).alias("n"))
+        .collect()[0]
+    )
+    want = duckdb.sql(
+        "SELECT string_split(?, ' ') AS t, len(string_split(?, ' ')) AS n",
+        params=[text, text],
+    ).fetchone()
+    assert got.t == want[0], (got.t, want[0])
+    assert got.n == want[1]
+
+
+def test_salt_spreads_fully_duplicated_rows(spark_mod):
+    """Identical rows — the degenerate hot key — must still spread
+    across salt buckets (content-only hashing would not)."""
+    from mcp_iceberg_duckdb_spark.functions.skew import with_salt
+
+    df = spark_mod.createDataFrame([("hot", 1)] * 1000, "k string, v int")
+    buckets = {
+        r._salt for r in with_salt(df.repartition(8), 8).select("_salt").collect()
+    }
+    assert len(buckets) >= 6, f"duplicated rows collapsed into {buckets}"

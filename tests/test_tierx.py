@@ -54,6 +54,74 @@ def test_minhash_lsh_precision_and_recall(spark, duck, sf_dir):
     assert recall >= 0.95, f"recall {recall:.3f} < 0.95 ({len(found)}/{len(strong)})"
 
 
+def test_cluster_cc_lsh_matches_bruteforce_components(spark, duck, sf_dir):
+    """The production clustering path (CC over LSH candidate pairs)
+    must agree with connected components over the brute-force exact
+    pair graph: no false merges (precision vs a 0.78-slack graph) and
+    every strong (j >= 0.9) component fully co-clustered (recall)."""
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in _run("x_dedup_cluster_cc_lsh", spark, sf_dir).collect()
+    }
+    assert labels, "LSH clustering produced no labelled nodes"
+    edges = duck.sql(
+        """
+        WITH d AS (SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(greatest(len(string_split(text,' ')) - 2, 1)),
+                       i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')
+                   )) AS sh
+                   FROM documents)
+        SELECT a.doc_id AS ia, b.doc_id AS ib,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.78
+        """
+    ).fetchall()
+
+    def components(pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    slack_comp = components([(a, b) for a, b, _ in edges])
+    strong_comp = components([(a, b) for a, b, j in edges if j >= 0.9])
+    # precision: co-clustered by LSH-CC => co-component in slack graph
+    by_label = {}
+    for node, lab in labels.items():
+        by_label.setdefault(lab, []).append(node)
+    for lab, nodes in by_label.items():
+        roots = {slack_comp.get(n) for n in nodes}
+        assert len(roots) == 1 and None not in roots, (
+            f"cluster {lab} merges unrelated docs: {sorted(nodes)[:6]}"
+        )
+    # recall: strong components stay whole
+    strong_groups = {}
+    for node, root in strong_comp.items():
+        strong_groups.setdefault(root, []).append(node)
+    split = [
+        g
+        for g in strong_groups.values()
+        if len({labels.get(n) for n in g}) != 1
+    ]
+    assert len(split) <= 0.05 * max(len(strong_groups), 1), (
+        f"{len(split)}/{len(strong_groups)} strong components split"
+    )
+
+
 def test_minhash_mllib_agrees_with_custom(spark, sf_dir):
     """The MLlib MinHashLSH route and the expression pipeline must
     agree on the strong (jaccard >= 0.9) pairs; hashing-TF collisions
