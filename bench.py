@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "q6_forecast_revenue",
     "q7_bilateral_volume",
     "q8_market_share",
+    "q9_product_type_profit",
     "q10_returned_items",
     "q18_large_orders",
     "q21_waiting_supplier",
@@ -40,6 +41,7 @@ BENCH_QUERIES = [
     "s_tumbling_window",
     "x_dedup_exact",
     "x_dedup_minhash_lsh",
+    "x_dedup_cluster_cc_lsh",
     "x_ann_cosine_topk",
     "x_text_quality",
     "x_pipeline_corpus_curation",

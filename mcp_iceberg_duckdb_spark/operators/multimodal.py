@@ -112,12 +112,52 @@ def _make_featurizer():
     return featurize
 
 
-@query("x_multimodal_features", oracle=None, tags=("multimodal", "tierx"))
+# The fake decoder is md5-derived, so it IS SQL-expressible: DuckDB
+# recomputes the digest bytes from md5(text) hex chars — turning the
+# mapInPandas plumbing check from rows-only into a full value oracle.
+_MD5_BYTES_CTE = """
+    WITH h AS (
+        SELECT doc_id, md5(text) AS mh,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, mh, n_bytes,
+               (strpos('0123456789abcdef', substr(mh,1,1))-1)*16
+             + (strpos('0123456789abcdef', substr(mh,2,1))-1) AS b0,
+               (strpos('0123456789abcdef', substr(mh,3,1))-1)*16
+             + (strpos('0123456789abcdef', substr(mh,4,1))-1) AS b1,
+               (strpos('0123456789abcdef', substr(mh,5,1))-1)*16
+             + (strpos('0123456789abcdef', substr(mh,6,1))-1) AS b2
+        FROM h
+    ),
+    f AS (
+        SELECT doc_id AS asset_id, 'text/plain' AS mime, n_bytes,
+               CAST(64 + b0 % 192 AS INT) AS width,
+               CAST(64 + b1 % 192 AS INT) AS height,
+               CAST(1 + b2 % 16 AS INT)   AS n_frames,
+               mh AS content_hash
+        FROM b
+    )
+"""
+
+
+@query(
+    "x_multimodal_features",
+    oracle=_MD5_BYTES_CTE
+    + """
+    SELECT asset_id, mime, n_bytes, width, height, n_frames, content_hash
+    FROM f
+    """,
+    tags=("multimodal", "tierx"),
+)
 def x_multimodal_features(spark, sf_dir):
     """Decode/feature-extract over binary assets via mapInPandas:
     Arrow-batched, partition-preserving, no shuffle. The decode is the
-    deterministic stub (REAL_DECODERS_AVAILABLE gates the real one);
-    schema/batching/values are asserted in tests."""
+    deterministic md5-derived stub (REAL_DECODERS_AVAILABLE gates the
+    real one), which the DuckDB oracle recomputes byte-for-byte from
+    md5 hex — a full value check of the Arrow round-trip, schema
+    contract, and batch iteration."""
     return assets_frame(spark, sf_dir).mapInPandas(
         _make_featurizer(), schema=_FEATURE_SCHEMA
     )
@@ -147,7 +187,23 @@ def x_multimodal_metadata(spark, sf_dir):
     )
 
 
-@query("x_multimodal_frame_sample", oracle=None, tags=("multimodal", "tierx"))
+@query(
+    "x_multimodal_frame_sample",
+    oracle=_MD5_BYTES_CTE
+    + """
+    , s AS (
+        SELECT asset_id, n_frames,
+               list_slice(range(0, n_frames,
+                                greatest(n_frames // 4, 1)), 1, 4) AS idxs
+        FROM f
+    )
+    SELECT asset_id, n_frames,
+           CAST(i - 1 AS INT) AS sample_ord,
+           CAST(idxs[i] AS INT) AS frame_idx
+    FROM s, unnest(generate_series(1, len(idxs))) AS u(i)
+    """,
+    tags=("multimodal", "tierx"),
+)
 def x_multimodal_frame_sample(spark, sf_dir):
     """Frame-sampling plumbing: explode each asset into ≤4 evenly-
     spaced fake frame indices (the shape of video frame extraction —

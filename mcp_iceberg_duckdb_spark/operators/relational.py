@@ -19,6 +19,7 @@ from mcp_iceberg_duckdb_spark.operators._util import (
     r2,
     r4,
     r6,
+    rn,
     sql_query,
     t,
 )
@@ -352,16 +353,34 @@ def a_count_distinct(spark, sf_dir):
     )
 
 
-@query("a_approx_count_distinct", oracle=None, tags=("agg", "approx"))
+@query(
+    "a_approx_count_distinct",
+    oracle="""
+    SELECT count(DISTINCT l_partkey)  AS exact_parts,
+           count(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS parts_within_5pct,
+           TRUE AS orders_within_5pct
+    FROM lineitem
+    """,
+    tags=("agg", "approx"),
+)
 def a_approx_count_distinct(spark, sf_dir):
     """A4b approx_count_distinct (HyperLogLog++) — the 100 TB scale
-    path for distinct counting; no oracle (DuckDB's sketch differs),
-    driver records the rows-only check. Accuracy asserted in tests
-    against the exact count (±5%)."""
+    path for distinct counting. The sketch value itself can't
+    hash-match another engine, so the DECIDABLE contract is emitted
+    instead: the exact counts (value-checked) plus within-5%-of-exact
+    booleans the oracle pins to TRUE — a wrong sketch flips a bit the
+    driver hashes (VERDICT round-1 item 6)."""
     li = t(spark, sf_dir).lineitem
+    exact_p = F.count_distinct("l_partkey")
+    exact_o = F.count_distinct("l_orderkey")
+    approx_p = F.approx_count_distinct("l_partkey", rsd=0.01)
+    approx_o = F.approx_count_distinct("l_orderkey", rsd=0.01)
     return li.agg(
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        exact_p.alias("exact_parts"),
+        exact_o.alias("exact_orders"),
+        (F.abs(approx_p - exact_p) <= 0.05 * exact_p).alias("parts_within_5pct"),
+        (F.abs(approx_o - exact_o) <= 0.05 * exact_o).alias("orders_within_5pct"),
     )
 
 
@@ -435,13 +454,31 @@ def a_median_percentile(spark, sf_dir):
     )
 
 
-@query("a_percentile_approx", oracle=None, tags=("agg", "approx"))
+@query(
+    "a_percentile_approx",
+    oracle="""
+    SELECT l_linestatus,
+           floor((quantile_cont(l_extendedprice, 0.5)) * 1e4 + 0.5) / 1e4
+               AS exact_median,
+           TRUE AS approx_within_rank_eps
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    tags=("agg", "approx"),
+)
 def a_percentile_approx(spark, sf_dir):
-    """A8b approx percentile (t-digest-style sketch) — the 100 TB
-    path; no oracle (sketch-dependent), accuracy asserted in tests."""
+    """A8b approx percentile (Greenwald-Khanna sketch, accuracy 1e4 →
+    rank error ≤ 1e-4) — the 100 TB path. Decidable contract instead
+    of the raw sketch value: the exact median (value-checked) plus a
+    boolean pinning the approximation between the exact 0.49 and 0.51
+    percentiles — far looser than the sketch's rank guarantee, so
+    only a broken sketch flips it (VERDICT round-1 item 6)."""
     li = t(spark, sf_dir).lineitem
-    return li.agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median")
+    pa = F.percentile_approx("l_extendedprice", 0.5, 10000)
+    lo = F.percentile("l_extendedprice", 0.49)
+    hi = F.percentile("l_extendedprice", 0.51)
+    return li.groupBy("l_linestatus").agg(
+        rn(F.percentile("l_extendedprice", 0.5), 4).alias("exact_median"),
+        ((pa >= lo) & (pa <= hi)).alias("approx_within_rank_eps"),
     )
 
 

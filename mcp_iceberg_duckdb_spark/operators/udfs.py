@@ -88,11 +88,20 @@ def x_udf_grouped_agg(spark, sf_dir):
     )
 
 
-@query("x_udtf_ngrams", oracle=None, tags=("udf", "tierx"))
+@query(
+    "x_udtf_ngrams",
+    oracle="""
+    SELECT d.doc_id, substr(d.lang, i, 2) AS bigram
+    FROM documents d,
+         unnest(generate_series(1, greatest(length(d.lang) - 1, 0))) AS u(i)
+    """,
+    tags=("udf", "tierx"),
+)
 def x_udtf_ngrams(spark, sf_dir):
     """Python UDTF (Spark 3.5+/4): one row in → many rows out —
-    char-bigram expansion of the language code. Rows-only check
-    (UDTFs have no DuckDB twin); schema + values asserted in tests."""
+    char-bigram expansion of the language code. The expansion is
+    deterministic, so the lateral-unnest SQL twin value-checks the
+    whole UDTF path (registration, LATERAL join, row fan-out)."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="doc_id bigint, bigram string")

@@ -88,8 +88,12 @@ def driver_order() -> list[str]:
         n for n in QUERIES if n not in _DRIVER_GREEN_R01 and n not in red
     ]
     green = [n for n in QUERIES if n in _DRIVER_GREEN_R01]
+    # oracle-less queries can only ever produce a grey rows-only row —
+    # they go behind every oracle-checkable query in the sample
     fams: dict[str, deque[str]] = defaultdict(deque)
     for n in never:
+        if QUERIES[n].oracle is None:
+            continue
         spec = QUERIES[n]
         fams[spec.tags[0] if spec.tags else "misc"].append(n)
     rr: list[str] = []
@@ -99,7 +103,8 @@ def driver_order() -> list[str]:
         rr.append(dq.popleft())
         if dq:
             queues.append(dq)
-    return red + rr + green
+    rows_only = [n for n in never if QUERIES[n].oracle is None]
+    return red + rr + rows_only + green
 
 
 def all_queries() -> dict[str, Builder]:

@@ -17,9 +17,11 @@ Behavioral parity points (and deliberate improvements):
 - multi-table queries and joins work (the reference was single-table,
   README.md:6)
 
-The ``mcp`` package is not in this container; the stdio wiring is
-gated behind an import-try, while the two tool functions are plain
-callables usable (and tested) without it.
+The stdio transport needs no ``mcp`` package: MCP's stdio framing is
+newline-delimited JSON-RPC 2.0, implemented dependency-free in
+``stdio.py`` and exercised end-to-end (subprocess + pipes) in
+tests/test_mcp_stdio.py. The two tool functions are also plain
+callables usable without any transport.
 """
 
 from __future__ import annotations
@@ -32,13 +34,6 @@ from typing import Any
 from pyspark.sql import SparkSession
 
 from mcp_iceberg_duckdb_spark import router
-
-try:  # gated: mcp is optional
-    import mcp  # noqa: F401
-
-    MCP_AVAILABLE = True
-except ImportError:
-    MCP_AVAILABLE = False
 
 MAX_RESULT_ROWS = 1000  # keeps JSON payloads under the ~1 MB MCP cap
 
@@ -90,53 +85,11 @@ def query_catalog(spark: SparkSession, query: str) -> ToolResult:
         return ToolResult(f"Error executing query: {exc}", is_error=True)
 
 
-def serve(spark: SparkSession) -> None:  # pragma: no cover - needs mcp
+def serve(spark: SparkSession) -> None:
     """stdio MCP server exposing the two tools (reference
-    server.py:114-135). Requires the optional ``mcp`` package."""
-    if not MCP_AVAILABLE:
-        raise RuntimeError(
-            "the 'mcp' package is not installed; query_table/query_catalog "
-            "remain usable as plain functions"
-        )
-    import asyncio
+    server.py:114-135). Uses the dependency-free JSON-RPC transport
+    in ``stdio.py`` — the optional ``mcp`` package is not required
+    (the protocol is newline-delimited JSON-RPC 2.0; see stdio.py)."""
+    from mcp_iceberg_duckdb_spark.stdio import StdioServer
 
-    from mcp.server import Server
-    from mcp.server.stdio import stdio_server
-    from mcp.types import TextContent, Tool
-
-    server = Server("mcp-iceberg-duckdb-spark")
-
-    @server.list_tools()
-    async def list_tools() -> list[Tool]:
-        return [
-            Tool(
-                name="query_catalog",
-                description="List namespaces/tables or describe a table",
-                inputSchema={
-                    "type": "object",
-                    "properties": {"query": {"type": "string"}},
-                    "required": ["query"],
-                },
-            ),
-            Tool(
-                name="query_table",
-                description="Run a SQL query against lake tables",
-                inputSchema={
-                    "type": "object",
-                    "properties": {"query": {"type": "string"}},
-                    "required": ["query"],
-                },
-            ),
-        ]
-
-    @server.call_tool()
-    async def call_tool(name: str, arguments: dict) -> list[TextContent]:
-        fn = query_catalog if name == "query_catalog" else query_table
-        result = fn(spark, arguments["query"])
-        return [TextContent(type="text", text=result.text)]
-
-    async def main() -> None:
-        async with stdio_server() as (read, write):
-            await server.run(read, write, server.create_initialization_options())
-
-    asyncio.run(main())
+    StdioServer(spark).run()

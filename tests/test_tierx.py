@@ -269,15 +269,26 @@ def test_real_decoder_is_gated():
 
 
 def test_approx_count_distinct_accuracy(spark, duck, sf_dir):
+    """The query now emits the decidable contract itself: exact counts
+    plus within-5% booleans (oracle pins both TRUE)."""
     row = _run("a_approx_count_distinct", spark, sf_dir).collect()[0]
     exact_parts, exact_orders = duck.sql(
         "SELECT count(DISTINCT l_partkey), count(DISTINCT l_orderkey) FROM lineitem"
     ).fetchone()
-    assert abs(row.approx_parts - exact_parts) / exact_parts < 0.05
-    assert abs(row.approx_orders - exact_orders) / exact_orders < 0.05
+    assert row.exact_parts == exact_parts
+    assert row.exact_orders == exact_orders
+    assert row.parts_within_5pct and row.orders_within_5pct
 
 
 def test_percentile_approx_accuracy(spark, duck, sf_dir):
-    row = _run("a_percentile_approx", spark, sf_dir).collect()[0]
-    exact = duck.sql("SELECT median(l_extendedprice) FROM lineitem").fetchone()[0]
-    assert abs(row.approx_median - exact) / exact < 0.05
+    """Per-group decidable contract: exact median (value-checked in
+    the oracle) plus the rank-eps boolean."""
+    rows = _run("a_percentile_approx", spark, sf_dir).collect()
+    assert rows
+    for row in rows:
+        exact = duck.sql(
+            "SELECT median(l_extendedprice) FROM lineitem WHERE l_linestatus = ?",
+            params=[row.l_linestatus],
+        ).fetchone()[0]
+        assert abs(row.exact_median - exact) / exact < 1e-6
+        assert row.approx_within_rank_eps
