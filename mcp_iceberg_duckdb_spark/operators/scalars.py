@@ -39,7 +39,7 @@ def f_string_basic(spark, sf_dir):
         "c_custkey",
         F.upper("c_name").alias("up"),
         F.lower("c_mktsegment").alias("lo"),
-        F.length("c_name").alias("len"),
+        F.length("c_name").cast("bigint").alias("len"),
         F.substring("c_name", 1, 8).alias("pre"),
         F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit(" "))).alias("trimmed"),
         F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("repl"),
@@ -166,9 +166,9 @@ def f_datetime(spark, sf_dir):
     o = t(spark, sf_dir).orders
     return o.select(
         "o_orderkey",
-        F.year("o_orderdate").alias("y"),
-        F.month("o_orderdate").alias("m"),
-        F.dayofmonth("o_orderdate").alias("d"),
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.month("o_orderdate").cast("bigint").alias("m"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("d"),
         F.quarter("o_orderdate").alias("qtr"),
         F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
         F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
@@ -200,10 +200,10 @@ def f_datetime_time_parts(spark, sf_dir):
     e = t(spark, sf_dir).events
     return e.select(
         "event_id",
-        F.hour("ts").alias("h"),
-        F.minute("ts").alias("mi"),
-        F.second("ts").alias("s"),
-        F.date_trunc("hour", "ts").alias("hour_bucket"),
+        F.hour("ts").cast("bigint").alias("h"),
+        F.minute("ts").cast("bigint").alias("mi"),
+        F.second("ts").cast("bigint").alias("s"),
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour_bucket"),
         F.col("ts").cast("date").alias("day"),
     )
 
@@ -278,7 +278,7 @@ def f_array(spark, sf_dir):
     vec = F.col("embedding").cast("array<double>")
     return e.select(
         "vec_id",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("bigint").alias("dim"),
         F.element_at("embedding", 1).alias("first_elem"),
         F.element_at("embedding", 64).alias("last_elem"),
         r6(
@@ -335,7 +335,7 @@ def f_array_transform(spark, sf_dir):
                 F.transform(vec, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
             )
         ).alias("sq_norm"),
-        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_positive"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).cast("bigint").alias("n_positive"),
     )
 
 

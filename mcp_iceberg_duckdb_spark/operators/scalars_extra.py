@@ -237,9 +237,9 @@ def f_array_setops(spark, sf_dir):
         .select(
             "id_a",
             "id_b",
-            F.size(F.array_intersect(q(F.col("va")), q(F.col("vb")))).alias(
-                "n_common"
-            ),
+            F.size(F.array_intersect(q(F.col("va")), q(F.col("vb"))))
+            .cast("bigint")
+            .alias("n_common"),
             F.array_sort(F.array_distinct(q(F.col("va")))).alias("qa"),
         )
     )

@@ -104,7 +104,7 @@ def x_text_quality(spark, sf_dir):
     )
     return d.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
+        n_tokens.cast("bigint").alias("n_tokens"),
         r6(avg_len).alias("avg_token_len"),
         r6(punct).alias("punct_ratio"),
         r6(sw_ratio).alias("stopword_ratio"),
@@ -131,10 +131,10 @@ def x_text_token_count(spark, sf_dir):
     d = t(spark, sf_dir).documents
     return d.select(
         "doc_id",
-        F.size(tokens("text")).alias("ws_tokens"),
-        F.regexp_count("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).alias(
-            "bpe_ish_tokens"
-        ),
+        F.size(tokens("text")).cast("bigint").alias("ws_tokens"),
+        F.regexp_count("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+        .cast("bigint")
+        .alias("bpe_ish_tokens"),
         F.ceil(F.length("text") / 4.0).cast("bigint").alias("char_est_tokens"),
     )
 
@@ -193,8 +193,8 @@ def x_text_ngram_freq(spark, sf_dir):
     at 5 rows before the final gather."""
     d = t(spark, sf_dir).documents
     bigrams = F.expr(
-        "transform(sequence(0, greatest(size(split(text, '\\\\s+')) - 2, 0)),"
-        " i -> array_join(slice(split(text, '\\\\s+'), i + 1, 2), ' '))"
+        "transform(sequence(0, greatest(size(split(text, ' ')) - 2, 0)),"
+        " i -> array_join(slice(split(text, ' '), i + 1, 2), ' '))"
     )
     from pyspark.sql import Window as W
 
@@ -278,7 +278,7 @@ def x_pipeline_corpus_curation(spark, sf_dir):
         "doc_id",
         "lang",
         sig.alias("content_sig"),
-        n_tokens.alias("n_tokens"),
+        n_tokens.cast("bigint").alias("n_tokens"),
         score.alias("quality_score"),
     )
     from pyspark.sql import Window as W
@@ -364,7 +364,7 @@ def x_pack_token_shards(spark, sf_dir):
     d = t(spark, sf_dir).documents
     toks = d.select(
         "doc_id",
-        F.size(tokens("text")).alias("n_tokens"),
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("skey"),
     )
     sc = spark.sparkContext

@@ -40,10 +40,10 @@ def w_ranking(spark, sf_dir):
     return c.select(
         "c_custkey",
         "c_nationkey",
-        F.row_number().over(w).alias("rn"),
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
     )
 
 

@@ -175,7 +175,8 @@ def s_gap_fill_resample(spark, sf_dir):
         .agg(F.count("*").alias("n"))
     )
     return grid.join(agg, "hour_start", "left").select(
-        "hour_start", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+        F.col("hour_start").cast("timestamp_ntz").alias("hour_start"),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
     )
 
 
