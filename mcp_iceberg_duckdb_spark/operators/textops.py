@@ -407,3 +407,88 @@ def x_pack_token_shards(spark, sf_dir):
             .alias("shard"),
         )
     )
+
+
+@query(
+    "x_text_span_dedup",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(greatest(len(string_split(text, ' ')) - 9, 0)),
+                   i -> array_to_string(string_split(text, ' ')[i + 1:i + 10], ' ')
+               ))) AS span
+        FROM documents
+    )
+    SELECT span, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+    FROM g GROUP BY span HAVING count(*) > 1
+    """,
+    tags=("text", "dedup", "tierx"),
+)
+def x_text_span_dedup(spark, sf_dir):
+    """Cross-document duplicate SPAN detection: every 10-token window
+    that appears in more than one document — the exact-substring
+    dedup / benchmark-contamination primitive (the span list is what
+    a pipeline strips or flags, independent of whole-doc near-dup).
+
+    Plan: per-row window expansion (expression-only, codegen'd) →
+    distinct-per-doc → one shuffle on the span for the count. At
+    100 TB shuffle a fingerprint instead of the text: swap the span
+    string for xxhash64(span) as the groupBy key and keep min(doc_id)
+    + an example span via min_by — same plan shape, 8-byte keys
+    (string keys kept here for the value-level oracle)."""
+    d = t(spark, sf_dir).documents
+    toks = tokens("text")
+
+    def spans(tk):
+        idx = F.sequence(F.lit(0), F.size(tk) - 10)
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(tk, i + 1, 10), " "))
+        )
+
+    exploded = d.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size(toks) >= 10, spans(toks)).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("span"),
+    )
+    return (
+        exploded.groupBy("span")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@query(
+    "x_text_stopword_strip",
+    oracle=f"""
+    SELECT doc_id,
+           array_to_string(list_filter(string_split(text, ' '),
+                                       x -> x NOT IN ('{_SW_SQL}')), ' ') AS stripped_text,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(string_split(text, ' '))
+             - len(list_filter(string_split(text, ' '),
+                               x -> x NOT IN ('{_SW_SQL}'))) AS n_stopwords
+    FROM documents
+    """,
+    tags=("text", "tierx"),
+)
+def x_text_stopword_strip(spark, sf_dir):
+    """Stopword stripping — the normalization step upstream of
+    fingerprinting/shingling in a text pipeline; emits the stripped
+    text plus kept/removed token counts. Expression-only per-row map:
+    runs inside whole-stage codegen on top of the scan, shuffle-free
+    at any scale."""
+    d = t(spark, sf_dir).documents
+    toks = tokens("text")
+    kept = F.filter(toks, lambda x: ~x.isin(*EN_STOPWORDS))
+    return d.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("stripped_text"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (F.size(toks) - F.size(kept)).cast("bigint").alias("n_stopwords"),
+    )

@@ -135,3 +135,22 @@ def test_q21_semi_and_anti_on_same_fact(spark, sf_dir):
     assert "leftsemi" in low.replace("_", "") or "left_semi" in low
     assert "leftanti" in low.replace("_", "") or "left_anti" in low
     assert has_take_ordered(_df("q21_waiting_supplier", spark, sf_dir))
+
+
+def test_text_maps_are_shuffle_free(spark, sf_dir):
+    """Per-row text ops (stopword strip, quality, token counts) must
+    stay pure map stages — zero Exchange at any scale."""
+    for name in ("x_text_stopword_strip", "x_text_quality", "x_text_token_count"):
+        assert shuffle_count(_df(name, spark, sf_dir)) == 0, name
+
+
+def test_multimodal_featurizer_is_partition_preserving(spark, sf_dir):
+    """mapInPandas decode must not introduce a shuffle — payload
+    bytes ride from the scan into the Arrow batches in place."""
+    assert shuffle_count(_df("x_multimodal_features", spark, sf_dir)) == 0
+
+
+def test_span_dedup_single_shuffle(spark, sf_dir):
+    """Window expansion is per-row; the only exchange is the span
+    groupBy (at 100 TB the key becomes xxhash64(span), same shape)."""
+    assert shuffle_count(_df("x_text_span_dedup", spark, sf_dir)) == 1
