@@ -414,6 +414,10 @@ def connected_components(pairs):
     recursive CTE (the DuckDB oracle's transitive closure, O(n·m)
     state) cannot — for web-scale graphs swap in the large-star/
     small-star variant, same loop skeleton."""
+    # persist BEFORE the symmetrize-union: both union branches read
+    # pairs, so an unpersisted input runs the (expensive) pair
+    # generation twice — at scale that doubles the LSH verify join
+    pairs = pairs.persist()
     edges = pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
@@ -445,6 +449,7 @@ def connected_components(pairs):
             break
         prev_sum = cur_sum
     edges.unpersist()
+    pairs.unpersist()
     return labels.select("node", "label")
 
 

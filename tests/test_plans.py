@@ -154,3 +154,11 @@ def test_span_dedup_single_shuffle(spark, sf_dir):
     """Window expansion is per-row; the only exchange is the span
     groupBy (at 100 TB the key becomes xxhash64(span), same shape)."""
     assert shuffle_count(_df("x_text_span_dedup", spark, sf_dir)) == 1
+
+
+def test_q9_widest_join_tree_single_fact_shuffle(spark, sf_dir):
+    """Q9 (5-way join, widest tree in the suite): every dim side
+    broadcasts, the single Exchange is the final group-by."""
+    df = _df("q9_product_type_profit", spark, sf_dir)
+    assert has_broadcast_hash_join(df)
+    assert shuffle_count(df) == 1
