@@ -211,6 +211,44 @@ def s_event_funnel(spark, sf_dir):
     )
 
 
+@query(
+    "s_stream_stream_join",
+    oracle="""
+    SELECT s.user_id, s.ts AS signup_ts, p.ts AS purchase_ts, p.value
+    FROM events s
+    JOIN events p
+      ON s.user_id = p.user_id
+     AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+    WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+    """,
+    tags=("streaming", "tierx"),
+)
+def s_stream_stream_join(spark, sf_dir):
+    """Batch twin of stream_stream_purchases_after_signup: purchases
+    within [signup, signup+1h] per user — the interval self-join whose
+    streaming form keeps watermark-bounded state on both sides."""
+    e = t(spark, sf_dir).events
+    s = e.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("signup_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value"),
+    )
+    return s.join(
+        p,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("signup_ts") + F.expr("INTERVAL 1 HOUR")
+        ),
+    ).select(
+        F.col("s_user").alias("user_id"), "signup_ts", "purchase_ts", "value"
+    )
+
+
 # ----------------------------------------------------- streaming builders
 
 
@@ -323,6 +361,42 @@ def stream_static_enriched(events: DataFrame, funnel: DataFrame) -> DataFrame:
         events.user_id,
         events.event_type,
         funnel.purchases.alias("user_purchases"),
+    )
+
+
+def stream_stream_purchases_after_signup(events: DataFrame) -> DataFrame:
+    """Stream-STREAM join: purchases within one hour of the same
+    user's signup, both sides watermarked. Spark requires the
+    time-range condition so each side's state store can evict rows
+    once the other stream's watermark passes the interval end —
+    bounded state on unbounded streams (the batch twin is
+    s_stream_stream_join, oracle-checked)."""
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .withWatermark("ts", "30 minutes")
+        .select(
+            F.col("user_id").alias("s_user"), F.col("ts").alias("signup_ts")
+        )
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "30 minutes")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+    )
+    return signups.join(
+        purchases,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("signup_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("signup_ts") + F.expr("INTERVAL 1 HOUR")
+        ),
+    ).select(
+        F.col("s_user").alias("user_id"), "signup_ts", "purchase_ts", "value"
     )
 
 

@@ -141,3 +141,32 @@ def test_stream_stateful_running_totals(spark, sf_dir, events_path):
         .collect()
     }
     assert dict(last) == batch
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, events_path):
+    """Watermarked stream-stream interval join over the finite replay:
+    every emitted (signup, purchase) pair must appear in the batch
+    interval self-join; the finite replay should surface most of it."""
+    from mcp_iceberg_duckdb_spark import registry
+    from mcp_iceberg_duckdb_spark.streaming.events import (
+        stream_stream_purchases_after_signup,
+    )
+
+    registry.load_all()
+    streamed = run_stream_to_memory(
+        spark,
+        stream_stream_purchases_after_signup(
+            read_event_stream(spark, events_path)
+        ),
+        "t_ss_join",
+    )
+    batch = registry.QUERIES["s_stream_stream_join"].builder(spark, sf_dir)
+    s_rows = sorted(map(tuple, streamed.collect()))
+    b_rows = sorted(map(tuple, batch.collect()))
+    b_set = set(b_rows)
+    assert s_rows, "stream-stream join emitted nothing"
+    missing = [r for r in s_rows if r not in b_set]
+    assert not missing, f"stream rows not in batch: {missing[:3]}"
+    assert len(s_rows) >= 0.5 * len(b_rows), (
+        f"stream emitted too few pairs: {len(s_rows)}/{len(b_rows)}"
+    )
