@@ -41,3 +41,12 @@ def l2_norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity; NULL if either vector has zero norm."""
     return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
+
+
+def sq_l2_dist(a: Column, b: Column) -> Column:
+    """Σ (aᵢ−bᵢ)² — squared euclidean distance, sequential fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )

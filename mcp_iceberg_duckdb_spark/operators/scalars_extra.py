@@ -243,3 +243,31 @@ def f_array_setops(spark, sf_dir):
             F.array_sort(F.array_distinct(q(F.col("va")))).alias("qa"),
         )
     )
+
+
+@query(
+    "a_histogram",
+    oracle="""
+    SELECT CAST(floor((l_extendedprice - 900.0) / 5000.0) AS BIGINT) AS bucket,
+           count(*) AS n,
+           floor((min(l_extendedprice)) * 1e2 + 0.5) / 1e2 AS min_price,
+           floor((max(l_extendedprice)) * 1e2 + 0.5) / 1e2 AS max_price
+    FROM lineitem
+    GROUP BY CAST(floor((l_extendedprice - 900.0) / 5000.0) AS BIGINT)
+    """,
+    tags=("agg",),
+)
+def a_histogram(spark, sf_dir):
+    """Fixed-width histogram via explicit bucket arithmetic — fully
+    deterministic (floor of identical IEEE ops on both engines),
+    unlike engine-native histogram()/width_bucket whose bin-edge
+    conventions differ. min/max are order-independent aggregates, so
+    no float-sum nondeterminism enters. Scale: one shuffle carrying
+    only (bucket, partial count/min/max) after map-side combine."""
+    li = t(spark, sf_dir).lineitem
+    bucket = F.floor((F.col("l_extendedprice") - 900.0) / 5000.0).cast("bigint")
+    return li.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        r2(F.min("l_extendedprice")).alias("min_price"),
+        r2(F.max("l_extendedprice")).alias("max_price"),
+    )

@@ -285,3 +285,63 @@ def x_embed_centroid_assign(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("vec_id", "true_label", F.col("clabel").alias("assigned_label"))
     )
+
+
+@query("x_embed_kmeans", oracle=None, tags=("similarity", "tierx"))
+def x_embed_kmeans(spark, sf_dir):
+    """Distributed Lloyd's k-means over the embeddings (k=8, 2
+    iterations, deterministic init = the first k vectors by vec_id) —
+    the iterative companion to x_embed_centroid_assign's single
+    assignment step, and the canonical corpus re-clustering /
+    IVF-index-build loop.
+
+    Per iteration: the k×dim centroid table broadcasts (assignment is
+    a shuffle-free map + per-vector argmin window over k candidate
+    rows), then centroids recompute via posexplode → one groupBy on
+    (cluster, dim) with full map-side partial aggregation — the only
+    shuffle, carrying k×dim partials per task regardless of corpus
+    size. The driver holds only the k×dim centroid table between
+    rounds (same bounded-driver-state discipline as the CC label
+    loop). Rows-only check (float-mean accumulation order makes exact
+    cross-engine centroid parity unattainable); tests assert ≥ 97%
+    assignment agreement with a NumPy replica plus non-degenerate
+    clusters."""
+    from pyspark.sql import Window as W
+
+    from mcp_iceberg_duckdb_spark.functions.vector import sq_l2_dist
+
+    k, iters = 8, 2
+    e = parallelize(
+        t(spark, sf_dir).embeddings.select(
+            "vec_id", as_double("embedding").alias("v")
+        )
+    ).persist()
+    cents = [
+        (i, r.v)
+        for i, r in enumerate(e.orderBy("vec_id").limit(k).collect())
+    ]
+    assigned = None
+    for _ in range(iters):
+        cdf = F.broadcast(
+            spark.createDataFrame(cents, "cid int, cv array<double>")
+        )
+        scored = e.crossJoin(cdf).withColumn(
+            "d", sq_l2_dist(F.col("v"), F.col("cv"))
+        )
+        w = W.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("cid"))
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", "v")
+        )
+        comp = (
+            assigned.select("cid", F.posexplode("v").alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(F.avg("x").alias("cx"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("s"))
+            .select("cid", F.col("s.cx").alias("cv"))
+        )
+        # k×dim rows to the driver — bounded state, not corpus-sized
+        cents = [(r.cid, list(r.cv)) for r in comp.collect()]
+    return assigned.select("vec_id", F.col("cid").alias("cluster"))

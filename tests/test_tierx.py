@@ -292,3 +292,38 @@ def test_percentile_approx_accuracy(spark, duck, sf_dir):
         ).fetchone()[0]
         assert abs(row.exact_median - exact) / exact < 1e-6
         assert row.approx_within_rank_eps
+
+
+def test_kmeans_matches_numpy_replica(spark, duck, sf_dir):
+    """The distributed Lloyd loop must track an exact NumPy replica
+    (same deterministic init, same tie-break, same drop-empty rule);
+    only float-mean accumulation order may flip boundary points."""
+    import numpy as np
+
+    got = {
+        r.vec_id: r.cluster
+        for r in _run("x_embed_kmeans", spark, sf_dir).collect()
+    }
+    rows = duck.sql(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    ids = [r[0] for r in rows]
+    X = np.array([r[1] for r in rows])
+    k, iters = 8, 2
+    cents = {i: X[i].copy() for i in range(k)}
+    assign = None
+    for _ in range(iters):
+        cids = sorted(cents)
+        C = np.stack([cents[c] for c in cids])
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+        assign = {ids[j]: cids[int(d[j].argmin())] for j in range(len(ids))}
+        new = {}
+        for c in cids:
+            members = [j for j in range(len(ids)) if assign[ids[j]] == c]
+            if members:
+                new[c] = X[members].mean(axis=0)
+        cents = new
+    assert set(got) == set(assign)
+    agree = sum(got[i] == assign[i] for i in got) / len(got)
+    assert agree >= 0.97, f"assignment agreement {agree:.3f} < 0.97"
+    assert len(set(got.values())) >= 4, "degenerate clustering"
