@@ -372,15 +372,40 @@ def a_approx_count_distinct(spark, sf_dir):
     booleans the oracle pins to TRUE — a wrong sketch flips a bit the
     driver hashes (VERDICT round-1 item 6)."""
     li = t(spark, sf_dir).lineitem
-    exact_p = F.count_distinct("l_partkey")
-    exact_o = F.count_distinct("l_orderkey")
-    approx_p = F.approx_count_distinct("l_partkey", rsd=0.01)
-    approx_o = F.approx_count_distinct("l_orderkey", rsd=0.01)
-    return li.agg(
-        exact_p.alias("exact_parts"),
-        exact_o.alias("exact_orders"),
-        (F.abs(approx_p - exact_p) <= 0.05 * exact_p).alias("parts_within_5pct"),
-        (F.abs(approx_o - exact_o) <= 0.05 * exact_o).alias("orders_within_5pct"),
+    # one distinct-agg per column + 1-row cross joins, NOT several
+    # count_distinct in one agg: multiple distinct aggregates plan an
+    # Expand (row count × #aggregates) whose per-task hash sets blow
+    # small executor heaps — the split form is partial-agg friendly
+    # and scales to arbitrary cardinalities
+    exact_p = (
+        li.select("l_partkey")
+        .distinct()
+        .agg(F.count("*").alias("exact_parts"))
+    )
+    exact_o = (
+        li.select("l_orderkey")
+        .distinct()
+        .agg(F.count("*").alias("exact_orders"))
+    )
+    approx = li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("ap"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("ao"),
+    )
+    return (
+        exact_p.crossJoin(exact_o)
+        .crossJoin(approx)
+        .select(
+            "exact_parts",
+            "exact_orders",
+            (
+                F.abs(F.col("ap") - F.col("exact_parts"))
+                <= 0.05 * F.col("exact_parts")
+            ).alias("parts_within_5pct"),
+            (
+                F.abs(F.col("ao") - F.col("exact_orders"))
+                <= 0.05 * F.col("exact_orders")
+            ).alias("orders_within_5pct"),
+        )
     )
 
 
