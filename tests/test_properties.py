@@ -155,3 +155,22 @@ def test_salt_spreads_fully_duplicated_rows(spark_mod):
         r._salt for r in with_salt(df.repartition(8), 8).select("_salt").collect()
     }
     assert len(buckets) >= 6, f"duplicated rows collapsed into {buckets}"
+
+
+def test_driver_order_contract():
+    """The driver samples the FIRST 50 registered queries: previously
+    red first, then never-checked oracle-backed (family round-robin),
+    then rows-only, then the already-green tail — and the first 50
+    must all be oracle-checkable."""
+    from mcp_iceberg_duckdb_spark import registry
+
+    registry.load_all()
+    order = registry.driver_order()
+    assert set(order) == set(registry.QUERIES), "ordering must be a permutation"
+    assert order[:3] == list(registry._DRIVER_RED_R01)
+    oracles = {n for n, s in registry.QUERIES.items() if s.oracle is not None}
+    assert all(n in oracles for n in order[:50]), (
+        "grey rows-only queries must not occupy driver sample slots"
+    )
+    greens = [n for n in order if n in registry._DRIVER_GREEN_R01]
+    assert order[-len(greens):] == greens, "green tail must come last"
