@@ -143,18 +143,26 @@ def w_running_agg(spark, sf_dir):
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
            floor((avg(l_quantity) OVER (PARTITION BY l_suppkey
-                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) * 1e4 + 0.5) / 1e4 AS qty_ma4
     FROM lineitem
     """,
     tags=("window",),
 )
 def w_sliding_frame(spark, sf_dir):
-    """W5 ROWS sliding frame (4-row moving average per supplier)."""
+    """W5 ROWS sliding frame (4-row moving average per supplier).
+
+    The ORDER BY ends in l_quantity — the averaged column — because
+    (l_orderkey, l_linenumber) is NOT unique in the fixture and a
+    ROWS frame over a non-total order is engine-dependent at the tie
+    (observed once at sf0.1: two rows tied on all three keys with
+    different quantities flipped across the 3-PRECEDING boundary).
+    With the measure as the last key, any remaining ties carry equal
+    quantities, so every frame's sum is order-invariant."""
     li = t(spark, sf_dir).lineitem
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(-3, W.currentRow)
     )
     return li.select(
