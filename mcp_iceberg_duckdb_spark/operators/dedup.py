@@ -421,10 +421,17 @@ def connected_components(pairs):
     edges = pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
+    # seed labels with min(node, min neighbor) — identical to
+    # "labels = node" followed by one propagation round, but one
+    # checkpoint+sum cheaper; near-dup cliques converge right here
+    # and the loop only runs its single confirming round
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("nmin"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("nmin")).alias("label"),
+        )
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
