@@ -25,9 +25,16 @@ def with_salt(df: DataFrame, n_salts: int, col_name: str = "_salt") -> DataFrame
     (spark_partition_id + monotonically_increasing_id): a hash of the
     columns ALONE sends fully-duplicated rows — the degenerate hot-key
     case salting exists for — to one bucket, spreading nothing
-    (round-2 advisory, ADVICE.md). Position is deterministic for a
-    given input partitioning (retries/speculative tasks of the same
-    task recompute the same ids), unlike rand()."""
+    (round-2 advisory, ADVICE.md). Position is deterministic only
+    when the input's per-partition row order is stable — i.e. the
+    input is a scan (or was localCheckpoint'ed / sorted within
+    partitions). Directly downstream of an exchange, shuffle-block
+    fetch order varies between task attempts, so a retried task can
+    assign different salts; per-row join/aggregate results stay
+    correct (the salt only routes rows), but bucket assignment is not
+    reproducible there. For post-shuffle inputs feeding salted_join
+    at scale, sortWithinPartitions or localCheckpoint first if
+    reproducible bucketing matters."""
     return df.withColumn(
         col_name,
         F.pmod(

@@ -112,8 +112,10 @@ def p_select_star(spark, sf_dir):
 def p_expr_alias(spark, sf_dir):
     """P3 expression projection with aliases. Per-row arithmetic is
     left unrounded — IEEE doubles are bit-identical across engines,
-    while floor(() + 0.5) at exact .xx5 halfway points is not (Spark rounds
-    the shortest decimal repr, DuckDB the binary value)."""
+    while engine-native round() at exact .xx5 halfway points is not
+    (Spark rounds the shortest decimal repr, DuckDB the binary
+    value); when rounding is required elsewhere we use the pure-IEEE
+    floor(x*10^n + 0.5) form instead."""
     li = t(spark, sf_dir).lineitem
     return li.select(
         "l_orderkey",

@@ -154,7 +154,7 @@ WITH val AS (
     GROUP BY l.l_partkey
 )
 SELECT partkey,
-       CAST(floor((value_dec) * 1e2 + 0.5) / 1e2 AS DECIMAL(18,2)) AS part_value
+       floor((value_dec) * 1e2 + 0.5) / 1e2 AS part_value
 FROM val
 WHERE CAST(value_dec AS DOUBLE) >
       (SELECT CAST(sum(value_dec) AS DOUBLE) * 0.002 FROM val)

@@ -47,14 +47,18 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
-# Queries with a green (hash_match) row in CORRECTNESS_r01.json. The
-# round driver samples the FIRST 50 registered queries each round
-# (empirically: CORRECTNESS_r01 keys == registration-order[:50]), so
-# already-verified queries are deprioritized and never-checked ones
-# surface first, round-robined by family for coverage breadth
-# (VERDICT.md round-1, "Next round" item 2).
-_DRIVER_GREEN_R01 = frozenset(
+# Queries with a green (hash_match) row in any prior round's
+# CORRECTNESS_r*.json. The round driver samples the FIRST 50 registered
+# queries each round (empirically: CORRECTNESS_rNN keys ==
+# registration-order[:50]), so already-verified queries are
+# deprioritized and never-checked ones surface first, round-robined by
+# family for coverage breadth (VERDICT.md round-1, "Next round" item 2).
+# MUST be refreshed with the new green names each round (VERDICT.md
+# round-2, "What's wrong" item 1) or the next sample re-verifies only
+# known-green rows.
+_DRIVER_GREEN = frozenset(
     {
+        # --- round 1 (CORRECTNESS_r01.json) ---
         "x_dedup_exact", "x_dedup_exact_keep_first", "x_dedup_ngram_jaccard",
         "x_dedup_embedding_cosine", "x_dedup_cluster_cc", "j_inner_equi",
         "j_left_outer", "j_right_outer", "j_full_outer", "j_semi", "j_anti",
@@ -66,15 +70,28 @@ _DRIVER_GREEN_R01 = frozenset(
         "a_count_distinct", "a_stats", "a_median_percentile", "a_string_agg",
         "a_rollup", "a_cube", "a_grouping_sets", "a_corr_covar",
         "o_order_limit",
+        # --- round 2 (CORRECTNESS_r02.json, all 50 green) ---
+        "a_agg_filter_clause", "a_approx_count_distinct", "a_having",
+        "a_min_max_by", "a_percentile_approx", "f_datetime", "f_math",
+        "f_regex", "f_string_basic", "f_string_predicates", "j_asof",
+        "j_range_band", "j_range_bucketized", "o_except", "o_intersect",
+        "o_offset", "o_sort_nulls", "o_subquery_correlated_min",
+        "o_subquery_in", "o_subquery_not_exists", "o_subquery_scalar",
+        "o_union_all", "o_union_by_name", "o_union_distinct", "p_pivot",
+        "p_unpivot", "q10_returned_items", "q3_shipping_priority",
+        "q4_order_priority", "q5_local_supplier_volume", "s_event_funnel",
+        "s_gap_fill_resample", "s_session_window", "s_sliding_window",
+        "s_tumbling_window", "w_first_last", "w_lag_lead", "w_ranking",
+        "w_running_agg", "x_ann_cosine_topk", "x_embed_centroid_assign",
+        "x_multimodal_features", "x_multimodal_frame_sample",
+        "x_text_fingerprint", "x_text_langid", "x_text_quality",
+        "x_text_token_count", "x_udf_grouped_agg", "x_udf_pandas_scalar",
+        "x_udtf_ngrams",
     }
 )
-# Red rows in CORRECTNESS_r01 — re-checked first so the fix lands a
-# driver row this round.
-_DRIVER_RED_R01 = (
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "a_having",
-)
+# Red rows in the latest CORRECTNESS_r*.json — re-checked first so the
+# fix lands a driver row this round. Round 2 had none.
+_DRIVER_RED: tuple[str, ...] = ()
 
 
 def driver_order() -> list[str]:
@@ -83,11 +100,11 @@ def driver_order() -> list[str]:
     already-green tail."""
     from collections import defaultdict, deque
 
-    red = [n for n in _DRIVER_RED_R01 if n in QUERIES]
+    red = [n for n in _DRIVER_RED if n in QUERIES]
     never = [
-        n for n in QUERIES if n not in _DRIVER_GREEN_R01 and n not in red
+        n for n in QUERIES if n not in _DRIVER_GREEN and n not in red
     ]
-    green = [n for n in QUERIES if n in _DRIVER_GREEN_R01]
+    green = [n for n in QUERIES if n in _DRIVER_GREEN]
     # oracle-less queries can only ever produce a grey rows-only row —
     # they go behind every oracle-checkable query in the sample
     fams: dict[str, deque[str]] = defaultdict(deque)
