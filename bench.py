@@ -50,10 +50,27 @@ BENCH_QUERIES = [
 
 def main() -> None:
     from mcp_iceberg_duckdb_spark import registry
+    from mcp_iceberg_duckdb_spark.operators.dedup import (
+        cluster_cc_lsh,
+        lsh_verified_pairs,
+    )
     from mcp_iceberg_duckdb_spark.session import build_session
 
     registry.load_all()
     spark = build_session(app_name="bench")
+
+    # The registered x_dedup_minhash_lsh / x_dedup_cluster_cc_lsh
+    # entries emit verification CONTRACTS since round 3 (they also
+    # compute the exact strong-pair baseline — verification work, not
+    # operator work). The bench keeps timing the production operators
+    # themselves, comparable round-over-round under the same keys.
+    overrides = {
+        "x_dedup_minhash_lsh": lambda s, d: lsh_verified_pairs(s, d),
+        "x_dedup_cluster_cc_lsh": lambda s, d: cluster_cc_lsh(s, d),
+    }
+
+    def builder_for(name):
+        return overrides.get(name, registry.QUERIES[name].builder)
 
     names = [n for n in BENCH_QUERIES if n in registry.QUERIES]
 
@@ -63,7 +80,7 @@ def main() -> None:
     # cold vs 0.35s warm); the timed pass reports steady-state engine
     # throughput
     for name in names:
-        registry.QUERIES[name].builder(spark, SF_DIR).write.format("noop").mode(
+        builder_for(name)(spark, SF_DIR).write.format("noop").mode(
             "overwrite"
         ).save()
     # drop warmup persist() entries: CacheManager matches by logical
@@ -74,7 +91,7 @@ def main() -> None:
     per_query: dict[str, float] = {}
     total = 0.0
     for name in names:
-        builder = registry.QUERIES[name].builder
+        builder = builder_for(name)
         start = time.perf_counter()
         df = builder(spark, SF_DIR)
         # noop sink: materializes EVERY output column distributed-side

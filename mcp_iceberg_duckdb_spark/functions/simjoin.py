@@ -1,0 +1,151 @@
+"""Exact set-similarity join via prefix filtering — the sub-quadratic
+way to compute ALL pairs with Jaccard ≥ t, with no approximation.
+
+This is the AllPairs / PPJoin candidate condition (Bayardo et al.,
+WWW'07; Xiao et al., WWW'08), a published exact technique: order every
+document's tokens by a global total order (ascending document
+frequency, ties by token value), take each document's *prefix* of
+length |x| − ⌈t·|x|⌉ + 1, and generate a candidate pair only when two
+documents share a prefix token. The theorem: any pair with
+Jaccard ≥ t MUST share at least one prefix token under a common
+global order, so verifying candidates with the exact Jaccard loses
+nothing — output is identical to the O(n²) nested-loop join.
+
+Why it matters here: the registry's dedup twins (x_dedup_ngram_jaccard
+/ x_dedup_cluster_cc) used a blocked all-pairs join — fine as a test
+oracle, wrong as a registered plan (VERDICT round-2 item 6). This
+module gives them the same deterministic, oracle-matchable output on a
+plan with NO all-pairs join, and gives the approx-dedup verification
+contracts a sub-quadratic exact baseline they can compute in-query.
+
+Plan shape (all linear scans + key shuffles):
+  1. explode tokens, count document frequency per token  (1 shuffle)
+  2. join df back, re-assemble each doc's tokens sorted by (df, tok)
+     — the global order                                  (2 shuffles)
+  3. explode only the prefix, self-join on the prefix token
+     (+ optional blocking key), length-filter, distinct  (1 shuffle)
+  4. verify candidates with the exact Jaccard            (2 shuffles)
+At 100 TB the prefix tokens are by construction the RAREST tokens of
+each doc, so the candidate join's key distribution is anti-skewed;
+the only degenerate case is a massive exact-duplicate group, whose
+output is itself quadratic in the group size (irreducible). Thresholds
+are integer rationals (num/den) so prefix lengths use exact integer
+arithmetic — a float ⌈0.8·5⌉ can evaluate to 5 instead of 4 and
+silently truncate the prefix into false negatives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mcp_iceberg_duckdb_spark.functions.textfns import jaccard
+
+
+def _ceil_div(a: Column, den: int) -> Column:
+    """⌈a / den⌉ for non-negative integer column a and literal den.
+    Computed as floor((a + den − 1) / den); the double division is
+    exact-enough for floor because the quotient is only ever within
+    rounding error of an integer when it IS that integer."""
+    return F.floor((a + F.lit(den - 1)) / F.lit(den)).cast("int")
+
+
+def exact_jaccard_pairs(
+    docs: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+    id_col: str = "doc_id",
+    set_col: str = "sh",
+    block_cols: tuple[str, ...] = (),
+    out_sim_col: str | None = "jaccard",
+) -> DataFrame:
+    """All pairs (id_a < id_b), optionally within the same block, with
+    round6(Jaccard(set_a, set_b)) ≥ threshold_num/threshold_den.
+
+    Output columns: doc_a, doc_b[, out_sim_col] — bit-identical to the
+    brute-force nested-loop join (the rounding mirrors the DuckDB
+    oracle twins: floor(j·1e6 + 0.5)/1e6 compared against the same
+    double literal both engines parse).
+    """
+    from mcp_iceberg_duckdb_spark.operators._util import r6
+
+    num, den = threshold_num, threshold_den
+    assert 0 < num <= den, "threshold must be in (0, 1]"
+    blocks = list(block_cols)
+
+    base = docs.select(id_col, *blocks, set_col).withColumn(
+        "_len", F.size(set_col)
+    )
+    toks = base.select(
+        id_col, *blocks, "_len", F.explode(set_col).alias("_tok")
+    )
+    dfc = toks.groupBy(*blocks, "_tok").agg(F.count("*").alias("_df"))
+    ranked = toks.join(dfc, [*blocks, "_tok"])
+    # re-assemble the doc's tokens in the global (df asc, tok asc)
+    # order; prefix length p = len − ⌈t·len⌉ + 1 (exact int math)
+    assembled = (
+        ranked.groupBy(id_col, *blocks, "_len")
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "_tok"))).alias("_st"))
+        .withColumn(
+            "_p",
+            F.greatest(
+                F.col("_len") - _ceil_div(F.col("_len") * num, den) + 1,
+                F.lit(1),
+            ),
+        )
+    )
+    prefix = assembled.select(
+        id_col,
+        *blocks,
+        "_len",
+        F.explode(
+            F.slice(
+                F.transform("_st", lambda s: s["_tok"]), F.lit(1), F.col("_p")
+            )
+        ).alias("_ptok"),
+    )
+    a = prefix.select(
+        F.col(id_col).alias("_ida"),
+        *[F.col(c).alias(f"_ba_{c}") for c in blocks],
+        F.col("_len").alias("_la"),
+        "_ptok",
+    )
+    b = prefix.select(
+        F.col(id_col).alias("_idb"),
+        *[F.col(c).alias(f"_bb_{c}") for c in blocks],
+        F.col("_len").alias("_lb"),
+        "_ptok",
+    )
+    cond = (
+        (F.col("_ida") < F.col("_idb"))
+        # length filter: J ≥ t ⟹ min·den ≥ max·num
+        & (
+            F.least("_la", "_lb") * den
+            >= F.greatest("_la", "_lb") * num
+        )
+    )
+    for c in blocks:
+        cond = cond & (F.col(f"_ba_{c}") == F.col(f"_bb_{c}"))
+    cand = (
+        a.join(b, on=["_ptok"])
+        .filter(cond)
+        .select("_ida", "_idb")
+        .distinct()
+    )
+    sa = base.select(
+        F.col(id_col).alias("_ida"), F.col(set_col).alias("_sha")
+    )
+    sb = base.select(
+        F.col(id_col).alias("_idb"), F.col(set_col).alias("_shb")
+    )
+    thr = F.lit(num / den)  # same double literal the oracle SQL parses
+    out = (
+        cand.join(sa, "_ida")
+        .join(sb, "_idb")
+        .withColumn("_j", r6(jaccard(F.col("_sha"), F.col("_shb"))))
+        .filter(F.col("_j") >= thr)
+    )
+    cols = [F.col("_ida").alias("doc_a"), F.col("_idb").alias("doc_b")]
+    if out_sim_col is not None:
+        cols.append(F.col("_j").alias(out_sim_col))
+    return out.select(*cols)

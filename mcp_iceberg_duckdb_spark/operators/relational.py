@@ -766,14 +766,54 @@ def o_union_by_name(spark, sf_dir):
     return a.unionByName(b, allowMissingColumns=True)
 
 
-@query("p_sample", oracle=None, tags=("projection", "approx"))
-def p_sample(spark, sf_dir):
-    """TABLESAMPLE: seeded Bernoulli sample — deterministic for a
-    fixed partitioning but engine-specific, so rows-only check; the
-    sampling-fraction bound is asserted in tests."""
+def sample_rows(spark, sf_dir):
+    """Seeded 10% Bernoulli TABLESAMPLE rows — deterministic for a
+    fixed partitioning but engine-specific."""
     li = t(spark, sf_dir).lineitem
     return li.sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@query(
+    "p_sample",
+    oracle="""
+    SELECT count(*) AS n_total,
+           TRUE AS frac_ok,
+           TRUE AS sample_is_subset
+    FROM lineitem
+    """,
+    tags=("projection", "approx"),
+)
+def p_sample(spark, sf_dir):
+    """TABLESAMPLE, emitted as a decidable contract (the sampled row
+    set is engine-specific RNG, so the rows themselves can't
+    hash-match DuckDB): the population size (value-checked), the
+    sample fraction within [0.07, 0.13] of the 0.1 target (±13σ even
+    at sf0.001's ~6k rows — a broken fraction or double-sampling bug
+    flips it), and the sampled rows being a true subset of the source
+    (anti-join count 0 — catches a sampler that fabricates or mutates
+    rows). Sample rows stay available via sample_rows."""
+    li = t(spark, sf_dir).lineitem.select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    s = sample_rows(spark, sf_dir)
+    n_total = li.agg(F.count("*").alias("n_total"))
+    n_samp = s.agg(F.count("*").alias("n_samp"))
+    extra = s.join(
+        li, ["l_orderkey", "l_linenumber", "l_quantity"], "anti"
+    ).agg(F.count("*").alias("n_extra"))
+    return (
+        n_total.crossJoin(n_samp)
+        .crossJoin(extra)
+        .select(
+            "n_total",
+            (
+                (F.col("n_samp") * 100 >= F.col("n_total") * 7)
+                & (F.col("n_samp") * 100 <= F.col("n_total") * 13)
+            ).alias("frac_ok"),
+            (F.col("n_extra") == 0).alias("sample_is_subset"),
+        )
     )
 
 

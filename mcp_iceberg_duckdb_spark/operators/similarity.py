@@ -105,14 +105,13 @@ def _band_keys(v):
     return F.array(*keys)
 
 
-@query("x_ann_ivf_topk", oracle=None, tags=("similarity", "tierx"))
-def x_ann_ivf_topk(spark, sf_dir):
-    """IVF-style ANN: coarse quantizer = per-label centroid (mean
-    vector); each query probes its nprobe=3 nearest cells and ranks
-    only those cells' vectors by exact cosine. This is the inverted-
-    file layout for a 100 TB corpus: vectors partitioned by cell id,
-    a query touches nprobe partitions instead of the full corpus.
-    Rows-only check; recall vs exact top-k asserted in tests."""
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-style ANN top-k rows: coarse quantizer = per-label
+    centroid (mean vector); each query probes its nprobe=3 nearest
+    cells and ranks only those cells' vectors by exact cosine. This
+    is the inverted-file layout for a 100 TB corpus: vectors
+    partitioned by cell id, a query touches nprobe partitions instead
+    of the full corpus."""
     nprobe = 3
     e = parallelize(
         t(spark, sf_dir).embeddings.select(
@@ -170,14 +169,12 @@ def x_ann_ivf_topk(spark, sf_dir):
     )
 
 
-@query("x_ann_lsh_topk", oracle=None, tags=("similarity", "tierx"))
-def x_ann_lsh_topk(spark, sf_dir):
-    """Approximate NN: random-hyperplane LSH. Corpus and queries get
-    16-bit signatures from deterministic (seed-42) hyperplanes; a
-    corpus vector is a candidate if it collides with the query in any
-    of 4 bands; candidates are ranked by exact cosine. No oracle
-    (bucketing is hash-specific); tests measure recall vs the exact
-    top-k. At scale the banded corpus is materialized once (bucket =
+def ann_lsh_topk(spark, sf_dir):
+    """Approximate-NN top-k rows: random-hyperplane LSH. Corpus and
+    queries get 16-bit signatures from deterministic (seed-42)
+    hyperplanes; a corpus vector is a candidate if it collides with
+    the query in any of 4 bands; candidates are ranked by exact
+    cosine. At scale the banded corpus is materialized once (bucket =
     partition key) and each query probes ~4 buckets instead of the
     full corpus."""
     e = parallelize(
@@ -214,6 +211,80 @@ def x_ann_lsh_topk(spark, sf_dir):
         .filter(F.col("rn") <= _TOP_K)
         .select("query_id", "neighbor_id", "cos_sim")
     )
+
+
+def _ann_contract(spark, sf_dir, approx_df, recall_floor_pct: int):
+    """Shared decidable-contract shape for the ANN paths (VERDICT
+    round-2 item 4): bucketing is hash-/layout-specific so the result
+    rows can't hash-match another engine, but three things can:
+    n_queries (value-checked), per-query sanity (≤ k results, no
+    self-matches — pinned TRUE), and recall vs the EXACT top-k
+    computed in-query by the already-green brute-force path (pinned
+    TRUE at a floor safely below the deterministic measured recall).
+    An empty approx result yields 0 < floor·n_exact and fails."""
+    exact = x_ann_cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    nq = (
+        t(spark, sf_dir)
+        .embeddings.filter(F.col("vec_id") < _N_QUERIES)
+        .agg(F.count("*").alias("n_queries"))
+    )
+    per_q = approx_df.groupBy("query_id").agg(
+        F.count("*").alias("c"),
+        F.sum(
+            F.when(F.col("neighbor_id") == F.col("query_id"), 1).otherwise(0)
+        ).alias("selfs"),
+    )
+    sane = per_q.agg(
+        (
+            (F.max("c") <= F.lit(_TOP_K)) & (F.sum("selfs") == 0)
+        ).alias("results_ok")
+    )
+    counts = (
+        approx_df.join(exact, ["query_id", "neighbor_id"], "semi")
+        .agg(F.count("*").alias("n_hit"))
+        .crossJoin(exact.agg(F.count("*").alias("n_exact")))
+    )
+    return (
+        nq.crossJoin(sane)
+        .crossJoin(counts)
+        .select(
+            "n_queries",
+            "results_ok",
+            (
+                F.col("n_hit") * 100 >= F.col("n_exact") * recall_floor_pct
+            ).alias("recall_ok"),
+        )
+    )
+
+
+_ANN_CONTRACT_ORACLE = f"""
+    SELECT count(*) AS n_queries,
+           TRUE AS results_ok,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < {_N_QUERIES}
+"""
+
+
+@query("x_ann_ivf_topk", oracle=_ANN_CONTRACT_ORACLE, tags=("similarity", "tierx"))
+def x_ann_ivf_topk(spark, sf_dir):
+    """Decidable contract over ann_ivf_topk (nprobe=3 of ~10 label
+    cells): recall vs the exact top-k pinned ≥ 30% — measured
+    0.36-0.45 across sf 0.001/0.01/0.1 (deterministic: centroids and
+    probe order are data-derived, no RNG). The top-k rows stay
+    available via ann_ivf_topk (recall property-tested)."""
+    return _ann_contract(spark, sf_dir, ann_ivf_topk(spark, sf_dir), 30)
+
+
+@query("x_ann_lsh_topk", oracle=_ANN_CONTRACT_ORACLE, tags=("similarity", "tierx"))
+def x_ann_lsh_topk(spark, sf_dir):
+    """Decidable contract over ann_lsh_topk (4 bands × 4 hyperplane
+    bits, seed 42): recall vs the exact top-k pinned ≥ 25% — measured
+    0.36-0.39 across sf 0.001/0.01/0.1 (deterministic hyperplanes).
+    The top-k rows stay available via ann_lsh_topk (recall
+    property-tested)."""
+    return _ann_contract(spark, sf_dir, ann_lsh_topk(spark, sf_dir), 25)
 
 
 @query(
@@ -287,13 +358,12 @@ def x_embed_centroid_assign(spark, sf_dir):
     )
 
 
-@query("x_embed_kmeans", oracle=None, tags=("similarity", "tierx"))
-def x_embed_kmeans(spark, sf_dir):
+def kmeans_assign(spark, sf_dir):
     """Distributed Lloyd's k-means over the embeddings (k=8, 2
     iterations, deterministic init = the first k vectors by vec_id) —
     the iterative companion to x_embed_centroid_assign's single
     assignment step, and the canonical corpus re-clustering /
-    IVF-index-build loop.
+    IVF-index-build loop. Returns (vec_id, cluster).
 
     Per iteration: the k×dim centroid table broadcasts (assignment is
     a shuffle-free map + per-vector argmin window over k candidate
@@ -302,10 +372,7 @@ def x_embed_kmeans(spark, sf_dir):
     shuffle, carrying k×dim partials per task regardless of corpus
     size. The driver holds only the k×dim centroid table between
     rounds (same bounded-driver-state discipline as the CC label
-    loop). Rows-only check (float-mean accumulation order makes exact
-    cross-engine centroid parity unattainable); tests assert ≥ 97%
-    assignment agreement with a NumPy replica plus non-degenerate
-    clusters."""
+    loop)."""
     from pyspark.sql import Window as W
 
     from mcp_iceberg_duckdb_spark.functions.vector import sq_l2_dist
@@ -345,3 +412,71 @@ def x_embed_kmeans(spark, sf_dir):
         # k×dim rows to the driver — bounded state, not corpus-sized
         cents = [(r.cid, list(r.cv)) for r in comp.collect()]
     return assigned.select("vec_id", F.col("cid").alias("cluster"))
+
+
+@query(
+    "x_embed_kmeans",
+    oracle="""
+    SELECT count(*) AS n_points,
+           TRUE AS clusters_ok,
+           TRUE AS sse_ok
+    FROM embeddings
+    """,
+    tags=("similarity", "tierx"),
+)
+def x_embed_kmeans(spark, sf_dir):
+    """Decidable contract over kmeans_assign (VERDICT round-2 item
+    4): float-mean accumulation order makes exact cross-engine
+    centroid parity unattainable, so the query emits the corpus size
+    (value-checked) plus two booleans the oracle pins TRUE:
+    clusters_ok (2..k non-degenerate clusters — measured exactly k=8
+    at every sf) and sse_ok (within-cluster SSE against the
+    recomputed assignment centroids ≤ 98% of the single-global-
+    centroid SSE — measured 0.937-0.957 across sf 0.001/0.01/0.1;
+    the ratio is ulp-stable because both numerator and denominator
+    are sums of squares over the same points). A broken argmin,
+    centroid update, or init collapses clusters or lifts SSE and
+    flips a bit. Assignment rows stay available via kmeans_assign
+    (tested ≥ 97% agreement with a NumPy replica)."""
+    from mcp_iceberg_duckdb_spark.functions.vector import sq_l2_dist
+
+    e = parallelize(
+        t(spark, sf_dir).embeddings.select(
+            "vec_id", as_double("embedding").alias("v")
+        )
+    )
+    asg = kmeans_assign(spark, sf_dir).join(e, "vec_id")
+    cmean = (
+        asg.select("cluster", F.posexplode("v").alias("i", "x"))
+        .groupBy("cluster", "i")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("s"))
+        .select("cluster", F.col("s.cx").alias("cv"))
+    )
+    stats = (
+        asg.join(F.broadcast(cmean), "cluster")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.countDistinct("cluster").alias("n_clusters"),
+            F.sum(sq_l2_dist(F.col("v"), F.col("cv"))).alias("sse"),
+        )
+    )
+    gmean = (
+        e.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("s"))
+        .select(F.col("s.cx").alias("gv"))
+    )
+    gsse = e.crossJoin(F.broadcast(gmean)).agg(
+        F.sum(sq_l2_dist(F.col("v"), F.col("gv"))).alias("gsse")
+    )
+    return stats.crossJoin(gsse).select(
+        "n_points",
+        (
+            (F.col("n_clusters") >= 2) & (F.col("n_clusters") <= 8)
+        ).alias("clusters_ok"),
+        (F.col("sse") * 100 <= F.col("gsse") * 98).alias("sse_ok"),
+    )

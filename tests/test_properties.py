@@ -180,3 +180,75 @@ def test_driver_order_contract():
         "rows-only queries must sort behind every oracle-backed "
         "never-checked query"
     )
+
+
+# --- prefix-filtered exact similarity join vs brute force ----------------
+
+
+def test_prefix_filtered_join_equals_bruteforce(spark_mod):
+    """The AllPairs/PPJoin prefix-filter candidate condition must be
+    LOSSLESS: across thresholds (including the exact-duplicate edge
+    t=1), the sub-quadratic join's output is identical to the
+    nested-loop join — a too-short prefix (e.g. from float ⌈t·len⌉)
+    would silently drop true pairs."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mcp_iceberg_duckdb_spark.functions.simjoin import exact_jaccard_pairs
+    from mcp_iceberg_duckdb_spark.functions.textfns import jaccard
+    from mcp_iceberg_duckdb_spark.operators._util import r6
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(40)]
+    rows = []
+    for i in range(90):
+        rows.append((i, rng.sample(vocab, rng.randint(1, 12))))
+    for i in range(90, 130):  # plant near-dup and exact-dup pairs
+        base = list(rows[rng.randrange(80)][1])
+        if len(base) > 2 and rng.random() < 0.7:
+            base[rng.randrange(len(base))] = rng.choice(vocab)
+        rows.append((i, list(dict.fromkeys(base))))
+    docs = spark_mod.createDataFrame(rows, "doc_id int, sh array<string>")
+    a, b = docs.alias("a"), docs.alias("b")
+    for num, den in [(1, 2), (4, 5), (9, 10), (1, 3), (1, 1)]:
+        got = {
+            tuple(r)
+            for r in exact_jaccard_pairs(docs, num, den).collect()
+        }
+        want = {
+            tuple(r)
+            for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .withColumn("j", r6(jaccard(F.col("a.sh"), F.col("b.sh"))))
+            .filter(F.col("j") >= F.lit(num / den))
+            .select(F.col("a.doc_id"), F.col("b.doc_id"), "j")
+            .collect()
+        }
+        assert got == want, (
+            f"t={num}/{den}: missing={sorted(want - got)[:3]} "
+            f"extra={sorted(got - want)[:3]}"
+        )
+
+
+def test_approx_contracts_pin_true(spark_mod, sf_dir):
+    """Every decidable contract for a hash-family-specific operator
+    must come out all-TRUE on the fixtures — these are the bits the
+    driver hashes against the oracle's pinned TRUE columns."""
+    from mcp_iceberg_duckdb_spark import registry
+
+    registry.load_all()
+    for name in [
+        "x_dedup_minhash_lsh",
+        "x_dedup_minhash_mllib",
+        "x_dedup_simhash",
+        "x_dedup_cluster_cc_lsh",
+        "x_ann_lsh_topk",
+        "x_ann_ivf_topk",
+        "x_embed_kmeans",
+        "p_sample",
+    ]:
+        row = registry.QUERIES[name].builder(spark_mod, sf_dir).collect()
+        assert len(row) == 1, f"{name}: contract must be one row"
+        for field, val in row[0].asDict().items():
+            if isinstance(val, bool):
+                assert val is True, f"{name}.{field} is {val}"

@@ -7,6 +7,18 @@ from __future__ import annotations
 import pytest
 
 from mcp_iceberg_duckdb_spark import registry
+from mcp_iceberg_duckdb_spark.operators.dedup import (
+    cluster_cc_lsh,
+    lsh_verified_pairs,
+    minhash_mllib_pairs,
+    simhash_pairs,
+)
+from mcp_iceberg_duckdb_spark.operators.relational import sample_rows
+from mcp_iceberg_duckdb_spark.operators.similarity import (
+    ann_ivf_topk,
+    ann_lsh_topk,
+    kmeans_assign,
+)
 
 registry.load_all()
 
@@ -22,7 +34,7 @@ def test_minhash_lsh_precision_and_recall(spark, duck, sf_dir):
     recall vs brute force must be >= 0.95 at the 0.9 level."""
     got = {
         (r.doc_a, r.doc_b): r.jaccard
-        for r in _run("x_dedup_minhash_lsh", spark, sf_dir).collect()
+        for r in lsh_verified_pairs(spark, sf_dir).collect()
     }
     assert got, "LSH found no near-dup pairs, but the corpus plants dozens"
     truth = dict(
@@ -61,7 +73,7 @@ def test_cluster_cc_lsh_matches_bruteforce_components(spark, duck, sf_dir):
     every strong (j >= 0.9) component fully co-clustered (recall)."""
     labels = {
         r.doc_id: r.cluster_id
-        for r in _run("x_dedup_cluster_cc_lsh", spark, sf_dir).collect()
+        for r in cluster_cc_lsh(spark, sf_dir).collect()
     }
     assert labels, "LSH clustering produced no labelled nodes"
     edges = duck.sql(
@@ -129,11 +141,11 @@ def test_minhash_mllib_agrees_with_custom(spark, sf_dir):
     threshold."""
     custom = {
         (r.doc_a, r.doc_b): r.jaccard
-        for r in _run("x_dedup_minhash_lsh", spark, sf_dir).collect()
+        for r in lsh_verified_pairs(spark, sf_dir).collect()
     }
     mllib = {
         (r.doc_a, r.doc_b): r.jaccard_est
-        for r in _run("x_dedup_minhash_mllib", spark, sf_dir).collect()
+        for r in minhash_mllib_pairs(spark, sf_dir).collect()
     }
     assert mllib, "MLlib pipeline found nothing"
     strong = {p for p, j in custom.items() if j >= 0.9}
@@ -148,7 +160,7 @@ def test_simhash_flags_identical_token_sets(spark, duck, sf_dir):
     (hamming 0) and be reported as candidates."""
     pairs = {
         (r.doc_a, r.doc_b): r.hamming
-        for r in _run("x_dedup_simhash", spark, sf_dir).collect()
+        for r in simhash_pairs(spark, sf_dir).collect()
     }
     identical = set(
         tuple(r)
@@ -172,7 +184,7 @@ def test_ann_lsh_recall_vs_exact(spark, sf_dir):
     approximate by design; assert it beats a trivial baseline and
     returns well-formed per-query results)."""
     exact = _run("x_ann_cosine_topk", spark, sf_dir).collect()
-    approx = _run("x_ann_lsh_topk", spark, sf_dir).collect()
+    approx = ann_lsh_topk(spark, sf_dir).collect()
     exact_sets = {}
     for r in exact:
         exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
@@ -198,7 +210,7 @@ def test_ann_ivf_recall_and_subset(spark, sf_dir):
         (r.query_id, r.neighbor_id): r.cos_sim
         for r in _run("x_ann_cosine_topk", spark, sf_dir).collect()
     }
-    ivf_rows = _run("x_ann_ivf_topk", spark, sf_dir).collect()
+    ivf_rows = ann_ivf_topk(spark, sf_dir).collect()
     assert ivf_rows
     per_q = {}
     for r in ivf_rows:
@@ -217,7 +229,7 @@ def test_sample_fraction_bounds(spark, sf_dir):
 
     n_total = registry.QUERIES["p_projection"].builder(spark, sf_dir).count()
     del n_total
-    li_rows = _run("p_sample", spark, sf_dir).count()
+    li_rows = sample_rows(spark, sf_dir).count()
     from mcp_iceberg_duckdb_spark.sources.tables import load
 
     total = load(spark, sf_dir, "lineitem").count()
@@ -302,7 +314,7 @@ def test_kmeans_matches_numpy_replica(spark, duck, sf_dir):
 
     got = {
         r.vec_id: r.cluster
-        for r in _run("x_embed_kmeans", spark, sf_dir).collect()
+        for r in kmeans_assign(spark, sf_dir).collect()
     }
     rows = duck.sql(
         "SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM embeddings ORDER BY vec_id"
