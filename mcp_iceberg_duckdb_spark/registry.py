@@ -92,6 +92,31 @@ _DRIVER_GREEN = frozenset(
 # Red rows in the latest CORRECTNESS_r*.json — re-checked first so the
 # fix lands a driver row this round. Round 2 had none.
 _DRIVER_RED: tuple[str, ...] = ()
+# Never-checked queries the judge specifically flagged (VERDICT
+# round-2 item 2: the unchecked TPC-H flagships, with q2/q20's
+# decimal-share compares called out) — pinned to the head of the
+# sample so they cannot spill past slot 50 when never-checked queries
+# outnumber the sample budget; the spill falls on scalar-function
+# families instead, the lowest-risk parity class.
+_DRIVER_PRIORITY: tuple[str, ...] = (
+    "q2_min_cost_supplier",
+    "q20_excess_share_suppliers",
+    "q6_forecast_revenue",
+    "q7_bilateral_volume",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q13_customer_order_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_predicates",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
+)
 
 
 def driver_order() -> list[str]:
@@ -101,8 +126,14 @@ def driver_order() -> list[str]:
     from collections import defaultdict, deque
 
     red = [n for n in _DRIVER_RED if n in QUERIES]
+    pri = [
+        n for n in _DRIVER_PRIORITY
+        if n in QUERIES and n not in _DRIVER_GREEN and n not in red
+    ]
     never = [
-        n for n in QUERIES if n not in _DRIVER_GREEN and n not in red
+        n
+        for n in QUERIES
+        if n not in _DRIVER_GREEN and n not in red and n not in pri
     ]
     green = [n for n in QUERIES if n in _DRIVER_GREEN]
     # oracle-less queries can only ever produce a grey rows-only row —
@@ -121,7 +152,7 @@ def driver_order() -> list[str]:
         if dq:
             queues.append(dq)
     rows_only = [n for n in never if QUERIES[n].oracle is None]
-    return red + rr + rows_only + green
+    return red + pri + rr + rows_only + green
 
 
 def all_queries() -> dict[str, Builder]:
