@@ -518,3 +518,130 @@ def x_text_stopword_strip(spark, sf_dir):
         F.size(toks).cast("bigint").alias("n_tokens"),
         (F.size(toks) - F.size(kept)).cast("bigint").alias("n_stopwords"),
     )
+
+
+@query(
+    "x_text_repetition",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               greatest(len(string_split(text, ' ')) - 2, 1) AS n_ngrams,
+               len(list_distinct(list_transform(
+                   range(greatest(len(string_split(text, ' ')) - 2, 1)),
+                   i -> array_to_string(string_split(text, ' ')[i + 1:i + 3], ' ')
+               ))) AS n_distinct
+        FROM documents
+    )
+    SELECT doc_id, n_ngrams, n_distinct,
+           floor((1.0 - CAST(n_distinct AS DOUBLE) / n_ngrams) * 1e6 + 0.5) / 1e6
+               AS rep_ratio
+    FROM s
+    """,
+    tags=("text", "tierx"),
+)
+def x_text_repetition(spark, sf_dir):
+    """Within-document repetition filter — the Gopher-style quality
+    signal (fraction of duplicated 3-gram slots): rep_ratio = 1 −
+    distinct/total 3-grams. Boilerplate, keyboard-mash and template
+    spam score high and get culled before training. Pure per-row
+    expressions (the shingle transform runs once, let-bound inside
+    word_shingles), shuffle-free at 100 TB."""
+    d = t(spark, sf_dir).documents
+    from mcp_iceberg_duckdb_spark.functions.textfns import word_shingles
+
+    n_ngrams = F.greatest(F.size(tokens("text")) - 2, F.lit(1))
+    n_distinct = F.size(word_shingles("text", 3))
+    return d.select(
+        "doc_id",
+        n_ngrams.cast("bigint").alias("n_ngrams"),
+        n_distinct.cast("bigint").alias("n_distinct"),
+        r6(
+            F.lit(1.0) - n_distinct.cast("double") / n_ngrams.cast("double")
+        ).alias("rep_ratio"),
+    )
+
+
+@query(
+    "x_text_contamination",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(greatest(len(string_split(text, ' ')) - 4, 1)),
+                   i -> array_to_string(string_split(text, ' ')[i + 1:i + 5], ' ')
+               )) AS sh
+        FROM documents
+    ),
+    ev AS (SELECT DISTINCT unnest(sh) AS ng FROM g WHERE doc_id < 5),
+    tr AS (SELECT doc_id, unnest(sh) AS ng FROM g WHERE doc_id >= 5)
+    SELECT tr.doc_id, count(*) AS n_shared_ngrams
+    FROM tr JOIN ev USING (ng)
+    GROUP BY tr.doc_id
+    """,
+    tags=("text", "tierx"),
+)
+def x_text_contamination(spark, sf_dir):
+    """Eval-set decontamination — the pre-training hygiene pass that
+    keeps benchmark text out of the corpus: docs 0-4 stand in for the
+    held-out eval set; every training doc sharing at least one
+    distinct 5-gram with it is reported with its overlap count, to be
+    dropped or audited. Plan: the eval 5-gram set is tiny by
+    construction → broadcast; training docs explode their distinct
+    5-grams and hash-join the broadcast, then one groupBy(doc_id) —
+    at 100 TB this is a single scan + one count shuffle, no
+    corpus-vs-corpus join."""
+    from mcp_iceberg_duckdb_spark.functions.textfns import word_shingles
+
+    d = t(spark, sf_dir).documents
+    g = d.select("doc_id", word_shingles("text", 5).alias("sh"))
+    ev = (
+        g.filter(F.col("doc_id") < 5)
+        .select(F.explode("sh").alias("ng"))
+        .distinct()
+    )
+    tr = g.filter(F.col("doc_id") >= 5).select(
+        "doc_id", F.explode("sh").alias("ng")
+    )
+    return (
+        tr.join(F.broadcast(ev), "ng")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+    )
+
+
+@query(
+    "x_corpus_mix_weights",
+    oracle="""
+    WITH s AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total, count(*) AS k FROM s)
+    SELECT source, n AS n_docs,
+           floor(least(1.0, (total / k) / n) * 1e6 + 0.5) / 1e6 AS sample_weight
+    FROM s, tot
+    """,
+    tags=("text", "tierx"),
+)
+def x_corpus_mix_weights(spark, sf_dir):
+    """Domain-mixing weights — the corpus-rebalancing step of a
+    training-data pipeline: per-source Bernoulli acceptance rates
+    that move the observed source distribution toward a uniform
+    target mix (over-represented sources get weight < 1,
+    under-represented ones keep weight 1 — upsampling is a separate
+    epoch-level decision). One groupBy(source) shuffle whose output
+    (k rows) cross-joins the 1-row total — at 100 TB the weights
+    table is what a sampling pass broadcasts back against the
+    corpus."""
+    d = t(spark, sf_dir).documents
+    s = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = s.agg(
+        F.sum("n_docs").cast("double").alias("total"),
+        F.count("*").alias("k"),
+    )
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        r6(
+            F.least(
+                F.lit(1.0), (F.col("total") / F.col("k")) / F.col("n_docs")
+            )
+        ).alias("sample_weight"),
+    )
