@@ -626,22 +626,23 @@ def x_corpus_mix_weights(spark, sf_dir):
     that move the observed source distribution toward a uniform
     target mix (over-represented sources get weight < 1,
     under-represented ones keep weight 1 — upsampling is a separate
-    epoch-level decision). One groupBy(source) shuffle whose output
-    (k rows) cross-joins the 1-row total — at 100 TB the weights
-    table is what a sampling pass broadcasts back against the
-    corpus."""
+    epoch-level decision). ONE corpus scan: groupBy(source) with
+    map-side partials, then total/k come from an unpartitioned window
+    over the k-row result (a naive `s.crossJoin(s.agg(...))` re-scans
+    and re-aggregates the whole corpus for the 1-row total — 2× the
+    scan cost at 100 TB). The k-row weights table is what a sampling
+    pass broadcasts back against the corpus."""
+    from pyspark.sql import Window as W
+
     d = t(spark, sf_dir).documents
     s = d.groupBy("source").agg(F.count("*").alias("n_docs"))
-    tot = s.agg(
-        F.sum("n_docs").cast("double").alias("total"),
-        F.count("*").alias("k"),
-    )
-    return s.crossJoin(F.broadcast(tot)).select(
+    w = W.partitionBy()  # k rows total — single tiny partition
+    total = F.sum("n_docs").over(w).cast("double")
+    k = F.count("*").over(w)
+    return s.select(
         "source",
         "n_docs",
-        r6(
-            F.least(
-                F.lit(1.0), (F.col("total") / F.col("k")) / F.col("n_docs")
-            )
-        ).alias("sample_weight"),
+        r6(F.least(F.lit(1.0), (total / k) / F.col("n_docs"))).alias(
+            "sample_weight"
+        ),
     )

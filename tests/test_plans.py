@@ -162,3 +162,48 @@ def test_q9_widest_join_tree_single_fact_shuffle(spark, sf_dir):
     df = _df("q9_product_type_profit", spark, sf_dir)
     assert has_broadcast_hash_join(df)
     assert shuffle_count(df) == 1
+
+
+def test_exact_similarity_joins_have_no_allpairs_plan(spark, sf_dir):
+    """The prefix-filtered exact similarity joins (and everything
+    built on them: the Jaccard twin, its CC twin, and the approx-op
+    contracts' strong-pair baselines) must never plan a cartesian /
+    nested-loop join — the round-2 verdict's scale-killer class. The
+    only acceptable join strategies are hash-based on candidate keys."""
+    from mcp_iceberg_duckdb_spark.plans import explain_str
+
+    for name in (
+        "x_dedup_ngram_jaccard",
+        "x_dedup_cluster_cc",
+        "x_dedup_minhash_lsh",
+        "x_dedup_cluster_cc_lsh",
+    ):
+        plan = explain_str(_df(name, spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian join"
+        assert "BroadcastNestedLoopJoin" not in plan or name in (
+            "x_dedup_minhash_lsh",
+            "x_dedup_cluster_cc_lsh",
+        ), f"{name} plans a nested-loop join"
+        # the contracts cross-join three 1-row aggregates — that
+        # nested-loop over single rows is fine; what must not appear
+        # is a join keyed on nothing over the corpus, which Spark
+        # would plan as CartesianProduct (checked above for all).
+
+
+def test_contamination_broadcasts_eval_ngrams(spark, sf_dir):
+    """The eval-set n-gram probe must broadcast (it is tiny by
+    construction); the corpus side must not shuffle before the join."""
+    df = _df("x_text_contamination", spark, sf_dir)
+    assert has_broadcast_hash_join(df), "eval n-gram set must broadcast"
+
+
+def test_mix_weights_single_groupby_shuffle(spark, sf_dir):
+    """Mix weights = one groupBy(source) shuffle + broadcast of the
+    1-row total; anything more re-shuffles the k-row weights table."""
+    df = _df("x_corpus_mix_weights", spark, sf_dir)
+    assert shuffle_count(df) <= 2  # partial/final groupBy + final gather
+
+
+def test_repetition_is_shuffle_free(spark, sf_dir):
+    df = _df("x_text_repetition", spark, sf_dir)
+    assert shuffle_count(df) == 0, "per-row quality signal must not shuffle"
