@@ -92,12 +92,14 @@ _DRIVER_GREEN = frozenset(
 # Red rows in the latest CORRECTNESS_r*.json — re-checked first so the
 # fix lands a driver row this round. Round 2 had none.
 _DRIVER_RED: tuple[str, ...] = ()
-# Never-checked queries the judge specifically flagged (VERDICT
-# round-2 item 2: the unchecked TPC-H flagships, with q2/q20's
-# decimal-share compares called out) — pinned to the head of the
-# sample so they cannot spill past slot 50 when never-checked queries
-# outnumber the sample budget; the spill falls on scalar-function
-# families instead, the lowest-risk parity class.
+# The round-3 driver sample, pinned EXPLICITLY: the 17 unchecked
+# TPC-H flagships the judge flagged (VERDICT round-2 item 2, q2/q20's
+# decimal-share compares called out) followed by the family
+# round-robin over every other never-checked query, frozen as it
+# stood when the sample was designed. Pinning the full 50 (not just
+# the head) means queries REGISTERED LATER in round 3 cannot reshuffle
+# the round-robin and displace an intended sample member past slot
+# 50 — new ops queue at 51+ for the next round's sample.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     "q2_min_cost_supplier",
     "q20_excess_share_suppliers",
@@ -116,6 +118,39 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "q19_disjunctive_predicates",
     "q21_waiting_supplier",
     "q22_global_sales_opportunity",
+    "a_decimal_agg",
+    "x_dedup_minhash_lsh",
+    "p_sample",
+    "f_datetime_time_parts",
+    "o_cte",
+    "x_ann_ivf_topk",
+    "s_stream_stream_join",
+    "x_text_ngram_freq",
+    "w_sliding_frame",
+    "a_histogram",
+    "x_dedup_minhash_mllib",
+    "f_conditional",
+    "x_ann_lsh_topk",
+    "x_pipeline_corpus_curation",
+    "w_range_frame",
+    "x_dedup_simhash",
+    "f_try_cast_format",
+    "x_embed_kmeans",
+    "x_text_rolling_hash",
+    "w_topk_per_group",
+    "x_dedup_cluster_cc_lsh",
+    "f_array",
+    "x_pack_token_shards",
+    "w_cume_percent",
+    "f_array_explode",
+    "x_text_span_dedup",
+    "f_array_transform",
+    "x_text_stopword_strip",
+    "f_json",
+    "x_text_repetition",
+    "f_hash",
+    "x_text_contamination",
+    "f_struct",
 )
 
 
