@@ -5,6 +5,7 @@ from mcp_iceberg_duckdb_spark.operators import (  # noqa: F401
     dedup,
     joins,
     multimodal,
+    pipeline_extra,
     relational,
     scalars,
     scalars_extra,

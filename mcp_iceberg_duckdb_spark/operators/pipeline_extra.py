@@ -1,0 +1,366 @@
+"""Round-3 training-data-pipeline operators (tier X — SURVEY.md
+§2.11 extensions): semantic dedup over embedding clusters (SemDeDup),
+corpus-common-shingle boilerplate scoring (C4-style), deterministic
+hash-based train/val/test splitting + stratified sampling, BM25-idf
+TF-IDF top terms, and top-K vocabulary coverage.
+
+Everything is DataFrame-declarative; the only driver-side state is a
+broadcast k×dim centroid table and a 20-row vocabulary head. Scale
+notes per operator; no op carries an all-pairs join across the corpus
+(SemDeDup's within-cluster pair scoring is bounded by cluster size,
+which the cluster count k controls — that IS the published algorithm's
+scaling knob).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from mcp_iceberg_duckdb_spark.functions.textfns import tokens, word_shingles
+from mcp_iceberg_duckdb_spark.functions.vector import as_double, cosine
+from mcp_iceberg_duckdb_spark.operators._util import r6, t
+from mcp_iceberg_duckdb_spark.registry import query
+
+_SEM_TAU = 0.25  # within-cluster cosine above which the later vec drops
+
+
+@query(
+    "x_semdedup",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    flat AS (
+        SELECT e.label, g.i, e.v[g.i] AS x
+        FROM e, LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS i) g
+    ),
+    comp AS (
+        SELECT label, i, avg(x) AS cx FROM flat GROUP BY label, i
+    ),
+    cent AS (
+        SELECT label AS clabel, list(cx ORDER BY i) AS cv FROM comp GROUP BY label
+    ),
+    scored AS (
+        SELECT e.vec_id, e.v, c.clabel,
+               list_cosine_similarity(e.v, c.cv) AS sim
+        FROM e CROSS JOIN cent c
+    ),
+    assigned AS (
+        SELECT vec_id, v, clabel AS cluster_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY sim DESC, clabel) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT a.vec_id, a.cluster_id,
+           NOT EXISTS (
+               SELECT 1 FROM assigned b
+               WHERE b.cluster_id = a.cluster_id AND b.vec_id < a.vec_id
+                 AND floor((list_cosine_similarity(a.v, b.v)) * 1e6 + 0.5) / 1e6
+                     >= {_SEM_TAU}
+           ) AS keep
+    FROM assigned a
+    """,
+    tags=("dedup", "tierx"),
+)
+def x_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then drop any vector whose cosine to an
+    earlier-id vector IN THE SAME CLUSTER reaches τ — semantic
+    near-dup removal without any cross-cluster comparison.
+
+    Spark shape: per-label mean centroids (posexplode → one (label,
+    dim) groupBy with map-side partials), k-row centroid table
+    broadcast, argmax-cosine assignment as a shuffle-free map + a
+    per-vector window over k candidate rows (the
+    x_embed_centroid_assign primitive), then ONE equi-join on
+    cluster_id for the within-cluster pair scoring. Pair work is
+    Σ(cluster_size²), not corpus² — at 100 TB you raise k so clusters
+    stay bounded (the paper runs k≈11k for 600 M docs) and the join
+    keys pre-partition the corpus by cluster. Argmax over raw sims is
+    stable cross-engine (centroid gaps ≫ 1 ulp, the
+    x_embed_centroid_assign precedent); the drop decision compares
+    r6-rounded pair cosines, identical in both engines."""
+    e = t(spark, sf_dir).embeddings.select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    comp = (
+        e.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("cx"))
+    )
+    cent = comp.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cx"))), lambda s: s.cx
+        ).alias("cv")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "v", "clabel", cosine(F.col("v"), F.col("cv")).alias("sim")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), "clabel")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("clabel").alias("cluster_id"))
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("b.vec_id") < F.col("a.vec_id"))
+            & (r6(cosine(F.col("a.v"), F.col("b.v"))) >= F.lit(_SEM_TAU)),
+        )
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return assigned.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "cluster_id",
+        F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+    )
+
+
+_BP_DF = 4  # shingle is "corpus-common" when it appears in >= 4 docs
+_BP_RATIO = 0.2
+
+
+@query(
+    "x_text_boilerplate",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, list_distinct(list_transform(
+            range(greatest(len(string_split(text, ' ')) - 2, 1)),
+            i -> array_to_string(string_split(text, ' ')[i + 1:i + 3], ' ')
+        )) AS sh FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(sh) AS s FROM d),
+    dfreq AS (SELECT s, count(*) AS df FROM tok GROUP BY s),
+    per_doc AS (
+        SELECT t.doc_id, count(*) AS n_shingles,
+               count(CASE WHEN f.df >= {_BP_DF} THEN 1 END) AS n_common
+        FROM tok t JOIN dfreq f ON t.s = f.s
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_shingles, n_common,
+           floor((CAST(n_common AS DOUBLE) / n_shingles) * 1e6 + 0.5) / 1e6
+               AS boilerplate_ratio,
+           floor((CAST(n_common AS DOUBLE) / n_shingles) * 1e6 + 0.5) / 1e6
+               >= {_BP_RATIO} AS is_boilerplate
+    FROM per_doc
+    """,
+    tags=("text", "tierx"),
+)
+def x_text_boilerplate(spark, sf_dir):
+    """Corpus-common-shingle boilerplate scoring — the C4/RefinedWeb
+    signal for navigation chrome, license banners, and template text:
+    a document whose distinct 3-shingles are mostly shared with many
+    other documents is boilerplate, not content.
+
+    Spark shape: explode distinct shingles (linear), ONE groupBy
+    shuffle for corpus document-frequency, ONE key-shuffle join back
+    (vocab stays distributed — never collected), ONE groupBy back to
+    doc grain. All three shuffles are on linear row counts; at 100 TB
+    the df table is the same banding layout the LSH dedup already
+    shuffles, and AQE handles the head-word skew (common shingles hit
+    many docs by definition — that skew is the signal)."""
+    d = t(spark, sf_dir).documents
+    sh = d.select("doc_id", F.explode(word_shingles("text", 3)).alias("s"))
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    ratio = F.col("n_common").cast("double") / F.col("n_shingles")
+    return (
+        sh.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count(F.when(F.col("df") >= _BP_DF, F.lit(1))).alias("n_common"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_common",
+            r6(ratio).alias("boilerplate_ratio"),
+            (r6(ratio) >= F.lit(_BP_RATIO)).alias("is_boilerplate"),
+        )
+    )
+
+
+@query(
+    "x_corpus_split_hash",
+    oracle="""
+    SELECT doc_id, source,
+           substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 4)
+               AS bucket_hex,
+           CASE
+               WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 4)
+                    < 'e666' THEN 'train'
+               WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 4)
+                    < 'f333' THEN 'val'
+               ELSE 'test'
+           END AS split,
+           substr(md5('sample:' || CAST(doc_id AS VARCHAR) || ':' || source), 1, 4)
+               < CASE WHEN length(source) = 4 THEN '8000' ELSE '2000' END
+               AS in_sample
+    FROM documents
+    """,
+    tags=("text", "tierx"),
+)
+def x_corpus_split_hash(spark, sf_dir):
+    """Deterministic hash-based train/val/test split (90/5/5) plus
+    stratified Bernoulli sampling (50% for single-digit sources,
+    12.5% for the rest) — the reproducible way to split or subsample
+    a corpus: membership depends only on (doc_id, source), never on
+    row order, partitioning, task retries, or engine, so reruns and
+    incremental appends land every document in the same bucket.
+    rand()/TABLESAMPLE give none of those guarantees.
+
+    md5 hex is identical in every engine; comparing the first 4 hex
+    chars against a literal partitions [0,1) into 65536 cells ('e666'
+    ≈ 0.9, 'f333' ≈ 0.95, '8000' = 0.5, '2000' = 0.125). The sampling
+    hash is salted ('sample:') so sample membership is independent of
+    split assignment. Shuffle-free per-row map — at 100 TB this runs
+    inside whole-stage codegen on the scan, and the split column
+    doubles as a partition key for the write."""
+    d = t(spark, sf_dir).documents
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source"))
+    h_split = F.substring(F.md5(key), 1, 4)
+    h_samp = F.substring(F.md5(F.concat(F.lit("sample:"), key)), 1, 4)
+    rate = F.when(F.length("source") == 4, F.lit("8000")).otherwise(
+        F.lit("2000")
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        h_split.alias("bucket_hex"),
+        F.when(h_split < "e666", "train")
+        .when(h_split < "f333", "val")
+        .otherwise("test")
+        .alias("split"),
+        (h_samp < rate).alias("in_sample"),
+    )
+
+
+@query(
+    "x_text_tfidf_topk",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+               floor((CAST(tf.tf AS DOUBLE)
+                     * ((CAST(n.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5)
+                        / (CAST(dfq.df AS DOUBLE) + 0.5))) * 1e6 + 0.5) / 1e6
+                   AS tfidf
+        FROM tf JOIN dfq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY tfidf DESC, term) AS rk
+        FROM scored
+    ) WHERE rk <= 3
+    """,
+    tags=("text", "tierx"),
+)
+def x_text_tfidf_topk(spark, sf_dir):
+    """Top-3 characteristic terms per document by TF-IDF, with the
+    BM25 idf ratio (N − df + 0.5)/(df + 0.5) instead of a logarithm:
+    same ranking monotonicity, but every operation is an IEEE
+    add/sub/mul/div — bit-identical across engines, where ln() is
+    only libm-accurate and can flip a 6dp rounding boundary.
+
+    Spark shape: explode → (doc, term) count [shuffle 1] → term df
+    from the tf relation [shuffle 2, input already one row per (doc,
+    term)] → join tf⋈df on term [key shuffle; at sf the df side
+    broadcasts under AQE] → corpus count broadcast → per-doc top-3 via
+    rank-limited window (WindowGroupLimit: only 3 rows per doc survive
+    the shuffle). Ranking compares the ROUNDED score with a term
+    tiebreak, so order is engine-identical."""
+    d = t(spark, sf_dir).documents
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    idf = (
+        F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    scored = (
+        tf.join(dfq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            r6(F.col("tf").cast("double") * idf).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rk")
+    )
+
+
+_VOCAB_K = 20
+
+
+@query(
+    "x_text_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    cnt AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM cnt),
+    ranked AS (
+        SELECT token, cnt,
+               row_number() OVER (ORDER BY cnt DESC, token) AS rk
+        FROM cnt
+    )
+    SELECT CAST(rk AS BIGINT) AS rk, token, cnt,
+           floor((CAST(sum(cnt) OVER (ORDER BY rk
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) / tot) * 1e6 + 0.5) / 1e6 AS cum_share
+    FROM ranked CROSS JOIN tot
+    WHERE rk <= {_VOCAB_K}
+    """,
+    tags=("text", "tierx"),
+)
+def x_text_vocab_coverage(spark, sf_dir):
+    """Top-K vocabulary coverage: what fraction of all token
+    occurrences the K most frequent tokens account for (the
+    Zipf-curve head a tokenizer or stopword list is designed
+    against).
+
+    Spark shape: ONE groupBy shuffle builds the distributed vocab
+    histogram; the corpus total is an agg broadcast back; the top-K
+    head is a TakeOrdered (never a full sort), and the running-share
+    window runs on K rows in a single partition — K is a constant,
+    so the single-partition window is a driver-sized tail, not a
+    scale risk. Vocab itself stays distributed throughout."""
+    d = t(spark, sf_dir).documents
+    cnt = (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = cnt.agg(F.sum("cnt").cast("double").alias("tot"))
+    top = cnt.orderBy(F.col("cnt").desc(), "token").limit(_VOCAB_K)
+    w_rk = W.orderBy(F.col("cnt").desc(), "token")
+    wc = W.orderBy("rk").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        top.withColumn("rk", F.row_number().over(w_rk).cast("bigint"))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cum_share",
+            r6(F.sum("cnt").over(wc).cast("double") / F.col("tot")),
+        )
+        .select("rk", "token", "cnt", "cum_share")
+    )
