@@ -207,3 +207,38 @@ def test_mix_weights_single_groupby_shuffle(spark, sf_dir):
 def test_repetition_is_shuffle_free(spark, sf_dir):
     df = _df("x_text_repetition", spark, sf_dir)
     assert shuffle_count(df) == 0, "per-row quality signal must not shuffle"
+
+def test_split_hash_is_shuffle_free(spark, sf_dir):
+    """Hash split/sample assignment is a pure per-row map — it must
+    run inside codegen on the scan with zero Exchange."""
+    assert shuffle_count(_df("x_corpus_split_hash", spark, sf_dir)) == 0
+
+
+def test_semdedup_broadcasts_centroids(spark, sf_dir):
+    """The k-row centroid table must broadcast into both the
+    assignment map and never force a corpus-side extra shuffle; the
+    within-cluster pair join must be hash-based on cluster_id, not a
+    cartesian."""
+    from mcp_iceberg_duckdb_spark.plans import explain_str
+
+    df = _df("x_semdedup", spark, sf_dir)
+    assert has_broadcast_hash_join(df) or "BroadcastNestedLoopJoin" in explain_str(df)
+    assert "CartesianProduct" not in explain_str(df)
+
+
+def test_tfidf_topk_rank_limits_window(spark, sf_dir):
+    """Per-doc top-3 must plan WindowGroupLimit so only 3 rows per
+    doc survive the window shuffle."""
+    assert has_window_group_limit(_df("x_text_tfidf_topk", spark, sf_dir))
+
+
+def test_vocab_coverage_takes_ordered_head(spark, sf_dir):
+    """The top-K head must be a TakeOrdered, never a full sort of the
+    vocabulary."""
+    assert has_take_ordered(_df("x_text_vocab_coverage", spark, sf_dir))
+
+
+def test_boilerplate_three_linear_shuffles(spark, sf_dir):
+    """df-count groupBy, join back, doc-grain groupBy — all keyed on
+    linear row counts; anything beyond 4 exchanges means a replan."""
+    assert shuffle_count(_df("x_text_boilerplate", spark, sf_dir)) <= 4
