@@ -18,8 +18,8 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from mcp_iceberg_duckdb_spark.functions.textfns import tokens, word_shingles
-from mcp_iceberg_duckdb_spark.functions.vector import as_double, cosine
-from mcp_iceberg_duckdb_spark.operators._util import r6, t
+from mcp_iceberg_duckdb_spark.functions.vector import as_double, cosine, l2_norm
+from mcp_iceberg_duckdb_spark.operators._util import r6, rn, t
 from mcp_iceberg_duckdb_spark.registry import query
 
 _SEM_TAU = 0.25  # within-cluster cosine above which the later vec drops
@@ -363,4 +363,123 @@ def x_text_vocab_coverage(spark, sf_dir):
             r6(F.sum("cnt").over(wc).cast("double") / F.col("tot")),
         )
         .select("rk", "token", "cnt", "cum_share")
+    )
+
+
+@query(
+    "x_text_length_filter",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    hist AS (SELECT n_tokens AS v, count(*) AS c FROM d GROUP BY n_tokens),
+    cum AS (
+        SELECT v, sum(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cf
+        FROM hist
+    ),
+    tot AS (SELECT count(*) AS n FROM d),
+    thr AS (
+        SELECT min(CASE WHEN cf * 20 >= n THEN v END)      AS lo_cut,
+               min(CASE WHEN cf * 20 >= 19 * n THEN v END) AS hi_cut
+        FROM cum CROSS JOIN tot
+    )
+    SELECT d.doc_id, d.n_tokens, t.lo_cut, t.hi_cut,
+           d.n_tokens >= t.lo_cut AND d.n_tokens <= t.hi_cut AS keep
+    FROM d CROSS JOIN thr t
+    """,
+    tags=("text", "tierx"),
+)
+def x_text_length_filter(spark, sf_dir):
+    """Exact P5–P95 token-length band filter (the Gopher/C4 length
+    rule) computed scale-correctly: instead of sorting the corpus for
+    exact percentiles, build the HISTOGRAM of the metric (one groupBy
+    on a small integer domain), take the running sum over the
+    histogram's distinct values, and read the cutoffs where the
+    cumulative count crosses 5%/95% of N. The percentile comparisons
+    are pure int64 arithmetic (cf·20 ≥ N, cf·20 ≥ 19·N) — no float
+    percentile definition to disagree on, engine to engine.
+
+    Scale: the corpus is never sorted; the only per-doc work is the
+    token count (codegen'd map) and a broadcast join against the
+    2-value threshold row. The running-sum window runs on the
+    histogram — |distinct lengths| rows (~1e5 even at 100 TB), a
+    driver-sized relation. approx_percentile would trade exactness
+    for nothing here."""
+    d = t(spark, sf_dir).documents.select(
+        "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    hist = d.groupBy(F.col("n_tokens").alias("v")).agg(F.count("*").alias("c"))
+    wcum = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.withColumn("cf", F.sum("c").over(wcum))
+    tot = d.agg(F.count("*").alias("n"))
+    thr = cum.crossJoin(F.broadcast(tot)).agg(
+        F.min(F.when(F.col("cf") * 20 >= F.col("n"), F.col("v"))).alias(
+            "lo_cut"
+        ),
+        F.min(F.when(F.col("cf") * 20 >= 19 * F.col("n"), F.col("v"))).alias(
+            "hi_cut"
+        ),
+    )
+    return d.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "n_tokens",
+        "lo_cut",
+        "hi_cut",
+        (
+            (F.col("n_tokens") >= F.col("lo_cut"))
+            & (F.col("n_tokens") <= F.col("hi_cut"))
+        ).alias("keep"),
+    )
+
+
+@query(
+    "x_embed_norm_check",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT vec_id,
+           len(v) AS dim,
+           floor((sqrt(list_sum(list_transform(v, x -> x * x)))) * 1e8 + 0.5)
+               / 1e8 AS l2_norm,
+           floor((list_max(list_transform(v, x -> abs(x)))) * 1e6 + 0.5) / 1e6
+               AS max_abs,
+           len(list_filter(v, x -> isnan(x) OR isinf(x))) AS n_nonfinite,
+           abs(floor((sqrt(list_sum(list_transform(v, x -> x * x)))) * 1e8 + 0.5)
+               / 1e8 - 1.0) <= 0.001 AS is_normalized
+    FROM e
+    """,
+    tags=("similarity", "tierx"),
+)
+def x_embed_norm_check(spark, sf_dir):
+    """Embedding-hygiene QA — the sanity pass before any similarity
+    or dedup stage trusts a vector column: dimension, L2 norm (8 dp —
+    the fixture embeddings are unit-normalized, so differences live
+    at 1e-7), max |component|, non-finite count, and an
+    is-normalized flag. A NaN that slips into one vector silently
+    poisons every cosine it touches; this op localizes it to a row.
+
+    Shuffle-free per-row map over the scan — the folds are
+    sequential JVM higher-order functions (same left-to-right order
+    as DuckDB's list_sum, so the doubles agree bit-for-bit before
+    rounding)."""
+    e = t(spark, sf_dir).embeddings.select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    norm = l2_norm(F.col("v"))
+    norm_r8 = rn(norm, 8)
+    return e.select(
+        "vec_id",
+        F.size("v").cast("bigint").alias("dim"),
+        norm_r8.alias("l2_norm"),
+        r6(F.array_max(F.transform("v", lambda x: F.abs(x)))).alias("max_abs"),
+        F.size(
+            F.filter(
+                "v", lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+            )
+        )
+        .cast("bigint")
+        .alias("n_nonfinite"),
+        (F.abs(norm_r8 - F.lit(1.0)) <= F.lit(0.001)).alias("is_normalized"),
     )
