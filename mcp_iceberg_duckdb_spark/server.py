@@ -85,6 +85,55 @@ def query_catalog(spark: SparkSession, query: str) -> ToolResult:
         return ToolResult(f"Error executing query: {exc}", is_error=True)
 
 
+def list_operators(spark: SparkSession) -> ToolResult:
+    """Engine-native tool beyond the reference's surface: enumerate
+    every registered operator (SURVEY.md §2 inventory) with its tags,
+    oracle status, and summary — the MCP client's catalog of what
+    ``run_operator`` can execute."""
+    start = time.time()
+    try:
+        from mcp_iceberg_duckdb_spark import registry
+
+        registry.load_all()
+        rows = [
+            {
+                "name": s.name,
+                "tags": list(s.tags),
+                "oracle_checked": s.oracle is not None,
+                "summary": s.doc.strip().splitlines()[0] if s.doc else "",
+            }
+            for s in registry.QUERIES.values()
+        ]
+        return _respond(rows, time.time() - start)
+    except Exception as exc:
+        return ToolResult(f"Error listing operators: {exc}", is_error=True)
+
+
+def run_operator(
+    spark: SparkSession, name: str, sf_dir: str | None = None
+) -> ToolResult:
+    """Run a registered operator by name against the lake fixtures —
+    the whole tier-X pipeline surface (dedup, ANN, text analysis,
+    corpus curation) becomes callable from an MCP client without
+    writing SQL. ``sf_dir`` defaults to $SPARK_GRAFT_SF_DIR."""
+    import os
+
+    start = time.time()
+    try:
+        from mcp_iceberg_duckdb_spark import registry
+
+        registry.load_all()
+        if name not in registry.QUERIES:
+            return ToolResult(f"Unknown operator: {name!r}", is_error=True)
+        sf = sf_dir or os.environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"
+        )
+        df = registry.QUERIES[name].builder(spark, sf)
+        return _respond(_rows_to_json(df), time.time() - start)
+    except Exception as exc:
+        return ToolResult(f"Error executing operator: {exc}", is_error=True)
+
+
 def serve(spark: SparkSession) -> None:
     """stdio MCP server exposing the two tools (reference
     server.py:114-135). Uses the dependency-free JSON-RPC transport

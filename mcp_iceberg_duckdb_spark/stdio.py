@@ -2,7 +2,10 @@
 
 The reference IS an MCP server (reference server.py:130-135 runs
 ``mcp.server.stdio.stdio_server``); its tool surface is two tools
-(server.py:42-69). The ``mcp`` package is absent from this container,
+(server.py:42-69) — mirrored here and extended with
+``list_operators`` / ``run_operator``, which expose the full
+registered operator inventory (TPC-H flagships, dedup, ANN, text
+analysis) to MCP clients. The ``mcp`` package is absent from this container,
 so this module speaks the protocol directly: MCP's stdio transport is
 newline-delimited JSON-RPC 2.0 — one JSON object per line on
 stdin/stdout, responses only for requests that carry an ``id``
@@ -20,7 +23,12 @@ import json
 import sys
 from typing import Any, TextIO
 
-from mcp_iceberg_duckdb_spark.server import query_catalog, query_table
+from mcp_iceberg_duckdb_spark.server import (
+    list_operators,
+    query_catalog,
+    query_table,
+    run_operator,
+)
 
 PROTOCOL_VERSION = "2024-11-05"
 SERVER_INFO = {"name": "mcp-iceberg-duckdb-spark", "version": "0.2.0"}
@@ -43,6 +51,27 @@ TOOLS = [
             "type": "object",
             "properties": {"query": {"type": "string"}},
             "required": ["query"],
+        },
+    },
+    {
+        "name": "list_operators",
+        "description": "List every registered engine operator "
+        "(TPC-H flagships, dedup, ANN, text analysis, streaming twins) "
+        "with tags and oracle status",
+        "inputSchema": {"type": "object", "properties": {}},
+    },
+    {
+        "name": "run_operator",
+        "description": "Run a registered operator by name against the "
+        "lake tables (see list_operators); optional sf_dir overrides "
+        "the data directory",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "name": {"type": "string"},
+                "sf_dir": {"type": "string"},
+            },
+            "required": ["name"],
         },
     },
 ]
@@ -129,14 +158,24 @@ class StdioServer:
     def _handle_call(self, req_id, params: dict[str, Any]) -> None:
         name = params.get("name")
         arguments = params.get("arguments") or {}
-        if name not in ("query_catalog", "query_table"):
+        if name in ("query_catalog", "query_table"):
+            if "query" not in arguments:
+                self._error(req_id, INVALID_PARAMS, "missing required 'query'")
+                return
+            fn = query_catalog if name == "query_catalog" else query_table
+            tool_result = fn(self.spark, arguments["query"])
+        elif name == "list_operators":
+            tool_result = list_operators(self.spark)
+        elif name == "run_operator":
+            if "name" not in arguments:
+                self._error(req_id, INVALID_PARAMS, "missing required 'name'")
+                return
+            tool_result = run_operator(
+                self.spark, arguments["name"], arguments.get("sf_dir")
+            )
+        else:
             self._error(req_id, INVALID_PARAMS, f"unknown tool {name!r}")
             return
-        if "query" not in arguments:
-            self._error(req_id, INVALID_PARAMS, "missing required 'query'")
-            return
-        fn = query_catalog if name == "query_catalog" else query_table
-        tool_result = fn(self.spark, arguments["query"])
         # tool-level failures are content with isError, NOT protocol
         # errors (MCP spec: execution errors stay inside the result)
         self._result(

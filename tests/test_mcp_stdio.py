@@ -76,7 +76,12 @@ def test_stdio_full_conversation(proc):
     # 2. tools/list
     resp = _rpc(proc, "tools/list", None, 2)
     names = {t["name"] for t in resp["result"]["tools"]}
-    assert names == {"query_catalog", "query_table"}
+    assert names == {
+        "query_catalog",
+        "query_table",
+        "list_operators",
+        "run_operator",
+    }
 
     # 3. query_table over real data
     resp = _rpc(
@@ -125,6 +130,36 @@ def test_stdio_full_conversation(proc):
     # 7. ping
     resp = _rpc(proc, "ping", None, 8)
     assert resp["result"] == {}
+
+    # 8. list_operators exposes the registry inventory
+    resp = _rpc(proc, "tools/call", {"name": "list_operators"}, 9)
+    assert not resp["result"]["isError"]
+    ops = json.loads(resp["result"]["content"][0]["text"].split("\n", 1)[1])
+    op_names = {o["name"] for o in ops}
+    assert {"q1_pricing_summary", "x_dedup_exact", "x_semdedup"} <= op_names
+    assert all("tags" in o and "oracle_checked" in o for o in ops)
+
+    # 9. run_operator executes a registered query end-to-end
+    resp = _rpc(
+        proc,
+        "tools/call",
+        {"name": "run_operator", "arguments": {"name": "q1_pricing_summary"}},
+        10,
+    )
+    assert not resp["result"]["isError"]
+    rows = json.loads(resp["result"]["content"][0]["text"].split("\n", 1)[1])
+    assert rows and "sum_qty" in rows[0]
+
+    # 10. unknown operator → tool-level error, missing arg → protocol error
+    resp = _rpc(
+        proc,
+        "tools/call",
+        {"name": "run_operator", "arguments": {"name": "nope_op"}},
+        11,
+    )
+    assert resp["result"]["isError"]
+    resp = _rpc(proc, "tools/call", {"name": "run_operator"}, 12)
+    assert resp["error"]["code"] == -32602
 
 
 # ------------------------------------------------------- in-process checks
