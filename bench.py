@@ -45,6 +45,10 @@ BENCH_QUERIES = [
     "x_ann_cosine_topk",
     "x_text_quality",
     "x_pipeline_corpus_curation",
+    # round-3 additions (compare from BENCH_r03 on)
+    "x_semdedup",
+    "x_text_boilerplate",
+    "x_text_tfidf_topk",
 ]
 
 
