@@ -53,10 +53,14 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # registration-order[:50]), so already-verified queries are
 # deprioritized and never-checked ones surface first, round-robined by
 # family for coverage breadth (VERDICT.md round-1, "Next round" item 2).
-# MUST be refreshed with the new green names each round (VERDICT.md
-# round-2, "What's wrong" item 1) or the next sample re-verifies only
-# known-green rows.
-_DRIVER_GREEN = frozenset(
+# Since round 3 the set is SELF-MAINTAINING: _load_driver_history()
+# unions this static baseline with every CORRECTNESS_r*.json found at
+# the repo root, so a new round's results reprioritize automatically
+# the moment the driver writes them — the stale-constant failure mode
+# (round-2 VERDICT "What's wrong" item 1, round-2 ADVICE item 1)
+# cannot recur. The static set stays as the r1+r2 baseline in case the
+# JSON files are ever absent.
+_DRIVER_GREEN_STATIC = frozenset(
     {
         # --- round 1 (CORRECTNESS_r01.json) ---
         "x_dedup_exact", "x_dedup_exact_keep_first", "x_dedup_ngram_jaccard",
@@ -89,9 +93,48 @@ _DRIVER_GREEN = frozenset(
         "x_udtf_ngrams",
     }
 )
-# Red rows in the latest CORRECTNESS_r*.json — re-checked first so the
-# fix lands a driver row this round. Round 2 had none.
-_DRIVER_RED: tuple[str, ...] = ()
+def _load_driver_history(
+    base_dir: str | None = None,
+) -> tuple[frozenset[str], tuple[str, ...]]:
+    """Union the static green baseline with every CORRECTNESS_r*.json
+    at the repo root. A row is green when it matched (rows + schema,
+    and hash unless the check was rows-only) without error; rows that
+    FAILED in the latest file become the red head of the next sample
+    so a fix lands a fresh driver row immediately."""
+    import glob
+    import json
+    import os
+
+    if base_dir is None:
+        base_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green, red = set(_DRIVER_GREEN_STATIC), []
+    files = sorted(glob.glob(os.path.join(base_dir, "CORRECTNESS_r*.json")))
+    latest = files[-1] if files else None
+    for path in files:
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            ok = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            )
+            if ok:
+                green.add(name)
+            elif path == latest and name not in red:
+                red.append(name)
+    return frozenset(green), tuple(n for n in red if n not in green)
+
+
+_DRIVER_GREEN, _DRIVER_RED = _load_driver_history()
 # The round-3 driver sample, pinned EXPLICITLY: the 17 unchecked
 # TPC-H flagships the judge flagged (VERDICT round-2 item 2, q2/q20's
 # decimal-share compares called out) followed by the family

@@ -252,3 +252,36 @@ def test_approx_contracts_pin_true(spark_mod, sf_dir):
         for field, val in row[0].asDict().items():
             if isinstance(val, bool):
                 assert val is True, f"{name}.{field} is {val}"
+
+
+def test_load_driver_history_parses_rounds(tmp_path):
+    """The self-maintaining green/red sets: every CORRECTNESS_r*.json
+    at the repo root feeds the rotation, greens union across rounds,
+    failures in the LATEST round (only) become the red head, and a
+    query that failed then later passed counts green."""
+    import json
+
+    from mcp_iceberg_duckdb_spark import registry
+
+    g = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    bad_hash = dict(g, hash_match=False)
+    rows_only = {"rows_match": True, "schema_match": True, "err": None}
+    errored = dict(g, err="boom")
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"q_a": g, "q_b": bad_hash, "q_fixed": errored})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"q_c": g, "q_d": bad_hash, "q_e": rows_only, "q_fixed": g})
+    )
+    green, red = registry._load_driver_history(base_dir=str(tmp_path))
+    # unions the static baseline with both rounds' greens
+    assert registry._DRIVER_GREEN_STATIC <= green
+    assert {"q_a", "q_c", "q_e", "q_fixed"} <= green
+    # q_b failed in r01 (not latest) — not red; q_d failed in r02 — red
+    assert red == ("q_d",)
+    assert "q_b" not in green and "q_d" not in green
+    # no files → static baseline, no reds
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    green0, red0 = registry._load_driver_history(base_dir=str(empty))
+    assert green0 == registry._DRIVER_GREEN_STATIC and red0 == ()
