@@ -499,3 +499,81 @@ def x_embed_norm_check(spark, sf_dir):
         .alias("n_nonfinite"),
         (F.abs(norm_r8 - F.lit(1.0)) <= F.lit(0.001)).alias("is_normalized"),
     )
+
+
+_LP_UNUSUAL = -3.43  # avg token log-prob below this = atypical doc
+
+
+@query(
+    "x_text_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents
+    ),
+    cnt AS (SELECT tk, count(*) AS c FROM tok GROUP BY tk),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tok),
+    lp AS (
+        SELECT tk,
+               CAST(floor(ln(CAST(c AS DOUBLE) / total) * 1e6 + 0.5) AS BIGINT)
+                   AS lp_micro
+        FROM cnt CROSS JOIN tot
+    ),
+    per AS (
+        SELECT t.doc_id, count(*) AS n_tokens, sum(lp.lp_micro) AS s
+        FROM tok t JOIN lp ON t.tk = lp.tk
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           floor(((CAST(s AS DOUBLE) / 1e6) / n_tokens) * 1e6 + 0.5) / 1e6
+               AS avg_logprob,
+           floor(((CAST(s AS DOUBLE) / 1e6) / n_tokens) * 1e6 + 0.5) / 1e6
+               < {_LP_UNUSUAL} AS is_unusual
+    FROM per
+    """,
+    tags=("text", "tierx"),
+)
+def x_text_unigram_logprob(spark, sf_dir):
+    """Unigram language-model quality score (the CCNet/KenLM-filter
+    shape with the LM reduced to corpus unigrams): per document, the
+    mean log-probability of its tokens under the corpus unigram
+    distribution — atypical token mixes score low and get flagged.
+
+    Determinism: each token's ln(p) is quantized to integer
+    MICRO-NATS per row (floor(ln(p)·1e6 + 0.5) — pure IEEE, and only
+    |vocab| distinct ln inputs exist corpus-wide), so the per-doc
+    aggregation is an exact int64 sum, immune to the
+    float-sum-order-by-partitioning hash-mismatch class that
+    motivated dec_sum. The final division back to nats is one IEEE
+    divide on both engines.
+
+    Scale: vocab groupBy [shuffle 1] + 1-row total broadcast; the
+    token→log-prob join is a key shuffle (vocab stays distributed; at
+    sf it broadcasts under AQE); doc-grain groupBy [last shuffle]
+    moves one int64 per token. Swapping in a real KenLM means
+    replacing the lp relation with a mapInPandas scorer — the
+    aggregation shape is unchanged."""
+    d = t(spark, sf_dir).documents
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("tk"))
+    cnt = tok.groupBy("tk").agg(F.count("*").alias("c"))
+    tot = tok.agg(F.count("*").cast("double").alias("total"))
+    lp = cnt.crossJoin(F.broadcast(tot)).select(
+        "tk",
+        F.floor(
+            F.log(F.col("c").cast("double") / F.col("total")) * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("lp_micro"),
+    )
+    per = (
+        tok.join(lp, "tk")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("lp_micro").alias("s"))
+    )
+    avg_lp = rn((F.col("s").cast("double") / F.lit(1e6)) / F.col("n_tokens"), 6)
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        avg_lp.alias("avg_logprob"),
+        (avg_lp < F.lit(_LP_UNUSUAL)).alias("is_unusual"),
+    )
