@@ -111,10 +111,13 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", _NTZ),
         ]
     ),
-    # events.ts is TIMESTAMP(NANOS) in parquet, which Spark's reader
-    # rejects outright; read it as raw int64 nanos (legacy conf) and
-    # convert to µs-precision NTZ in load() — same truncation DuckDB
-    # applies, so oracle values agree exactly.
+    # events.ts declared as int64 here for the TIMESTAMP(NANOS)
+    # fixture variant (Spark's reader rejects nanos outright; legacy
+    # conf reads the raw int64, load() truncates to µs NTZ — the same
+    # truncation DuckDB applies). The driver regenerates the fixtures
+    # per round and has shipped both nanos and µs variants, so load()
+    # sniffs the actual footer unit and only uses this schema for
+    # nanos; µs/ms files read directly as NTZ.
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -146,12 +149,38 @@ SCHEMAS: dict[str, T.StructType] = {
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def events_ts_unit(path: str) -> str:
+    """Physical unit of ``events.ts`` in this fixture ('ns', 'us', or
+    'ms'). One driver-side footer read per load — the fixtures are
+    regenerated per round and have shipped BOTH nanosecond and
+    microsecond variants, so the unit must be sniffed, never assumed
+    (a nanos-only loader silently lands 2024 µs data in Jan 1970)."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        for f in sorted(os.listdir(path)):
+            if f.endswith(".parquet"):
+                path = os.path.join(path, f)
+                break
+    return getattr(pq.read_schema(path).field("ts").type, "unit", "us")
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazily bind one fixture table. Filters/projections on the
     returned DataFrame push down into the parquet scan."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     schema = SCHEMAS.get(name)
     if name == "events":
+        if events_ts_unit(path) != "ns":
+            # µs (or ms) precision: Spark's NTZ reader handles it
+            # natively at full fidelity — no conversion column.
+            ntz_schema = T.StructType(
+                [
+                    f if f.name != "ts" else T.StructField("ts", _NTZ)
+                    for f in schema.fields
+                ]
+            )
+            return spark.read.schema(ntz_schema).parquet(path)
         # TIMESTAMP(NANOS) column: read as int64, truncate to µs NTZ.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.schema(schema).parquet(path)
