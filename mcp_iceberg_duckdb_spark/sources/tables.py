@@ -17,9 +17,13 @@ contract). Explicit schemas buy three things at scale:
   reads them naive),
 - type intent is documented (e.g. ``embedding array<float>``).
 
-``events.ts`` is nanosecond-precision in parquet; Spark's NTZ reader
-and DuckDB both read it at microsecond precision via the explicit
-schema, so both sides see identical values.
+``events.ts`` has shipped in BOTH nanosecond and microsecond parquet
+variants across driver rounds, so :func:`events_ts_unit` sniffs the
+footer unit per load: µs/ms files bind TIMESTAMP_NTZ directly; nanos
+files read the raw int64 (legacy conf) and truncate to µs — the same
+truncation DuckDB applies, so both sides see identical values either
+way. :func:`streaming.events.read_event_stream` branches on the same
+sniff (a nanos-only reader lands 2024 µs data in Jan 1970).
 """
 
 from __future__ import annotations
@@ -148,6 +152,17 @@ SCHEMAS: dict[str, T.StructType] = {
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# events schema variant for µs/ms fixtures: ts binds directly as NTZ
+# (no int64 + convert dance). Shared by the batch loader and
+# streaming.events.read_event_stream so the two paths can never
+# diverge on the unit question again.
+EVENTS_NTZ_SCHEMA = T.StructType(
+    [
+        f if f.name != "ts" else T.StructField("ts", _NTZ)
+        for f in SCHEMAS["events"].fields
+    ]
+)
+
 
 def events_ts_unit(path: str) -> str:
     """Physical unit of ``events.ts`` in this fixture ('ns', 'us', or
@@ -158,11 +173,21 @@ def events_ts_unit(path: str) -> str:
     import pyarrow.parquet as pq
 
     if os.path.isdir(path):
-        for f in sorted(os.listdir(path)):
-            if f.endswith(".parquet"):
-                path = os.path.join(path, f)
-                break
-    return getattr(pq.read_schema(path).field("ts").type, "unit", "us")
+        files = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+        if not files:
+            raise FileNotFoundError(
+                f"events fixture dir {path!r} contains no .parquet file"
+            )
+        path = os.path.join(path, files[0])
+    ts_type = pq.read_schema(path).field("ts").type
+    unit = getattr(ts_type, "unit", None)
+    if unit is None:
+        raise TypeError(
+            f"events.ts in {path!r} has parquet type {ts_type!r}, not a "
+            "timestamp — cannot infer precision; regenerate the fixture "
+            "or extend the loader for this physical type"
+        )
+    return unit
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -174,13 +199,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if events_ts_unit(path) != "ns":
             # µs (or ms) precision: Spark's NTZ reader handles it
             # natively at full fidelity — no conversion column.
-            ntz_schema = T.StructType(
-                [
-                    f if f.name != "ts" else T.StructField("ts", _NTZ)
-                    for f in schema.fields
-                ]
-            )
-            return spark.read.schema(ntz_schema).parquet(path)
+            return spark.read.schema(EVENTS_NTZ_SCHEMA).parquet(path)
         # TIMESTAMP(NANOS) column: read as int64, truncate to µs NTZ.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.schema(schema).parquet(path)

@@ -32,7 +32,11 @@ from pyspark.sql import functions as F
 
 from mcp_iceberg_duckdb_spark.operators._util import dec_round, t
 from mcp_iceberg_duckdb_spark.registry import query
-from mcp_iceberg_duckdb_spark.sources.tables import SCHEMAS
+from mcp_iceberg_duckdb_spark.sources.tables import (
+    EVENTS_NTZ_SCHEMA,
+    SCHEMAS,
+    events_ts_unit,
+)
 
 # ---------------------------------------------------------------- batch-mode
 
@@ -253,13 +257,16 @@ def s_stream_stream_join(spark, sf_dir):
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events fixture. Parquet TIMESTAMP(NANOS)
-    needs the same int64 + convert treatment as the batch loader, but
-    to TIMESTAMP (LTZ) here: watermarks reject TIMESTAMP_NTZ event
-    time. Under the UTC session timezone the wall-clock values match
-    the batch loader's NTZ ones. maxFilesPerTrigger=1 keeps
-    micro-batches deterministic in tests."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """readStream over the events fixture. The fixture has shipped
+    with BOTH nanosecond and microsecond parquet timestamps across
+    driver rounds, so the unit is sniffed from the footer exactly like
+    the batch loader (sources/tables.py:load) — a hardcoded nanos
+    path lands 2024 µs data in Jan 1970, every event falls into one
+    never-closing window, and append mode emits nothing. Event time
+    is cast to TIMESTAMP (LTZ): watermarks reject TIMESTAMP_NTZ.
+    Under the UTC session timezone the wall-clock values match the
+    batch loader's NTZ ones. maxFilesPerTrigger=1 keeps micro-batches
+    deterministic in tests."""
     path = sf_dir
     if path.endswith(".parquet") and os.path.isfile(path):
         # the file source wants a directory; stage a symlink dir so a
@@ -272,6 +279,17 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not os.path.exists(link):
             os.symlink(path, link)
         path = stage
+    if events_ts_unit(path) != "ns":
+        # µs/ms precision: bind NTZ directly, cast to LTZ for the
+        # watermark — no unit conversion needed.
+        raw = (
+            spark.readStream.schema(EVENTS_NTZ_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    # TIMESTAMP(NANOS): read raw int64, truncate to µs LTZ.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(SCHEMAS["events"])
         .option("maxFilesPerTrigger", 1)

@@ -20,9 +20,28 @@ from mcp_iceberg_duckdb_spark.streaming.events import (
 )
 
 
-@pytest.fixture(scope="module")
-def events_path(sf_dir):
-    return os.path.join(sf_dir, "events.parquet")
+@pytest.fixture(scope="module", params=["native", "ns"])
+def events_path(request, sf_dir, tmp_path_factory):
+    """Run every streaming test against BOTH timestamp units the
+    driver has shipped: the fixture as-is (µs this round) and a
+    locally-rewritten TIMESTAMP(NANOS) variant — the round-3 bug was
+    exactly a unit-assumption in read_event_stream that only one
+    variant could catch."""
+    src = os.path.join(sf_dir, "events.parquet")
+    if request.param == "native":
+        return src
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(src)
+    idx = tbl.schema.get_field_index("ts")
+    ns_col = tbl.column("ts").cast(pa.timestamp("ns"))
+    tbl = tbl.set_column(idx, pa.field("ts", pa.timestamp("ns")), ns_col)
+    out = str(tmp_path_factory.mktemp("events_ns") / "events.parquet")
+    # parquet format >= 2.6 stores TIMESTAMP(NANOS) natively
+    pq.write_table(tbl, out, version="2.6", coerce_timestamps=None)
+    assert pq.read_schema(out).field("ts").type == pa.timestamp("ns")
+    return out
 
 
 def test_stream_tumbling_matches_batch(spark, sf_dir, events_path):
