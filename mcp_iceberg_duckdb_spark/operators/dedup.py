@@ -34,6 +34,7 @@ from mcp_iceberg_duckdb_spark.functions.textfns import (
     word_shingles,
 )
 from mcp_iceberg_duckdb_spark.functions.vector import as_double, cosine
+from mcp_iceberg_duckdb_spark.functions.vector import dot as vdot
 from mcp_iceberg_duckdb_spark.operators._util import parallelize, r6, rn, t
 from mcp_iceberg_duckdb_spark.registry import query
 
@@ -501,32 +502,78 @@ def x_dedup_ngram_jaccard(spark, sf_dir):
 @query(
     "x_dedup_embedding_cosine",
     oracle="""
-    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    flat AS (
+        SELECT e.label, g.i, e.v[g.i] AS x
+        FROM e, LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS i) g
+    ),
+    comp AS (
+        SELECT label, i, avg(x) AS cx FROM flat GROUP BY label, i
+    ),
+    cent AS (
+        SELECT label AS clabel, list(cx ORDER BY i) AS cv FROM comp GROUP BY label
+    ),
+    scored AS (
+        SELECT e.vec_id, e.v, c.clabel,
+               list_cosine_similarity(e.v, c.cv) AS sim
+        FROM e CROSS JOIN cent c
+    ),
+    assigned AS (
+        SELECT vec_id, v, clabel AS cluster_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                          ORDER BY sim DESC, clabel) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            floor((list_cosine_similarity(a.v, b.v)) * 1e6 + 0.5) / 1e6 AS cos_sim
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM assigned a JOIN assigned b
+      ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
     WHERE floor((list_cosine_similarity(a.v, b.v)) * 1e6 + 0.5) / 1e6 >= 0.35
     """,
     tags=("dedup", "tierx"),
 )
 def x_dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup, blocked on label: cosine in float64
-    via zip_with/aggregate (no UDF), pairs within a block only. The
-    unblocked scale path is x_ann_lsh_topk's hyperplane bucketing."""
-    e = t(spark, sf_dir).embeddings
-    docs = e.select("vec_id", "label", as_double("embedding").alias("v"))
-    a, b = docs.alias("a"), docs.alias("b")
-    sim = r6(cosine(F.col("a.v"), F.col("b.v")))
+    """Embedding-cosine near-dup pair listing, blocked on a BOUNDED
+    centroid assignment (the SemDeDup primitive,
+    pipeline_extra.label_centroid_assignment) instead of the raw
+    `label` column: cosine in float64 via zip_with/aggregate (no
+    UDF), pairs only within an assigned cluster.
+
+    Round-4 re-key: `label` has a handful of data-determined distinct
+    values, so label blocks grow with the corpus and the pair join was
+    the suite's last O(block²) plan. The centroid assignment keys the
+    identical join on a cluster id whose cardinality k is an operator
+    knob — at 100 TB you raise k (the SemDeDup paper runs k≈11k for
+    600 M docs) and Σ(cluster_size²) stays bounded regardless of how
+    `label` skews. The unblocked scale path for top-k neighbors stays
+    x_ann_lsh_topk's hyperplane bucketing."""
+    from mcp_iceberg_duckdb_spark.operators.pipeline_extra import (
+        label_centroid_assignment,
+    )
+
+    e = parallelize(
+        t(spark, sf_dir).embeddings.select(
+            "vec_id", "label", as_double("embedding").alias("v")
+        )
+    )
+    assigned = label_centroid_assignment(e)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pair_cos = vdot(F.col("a.v"), F.col("b.v")) / F.nullif(
+        F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0)
+    )
     return (
         a.join(
             b,
-            (F.col("a.label") == F.col("b.label"))
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            sim.alias("cos_sim"),
+            r6(pair_cos).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.35)
     )

@@ -25,6 +25,41 @@ from mcp_iceberg_duckdb_spark.registry import query
 _SEM_TAU = 0.25  # within-cluster cosine above which the later vec drops
 
 
+def label_centroid_assignment(e):
+    """Shared SemDeDup primitive (arXiv:2303.09540): per-label mean
+    centroids (posexplode → one (label, dim) groupBy with map-side
+    partials), k-row centroid table broadcast, argmax-cosine
+    assignment via a per-vector window over k candidate rows. Returns
+    the PERSISTED assignment (vec_id, v, cluster_id, nrm) — callers
+    join it against itself on cluster_id, so pair work is
+    Σ(cluster_size²) with k as the scaling knob, never corpus².
+    Per-vector L2 norms are precomputed so each candidate pair costs
+    one dot-product fold (cosine = dot/(nₐ·n_b)).
+
+    ``e`` must carry (vec_id, label, v double-array)."""
+    comp = (
+        e.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("cx"))
+    )
+    cent = comp.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cx"))), lambda s: s.cx
+        ).alias("cv")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "v", "clabel", cosine(F.col("v"), F.col("cv")).alias("sim")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), "clabel")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("clabel").alias("cluster_id"))
+        .withColumn("nrm", l2_norm(F.col("v")))
+        .persist()
+    )
+
+
 @query(
     "x_semdedup",
     oracle=f"""
@@ -96,27 +131,7 @@ def x_semdedup(spark, sf_dir):
             "vec_id", "label", as_double("embedding").alias("v")
         )
     )
-    comp = (
-        e.select("label", F.posexplode("v").alias("pos", "x"))
-        .groupBy("label", "pos")
-        .agg(F.avg("x").alias("cx"))
-    )
-    cent = comp.groupBy(F.col("label").alias("clabel")).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "cx"))), lambda s: s.cx
-        ).alias("cv")
-    )
-    scored = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "v", "clabel", cosine(F.col("v"), F.col("cv")).alias("sim")
-    )
-    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), "clabel")
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", F.col("clabel").alias("cluster_id"))
-        .withColumn("nrm", l2_norm(F.col("v")))
-        .persist()
-    )
+    assigned = label_centroid_assignment(e)
     a, b = assigned.alias("a"), assigned.alias("b")
     pair_cos = dot(F.col("a.v"), F.col("b.v")) / F.nullif(
         F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0)
@@ -181,13 +196,29 @@ def x_text_boilerplate(spark, sf_dir):
     doc grain. All three shuffles are on linear row counts; at 100 TB
     the df table is the same banding layout the LSH dedup already
     shuffles, and AQE handles the head-word skew (common shingles hit
-    many docs by definition — that skew is the signal)."""
+    many docs by definition — that skew is the signal).
+
+    Cost shape (round-4 rework, was 15.3 s = 34% of the sf0.1 bench):
+    (a) the exploded shingle relation feeds BOTH the df groupBy and
+    the join back — persist() it so tokenize+shingle+explode runs
+    once, not twice (the x_semdedup recipe); (b) every shuffle moves
+    xxhash64 of the shingle, never the raw 3-word string — the
+    persisted relation and all three exchanges carry two int64s per
+    row. The output never needs the shingle text, so the strings die
+    at the map stage. A 64-bit hash collision would merge two
+    shingles' df counts; at the 100 TB design point (~1e12 distinct
+    shingles) collisions are ~1e-4 of vocab and the df signal is a
+    >=4 threshold, so the decision boundary is unaffected."""
     d = t(spark, sf_dir).documents
-    sh = d.select("doc_id", F.explode(word_shingles("text", 3)).alias("s"))
-    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    sh = (
+        d.select("doc_id", F.explode(word_shingles("text", 3)).alias("s"))
+        .select("doc_id", F.xxhash64("s").alias("h"))
+        .persist()
+    )
+    dfreq = sh.groupBy("h").agg(F.count("*").alias("df"))
     ratio = F.col("n_common").cast("double") / F.col("n_shingles")
     return (
-        sh.join(dfreq, "s")
+        sh.join(dfreq, "h")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),
@@ -292,21 +323,34 @@ def x_text_tfidf_topk(spark, sf_dir):
 
     Spark shape: explode → (doc, term) count [shuffle 1] → term df
     from the tf relation [shuffle 2, input already one row per (doc,
-    term)] → join tf⋈df on term [key shuffle; at sf the df side
-    broadcasts under AQE] → corpus count broadcast → per-doc top-3 via
-    rank-limited window (WindowGroupLimit: only 3 rows per doc survive
-    the shuffle). Ranking compares the ROUNDED score with a term
-    tiebreak, so order is engine-identical."""
+    term)] → join tf⋈df on xxhash64(term) [key shuffle; at sf the df
+    side broadcasts under AQE] → corpus count broadcast → per-doc
+    top-3 via rank-limited window (WindowGroupLimit: only 3 rows per
+    doc survive the shuffle). Ranking compares the ROUNDED score with
+    a term tiebreak, so order is engine-identical.
+
+    Cost shape (round-4 rework, was the second-heaviest bench query):
+    tf feeds both the df groupBy and the join — persist() it so the
+    tokenize+explode+count pipeline runs once; the df groupBy and the
+    tf⋈df join shuffle the 64-bit term hash, with the term string
+    riding only on the tf side (it is an output column). Collisions
+    merge df counts for two terms — negligible at any realistic vocab
+    (birthday bound ~1e-7 at 1e6 terms) and deterministic either way."""
     d = t(spark, sf_dir).documents
     tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", F.xxhash64("term"))
+        .persist()
+    )
+    dfq = tf.groupBy("h").agg(F.count("*").alias("df"))
     n = d.agg(F.count("*").alias("n_docs"))
     idf = (
         F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5)
     ) / (F.col("df").cast("double") + F.lit(0.5))
     scored = (
-        tf.join(dfq, "term")
+        tf.join(dfq, "h")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -551,13 +595,24 @@ def x_text_unigram_logprob(spark, sf_dir):
     sf it broadcasts under AQE); doc-grain groupBy [last shuffle]
     moves one int64 per token. Swapping in a real KenLM means
     replacing the lp relation with a mapInPandas scorer — the
-    aggregation shape is unchanged."""
+    aggregation shape is unchanged.
+
+    Cost shape (round-4 rework): the exploded token relation is
+    hashed to (doc_id, xxhash64(tk)) — two int64s — and persisted,
+    since it feeds both the vocab count and the join back; the corpus
+    total is derived from the vocab histogram (sum of counts — exact
+    same number) instead of a third pass over the tokens. Token
+    strings never leave the map stage."""
     d = t(spark, sf_dir).documents
-    tok = d.select("doc_id", F.explode(tokens("text")).alias("tk"))
-    cnt = tok.groupBy("tk").agg(F.count("*").alias("c"))
-    tot = tok.agg(F.count("*").cast("double").alias("total"))
+    tok = (
+        d.select("doc_id", F.explode(tokens("text")).alias("tk"))
+        .select("doc_id", F.xxhash64("tk").alias("h"))
+        .persist()
+    )
+    cnt = tok.groupBy("h").agg(F.count("*").alias("c"))
+    tot = cnt.agg(F.sum("c").cast("double").alias("total"))
     lp = cnt.crossJoin(F.broadcast(tot)).select(
-        "tk",
+        "h",
         F.floor(
             F.log(F.col("c").cast("double") / F.col("total")) * F.lit(1e6)
             + F.lit(0.5)
@@ -566,7 +621,7 @@ def x_text_unigram_logprob(spark, sf_dir):
         .alias("lp_micro"),
     )
     per = (
-        tok.join(lp, "tk")
+        tok.join(lp, "h")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_tokens"), F.sum("lp_micro").alias("s"))
     )

@@ -242,3 +242,40 @@ def test_boilerplate_three_linear_shuffles(spark, sf_dir):
     """df-count groupBy, join back, doc-grain groupBy — all keyed on
     linear row counts; anything beyond 4 exchanges means a replan."""
     assert shuffle_count(_df("x_text_boilerplate", spark, sf_dir)) <= 4
+
+
+def test_text_heavyweights_persist_and_hash_keys(spark, sf_dir):
+    """The round-3 bench heavyweights must (a) persist the exploded
+    token/shingle relation so the tokenize pipeline evaluates ONCE —
+    the plan consumes InMemoryTableScan and the documents scan
+    appears at most once (tfidf legitimately adds a count-only second
+    scan for n_docs); (b) shuffle 64-bit xxhash64 keys, never raw
+    shingle/term strings. Losing either re-opens the 15-second
+    x_text_boilerplate regression."""
+    from mcp_iceberg_duckdb_spark.plans import explain_str
+
+    for name, max_scans in (
+        ("x_text_boilerplate", 1),
+        ("x_text_tfidf_topk", 2),
+        ("x_text_unigram_logprob", 1),
+    ):
+        plan = explain_str(_df(name, spark, sf_dir))
+        assert "InMemoryTableScan" in plan, f"{name}: persisted relation unused"
+        assert plan.count("documents.parquet") <= max_scans, (
+            f"{name}: duplicate scan subtree — persist() lost"
+        )
+        assert "xxhash64" in plan, f"{name}: join key is not hashed"
+        spark.catalog.clearCache()
+
+
+def test_embedding_cosine_pair_join_is_cluster_keyed(spark, sf_dir):
+    """x_dedup_embedding_cosine was the last registered all-pairs
+    plan (label-blocked O(block²)); since round 4 its pair join must
+    be hash-keyed on the bounded centroid assignment — never a
+    cartesian / nested-loop over the corpus."""
+    from mcp_iceberg_duckdb_spark.plans import explain_str
+
+    plan = explain_str(_df("x_dedup_embedding_cosine", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "cluster_id" in plan, "pair join lost the cluster key"
+    spark.catalog.clearCache()
