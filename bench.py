@@ -49,6 +49,10 @@ BENCH_QUERIES = [
     "x_semdedup",
     "x_text_boilerplate",
     "x_text_tfidf_topk",
+    # round-4 additions (compare from BENCH_r04 on)
+    "x_text_unigram_logprob",
+    "x_dsir_importance",
+    "x_quality_stratified_sample",
 ]
 
 

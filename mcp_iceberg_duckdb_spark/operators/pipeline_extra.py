@@ -632,3 +632,256 @@ def x_text_unigram_logprob(spark, sf_dir):
         avg_lp.alias("avg_logprob"),
         (avg_lp < F.lit(_LP_UNUSUAL)).alias("is_unusual"),
     )
+
+
+@query(
+    "x_dsir_importance",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang = 'en' AS en, unnest(string_split(text, ' ')) AS tk
+        FROM documents
+    ),
+    cnt AS (
+        SELECT tk, count(*) AS cc,
+               count(CASE WHEN en THEN 1 END) AS ct
+        FROM tok GROUP BY tk
+    ),
+    stats AS (
+        SELECT CAST(sum(cc) AS DOUBLE) AS c_all,
+               CAST(sum(ct) AS DOUBLE) AS t_all,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM cnt
+    ),
+    lr AS (
+        SELECT tk,
+               CAST(floor(ln(((CAST(ct AS DOUBLE) + 0.5) / (t_all + 0.5 * v))
+                             / ((CAST(cc AS DOUBLE) + 0.5) / (c_all + 0.5 * v)))
+                          * 1e6 + 0.5) AS BIGINT) AS lr_micro
+        FROM cnt CROSS JOIN stats
+    ),
+    per AS (
+        SELECT t.doc_id, count(*) AS n_tokens, sum(lr.lr_micro) AS s
+        FROM tok t JOIN lr ON t.tk = lr.tk
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           floor(((CAST(s AS DOUBLE) / 1e6) / n_tokens) * 1e6 + 0.5) / 1e6
+               AS avg_log_ratio,
+           floor(((CAST(s AS DOUBLE) / 1e6) / n_tokens) * 1e6 + 0.5) / 1e6
+               > 0.0 AS is_target_like
+    FROM per
+    """,
+    tags=("text", "tierx"),
+)
+def x_dsir_importance(spark, sf_dir):
+    """DSIR importance weighting (Xie et al. 2023, arXiv:2302.03169,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every document by the average log-ratio of its tokens'
+    probability under a TARGET unigram LM (here: the English subset)
+    vs the full-corpus unigram LM. Documents whose token mix looks
+    more target-like than corpus-average score > 0 and get upweighted
+    when resampling a pretraining mix toward the target domain.
+
+    Both LMs use additive 0.5 smoothing over the shared corpus vocab,
+    so zero target counts stay finite. Determinism: one ln per
+    DISTINCT token, quantized to integer micro-nats (the
+    x_text_unigram_logprob recipe) — per-doc sums are exact int64,
+    immune to float-order effects; the two count totals and the vocab
+    size come from the same histogram so both engines see identical
+    smoothing denominators.
+
+    Scale: ONE vocab groupBy computes both counts (corpus count +
+    conditional target count — no second pass over the tokens); the
+    exploded relation is hashed to (doc_id, en-bit, int64) and
+    persisted because it feeds the vocab histogram and the score-join;
+    the 3-value stats row broadcasts. Exactly the
+    x_text_unigram_logprob topology with a 2-column payload —
+    linear end to end, target-LM swap = replacing the `lr` relation."""
+    d = t(spark, sf_dir).documents
+    tok = (
+        d.select(
+            "doc_id",
+            (F.col("lang") == "en").alias("en"),
+            F.explode(tokens("text")).alias("tk"),
+        )
+        .select("doc_id", "en", F.xxhash64("tk").alias("h"))
+        .persist()
+    )
+    cnt = tok.groupBy("h").agg(
+        F.count("*").alias("cc"),
+        F.count(F.when(F.col("en"), F.lit(1))).alias("ct"),
+    )
+    stats = cnt.agg(
+        F.sum("cc").cast("double").alias("c_all"),
+        F.sum("ct").cast("double").alias("t_all"),
+        F.count("*").cast("double").alias("v"),
+    )
+    p_target = (F.col("ct").cast("double") + F.lit(0.5)) / (
+        F.col("t_all") + F.lit(0.5) * F.col("v")
+    )
+    p_corpus = (F.col("cc").cast("double") + F.lit(0.5)) / (
+        F.col("c_all") + F.lit(0.5) * F.col("v")
+    )
+    lr = cnt.crossJoin(F.broadcast(stats)).select(
+        "h",
+        F.floor(F.log(p_target / p_corpus) * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint")
+        .alias("lr_micro"),
+    )
+    per = (
+        tok.join(lr, "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("lr_micro").alias("s"))
+    )
+    avg_lr = rn((F.col("s").cast("double") / F.lit(1e6)) / F.col("n_tokens"), 6)
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        avg_lr.alias("avg_log_ratio"),
+        (avg_lr > F.lit(0.0)).alias("is_target_like"),
+    )
+
+
+@query(
+    "x_quality_stratified_sample",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents
+    ),
+    cnt AS (SELECT tk, count(*) AS c FROM tok GROUP BY tk),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM cnt),
+    lp AS (
+        SELECT tk,
+               CAST(floor(ln(CAST(c AS DOUBLE) / total) * 1e6 + 0.5) AS BIGINT)
+                   AS lp_micro
+        FROM cnt CROSS JOIN tot
+    ),
+    per AS (
+        SELECT t.doc_id, count(*) AS n_tokens, sum(lp.lp_micro) AS s
+        FROM tok t JOIN lp ON t.tk = lp.tk
+        GROUP BY t.doc_id
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(floor(CAST(s AS DOUBLE) / n_tokens) AS BIGINT) AS q_micro
+        FROM per
+    ),
+    hist AS (SELECT q_micro AS v, count(*) AS c FROM scored GROUP BY q_micro),
+    cum AS (
+        SELECT v, sum(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cf
+        FROM hist
+    ),
+    n AS (SELECT count(*) AS n_docs FROM scored),
+    thr AS (
+        SELECT min(CASE WHEN cf * 10 >= 1 * n_docs THEN v END) AS t1,
+               min(CASE WHEN cf * 10 >= 2 * n_docs THEN v END) AS t2,
+               min(CASE WHEN cf * 10 >= 3 * n_docs THEN v END) AS t3,
+               min(CASE WHEN cf * 10 >= 4 * n_docs THEN v END) AS t4,
+               min(CASE WHEN cf * 10 >= 5 * n_docs THEN v END) AS t5,
+               min(CASE WHEN cf * 10 >= 6 * n_docs THEN v END) AS t6,
+               min(CASE WHEN cf * 10 >= 7 * n_docs THEN v END) AS t7,
+               min(CASE WHEN cf * 10 >= 8 * n_docs THEN v END) AS t8,
+               min(CASE WHEN cf * 10 >= 9 * n_docs THEN v END) AS t9
+        FROM cum CROSS JOIN n
+    ),
+    dec AS (
+        SELECT s.doc_id, s.q_micro,
+               1 + CAST(s.q_micro > t.t1 AS BIGINT) + CAST(s.q_micro > t.t2 AS BIGINT)
+                 + CAST(s.q_micro > t.t3 AS BIGINT) + CAST(s.q_micro > t.t4 AS BIGINT)
+                 + CAST(s.q_micro > t.t5 AS BIGINT) + CAST(s.q_micro > t.t6 AS BIGINT)
+                 + CAST(s.q_micro > t.t7 AS BIGINT) + CAST(s.q_micro > t.t8 AS BIGINT)
+                 + CAST(s.q_micro > t.t9 AS BIGINT) AS decile
+        FROM scored s CROSS JOIN thr t
+    )
+    SELECT doc_id, q_micro, decile,
+           substr(md5('qs:' || CAST(doc_id AS VARCHAR)), 1, 4)
+               < CASE WHEN decile >= 9 THEN '8000'
+                      WHEN decile >= 6 THEN '4000'
+                      ELSE '1000' END AS in_sample
+    FROM dec
+    """,
+    tags=("text", "tierx"),
+)
+def x_quality_stratified_sample(spark, sf_dir):
+    """Quality-stratified deterministic sampling — the data-mixing
+    step after quality scoring: bucket every document into a quality
+    DECILE (by its unigram-LM score, the x_text_unigram_logprob
+    signal) and Bernoulli-sample each stratum at a quality-dependent
+    rate (50% of the top two deciles, 25% of the upper-middle, 6.25%
+    of the rest) with the md5-bucket membership of
+    x_corpus_split_hash, so the sampled subset is reproducible under
+    reruns, retries, and repartitioning.
+
+    Decile assignment is scale-correct: no global sort / ntile (a
+    single-partition window over the corpus at 100 TB) — instead the
+    score histogram (|distinct int scores| rows, driver-sized) takes
+    a running sum, the 9 decile cutoffs reduce to ONE broadcast row,
+    and each doc's decile is 1 + Σ [score > cutoffᵢ] in codegen. The
+    score is integer micro-nats (floor of the int64 micro-nat sum /
+    token count), so threshold comparisons are pure int64 — no float
+    percentile definition to diverge on. Tied scores land in the
+    same decile in both engines by construction."""
+    d = t(spark, sf_dir).documents
+    tok = (
+        d.select("doc_id", F.explode(tokens("text")).alias("tk"))
+        .select("doc_id", F.xxhash64("tk").alias("h"))
+        .persist()
+    )
+    cnt = tok.groupBy("h").agg(F.count("*").alias("c"))
+    tot = cnt.agg(F.sum("c").cast("double").alias("total"))
+    lp = cnt.crossJoin(F.broadcast(tot)).select(
+        "h",
+        F.floor(
+            F.log(F.col("c").cast("double") / F.col("total")) * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("lp_micro"),
+    )
+    scored = (
+        tok.join(lp, "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("lp_micro").alias("s"))
+        .select(
+            "doc_id",
+            F.floor(F.col("s").cast("double") / F.col("n_tokens"))
+            .cast("bigint")
+            .alias("q_micro"),
+        )
+    )
+    hist = scored.groupBy(F.col("q_micro").alias("v")).agg(
+        F.count("*").alias("c")
+    )
+    wcum = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.withColumn("cf", F.sum("c").over(wcum))
+    n = scored.agg(F.count("*").alias("n_docs"))
+    thr = cum.crossJoin(F.broadcast(n)).agg(
+        *[
+            F.min(
+                F.when(F.col("cf") * 10 >= i * F.col("n_docs"), F.col("v"))
+            ).alias(f"t{i}")
+            for i in range(1, 10)
+        ]
+    )
+    decile = F.lit(1)
+    for i in range(1, 10):
+        decile = decile + (F.col("q_micro") > F.col(f"t{i}")).cast("bigint")
+    rate = (
+        F.when(F.col("decile") >= 9, F.lit("8000"))
+        .when(F.col("decile") >= 6, F.lit("4000"))
+        .otherwise(F.lit("1000"))
+    )
+    h_samp = F.substring(
+        F.md5(F.concat(F.lit("qs:"), F.col("doc_id").cast("string"))), 1, 4
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .withColumn("decile", decile)
+        .select(
+            "doc_id",
+            "q_micro",
+            "decile",
+            (h_samp < rate).alias("in_sample"),
+        )
+    )
