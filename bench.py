@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "x_text_unigram_logprob",
     "x_dsir_importance",
     "x_quality_stratified_sample",
+    "x_text_exactsubstr_scrub",
+    "x_source_overlap_matrix",
+    "x_text_pmi_bigrams",
 ]
 
 

@@ -646,3 +646,312 @@ def x_corpus_mix_weights(spark, sf_dir):
             "sample_weight"
         ),
     )
+
+
+@query(
+    "x_text_exactsubstr_scrub",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    win AS (
+        SELECT d.doc_id, g.i AS p,
+               array_to_string(d.tk[g.i + 1:g.i + 10], ' ') AS w
+        FROM d, LATERAL (
+            SELECT unnest(range(greatest(len(d.tk) - 9, 0))) AS i
+        ) g
+    ),
+    shared AS (
+        SELECT w FROM win GROUP BY w HAVING min(doc_id) <> max(doc_id)
+    ),
+    dup AS (SELECT win.doc_id, win.p FROM win JOIN shared USING (w)),
+    covp AS (
+        SELECT doc_id, p,
+               least(10, coalesce(
+                   lead(p) OVER (PARTITION BY doc_id ORDER BY p) - p, 10
+               )) AS covered
+        FROM dup
+    ),
+    cov AS (
+        SELECT doc_id, count(*) AS n_dup_windows,
+               CAST(sum(covered) AS BIGINT) AS dup_token_count
+        FROM covp GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           len(d.tk) AS n_tokens,
+           coalesce(c.n_dup_windows, 0) AS n_dup_windows,
+           coalesce(c.dup_token_count, 0) AS dup_token_count,
+           floor((CAST(coalesce(c.dup_token_count, 0) AS DOUBLE) / len(d.tk))
+                 * 1e6 + 0.5) / 1e6 AS dup_ratio,
+           floor((CAST(coalesce(c.dup_token_count, 0) AS DOUBLE) / len(d.tk))
+                 * 1e6 + 0.5) / 1e6 >= 0.2 AS needs_scrub
+    FROM d LEFT JOIN cov c USING (doc_id)
+    """,
+    tags=("text", "dedup", "tierx"),
+)
+def x_text_exactsubstr_scrub(spark, sf_dir):
+    """ExactSubstr deduplication statistics (Lee et al. 2022,
+    arXiv:2107.06499, "Deduplicating Training Data Makes Language
+    Models Better"): per document, how many of its tokens are covered
+    by a 10-token window that also occurs verbatim in ANOTHER
+    document. x_text_span_dedup lists the shared spans themselves;
+    this op turns them into the per-doc scrub decision a pipeline
+    acts on — the covered-token count is the union length of the
+    overlapping [p, p+9] intervals, computed with one lead() window
+    per doc (sorted duplicate positions: each contributes
+    min(10, next_p − p), the last a full 10).
+
+    Scale: window expansion is a codegen'd per-row map; positions are
+    hashed immediately (xxhash64 of the window string — the suffix
+    array of the paper trades exactness of this same signal for
+    memory locality) and the (doc_id, pos, hash) relation is
+    persisted since it feeds both the shared-hash groupBy and the
+    join back. Cross-doc test is min(doc_id) <> max(doc_id) — no
+    countDistinct expansion. The interval-union window partitions by
+    doc_id, so no global sort anywhere."""
+    d = t(spark, sf_dir).documents
+    toks = tokens("text")
+
+    def spans(tk):
+        idx = F.sequence(F.lit(0), F.size(tk) - 10)
+        return F.transform(
+            idx, lambda i: F.xxhash64(F.array_join(F.slice(tk, i + 1, 10), " "))
+        )
+
+    win = (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.when(F.size(toks) >= 10, spans(toks)).otherwise(
+                    F.array().cast("array<bigint>")
+                )
+            ).alias("p", "h"),
+        )
+        .persist()
+    )
+    shared = (
+        win.groupBy("h")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .select("h")
+    )
+    dup = win.join(shared, "h").select("doc_id", "p")
+    from pyspark.sql import Window as W
+
+    wlead = W.partitionBy("doc_id").orderBy("p")
+    covp = dup.withColumn(
+        "covered",
+        F.least(
+            F.lit(10),
+            F.coalesce(F.lead("p").over(wlead) - F.col("p"), F.lit(10)),
+        ),
+    )
+    cov = covp.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_windows"),
+        F.sum("covered").alias("dup_token_count"),
+    )
+    base = d.select("doc_id", F.size(toks).cast("bigint").alias("n_tokens"))
+    ratio = F.col("dup_token_count").cast("double") / F.col("n_tokens")
+    return (
+        base.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_dup_windows"), F.lit(0).cast("bigint")).alias(
+                "n_dup_windows"
+            ),
+            F.coalesce(
+                F.col("dup_token_count"), F.lit(0).cast("bigint")
+            ).alias("dup_token_count"),
+            r6(F.coalesce(ratio, F.lit(0.0))).alias("dup_ratio"),
+            (r6(F.coalesce(ratio, F.lit(0.0))) >= F.lit(0.2)).alias(
+                "needs_scrub"
+            ),
+        )
+    )
+
+
+@query(
+    "x_source_overlap_matrix",
+    oracle="""
+    WITH sv AS (
+        SELECT DISTINCT source, s FROM (
+            SELECT source, unnest(list_distinct(list_transform(
+                range(greatest(len(string_split(text, ' ')) - 2, 1)),
+                i -> array_to_string(string_split(text, ' ')[i + 1:i + 3], ' ')
+            ))) AS s FROM documents
+        )
+    ),
+    sz AS (SELECT source, count(*) AS n FROM sv GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+        FROM sv a JOIN sv b ON a.s = b.s AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b, i.n_shared,
+           CAST(za.n + zb.n - i.n_shared AS BIGINT) AS n_union,
+           floor((CAST(i.n_shared AS DOUBLE)
+                  / (za.n + zb.n - i.n_shared)) * 1e6 + 0.5) / 1e6 AS jaccard
+    FROM inter i
+    JOIN sz za ON i.src_a = za.source
+    JOIN sz zb ON i.src_b = zb.source
+    """,
+    tags=("text", "dedup", "tierx"),
+)
+def x_source_overlap_matrix(spark, sf_dir):
+    """Cross-source shingle-vocabulary overlap matrix — the corpus
+    diagnostic run before mixing sources into a training set: for
+    every source pair, the Jaccard overlap of their distinct 3-shingle
+    vocabularies. High overlap between two crawls means near-dup mass
+    the MinHash pass must absorb; it also drives dedup ORDERING
+    (dedup the high-overlap pair first).
+
+    Scale: distinct (source, xxhash64(shingle)) relation [one
+    distinct shuffle, 8-byte keys]; per-source vocab sizes are k rows
+    broadcast back; the intersection self-join keys on the shingle
+    hash, and a shingle shared by m sources contributes C(m,2) ≤
+    C(k,2) pair rows — bounded by the SOURCE count squared, not the
+    corpus. Output is k(k−1)/2 rows. Zero-overlap pairs are absent
+    from the output by construction (inner join) in both engines."""
+    d = t(spark, sf_dir).documents
+    from mcp_iceberg_duckdb_spark.functions.textfns import word_shingles
+
+    sv = (
+        d.select(
+            "source", F.explode(word_shingles("text", 3)).alias("s")
+        )
+        .select("source", F.xxhash64("s").alias("h"))
+        .distinct()
+        .persist()
+    )
+    sz = sv.groupBy("source").agg(F.count("*").alias("n"))
+    a, b = sv.alias("a"), sv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    za = F.broadcast(sz.select(F.col("source").alias("src_a"), F.col("n").alias("na")))
+    zb = F.broadcast(sz.select(F.col("source").alias("src_b"), F.col("n").alias("nb")))
+    union = F.col("na") + F.col("nb") - F.col("n_shared")
+    return (
+        inter.join(za, "src_a")
+        .join(zb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            union.cast("bigint").alias("n_union"),
+            r6(F.col("n_shared").cast("double") / union).alias("jaccard"),
+        )
+    )
+
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP_K = 20
+
+
+@query(
+    "x_text_pmi_bigrams",
+    oracle=f"""
+    WITH tk AS (SELECT string_split(text, ' ') AS tk FROM documents),
+    bg AS (
+        SELECT tk[i + 1] AS w1, tk[i + 2] AS w2
+        FROM tk, LATERAL (
+            SELECT unnest(range(greatest(len(tk) - 1, 0))) AS i
+        ) g
+    ),
+    bc AS (
+        SELECT w1, w2, count(*) AS cab FROM bg GROUP BY w1, w2
+        HAVING count(*) >= {_PMI_MIN_COUNT}
+    ),
+    uni AS (
+        SELECT tk_u AS w, count(*) AS c FROM (
+            SELECT unnest(tk) AS tk_u FROM tk
+        ) GROUP BY tk_u
+    ),
+    nb AS (SELECT CAST(sum(cab) AS DOUBLE) AS n_bigrams FROM
+           (SELECT w1, w2, count(*) AS cab FROM bg GROUP BY w1, w2)),
+    nu AS (SELECT CAST(sum(c) AS DOUBLE) AS n_uni FROM uni),
+    scored AS (
+        SELECT bc.w1, bc.w2, bc.cab,
+               floor(ln((CAST(bc.cab AS DOUBLE) / n_bigrams)
+                        / ((CAST(ua.c AS DOUBLE) / n_uni)
+                           * (CAST(ub.c AS DOUBLE) / n_uni)))
+                     * 1e6 + 0.5) / 1e6 AS pmi
+        FROM bc JOIN uni ua ON bc.w1 = ua.w
+                JOIN uni ub ON bc.w2 = ub.w
+        CROSS JOIN nb CROSS JOIN nu
+    )
+    SELECT w1, w2, cab, pmi
+    FROM scored
+    ORDER BY pmi DESC, w1, w2
+    LIMIT {_PMI_TOP_K}
+    """,
+    tags=("text", "tierx"),
+)
+def x_text_pmi_bigrams(spark, sf_dir):
+    """Top-20 bigram collocations by pointwise mutual information
+    (Church & Hanks 1990) — the collocation signal a tokenizer-merge
+    or phrase-mining pass ranks by:
+    pmi = ln(p(w1w2) / (p(w1)·p(w2))), minimum bigram count 5 to
+    kill noise-PMI singletons.
+
+    Scale: bigram counts from one groupBy over the zipped
+    (token, next-token) map; unigram counts from one vocab groupBy;
+    the two count-joins key on the word (broadcast-eligible at sf,
+    hash-keyed at scale); the two totals are 1-row broadcasts; the
+    final top-K is a TakeOrdered head — the full scored relation is
+    never globally sorted. One ln per surviving bigram, quantized to
+    6 dp AFTER the ln with identical IEEE argument shapes on both
+    engines; ties broken by the bigram text so the head is
+    engine-stable."""
+    d = t(spark, sf_dir).documents
+    toks = tokens("text")
+    bg = d.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.zip_with(
+                    F.slice(toks, 1, F.size(toks) - 1),
+                    F.slice(toks, 2, F.size(toks) - 1),
+                    lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    bc_all = bg.groupBy("w1", "w2").agg(F.count("*").alias("cab")).persist()
+    bc = bc_all.filter(F.col("cab") >= _PMI_MIN_COUNT)
+    uni = (
+        d.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .persist()  # feeds ua, ub, and the nu total
+    )
+    nb = bc_all.agg(F.sum("cab").cast("double").alias("n_bigrams"))
+    nu = uni.agg(F.sum("c").cast("double").alias("n_uni"))
+    ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("cb"))
+    pmi = rn(
+        F.log(
+            (F.col("cab").cast("double") / F.col("n_bigrams"))
+            / (
+                (F.col("ca").cast("double") / F.col("n_uni"))
+                * (F.col("cb").cast("double") / F.col("n_uni"))
+            )
+        ),
+        6,
+    )
+    return (
+        bc.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+        .select("w1", "w2", "cab", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(_PMI_TOP_K)
+    )

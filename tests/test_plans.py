@@ -268,6 +268,28 @@ def test_text_heavyweights_persist_and_hash_keys(spark, sf_dir):
         spark.catalog.clearCache()
 
 
+def test_round4_text_ops_plan_shape(spark, sf_dir):
+    """Round-4 additions: PMI's top-K head must be a TakeOrdered
+    (never a full sort of the scored bigrams); the source-overlap
+    intersection join must be hash-keyed on the shingle hash, not
+    cartesian; the ExactSubstr scrub must reuse its persisted window
+    relation and hash the shuffled window key."""
+    from mcp_iceberg_duckdb_spark.plans import explain_str
+
+    assert has_take_ordered(_df("x_text_pmi_bigrams", spark, sf_dir))
+    spark.catalog.clearCache()
+
+    p_overlap = explain_str(_df("x_source_overlap_matrix", spark, sf_dir))
+    assert "CartesianProduct" not in p_overlap
+    assert "xxhash64" in p_overlap
+    spark.catalog.clearCache()
+
+    p_scrub = explain_str(_df("x_text_exactsubstr_scrub", spark, sf_dir))
+    assert "InMemoryTableScan" in p_scrub
+    assert "xxhash64" in p_scrub
+    spark.catalog.clearCache()
+
+
 def test_embedding_cosine_pair_join_is_cluster_keyed(spark, sf_dir):
     """x_dedup_embedding_cosine was the last registered all-pairs
     plan (label-blocked O(block²)); since round 4 its pair join must
