@@ -216,3 +216,51 @@ def x_multimodal_frame_sample(spark, sf_dir):
         "n_frames",
         F.posexplode(idxs).alias("sample_ord", "frame_idx"),
     ).filter(F.col("sample_ord") < 4)
+
+
+@query(
+    "x_multimodal_resize",
+    oracle=_MD5_BYTES_CTE
+    + """
+    SELECT asset_id, width, height,
+           CAST(floor(CAST(width * 224 AS DOUBLE)
+                      / greatest(width, height)) AS INT) AS resized_w,
+           CAST(floor(CAST(height * 224 AS DOUBLE)
+                      / greatest(width, height)) AS INT) AS resized_h,
+           floor((CAST(224 AS DOUBLE) / greatest(width, height)) * 1e6 + 0.5)
+               / 1e6 AS scale,
+           greatest(width, height) <= 224 AS is_upscale
+    FROM f
+    """,
+    tags=("multimodal", "tierx"),
+)
+def x_multimodal_resize(spark, sf_dir):
+    """Resize planning over decoded assets — the aspect-preserving
+    max-side-224 target geometry a vision preprocessing stage
+    computes before the pixel resample (the resample itself is the
+    codec-gated decode stub; the geometry, schema, and partitioning
+    are the real Spark-side plumbing, and at 100 TB this arithmetic
+    rides the same mapInPandas batches as the decode). Integer-safe:
+    floor of a positive IEEE quotient on both engines, scale rounded
+    to 6 dp."""
+    feats = x_multimodal_features(spark, sf_dir)
+    longest = F.greatest(F.col("width"), F.col("height"))
+    return feats.select(
+        "asset_id",
+        "width",
+        "height",
+        F.floor(
+            (F.col("width") * 224).cast("double") / longest
+        )
+        .cast("int")
+        .alias("resized_w"),
+        F.floor(
+            (F.col("height") * 224).cast("double") / longest
+        )
+        .cast("int")
+        .alias("resized_h"),
+        (F.floor((F.lit(224.0) / longest) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "scale"
+        ),
+        (longest <= F.lit(224)).alias("is_upscale"),
+    )

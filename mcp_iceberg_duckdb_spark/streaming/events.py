@@ -452,3 +452,31 @@ def run_stream_to_memory(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+@query(
+    "s_stream_static_enrich",
+    oracle="""
+    WITH f AS (
+        SELECT user_id,
+               count(*) FILTER (WHERE event_type = 'purchase') AS purchases
+        FROM events
+        GROUP BY user_id
+        HAVING count(*) FILTER (WHERE event_type = 'purchase') > 0
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           f.purchases AS user_purchases
+    FROM events e LEFT JOIN f ON e.user_id = f.user_id
+    """,
+    tags=("streaming", "tierx"),
+)
+def s_stream_static_enrich(spark, sf_dir):
+    """Batch twin of stream_static_enriched: every event left-joined
+    against the static per-user funnel profile (purchasing users
+    only), with the dimension broadcast — the exact join
+    stream_static_enriched runs per micro-batch, so this oracle row
+    also certifies the streaming builder's join semantics (the
+    builder is shared, not duplicated)."""
+    e = t(spark, sf_dir).events
+    funnel = s_event_funnel(spark, sf_dir).select("user_id", "purchases")
+    return stream_static_enriched(e, funnel)

@@ -285,3 +285,26 @@ def test_load_driver_history_parses_rounds(tmp_path):
     empty.mkdir()
     green0, red0 = registry._load_driver_history(base_dir=str(empty))
     assert green0 == registry._DRIVER_GREEN_STATIC and red0 == ()
+
+
+# --- ExactSubstr interval-union formula (x_text_exactsubstr_scrub) -------
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=200), max_size=40),
+    st.integers(min_value=1, max_value=15),
+)
+@settings(max_examples=300, deadline=None)
+def test_interval_union_lead_formula(positions, k):
+    """The per-doc covered-token count in x_text_exactsubstr_scrub is
+    computed as Σ min(k, next_p − p) over sorted duplicate window
+    positions (last term k) — one lead() window, no interval
+    merging. It must equal the brute-force union length of the
+    [p, p+k−1] intervals for ANY position set and window width."""
+    ps = sorted(positions)
+    formula = sum(
+        min(k, (ps[i + 1] - ps[i]) if i + 1 < len(ps) else k)
+        for i in range(len(ps))
+    )
+    brute = len({t for p in ps for t in range(p, p + k)})
+    assert formula == brute
