@@ -699,31 +699,31 @@ def x_text_exactsubstr_scrub(spark, sf_dir):
     per doc (sorted duplicate positions: each contributes
     min(10, next_p − p), the last a full 10).
 
-    Scale: window expansion is a codegen'd per-row map; positions are
-    hashed immediately (xxhash64 of the window string — the suffix
-    array of the paper trades exactness of this same signal for
-    memory locality) and the (doc_id, pos, hash) relation is
+    Scale: window expansion is a per-row map; the token array is
+    LET-BOUND (textfns.bind) so the split runs once per doc, not once
+    per window position, and each window is hashed as xxhash64 of the
+    token-slice ARRAY — no per-window string concatenation (the
+    suffix array of the paper trades exactness of this same signal
+    for memory locality). The (doc_id, pos, hash) relation is
     persisted since it feeds both the shared-hash groupBy and the
     join back. Cross-doc test is min(doc_id) <> max(doc_id) — no
     countDistinct expansion. The interval-union window partitions by
     doc_id, so no global sort anywhere."""
+    from mcp_iceberg_duckdb_spark.functions.textfns import bind
+
     d = t(spark, sf_dir).documents
-    toks = tokens("text")
 
     def spans(tk):
         idx = F.sequence(F.lit(0), F.size(tk) - 10)
-        return F.transform(
-            idx, lambda i: F.xxhash64(F.array_join(F.slice(tk, i + 1, 10), " "))
-        )
+        return F.when(
+            F.size(tk) >= 10,
+            F.transform(idx, lambda i: F.xxhash64(F.slice(tk, i + 1, 10))),
+        ).otherwise(F.array().cast("array<bigint>"))
 
     win = (
         d.select(
             "doc_id",
-            F.posexplode(
-                F.when(F.size(toks) >= 10, spans(toks)).otherwise(
-                    F.array().cast("array<bigint>")
-                )
-            ).alias("p", "h"),
+            F.posexplode(bind(tokens("text"), spans)).alias("p", "h"),
         )
         .persist()
     )
@@ -748,7 +748,9 @@ def x_text_exactsubstr_scrub(spark, sf_dir):
         F.count("*").alias("n_dup_windows"),
         F.sum("covered").alias("dup_token_count"),
     )
-    base = d.select("doc_id", F.size(toks).cast("bigint").alias("n_tokens"))
+    base = d.select(
+        "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+    )
     ratio = F.col("dup_token_count").cast("double") / F.col("n_tokens")
     return (
         base.join(cov, "doc_id", "left")
