@@ -912,24 +912,29 @@ def x_text_pmi_bigrams(spark, sf_dir):
     6 dp AFTER the ln with identical IEEE argument shapes on both
     engines; ties broken by the bigram text so the head is
     engine-stable."""
+    from mcp_iceberg_duckdb_spark.functions.textfns import bind
+
     d = t(spark, sf_dir).documents
-    toks = tokens("text")
+
+    def bigrams(tk):
+        # tk is a let-bound lambda variable: the split evaluates once
+        # per doc, not once per reference
+        return F.when(
+            F.size(tk) >= 2,
+            F.zip_with(
+                F.slice(tk, 1, F.size(tk) - 1),
+                F.slice(tk, 2, F.size(tk) - 1),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
     bg = d.select(
-        F.explode(
-            F.when(
-                F.size(toks) >= 2,
-                F.zip_with(
-                    F.slice(toks, 1, F.size(toks) - 1),
-                    F.slice(toks, 2, F.size(toks) - 1),
-                    lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
-                ),
-            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-        ).alias("b")
+        F.explode(bind(tokens("text"), bigrams)).alias("b")
     ).select("b.w1", "b.w2")
     bc_all = bg.groupBy("w1", "w2").agg(F.count("*").alias("cab")).persist()
     bc = bc_all.filter(F.col("cab") >= _PMI_MIN_COUNT)
     uni = (
-        d.select(F.explode(toks).alias("w"))
+        d.select(F.explode(tokens("text")).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c"))
         .persist()  # feeds ua, ub, and the nu total
