@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "x_text_exactsubstr_scrub",
     "x_source_overlap_matrix",
     "x_text_pmi_bigrams",
+    "x_text_bigram_logprob",
 ]
 
 

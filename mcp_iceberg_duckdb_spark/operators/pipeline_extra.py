@@ -885,3 +885,223 @@ def x_quality_stratified_sample(spark, sf_dir):
             (h_samp < rate).alias("in_sample"),
         )
     )
+
+
+_BLP_LAMBDA = 0.7  # interpolation weight on the bigram term
+
+
+@query(
+    "x_text_bigram_logprob",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    bg AS (
+        SELECT d.doc_id, d.tk[g.i + 1] AS w1, d.tk[g.i + 2] AS w2
+        FROM d, LATERAL (
+            SELECT unnest(range(greatest(len(d.tk) - 1, 0))) AS i
+        ) g
+    ),
+    bc AS (SELECT w1, w2, count(*) AS cab FROM bg GROUP BY w1, w2),
+    uni AS (
+        SELECT u AS w, count(*) AS c FROM (SELECT unnest(tk) AS u FROM d)
+        GROUP BY u
+    ),
+    nu AS (SELECT CAST(sum(c) AS DOUBLE) AS n_uni FROM uni),
+    lp AS (
+        SELECT bc.w1, bc.w2,
+               CAST(floor(ln({_BLP_LAMBDA} * (CAST(bc.cab AS DOUBLE)
+                                              / CAST(ua.c AS DOUBLE))
+                             + {1 - _BLP_LAMBDA} * (CAST(ub.c AS DOUBLE)
+                                                    / n_uni))
+                          * 1e6 + 0.5) AS BIGINT) AS lp_micro
+        FROM bc JOIN uni ua ON bc.w1 = ua.w
+                JOIN uni ub ON bc.w2 = ub.w
+        CROSS JOIN nu
+    ),
+    per AS (
+        SELECT b.doc_id, count(*) AS n_bigrams, sum(lp.lp_micro) AS s
+        FROM bg b JOIN lp ON b.w1 = lp.w1 AND b.w2 = lp.w2
+        GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           floor(((CAST(s AS DOUBLE) / 1e6) / n_bigrams) * 1e6 + 0.5) / 1e6
+               AS avg_logprob,
+           floor(((CAST(s AS DOUBLE) / 1e6) / n_bigrams) * 1e6 + 0.5) / 1e6
+               < -2.0 AS is_unusual
+    FROM per
+    """,
+    tags=("text", "tierx"),
+)
+def x_text_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram-LM quality score — the next LM order up
+    from x_text_unigram_logprob (the CCNet/KenLM filter family:
+    unigram → bigram → DSIR target-ratio, all sharing one topology):
+    per document, the mean of ln(λ·p(w2|w1) + (1−λ)·p(w2)) over its
+    bigram transitions, λ=0.7. The unigram back-off keeps unseen-ish
+    transitions finite and is the standard Jelinek-Mercer shape.
+
+    Determinism: one ln per DISTINCT bigram type (p(w2|w1) = c12/c1
+    and the backoff term are IEEE div/mul/add in identical order on
+    both engines), quantized to integer micro-nats; per-doc sums are
+    exact int64. Docs with a single token have no transitions and are
+    absent from the output in both engines (inner-join semantics).
+
+    Scale: bigram-instance relation [map] → bigram-type counts
+    [shuffle 1] → two vocab joins on the word [vocab-level, AQE
+    broadcasts at sf] → instance⋈type score join on the hashed
+    bigram [shuffle 2] → doc groupBy [shuffle 3] moving one int64 per
+    transition. The instance relation is hashed to (doc_id, int64)
+    and persisted (feeds type counts and the score join); a real
+    KenLM drops into the lp relation as a mapInPandas scorer."""
+    from mcp_iceberg_duckdb_spark.functions.textfns import bind
+
+    d = t(spark, sf_dir).documents
+
+    def bigrams(tk):
+        return F.when(
+            F.size(tk) >= 2,
+            F.zip_with(
+                F.slice(tk, 1, F.size(tk) - 1),
+                F.slice(tk, 2, F.size(tk) - 1),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    bg = (
+        d.select("doc_id", F.explode(bind(tokens("text"), bigrams)).alias("b"))
+        .select(
+            "doc_id",
+            F.col("b.w1").alias("w1"),
+            F.col("b.w2").alias("w2"),
+            F.xxhash64("b.w1", "b.w2").alias("hb"),
+        )
+        .persist()
+    )
+    bc = bg.groupBy("hb").agg(
+        F.count("*").alias("cab"),
+        F.first("w1").alias("w1"),
+        F.first("w2").alias("w2"),
+    )
+    uni = (
+        d.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    nu = uni.agg(F.sum("c").cast("double").alias("n_uni"))
+    ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    p_interp = F.lit(_BLP_LAMBDA) * (
+        F.col("cab").cast("double") / F.col("c1").cast("double")
+    ) + F.lit(1 - _BLP_LAMBDA) * (F.col("c2").cast("double") / F.col("n_uni"))
+    lp = (
+        bc.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "hb",
+            F.floor(F.log(p_interp) * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint")
+            .alias("lp_micro"),
+        )
+    )
+    per = (
+        bg.join(lp, "hb")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("lp_micro").alias("s"))
+    )
+    avg_lp = rn((F.col("s").cast("double") / F.lit(1e6)) / F.col("n_bigrams"), 6)
+    return per.select(
+        "doc_id",
+        "n_bigrams",
+        avg_lp.alias("avg_logprob"),
+        (avg_lp < F.lit(-2.0)).alias("is_unusual"),
+    )
+
+
+@query(
+    "x_source_kl_divergence",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    sw AS (SELECT source, w, count(*) AS c_sw FROM tok GROUP BY source, w),
+    cw AS (SELECT w, CAST(sum(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY w),
+    ns AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s FROM sw GROUP BY source),
+    n AS (SELECT CAST(sum(c_w) AS DOUBLE) AS n_all FROM cw),
+    term AS (
+        SELECT sw.source,
+               CAST(sw.c_sw AS DECIMAL(19,0))
+               * CAST(floor(ln((CAST(sw.c_sw AS DOUBLE) / ns.n_s)
+                               / (CAST(cw.c_w AS DOUBLE) / n.n_all))
+                            * 1e6 + 0.5) AS DECIMAL(19,0)) AS t_micro,
+               ns.n_s
+        FROM sw JOIN cw USING (w) JOIN ns USING (source) CROSS JOIN n
+    )
+    SELECT source, n_s AS n_tokens,
+           floor((CAST(CAST(sum(t_micro) AS DECIMAL(38,0)) AS DOUBLE) / 1e6
+                  / n_s) * 1e6 + 0.5) / 1e6 AS kl_divergence
+    FROM term GROUP BY source, n_s
+    """,
+    tags=("text", "tierx"),
+)
+def x_source_kl_divergence(spark, sf_dir):
+    """Per-source KL divergence from the corpus unigram distribution,
+    KL(p_source ‖ p_corpus) = Σ_w p_s(w)·ln(p_s(w)/p(w)) — the
+    domain-shift diagnostic behind mixture reweighting (a source with
+    high KL is lexically atypical; DoReMi-style mixing and the DSIR
+    target ratio both consume exactly this quantity at the corpus
+    level).
+
+    Determinism: one ln per DISTINCT (source, word) pair, quantized
+    to integer micro-nats, weighted by the INTEGER count c_sw, summed
+    in DECIMAL(38,0) (the weighted sum can exceed int64 once a source
+    passes ~10¹¹ tokens — decimal keeps the aggregation exact and
+    order-independent at any scale), one IEEE divide at the end.
+
+    Scale: (source, word) groupBy [shuffle 1, hash-keyed at scale];
+    word marginals and per-source totals both derive from that same
+    relation (persisted — three consumers, one tokenize); marginals
+    join back on the word, totals broadcast (k rows). Output is k
+    rows."""
+    d = t(spark, sf_dir).documents
+    sw = (
+        d.select("source", F.explode(tokens("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c_sw"))
+        .persist()
+    )
+    cw = sw.groupBy("w").agg(F.sum("c_sw").cast("bigint").alias("c_w"))
+    ns = sw.groupBy("source").agg(F.sum("c_sw").cast("bigint").alias("n_s"))
+    n = cw.agg(F.sum("c_w").cast("double").alias("n_all"))
+    lr_micro = F.floor(
+        F.log(
+            (F.col("c_sw").cast("double") / F.col("n_s"))
+            / (F.col("c_w").cast("double") / F.col("n_all"))
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    )
+    term = (
+        sw.join(cw, "w")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "n_s",
+            (
+                F.col("c_sw").cast("decimal(19,0)")
+                * lr_micro.cast("decimal(19,0)")
+            ).alias("t_micro"),
+        )
+    )
+    return (
+        term.groupBy("source", "n_s")
+        .agg(F.sum(F.col("t_micro").cast("decimal(38,0)")).alias("s"))
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            rn(
+                F.col("s").cast("double") / F.lit(1e6) / F.col("n_s"), 6
+            ).alias("kl_divergence"),
+        )
+    )
