@@ -189,3 +189,39 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, events_path):
     assert len(s_rows) >= 0.5 * len(b_rows), (
         f"stream emitted too few pairs: {len(s_rows)}/{len(b_rows)}"
     )
+
+
+def test_stream_session_window_subset_of_batch(spark, sf_dir, events_path):
+    """Watermarked session windows (30-minute gap) in append mode:
+    every emitted session must match the batch sessionization exactly
+    (the last, never-watermark-closed session per user may be
+    withheld)."""
+    sessions = (
+        read_event_stream(spark, events_path)
+        .withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    streamed = run_stream_to_memory(spark, sessions, "t_session")
+    batch = {
+        tuple(r)
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+        .collect()
+    }
+    s_rows = [tuple(r) for r in streamed.collect()]
+    assert s_rows, "no sessions emitted"
+    missing = [r for r in s_rows if r not in batch]
+    assert not missing, f"stream sessions disagree with batch: {missing[:3]}"
+    assert len(s_rows) >= 0.5 * len(batch), "stream emitted too few sessions"
