@@ -149,3 +149,93 @@ def exact_jaccard_pairs(
     if out_sim_col is not None:
         cols.append(F.col("_j").alias(out_sim_col))
     return out.select(*cols)
+
+
+def exact_jaccard_join(
+    left: DataFrame,
+    right: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+    id_col: str = "doc_id",
+    set_col: str = "sh",
+    block_cols: tuple[str, ...] = (),
+    out_sim_col: str | None = "jaccard",
+) -> DataFrame:
+    """Cross-collection variant of :func:`exact_jaccard_pairs`: all
+    (left, right) pairs with round6(Jaccard) ≥ t — the INCREMENTAL
+    dedup shape, where a new batch joins against the existing corpus
+    without re-pairing the corpus with itself.
+
+    Same prefix-filtering theorem (Bayardo WWW'07 / Xiao WWW'08 R×S
+    form): both sides' prefixes are taken under ONE global (df, tok)
+    order computed over the union, so any qualifying cross pair must
+    share a prefix token; exact-Jaccard verification then makes the
+    output identical to the nested-loop cross join. Output columns:
+    left_id, right_id[, out_sim_col]."""
+    from mcp_iceberg_duckdb_spark.operators._util import r6
+
+    num, den = threshold_num, threshold_den
+    assert 0 < num <= den, "threshold must be in (0, 1]"
+    blocks = list(block_cols)
+
+    l = left.select(id_col, *blocks, set_col).withColumn("_side", F.lit("l"))
+    r = right.select(id_col, *blocks, set_col).withColumn("_side", F.lit("r"))
+    base = l.unionByName(r).withColumn("_len", F.size(set_col))
+    toks = base.select(
+        "_side", id_col, *blocks, "_len", F.explode(set_col).alias("_tok")
+    )
+    dfc = toks.groupBy(*blocks, "_tok").agg(F.count("*").alias("_df"))
+    assembled = (
+        toks.join(dfc, [*blocks, "_tok"])
+        .groupBy("_side", id_col, *blocks, "_len")
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "_tok"))).alias("_st"))
+        .withColumn(
+            "_p",
+            F.greatest(
+                F.col("_len") - _ceil_div(F.col("_len") * num, den) + 1,
+                F.lit(1),
+            ),
+        )
+    )
+    prefix = assembled.select(
+        "_side",
+        id_col,
+        *blocks,
+        "_len",
+        F.explode(
+            F.slice(
+                F.transform("_st", lambda s: s["_tok"]), F.lit(1), F.col("_p")
+            )
+        ).alias("_ptok"),
+    )
+    a = prefix.filter(F.col("_side") == "l").select(
+        F.col(id_col).alias("_ida"),
+        *[F.col(c).alias(f"_ba_{c}") for c in blocks],
+        F.col("_len").alias("_la"),
+        "_ptok",
+    )
+    b = prefix.filter(F.col("_side") == "r").select(
+        F.col(id_col).alias("_idb"),
+        *[F.col(c).alias(f"_bb_{c}") for c in blocks],
+        F.col("_len").alias("_lb"),
+        "_ptok",
+    )
+    cond = (
+        F.least("_la", "_lb") * den >= F.greatest("_la", "_lb") * num
+    )
+    for c in blocks:
+        cond = cond & (F.col(f"_ba_{c}") == F.col(f"_bb_{c}"))
+    cand = a.join(b, on=["_ptok"]).filter(cond).select("_ida", "_idb").distinct()
+    sa = left.select(F.col(id_col).alias("_ida"), F.col(set_col).alias("_sha"))
+    sb = right.select(F.col(id_col).alias("_idb"), F.col(set_col).alias("_shb"))
+    thr = F.lit(num / den)
+    out = (
+        cand.join(sa, "_ida")
+        .join(sb, "_idb")
+        .withColumn("_j", r6(jaccard(F.col("_sha"), F.col("_shb"))))
+        .filter(F.col("_j") >= thr)
+    )
+    cols = [F.col("_ida").alias("left_id"), F.col("_idb").alias("right_id")]
+    if out_sim_col is not None:
+        cols.append(F.col("_j").alias(out_sim_col))
+    return out.select(*cols)

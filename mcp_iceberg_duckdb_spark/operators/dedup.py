@@ -754,3 +754,71 @@ def x_dedup_cluster_cc_lsh(spark, sf_dir):
             F.col("n_co") * 100 >= F.col("n_strong_pairs") * 95
         ).alias("strong_coclustered_ok"),
     )
+
+
+@query(
+    "x_dedup_incremental",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   range(greatest(len(string_split(text, ' ')) - 2, 1)),
+                   i -> array_to_string(string_split(text, ' ')[i + 1:i + 3], ' ')
+               )) AS sh
+        FROM documents
+    ),
+    new AS (SELECT * FROM d WHERE doc_id % 10 = 0),
+    old AS (SELECT * FROM d WHERE doc_id % 10 <> 0),
+    pairs AS (
+        SELECT n.doc_id AS nid, count(*) AS n_dup
+        FROM new n JOIN old o ON n.source = o.source
+        WHERE floor((CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(n.sh, o.sh))))
+                    * 1e6 + 0.5) / 1e6 >= 0.5
+        GROUP BY n.doc_id
+    )
+    SELECT n.doc_id, coalesce(p.n_dup, 0) AS n_dup_partners,
+           coalesce(p.n_dup, 0) > 0 AS is_incremental_dup
+    FROM new n LEFT JOIN pairs p ON n.doc_id = p.nid
+    """,
+    tags=("dedup", "tierx"),
+)
+def x_dedup_incremental(spark, sf_dir):
+    """INCREMENTAL dedup — the daily-append production shape: a new
+    batch (simulated as doc_id % 10 == 0) is checked for near-dups
+    against the EXISTING corpus only, never re-pairing the corpus
+    with itself. At 100 TB this is the difference between O(batch ×
+    corpus-candidates) per day and re-running the full corpus-squared
+    dedup; the same asymmetric join is how eval-set decontamination
+    runs against a frozen benchmark side.
+
+    Plan: the cross-collection prefix-filtered AllPairs join
+    (functions/simjoin.exact_jaccard_join — one global (df, token)
+    order over the union, candidates only from shared rare-prefix
+    tokens) verified with exact Jaccard ≥ 0.5 inside source blocks;
+    per-new-doc partner counts left-join back so clean docs emit
+    n_dup_partners = 0. Output is identical to the nested-loop
+    new×old twin the oracle runs."""
+    from mcp_iceberg_duckdb_spark.functions.simjoin import exact_jaccard_join
+
+    d = t(spark, sf_dir).documents
+    shingled = parallelize(
+        d.select("doc_id", "source", word_shingles("text", 3).alias("sh"))
+    ).persist()
+    new = shingled.filter(F.col("doc_id") % 10 == 0)
+    old = shingled.filter(F.col("doc_id") % 10 != 0)
+    pairs = exact_jaccard_join(
+        new, old, 1, 2, block_cols=("source",), out_sim_col=None
+    )
+    agg = pairs.groupBy(F.col("left_id").alias("doc_id")).agg(
+        F.count("*").alias("n_dup")
+    )
+    return new.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_dup"), F.lit(0).cast("bigint")).alias(
+            "n_dup_partners"
+        ),
+        (F.coalesce(F.col("n_dup"), F.lit(0).cast("bigint")) > 0).alias(
+            "is_incremental_dup"
+        ),
+    )

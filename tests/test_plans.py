@@ -177,6 +177,7 @@ def test_exact_similarity_joins_have_no_allpairs_plan(spark, sf_dir):
         "x_dedup_cluster_cc",
         "x_dedup_minhash_lsh",
         "x_dedup_cluster_cc_lsh",
+        "x_dedup_incremental",
     ):
         plan = explain_str(_df(name, spark, sf_dir))
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian join"
