@@ -16,7 +16,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from mcp_iceberg_duckdb_spark.functions.vector import as_double, cosine, dot
-from mcp_iceberg_duckdb_spark.operators._util import parallelize, r6, t
+from mcp_iceberg_duckdb_spark.operators._util import parallelize, r6, rn, t
 from mcp_iceberg_duckdb_spark.registry import query
 
 _N_QUERIES = 8  # vec_id < 8 are the demo query vectors
@@ -479,4 +479,119 @@ def x_embed_kmeans(spark, sf_dir):
             (F.col("n_clusters") >= 2) & (F.col("n_clusters") <= 8)
         ).alias("clusters_ok"),
         (F.col("sse") * 100 <= F.col("gsse") * 98).alias("sse_ok"),
+    )
+
+
+@query(
+    "x_embed_quantize_int8",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    el AS (
+        SELECT e.vec_id, g.i AS pos, e.v[g.i] AS x
+        FROM e, LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS i) g
+    ),
+    st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM el GROUP BY pos),
+    q AS (
+        SELECT el.vec_id, el.x, st.mn, st.mx,
+               CASE WHEN st.mx > st.mn
+                    THEN floor((el.x - st.mn) * 254.0 / (st.mx - st.mn) + 0.5)
+                    ELSE 0 END AS code
+        FROM el JOIN st USING (pos)
+    ),
+    err AS (
+        SELECT vec_id,
+               CAST(floor(abs(x - (mn + code * ((mx - mn) / 254.0)))
+                          * 1e9 + 0.5) AS BIGINT) AS e_nano
+        FROM q
+    ),
+    per AS (
+        SELECT vec_id, count(*) AS dim,
+               CAST(sum(e_nano) AS BIGINT) AS s,
+               max(e_nano) AS mx_e
+        FROM err GROUP BY vec_id
+    ),
+    b AS (SELECT avg((mx - mn) / 254.0 / 2) AS bound FROM st)
+    SELECT vec_id, dim,
+           floor((CAST(s AS DOUBLE) / 1e9 / dim) * 1e8 + 0.5) / 1e8
+               AS mean_abs_err,
+           floor((CAST(mx_e AS DOUBLE) / 1e9) * 1e8 + 0.5) / 1e8
+               AS max_abs_err,
+           floor((CAST(s AS DOUBLE) / 1e9 / dim) * 1e8 + 0.5) / 1e8
+               <= floor(bound * 1e8 + 0.5) / 1e8 + 1e-8 AS within_bound
+    FROM per CROSS JOIN b
+    """,
+    tags=("similarity", "tierx"),
+)
+def x_embed_quantize_int8(spark, sf_dir):
+    """Scalar int8 quantization QA for the embedding column — the
+    4× storage/bandwidth lever every 100 TB vector pipeline pulls
+    before ANN indexing: per-dimension min/max over the corpus, each
+    component rounded to one of 255 codes, and the RECONSTRUCTION
+    ERROR audited per vector (mean + max absolute error, and a
+    within-theoretical-bound flag: nearest-code quantization errs at
+    most half a step per dimension).
+
+    Determinism: the error of each component is quantized to integer
+    NANO-units before the per-vector aggregation, so sums/maxes are
+    exact int64 regardless of partitioning (the micro-nat recipe at
+    one more digit, since errors live at 1e-3 scale).
+
+    Scale: one (dim) groupBy for the stats (d rows, broadcast back),
+    one element-level join + per-vector groupBy — both linear; the
+    quantized codes themselves would be written as array<tinyint>
+    alongside the stats table (the codebook IS the d×2 stats
+    relation). No driver-side state."""
+    e = t(spark, sf_dir).embeddings.select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    el = e.select("vec_id", F.posexplode("v").alias("pos", "x"))
+    st = el.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    q = el.join(F.broadcast(st), "pos").select(
+        "vec_id",
+        "x",
+        "mn",
+        "mx",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.floor(
+                (F.col("x") - F.col("mn")) * F.lit(254.0)
+                / (F.col("mx") - F.col("mn"))
+                + F.lit(0.5)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("code"),
+    )
+    deq = F.col("mn") + F.col("code") * (
+        (F.col("mx") - F.col("mn")) / F.lit(254.0)
+    )
+    err = q.select(
+        "vec_id",
+        F.floor(F.abs(F.col("x") - deq) * F.lit(1e9) + F.lit(0.5))
+        .cast("bigint")
+        .alias("e_nano"),
+    )
+    per = err.groupBy("vec_id").agg(
+        F.count("*").alias("dim"),
+        F.sum("e_nano").cast("bigint").alias("s"),
+        F.max("e_nano").alias("mx_e"),
+    )
+    bound = st.agg(
+        F.avg((F.col("mx") - F.col("mn")) / F.lit(254.0) / F.lit(2)).alias(
+            "bound"
+        )
+    )
+    mean_err = rn(F.col("s").cast("double") / F.lit(1e9) / F.col("dim"), 8)
+    return per.crossJoin(F.broadcast(bound)).select(
+        "vec_id",
+        "dim",
+        mean_err.alias("mean_abs_err"),
+        rn(F.col("mx_e").cast("double") / F.lit(1e9), 8).alias("max_abs_err"),
+        (
+            mean_err
+            <= F.floor(F.col("bound") * F.lit(1e8) + F.lit(0.5)) / F.lit(1e8)
+            + F.lit(1e-8)
+        ).alias("within_bound"),
     )
