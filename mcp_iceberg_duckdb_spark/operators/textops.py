@@ -962,3 +962,131 @@ def x_text_pmi_bigrams(spark, sf_dir):
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(_PMI_TOP_K)
     )
+
+
+_CMS_W, _CMS_D, _CMS_TOPK = 1024, 4, 20
+
+
+def _sql_hex6(expr: str) -> str:
+    """DuckDB fragment: integer value of the first 6 hex chars of
+    md5(expr) — the portable hash both engines can compute (DuckDB
+    has no hex→int cast; Spark mirrors with conv())."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"({terms})"
+
+
+def _cms_cell(depth: int, col):
+    """Spark twin of _sql_hex6(depth || ':' || tok) % W."""
+    h6 = F.substring(F.md5(F.concat(F.lit(f"{depth}:"), col)), 1, 6)
+    return (F.conv(h6, 16, 10).cast("bigint") % _CMS_W).alias("cell")
+
+
+@query(
+    "x_sketch_countmin_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS tk FROM documents
+    ),
+    cells AS (
+        SELECT dd.d,
+               {_sql_hex6("concat(dd.d, ':', tok.tk)")} % {_CMS_W} AS cell,
+               count(*) AS cnt
+        FROM tok, (SELECT unnest([0, 1, 2, 3]) AS d) dd
+        GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT tk, count(*) AS true_cnt FROM tok GROUP BY tk
+        ORDER BY true_cnt DESC, tk LIMIT {_CMS_TOPK}
+    ),
+    probes AS (
+        SELECT top.tk, top.true_cnt, dd.d,
+               {_sql_hex6("concat(dd.d, ':', top.tk)")} % {_CMS_W} AS cell
+        FROM top, (SELECT unnest([0, 1, 2, 3]) AS d) dd
+    ),
+    est AS (
+        SELECT p.tk, p.true_cnt, min(c.cnt) AS cms_est
+        FROM probes p JOIN cells c ON p.d = c.d AND p.cell = c.cell
+        GROUP BY p.tk, p.true_cnt
+    )
+    SELECT tk AS token, true_cnt, CAST(cms_est AS BIGINT) AS cms_est,
+           cms_est >= true_cnt AS est_ge_true,
+           floor((CAST(cms_est - true_cnt AS DOUBLE) / true_cnt) * 1e6 + 0.5)
+               / 1e6 AS rel_overestimate
+    FROM est
+    """,
+    tags=("text", "tierx"),
+)
+def x_sketch_countmin_topk(spark, sf_dir):
+    """Count-Min Sketch heavy-hitter audit (Cormode & Muthukrishnan
+    2005): a 4×1024-cell CMS built over the token stream, probed at
+    the exact top-20 tokens. The CMS never underestimates
+    (est_ge_true is structurally TRUE — each probed cell contains the
+    token's own count plus collisions), and the relative
+    overestimate column shows the ε ≈ e/W error a pipeline accepts
+    in exchange for FIXED memory: at 100 TB the exact vocab histogram
+    is terabytes of shuffle state, while the sketch is 4·W counters
+    per executor, mergeable by cell-wise addition — the streaming /
+    pre-aggregation path for frequency queries.
+
+    Engine parity: cells are keyed by the integer value of the first
+    6 hex chars of md5(depth:token) — md5 is identical everywhere, so
+    both engines build bit-identical sketches (xxhash64 has no DuckDB
+    twin). The sketch build is ONE groupBy over (depth, cell) — 4096
+    result rows regardless of vocab size; the probe side is
+    top-K-bounded."""
+    d = t(spark, sf_dir).documents
+    tok = d.select(F.explode(tokens("text")).alias("tk")).persist()
+    cells = (
+        tok.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(dd).alias("d"), _cms_cell(dd, F.col("tk"))
+                        )
+                        for dd in range(_CMS_D)
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.d", "s.cell")
+        .groupBy("d", "cell")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = (
+        tok.groupBy("tk")
+        .agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), "tk")
+        .limit(_CMS_TOPK)
+    )
+    probes = top.select(
+        "tk",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(dd).alias("d"), _cms_cell(dd, F.col("tk")))
+                    for dd in range(_CMS_D)
+                ]
+            )
+        ).alias("s"),
+    ).select("tk", "true_cnt", "s.d", "s.cell")
+    est = (
+        probes.join(cells, ["d", "cell"])
+        .groupBy("tk", "true_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return est.select(
+        F.col("tk").alias("token"),
+        "true_cnt",
+        F.col("cms_est").cast("bigint").alias("cms_est"),
+        (F.col("cms_est") >= F.col("true_cnt")).alias("est_ge_true"),
+        r6(
+            (F.col("cms_est") - F.col("true_cnt")).cast("double")
+            / F.col("true_cnt")
+        ).alias("rel_overestimate"),
+    )

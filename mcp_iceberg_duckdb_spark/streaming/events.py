@@ -30,7 +30,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mcp_iceberg_duckdb_spark.operators._util import dec_round, t
+from mcp_iceberg_duckdb_spark.operators._util import dec_round, rn, t
 from mcp_iceberg_duckdb_spark.registry import query
 from mcp_iceberg_duckdb_spark.sources.tables import (
     EVENTS_NTZ_SCHEMA,
@@ -480,3 +480,93 @@ def s_stream_static_enrich(spark, sf_dir):
     e = t(spark, sf_dir).events
     funnel = s_event_funnel(spark, sf_dir).select("user_id", "purchases")
     return stream_static_enriched(e, funnel)
+
+
+@query(
+    "s_funnel_latency",
+    oracle="""
+    WITH s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+    fp AS (
+        SELECT s.user_id, s.ts AS signup_ts, min(p.ts) AS first_purchase_ts
+        FROM s JOIN events p
+          ON p.user_id = s.user_id AND p.event_type = 'purchase'
+         AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+        GROUP BY s.user_id, s.ts
+    ),
+    lat AS (
+        SELECT CAST(epoch_us(first_purchase_ts) - epoch_us(signup_ts)
+                    AS BIGINT) AS latency_us
+        FROM fp
+    ),
+    agg AS (
+        SELECT count(*) AS n_converted,
+               median(latency_us) AS med_us,
+               quantile_cont(latency_us, 0.9) AS p90_us
+        FROM lat
+    ),
+    tot AS (SELECT count(*) AS n_signups FROM s)
+    SELECT tot.n_signups, agg.n_converted,
+           floor((CAST(agg.n_converted AS DOUBLE) / tot.n_signups) * 1e6 + 0.5)
+               / 1e6 AS conversion_rate,
+           floor((agg.med_us / 1e6) * 1e4 + 0.5) / 1e4 AS median_latency_s,
+           floor((agg.p90_us / 1e6) * 1e4 + 0.5) / 1e4 AS p90_latency_s
+    FROM tot CROSS JOIN agg
+    """,
+    tags=("streaming", "tierx"),
+)
+def s_funnel_latency(spark, sf_dir):
+    """Conversion-latency rollup — the funnel metric a product
+    pipeline reads off the event stream: for every signup, the FIRST
+    purchase by the same user within one hour, then the conversion
+    rate and the median / p90 signup→purchase latency. The
+    signup⋈purchase interval join is the s_stream_stream_join shape
+    (watermark-boundable in streaming form); the min-per-signup and
+    the two quantiles are batch aggregates over the joined result.
+
+    Latencies are exact epoch-microsecond int64 differences (engine
+    date_diff semantics count boundary crossings and disagree on
+    sub-second timestamps); F.median / F.percentile == DuckDB median
+    / quantile_cont on the integer latencies (the A8 precedent), and
+    the one-row aggregate keeps everything driver-sized after one
+    interval join."""
+    e = t(spark, sf_dir).events
+    s = e.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"), F.col("ts").alias("signup_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts")
+    )
+    fp = (
+        s.join(
+            p,
+            (F.col("s_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("signup_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("signup_ts") + F.expr("INTERVAL 1 HOUR")
+            ),
+        )
+        .groupBy("s_user", "signup_ts")
+        .agg(F.min("purchase_ts").alias("first_purchase_ts"))
+    )
+    lat = fp.select(
+        (
+            F.unix_micros(F.col("first_purchase_ts").cast("timestamp"))
+            - F.unix_micros(F.col("signup_ts").cast("timestamp"))
+        ).alias("latency_us")
+    )
+    agg = lat.agg(
+        F.count("*").alias("n_converted"),
+        F.median("latency_us").alias("med_us"),
+        F.percentile("latency_us", 0.9).alias("p90_us"),
+    )
+    tot = s.agg(F.count("*").alias("n_signups"))
+    return tot.crossJoin(F.broadcast(agg)).select(
+        "n_signups",
+        "n_converted",
+        rn(F.col("n_converted").cast("double") / F.col("n_signups"), 6).alias(
+            "conversion_rate"
+        ),
+        rn(F.col("med_us") / F.lit(1e6), 4).alias("median_latency_s"),
+        rn(F.col("p90_us") / F.lit(1e6), 4).alias("p90_latency_s"),
+    )
