@@ -291,6 +291,27 @@ def test_round4_text_ops_plan_shape(spark, sf_dir):
     spark.catalog.clearCache()
 
 
+def test_cms_sketch_partial_aggregates(spark, sf_dir):
+    """The Count-Min build must partially aggregate map-side — the
+    whole point is that only 4096 (depth, cell) partials cross the
+    wire, never the token stream."""
+    from mcp_iceberg_duckdb_spark.plans import explain_str
+
+    plan = explain_str(_df("x_sketch_countmin_topk", spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2, "no partial aggregation"
+    spark.catalog.clearCache()
+
+
+def test_funnel_latency_single_interval_join(spark, sf_dir):
+    """Funnel latency: no cartesian anywhere; the one-row aggregates
+    broadcast (the interval join itself is the s_stream_stream_join
+    shape, bounded by the time predicate)."""
+    from mcp_iceberg_duckdb_spark.plans import explain_str
+
+    plan = explain_str(_df("s_funnel_latency", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
 def test_embedding_cosine_pair_join_is_cluster_keyed(spark, sf_dir):
     """x_dedup_embedding_cosine was the last registered all-pairs
     plan (label-blocked O(block²)); since round 4 its pair join must
