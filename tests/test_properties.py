@@ -308,3 +308,49 @@ def test_interval_union_lead_formula(positions, k):
     )
     brute = len({t for p in ps for t in range(p, p + k)})
     assert formula == brute
+
+
+def test_prefix_filtered_cross_join_equals_bruteforce(spark_mod):
+    """The CROSS-COLLECTION variant (exact_jaccard_join, the
+    incremental-dedup primitive) must also be lossless against the
+    nested-loop R×S join across thresholds, including t=1 — its
+    prefixes come from a shared global order over the union, and a
+    bug there would silently drop cross pairs only."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mcp_iceberg_duckdb_spark.functions.simjoin import exact_jaccard_join
+    from mcp_iceberg_duckdb_spark.functions.textfns import jaccard
+    from mcp_iceberg_duckdb_spark.operators._util import r6
+
+    rng = random.Random(13)
+    vocab = [f"t{i}" for i in range(40)]
+    rows = []
+    for i in range(120):
+        rows.append((i, rng.sample(vocab, rng.randint(1, 12))))
+    for i in range(120, 160):  # plant cross near-dups and exact dups
+        base = list(rows[rng.randrange(100)][1])
+        if len(base) > 2 and rng.random() < 0.7:
+            base[rng.randrange(len(base))] = rng.choice(vocab)
+        rows.append((i, list(dict.fromkeys(base))))
+    docs = spark_mod.createDataFrame(rows, "doc_id int, sh array<string>")
+    left = docs.filter(F.col("doc_id") % 3 == 0)
+    right = docs.filter(F.col("doc_id") % 3 != 0)
+    a, b = left.alias("a"), right.alias("b")
+    for num, den in [(1, 2), (4, 5), (1, 3), (1, 1)]:
+        got = {
+            tuple(r) for r in exact_jaccard_join(left, right, num, den).collect()
+        }
+        want = {
+            tuple(r)
+            for r in a.crossJoin(b)
+            .withColumn("j", r6(jaccard(F.col("a.sh"), F.col("b.sh"))))
+            .filter(F.col("j") >= F.lit(num / den))
+            .select(F.col("a.doc_id"), F.col("b.doc_id"), "j")
+            .collect()
+        }
+        assert got == want, (
+            f"t={num}/{den}: missing={sorted(want - got)[:3]} "
+            f"extra={sorted(got - want)[:3]}"
+        )
