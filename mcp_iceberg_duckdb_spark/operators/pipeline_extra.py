@@ -1105,3 +1105,49 @@ def x_source_kl_divergence(spark, sf_dir):
             ).alias("kl_divergence"),
         )
     )
+
+
+_CAP_K = 15  # max docs kept per source
+
+
+@query(
+    "x_source_cap_sample",
+    oracle=f"""
+    WITH r AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk, rk <= {_CAP_K} AS kept
+    FROM r
+    """,
+    tags=("text", "tierx"),
+)
+def x_source_cap_sample(spark, sf_dir):
+    """Per-source document cap (the RefinedWeb/C4 per-domain cap): at
+    most K documents survive per source, chosen by rank over a salted
+    md5 of the doc id — a DETERMINISTIC uniform sample within each
+    source, independent of row order, partitioning, and retries
+    (rand()-based sampling gives none of that; naive LIMIT-per-group
+    keeps whatever arrived first). Emitting the rank and the kept
+    flag rather than filtering keeps the decision auditable.
+
+    Scale: one rank window per source partition — WindowGroupLimit
+    does NOT apply (every row is emitted with its rank), but the sort
+    key is an md5 the window computes map-side, and the partition is
+    the source: the same key the downstream per-domain shuffle uses
+    anyway. A filter-to-kept variant would rank-limit to K rows per
+    source before the shuffle boundary."""
+    d = t(spark, sf_dir).documents
+    h = F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("source").orderBy(h, "doc_id")
+    rk = F.row_number().over(w).cast("bigint")
+    return d.select(
+        "doc_id",
+        "source",
+        rk.alias("rk"),
+        (F.col("rk") <= _CAP_K).alias("kept"),
+    )
