@@ -50,6 +50,22 @@ def _ceil_div(a: Column, den: int) -> Column:
     return F.floor((a + F.lit(den - 1)) / F.lit(den)).cast("int")
 
 
+def _effective_threshold(num: int, den: int) -> tuple[int, int]:
+    """The verification filter accepts round6(J) ≥ num/den, i.e. true
+    Jaccard ≥ num/den − 5e-7. The prefix-length and length-ratio
+    filters must prune against THAT effective threshold, not the
+    nominal one — otherwise a pair whose true Jaccard sits in
+    [t − 5e-7, t) rounds up and is kept by the nested-loop oracle but
+    pruned here (reachable only once union sizes hit ~1e6 tokens, but
+    closable exactly). 5e-7 = 1/2_000_000 exactly, so
+    t_eff = (2e6·num − den) / (2e6·den) as an integer rational."""
+    import math
+
+    ne, de = 2_000_000 * num - den, 2_000_000 * den
+    g = math.gcd(ne, de)
+    return ne // g, de // g
+
+
 def exact_jaccard_pairs(
     docs: DataFrame,
     threshold_num: int,
@@ -71,6 +87,9 @@ def exact_jaccard_pairs(
 
     num, den = threshold_num, threshold_den
     assert 0 < num <= den, "threshold must be in (0, 1]"
+    # prune against the EFFECTIVE (rounded) threshold — see
+    # _effective_threshold for why nominal-t pruning is lossy
+    num_e, den_e = _effective_threshold(num, den)
     blocks = list(block_cols)
 
     base = docs.select(id_col, *blocks, set_col).withColumn(
@@ -89,7 +108,9 @@ def exact_jaccard_pairs(
         .withColumn(
             "_p",
             F.greatest(
-                F.col("_len") - _ceil_div(F.col("_len") * num, den) + 1,
+                F.col("_len")
+                - _ceil_div(F.col("_len").cast("bigint") * num_e, den_e)
+                + 1,
                 F.lit(1),
             ),
         )
@@ -118,10 +139,10 @@ def exact_jaccard_pairs(
     )
     cond = (
         (F.col("_ida") < F.col("_idb"))
-        # length filter: J ≥ t ⟹ min·den ≥ max·num
+        # length filter: J ≥ t_eff ⟹ min·den_e ≥ max·num_e
         & (
-            F.least("_la", "_lb") * den
-            >= F.greatest("_la", "_lb") * num
+            F.least("_la", "_lb").cast("bigint") * den_e
+            >= F.greatest("_la", "_lb").cast("bigint") * num_e
         )
     )
     for c in blocks:
@@ -176,6 +197,9 @@ def exact_jaccard_join(
 
     num, den = threshold_num, threshold_den
     assert 0 < num <= den, "threshold must be in (0, 1]"
+    # prune against the EFFECTIVE (rounded) threshold — see
+    # _effective_threshold for why nominal-t pruning is lossy
+    num_e, den_e = _effective_threshold(num, den)
     blocks = list(block_cols)
 
     l = left.select(id_col, *blocks, set_col).withColumn("_side", F.lit("l"))
@@ -192,7 +216,9 @@ def exact_jaccard_join(
         .withColumn(
             "_p",
             F.greatest(
-                F.col("_len") - _ceil_div(F.col("_len") * num, den) + 1,
+                F.col("_len")
+                - _ceil_div(F.col("_len").cast("bigint") * num_e, den_e)
+                + 1,
                 F.lit(1),
             ),
         )
@@ -221,7 +247,8 @@ def exact_jaccard_join(
         "_ptok",
     )
     cond = (
-        F.least("_la", "_lb") * den >= F.greatest("_la", "_lb") * num
+        F.least("_la", "_lb").cast("bigint") * den_e
+        >= F.greatest("_la", "_lb").cast("bigint") * num_e
     )
     for c in blocks:
         cond = cond & (F.col(f"_ba_{c}") == F.col(f"_bb_{c}"))

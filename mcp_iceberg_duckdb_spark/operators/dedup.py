@@ -523,7 +523,7 @@ def x_dedup_ngram_jaccard(spark, sf_dir):
     assigned AS (
         SELECT vec_id, v, clabel AS cluster_id FROM (
             SELECT *, row_number() OVER (PARTITION BY vec_id
-                          ORDER BY sim DESC, clabel) AS rn
+                          ORDER BY CAST(floor(sim * 1e6 + 0.5) AS BIGINT) DESC, clabel) AS rn
             FROM scored
         ) WHERE rn = 1
     )

@@ -50,7 +50,13 @@ def label_centroid_assignment(e):
     scored = e.crossJoin(F.broadcast(cent)).select(
         "vec_id", "v", "clabel", cosine(F.col("v"), F.col("cv")).alias("sim")
     )
-    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), "clabel")
+    # Argmax orders on the MICRO-QUANTIZED similarity (int micro-units),
+    # not the raw float: a last-ulp divergence between Spark's fold and
+    # DuckDB's list_cosine_similarity near an exact tie would otherwise
+    # flip the assignment — the repo's round-before-compare discipline
+    # applies to ordering keys too. clabel breaks quantized ties.
+    simq = F.floor(F.col("sim") * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    w = W.partitionBy("vec_id").orderBy(simq.desc(), "clabel")
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -84,7 +90,7 @@ def label_centroid_assignment(e):
     assigned AS (
         SELECT vec_id, v, clabel AS cluster_id FROM (
             SELECT *, row_number() OVER (PARTITION BY vec_id
-                          ORDER BY sim DESC, clabel) AS rn
+                          ORDER BY CAST(floor(sim * 1e6 + 0.5) AS BIGINT) DESC, clabel) AS rn
             FROM scored
         ) WHERE rn = 1
     )
@@ -113,10 +119,11 @@ def x_semdedup(spark, sf_dir):
     cluster_id for the within-cluster pair scoring. Pair work is
     Σ(cluster_size²), not corpus² — at 100 TB you raise k so clusters
     stay bounded (the paper runs k≈11k for 600 M docs) and the join
-    keys pre-partition the corpus by cluster. Argmax over raw sims is
-    stable cross-engine (centroid gaps ≫ 1 ulp, the
-    x_embed_centroid_assign precedent); the drop decision compares
-    r6-rounded pair cosines, identical in both engines.
+    keys pre-partition the corpus by cluster. The argmax window orders
+    on the micro-quantized similarity (round-before-compare applies to
+    ordering keys too — see label_centroid_assignment); the drop
+    decision compares r6-rounded pair cosines, identical in both
+    engines.
 
     Cost shape: ``assigned`` is persisted (it feeds both pair-join
     sides and the final keep-join — unpersisted, the centroid +
@@ -947,8 +954,8 @@ def x_text_bigram_logprob(spark, sf_dir):
 
     Scale: bigram-instance relation [map] → bigram-type counts
     [shuffle 1] → two vocab joins on the word [vocab-level, AQE
-    broadcasts at sf] → instance⋈type score join on the hashed
-    bigram [shuffle 2] → doc groupBy [shuffle 3] moving one int64 per
+    broadcasts at sf] → instance⋈type score join on (hb, w1, w2)
+    [shuffle 2] → doc groupBy [shuffle 3] moving one int64 per
     transition. The instance relation is hashed to (doc_id, int64)
     and persisted (feeds type counts and the score join); a real
     KenLM drops into the lp relation as a mapInPandas scorer."""
@@ -976,11 +983,14 @@ def x_text_bigram_logprob(spark, sf_dir):
         )
         .persist()
     )
-    bc = bg.groupBy("hb").agg(
-        F.count("*").alias("cab"),
-        F.first("w1").alias("w1"),
-        F.first("w2").alias("w2"),
-    )
+    # Type counts group on (hb, w1, w2) — NOT hb alone with a
+    # F.first() string recovery: under a 64-bit collision two distinct
+    # bigrams would merge and F.first() would pick a partition-order-
+    # dependent representative (nondeterministic, diverging from the
+    # string-keyed oracle). With the strings in the key, colliding
+    # bigrams stay separate groups and counts are exact; hb still
+    # rides along as the leading 8-byte join key.
+    bc = bg.groupBy("hb", "w1", "w2").agg(F.count("*").alias("cab"))
     uni = (
         d.select(F.explode(tokens("text")).alias("w"))
         .groupBy("w")
@@ -999,13 +1009,17 @@ def x_text_bigram_logprob(spark, sf_dir):
         .crossJoin(F.broadcast(nu))
         .select(
             "hb",
+            "w1",
+            "w2",
             F.floor(F.log(p_interp) * F.lit(1e6) + F.lit(0.5))
             .cast("bigint")
             .alias("lp_micro"),
         )
     )
     per = (
-        bg.join(lp, "hb")
+        # 3-key join: hb leads for cheap hashing, the strings
+        # disambiguate any hb collision exactly.
+        bg.join(lp, ["hb", "w1", "w2"])
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_bigrams"), F.sum("lp_micro").alias("s"))
     )

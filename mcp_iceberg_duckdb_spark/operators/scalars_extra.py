@@ -42,8 +42,8 @@ def f_struct(spark, sf_dir):
     "f_map",
     oracle="""
     SELECT n_nationkey,
-           map_keys(MAP {'name': n_name, 'region': CAST(n_regionkey AS VARCHAR)})   AS ks,
-           map_values(MAP {'name': n_name, 'region': CAST(n_regionkey AS VARCHAR)}) AS vs,
+           array_to_string(map_keys(MAP {'name': n_name, 'region': CAST(n_regionkey AS VARCHAR)}), ',')   AS ks,
+           array_to_string(map_values(MAP {'name': n_name, 'region': CAST(n_regionkey AS VARCHAR)}), ',') AS vs,
            MAP {'name': n_name, 'region': CAST(n_regionkey AS VARCHAR)}['name'][1]  AS name_val
     FROM nation
     """,
@@ -52,7 +52,10 @@ def f_struct(spark, sf_dir):
 def f_map(spark, sf_dir):
     """Map construction, map_keys / map_values, key lookup. (DuckDB
     map extraction returns a 1-element list — indexed with [1] to
-    match Spark's scalar element_at.)"""
+    match Spark's scalar element_at.) Key/value lists are projected
+    as comma-joined strings, not raw arrays: the external compare
+    canonicalizes via pandas sort and raw list cells are unhashable —
+    same contract as f_struct."""
     n = t(spark, sf_dir).nation
     m = F.create_map(
         F.lit("name"),
@@ -62,8 +65,8 @@ def f_map(spark, sf_dir):
     )
     return n.select(
         "n_nationkey",
-        F.map_keys(m).alias("ks"),
-        F.map_values(m).alias("vs"),
+        F.concat_ws(",", F.map_keys(m)).alias("ks"),
+        F.concat_ws(",", F.map_values(m)).alias("vs"),
         F.element_at(m, "name").alias("name_val"),
     )
 
@@ -216,14 +219,17 @@ def a_decimal_agg(spark, sf_dir):
     SELECT id_a, id_b,
            len(list_intersect(list_transform(va, x -> CAST(floor(CAST(x AS DOUBLE) * 10 + 0.5) AS BIGINT)),
                               list_transform(vb, x -> CAST(floor(CAST(x AS DOUBLE) * 10 + 0.5) AS BIGINT)))) AS n_common,
-           list_sort(list_distinct(list_transform(va, x -> CAST(floor(CAST(x AS DOUBLE) * 10 + 0.5) AS BIGINT)))) AS qa
+           array_to_string(list_sort(list_distinct(list_transform(va, x -> CAST(floor(CAST(x AS DOUBLE) * 10 + 0.5) AS BIGINT)))), ',') AS qa
     FROM pairs
     """,
     tags=("scalar", "array"),
 )
 def f_array_setops(spark, sf_dir):
     """Array set operations (intersect / distinct / sort) over
-    quantized embedding values."""
+    quantized embedding values. The sorted-distinct list is projected
+    as a comma-joined string, not a raw array: the external compare
+    canonicalizes via pandas sort and raw list cells are unhashable —
+    same contract as f_struct."""
     e = t(spark, sf_dir).embeddings
     a = e.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
@@ -240,7 +246,9 @@ def f_array_setops(spark, sf_dir):
             F.size(F.array_intersect(q(F.col("va")), q(F.col("vb"))))
             .cast("bigint")
             .alias("n_common"),
-            F.array_sort(F.array_distinct(q(F.col("va")))).alias("qa"),
+            F.array_join(F.array_sort(F.array_distinct(q(F.col("va")))), ",").alias(
+                "qa"
+            ),
         )
     )
 

@@ -310,7 +310,7 @@ def x_ann_lsh_topk(spark, sf_dir):
     )
     SELECT vec_id, true_label, clabel AS assigned_label
     FROM (
-        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, clabel) AS rn
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY CAST(floor(sim * 1e6 + 0.5) AS BIGINT) DESC, clabel) AS rn
         FROM scored
     ) WHERE rn = 1
     """,
@@ -328,9 +328,11 @@ def x_embed_centroid_assign(spark, sf_dir):
     within a partition pre-combine to k×dim partials per task); the
     k-row centroid table broadcasts, so assignment is a shuffle-free
     map over the corpus scan followed by a per-vector window over k
-    candidate rows. Output keeps only integer ids/labels — argmax is
-    stable under the ~1-ulp float-mean divergence between engines,
-    where raw similarity values would not hash-match."""
+    candidate rows. Output keeps only integer ids/labels, and the
+    argmax orders on the micro-quantized similarity so a last-ulp
+    float-mean divergence between engines can never flip an
+    assignment at an exact tie (raw similarity values would not
+    hash-match either way)."""
     e = t(spark, sf_dir).embeddings.select(
         "vec_id", "label", as_double("embedding").alias("v")
     )
@@ -350,7 +352,10 @@ def x_embed_centroid_assign(spark, sf_dir):
         "clabel",
         cosine(F.col("v"), F.col("cv")).alias("sim"),
     )
-    w = W.partitionBy("vec_id").orderBy(F.col("sim").desc(), "clabel")
+    # Quantized argmax key (see label_centroid_assignment): raw-float
+    # ordering could flip at an exact tie under last-ulp engine skew.
+    simq = F.floor(F.col("sim") * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    w = W.partitionBy("vec_id").orderBy(simq.desc(), "clabel")
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

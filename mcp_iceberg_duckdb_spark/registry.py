@@ -95,12 +95,17 @@ _DRIVER_GREEN_STATIC = frozenset(
 )
 def _load_driver_history(
     base_dir: str | None = None,
-) -> tuple[frozenset[str], tuple[str, ...]]:
+) -> tuple[frozenset[str], tuple[str, ...], dict[str, int]]:
     """Union the static green baseline with every CORRECTNESS_r*.json
     at the repo root. A row is green when it matched (rows + schema,
     and hash unless the check was rows-only) without error; rows that
     FAILED in the latest file become the red head of the next sample
-    so a fix lands a fresh driver row immediately."""
+    so a fix lands a fresh driver row immediately. Also returns each
+    query's LATEST green round number, so the green tail can be
+    rotated oldest-verified-first (round-4 VERDICT "Next round" item
+    3: 25 queries' newest green row was still round 1 after four
+    rounds of engine churn — staleness must self-heal like redness
+    does)."""
     import glob
     import json
     import os
@@ -108,9 +113,10 @@ def _load_driver_history(
     if base_dir is None:
         base_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     green, red = set(_DRIVER_GREEN_STATIC), []
+    last_green: dict[str, int] = {}
     files = sorted(glob.glob(os.path.join(base_dir, "CORRECTNESS_r*.json")))
     latest = files[-1] if files else None
-    for path in files:
+    for rnd, path in enumerate(files, start=1):
         try:
             with open(path) as fh:
                 data = json.load(fh)
@@ -129,12 +135,14 @@ def _load_driver_history(
             )
             if ok:
                 green.add(name)
+                last_green[name] = rnd
             elif path == latest and name not in red:
                 red.append(name)
-    return frozenset(green), tuple(n for n in red if n not in green)
+    reds = tuple(n for n in red if n not in green or last_green.get(n, 0) < len(files))
+    return frozenset(green) - set(reds), reds, last_green
 
 
-_DRIVER_GREEN, _DRIVER_RED = _load_driver_history()
+_DRIVER_GREEN, _DRIVER_RED, _LAST_GREEN = _load_driver_history()
 # The round-3 driver sample, pinned EXPLICITLY: the 17 unchecked
 # TPC-H flagships the judge flagged (VERDICT round-2 item 2, q2/q20's
 # decimal-share compares called out) followed by the family
@@ -200,7 +208,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 def driver_order() -> list[str]:
     """Registration order for the driver contract: previously-failing
     first, then never-driver-checked (family round-robin), then the
-    already-green tail."""
+    already-green tail rotated OLDEST-verified-first, so four-round-old
+    green rows get re-measured before last round's."""
     from collections import defaultdict, deque
 
     red = [n for n in _DRIVER_RED if n in QUERIES]
@@ -213,7 +222,11 @@ def driver_order() -> list[str]:
         for n in QUERIES
         if n not in _DRIVER_GREEN and n not in red and n not in pri
     ]
-    green = [n for n in QUERIES if n in _DRIVER_GREEN]
+    reg_idx = {n: i for i, n in enumerate(QUERIES)}
+    green = sorted(
+        (n for n in QUERIES if n in _DRIVER_GREEN),
+        key=lambda n: (_LAST_GREEN.get(n, 0), reg_idx[n]),
+    )
     # oracle-less queries can only ever produce a grey rows-only row —
     # they go behind every oracle-checkable query in the sample
     fams: dict[str, deque[str]] = defaultdict(deque)

@@ -41,6 +41,31 @@ def _canon_duck(t: str) -> str:
     return _DUCK_CANON.get(t, t)
 
 
+_ALL = sorted(registry.QUERIES)
+
+
+@pytest.mark.parametrize("name", _ALL)
+def test_no_toplevel_container_columns(name, spark, sf_dir):
+    """Driver-canonicalizer contract: the external compare sorts the
+    result with pandas ``sort_values``, which crashes on unhashable
+    list/dict cells — so no registered query may project a raw
+    ArrayType/MapType column at the top level (the round-4 f_map /
+    f_array_setops failure class). Arrays must be joined to strings
+    (``concat_ws``/``array_join``) or exploded before projection."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    sdf = registry.QUERIES[name].builder(spark, sf_dir)  # lazy
+    bad = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType))
+    ]
+    assert not bad, (
+        f"{name}: top-level container columns {bad} would crash the "
+        "driver canonicalizer — project strings instead"
+    )
+
+
 @pytest.mark.parametrize("name", _ORACLED)
 def test_output_types_match_oracle(name, spark, duck, sf_dir):
     spec = registry.QUERIES[name]
