@@ -418,6 +418,26 @@ def stream_stream_purchases_after_signup(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_funnel_first_purchase(events: DataFrame) -> DataFrame:
+    """True-streaming twin of s_funnel_latency's stateful core: the
+    watermarked signup⋈purchase interval join (the
+    stream_stream_purchases_after_signup shape) chained into an
+    append-mode min-per-signup aggregation. Spark 4 chains the two
+    stateful operators directly — the join's event-time watermark
+    propagates into the aggregation state, so each (user, signup)
+    group closes and emits its FINAL first-purchase min once the
+    watermark passes the interval end; state for both operators is
+    evicted behind the watermark (bounded on unbounded streams).
+    The one-row conversion-rate / latency-quantile rollup on top of
+    this relation is a stateless batch finish (foreachBatch in
+    production) — the part that needs the streaming runtime is
+    exactly the join-state eviction + per-signup min emitted here."""
+    joined = stream_stream_purchases_after_signup(events)
+    return joined.groupBy("user_id", "signup_ts").agg(
+        F.min("purchase_ts").alias("first_purchase_ts")
+    )
+
+
 def stream_to_parquet_foreach_batch(
     streaming_df: DataFrame, out_dir: str
 ) -> "object":
@@ -519,9 +539,11 @@ def s_funnel_latency(spark, sf_dir):
     pipeline reads off the event stream: for every signup, the FIRST
     purchase by the same user within one hour, then the conversion
     rate and the median / p90 signup→purchase latency. The
-    signup⋈purchase interval join is the s_stream_stream_join shape
-    (watermark-boundable in streaming form); the min-per-signup and
-    the two quantiles are batch aggregates over the joined result.
+    signup⋈purchase interval join is the s_stream_stream_join shape;
+    its true-streaming counterpart is stream_funnel_first_purchase
+    (watermarked join chained into append-mode min-per-signup,
+    twin-tested on both timestamp units); the two quantiles are the
+    stateless batch finish over that relation.
 
     Latencies are exact epoch-microsecond int64 differences (engine
     date_diff semantics count boundary crossings and disagree on

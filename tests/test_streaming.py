@@ -191,6 +191,54 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, events_path):
     )
 
 
+def test_stream_funnel_first_purchase_matches_batch(spark, sf_dir, events_path):
+    """s_funnel_latency's streaming twin — chained stateful operators
+    (watermarked stream-stream interval join → append-mode
+    min-per-signup). Append mode only emits a (user, signup) group
+    after the watermark closes it, so every emitted first_purchase_ts
+    must be the FINAL min — each emitted row is checked for exact
+    equality against the batch funnel (a partially-aggregated early
+    emission would be a wrong value, not just an incomplete set)."""
+    from mcp_iceberg_duckdb_spark.streaming.events import (
+        stream_funnel_first_purchase,
+    )
+
+    streamed = run_stream_to_memory(
+        spark,
+        stream_funnel_first_purchase(read_event_stream(spark, events_path)),
+        "t_funnel_min",
+    )
+    e = load(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts")
+    )
+    batch = (
+        s.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("signup_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("signup_ts") + F.expr("INTERVAL 1 HOUR")
+            ),
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("purchase_ts").alias("first_purchase_ts"))
+    )
+    s_rows = sorted(map(tuple, streamed.collect()))
+    b_rows = sorted(map(tuple, batch.collect()))
+    b_set = set(b_rows)
+    assert s_rows, "funnel stream emitted nothing"
+    wrong = [r for r in s_rows if r not in b_set]
+    assert not wrong, f"stream rows diverge from batch funnel: {wrong[:3]}"
+    assert len(s_rows) >= 0.5 * len(b_rows), (
+        f"stream emitted too few signups: {len(s_rows)}/{len(b_rows)}"
+    )
+
+
 def test_stream_session_window_subset_of_batch(spark, sf_dir, events_path):
     """Watermarked session windows (30-minute gap) in append mode:
     every emitted session must match the batch sessionization exactly
