@@ -85,6 +85,12 @@ def main() -> None:
         return overrides.get(name, registry.QUERIES[name].builder)
 
     names = [n for n in BENCH_QUERIES if n in registry.QUERIES]
+    # optional subset (comma-separated) for targeted runs, e.g. the
+    # sf-scaling spot-check of the text/dedup heavyweights
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if subset:
+        wanted = [s.strip() for s in subset.split(",") if s.strip()]
+        names = [n for n in wanted if n in registry.QUERIES]
 
     # warmup pass: run every query once untimed — whole-stage-codegen
     # compilation and JIT are per-plan-shape costs that would otherwise

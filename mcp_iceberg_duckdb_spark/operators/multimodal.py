@@ -264,3 +264,136 @@ def x_multimodal_resize(spark, sf_dir):
         ),
         (longest <= F.lit(224)).alias("is_upscale"),
     )
+
+
+# ---- perceptual-hash near-dup: banded hamming join over a 64-bit
+# content hash (md5 stand-in for a real pHash/dHash) ----
+
+_PH_BANDS = 4  # 4 bands x 16 bits = 64-bit hash
+_PH_MAX_HAMMING = 26
+
+
+def _phash_band_cols(payload):
+    """The 64-bit perceptual-hash stand-in as four 16-bit band ints:
+    integer value of md5 hex chars [4b+1 .. 4b+4]. A real pHash (DCT
+    of decoded pixels via the mapInPandas featurizer) drops into this
+    slot producing the same four-band column shape; md5-of-payload
+    keeps the banded-join plumbing AND the DuckDB oracle exact."""
+    h = F.md5(payload)
+    return [
+        F.conv(F.substring(h, 1 + 4 * b, 4), 16, 10).cast("bigint").alias(f"b{b}")
+        for b in range(_PH_BANDS)
+    ]
+
+
+def _sql_hex4(expr: str, start: int) -> str:
+    """DuckDB fragment: integer value of md5(expr) hex chars
+    [start .. start+3] (DuckDB has no hex→int cast; mirrors
+    Spark's conv(substring(md5(..)), 16, 10))."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {start + i}, 1)) - 1)"
+        f" * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return f"({terms})"
+
+
+def phash_hamming_pairs(assets, max_hamming: int = _PH_MAX_HAMMING):
+    """All asset pairs that collide in ≥1 of the 4 bands AND verify
+    at hamming ≤ max_hamming over the full 64 bits — the bit-sampling
+    LSH shape (Indyk–Motwani) image-dedup pipelines run over pHash:
+    candidates come from exact-match band buckets (never an all-pairs
+    scan), verification is four XOR+popcount ops. Identical payloads
+    collide in every band and verify at hamming 0.
+
+    Scale: the banded relation is 4 rows/asset keyed by a 16-bit
+    band value; bucket sizes concentrate near n/65536 per band for a
+    well-mixed hash, so the candidate join is corpus-linear until
+    duplicate groups themselves are large (irreducible). Recall
+    below hamming 4·16 is approximate BY DESIGN (a pair ≤ max_hamming
+    may differ in all 4 bands — the operator's contract is
+    candidates ∩ verified, stated identically in the oracle)."""
+    sig = assets.select(
+        F.col("asset_id"), *_phash_band_cols(F.col("payload"))
+    ).persist()
+    banded = sig.select(
+        "asset_id",
+        F.posexplode(
+            F.array(*[F.col(f"b{b}") for b in range(_PH_BANDS)])
+        ).alias("band", "bval"),
+    )
+    left = banded.select(
+        F.col("asset_id").alias("ida"), "band", "bval"
+    )
+    right = banded.select(
+        F.col("asset_id").alias("idb"), "band", "bval"
+    )
+    cand = (
+        left.join(right, ["band", "bval"])
+        .filter(F.col("ida") < F.col("idb"))
+        .select("ida", "idb")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("asset_id").alias("ida"),
+        *[F.col(f"b{b}").alias(f"ab{b}") for b in range(_PH_BANDS)],
+    )
+    sb = sig.select(
+        F.col("asset_id").alias("idb"),
+        *[F.col(f"b{b}").alias(f"bb{b}") for b in range(_PH_BANDS)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"ab{b}").bitwiseXOR(F.col(f"bb{b}")))
+        for b in range(_PH_BANDS)
+    ).cast("int")
+    return (
+        cand.join(sa, "ida")
+        .join(sb, "idb")
+        .select(
+            F.col("ida").alias("asset_a"),
+            F.col("idb").alias("asset_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+_PH_ORACLE_BANDS = ",\n               ".join(
+    f"{_sql_hex4('text', 1 + 4 * b)} AS b{b}" for b in range(_PH_BANDS)
+)
+
+
+@query(
+    "x_multimodal_phash_dedup",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id AS asset_id,
+               {_PH_ORACLE_BANDS}
+        FROM documents
+    )
+    SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+                + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+                AS INTEGER) AS hamming
+    FROM h a JOIN h b
+      ON a.asset_id < b.asset_id
+     AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+          <= {_PH_MAX_HAMMING}
+    """,
+    tags=("multimodal", "dedup", "tierx"),
+)
+def x_multimodal_phash_dedup(spark, sf_dir):
+    """Perceptual-hash near-dup detection over the multimodal asset
+    table — the image-dedup pipeline shape (pHash/dHash + banded
+    hamming LSH). See phash_hamming_pairs for the algorithm and the
+    honest approximate-recall contract; the md5 stand-in hash makes
+    the whole path (band extraction, bucketed candidate join,
+    XOR/popcount verification) value-checkable against DuckDB, and a
+    real DCT pHash over decoded pixels swaps in via the mapInPandas
+    featurizer without changing any downstream plumbing. The oracle
+    states the identical candidates ∩ verified contract as an
+    OR-of-band-equalities join (fixture-scale only — the Spark plan
+    is the banded bucket join, pinned never-all-pairs)."""
+    return phash_hamming_pairs(assets_frame(spark, sf_dir))

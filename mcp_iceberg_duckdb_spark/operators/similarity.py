@@ -600,3 +600,77 @@ def x_embed_quantize_int8(spark, sf_dir):
             + F.lit(1e-8)
         ).alias("within_bound"),
     )
+
+
+@query(
+    "x_embed_gram_matrix",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    flat AS (
+        SELECT e.vec_id, g.i,
+               CAST(floor(e.v[g.i] * 1e6 + 0.5) AS BIGINT) AS xq
+        FROM e, LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS i) g
+    ),
+    p AS (
+        SELECT CAST(a.i - 1 AS INTEGER) AS i, CAST(b.i - 1 AS INTEGER) AS j,
+               CAST(a.xq * b.xq AS DECIMAL(38,0)) AS p
+        FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.i <= b.i
+    )
+    SELECT i, j,
+           floor((CAST(sum(p) AS DOUBLE) / 1e12) * 1e6 + 0.5) / 1e6 AS gram
+    FROM p GROUP BY i, j
+    """,
+    tags=("similarity", "tierx"),
+)
+def x_embed_gram_matrix(spark, sf_dir):
+    """Distributed Gram matrix XᵀX over the embedding corpus — the
+    aggregation step behind PCA / whitening / covariance-shrinkage
+    preprocessing of an embedding table: the result is dim×dim
+    (upper triangle: dim·(dim+1)/2 = 2080 rows at dim=64) REGARDLESS
+    of corpus size, so the eigendecomposition that follows is a
+    driver-side O(dim³) — classic big-n/small-d reduction.
+
+    Spark shape: each vector expands its own index pairs with a
+    nested array transform (no self-join, no per-row Python) and the
+    (i, j) groupBy map-side-combines to ≤2080 partial sums per task —
+    the shuffle carries tasks·2080 rows, never corpus·dim². The
+    DuckDB oracle states the same semantics as a flat self-join
+    (fine at fixture scale, quadratic-in-dim per row — exactly the
+    shape the Spark plan avoids).
+
+    Determinism: elements are micro-quantized to int64 BEFORE
+    multiplying (products ≤ ~1e13 are exact int64), partial sums are
+    exact DECIMAL(38,0), and the final /1e12 de-scale + rn(6) runs
+    identical IEEE ops on exact inputs in both engines."""
+    e = parallelize(
+        t(spark, sf_dir).embeddings.select(
+            "vec_id", as_double("embedding").alias("v")
+        )
+    )
+    vq = F.transform(
+        "v", lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long")
+    )
+    pairs = F.flatten(
+        F.transform(
+            vq,
+            lambda x, i: F.filter(
+                F.transform(
+                    vq,
+                    lambda y, j: F.struct(
+                        i.alias("i"), j.alias("j"), (x * y).alias("p")
+                    ),
+                ),
+                lambda s: s.getField("j") >= i,
+            ),
+        )
+    )
+    return (
+        e.select(F.explode(pairs).alias("s"))
+        .select("s.i", "s.j", F.col("s.p").cast("decimal(38,0)").alias("p"))
+        .groupBy("i", "j")
+        .agg(
+            rn(F.sum("p").cast("double") / F.lit(1e12), 6).alias("gram")
+        )
+    )

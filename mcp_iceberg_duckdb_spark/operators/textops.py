@@ -1090,3 +1090,104 @@ def x_sketch_countmin_topk(spark, sf_dir):
             / F.col("true_cnt")
         ).alias("rel_overestimate"),
     )
+
+
+@query(
+    "x_text_zipf_fit",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    freq AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r FROM freq
+    ),
+    q AS (
+        SELECT CAST(floor(ln(r) * 1e6 + 0.5) AS BIGINT) AS xq,
+               CAST(floor(ln(c) * 1e6 + 0.5) AS BIGINT) AS yq
+        FROM ranked
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(xq) AS DOUBLE) AS sx,
+               CAST(sum(yq) AS DOUBLE) AS sy,
+               CAST(sum(CAST(xq * yq AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(xq * xq AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(yq * yq AS DECIMAL(38,0))) AS DOUBLE) AS syy
+        FROM q
+    )
+    SELECT n AS n_types,
+           floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1e6 + 0.5)
+               / 1e6 AS zipf_slope,
+           floor(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+                  / 1e6) * 1e6 + 0.5) / 1e6 AS zipf_intercept,
+           floor(((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                  / ((n * sxx - sx * sx) * (n * syy - sy * sy))) * 1e6 + 0.5)
+               / 1e6 AS r_squared
+    FROM s
+    """,
+    tags=("text", "tierx"),
+)
+def x_text_zipf_fit(spark, sf_dir):
+    """Zipf-law fit over the corpus vocabulary: least-squares slope /
+    intercept / R² of ln(freq) ~ ln(rank) — the standard sanity check
+    that a crawled corpus has natural-language token statistics
+    (machine-generated or template spam bends the tail; a healthy
+    corpus sits near slope −1). Closed-form regression from five
+    aggregate sums — no iterative fitting.
+
+    Determinism: ln() runs on identical integer inputs (rank, count)
+    in both engines → identical doubles, quantized to int64
+    micro-units; Σx, Σy are exact int64 sums and the three product
+    sums are exact DECIMAL(38,0) sums (xq·yq ≤ ~3.5e14 fits int64
+    pre-cast; the SUM could not). The final slope/intercept/R² math
+    is a fixed sequence of IEEE double ops over exact inputs —
+    identical everywhere, then rn-rounded. Intercept is reported in
+    ln-count units (the /1e6 de-scales the micro-unit intercept).
+
+    Scale: one vocab groupBy (map-side combined), ONE global sort of
+    the vocab-sized relation for ranks (vocab ≪ corpus — at 100 TB
+    vocab is 1e8 rows ~ a few GB, a single-stage sort), then a 1-row
+    total aggregate. Nothing corpus-sized ever sorts or shuffles
+    twice."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir).documents
+    freq = (
+        d.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = freq.select(
+        "c",
+        F.row_number()
+        .over(W.orderBy(F.col("c").desc(), F.col("w")))
+        .alias("r"),
+    )
+    micro = lambda col: F.floor(F.log(col) * F.lit(1e6) + F.lit(0.5)).cast(  # noqa: E731
+        "long"
+    )
+    q = ranked.select(micro(F.col("r")).alias("xq"), micro(F.col("c")).alias("yq"))
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    s = q.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("xq").cast("double").alias("sx"),
+        F.sum("yq").cast("double").alias("sy"),
+        F.sum(dec(F.col("xq") * F.col("yq"))).cast("double").alias("sxy"),
+        F.sum(dec(F.col("xq") * F.col("xq"))).cast("double").alias("sxx"),
+        F.sum(dec(F.col("yq") * F.col("yq"))).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.alias("n_types"),
+        rn(slope, 6).alias("zipf_slope"),
+        rn((sy - slope * sx) / n / F.lit(1e6), 6).alias("zipf_intercept"),
+        rn(
+            (n * sxy - sx * sy)
+            * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r_squared"),
+    )

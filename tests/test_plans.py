@@ -323,3 +323,27 @@ def test_embedding_cosine_pair_join_is_cluster_keyed(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "cluster_id" in plan, "pair join lost the cluster key"
     spark.catalog.clearCache()
+
+
+def test_phash_dedup_banded_never_allpairs(spark, sf_dir):
+    """The pHash near-dup join must come from exact-match band
+    buckets (hash join on (band, bval)), never a cartesian or
+    nested-loop pairing of the asset table with itself."""
+    from mcp_iceberg_duckdb_spark.plans import explain_str
+
+    plan = explain_str(_df("x_multimodal_phash_dedup", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gram_matrix_no_join_single_shuffle(spark, sf_dir):
+    """XᵀX must expand index pairs per-row (nested array transform)
+    and aggregate with ONE (i, j) shuffle of ≤2080-row partials —
+    no self-join of the exploded element relation."""
+    from mcp_iceberg_duckdb_spark.plans import explain_str
+
+    df = _df("x_embed_gram_matrix", spark, sf_dir)
+    plan = explain_str(df)
+    assert "Join" not in plan, "Gram matrix must not plan any join"
+    # exchanges: the parallelize() repartition + the (i,j) groupBy
+    assert shuffle_count(df) <= 2

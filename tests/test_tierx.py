@@ -339,3 +339,31 @@ def test_kmeans_matches_numpy_replica(spark, duck, sf_dir):
     agree = sum(got[i] == assign[i] for i in got) / len(got)
     assert agree >= 0.97, f"assignment agreement {agree:.3f} < 0.97"
     assert len(set(got.values())) >= 4, "degenerate clustering"
+
+
+def test_phash_identical_payloads_pair_at_hamming_zero(spark):
+    """Planted exact duplicates must collide in every band and verify
+    at hamming 0; a payload differing in content must not produce a
+    hamming-0 pair."""
+    from pyspark.sql import functions as F
+
+    from mcp_iceberg_duckdb_spark.operators.multimodal import (
+        phash_hamming_pairs,
+    )
+
+    assets = spark.createDataFrame(
+        [(1, b"same payload"), (2, b"same payload"), (3, b"other payload")],
+        "asset_id long, payload binary",
+    )
+    rows = {
+        (r.asset_a, r.asset_b): r.hamming
+        for r in phash_hamming_pairs(assets, max_hamming=64).collect()
+    }
+    assert rows.get((1, 2)) == 0
+    assert all(h > 0 for k, h in rows.items() if k != (1, 2))
+    # at the default threshold the unrelated pair must not survive
+    strict = {
+        (r.asset_a, r.asset_b)
+        for r in phash_hamming_pairs(assets).collect()
+    }
+    assert (1, 2) in strict
