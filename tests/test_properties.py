@@ -273,18 +273,31 @@ def test_load_driver_history_parses_rounds(tmp_path):
     (tmp_path / "CORRECTNESS_r02.json").write_text(
         json.dumps({"q_c": g, "q_d": bad_hash, "q_e": rows_only, "q_fixed": g})
     )
-    green, red = registry._load_driver_history(base_dir=str(tmp_path))
+    green, red, last_green = registry._load_driver_history(
+        base_dir=str(tmp_path)
+    )
     # unions the static baseline with both rounds' greens
     assert registry._DRIVER_GREEN_STATIC <= green
     assert {"q_a", "q_c", "q_e", "q_fixed"} <= green
     # q_b failed in r01 (not latest) — not red; q_d failed in r02 — red
     assert red == ("q_d",)
     assert "q_b" not in green and "q_d" not in green
+    # latest-green round numbers drive the staleness rotation
+    assert last_green["q_a"] == 1
+    assert last_green["q_c"] == last_green["q_fixed"] == 2
+    # a REGRESSION (green earlier, failed in the latest round) must
+    # re-head the sample: red, and excluded from the green tail
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps({"q_a": dict(g, hash_match=False)})
+    )
+    green3, red3, _ = registry._load_driver_history(base_dir=str(tmp_path))
+    assert "q_a" in red3 and "q_a" not in green3
     # no files → static baseline, no reds
     empty = tmp_path / "empty"
     empty.mkdir()
-    green0, red0 = registry._load_driver_history(base_dir=str(empty))
+    green0, red0, lg0 = registry._load_driver_history(base_dir=str(empty))
     assert green0 == registry._DRIVER_GREEN_STATIC and red0 == ()
+    assert lg0 == {}
 
 
 # --- ExactSubstr interval-union formula (x_text_exactsubstr_scrub) -------
