@@ -57,6 +57,11 @@ BENCH_QUERIES = [
     "x_source_overlap_matrix",
     "x_text_pmi_bigrams",
     "x_text_bigram_logprob",
+    # round-5 additions (compare from BENCH_r05 on)
+    "x_text_zipf_fit",
+    "x_embed_gram_matrix",
+    "x_multimodal_phash_dedup",
+    "x_semdedup_hier_assign",
 ]
 
 

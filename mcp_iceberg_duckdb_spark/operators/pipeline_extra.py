@@ -1238,8 +1238,14 @@ def hierarchical_centroid_assignment(e, coarse_k: int = 4, nprobe: int = 3):
         .select("vec_id", "v", "gid")
     )
     cent_g = cent.join(memb_df, "clabel")
-    candidates = routed.join(F.broadcast(cent_g), "gid").select(
-        "vec_id", "v", "clabel", cosine(F.col("v"), F.col("cv")).alias("sim")
+    # persisted: feeds both the argmax below and the contract query's
+    # candidate count — unpersisted, the routing windows run twice
+    candidates = (
+        routed.join(F.broadcast(cent_g), "gid")
+        .select(
+            "vec_id", "v", "clabel", cosine(F.col("v"), F.col("cv")).alias("sim")
+        )
+        .persist()
     )
     simq = F.floor(F.col("sim") * F.lit(1e6) + F.lit(0.5)).cast("bigint")
     wa = W.partitionBy("vec_id").orderBy(simq.desc(), "clabel")
