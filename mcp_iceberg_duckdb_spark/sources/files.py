@@ -1,0 +1,124 @@
+"""CSV / JSON-lines file sources with the same pinned-schema
+discipline as the parquet loaders (sources/tables.py).
+
+The reference engine's data plane accepts external files through
+DuckDB's readers (its embedded engine natively scans CSV/JSON next to
+parquet); this module is the Spark-side equivalent for landing such
+files into the engine's tables — the ingestion edge of a training-data
+pipeline, where raw crawls and metadata sidecars arrive as JSONL and
+tabular exports arrive as CSV.
+
+Scale rules baked in:
+
+- **Explicit schema, never inference.** Schema inference reads every
+  file once before the real scan — a full extra pass at 100 TB. A
+  known table name binds its TESTDATA.md schema; otherwise the caller
+  must pass one.
+- **FAILFAST by default.** PERMISSIVE silently nulls malformed rows —
+  at pipeline scale that is undetected data loss; a bad batch should
+  die loudly at the ingestion edge. Callers doing forensics can pass
+  ``mode="PERMISSIVE"`` plus a ``columnNameOfCorruptRecord``.
+- **Timestamps pin to TIMESTAMP_NTZ** via the table schemas, matching
+  the parquet fixtures and the DuckDB oracle's naive timestamps.
+- **Splittability**: uncompressed (and bzip2/lz4-frame) CSV/JSONL
+  split by ``maxPartitionBytes`` like parquet; gzip does NOT (one
+  task per .gz file) — shard gzipped drops into many files upstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from mcp_iceberg_duckdb_spark.sources.tables import EVENTS_NTZ_SCHEMA, SCHEMAS
+
+
+def _resolve_schema(
+    table: str | None, schema: T.StructType | str | None
+) -> T.StructType | str:
+    if schema is not None:
+        return schema
+    if table is not None:
+        if table not in SCHEMAS:
+            raise ValueError(
+                f"unknown table {table!r}; known: {sorted(SCHEMAS)}"
+            )
+        if table == "events":
+            # the raw-parquet schema reads ts as int64 only to sniff
+            # the footer unit (tables.py); external CSV/JSONL carries
+            # textual timestamps — bind the post-conversion NTZ schema
+            return EVENTS_NTZ_SCHEMA
+        return SCHEMAS[table]
+    raise ValueError(
+        "pass table= (a TESTDATA.md table) or schema= — schema inference "
+        "is disabled by design (it costs a full extra pass over the data)"
+    )
+
+
+# Spark's DEFAULT text writers truncate TIMESTAMP_NTZ to milliseconds
+# (pattern yyyy-MM-dd'T'HH:mm:ss[.SSS]) — a silent 3-digit precision
+# loss on round-trip that parquet never has. Both directions here pin
+# full microseconds instead; override per-call if ingesting foreign
+# files with a different convention.
+_NTZ_US_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    table: str | None = None,
+    schema: T.StructType | str | None = None,
+    **options,
+) -> DataFrame:
+    """Lazy CSV load with pinned schema. Defaults: header on, empty
+    string as NULL, FAILFAST, µs-precision NTZ timestamps. CSV
+    carries no nested types — tables with array columns (embeddings)
+    must arrive as JSONL/parquet."""
+    resolved = _resolve_schema(table, schema)
+    if isinstance(resolved, T.StructType) and any(
+        isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        for f in resolved.fields
+    ):
+        raise ValueError(
+            f"table {table!r} has nested columns — CSV cannot represent "
+            "them; use read_jsonl or parquet"
+        )
+    opts = {
+        "header": "true",
+        "nullValue": "",
+        "mode": "FAILFAST",
+        "timestampNTZFormat": _NTZ_US_FORMAT,
+    }
+    opts.update(options)
+    return spark.read.options(**opts).schema(resolved).csv(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    table: str | None = None,
+    schema: T.StructType | str | None = None,
+    **options,
+) -> DataFrame:
+    """Lazy JSON-lines load with pinned schema (one JSON object per
+    line — the crawl-drop format; multiLine JSON is NOT splittable
+    and is deliberately not defaulted)."""
+    resolved = _resolve_schema(table, schema)
+    opts = {"mode": "FAILFAST", "timestampNTZFormat": _NTZ_US_FORMAT}
+    opts.update(options)
+    return spark.read.options(**opts).schema(resolved).json(path)
+
+
+def write_csv(df: DataFrame, path: str, **options) -> None:
+    """CSV sink matching read_csv's conventions (header, µs NTZ)."""
+    opts = {"header": "true", "timestampNTZFormat": _NTZ_US_FORMAT}
+    opts.update(options)
+    df.write.options(**opts).mode("overwrite").csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str, **options) -> None:
+    """JSONL sink matching read_jsonl's conventions (µs NTZ —
+    Spark's default writer silently truncates to milliseconds)."""
+    opts = {"timestampNTZFormat": _NTZ_US_FORMAT}
+    opts.update(options)
+    df.write.options(**opts).mode("overwrite").json(path)
