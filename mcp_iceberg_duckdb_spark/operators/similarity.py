@@ -674,3 +674,117 @@ def x_embed_gram_matrix(spark, sf_dir):
             rn(F.sum("p").cast("double") / F.lit(1e12), 6).alias("gram")
         )
     )
+
+
+@query(
+    "x_embed_pca_project",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           TRUE AS ev_order_ok,
+           TRUE AS var1_ok,
+           TRUE AS var2_ok
+    FROM embeddings
+    """,
+    tags=("similarity", "tierx"),
+)
+def x_embed_pca_project(spark, sf_dir):
+    """PCA projection QA — the step after x_embed_gram_matrix in the
+    big-n/small-d reduction: covariance C = G/n − μμᵀ assembled
+    DRIVER-side from the distributed Gram sums + mean vector (dim² +
+    dim floats of driver state), eigendecomposed with LAPACK (O(dim³)
+    on the driver — the part that never needs the cluster), and the
+    top-2 principal directions broadcast back as literal arrays for a
+    shuffle-free distributed projection of every vector.
+
+    Driver-side eigenvectors are not SQL-expressible, so this is a
+    decidable contract (the x_embed_kmeans pattern): the oracle
+    value-checks the corpus size and pins three booleans TRUE —
+    ev_order_ok (top eigenvalues correctly ordered, non-negative up to
+    jitter) and var1_ok/var2_ok, which assert THE defining PCA
+    invariant: the distributed empirical variance of each projection
+    equals its eigenvalue (|avg(pᵢ²) − λᵢ| ≤ 1e-4·λᵢ; projections are
+    computed from the same micro-quantized values as the Gram sums, so
+    the two sides see identical data). A wrong covariance assembly,
+    eigh ordering slip, or projection sign/centering bug breaks the
+    variance identity and flips a bit."""
+    import numpy as np
+
+    e = parallelize(
+        t(spark, sf_dir).embeddings.select(
+            "vec_id", as_double("embedding").alias("v")
+        )
+    ).withColumn(
+        "vq",
+        F.transform(
+            "v",
+            lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long")
+            / F.lit(1e6),
+        ),
+    ).persist()
+    # distributed sums: Gram upper triangle + mean + n (dim²+dim+1
+    # driver-sized results from corpus-wide aggregations)
+    pairs = F.flatten(
+        F.transform(
+            "vq",
+            lambda x, i: F.filter(
+                F.transform(
+                    "vq",
+                    lambda y, j: F.struct(
+                        i.alias("i"), j.alias("j"), (x * y).alias("p")
+                    ),
+                ),
+                lambda s: s.getField("j") >= i,
+            ),
+        )
+    )
+    gram_rows = (
+        e.select(F.explode(pairs).alias("s"))
+        .groupBy("s.i", "s.j")
+        .agg(F.sum("s.p").alias("g"))
+        .collect()
+    )
+    mean_rows = (
+        e.select(F.posexplode("vq").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg("x").alias("m"), F.count("*").alias("cnt"))
+        .collect()
+    )
+    dim = len(mean_rows)
+    n = mean_rows[0]["cnt"]
+    mu = np.zeros(dim)
+    for r in mean_rows:
+        mu[r["i"]] = r["m"]
+    G = np.zeros((dim, dim))
+    for r in gram_rows:
+        G[r["i"], r["j"]] = G[r["j"], r["i"]] = r["g"]
+    C = G / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(C)  # ascending
+    l1, l2 = float(evals[-1]), float(evals[-2])
+    w1, w2 = evecs[:, -1], evecs[:, -2]
+    # deterministic sign: largest-|component| entry positive
+    for w in (w1, w2):
+        if w[int(np.argmax(np.abs(w)))] < 0:
+            w *= -1
+    mu_arr = F.array(*[F.lit(float(x)) for x in mu])
+    w1_arr = F.array(*[F.lit(float(x)) for x in w1])
+    w2_arr = F.array(*[F.lit(float(x)) for x in w2])
+    centered = F.zip_with("vq", mu_arr, lambda x, m: x - m)
+    proj = e.select(
+        dot(centered, w1_arr).alias("p1"), dot(centered, w2_arr).alias("p2")
+    )
+    stats = proj.agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.avg(F.col("p1") * F.col("p1")).alias("v1"),
+        F.avg(F.col("p2") * F.col("p2")).alias("v2"),
+    )
+    tol = 1e-4
+    return stats.select(
+        "n_vecs",
+        F.lit(bool(l1 >= l2 and l2 > -1e-9)).alias("ev_order_ok"),
+        (F.abs(F.col("v1") - F.lit(l1)) <= F.lit(tol * max(l1, 1e-12))).alias(
+            "var1_ok"
+        ),
+        (F.abs(F.col("v2") - F.lit(l2)) <= F.lit(tol * max(l2, 1e-12))).alias(
+            "var2_ok"
+        ),
+    )
