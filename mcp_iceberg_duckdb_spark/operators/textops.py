@@ -1158,11 +1158,36 @@ def x_text_zipf_fit(spark, sf_dir):
         .groupBy("w")
         .agg(F.count("*").alias("c"))
     )
-    ranked = freq.select(
+    # Rank WITHOUT a global single-partition window (row_number over
+    # the whole vocab would move every word to one task): rank(w) =
+    # (# words with higher count) + (row_number among same-count words
+    # by word). The first term is a cumulative sum over the DISTINCT
+    # count values (heavy-tailed: far fewer distinct counts than
+    # words — a driver-window-sized relation); the second partitions
+    # by count, which distributes. The resulting (rank, count)
+    # multiset is identical to the naive global row_number, and the
+    # regression consumes only permutation-invariant sums over it, so
+    # the simple row_number form stays valid as the SQL oracle.
+    cdist = freq.groupBy("c").agg(F.count("*").alias("n_c"))
+    cum = cdist.select(
+        "c",
+        (
+            F.sum("n_c").over(
+                W.orderBy(F.col("c").desc()).rowsBetween(
+                    W.unboundedPreceding, W.currentRow
+                )
+            )
+            - F.col("n_c")
+        ).alias("rank_base"),
+    )
+    within = freq.select(
         "c",
         F.row_number()
-        .over(W.orderBy(F.col("c").desc(), F.col("w")))
-        .alias("r"),
+        .over(W.partitionBy("c").orderBy(F.col("w")))
+        .alias("r_in"),
+    )
+    ranked = within.join(cum, "c").select(
+        "c", (F.col("rank_base") + F.col("r_in")).alias("r")
     )
     micro = lambda col: F.floor(F.log(col) * F.lit(1e6) + F.lit(0.5)).cast(  # noqa: E731
         "long"
