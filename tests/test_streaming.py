@@ -273,3 +273,54 @@ def test_stream_session_window_subset_of_batch(spark, sf_dir, events_path):
     missing = [r for r in s_rows if r not in batch]
     assert not missing, f"stream sessions disagree with batch: {missing[:3]}"
     assert len(s_rows) >= 0.5 * len(batch), "stream emitted too few sessions"
+
+
+def test_checkpoint_restart_is_exactly_once(spark, sf_dir, tmp_path):
+    """Checkpointed recovery: a streaming query stopped after
+    consuming the first file and RESTARTED from the same checkpoint
+    over a grown input directory must process each input row exactly
+    once — the committed-offsets contract every production pipeline
+    leans on, which the memory-sink tests never exercise."""
+    import pyarrow.parquet as pq
+
+    src_dir = tmp_path / "in"
+    src_dir.mkdir()
+    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    half = tbl.num_rows // 2
+    pq.write_table(tbl.slice(0, half), str(src_dir / "part1.parquet"))
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src_dir))
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == half
+    # grow the input AFTER the first run committed its offsets
+    pq.write_table(tbl.slice(half), str(src_dir / "part2.parquet"))
+    run_once()
+    result = spark.read.parquet(out)
+    assert result.count() == tbl.num_rows, "restart duplicated or dropped rows"
+    assert (
+        result.select("event_id").distinct().count() == tbl.num_rows
+    ), "event_ids duplicated across restart"
