@@ -367,3 +367,26 @@ def test_prefix_filtered_cross_join_equals_bruteforce(spark_mod):
             f"t={num}/{den}: missing={sorted(want - got)[:3]} "
             f"extra={sorted(got - want)[:3]}"
         )
+
+
+@given(
+    st.integers(min_value=1, max_value=1000),
+    st.integers(min_value=1, max_value=1000),
+)
+@settings(max_examples=500, deadline=None)
+def test_effective_threshold_exact_rational(a, b):
+    """The prefix/length filters prune against t_eff = num/den − 5e-7
+    (the loosest true Jaccard that can round6 up to the nominal
+    threshold). The integer rational must represent that value
+    EXACTLY — any float detour would reintroduce the truncated-prefix
+    false-negative class the integer math exists to prevent."""
+    from fractions import Fraction
+
+    from mcp_iceberg_duckdb_spark.functions.simjoin import (
+        _effective_threshold,
+    )
+
+    num, den = min(a, b), max(a, b)
+    ne, de = _effective_threshold(num, den)
+    assert Fraction(ne, de) == Fraction(num, den) - Fraction(1, 2_000_000)
+    assert de > 0
