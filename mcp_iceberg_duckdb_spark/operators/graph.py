@@ -1,0 +1,129 @@
+"""Iterative graph analytics (tier X — SURVEY.md §2.11): PageRank
+over the customer⇄supplier co-purchase graph — the second iterative
+operator family after connected components (dedup.py), showing the
+general Pregel-lite shape: per-iteration contribution join + node
+groupBy, plan truncated with localCheckpoint at scale.
+
+Determinism discipline: ranks live in int64 MICRO-units and every
+update is integer arithmetic — r'(v) = 150000 + Σ_{u→v}
+(850000·(r(u) div deg(u))) div 1e6 — so there is no float summation
+order anywhere and both engines produce bit-identical ranks. The
+DuckDB oracle unrolls the same fixed iteration count as chained CTEs
+(recursive CTEs disallow aggregation in the recursive term).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mcp_iceberg_duckdb_spark.operators._util import rn, t
+from mcp_iceberg_duckdb_spark.registry import query
+
+_PR_ITERS = 5
+_PR_ONE = 1_000_000  # rank 1.0 in micro-units
+_PR_JUMP = 150_000  # (1 − 0.85) in micro-units
+_PR_DAMP = 850_000  # 0.85 in micro-units
+
+
+def _oracle_sql() -> str:
+    """Fixed-iteration PageRank as chained CTEs, integer-exact."""
+    parts = [
+        """
+    WITH edges_d AS (
+        SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+        SELECT src, dst FROM edges_d
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM edges_d
+    ),
+    deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
+    pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM deg)"""
+    ]
+    for i in range(_PR_ITERS):
+        parts.append(
+            f""",
+    pr{i + 1} AS (
+        SELECT e.dst AS node,
+               CAST({_PR_JUMP} + ({_PR_DAMP} * sum(p.r // d.d)) // 1000000
+                    AS BIGINT) AS r
+        FROM edges e
+        JOIN pr{i} p ON p.node = e.src
+        JOIN deg d ON d.node = e.src
+        GROUP BY e.dst
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node,
+           floor((CAST(r AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6 AS pagerank
+    FROM pr{_PR_ITERS}"""
+    )
+    return "".join(parts)
+
+
+@query("x_graph_pagerank", oracle=_oracle_sql(), tags=("graph", "tierx"))
+def x_graph_pagerank(spark, sf_dir):
+    """PageRank (damping 0.85, 5 iterations) on the bipartite
+    customer⇄supplier graph induced by co-purchases (node ids:
+    customer 2k, supplier 2k+1; edges symmetric, so there are no
+    dangling nodes and rank mass needs no dangling redistribution).
+
+    Spark shape: the distinct edge relation and per-node degrees are
+    computed once and reused across iterations; each iteration is ONE
+    contribution join (edges ⋈ ranks, both sides partitioned on the
+    join key — AQE reuses the exchange) + ONE node groupBy with
+    map-side combine. State per iteration is the node-rank relation
+    (|V| rows of two int64s), never collected. At 100 TB the loop adds
+    localCheckpoint(eager=False) per round like the CC operator
+    (dedup.py) to truncate lineage; at fixture scale the 5-iteration
+    plan stays a plain unrolled DAG, which also keeps the builder
+    side-effect-free for the oracle compare.
+
+    Integer-exact determinism: see module docstring — div-based
+    updates make float summation order irrelevant; both engines agree
+    bit-for-bit, and the only rounding is the final display de-scale."""
+    o = t(spark, sf_dir).orders.select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir).lineitem.select("l_orderkey", "l_suppkey")
+    ed = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = ed.unionByName(
+        ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("d")
+    ).persist()
+    ranks = deg.select("node", F.lit(_PR_ONE).cast("bigint").alias("r"))
+    contrib_src = edges.join(
+        deg.select(F.col("node").alias("src"), "d"), "src"
+    ).persist()
+    # per-edge flow r div d (int64, ≤ r), damping factored OUT of the
+    # sum so every intermediate stays far inside int64:
+    # r' = 150000 + (850000 · Σ(r div d)) div 1e6 — all integer ops.
+    for _ in range(_PR_ITERS):
+        ranks = (
+            contrib_src.join(
+                ranks.select(F.col("node").alias("src"), "r"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("r div d")).alias("s"))
+            .select(
+                "node",
+                (
+                    F.lit(_PR_JUMP)
+                    + F.expr(f"({_PR_DAMP} * s) div 1000000")
+                )
+                .cast("bigint")
+                .alias("r"),
+            )
+        )
+    return ranks.select(
+        "node", rn(F.col("r").cast("double") / F.lit(1e6), 6).alias("pagerank")
+    )

@@ -347,3 +347,14 @@ def test_gram_matrix_no_join_single_shuffle(spark, sf_dir):
     assert "Join" not in plan, "Gram matrix must not plan any join"
     # exchanges: the parallelize() repartition + the (i,j) groupBy
     assert shuffle_count(df) <= 2
+
+
+def test_pagerank_loop_is_hash_joined(spark, sf_dir):
+    """Every PageRank iteration must be a hash join on the src key —
+    no cartesian, and the unrolled 5-iteration DAG reuses the
+    persisted edge/degree relations instead of rescanning."""
+    from mcp_iceberg_duckdb_spark.plans import explain_str
+
+    plan = explain_str(_df("x_graph_pagerank", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
