@@ -127,3 +127,66 @@ def x_graph_pagerank(spark, sf_dir):
     return ranks.select(
         "node", rn(F.col("r").cast("double") / F.lit(1e6), 6).alias("pagerank")
     )
+
+
+# ---- Z-order layout key (data-layout lever: multi-column pruning) ----
+
+_Z_BITS = 16
+_Z_EPOCH = "DATE '1992-01-01'"
+
+
+def _z_interleave(a, b):
+    """Bit-interleave two 16-bit ints into one 32-bit Morton (Z-order)
+    key — pure shift/mask expressions, identical in both engines."""
+    z = F.lit(0).cast("bigint")
+    for i in range(_Z_BITS):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def _z_sql(a: str, b: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+@query(
+    "x_layout_zorder",
+    oracle=f"""
+    SELECT o_orderkey,
+           {_z_sql("(o_custkey & 65535)",
+                   f"(datediff('day', {_Z_EPOCH}, o_orderdate) & 65535)")}
+               AS zval
+    FROM orders
+    """,
+    tags=("layout", "tierx"),
+)
+def x_layout_zorder(spark, sf_dir):
+    """Z-order (Morton) layout key over (customer, order-date) — the
+    data-LAYOUT lever: writing a table sorted by the interleaved key
+    clusters rows that are close in BOTH dimensions into the same
+    parquet row groups, so min/max statistics prune multi-column
+    box predicates that a single-column sort can only prune on its
+    leading column. tests/test_partitioning.py measures the effect
+    directly on row-group stats: the z-sorted layout scans a fraction
+    of the row groups the key-sorted layout needs for a
+    (custkey-range AND date-range) query.
+
+    Pure shift/mask integer expressions (shuffle-free map over the
+    scan; the sort that USES the key is a one-off write-side cost).
+    At 100 TB this is the Delta/Iceberg OPTIMIZE ZORDER shape:
+    compute key → range-partition by it → write; nothing collects."""
+    o = t(spark, sf_dir).orders
+    ck = F.col("o_custkey").bitwiseAND(F.lit(65535)).cast("bigint")
+    dd = (
+        F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1992-01-01")))
+        .bitwiseAND(F.lit(65535))
+        .cast("bigint")
+    )
+    return o.select("o_orderkey", _z_interleave(ck, dd).alias("zval"))

@@ -130,3 +130,89 @@ def test_repartition_colocates_write(spark, sf_dir, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == li.count()
     assert len(back.inputFiles()) >= 4
+
+
+def test_zorder_layout_prunes_more_row_groups(spark, sf_dir, tmp_path):
+    """The layout lever measured, not asserted by analogy: orders
+    written z-sorted on (custkey, orderdate) vs sorted on the primary
+    key, small row groups, then a two-dimensional box predicate
+    evaluated against parquet row-group min/max stats. The z-sorted
+    layout must make strictly more row groups skippable — that
+    min/max pruning win is the entire point of OPTIMIZE ZORDER."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from mcp_iceberg_duckdb_spark import registry
+    from mcp_iceberg_duckdb_spark.sources.tables import load
+
+    registry.load_all()
+    orders = load(spark, sf_dir, "orders")
+    z = registry.QUERIES["x_layout_zorder"].builder(spark, sf_dir)
+    with_z = orders.join(z, "o_orderkey")
+
+    # pyarrow writer: Spark's writer won't produce sub-128MB row
+    # groups at fixture volume, and the measurement needs many groups
+    import pyarrow as pa
+
+    zdir = tmp_path / "z"
+    kdir = tmp_path / "k"
+    zdir.mkdir()
+    kdir.mkdir()
+    def _to_table(pdf):
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+        i = tbl.schema.get_field_index("o_orderdate")
+        return tbl.set_column(
+            i, "o_orderdate", tbl.column(i).cast(pa.date32())
+        )
+
+    zpdf = with_z.orderBy("zval").toPandas()
+    kpdf = with_z.orderBy("o_orderkey").toPandas()
+    pq.write_table(_to_table(zpdf), str(zdir / "p.parquet"), row_group_size=100)
+    pq.write_table(_to_table(kpdf), str(kdir / "p.parquet"), row_group_size=100)
+    zdir, kdir = str(zdir), str(kdir)
+
+    lo_c, hi_c = 100, 400  # custkey box
+    lo_d, hi_d = "1995-01-01", "1996-01-01"  # date box
+
+    def candidate_row_groups(d):
+        import datetime
+        import glob
+
+        def _day(v):
+            return v.date() if isinstance(v, datetime.datetime) else v
+
+        lo_dd = datetime.date.fromisoformat(lo_d)
+        hi_dd = datetime.date.fromisoformat(hi_d)
+        total = cand = 0
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = {
+                md.schema.column(i).name: i
+                for i in range(len(md.schema))
+            }
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                total += 1
+                sc = g.column(names["o_custkey"]).statistics
+                sd = g.column(names["o_orderdate"]).statistics
+                if sc.min > hi_c or sc.max < lo_c:
+                    continue
+                if _day(sd.min) > hi_dd or _day(sd.max) < lo_dd:
+                    continue
+                cand += 1
+        return cand, total
+
+    zc, zt = candidate_row_groups(zdir)
+    kc, kt = candidate_row_groups(kdir)
+    assert zt > 4 and kt > 4, "row groups too coarse to measure pruning"
+    # same predicate, same data: the z layout must scan fewer groups
+    assert zc < kc, f"z-order did not prune: z {zc}/{zt} vs key {kc}/{kt}"
+    # and the result set itself is identical either way
+    pred = (
+        (F.col("o_custkey").between(lo_c, hi_c))
+        & (F.col("o_orderdate") >= lo_d)
+        & (F.col("o_orderdate") < hi_d)
+    )
+    n_z = spark.read.parquet(zdir).filter(pred).count()
+    n_k = spark.read.parquet(kdir).filter(pred).count()
+    assert n_z == n_k
