@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "x_embed_gram_matrix",
     "x_multimodal_phash_dedup",
     "x_semdedup_hier_assign",
+    "x_graph_pagerank",
+    "x_layout_zorder",
 ]
 
 

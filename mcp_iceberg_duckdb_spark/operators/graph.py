@@ -96,14 +96,22 @@ def x_graph_pagerank(spark, sf_dir):
     )
     edges = ed.unionByName(
         ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    )
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("d")
-    ).persist()
-    ranks = deg.select("node", F.lit(_PR_ONE).cast("bigint").alias("r"))
+    )
+    # localCheckpoint (the CC-loop precedent, dedup.py): the unrolled
+    # 5-iteration DAG would otherwise INLINE the orders⋈lineitem
+    # edge-building subtree into every iteration — 49 shuffles and 40
+    # joins of plan, all AQE/codegen overhead. Checkpointing the
+    # (src, d) contribution relation once truncates the lineage so
+    # each iteration plans as scan ⋈ ranks + one groupBy.
     contrib_src = edges.join(
         deg.select(F.col("node").alias("src"), "d"), "src"
-    ).persist()
+    ).localCheckpoint()
+    ranks = contrib_src.select("src").distinct().select(
+        F.col("src").alias("node"), F.lit(_PR_ONE).cast("bigint").alias("r")
+    )
     # per-edge flow r div d (int64, ≤ r), damping factored OUT of the
     # sum so every intermediate stays far inside int64:
     # r' = 150000 + (850000 · Σ(r div d)) div 1e6 — all integer ops.
