@@ -8,6 +8,7 @@ from mcp_iceberg_duckdb_spark.operators import (  # noqa: F401
     multimodal,
     pipeline_extra,
     relational,
+    retrieval,
     scalars,
     scalars_extra,
     similarity,
