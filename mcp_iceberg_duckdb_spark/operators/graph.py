@@ -198,3 +198,117 @@ def x_layout_zorder(spark, sf_dir):
         .cast("bigint")
     )
     return o.select("o_orderkey", _z_interleave(ck, dd).alias("zval"))
+
+
+# ---- Triangle counting (degree-ordered wedge join) ----
+
+_TRI_ORACLE = """
+    WITH e AS (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    tri AS (
+        SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    pernode AS (
+        SELECT node, count(*) AS tri_count
+        FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+        GROUP BY node
+    )
+    SELECT s.s_suppkey, CAST(coalesce(p.tri_count, 0) AS BIGINT) AS tri_count
+    FROM supplier s LEFT JOIN pernode p ON p.node = s.s_suppkey
+"""
+
+
+@query("x_graph_triangles", oracle=_TRI_ORACLE, tags=("graph", "tierx"))
+def x_graph_triangles(spark, sf_dir):
+    """Per-supplier triangle counts on the supplier co-occurrence
+    graph (edge = two suppliers fulfilled lineitems of the same
+    order). Triangle counting is the standard graph-quality /
+    community-density audit, and the distributed-shape benchmark for
+    wedge-join algorithms.
+
+    Spark shape — the Suri-Vassilvitskii (WWW'11) degree-ordered
+    wedge join: each canonical edge is ORIENTED from its
+    lower-(degree, id) endpoint to the higher, so every wedge is
+    generated exactly once at its lowest-ranked vertex and the wedge
+    count is bounded by O(m^1.5) REGARDLESS of skew — a hub of degree
+    D generates no wedges at itself beyond neighbors of higher rank,
+    the failure mode that kills id-ordered implementations at 100 TB.
+    One distinct (co-occurrence pairs dedup), one degree groupBy
+    (broadcast back onto the edges — |V| = supplier-dim rows, the
+    small dimension; at extreme |V| AQE demotes the hint to shuffle),
+    one self-join on the wedge apex, one semi-join against the
+    closing edge, one explode + groupBy for per-node counts. Nothing
+    iterative, nothing collected.
+
+    The DuckDB oracle orients by supplier id instead (correct for any
+    total order, merely slower) — both engines count the identical
+    triangle set, so per-node counts match bit-for-bit (pure int64).
+
+    Reference parity: co-occurrence analytics are inexpressible in
+    the reference's single-table SELECT surface (QueryManager.py:79-81).
+    """
+    li = t(spark, sf_dir).lineitem.select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .distinct()
+    )
+    both = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = both.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+    # total-order rank key (deg, id) packed into one int64: suppkey is
+    # far below 1e9, degree below 1e9 — key = d*1e9 + id never overflows
+    key = deg.select(
+        "node", (F.col("d") * F.lit(1_000_000_000) + F.col("node")).alias("k")
+    )
+    ed = (
+        und.join(F.broadcast(key.withColumnsRenamed({"node": "u", "k": "ku"})), "u")
+        .join(F.broadcast(key.withColumnsRenamed({"node": "v", "k": "kv"})), "v")
+        .select(
+            F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.least("ku", "kv").alias("src_k"),
+            F.greatest("ku", "kv").alias("dst_k"),
+        )
+    )
+    e1 = ed.alias("e1")
+    e2 = ed.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (F.col("e1.dst_k") < F.col("e2.dst_k")),
+    ).select(
+        F.col("e1.src").alias("x"),
+        F.col("e1.dst").alias("y"),
+        F.col("e2.dst").alias("z"),
+    )
+    tri = wedges.join(
+        ed.select(F.col("src").alias("y"), F.col("dst").alias("z")),
+        ["y", "z"],
+        "leftsemi",
+    )
+    pernode = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("tri_count"))
+    )
+    s = t(spark, sf_dir).supplier.select("s_suppkey")
+    return s.join(
+        pernode, s.s_suppkey == pernode.node, "left"
+    ).select(
+        "s_suppkey",
+        F.coalesce(F.col("tri_count"), F.lit(0)).cast("bigint").alias("tri_count"),
+    )

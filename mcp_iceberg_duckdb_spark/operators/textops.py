@@ -1216,3 +1216,121 @@ def x_text_zipf_fit(spark, sf_dir):
             6,
         ).alias("r_squared"),
     )
+
+
+# ---- Bloom filter membership sketch (vocabulary pre-screen) ----
+
+_BLOOM_M = 128  # bits — sized to the fixture vocab so FPs OCCUR and
+# the false-positive-rate column measures something; at production
+# vocab sizes m scales as ~1.44·k·|members| bits for the same load
+_BLOOM_K = 4  # hash functions
+
+
+def _bloom_pos(depth: int, col):
+    """Spark twin of _sql_hex6('b<depth>:' || word) % M."""
+    h6 = F.substring(F.md5(F.concat(F.lit(f"b{depth}:"), col)), 1, 6)
+    return (F.conv(h6, 16, 10).cast("bigint") % _BLOOM_M).alias("pos")
+
+
+def _bloom_sql_pos(depth: int, expr: str) -> str:
+    inner = f"concat('b{depth}:', {expr})"
+    return f"({_sql_hex6(inner)} % {_BLOOM_M})"
+
+
+_BLOOM_ORACLE = f"""
+    WITH vocab AS (
+        SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    bits AS (
+        SELECT DISTINCT
+               unnest([{', '.join(_bloom_sql_pos(d, 'w') for d in range(_BLOOM_K))}]) AS pos
+        FROM vocab
+    ),
+    pw AS (
+        SELECT DISTINCT unnest(string_split(p_name, ' ')) AS w FROM part
+    ),
+    probes AS (
+        SELECT w, TRUE AS truly_present FROM vocab
+        UNION ALL
+        SELECT w, FALSE FROM pw WHERE w NOT IN (SELECT w FROM vocab)
+    ),
+    probed AS (
+        SELECT p.w, p.truly_present,
+               unnest([{', '.join(_bloom_sql_pos(d, 'p.w') for d in range(_BLOOM_K))}]) AS pos
+        FROM probes p
+    ),
+    hits AS (
+        SELECT w, truly_present,
+               count(b.pos) AS nhit
+        FROM probed LEFT JOIN bits b USING (pos)
+        GROUP BY w, truly_present
+    )
+    SELECT w AS word, truly_present,
+           nhit = {_BLOOM_K} AS bloom_positive,
+           (nhit = {_BLOOM_K}) OR NOT truly_present AS fn_free
+    FROM hits
+"""
+
+
+@query("x_sketch_bloom", oracle=_BLOOM_ORACLE, tags=("text", "tierx"))
+def x_sketch_bloom(spark, sf_dir):
+    """Bloom-filter membership audit: a {k}-hash, {m}-bit Bloom
+    filter is built over the corpus vocabulary and probed with every
+    corpus word (must ALL come back positive — a Bloom filter has no
+    false negatives, pinned row-wise by `fn_free`) plus every
+    part-name word absent from the corpus (whose positives measure
+    the false-positive rate the sketch trades for fixed memory).
+
+    This is the sketch-accelerated pre-screen for the decontamination
+    join (x_text_contamination): at 100 TB you broadcast the m-bit
+    eval-set filter to every executor and drop the 99%+ of n-grams
+    that miss it BEFORE the exact shuffle join — m bits of driver
+    state replacing a full distinct-shingle relation.
+
+    Spark shape: ONE distinct over the vocabulary, one explode to the
+    k bit positions, distinct again (the set-bit relation is ≤ m rows
+    — BROADCAST back onto the probes regardless of corpus size), one
+    groupBy counting hit positions per probe word. Engine parity: bit
+    positions are the integer value of the first 6 hex chars of
+    md5('b<depth>:' || word) — identical in both engines, so the
+    filter and every verdict match bit-for-bit (same discipline as
+    the Count-Min sketch above).
+    """
+    d = t(spark, sf_dir).documents
+    vocab = d.select(F.explode(tokens("text")).alias("w")).distinct()
+    bits = (
+        vocab.select(
+            F.explode(
+                F.array(*[_bloom_pos(dd, F.col("w")) for dd in range(_BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    pw = (
+        t(spark, sf_dir)
+        .part.select(F.explode(F.split("p_name", " ")).alias("w"))
+        .distinct()
+    )
+    probes = vocab.select("w", F.lit(True).alias("truly_present")).unionByName(
+        pw.join(vocab, "w", "leftanti").select(
+            "w", F.lit(False).alias("truly_present")
+        )
+    )
+    probed = probes.select(
+        "w",
+        "truly_present",
+        F.explode(
+            F.array(*[_bloom_pos(dd, F.col("w")) for dd in range(_BLOOM_K)])
+        ).alias("pos"),
+    )
+    hits = (
+        probed.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("w", "truly_present")
+        .agg(F.count("hit").alias("nhit"))
+    )
+    return hits.select(
+        F.col("w").alias("word"),
+        "truly_present",
+        (F.col("nhit") == _BLOOM_K).alias("bloom_positive"),
+        ((F.col("nhit") == _BLOOM_K) | ~F.col("truly_present")).alias("fn_free"),
+    )
