@@ -1334,3 +1334,137 @@ def x_sketch_bloom(spark, sf_dir):
         (F.col("nhit") == _BLOOM_K).alias("bloom_positive"),
         ((F.col("nhit") == _BLOOM_K) | ~F.col("truly_present")).alias("fn_free"),
     )
+
+
+# ---- PII redaction scrub ----
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\+1-555-[0-9]{4}"
+_PII_IP = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+_PII_PLANT_SQL = """
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN concat(' contact user', CAST(doc_id AS VARCHAR),
+                                   '@example.com')
+                       ELSE '' END
+               || CASE WHEN doc_id % 4 = 0
+                       THEN concat(' call +1-555-',
+                                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN concat(' from 10.0.',
+                                   CAST(doc_id % 256 AS VARCHAR), '.',
+                                   CAST((doc_id * 7) % 256 AS VARCHAR))
+                       ELSE '' END AS raw
+        FROM documents
+"""
+
+_PII_ORACLE = f"""
+    WITH planted AS ({_PII_PLANT_SQL}),
+    scrubbed AS (
+        SELECT doc_id, raw,
+               len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS n_emails,
+               len(regexp_extract_all(raw, '{_PII_PHONE}')) AS n_phones,
+               len(regexp_extract_all(raw, '{_PII_IP}')) AS n_ips,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(raw, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{_PII_PHONE}', '<PHONE>', 'g'),
+                   '{_PII_IP}', '<IP>', 'g') AS clean
+        FROM planted
+    )
+    SELECT doc_id,
+           CAST(n_emails AS BIGINT) AS n_emails,
+           CAST(n_phones AS BIGINT) AS n_phones,
+           CAST(n_ips AS BIGINT) AS n_ips,
+           md5(clean) AS clean_md5,
+           len(regexp_extract_all(clean, '{_PII_EMAIL}'))
+               + len(regexp_extract_all(clean, '{_PII_PHONE}'))
+               + len(regexp_extract_all(clean, '{_PII_IP}')) = 0 AS pii_free
+    FROM scrubbed
+"""
+
+
+@query("x_text_pii_scrub", oracle=_PII_ORACLE, tags=("text", "tierx"))
+def x_text_pii_scrub(spark, sf_dir):
+    """PII redaction scrub — the mandatory privacy pass of any
+    training-data pipeline: count and redact emails, NANP phone
+    numbers, and IPv4 addresses, with a structural `pii_free`
+    re-scan column proving the redacted text contains none.
+
+    The fixture corpus contains no digits at all, so (same honesty
+    pattern as the md5 fake-decode in multimodal.py) identifiers are
+    PLANTED deterministically from doc_id by both engines before
+    scrubbing — the operator under test is the scrub, and its full
+    output (per-doc counts + md5 of the redacted text) matches
+    bit-for-bit.
+
+    Spark shape: a pure expression map — regexp_count + three
+    chained regexp_replace, no shuffle anywhere; at 100 TB it scales
+    with scan bandwidth like the quality-scoring family. Regex
+    dialect note: the three patterns avoid every construct where
+    Java regex (Spark) and RE2 (DuckDB) diverge — character classes,
+    bounded repeats, and literal escapes only, no backreferences, no
+    lookaround, no \\b.
+    """
+    d = t(spark, sf_dir).documents
+    did = F.col("doc_id")
+    raw = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                ((did * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    planted = d.select("doc_id", raw.alias("raw"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    s = planted.select(
+        "doc_id",
+        F.regexp_count("raw", F.lit(_PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count("raw", F.lit(_PII_PHONE)).cast("bigint").alias("n_phones"),
+        F.regexp_count("raw", F.lit(_PII_IP)).cast("bigint").alias("n_ips"),
+        clean.alias("clean"),
+    )
+    return s.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ips",
+        F.md5("clean").alias("clean_md5"),
+        (
+            F.regexp_count("clean", F.lit(_PII_EMAIL))
+            + F.regexp_count("clean", F.lit(_PII_PHONE))
+            + F.regexp_count("clean", F.lit(_PII_IP))
+            == 0
+        ).alias("pii_free"),
+    )

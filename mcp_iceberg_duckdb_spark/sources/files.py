@@ -122,3 +122,32 @@ def write_jsonl(df: DataFrame, path: str, **options) -> None:
     opts = {"timestampNTZFormat": _NTZ_US_FORMAT}
     opts.update(options)
     df.write.options(**opts).mode("overwrite").json(path)
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    table: str | None = None,
+    schema: T.StructType | str | None = None,
+    **options,
+) -> DataFrame:
+    """Lazy ORC load. ORC is self-describing like parquet, so the
+    pinned schema here acts as a CONTRACT check (column pruning +
+    type projection) rather than an inference replacement; it also
+    keeps predicate pushdown and splittable stripes — the only
+    columnar alternative Spark ships a native vectorized reader for.
+    Nested types round-trip (unlike CSV)."""
+    reader = spark.read.options(**options).format("orc")
+    resolved = _resolve_schema(table, schema) if (table or schema) else None
+    if resolved is not None:
+        reader = reader.schema(resolved)
+    return reader.load(path)
+
+
+def write_orc(df: DataFrame, path: str, **options) -> None:
+    """ORC sink (zlib default — Spark's vectorized ORC writer).
+    TIMESTAMP_NTZ, decimals, and nested arrays all round-trip at
+    full precision; stripe-level min/max indexes give the same
+    row-group pruning lever the z-order layout test measures for
+    parquet."""
+    df.write.options(**options).mode("overwrite").orc(path)

@@ -27,7 +27,7 @@ import math
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mcp_iceberg_duckdb_spark.operators._util import dec_round, rn, t
@@ -591,4 +591,107 @@ def s_funnel_latency(spark, sf_dir):
         ),
         rn(F.col("med_us") / F.lit(1e6), 4).alias("median_latency_s"),
         rn(F.col("p90_us") / F.lit(1e6), 4).alias("p90_latency_s"),
+    )
+
+
+# ---- Trailing-window z-score anomaly detection ----
+
+_AZ_WIN = 20  # trailing events per user
+_AZ_MINN = 10  # minimum history before scoring
+_AZ_THRESH = 2.5  # |z| flag threshold
+
+_AZ_ORACLE = f"""
+    WITH q AS (
+        SELECT event_id, user_id, ts,
+               CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq
+        FROM events
+    ),
+    w AS (
+        SELECT event_id, user_id, vq,
+               count(vq) OVER win AS n_prev,
+               CAST(sum(vq) OVER win AS DOUBLE) AS s,
+               CAST(sum(vq * vq) OVER win AS DOUBLE) AS s2
+        FROM q
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN {_AZ_WIN} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, vq AS value_micro,
+           CAST(n_prev AS BIGINT) AS n_prev,
+           floor(((vq - s / n_prev)
+                  / sqrt((s2 - s * s / n_prev) / n_prev)) * 1e6 + 0.5)
+               / 1e6 AS z
+    FROM w
+    WHERE n_prev >= {_AZ_MINN}
+      AND (s2 - s * s / n_prev) > 0
+      AND abs((vq - s / n_prev)
+              / sqrt((s2 - s * s / n_prev) / n_prev)) > {_AZ_THRESH}
+"""
+
+
+@query("s_anomaly_zscore", oracle=_AZ_ORACLE, tags=("streaming", "tierx"))
+def s_anomaly_zscore(spark, sf_dir):
+    """Trailing-window z-score anomaly detection: each event's value
+    is scored against the mean/stddev of the SAME user's previous
+    {W} events (frame ROWS BETWEEN {W} PRECEDING AND 1 PRECEDING —
+    strictly past data, the online-scoring semantics), and events
+    beyond {T} standard deviations with >= {N} events of history are
+    flagged. The monitoring / data-quality shape: per-entity rolling
+    statistics with a bounded frame.
+
+    Spark shape: ONE window spec, partitioned by user — the frame is
+    bounded so state per partition is O({W}), and the only exchange
+    is the hash partition by user_id. At 100 TB this is exactly the
+    applyInPandasWithState layout the true-streaming runtime uses
+    (stream_user_running_totals above): key = user, bounded deque of
+    trailing values; the batch twin here IS the backfill path.
+
+    Determinism: values are micro-quantized to int64 FIRST, window
+    sums of vq and vq² are exact integer arithmetic in both engines
+    (Spark long, DuckDB hugeint — both exact, both cast to double
+    once), and mean/variance/z are then computed with the identical
+    IEEE expression tree, so the z column agrees bit-for-bit before
+    its display rounding; the window ORDER BY (ts, event_id) is a
+    total order (event_id unique), per the frame-boundary discipline
+    in .claude/skills/verify.
+    """
+    e = t(spark, sf_dir).events
+    q = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint")
+        .alias("vq"),
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_AZ_WIN, -1)
+    )
+    w = q.select(
+        "event_id",
+        "user_id",
+        "vq",
+        F.count("vq").over(win).alias("n_prev"),
+        F.sum("vq").over(win).cast("double").alias("s"),
+        F.sum(F.col("vq") * F.col("vq")).over(win).cast("double").alias("s2"),
+    )
+    mean = F.col("s") / F.col("n_prev")
+    var = (F.col("s2") - F.col("s") * F.col("s") / F.col("n_prev")) / F.col(
+        "n_prev"
+    )
+    z = (F.col("vq") - mean) / F.sqrt(var)
+    return (
+        w.where(
+            (F.col("n_prev") >= _AZ_MINN)
+            & ((F.col("s2") - F.col("s") * F.col("s") / F.col("n_prev")) > 0)
+            & (F.abs(z) > _AZ_THRESH)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.col("vq").alias("value_micro"),
+            F.col("n_prev").cast("bigint").alias("n_prev"),
+            rn(z, 6).alias("z"),
+        )
     )

@@ -80,3 +80,26 @@ def test_filters_push_into_csv_scan(spark, sf_dir, tmp_path):
     assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,1)]" in plan or (
         "PushedFilters" in plan and "o_orderkey" in plan
     )
+
+
+@pytest.mark.parametrize("table", ["nation", "events", "embeddings"])
+def test_orc_roundtrip_matches_parquet(spark, sf_dir, tmp_path, table):
+    from mcp_iceberg_duckdb_spark.sources.files import read_orc, write_orc
+
+    src = load(spark, sf_dir, table)
+    out = str(tmp_path / f"{table}_orc")
+    write_orc(src, out)
+    back = read_orc(spark, out, table=table)
+    assert back.schema == src.schema
+    assert _sorted_rows(back) == _sorted_rows(src)
+
+
+def test_filters_push_into_orc_scan(spark, sf_dir, tmp_path):
+    from mcp_iceberg_duckdb_spark.sources.files import read_orc, write_orc
+
+    src = load(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_orc")
+    write_orc(src, out)
+    df = read_orc(spark, out, table="orders").filter(F.col("o_orderkey") == 1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_orderkey" in plan
