@@ -358,3 +358,54 @@ def test_pagerank_loop_is_hash_joined(spark, sf_dir):
     plan = explain_str(_df("x_graph_pagerank", spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    """Chunking is a narrow expression map (split → sequence →
+    posexplode → slice): no exchange anywhere — at 100 TB it runs at
+    scan bandwidth."""
+    df = _df("x_text_chunking", spark, sf_dir)
+    assert shuffle_count(df) == 0
+    cols = set(read_schema_columns(df, "documents"))
+    assert "lang" not in cols and "source" not in cols
+
+
+def test_bm25_broadcasts_queries_and_rank_limits(spark, sf_dir):
+    """The postings⋈query-terms join must broadcast the 8-row query
+    side (never shuffle the postings against it), and the per-query
+    head must be a rank-limited window."""
+    df = _df("x_text_bm25_topk", spark, sf_dir)
+    assert has_broadcast_hash_join(df), "query terms must broadcast"
+    assert has_window_group_limit(df), "top-k per query must rank-limit"
+
+
+def test_triangles_degree_ordered_hash_joins(spark, sf_dir):
+    """Wedge join + closing-edge semi-join must both be hash joins on
+    equality keys — no cartesian/nested-loop pairing — and the degree
+    relation joins back by broadcast."""
+    from mcp_iceberg_duckdb_spark.plans import explain_str
+
+    df = _df("x_graph_triangles", spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert has_broadcast_hash_join(df)
+
+
+def test_bloom_broadcasts_set_bits(spark, sf_dir):
+    """The set-bit relation (≤ m rows) must broadcast onto the
+    probes — the whole point of the sketch is that membership costs
+    no shuffle of the probe stream."""
+    df = _df("x_sketch_bloom", spark, sf_dir)
+    assert has_broadcast_hash_join(df)
+
+
+def test_anomaly_zscore_single_user_shuffle(spark, sf_dir):
+    """One hash partition by user feeds the bounded trailing frame;
+    nothing else exchanges."""
+    df = _df("s_anomaly_zscore", spark, sf_dir)
+    assert shuffle_count(df) <= 1
+
+
+def test_pii_scrub_is_shuffle_free(spark, sf_dir):
+    df = _df("x_text_pii_scrub", spark, sf_dir)
+    assert shuffle_count(df) == 0
