@@ -695,3 +695,77 @@ def s_anomaly_zscore(spark, sf_dir):
             rn(z, 6).alias("z"),
         )
     )
+
+
+def stream_user_anomalies(events: DataFrame) -> DataFrame:
+    """True-streaming twin of s_anomaly_zscore: per-user trailing
+    {W}-value deque in the state store (applyInPandasWithState), each
+    arriving event scored against strictly-prior state, anomalies
+    emitted per micro-batch.
+
+    The arithmetic is the batch twin's EXACTLY: micro-quantized int64
+    values, exact integer window sums (Python ints here, Spark
+    long-sums there), then the identical IEEE double expression tree
+    — so on an in-order replay the emitted rows match the batch
+    operator bit-for-bit (tests/test_streaming.py pins it). Rows
+    within a micro-batch are sorted (ts, event_id) before scoring;
+    CROSS-batch disorder is the documented residual — true online
+    scoring tolerates it by design (the score uses whatever history
+    HAS arrived, the monitoring semantics), while the batch twin is
+    the deterministic backfill.
+
+    State per user is a bounded {W}-element int64 array — O(users)
+    state total, the same budget as the running-totals operator."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = (
+        "event_id long, user_id long, value_micro long, n_prev long, z double"
+    )
+    state_schema = "vals array<long>"
+    w, minn, th = _AZ_WIN, _AZ_MINN, _AZ_THRESH
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        vals = list(state.get[0]) if state.exists else []
+        chunks = [pdf for pdf in pdfs]
+        batch = pd.concat(chunks) if chunks else pd.DataFrame()
+        rows = []
+        if len(batch):
+            batch = batch.sort_values(["ts", "event_id"])
+            for eid, v in zip(batch["event_id"], batch["value"]):
+                vq = math.floor(float(v) * 1e6 + 0.5)
+                n = len(vals)
+                if n >= minn:
+                    s = float(sum(vals))
+                    s2 = float(sum(x * x for x in vals))
+                    var_num = s2 - s * s / n
+                    if var_num > 0:
+                        z = (vq - s / n) / math.sqrt(var_num / n)
+                        if abs(z) > th:
+                            rows.append(
+                                (
+                                    int(eid),
+                                    int(key[0]),
+                                    vq,
+                                    n,
+                                    math.floor(z * 1e6 + 0.5) / 1e6,
+                                )
+                            )
+                vals.append(vq)
+                if len(vals) > w:
+                    vals.pop(0)
+        state.update((vals,))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=["event_id", "user_id", "value_micro", "n_prev", "z"],
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -324,3 +324,25 @@ def test_checkpoint_restart_is_exactly_once(spark, sf_dir, tmp_path):
     assert (
         result.select("event_id").distinct().count() == tbl.num_rows
     ), "event_ids duplicated across restart"
+
+
+def test_stream_anomalies_match_batch(spark, sf_dir, events_path):
+    """The stateful trailing-deque anomaly scorer, replayed in order
+    over the finite stream, must emit exactly the batch twin's rows
+    (same int-exact sums, same IEEE expression tree)."""
+    from mcp_iceberg_duckdb_spark.registry import QUERIES
+    from mcp_iceberg_duckdb_spark.streaming.events import stream_user_anomalies
+
+    out = run_stream_to_memory(
+        spark,
+        stream_user_anomalies(read_event_stream(spark, events_path)),
+        "t_anom",
+        mode="append",
+    )
+    streamed = sorted(tuple(r) for r in out.collect())
+    batch = sorted(
+        tuple(r)
+        for r in QUERIES["s_anomaly_zscore"].builder(spark, sf_dir).collect()
+    )
+    assert len(batch) > 0
+    assert streamed == batch
