@@ -1316,3 +1316,80 @@ def x_semdedup_hier_assign(spark, sf_dir):
             ),
         )
     )
+
+
+# ---- Weighted reservoir sampling (Efraimidis-Spirakis exponential race) ----
+
+_WRS_K = 50  # sample size
+_WRS_DEN = 16 ** 6 + 1  # md5-hex6 uniform denominator
+
+
+def _wrs_hex6_sql(expr: str) -> str:
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"({terms})"
+
+
+_WRS_ORACLE = f"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               floor((-ln(({_wrs_hex6_sql("concat('wrs:', CAST(doc_id AS VARCHAR))")} + 1.0)
+                          / {_WRS_DEN}.0)
+                      / n_chars) * 1e12 + 0.5) / 1e12 AS samp_key
+        FROM documents
+    )
+    SELECT doc_id, n_chars, samp_key
+    FROM keyed
+    ORDER BY samp_key, doc_id
+    LIMIT {_WRS_K}
+"""
+
+
+@query(
+    "x_corpus_weighted_sample", oracle=_WRS_ORACLE, tags=("pipeline", "tierx")
+)
+def x_corpus_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis 2006 exponential race): each document draws
+    a reproducible uniform u from md5('wrs:' || doc_id), races with
+    key = -ln(u) / w (weight w = n_chars — longer docs
+    proportionally likelier), and the {K} smallest keys win. The
+    length-weighted corpus subsample every mixture experiment needs,
+    with the md5-seeded determinism of the split/cap/stratified
+    samplers (x_corpus_split_hash, x_source_cap_sample,
+    x_quality_stratified_sample): partition- and retry-independent,
+    and a doc's key never changes as the corpus grows.
+
+    Spark shape: a shuffle-free per-row key expression, then ONE
+    TakeOrdered head — k rows cross the wire per partition, never a
+    global sort. At 100 TB the same expression feeds a
+    threshold-filter variant (keep keys below a broadcast k-th-key
+    estimate) when k itself is huge.
+
+    Determinism: u is an exact dyadic rational from the first 6 md5
+    hex chars (identical in both engines); ln is the single
+    libm-dependent op and its result is immediately 1e-12-quantized
+    before the ORDER BY (the PMI discipline), with doc_id as the
+    total-order tiebreak."""
+    d = t(spark, sf_dir).documents
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("wrs:"), F.col("doc_id").cast("string"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(_WRS_DEN))
+    key = rn(-F.log(u) / F.col("n_chars"), 12)
+    return (
+        d.select("doc_id", "n_chars", key.alias("samp_key"))
+        .orderBy("samp_key", "doc_id")
+        .limit(_WRS_K)
+    )

@@ -1468,3 +1468,96 @@ def x_text_pii_scrub(spark, sf_dir):
             == 0
         ).alias("pii_free"),
     )
+
+
+# ---- First-occurrence novelty scoring ----
+
+_NOV_N = 5  # shingle width (tokens)
+
+_NOV_ORACLE = f"""
+    WITH sh AS (
+        SELECT DISTINCT d.doc_id,
+               md5(array_to_string(tk[i + 1:i + {_NOV_N}], ' ')) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS tk
+              FROM documents) d,
+             LATERAL (SELECT unnest(range(greatest(len(tk) - {_NOV_N - 1}, 1)))
+                      AS i) g
+    ),
+    firsts AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           count(*) AS n_shingles,
+           CAST(count(*) FILTER (WHERE f.first_doc = sh.doc_id) AS BIGINT)
+               AS n_novel,
+           floor((CAST(count(*) FILTER (WHERE f.first_doc = sh.doc_id)
+                       AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS novelty
+    FROM sh JOIN firsts f USING (s)
+    GROUP BY sh.doc_id
+"""
+
+
+@query("x_text_novelty", oracle=_NOV_ORACLE, tags=("text", "tierx"))
+def x_text_novelty(spark, sf_dir):
+    """First-occurrence novelty score: the fraction of a document's
+    distinct {N}-token shingles whose FIRST corpus occurrence
+    (minimum doc_id) is this document. High-novelty docs add new
+    content; near-zero novelty marks template/boilerplate tails —
+    the curriculum-ordering and diversity-budget signal that
+    complements the boilerplate and ExactSubstr operators (which
+    measure the opposite: how SHARED a doc's content is).
+
+    Spark shape: the distinct (doc, shingle-md5) relation is built
+    once and persisted for its two consumers (the min-doc groupBy
+    and the join back), shuffling 32-byte md5 keys instead of
+    5-word strings — the boilerplate operator's persist+hash-key
+    rework applied from day one. Two linear groupBys + one
+    equi-join; ingest order (doc_id) is the explicit tiebreak for
+    "first", so the result is replay-stable at any parallelism.
+
+    The md5 shingle key is shared by both engines, so even hash
+    collisions (merging two shingles) are deterministic and
+    identical — the collision story ADVICE r4 flagged for
+    engine-PRIVATE hashes does not arise."""
+    d = t(spark, sf_dir).documents.select(
+        "doc_id", F.split("text", " ").alias("tk")
+    )
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size("tk") - _NOV_N, F.lit(0)),
+                )
+            ).alias("i"),
+            "tk",
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(" ", F.slice("tk", F.col("i") + 1, _NOV_N))
+            ).alias("s"),
+        )
+        .distinct()
+        .persist()
+    )
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(firsts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            rn(
+                F.col("n_novel").cast("double") / F.col("n_shingles"), 6
+            ).alias("novelty"),
+        )
+    )

@@ -409,3 +409,24 @@ def test_anomaly_zscore_single_user_shuffle(spark, sf_dir):
 def test_pii_scrub_is_shuffle_free(spark, sf_dir):
     df = _df("x_text_pii_scrub", spark, sf_dir)
     assert shuffle_count(df) == 0
+
+
+def test_novelty_persists_hashed_shingles(spark, sf_dir):
+    """The distinct (doc, shingle-md5) relation must be persisted for
+    its two consumers and take-ordered nowhere; both groupBys hash
+    on the 32-byte md5 key."""
+    from mcp_iceberg_duckdb_spark.plans import explain_str
+
+    df = _df("x_text_novelty", spark, sf_dir)
+    plan = explain_str(df)
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, (
+        "shingle relation must be persisted, not recomputed per consumer"
+    )
+
+
+def test_weighted_sample_takes_ordered_head(spark, sf_dir):
+    """k-smallest-keys must be a TakeOrdered head, never a global
+    sort."""
+    df = _df("x_corpus_weighted_sample", spark, sf_dir)
+    assert has_take_ordered(df)
+    assert shuffle_count(df) == 0
