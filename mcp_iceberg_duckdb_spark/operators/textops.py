@@ -1561,3 +1561,134 @@ def x_text_novelty(spark, sf_dir):
             ).alias("novelty"),
         )
     )
+
+
+# ---- HyperLogLog register sketch (distinct-count audit) ----
+
+_HLL_M = 64  # registers (b = 6 index bits)
+_HLL_ALPHA = 0.709  # alpha_64 (Flajolet et al. 2007)
+_HLL_LOWBITS = 18  # 24-bit md5 hash minus 6 index bits
+_HLL_LOWMASK = (1 << _HLL_LOWBITS) - 1
+
+_HLL_ORACLE = f"""
+    WITH keys AS (
+        SELECT DISTINCT o_custkey AS k FROM orders
+    ),
+    hashed AS (
+        SELECT {_sql_hex6("concat('hll:', CAST(k AS VARCHAR))")} AS v FROM keys
+    ),
+    rhos AS (
+        SELECT v // {1 << _HLL_LOWBITS} AS idx,
+               CASE WHEN (v & {_HLL_LOWMASK}) = 0 THEN {_HLL_LOWBITS + 1}
+                    ELSE {_HLL_LOWBITS + 1} - length(bin(v & {_HLL_LOWMASK}))
+               END AS rho
+        FROM hashed
+    ),
+    regs AS (
+        SELECT g.idx, coalesce(max(r.rho), 0) AS m
+        FROM (SELECT unnest(range({_HLL_M})) AS idx) g
+        LEFT JOIN rhos r ON r.idx = g.idx
+        GROUP BY g.idx
+    ),
+    s AS (
+        SELECT sum(CAST(1 AS BIGINT) << ({_HLL_LOWBITS + 1} - m)) AS z_int,
+               sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS v_zero
+        FROM regs
+    ),
+    n AS (SELECT count(*) AS n_exact FROM keys),
+    est AS (
+        SELECT n.n_exact,
+               CASE WHEN ({_HLL_ALPHA} * {_HLL_M * _HLL_M}
+                          * {1 << (_HLL_LOWBITS + 1)} / z_int)
+                         <= {2.5 * _HLL_M}
+                         AND v_zero > 0
+                    THEN {_HLL_M} * ln({_HLL_M} / CAST(v_zero AS DOUBLE))
+                    ELSE {_HLL_ALPHA} * {_HLL_M * _HLL_M}
+                         * {1 << (_HLL_LOWBITS + 1)} / z_int
+               END AS e
+        FROM s, n
+    )
+    SELECT CAST(n_exact AS BIGINT) AS n_exact,
+           floor(e * 1e2 + 0.5) / 1e2 AS hll_est,
+           floor(((e - n_exact) / n_exact) * 1e6 + 0.5) / 1e6 AS rel_err,
+           abs(e - n_exact) / n_exact <= 0.2 AS within_20pct
+    FROM est
+"""
+
+
+@query("x_sketch_hll", oracle=_HLL_ORACLE, tags=("sketch", "tierx"))
+def x_sketch_hll(spark, sf_dir):
+    """HyperLogLog distinct-count audit (Flajolet-Fuhr-Gandouet-
+    Meunier 2007): a 64-register HLL built over the distinct customer
+    keys of the orders table, compared against the exact count. The
+    third member of the sketch family (Count-Min for frequency, Bloom
+    for membership, HLL for cardinality) — at 100 TB the m registers
+    are the ENTIRE state: mergeable by register-wise max across
+    partitions and days, which is why approx_count_distinct (whose
+    decidable contract a_approx_count_distinct pins) exists at all.
+    This operator shows the register mechanics in the open.
+
+    Spark shape: one distinct, a shuffle-free hash/rho expression
+    map, one 64-group max — state bounded by m regardless of input.
+    The expected relative error at m=64 is 1.04/√64 ≈ 13%, hence the
+    ±20% audit bound.
+
+    Determinism: the 24-bit hash is the md5-hex6 integer (identical
+    both engines); rho uses length(bin(x)) — both engines' bin()
+    emits minimal binary strings; Z = Σ2^-M_j is computed as an
+    EXACT integer Σ2^(19-M_j) (no float sum order anywhere); the
+    small-range linear-counting branch is expressed identically on
+    both sides, so even the branch decision is shared. ln is
+    libm-dependent but only reachable in the small-range branch,
+    where its output is display-quantized."""
+    o = t(spark, sf_dir).orders.select(F.col("o_custkey").alias("k")).distinct()
+    v = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hll:"), F.col("k").cast("string"))), 1, 6),
+        16,
+        10,
+    ).cast("bigint")
+    rhos = o.select(
+        (v / F.lit(1 << _HLL_LOWBITS)).cast("bigint").alias("idx"),
+        F.when(
+            v.bitwiseAND(F.lit(_HLL_LOWMASK)) == 0, F.lit(_HLL_LOWBITS + 1)
+        )
+        .otherwise(
+            F.lit(_HLL_LOWBITS + 1)
+            - F.length(F.bin(v.bitwiseAND(F.lit(_HLL_LOWMASK))))
+        )
+        .alias("rho"),
+    )
+    grid = spark.range(_HLL_M).select(F.col("id").cast("bigint").alias("idx"))
+    regs = (
+        grid.join(rhos, "idx", "left")
+        .groupBy("idx")
+        .agg(F.coalesce(F.max("rho"), F.lit(0)).alias("m"))
+    )
+    s = regs.agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_LOWBITS + 1} - m)")).alias(
+            "z_int"
+        ),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).alias("v_zero"),
+    )
+    n = o.agg(F.count("*").alias("n_exact"))
+    raw = (
+        F.lit(_HLL_ALPHA)
+        * F.lit(_HLL_M * _HLL_M)
+        * F.lit(1 << (_HLL_LOWBITS + 1))
+        / F.col("z_int")
+    )
+    e = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (F.col("v_zero") > 0),
+        F.lit(_HLL_M) * F.log(F.lit(_HLL_M) / F.col("v_zero").cast("double")),
+    ).otherwise(raw)
+    return (
+        s.crossJoin(F.broadcast(n))
+        .select(
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            rn(e, 2).alias("hll_est"),
+            rn((e - F.col("n_exact")) / F.col("n_exact"), 6).alias("rel_err"),
+            (
+                F.abs(e - F.col("n_exact")) / F.col("n_exact") <= F.lit(0.2)
+            ).alias("within_20pct"),
+        )
+    )

@@ -769,3 +769,98 @@ def stream_user_anomalies(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---- LOCF gap-fill resample (per-user hourly) ----
+
+_LOCF_ORACLE = """
+    WITH q AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq
+        FROM events
+    ),
+    hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour_start,
+               arg_max(vq, event_id) AS vq
+        FROM q GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    spans AS (
+        SELECT user_id,
+               date_trunc('hour', min(ts)) AS lo,
+               date_trunc('hour', max(ts)) AS hi
+        FROM q GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id,
+               unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+        FROM spans
+    )
+    SELECT g.user_id, g.hour_start,
+           last_value(h.vq IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.hour_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS vq_locf,
+           h.vq IS NULL AS filled
+    FROM grid g
+    LEFT JOIN hourly h
+      ON h.user_id = g.user_id AND h.hour_start = g.hour_start
+"""
+
+
+@query("s_locf_resample", oracle=_LOCF_ORACLE, tags=("streaming", "tierx"))
+def s_locf_resample(spark, sf_dir):
+    """Last-observation-carried-forward resample: each user's value
+    series is sampled to an hourly grid spanning their first-to-last
+    event hour (hourly sample = the hour's last event by unique
+    event_id), and empty hours carry the previous observation
+    forward — the TimescaleDB locf()/time_bucket_gapfill shape, and
+    the feature-engineering backfill every per-entity time-series
+    model consumes.
+
+    Spark shape: one (user, hour) groupBy with max_by for the hourly
+    sample, one per-user span aggregate whose sequence() EXPLODES the
+    grid (no driver loop, no cross join against a global calendar —
+    each user materializes only their own span), a per-user hash join
+    grid⋈samples, and ONE window (last ignorenulls over an unbounded
+    preceding frame) that runs inside the same user partition. Two
+    linear shuffles total at any scale; grid amplification is bounded
+    by span-hours per user.
+
+    Determinism: values are micro-quantized int64 before any
+    aggregate; the hourly sample uses max_by on the UNIQUE event_id
+    (total order); the LOCF window orders on the gapless hourly grid
+    — no float op anywhere in the output."""
+    e = t(spark, sf_dir).events
+    q = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint")
+        .alias("vq"),
+    )
+    hourly = q.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.max_by("vq", "event_id").alias("vq"))
+    spans = q.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour_start"),
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    j = grid.join(hourly, ["user_id", "hour_start"], "left")
+    return j.select(
+        "user_id",
+        F.col("hour_start").cast("timestamp_ntz").alias("hour_start"),
+        F.last("vq", ignorenulls=True).over(win).alias("vq_locf"),
+        F.col("vq").isNull().alias("filled"),
+    )

@@ -430,3 +430,28 @@ def test_weighted_sample_takes_ordered_head(spark, sf_dir):
     df = _df("x_corpus_weighted_sample", spark, sf_dir)
     assert has_take_ordered(df)
     assert shuffle_count(df) == 0
+
+
+def test_hll_state_is_register_bounded(spark, sf_dir):
+    """The HLL build must reduce through the 64-register grid — no
+    cartesian, and the only exchanges are the distinct + the
+    register groupBy + final 1-row gathers."""
+    from mcp_iceberg_duckdb_spark.plans import explain_str
+
+    df = _df("x_sketch_hll", spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_locf_two_linear_shuffles_one_window(spark, sf_dir):
+    """Grid join + LOCF window must stay inside the per-user hash
+    partition: expect the hourly/span groupBys and the user window,
+    nothing quadratic, no global sort."""
+    from mcp_iceberg_duckdb_spark.plans import explain_str
+
+    df = _df("s_locf_resample", spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "GlobalSort" not in plan and "Sort [hour_start" not in plan.split(
+        "Window"
+    )[0], "no global sort before the window"
