@@ -64,6 +64,12 @@ BENCH_QUERIES = [
     "x_semdedup_hier_assign",
     "x_graph_pagerank",
     "x_layout_zorder",
+    "x_text_chunking",
+    "x_text_bm25_topk",
+    "x_graph_triangles",
+    "x_text_novelty",
+    "s_anomaly_zscore",
+    "s_locf_resample",
 ]
 
 
