@@ -200,13 +200,38 @@ def x_layout_zorder(spark, sf_dir):
     return o.select("o_orderkey", _z_interleave(ck, dd).alias("zval"))
 
 
-# ---- Triangle counting (degree-ordered wedge join) ----
+# ---- Triangle counting on the mutual top-K strong-ties graph ----
 
-_TRI_ORACLE = """
-    WITH e AS (
-        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
-        FROM lineitem a JOIN lineitem b
+_TRI_K = 10  # ties kept per node (mutual k-NN sparsification)
+
+_TRI_ORACLE = f"""
+    WITH os AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ),
+    wp AS (
+        SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS w
+        FROM os a JOIN os b
           ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY a.l_suppkey, b.l_suppkey
+    ),
+    directed AS (
+        SELECT u AS src, v AS dst, w FROM wp
+        UNION ALL
+        SELECT v AS src, u AS dst, w FROM wp
+    ),
+    kept AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY w DESC, dst) AS rnk
+            FROM directed
+        ) WHERE rnk <= {_TRI_K}
+    ),
+    e AS (
+        SELECT k1.src AS u, k1.dst AS v
+        FROM kept k1 JOIN kept k2
+          ON k2.src = k1.dst AND k2.dst = k1.src
+        WHERE k1.src < k1.dst
     ),
     tri AS (
         SELECT e1.u AS x, e1.v AS y, e2.v AS z
@@ -226,46 +251,82 @@ _TRI_ORACLE = """
 
 @query("x_graph_triangles", oracle=_TRI_ORACLE, tags=("graph", "tierx"))
 def x_graph_triangles(spark, sf_dir):
-    """Per-supplier triangle counts on the supplier co-occurrence
-    graph (edge = two suppliers fulfilled lineitems of the same
-    order). Triangle counting is the standard graph-quality /
-    community-density audit, and the distributed-shape benchmark for
-    wedge-join algorithms.
+    """Per-supplier triangle counts on the MUTUAL TOP-{K}
+    strong-ties co-occurrence graph: tie weight = number of shared
+    orders, each supplier keeps its {K} strongest ties (weight desc,
+    id tiebreak), and an edge survives only if BOTH endpoints kept it
+    — the standard mutual-k-NN sparsification. Triangle counting is
+    the community-density audit; the sparsification step is what
+    makes it meaningful AND tractable: the raw co-purchase graph is
+    near-complete (every supplier pair shares an order once orders
+    are numerous), where wedge enumeration is Θ(n³) and the triangle
+    count itself is the useless C(n,3). The mutual-k-NN graph has
+    ≤ Kn/2 edges at ANY corpus size, so the wedge stage is O(K²n)
+    forever.
 
-    Spark shape — the Suri-Vassilvitskii (WWW'11) degree-ordered
-    wedge join: each canonical edge is ORIENTED from its
-    lower-(degree, id) endpoint to the higher, so every wedge is
-    generated exactly once at its lowest-ranked vertex and the wedge
-    count is bounded by O(m^1.5) REGARDLESS of skew — a hub of degree
-    D generates no wedges at itself beyond neighbors of higher rank,
-    the failure mode that kills id-ordered implementations at 100 TB.
-    One distinct (co-occurrence pairs dedup), one degree groupBy
-    (broadcast back onto the edges — |V| = supplier-dim rows, the
-    small dimension; at extreme |V| AQE demotes the hint to shuffle),
-    one self-join on the wedge apex, one semi-join against the
-    closing edge, one explode + groupBy for per-node counts. Nothing
-    iterative, nothing collected.
+    Spark shape: one weighted-pair groupBy (the inherent cost — the
+    same (u,v) reduce every co-occurrence statistic pays), one
+    rank-limited window per direction (WindowGroupLimit caps each
+    node at {K} rows before the exchange), a self-join for mutuality,
+    then the Suri-Vassilvitskii (WWW'11) degree-ordered wedge join:
+    each kept edge is ORIENTED from its lower-(degree, id) endpoint
+    to the higher, every wedge generated exactly once at its
+    lowest-ranked vertex, closing edges checked by semi-join. Degree
+    keys broadcast (|V| = supplier-dim rows). Nothing iterative,
+    nothing collected.
 
-    The DuckDB oracle orients by supplier id instead (correct for any
-    total order, merely slower) — both engines count the identical
-    triangle set, so per-node counts match bit-for-bit (pure int64).
+    The DuckDB oracle orients by supplier id instead (correct for
+    any total order, merely slower) — both engines count the
+    identical triangle set on the identical deterministic subgraph,
+    so per-node counts match bit-for-bit (pure int64).
 
     Reference parity: co-occurrence analytics are inexpressible in
     the reference's single-table SELECT surface (QueryManager.py:79-81).
     """
-    li = t(spark, sf_dir).lineitem.select("l_orderkey", "l_suppkey")
+    from pyspark.sql import Window
+
+    # dedup (order, supplier) BEFORE the pair join: the weighted count
+    # then reduces to count(*) — no countDistinct expand downstream,
+    # and the self-join fans out from the smaller distinct relation
+    li = (
+        t(spark, sf_dir)
+        .lineitem.select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
     a = li.alias("a")
     b = li.alias("b")
-    und = (
+    wp = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
         )
-        .select(
+        .groupBy(
             F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
         )
-        .distinct()
+        .agg(F.count("*").alias("w"))
+    )
+    directed = wp.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
+    ).unionByName(
+        wp.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w")
+    )
+    wk = Window.partitionBy("src").orderBy(F.col("w").desc(), "dst")
+    kept = (
+        directed.withColumn("rnk", F.row_number().over(wk))
+        .where(F.col("rnk") <= _TRI_K)
+        .select("src", "dst")
+    )
+    k1 = kept.alias("k1")
+    k2 = kept.alias("k2")
+    und = (
+        k1.join(
+            k2,
+            (F.col("k2.src") == F.col("k1.dst"))
+            & (F.col("k2.dst") == F.col("k1.src")),
+        )
+        .where(F.col("k1.src") < F.col("k1.dst"))
+        .select(F.col("k1.src").alias("u"), F.col("k1.dst").alias("v"))
     )
     both = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = both.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
@@ -312,3 +373,104 @@ def x_graph_triangles(spark, sf_dir):
         "s_suppkey",
         F.coalesce(F.col("tri_count"), F.lit(0)).cast("bigint").alias("tri_count"),
     )
+
+
+# ---- Label propagation communities (synchronous, fixed rounds) ----
+
+_LPA_ITERS = 3
+
+
+def _lpa_oracle() -> str:
+    """Fixed-round synchronous LPA as chained CTEs: each round every
+    node adopts the MODE of its neighbors' labels (ties → smallest
+    label), the deterministic classic-LPA update."""
+    parts = [
+        """
+    WITH edges_d AS (
+        SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+        SELECT src, dst FROM edges_d
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM edges_d
+    ),
+    lab0 AS (SELECT DISTINCT src AS node, src AS lab FROM edges)"""
+    ]
+    for i in range(_LPA_ITERS):
+        parts.append(
+            f""",
+    cnt{i} AS (
+        SELECT e.dst AS node, l.lab, count(*) AS c
+        FROM edges e JOIN lab{i} l ON l.node = e.src
+        GROUP BY e.dst, l.lab
+    ),
+    lab{i + 1} AS (
+        SELECT node, lab FROM (
+            SELECT node, lab,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY c DESC, lab) AS rnk
+            FROM cnt{i}
+        ) WHERE rnk = 1
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node, lab AS community FROM lab{_LPA_ITERS}"""
+    )
+    return "".join(parts)
+
+
+@query("x_graph_label_prop", oracle=_lpa_oracle(), tags=("graph", "tierx"))
+def x_graph_label_prop(spark, sf_dir):
+    """Synchronous label propagation (Raghavan et al. 2007), {K}
+    fixed rounds, on the bipartite customer⇄supplier co-purchase
+    graph: every node adopts the most frequent label among its
+    neighbors, ties broken by smallest label — the deterministic
+    variant of classic LPA (random tie-breaks don't replay; ordered
+    ones do). Completes the graph family: PageRank (importance),
+    connected components (reachability), triangles (density), LPA
+    (community structure).
+
+    Spark shape: identical loop skeleton to PageRank above — the
+    symmetric edge relation is built once and localCheckpoint'd,
+    each round is ONE contribution join (edges ⋈ labels on the src
+    key) + ONE (node, label) count groupBy + ONE per-node argmax
+    window (rank-limited: WindowGroupLimit keeps a single row per
+    node before the exchange). Driver state: zero — labels live as a
+    |V|-row relation end to end. Fixed rounds keep the DAG unrolled
+    and the builder side-effect-free; at 100 TB the same loop runs
+    change-counted with a 2-int64 driver reduction per round like
+    the CC operator (dedup.py).
+    """
+    o = t(spark, sf_dir).orders.select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir).lineitem.select("l_orderkey", "l_suppkey")
+    ed = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = ed.unionByName(
+        ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lab")
+    )
+    from pyspark.sql import Window
+
+    for _ in range(_LPA_ITERS):
+        cnt = (
+            edges.join(labels.select(F.col("node").alias("src"), "lab"), "src")
+            .groupBy(F.col("dst").alias("node"), "lab")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(F.col("c").desc(), "lab")
+        labels = (
+            cnt.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") == 1)
+            .select("node", "lab")
+        )
+    return labels.select("node", F.col("lab").alias("community"))

@@ -864,3 +864,103 @@ def s_locf_resample(spark, sf_dir):
         F.last("vq", ignorenulls=True).over(win).alias("vq_locf"),
         F.col("vq").isNull().alias("filled"),
     )
+
+
+# ---- Last-touch attribution (bounded-lookback as-of join) ----
+
+_ATTR_BASE = "TIMESTAMP '2024-01-01 00:00:00'"  # fixture epoch floor
+# (TESTDATA.md: events span Jan 2024; delta_us * 2^20 + event_id stays
+# far inside int64 for any span below ~270 years / 2^43 events)
+_ATTR_LOOKBACK_US = 24 * 3600 * 1_000_000
+
+_ATTR_ORACLE = f"""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts,
+               date_diff('microsecond', {_ATTR_BASE}, ts) AS pdelta
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT user_id, event_id,
+               date_diff('microsecond', {_ATTR_BASE}, ts) AS tdelta
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    joined AS (
+        SELECT p.purchase_id, p.user_id, p.pdelta,
+               max(t.tdelta * 1048576 + t.event_id) AS tkey
+        FROM p
+        LEFT JOIN touch t
+          ON t.user_id = p.user_id
+         AND t.tdelta <= p.pdelta
+         AND t.tdelta >= p.pdelta - {_ATTR_LOOKBACK_US}
+        GROUP BY p.purchase_id, p.user_id, p.pdelta
+    )
+    SELECT purchase_id, user_id,
+           tkey % 1048576 AS touch_event_id,
+           CAST(pdelta - tkey // 1048576 AS BIGINT) AS latency_us,
+           tkey IS NOT NULL AS attributed
+    FROM joined
+"""
+
+
+@query(
+    "s_attribution_last_touch", oracle=_ATTR_ORACLE, tags=("streaming", "tierx")
+)
+def s_attribution_last_touch(spark, sf_dir):
+    """Last-touch attribution: every purchase is attributed to the
+    same user's most recent click-or-view within a 24-hour lookback
+    (ties at the same microsecond broken by the unique event_id) —
+    the marketing-analytics / conversion-credit shape, and the
+    interval-bounded as-of join the funnel-latency operator's
+    stream-stream form also uses.
+
+    Spark shape: ONE interval join (user equi-key + two time-range
+    residuals — the watermark-evictable stream-stream pattern:
+    lookback bounds BOTH sides' state), then a per-purchase groupBy
+    whose argmax is a plain integer MAX over the packed
+    (delta_us << 20 | event_id) key — no window, no second join to
+    recover the winning row, map-side combinable. Unattributed
+    purchases survive via the left join (max of empty = NULL).
+
+    Determinism: timestamps reduce to tz-free integer microsecond
+    deltas (timestampdiff in Spark, date_diff in DuckDB — no session
+    timezone anywhere); the packed key is pure int64 arithmetic, so
+    the argmax and the recovered (touch_id, latency) are exact in
+    both engines."""
+    e = t(spark, sf_dir).events
+    delta = lambda c: F.expr(
+        f"timestampdiff(MICROSECOND, {_ATTR_BASE.replace('TIMESTAMP', 'TIMESTAMP_NTZ')}, {c})"
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        delta("ts").alias("pdelta"),
+    )
+    touch = e.where(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("t_id"),
+        delta("ts").alias("tdelta"),
+    )
+    joined = (
+        p.join(
+            touch,
+            (F.col("t_user") == F.col("user_id"))
+            & (F.col("tdelta") <= F.col("pdelta"))
+            & (F.col("tdelta") >= F.col("pdelta") - F.lit(_ATTR_LOOKBACK_US)),
+            "left",
+        )
+        .groupBy("purchase_id", "user_id", "pdelta")
+        .agg(
+            F.max(F.col("tdelta") * F.lit(1048576) + F.col("t_id")).alias(
+                "tkey"
+            )
+        )
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        (F.col("tkey") % 1048576).alias("touch_event_id"),
+        (F.col("pdelta") - F.expr("tkey div 1048576"))
+        .cast("bigint")
+        .alias("latency_us"),
+        F.col("tkey").isNotNull().alias("attributed"),
+    )
