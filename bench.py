@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "x_text_novelty",
     "s_anomaly_zscore",
     "s_locf_resample",
+    "x_graph_label_prop",
+    "s_attribution_last_touch",
 ]
 
 
