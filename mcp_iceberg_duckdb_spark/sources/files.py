@@ -151,3 +151,58 @@ def write_orc(df: DataFrame, path: str, **options) -> None:
     row-group pruning lever the z-order layout test measures for
     parquet."""
     df.write.options(**options).mode("overwrite").orc(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-files compaction — the maintenance pass every streaming
+    or per-batch writer eventually needs (thousands of KB-sized files
+    turn scan planning and open() overhead into the bottleneck long
+    before bytes do). Rewrites ``path`` into ``out_path`` with file
+    count sized from the ACTUAL input bytes / target_file_bytes; with
+    ``sort_cols`` the rewrite is range-partitioned + sorted so
+    min/max stats prune afterwards (the OPTIMIZE ... ZORDER
+    counterpart for a plain sort key — pair with the z-order key
+    expression in operators/graph.py for multi-column pruning).
+
+    Returns the number of files written. Input sizing uses the
+    driver-side filesystem listing — metadata only, no data pass."""
+    import math
+    import os as _os
+
+    total = 0
+    for root, _dirs, names in _os.walk(path):
+        for n in names:
+            if n.endswith(".parquet"):
+                total += _os.path.getsize(_os.path.join(root, n))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    if sort_cols:
+        df = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        df = df.repartition(n_files)
+    df.write.mode("overwrite").parquet(out_path)
+    return sum(
+        1
+        for _root, _dirs, names in _os.walk(out_path)
+        for n in names
+        if n.endswith(".parquet")
+    )
+
+
+def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: unions the schemas of every file under
+    ``path`` (mergeSchema) so batches written before a column was
+    added coexist with batches written after — the files-only
+    fallback for the ALTER TABLE ADD COLUMN path (ddl.py); absent
+    columns read as NULL. Costs a footer read per file at planning
+    time, which is why it is an explicit opt-in function and not the
+    default loader behavior."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -103,3 +103,68 @@ def test_filters_push_into_orc_scan(spark, sf_dir, tmp_path):
     df = read_orc(spark, out, table="orders").filter(F.col("o_orderkey") == 1)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "o_orderkey" in plan
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, sf_dir, tmp_path):
+    from mcp_iceberg_duckdb_spark.sources.files import compact_parquet
+
+    src = load(spark, sf_dir, "documents")
+    frag = str(tmp_path / "fragmented")
+    src.repartition(32).write.parquet(frag)
+    import os as _os
+
+    n_in = sum(
+        1 for f in _os.listdir(frag) if f.endswith(".parquet")
+    )
+    assert n_in == 32
+    out = str(tmp_path / "compacted")
+    n_out = compact_parquet(spark, frag, out, target_file_bytes=1 << 30)
+    assert n_out == 1
+    assert _sorted_rows(spark.read.parquet(out)) == _sorted_rows(src)
+
+
+def test_compact_parquet_sorted_layout_prunes(spark, sf_dir, tmp_path):
+    """Sorted compaction must leave per-file min/max ranges disjoint
+    on the sort key (the pruning lever)."""
+    from mcp_iceberg_duckdb_spark.sources.files import compact_parquet
+
+    src = load(spark, sf_dir, "orders")
+    frag = str(tmp_path / "ofrag")
+    src.repartition(16).write.parquet(frag)
+    out = str(tmp_path / "osorted")
+    n_out = compact_parquet(
+        spark, frag, out, target_file_bytes=64 * 1024, sort_cols=["o_orderkey"]
+    )
+    assert n_out >= 2
+    import pyarrow.parquet as pq
+    import os as _os
+
+    ranges = []
+    for f in sorted(_os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(_os.path.join(out, f))
+        idx = md.schema.names.index("o_orderkey")
+        lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi <= b_lo, f"overlapping file ranges: {ranges}"
+
+
+def test_merge_schema_reads_evolved_batches(spark, sf_dir, tmp_path):
+    from mcp_iceberg_duckdb_spark.sources.files import read_parquet_merged
+
+    base = str(tmp_path / "evolving")
+    v1 = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    v1.write.parquet(base)
+    v2 = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    v2.write.mode("append").parquet(base)
+    merged = read_parquet_merged(spark, base)
+    assert set(merged.columns) == {"n_nationkey", "n_name", "n_regionkey"}
+    n = v1.count()
+    assert merged.count() == 2 * n
+    assert merged.where(F.col("n_regionkey").isNull()).count() == n
