@@ -455,3 +455,42 @@ def test_locf_two_linear_shuffles_one_window(spark, sf_dir):
     assert "GlobalSort" not in plan and "Sort [hour_start" not in plan.split(
         "Window"
     )[0], "no global sort before the window"
+
+
+def test_runtime_bloom_filter_fires_on_shuffle_join(spark, sf_dir):
+    """100 TB regime capability pin: when the dim side is too big to
+    broadcast (fact⋈fact shuffle join), Spark's InjectRuntimeFilter
+    must plant a bloom-filter semi-join reduction (might_contain on
+    the fact scan) from the filtered creation side — the engine-level
+    version of the x_sketch_bloom pre-screen. Thresholds are lowered
+    to fixture scale; the default session keeps them at production
+    values."""
+    import pyspark.sql.functions as F
+
+    from mcp_iceberg_duckdb_spark.sources.tables import load
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load(spark, sf_dir, "lineitem")
+        o = load(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+            "l_extendedprice", "o_orderdate"
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
