@@ -964,3 +964,204 @@ def s_attribution_last_touch(spark, sf_dir):
         .alias("latency_us"),
         F.col("tkey").isNotNull().alias("attributed"),
     )
+
+
+# ---- Weekly cohort retention ----
+
+_COHORT_ORACLE = """
+    WITH signup AS (
+        SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+        FROM events WHERE event_type = 'signup'
+        GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+        FROM events
+    ),
+    joined AS (
+        SELECT s.cohort_week,
+               CAST(date_diff('week', s.cohort_week, a.act_week) AS BIGINT)
+                   AS week_offset,
+               a.user_id
+        FROM signup s JOIN activity a ON a.user_id = s.user_id
+        WHERE a.act_week >= s.cohort_week
+    ),
+    sizes AS (
+        SELECT cohort_week, count(*) AS cohort_size FROM signup GROUP BY 1
+    ),
+    ret AS (
+        SELECT cohort_week, week_offset, count(DISTINCT user_id) AS n_active
+        FROM joined GROUP BY 1, 2
+    )
+    SELECT CAST(r.cohort_week AS TIMESTAMP) AS cohort_week,
+           r.week_offset, s.cohort_size, r.n_active,
+           floor((CAST(r.n_active AS DOUBLE) / s.cohort_size) * 1e6 + 0.5)
+               / 1e6 AS retention
+    FROM ret r JOIN sizes s USING (cohort_week)
+"""
+
+
+@query("s_cohort_retention", oracle=_COHORT_ORACLE, tags=("streaming", "tierx"))
+def s_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users are cohorted by the week of
+    their (first) signup and each cohort's share of users active k
+    weeks later is reported — the canonical product-analytics
+    triangle, and a shape the reference's single-table SELECT cannot
+    produce (self-join of an event stream with itself at two grains).
+
+    Spark shape: the signup and distinct-activity relations each
+    reduce with one groupBy; the cohort join is user-keyed (the
+    distinct-activity side is ≤ users × weeks rows); cohort sizes
+    re-join by the WEEK key — a relation with one row per cohort,
+    broadcast by AQE. Nothing wider than user-hash exchanges at any
+    scale; the output is |cohorts| × |offsets| rows regardless of
+    event volume.
+
+    Determinism: week buckets come from date_trunc (tz-free NTZ),
+    offsets are integer week diffs, and the only double — the
+    retention ratio — divides two exact int64s and is display-
+    quantized."""
+    e = t(spark, sf_dir).events
+    signup = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("week", "ts")).alias("cohort_week"))
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("act_week")
+    ).distinct()
+    joined = (
+        signup.join(activity, "user_id")
+        .where(F.col("act_week") >= F.col("cohort_week"))
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.col("act_week"), F.col("cohort_week"))
+                / F.lit(7)
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+            "user_id",
+        )
+    )
+    sizes = signup.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    ret = joined.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    return ret.join(sizes, "cohort_week").select(
+        F.col("cohort_week").cast("timestamp_ntz").alias("cohort_week"),
+        "week_offset",
+        "cohort_size",
+        "n_active",
+        rn(F.col("n_active").cast("double") / F.col("cohort_size"), 6).alias(
+            "retention"
+        ),
+    )
+
+
+# ---- Session path analysis (top event-type sequences) ----
+
+_PATH_TOPK = 20
+
+_PATH_ORACLE = f"""
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - lag(ts) OVER w <= INTERVAL '30 minutes'
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM marked
+    ),
+    paths AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT path, count(*) AS n
+    FROM paths
+    GROUP BY path
+    ORDER BY n DESC, path
+    LIMIT {_PATH_TOPK}
+"""
+
+
+@query("s_session_paths", oracle=_PATH_ORACLE, tags=("streaming", "tierx"))
+def s_session_paths(spark, sf_dir):
+    """Session path analysis: sessionize each user's events (30-min
+    gap), serialize each session's ordered event-type sequence
+    ('view>click>purchase'), and report the {K} most frequent paths —
+    the navigation/funnel-mining shape product analytics runs on
+    every clickstream.
+
+    Spark shape: the classic lag+cumsum sessionization (two window
+    passes inside ONE user-hash partition — same spec, one
+    exchange), then a per-session groupBy whose path is built
+    order-independently: collect_list gathers (ts, event_id, type)
+    structs in arrival order, array_sort imposes the total (ts,
+    event_id) order AFTER collection, transform+array_join emit the
+    string — so the result is identical at any partitioning, unlike
+    a naive collect_list(event_type) whose order is
+    partition-dependent. The head is TakeOrdered on (count desc,
+    path) — k rows per partition cross the wire.
+
+    At 100 TB paths are heavy-tailed; the groupBy on the path string
+    is the only wide exchange and map-side combine collapses the
+    head of the distribution before it ships."""
+    e = t(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("ts") - F.lag("ts").over(w)
+            <= F.expr("INTERVAL 30 MINUTES"),
+            0,
+        )
+        .otherwise(1)
+        .alias("new_session"),
+    )
+    numbered = marked.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("new_session")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("session_id"),
+    )
+    paths = (
+        numbered.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(_PATH_TOPK)
+    )
