@@ -1165,3 +1165,74 @@ def s_session_paths(spark, sf_dir):
         .orderBy(F.col("n").desc(), "path")
         .limit(_PATH_TOPK)
     )
+
+
+# ---- SCD type-2 validity intervals ----
+
+_SCD2_ORACLE = """
+    WITH q AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq
+        FROM events WHERE event_type = 'purchase'
+    ),
+    changes AS (
+        SELECT user_id, ts, event_id, vq,
+               lag(vq) OVER w AS prev_vq
+        FROM q
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    starts AS (
+        SELECT user_id, ts, event_id, vq
+        FROM changes
+        WHERE prev_vq IS NULL OR prev_vq <> vq
+    )
+    SELECT user_id, vq AS value_micro,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               IS NULL AS is_current
+    FROM starts
+"""
+
+
+@query("s_scd2_intervals", oracle=_SCD2_ORACLE, tags=("streaming", "tierx"))
+def s_scd2_intervals(spark, sf_dir):
+    """Slowly-changing-dimension type 2 build: each user's purchase
+    value stream collapses into validity intervals — a row per value
+    CHANGE with [valid_from, valid_to) bounds and an is_current flag
+    on the open interval. The warehouse-dimension shape MERGE-based
+    CDC pipelines maintain incrementally; this is the batch (re)build
+    from raw history.
+
+    Spark shape: two window passes over the SAME per-user partition
+    spec (lag to detect changes, lead to close intervals — one
+    exchange, Catalyst reuses the sort), no joins at all. At 100 TB
+    the stream is value-change-sparse, so the intermediate change
+    relation is a small fraction of input rows before the second
+    window runs.
+
+    Determinism: values micro-quantized to int64 before comparison
+    (change detection on exact ints, not float equality); both
+    windows order on the total (ts, event_id) key; valid_to is a
+    timestamp or NULL — no float in the output."""
+    e = t(spark, sf_dir).events
+    q = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint")
+        .alias("vq"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    starts = q.withColumn("prev_vq", F.lag("vq").over(w)).where(
+        F.col("prev_vq").isNull() | (F.col("prev_vq") != F.col("vq"))
+    )
+    return starts.select(
+        "user_id",
+        F.col("vq").alias("value_micro"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
