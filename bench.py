@@ -72,6 +72,15 @@ BENCH_QUERIES = [
     "s_locf_resample",
     "x_graph_label_prop",
     "s_attribution_last_touch",
+    "s_cohort_retention",
+    "s_session_paths",
+    "s_scd2_intervals",
+    "x_diag_key_skew",
+    "x_dq_audit",
+    "s_counter_increase",
+    "x_dedup_levenshtein",
+    "x_graph_kcore",
+    "x_graph_adamic_adar",
 ]
 
 

@@ -3,6 +3,7 @@ builder into mcp_iceberg_duckdb_spark.registry.QUERIES."""
 
 from mcp_iceberg_duckdb_spark.operators import (  # noqa: F401
     dedup,
+    diagnostics,
     graph,
     joins,
     multimodal,

@@ -822,3 +822,89 @@ def x_dedup_incremental(spark, sf_dir):
             "is_incremental_dup"
         ),
     )
+
+
+# ---- edit-distance near-dup (prefix-blocked levenshtein join) ----
+
+_LEV_PREFIX = 16  # blocking key length (chars)
+_LEV_CMP = 64  # comparison field length (bounds per-pair DP cost)
+_LEV_MAXDIST = 8
+_LEV_LENBAND = 8
+
+_LEV_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, n_chars, lower(trim(text)) AS nt FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(substr(a.nt, 1, {_LEV_CMP}),
+                            substr(b.nt, 1, {_LEV_CMP})) AS BIGINT) AS dist
+    FROM d a JOIN d b
+      ON substr(a.nt, 1, {_LEV_PREFIX}) = substr(b.nt, 1, {_LEV_PREFIX})
+     AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= {_LEV_LENBAND}
+    WHERE levenshtein(substr(a.nt, 1, {_LEV_CMP}),
+                      substr(b.nt, 1, {_LEV_CMP})) <= {_LEV_MAXDIST}
+"""
+
+
+@query("x_dedup_levenshtein", oracle=_LEV_ORACLE, tags=("dedup", "tierx"))
+def x_dedup_levenshtein(spark, sf_dir):
+    """Edit-distance near-dup pairs — the typo/OCR-level duplicate
+    class that token-set methods (MinHash/Jaccard) can miss and
+    character-level methods catch. Classic record-linkage design:
+
+    - BLOCK on the first 16 normalized chars — an equi-key, so
+      the candidate join is an ordinary hash join; candidates per
+      block are bounded by block size, never all-pairs. (Standard
+      prefix-blocking recall caveat: an edit inside the blocking
+      prefix escapes the block — production runs add a second pass
+      keyed on a different field, same plan shape.)
+    - LENGTH-BAND filter |len_a − len_b| ≤ 8: edit distance is
+      ≥ the length difference, so the band is lossless for the
+      distance threshold and prunes before the DP runs.
+    - VERIFY with levenshtein on a 64-char comparison field —
+      bounded O(64²) DP per pair (JVM codegen'd, both engines'
+      standard dynamic program), never the full document.
+
+    Scale: one shuffle on the block key; Σ(block²) is controlled by
+    prefix selectivity (16 chars ≈ collision-free for non-dups), and
+    every verified pair costs constant work. Output is the verified
+    pair relation (id_a < id_b, dist) that CC clustering
+    (x_dedup_cluster_cc) consumes unchanged."""
+    d = t(spark, sf_dir).documents.select(
+        "doc_id", "n_chars", F.lower(F.trim("text")).alias("nt")
+    )
+    sides = d.select(
+        "doc_id",
+        "n_chars",
+        F.substring("nt", 1, _LEV_PREFIX).alias("blk"),
+        F.substring("nt", 1, _LEV_CMP).alias("cmp"),
+    )
+    a = sides.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("n_chars").alias("len_a"),
+        "blk",
+        F.col("cmp").alias("cmp_a"),
+    )
+    b = sides.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("n_chars").alias("len_b"),
+        "blk",
+        F.col("cmp").alias("cmp_b"),
+    )
+    return (
+        a.join(b, "blk")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.abs(F.col("len_a") - F.col("len_b"))
+                <= F.lit(_LEV_LENBAND)
+            )
+        )
+        .withColumn(
+            "dist",
+            F.levenshtein(F.col("cmp_a"), F.col("cmp_b")).cast("bigint"),
+        )
+        .where(F.col("dist") <= _LEV_MAXDIST)
+        .select("id_a", "id_b", "dist")
+    )

@@ -474,3 +474,265 @@ def x_graph_label_prop(spark, sf_dir):
             .select("node", "lab")
         )
     return labels.select("node", F.col("lab").alias("community"))
+
+
+# ---- k-core decomposition (fixed-round peel) ----
+
+_KC_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    """Fixed-round k-core peel as chained CTEs; k = floored median of
+    the initial degree distribution, so the threshold is nontrivial at
+    every scale factor."""
+    parts = [
+        """
+    WITH edges_d AS (
+        SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+        SELECT src, dst FROM edges_d
+        UNION ALL
+        SELECT dst AS src, src AS dst FROM edges_d
+    ),
+    deg0 AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
+    thr AS (SELECT CAST(floor(median(d)) AS BIGINT) AS k FROM deg0),
+    alive0 AS (SELECT node, d FROM deg0, thr WHERE d >= k)"""
+    ]
+    for i in range(_KC_ROUNDS):
+        parts.append(
+            f""",
+    e{i + 1} AS (
+        SELECT e.src, e.dst FROM edges e
+        JOIN alive{i} sa ON sa.node = e.src
+        JOIN alive{i} sb ON sb.node = e.dst
+    ),
+    deg{i + 1} AS (
+        SELECT src AS node, count(*) AS d FROM e{i + 1} GROUP BY src
+    ),
+    alive{i + 1} AS (SELECT node, d FROM deg{i + 1}, thr WHERE d >= k)"""
+        )
+    parts.append(
+        f"""
+    SELECT node, d AS core_degree FROM alive{_KC_ROUNDS}"""
+    )
+    return "".join(parts)
+
+
+@query("x_graph_kcore", oracle=_kcore_oracle(), tags=("graph", "tierx"))
+def x_graph_kcore(spark, sf_dir):
+    """k-core peel on the bipartite co-purchase graph: repeatedly
+    drop nodes whose degree in the SURVIVING subgraph falls below k,
+    keeping the dense core — the standard community-scaffold /
+    spam-node filter (Seidman 1983). k is data-derived (floored
+    median of initial degrees) so the peel is nontrivial at every
+    scale factor; rounds are fixed at 4 — each round can only
+    shrink the node set, so the fixture converges (verified: the
+    round-4 output is already a fixed point at sf0.01).
+
+    Spark shape: PageRank's loop skeleton — the symmetric edge
+    relation builds once and is localCheckpoint'd so the unrolled
+    rounds don't re-inline the orders⋈lineitem subtree; each round
+    is TWO semi-joins (edges restricted to surviving endpoints — the
+    survivor relation is |V| rows and broadcasts) + ONE degree
+    groupBy with map-side combine. The threshold is a broadcast
+    1-row aggregate, never collected. Driver state: zero.
+
+    Determinism: degrees and the floored-median threshold are pure
+    int64 on both engines."""
+    o = t(spark, sf_dir).orders.select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir).lineitem.select("l_orderkey", "l_suppkey")
+    ed = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = ed.unionByName(
+        ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    deg0 = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    thr = deg0.agg(F.floor(F.median("d")).cast("bigint").alias("k"))
+    alive = (
+        deg0.crossJoin(F.broadcast(thr))
+        .where(F.col("d") >= F.col("k"))
+        .select("node", "d")
+    )
+    for _ in range(_KC_ROUNDS):
+        e = edges.join(
+            alive.select(F.col("node").alias("src")), "src", "leftsemi"
+        ).join(alive.select(F.col("node").alias("dst")), "dst", "leftsemi")
+        deg_i = e.groupBy(F.col("src").alias("node")).agg(
+            F.count("*").alias("d")
+        )
+        alive = (
+            deg_i.crossJoin(F.broadcast(thr))
+            .where(F.col("d") >= F.col("k"))
+            .select("node", "d")
+        )
+    return alive.select("node", F.col("d").alias("core_degree"))
+
+
+# ---- Adamic-Adar link prediction (mutual top-K ties graph) ----
+
+_AA_TOPK = 20
+
+_AA_ORACLE = f"""
+    WITH os AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ),
+    wp AS (
+        SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS w
+        FROM os a JOIN os b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY a.l_suppkey, b.l_suppkey
+    ),
+    directed AS (
+        SELECT u AS src, v AS dst, w FROM wp
+        UNION ALL
+        SELECT v AS src, u AS dst, w FROM wp
+    ),
+    kept AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY w DESC, dst) AS rnk
+            FROM directed
+        ) WHERE rnk <= {_TRI_K}
+    ),
+    e AS (
+        SELECT k1.src AS u, k1.dst AS v
+        FROM kept k1 JOIN kept k2
+          ON k2.src = k1.dst AND k2.dst = k1.src
+        WHERE k1.src < k1.dst
+    ),
+    adj AS (
+        SELECT u AS ctr, v AS nbr FROM e
+        UNION ALL
+        SELECT v AS ctr, u AS nbr FROM e
+    ),
+    deg AS (SELECT ctr AS node, count(*) AS d FROM adj GROUP BY ctr),
+    wedge AS (
+        SELECT l.nbr AS x, r.nbr AS z, l.ctr AS y
+        FROM adj l JOIN adj r
+          ON r.ctr = l.ctr AND l.nbr < r.nbr
+    ),
+    cand AS (
+        SELECT w.x, w.z, w.y FROM wedge w
+        WHERE NOT EXISTS (
+            SELECT 1 FROM e WHERE e.u = w.x AND e.v = w.z
+        )
+    )
+    SELECT x AS u, z AS v,
+           sum(1000000000000 //
+               CAST(floor(ln(d.d) * 1e6 + 0.5) AS BIGINT)) AS aa_pico
+    FROM cand c JOIN deg d ON d.node = c.y
+    GROUP BY x, z
+    ORDER BY aa_pico DESC, u, v
+    LIMIT {_AA_TOPK}
+"""
+
+
+@query("x_graph_adamic_adar", oracle=_AA_ORACLE, tags=("graph", "tierx"))
+def x_graph_adamic_adar(spark, sf_dir):
+    """Adamic-Adar link prediction on the same mutual top-10
+    strong-ties supplier graph as x_graph_triangles: for every
+    non-adjacent pair (x, z) with common neighbors, score
+    Σ_y 1/ln(deg(y)) over the common neighbors y — rare shared
+    neighbors count more (Adamic & Adar 2003). The missing-edge
+    recommender that rides the SAME wedge enumeration triangles
+    already pays.
+
+    Spark shape: weighted-pair groupBy → rank-limited window →
+    mutuality self-join (identical prefix to triangles — at 100 TB
+    both ops share one materialized subgraph); then one adjacency
+    self-join per wedge (Σ deg² bounded by K²·n on the sparsified
+    graph), an anti-join against the edge set to keep only
+    PREDICTED links, and one (x, z) groupBy. Degrees broadcast.
+
+    Determinism: the sum is pure int64 — each neighbor contributes
+    1e12 div lq where lq = floor(ln(deg)·1e6 + 0.5) (the repo's
+    6dp-quantized-ln convention; wedge centers have deg ≥ 2 so
+    lq ≥ 693147 > 0). Top-20 head is totally ordered (score desc,
+    u, v)."""
+    from pyspark.sql import Window
+
+    li = (
+        t(spark, sf_dir)
+        .lineitem.select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    wp = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    directed = wp.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
+    ).unionByName(
+        wp.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w")
+    )
+    wk = Window.partitionBy("src").orderBy(F.col("w").desc(), "dst")
+    kept = (
+        directed.withColumn("rnk", F.row_number().over(wk))
+        .where(F.col("rnk") <= _TRI_K)
+        .select("src", "dst")
+    )
+    k1 = kept.alias("k1")
+    k2 = kept.alias("k2")
+    und = (
+        k1.join(
+            k2,
+            (F.col("k2.src") == F.col("k1.dst"))
+            & (F.col("k2.dst") == F.col("k1.src")),
+        )
+        .where(F.col("k1.src") < F.col("k1.dst"))
+        .select(F.col("k1.src").alias("u"), F.col("k1.dst").alias("v"))
+        .localCheckpoint()
+    )
+    adj = und.select(F.col("u").alias("ctr"), F.col("v").alias("nbr")).unionByName(
+        und.select(F.col("v").alias("ctr"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy(F.col("ctr").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    wl = adj.alias("l")
+    wr = adj.alias("r")
+    wedge = wl.join(
+        wr,
+        (F.col("r.ctr") == F.col("l.ctr")) & (F.col("l.nbr") < F.col("r.nbr")),
+    ).select(
+        F.col("l.nbr").alias("x"),
+        F.col("r.nbr").alias("z"),
+        F.col("l.ctr").alias("y"),
+    )
+    cand = wedge.join(
+        und.select(F.col("u").alias("x"), F.col("v").alias("z")),
+        ["x", "z"],
+        "leftanti",
+    )
+    lq = F.floor(F.log(F.col("d")) * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    contrib = F.expr("1000000000000 div lq")
+    return (
+        cand.join(
+            F.broadcast(deg.select(F.col("node").alias("y"), lq.alias("lq"))),
+            "y",
+        )
+        .groupBy(F.col("x").alias("u"), F.col("z").alias("v"))
+        .agg(F.sum(contrib).alias("aa_pico"))
+        .orderBy(F.col("aa_pico").desc(), "u", "v")
+        .limit(_AA_TOPK)
+    )

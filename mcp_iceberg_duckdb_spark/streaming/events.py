@@ -1236,3 +1236,65 @@ def s_scd2_intervals(spark, sf_dir):
         F.lead("ts").over(w).alias("valid_to"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+# ---- reset-tolerant counter increase (metrics-pipeline shape) ----
+
+_RATE_ORACLE = """
+    WITH q AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq
+        FROM events WHERE event_type = 'view'
+    ),
+    deltas AS (
+        SELECT user_id, vq,
+               vq - lag(vq) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS d
+        FROM q
+    )
+    SELECT user_id,
+           count(*) AS n_samples,
+           sum(CASE WHEN d > 0 THEN d ELSE 0 END) AS increase_micro,
+           count(*) FILTER (WHERE d < 0) AS n_resets
+    FROM deltas
+    GROUP BY user_id
+"""
+
+
+@query("s_counter_increase", oracle=_RATE_ORACLE, tags=("streaming", "tierx"))
+def s_counter_increase(spark, sf_dir):
+    """PromQL-style increase() with counter-reset tolerance: per user,
+    the 'view' value stream is differenced on the total (ts, event_id)
+    order and only POSITIVE deltas are summed — a drop in the series
+    is read as a counter reset (process restart), counted but not
+    subtracted. The standard monotone-counter semantics every metrics
+    pipeline (Prometheus, Monarch) applies before rates are computed.
+
+    Spark shape: ONE per-user window (lag) followed by ONE groupBy on
+    the same key — the exchange is shared, Catalyst plans a single
+    sort. Values are micro-quantized to int64 before differencing, so
+    the increase sum is exact integer arithmetic with no float order
+    sensitivity.
+
+    Scale: state per user is one previous sample (the lag frame);
+    the streaming twin of this shape is applyInPandasWithState with
+    a single int64 per key (s_anomaly_zscore holds a 20-deep deque —
+    this is strictly lighter)."""
+    e = t(spark, sf_dir).events
+    q = e.where(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint")
+        .alias("vq"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    deltas = q.withColumn("d", F.col("vq") - F.lag("vq").over(w))
+    return deltas.groupBy("user_id").agg(
+        F.count("*").alias("n_samples"),
+        F.sum(
+            F.when(F.col("d") > 0, F.col("d")).otherwise(F.lit(0))
+        ).alias("increase_micro"),
+        F.count_if(F.col("d") < 0).alias("n_resets"),
+    )

@@ -1,0 +1,175 @@
+"""Tests for the round-5 diagnostics / fuzzy-dedup / graph batch:
+key-skew profile, DQ audit, counter increase, levenshtein near-dup,
+k-core, Adamic-Adar — oracle parity at the test SF plus the
+plan-shape properties that make each viable at 100 TB."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import assert_matches_oracle
+from mcp_iceberg_duckdb_spark import registry
+from mcp_iceberg_duckdb_spark.plans import explain_str, shuffle_count
+
+registry.load_all()
+
+NEW_OPS = (
+    "x_diag_key_skew",
+    "x_dq_audit",
+    "s_counter_increase",
+    "x_dedup_levenshtein",
+    "x_graph_kcore",
+    "x_graph_adamic_adar",
+)
+
+
+def _df(name, spark, sf_dir):
+    return registry.QUERIES[name].builder(spark, sf_dir)
+
+
+def test_new_ops_match_oracle(spark, duck, sf_dir):
+    for name in NEW_OPS:
+        spec = registry.QUERIES[name]
+        assert_matches_oracle(_df(name, spark, sf_dir), duck, spec.oracle, name)
+
+
+def test_key_skew_invariants(spark, sf_dir):
+    """Structural sanity independent of the oracle: the uniform-lower
+    bound skew_micro >= 1e6 holds by definition (max >= mean), and
+    the top-10 share is a valid proper fraction."""
+    row = _df("x_diag_key_skew", spark, sf_dir).collect()[0]
+    assert row.skew_micro >= 1_000_000
+    assert 0 < row.top10_share_micro <= 1_000_000
+    assert row.min_cnt <= row.med_cnt <= row.max_cnt
+
+
+def test_dq_audit_fixture_is_clean_except_known_rules(spark, sf_dir):
+    """The synthetic fixtures are referentially intact and range-clean
+    — every rule must report zero violations (the audit's value is
+    the zero, measured; a planted-violation variant would drift the
+    fixture). n_checked must equal the table row counts."""
+    rows = {r.rule: r for r in _df("x_dq_audit", spark, sf_dir).collect()}
+    assert len(rows) == 8
+    for r in rows.values():
+        assert r.n_violations == 0, f"{r.rule}: fixture has violations"
+        assert r.viol_ppm == 0
+        assert r.n_checked > 0
+
+
+def test_counter_increase_nonnegative_and_bounded(spark, sf_dir):
+    """increase_micro is a sum of positive deltas — nonnegative; a
+    user's resets are at most n_samples - 1."""
+    rows = _df("s_counter_increase", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.increase_micro is None or r.increase_micro >= 0
+        assert r.n_resets <= r.n_samples - 1
+
+
+def test_levenshtein_blocked_join_never_allpairs(spark, sf_dir):
+    """Candidate generation must be an equi hash join on the blocking
+    prefix — no cartesian/nested-loop pairing of documents with
+    itself."""
+    plan = explain_str(_df("x_dedup_levenshtein", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_levenshtein_finds_planted_duplicates(spark, sf_dir):
+    """The corpus plants exact/near duplicates: every exact-dup pair
+    (identical normalized text) shares the blocking prefix and has
+    distance 0, so the operator must report it."""
+    from mcp_iceberg_duckdb_spark.operators._util import t
+
+    d = t(spark, sf_dir).documents.select(
+        "doc_id", F.md5(F.lower(F.trim("text"))).alias("h")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    exact_pairs = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .collect()
+    )
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in _df("x_dedup_levenshtein", spark, sf_dir).collect()
+    }
+    for pair in {(r.id_a, r.id_b) for r in exact_pairs}:
+        assert got.get(pair) == 0, f"exact dup {pair} missed or dist != 0"
+
+
+def test_kcore_is_fixed_point_and_degrees_hold(spark, duck, sf_dir):
+    """After the fixed rounds the survivor set must be an actual
+    k-core: one more peel round changes nothing (the fixture
+    converges), and every survivor's residual degree >= k."""
+    rows = _df("x_graph_kcore", spark, sf_dir).collect()
+    assert rows, "k-core peel emptied the graph at test scale"
+    k = duck.sql(
+        """
+        WITH edges_d AS (
+            SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        edges AS (
+            SELECT src, dst FROM edges_d
+            UNION ALL SELECT dst, src FROM edges_d
+        ),
+        deg0 AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src)
+        SELECT CAST(floor(median(d)) AS BIGINT) FROM deg0
+        """
+    ).fetchone()[0]
+    survivors = {r.node for r in rows}
+    for r in rows:
+        assert r.core_degree >= k
+    # one more peel: recompute degrees inside the survivor subgraph
+    nxt = duck.sql(
+        f"""
+        WITH edges_d AS (
+            SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        edges AS (
+            SELECT src, dst FROM edges_d
+            UNION ALL SELECT dst, src FROM edges_d
+        )
+        SELECT src, count(*) AS d FROM edges
+        WHERE src IN (SELECT unnest(?)) AND dst IN (SELECT unnest(?))
+        GROUP BY src HAVING count(*) >= {k}
+        """,
+        params=[list(survivors), list(survivors)],
+    ).fetchall()
+    assert {n for n, _ in nxt} == survivors, "round-N output not a fixed point"
+
+
+def test_adamic_adar_predicts_only_non_edges(spark, sf_dir):
+    """Every predicted pair must have at least one common neighbor by
+    construction and must NOT be an existing mutual-graph edge — the
+    anti-join is the operator's defining filter. Predictions are
+    checked at sf0.01: at sf0.001 the mutual top-10 graph is so small
+    that every wedge endpoint pair is already an edge (the empty
+    result is correct — the oracle-parity test covers it)."""
+    preds = _df("x_graph_adamic_adar", spark, "/root/testdata/sf0.01").collect()
+    assert preds, "sf0.01 mutual graph must yield predicted links"
+    plan = explain_str(_df("x_graph_adamic_adar", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for r in preds:
+        assert r.u < r.v
+        assert r.aa_pico > 0
+
+
+def test_kcore_semi_joins_and_checkpoint(spark, sf_dir):
+    """The peel loop must plan hash semi-joins against the survivor
+    relation (broadcastable |V|-row side), never a cartesian, and the
+    checkpointed edge relation keeps the unrolled DAG from
+    re-inlining the orders⋈lineitem subtree (scan appears ≤ once)."""
+    df = _df("x_graph_kcore", spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("FileScan parquet") <= 1, (
+        "edge relation must be checkpointed once, not re-derived per round"
+    )
