@@ -557,13 +557,23 @@ def x_graph_kcore(spark, sf_dir):
     deg0 = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("d")
     )
-    thr = deg0.agg(F.floor(F.median("d")).cast("bigint").alias("k"))
+    # 1-row threshold, checkpointed once: the unrolled rounds would
+    # otherwise re-run the median aggregate per round
+    thr = deg0.agg(
+        F.floor(F.median("d")).cast("bigint").alias("k")
+    ).localCheckpoint()
     alive = (
         deg0.crossJoin(F.broadcast(thr))
         .where(F.col("d") >= F.col("k"))
         .select("node", "d")
     )
     for _ in range(_KC_ROUNDS):
+        # localCheckpoint per round (the CC-loop precedent, dedup.py):
+        # without it round i's plan re-derives rounds 1..i-1 — the
+        # unrolled chain is quadratic in rounds; with it each round is
+        # exactly two semi-joins + one groupBy over a bounded |V|-row
+        # survivor relation
+        alive = alive.localCheckpoint()
         e = edges.join(
             alive.select(F.col("node").alias("src")), "src", "leftsemi"
         ).join(alive.select(F.col("node").alias("dst")), "dst", "leftsemi")
