@@ -81,6 +81,9 @@ BENCH_QUERIES = [
     "x_dedup_levenshtein",
     "x_graph_kcore",
     "x_graph_adamic_adar",
+    "x_market_basket_lift",
+    "x_ab_test_ztest",
+    "s_time_weighted_avg",
 ]
 
 

@@ -2,6 +2,7 @@
 builder into mcp_iceberg_duckdb_spark.registry.QUERIES."""
 
 from mcp_iceberg_duckdb_spark.operators import (  # noqa: F401
+    analytics,
     dedup,
     diagnostics,
     graph,

@@ -1,0 +1,214 @@
+"""Product/retail analytics (tier X — SURVEY.md §2.11): market-basket
+association rules and deterministic A/B experiment evaluation — the
+decision-support layer a curation pipeline's event/transaction side
+feeds. Inexpressible in the reference's single-table SELECT surface
+(reference QueryManager.py:79-81: joins unsupported).
+
+Determinism discipline: supports/counts are int64; lift/confidence
+are integer-division micro-units; the z statistic is an IEEE chain
+over exact integer counts (identical in both engines) quantized to
+6dp before any comparison."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mcp_iceberg_duckdb_spark.operators._util import t
+from mcp_iceberg_duckdb_spark.registry import query
+
+# ---- market-basket association rules (support / confidence / lift) ----
+
+_MB_MINSUP = 3  # minimum pair support (co-occurrence count)
+_MB_TOPK = 20
+
+_MB_ORACLE = f"""
+    WITH i AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM i),
+    cnt AS (SELECT l_partkey, count(*) AS c FROM i GROUP BY l_partkey),
+    pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS c_ab
+        FROM i a JOIN i b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= {_MB_MINSUP}
+    )
+    SELECT pa, pb, c_ab,
+           (c_ab * 1000000) // n.n_orders AS support_ppm,
+           (c_ab * 1000000) // ca.c AS conf_micro,
+           (c_ab * n.n_orders * 1000000) // (ca.c * cb.c) AS lift_micro
+    FROM pairs
+    JOIN cnt ca ON ca.l_partkey = pa
+    JOIN cnt cb ON cb.l_partkey = pb
+    CROSS JOIN n
+    ORDER BY lift_micro DESC, pa, pb
+    LIMIT {_MB_TOPK}
+"""
+
+
+@query("x_market_basket_lift", oracle=_MB_ORACLE, tags=("analytics", "tierx"))
+def x_market_basket_lift(spark, sf_dir):
+    """Top association rules over order baskets: for part pairs
+    co-purchased in ≥ 3 orders, support, confidence P(b|a)
+    and lift P(a,b)/(P(a)·P(b)) — the classic market-basket screen
+    (Agrawal-Srikant shape, materialized at the pair level).
+
+    Spark shape: the distinct (order, part) relation builds once;
+    the pair join is ONE self-join on the order key whose fan-out is
+    Σ basket² — bounded by basket size (TPC-H ~4 items/order), never
+    corpus-quadratic. Item counts and the 1-row order count broadcast
+    back onto the ≥minsup pair relation; the head is a totally
+    ordered TakeOrdered (lift desc, pa, pb).
+
+    Determinism: all three metrics are integer division over exact
+    int64 counts (micro/ppm units) — no float anywhere. int64
+    headroom: c_ab·n_orders·1e6 at fixture scale ≤ 1e17; at larger
+    corpora widen to DECIMAL before the multiply (same plan)."""
+    li = t(spark, sf_dir).lineitem
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n = items.agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    cnt = items.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("c_ab"))
+        .where(F.col("c_ab") >= _MB_MINSUP)
+    )
+    ca = cnt.select(F.col("l_partkey").alias("pa"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("l_partkey").alias("pb"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(ca), "pa")
+        .join(F.broadcast(cb), "pb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pa",
+            "pb",
+            "c_ab",
+            F.expr("(c_ab * 1000000) div n_orders").alias("support_ppm"),
+            F.expr("(c_ab * 1000000) div ca").alias("conf_micro"),
+            F.expr("(c_ab * n_orders * 1000000) div (ca * cb)").alias(
+                "lift_micro"
+            ),
+        )
+        .orderBy(F.col("lift_micro").desc(), "pa", "pb")
+        .limit(_MB_TOPK)
+    )
+
+
+# ---- deterministic A/B split + two-proportion z-test ----
+
+_AB_ORACLE = """
+    WITH assign AS (
+        SELECT user_id,
+               substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                   AS in_a,
+               CASE WHEN count(*) FILTER (WHERE event_type = 'purchase')
+                         >= 14 THEN 1 ELSE 0 END AS converted
+        FROM events
+        GROUP BY user_id
+    ),
+    counts AS (
+        SELECT count(*) FILTER (WHERE in_a) AS n_a,
+               count(*) FILTER (WHERE NOT in_a) AS n_b,
+               sum(converted) FILTER (WHERE in_a) AS conv_a,
+               sum(converted) FILTER (WHERE NOT in_a) AS conv_b
+        FROM assign
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           (conv_a * 1000000) // n_a AS rate_a_ppm,
+           (conv_b * 1000000) // n_b AS rate_b_ppm,
+           CAST(floor(
+               ((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                       * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                       * (1.0 / n_a + 1.0 / n_b))) * 1e6 + 0.5
+           ) AS BIGINT) AS z_micro,
+           abs(CAST(floor(
+               ((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                       * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                       * (1.0 / n_a + 1.0 / n_b))) * 1e6 + 0.5
+           ) AS BIGINT)) > 1959964 AS significant
+    FROM counts
+"""
+
+
+@query("x_ab_test_ztest", oracle=_AB_ORACLE, tags=("analytics", "tierx"))
+def x_ab_test_ztest(spark, sf_dir):
+    """A/B experiment evaluation with a DETERMINISTIC hash
+    assignment: users split into arms by an md5 bucket of the user
+    id (the salted-hash assignment real experiment platforms use —
+    reproducible under reruns, retries and repartitioning, never a
+    random() draw), conversion = a heavy-purchaser flag (≥14
+    purchase events — the fixture's per-user median, so both rates
+    sit strictly inside (0, 1) at every scale factor), then the
+    two-proportion pooled z-test.
+
+    Spark shape: one per-user groupBy (assignment is a codegen'd
+    expression riding it), then a single 1-row four-way conditional
+    count — two linear passes, no joins, no window. At 100 TB the
+    per-user reduce is the only shuffle.
+
+    Determinism: counts are exact int64; the z statistic is one
+    fixed-shape IEEE expression over those ints (identical operation
+    order in both engines), quantized to micro-units BEFORE the
+    significance comparison (|z| > 1.959964) so the flag can never
+    straddle an ulp."""
+    e = t(spark, sf_dir).events
+    assign = (
+        e.groupBy("user_id")
+        .agg(
+            (
+                F.count_if(F.col("event_type") == "purchase") >= 14
+            )
+            .cast("int")
+            .alias("converted")
+        )
+        .withColumn(
+            "in_a",
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
+                1,
+                1,
+            )
+            < "8",
+        )
+    )
+    counts = assign.agg(
+        F.count_if(F.col("in_a")).alias("n_a"),
+        F.count_if(~F.col("in_a")).alias("n_b"),
+        F.sum(F.when(F.col("in_a"), F.col("converted"))).alias("conv_a"),
+        F.sum(F.when(~F.col("in_a"), F.col("converted"))).alias("conv_b"),
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (p_a - p_b) / F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    z_micro = F.floor(z * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+    return counts.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.expr("(conv_a * 1000000) div n_a").alias("rate_a_ppm"),
+        F.expr("(conv_b * 1000000) div n_b").alias("rate_b_ppm"),
+        z_micro.alias("z_micro"),
+        (F.abs(z_micro) > F.lit(1_959_964)).alias("significant"),
+    )

@@ -1298,3 +1298,78 @@ def s_counter_increase(spark, sf_dir):
         ).alias("increase_micro"),
         F.count_if(F.col("d") < 0).alias("n_resets"),
     )
+
+
+# ---- per-user time-weighted average (gauge TWA) ----
+
+_TWA_ORACLE = """
+    WITH q AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(value * 1e3 + 0.5) AS BIGINT) AS vm
+        FROM events
+    ),
+    seg AS (
+        SELECT user_id, vm,
+               epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dur_us
+        FROM q
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           count(*) AS n_intervals,
+           sum(dur_us) AS total_dur_us,
+           floor((CAST(sum(CAST(vm * dur_us AS DECIMAL(38,0)))
+                       AS DOUBLE)
+                  / (CAST(sum(dur_us) AS DOUBLE) * 1e3)) * 1e4 + 0.5)
+               / 1e4 AS twa
+    FROM seg
+    WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+"""
+
+
+@query("s_time_weighted_avg", oracle=_TWA_ORACLE, tags=("streaming", "tierx"))
+def s_time_weighted_avg(spark, sf_dir):
+    """Per-user time-weighted average of the gauge value — each
+    sample weighted by how long it was current (until the next
+    sample), the TimescaleDB time_weight('LOCF') shape that corrects
+    plain AVG's bias when sampling is irregular. Completes the
+    time-series family beside LOCF resample and gap-fill.
+
+    Spark shape: ONE per-user window (lead on the total (ts,
+    event_id) order → interval duration) + ONE groupBy on the same
+    key — shared exchange, single sort, no joins. The open last
+    interval per user is excluded (no duration yet), mirroring the
+    streaming view where it closes on the next arrival.
+
+    Determinism: durations are exact epoch-microsecond int64
+    differences; values milli-quantized to int64; each vm·dur_us
+    product is computed in int64 (≤1e17 at fixture ranges) and
+    summed EXACTLY in DECIMAL(38,0) — order-independent — then one
+    floor-rounded IEEE division de-scales to the 4dp double
+    output."""
+    e = t(spark, sf_dir).events
+    q = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * F.lit(1e3) + F.lit(0.5))
+        .cast("bigint")
+        .alias("vm"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = q.withColumn(
+        "dur_us",
+        F.unix_micros(F.lead("ts").over(w).cast("timestamp"))
+        - F.unix_micros(F.col("ts").cast("timestamp")),
+    ).where(F.col("dur_us").isNotNull())
+    return seg.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum("dur_us").alias("total_dur_us"),
+        rn(
+            F.sum((F.col("vm") * F.col("dur_us")).cast("decimal(38,0)")).cast(
+                "double"
+            )
+            / (F.sum("dur_us").cast("double") * F.lit(1e3)),
+            4,
+        ).alias("twa"),
+    )

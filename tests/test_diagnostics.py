@@ -20,6 +20,9 @@ NEW_OPS = (
     "x_dedup_levenshtein",
     "x_graph_kcore",
     "x_graph_adamic_adar",
+    "x_market_basket_lift",
+    "x_ab_test_ztest",
+    "s_time_weighted_avg",
 )
 
 
@@ -160,6 +163,58 @@ def test_adamic_adar_predicts_only_non_edges(spark, sf_dir):
     for r in preds:
         assert r.u < r.v
         assert r.aa_pico > 0
+
+
+def test_market_basket_metrics_are_consistent(spark, sf_dir):
+    """Support/confidence/lift invariants at sf0.01 (sf0.001 baskets
+    are too sparse for minsup pairs): conf >= support share per
+    pair, lift > 0, and the head is lift-sorted."""
+    rows = _df(
+        "x_market_basket_lift", spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert rows, "sf0.01 must yield minsup pairs"
+    lifts = [r.lift_micro for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    for r in rows:
+        assert r.pa < r.pb
+        assert r.c_ab >= 3
+        assert r.conf_micro >= r.support_ppm
+        assert r.lift_micro > 0
+
+
+def test_ab_test_arms_partition_users(spark, sf_dir):
+    """The md5 assignment must put every user in exactly one arm and
+    conversions cannot exceed arm sizes; the significance flag must
+    equal the quantized-|z| comparison."""
+    r = _df("x_ab_test_ztest", spark, sf_dir).collect()[0]
+    from mcp_iceberg_duckdb_spark.operators._util import t
+
+    n_users = (
+        t(spark, sf_dir).events.select("user_id").distinct().count()
+    )
+    assert r.n_a + r.n_b == n_users
+    assert 0 <= r.conv_a <= r.n_a and 0 <= r.conv_b <= r.n_b
+    assert r.significant == (abs(r.z_micro) > 1_959_964)
+
+
+def test_time_weighted_avg_brackets_value_range(spark, sf_dir):
+    """A time-weighted mean is a convex combination of observed
+    values — it must lie within [min, max] of the user's stream, and
+    interval totals must be positive."""
+    from mcp_iceberg_duckdb_spark.operators._util import t
+
+    bounds = {
+        r.user_id: (r.lo, r.hi)
+        for r in t(spark, sf_dir)
+        .events.groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for r in _df("s_time_weighted_avg", spark, sf_dir).collect():
+        lo, hi = bounds[r.user_id]
+        assert lo - 1e-3 <= r.twa <= hi + 1e-3
+        assert r.total_dur_us > 0
+        assert r.n_intervals >= 1
 
 
 def test_kcore_semi_joins_and_checkpoint(spark, sf_dir):
