@@ -84,6 +84,9 @@ BENCH_QUERIES = [
     "x_market_basket_lift",
     "x_ab_test_ztest",
     "s_time_weighted_avg",
+    "s_cdc_upsert_apply",
+    "s_rolling_active_users",
+    "x_outlier_mad",
 ]
 
 

@@ -1373,3 +1373,169 @@ def s_time_weighted_avg(spark, sf_dir):
             4,
         ).alias("twa"),
     )
+
+
+# ---- CDC upsert apply (MERGE computational twin) ----
+
+_CDC_CUT = "TIMESTAMP '2024-01-15 00:00:00'"
+_CDC_TOMB = 10_000_000  # micro-units: latest value < 10.0 == tombstone
+
+_CDC_ORACLE = f"""
+    WITH q AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq
+        FROM events WHERE event_type = 'purchase'
+    ),
+    base AS (
+        SELECT user_id, vq FROM (
+            SELECT user_id, vq,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM q WHERE ts < {_CDC_CUT}
+        ) WHERE rn = 1
+    ),
+    chg AS (
+        SELECT user_id, vq FROM (
+            SELECT user_id, vq,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM q WHERE ts >= {_CDC_CUT}
+        ) WHERE rn = 1
+    )
+    SELECT coalesce(c.user_id, b.user_id) AS user_id,
+           coalesce(c.vq, b.vq) AS state_micro,
+           CASE WHEN c.user_id IS NOT NULL THEN 'upsert' ELSE 'base' END
+               AS src
+    FROM base b FULL OUTER JOIN chg c ON c.user_id = b.user_id
+    WHERE NOT (c.user_id IS NOT NULL AND c.vq < {_CDC_TOMB})
+"""
+
+
+@query("s_cdc_upsert_apply", oracle=_CDC_ORACLE, tags=("streaming", "tierx"))
+def s_cdc_upsert_apply(spark, sf_dir):
+    """CDC MERGE apply, computationally: a frozen base snapshot
+    (latest purchase state per user before the cutover) merged with a
+    change batch (events after it) under upsert-wins-latest
+    semantics, with a tombstone rule (latest change value below the
+    threshold deletes the key) — the batch twin of
+    `MERGE INTO base USING changes WHEN MATCHED [AND tombstone] THEN
+    DELETE / UPDATE WHEN NOT MATCHED THEN INSERT` that ddl.py's
+    Iceberg MERGE would run storage-side (reference roadmap
+    README.md:112-117 has none of UPDATE/DELETE/MERGE).
+
+    Spark shape: latest-per-key on each side is ONE user-partitioned
+    row_number window (rank-limited — WindowGroupLimit keeps one row
+    per key pre-exchange); the apply itself is ONE full-outer join on
+    the key. Both sides and the join share the user-id partitioning,
+    so AQE plans a single exchange per side. At 100 TB the change
+    batch is the small side (daily increment) and the join is the
+    same shape Iceberg's MoR merge executes.
+
+    Determinism: states micro-quantized int64; latest-wins ordered on
+    the total (ts desc, event_id desc) key; tombstone compare is pure
+    int64."""
+    e = t(spark, sf_dir).events
+    q = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint")
+        .alias("vq"),
+    )
+    cut = F.expr(_CDC_CUT)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def latest(df):
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "vq")
+        )
+
+    base = latest(q.where(F.col("ts") < cut)).withColumnsRenamed(
+        {"user_id": "b_user", "vq": "b_vq"}
+    )
+    chg = latest(q.where(F.col("ts") >= cut)).withColumnsRenamed(
+        {"user_id": "c_user", "vq": "c_vq"}
+    )
+    return (
+        base.join(chg, base.b_user == chg.c_user, "full_outer")
+        .where(
+            ~(F.col("c_user").isNotNull() & (F.col("c_vq") < _CDC_TOMB))
+        )
+        .select(
+            F.coalesce("c_user", "b_user").alias("user_id"),
+            F.coalesce("c_vq", "b_vq").alias("state_micro"),
+            F.when(F.col("c_user").isNotNull(), F.lit("upsert"))
+            .otherwise(F.lit("base"))
+            .alias("src"),
+        )
+    )
+
+
+# ---- rolling active users (DAU / WAU / MAU) ----
+
+_RAU_ORACLE = """
+    WITH ud AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    grid AS (SELECT DISTINCT day FROM ud)
+    SELECT g.day,
+           count(DISTINCT CASE WHEN ud.day = g.day
+                               THEN ud.user_id END) AS dau,
+           count(DISTINCT CASE WHEN ud.day > g.day - 7
+                               THEN ud.user_id END) AS wau,
+           count(DISTINCT ud.user_id) AS mau
+    FROM grid g
+    JOIN ud ON ud.day <= g.day AND ud.day > g.day - 30
+    GROUP BY g.day
+"""
+
+
+@query("s_rolling_active_users", oracle=_RAU_ORACLE, tags=("streaming", "tierx"))
+def s_rolling_active_users(spark, sf_dir):
+    """Exact rolling DAU / WAU (trailing 7 d) / MAU (trailing 30 d)
+    per day — the canonical engagement triple. Distinct-over-sliding-
+    window is NOT expressible as a window aggregate (COUNT(DISTINCT)
+    OVER RANGE is unsupported in both engines for good reason), so
+    the scalable exact shape is a deliberate bounded fan-out: the
+    deduplicated (day, user) relation range-joins the day grid, each
+    user-day landing in ≤30 grid rows, then ONE grid-keyed distinct
+    count with the shorter windows as conditional distincts.
+
+    Scale: |ud| is corpus-days × daily-actives (already deduped —
+    the fan-out is 30×|ud|, independent of raw event volume); the
+    grid is tiny and the join key (day) is low-cardinality but the
+    aggregation re-shuffles on it with partial aggregation. Beyond
+    exactness requirements, the HLL-sketch route (x_sketch_hll) makes
+    the windows mergeable without fan-out.
+
+    Determinism: pure dates + exact int counts."""
+    e = t(spark, sf_dir).events
+    ud = e.select(
+        F.col("ts").cast("date").alias("u_day"), "user_id"
+    ).distinct()
+    grid = ud.select(F.col("u_day").alias("g_day")).distinct()
+    j = ud.join(
+        grid,
+        (F.col("u_day") <= F.col("g_day"))
+        & (F.col("u_day") > F.date_sub(F.col("g_day"), 30)),
+    )
+    return (
+        j.groupBy(F.col("g_day").alias("day"))
+        .agg(
+            F.count_distinct(
+                F.when(F.col("u_day") == F.col("g_day"), F.col("user_id"))
+            ).alias("dau"),
+            F.count_distinct(
+                F.when(
+                    F.col("u_day") > F.date_sub(F.col("g_day"), 7),
+                    F.col("user_id"),
+                )
+            ).alias("wau"),
+            F.count_distinct("user_id").alias("mau"),
+        )
+    )

@@ -23,6 +23,9 @@ NEW_OPS = (
     "x_market_basket_lift",
     "x_ab_test_ztest",
     "s_time_weighted_avg",
+    "s_cdc_upsert_apply",
+    "s_rolling_active_users",
+    "x_outlier_mad",
 )
 
 
@@ -215,6 +218,72 @@ def test_time_weighted_avg_brackets_value_range(spark, sf_dir):
         assert lo - 1e-3 <= r.twa <= hi + 1e-3
         assert r.total_dur_us > 0
         assert r.n_intervals >= 1
+
+
+def test_cdc_apply_agrees_with_direct_latest_state(spark, sf_dir):
+    """The merge of base + change batch must equal computing the
+    latest state directly over the full history (with the same
+    tombstone rule on the post-cutover side) — the MERGE-equivalence
+    property that makes incremental application correct."""
+    from mcp_iceberg_duckdb_spark.operators._util import t
+    from pyspark.sql import Window
+
+    merged = {
+        r.user_id: (r.state_micro, r.src)
+        for r in _df("s_cdc_upsert_apply", spark, sf_dir).collect()
+    }
+    e = t(spark, sf_dir).events.where(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        e.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.floor(F.col("value") * 1e6 + F.lit(0.5))
+            .cast("bigint")
+            .alias("vq"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .collect()
+    )
+    cut = "2024-01-15"
+    for r in latest:
+        after = str(r.ts) >= cut
+        if after and r.vq < 10_000_000:
+            assert r.user_id not in merged, "tombstone must delete the key"
+        elif after:
+            assert merged[r.user_id] == (r.vq, "upsert")
+        # pre-cutover-only users: merged value is their base state —
+        # covered by the oracle compare; here we just require presence
+        else:
+            assert r.user_id in merged
+
+
+def test_rolling_active_users_monotone_windows(spark, sf_dir):
+    """DAU <= WAU <= MAU on every day, and the window counts can
+    never exceed the total user population."""
+    from mcp_iceberg_duckdb_spark.operators._util import t
+
+    n_users = t(spark, sf_dir).events.select("user_id").distinct().count()
+    rows = _df("s_rolling_active_users", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.dau <= r.wau <= r.mau <= n_users
+
+
+def test_outlier_mad_flags_tail_but_not_bulk(spark, sf_dir):
+    """The value stream has a long tail: some outliers must be
+    flagged per group, but never more than ~25% (MAD breaks down past
+    50% contamination; a quarter means the rule is miscalibrated)."""
+    rows = _df("x_outlier_mad", spark, sf_dir).collect()
+    assert rows
+    assert any(r.n_outliers > 0 for r in rows)
+    for r in rows:
+        assert r.n_outliers * 4 <= r.n
+        assert r.mad_cents > 0
 
 
 def test_kcore_semi_joins_and_checkpoint(spark, sf_dir):
