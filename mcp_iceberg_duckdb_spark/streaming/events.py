@@ -1300,6 +1300,64 @@ def s_counter_increase(spark, sf_dir):
     )
 
 
+def stream_counter_increase(events):
+    """True-streaming twin of s_counter_increase: per-user running
+    (last_value, n_samples, increase, n_resets) in the state store —
+    ONE int64 of sample state per key plus three counters, the
+    lightest stateful operator in the family (the anomaly scorer
+    above holds a 20-deep deque). Each micro-batch folds its rows in
+    (ts, event_id) order into the state and emits the user's updated
+    totals; the LAST emission per user equals the batch aggregate on
+    a finite in-order replay (tests/test_streaming.py pins it).
+
+    The arithmetic is the batch twin's exactly: micro-quantized int64
+    values, integer deltas, positive-part sums — no floats at all, so
+    the parity is bit-for-bit, not approximate."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = (
+        "user_id long, n_samples long, increase_micro long, n_resets long"
+    )
+    state_schema = "last_vq long, n long, inc long, resets long"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            last_vq, n, inc, resets = state.get
+        else:
+            last_vq, n, inc, resets = None, 0, 0, 0
+        chunks = [pdf for pdf in pdfs]
+        batch = pd.concat(chunks) if chunks else pd.DataFrame()
+        if len(batch):
+            batch = batch[batch["event_type"] == "view"]
+        if len(batch):
+            batch = batch.sort_values(["ts", "event_id"])
+            for v in batch["value"]:
+                vq = math.floor(float(v) * 1e6 + 0.5)
+                if last_vq is not None:
+                    d = vq - last_vq
+                    if d > 0:
+                        inc += d
+                    elif d < 0:
+                        resets += 1
+                last_vq = vq
+                n += 1
+            state.update((last_vq, n, inc, resets))
+            yield pd.DataFrame(
+                [(int(key[0]), n, inc, resets)],
+                columns=["user_id", "n_samples", "increase_micro", "n_resets"],
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # ---- per-user time-weighted average (gauge TWA) ----
 
 _TWA_ORACLE = """

@@ -346,3 +346,35 @@ def test_stream_anomalies_match_batch(spark, sf_dir, events_path):
     )
     assert len(batch) > 0
     assert streamed == batch
+
+
+def test_stream_counter_increase_match_batch(spark, sf_dir, events_path):
+    """The stateful counter-increase twin, replayed over the finite
+    stream, must end at exactly the batch aggregate per user (pure
+    int64 arithmetic on both paths — bit-for-bit, last emission per
+    user wins)."""
+    from mcp_iceberg_duckdb_spark.registry import QUERIES
+    from mcp_iceberg_duckdb_spark.streaming.events import (
+        stream_counter_increase,
+    )
+
+    out = run_stream_to_memory(
+        spark,
+        stream_counter_increase(read_event_stream(spark, events_path)),
+        "t_ctr",
+        mode="append",
+    )
+    # append mode emits one totals row per (user, micro-batch); the
+    # final state is each user's LAST emission — n_samples is
+    # monotone, so max-by works without batch ids
+    latest = {}
+    for r in out.collect():
+        cur = latest.get(r.user_id)
+        if cur is None or r.n_samples > cur[0]:
+            latest[r.user_id] = (r.n_samples, r.increase_micro, r.n_resets)
+    batch = {
+        r.user_id: (r.n_samples, r.increase_micro, r.n_resets)
+        for r in QUERIES["s_counter_increase"].builder(spark, sf_dir).collect()
+    }
+    assert batch
+    assert latest == batch
