@@ -121,8 +121,10 @@ _AB_ORACLE = """
     counts AS (
         SELECT count(*) FILTER (WHERE in_a) AS n_a,
                count(*) FILTER (WHERE NOT in_a) AS n_b,
-               sum(converted) FILTER (WHERE in_a) AS conv_a,
-               sum(converted) FILTER (WHERE NOT in_a) AS conv_b
+               CAST(sum(converted) FILTER (WHERE in_a) AS BIGINT)
+                   AS conv_a,
+               CAST(sum(converted) FILTER (WHERE NOT in_a) AS BIGINT)
+                   AS conv_b
         FROM assign
     )
     SELECT n_a, n_b, conv_a, conv_b,

@@ -30,14 +30,14 @@ _SKEW_ORACLE = f"""
     ),
     summary AS (
         SELECT count(*) AS n_keys,
-               sum(c) AS n_rows,
+               CAST(sum(c) AS BIGINT) AS n_rows,
                max(c) AS max_cnt,
                min(c) AS min_cnt,
                CAST(floor(median(c)) AS BIGINT) AS med_cnt
         FROM counts
     ),
     topn AS (
-        SELECT sum(c) AS top_c
+        SELECT CAST(sum(c) AS BIGINT) AS top_c
         FROM (SELECT c FROM counts ORDER BY c DESC, k LIMIT {_SKEW_TOPN})
     )
     SELECT n_keys, n_rows, max_cnt, min_cnt, med_cnt,

@@ -639,8 +639,9 @@ _AA_ORACLE = f"""
         )
     )
     SELECT x AS u, z AS v,
-           sum(1000000000000 //
-               CAST(floor(ln(d.d) * 1e6 + 0.5) AS BIGINT)) AS aa_pico
+           CAST(sum(1000000000000 //
+               CAST(floor(ln(d.d) * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+               AS aa_pico
     FROM cand c JOIN deg d ON d.node = c.y
     GROUP BY x, z
     ORDER BY aa_pico DESC, u, v

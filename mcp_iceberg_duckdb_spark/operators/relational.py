@@ -964,3 +964,86 @@ def p_unpivot(spark, sf_dir):
             " 'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, val)"
         ),
     )
+
+
+@query(
+    "o_recursive_cte",
+    oracle="""
+    WITH RECURSIVE up AS (
+        SELECT c_custkey AS start_key, c_custkey AS cur, 0 AS depth
+        FROM customer
+        UNION ALL
+        SELECT start_key, cur // 2, depth + 1 FROM up WHERE cur > 1
+    )
+    SELECT start_key, max(depth) AS depth_to_root, count(*) AS chain_len
+    FROM up GROUP BY start_key
+    """,
+    tags=("setop",),
+)
+def o_recursive_cte(spark, sf_dir):
+    """Recursive CTE (Spark 4 WITH RECURSIVE): every customer walks
+    the implicit binary hierarchy parent(k) = k div 2 up to the root,
+    reporting depth and chain length — the org-chart / BOM traversal
+    shape that previously needed the driver-side iteration loops the
+    graph operators use (dedup.py CC, graph.py PageRank). Recursion
+    depth is log2(max key), each round a filtered map over the
+    frontier — Spark materializes rounds iteratively exactly like the
+    unrolled loops, but planned by the engine.
+
+    Only dialect delta vs the oracle: integer division spells `div`
+    in Spark SQL and `//` in DuckDB; all arithmetic is int64."""
+    from mcp_iceberg_duckdb_spark.operators._util import views
+
+    views(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE up AS (
+            SELECT c_custkey AS start_key, c_custkey AS cur, 0 AS depth
+            FROM customer
+            UNION ALL
+            SELECT start_key, cur div 2, depth + 1 FROM up WHERE cur > 1
+        )
+        SELECT start_key, max(depth) AS depth_to_root,
+               count(*) AS chain_len
+        FROM up GROUP BY start_key
+        """
+    )
+
+
+@query(
+    "j_null_safe",
+    oracle="""
+    WITH a AS (
+        SELECT c_custkey, nullif(c_nationkey, 3) AS nk FROM customer
+    ),
+    b AS (
+        SELECT s_suppkey, nullif(s_nationkey, 3) AS nk FROM supplier
+    )
+    SELECT coalesce(a.nk, -1) AS nk_key, count(*) AS n_pairs
+    FROM a JOIN b ON a.nk IS NOT DISTINCT FROM b.nk
+    GROUP BY coalesce(a.nk, -1)
+    """,
+    tags=("join",),
+)
+def j_null_safe(spark, sf_dir):
+    """Null-safe equi join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping out — the semantics MERGE
+    and dimension-conforming joins need when the key itself is
+    optional. NULLs are planted deterministically via nullif on one
+    nation key so both engines exercise the NULL⋈NULL path; output
+    aggregates pair counts per key (NULL bucketed as -1).
+
+    Plan note: Spark executes <=> as an ordinary hash join (the
+    null-safe comparison is a valid equi-key) — no nested-loop
+    fallback, same shuffle shape as `=`."""
+    c = t(spark, sf_dir).customer.select(
+        "c_custkey", F.nullif(F.col("c_nationkey"), F.lit(3)).alias("nk_a")
+    )
+    s = t(spark, sf_dir).supplier.select(
+        "s_suppkey", F.nullif(F.col("s_nationkey"), F.lit(3)).alias("nk_b")
+    )
+    return (
+        c.join(s, F.col("nk_a").eqNullSafe(F.col("nk_b")))
+        .groupBy(F.coalesce("nk_a", F.lit(-1)).alias("nk_key"))
+        .agg(F.count("*").alias("n_pairs"))
+    )

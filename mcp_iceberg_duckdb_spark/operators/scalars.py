@@ -378,3 +378,39 @@ def f_hash(spark, sf_dir):
     both engines; the building block for exact dedup)."""
     d = t(spark, sf_dir).documents
     return d.select("doc_id", F.md5(F.col("text")).alias("text_md5"))
+
+
+@query(
+    "f_regex_extract_all",
+    oracle="""
+    SELECT doc_id,
+           coalesce(array_to_string(regexp_extract_all(text, '[a-z]+ing'),
+                                    ','), '') AS ing_words,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_numbers,
+           coalesce(array_to_string(regexp_extract_all(text,
+               '\\b([a-z])[a-z]{4}\\b', 1), ','), '') AS initials5
+    FROM documents
+    """,
+    tags=("scalar", "string"),
+)
+def f_regex_extract_all(spark, sf_dir):
+    """regexp_extract_all — ALL matches (and group extraction), not
+    just the first like f_regex's regexp_extract. Match lists are
+    projected as comma-joined strings per the no-top-level-array
+    output contract (tests/test_oracle_types.py guard)."""
+    d = t(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.regexp_extract_all("text", F.lit("[a-z]+ing"), 0), ","
+        ).alias("ing_words"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0))
+        .cast("bigint")
+        .alias("n_numbers"),
+        F.array_join(
+            F.regexp_extract_all(
+                "text", F.lit(r"\b([a-z])[a-z]{4}\b"), 1
+            ),
+            ",",
+        ).alias("initials5"),
+    )

@@ -1254,7 +1254,8 @@ _RATE_ORACLE = """
     )
     SELECT user_id,
            count(*) AS n_samples,
-           sum(CASE WHEN d > 0 THEN d ELSE 0 END) AS increase_micro,
+           CAST(sum(CASE WHEN d > 0 THEN d ELSE 0 END) AS BIGINT)
+               AS increase_micro,
            count(*) FILTER (WHERE d < 0) AS n_resets
     FROM deltas
     GROUP BY user_id
@@ -1374,7 +1375,7 @@ _TWA_ORACLE = """
     )
     SELECT user_id,
            count(*) AS n_intervals,
-           sum(dur_us) AS total_dur_us,
+           CAST(sum(dur_us) AS BIGINT) AS total_dur_us,
            floor((CAST(sum(CAST(vm * dur_us AS DECIMAL(38,0)))
                        AS DOUBLE)
                   / (CAST(sum(dur_us) AS DOUBLE) * 1e3)) * 1e4 + 0.5)
