@@ -135,6 +135,14 @@ def main() -> None:
     # plan, so the timed pass would otherwise read precomputed
     # signatures instead of measuring the pipeline
     spark.catalog.clearCache()
+    # settle before timing: the warmup pass allocates across every
+    # plan in the suite and the deferred major GC otherwise lands in
+    # whichever timed query runs first (observed: q1 0.4 s isolated vs
+    # 2.3 s as the first timed query of a 61-query suite). One
+    # explicit collection + settle makes the first timed slot equal to
+    # the others — steady-state measurement, not a faster engine.
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(2.0)
 
     per_query: dict[str, float] = {}
     total = 0.0
