@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "s_cdc_upsert_apply",
     "s_rolling_active_users",
     "x_outlier_mad",
+    "x_embed_pq_encode",
+    "o_recursive_cte",
 ]
 
 

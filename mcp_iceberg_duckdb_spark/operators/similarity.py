@@ -788,3 +788,133 @@ def x_embed_pca_project(spark, sf_dir):
             "var2_ok"
         ),
     )
+
+
+# ---- product-quantization encode (vector compression at scale) ----
+
+_PQ_M = 8  # subspaces (64 dims / 8 per subspace)
+_PQ_SUB = 8  # dims per subspace
+_PQ_K = 16  # codewords per subspace (4-bit codes)
+
+_PQ_ORACLE = f"""
+    WITH h AS (
+        SELECT vec_id, embedding,
+               md5('pq:' || CAST(vec_id AS VARCHAR)) AS hh
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS sidx,
+               embedding AS sv
+        FROM h ORDER BY hh, vec_id LIMIT {_PQ_K}
+    ),
+    sub AS (SELECT unnest(range(0, {_PQ_M})) AS s),
+    pairs AS (
+        SELECT h.vec_id, sub.s, seeds.sidx,
+               CAST(list_sum(list_transform(range(1, {_PQ_SUB + 1}),
+                   i -> CAST(floor(
+                       (CAST(h.embedding[{_PQ_SUB} * sub.s + i] AS DOUBLE)
+                        - CAST(seeds.sv[{_PQ_SUB} * sub.s + i] AS DOUBLE))
+                       * (CAST(h.embedding[{_PQ_SUB} * sub.s + i] AS DOUBLE)
+                          - CAST(seeds.sv[{_PQ_SUB} * sub.s + i] AS DOUBLE))
+                       * 1e6 + 0.5) AS BIGINT)))
+                   AS BIGINT) AS dq
+        FROM h CROSS JOIN sub CROSS JOIN seeds
+    ),
+    best AS (
+        SELECT vec_id, s, sidx, dq FROM (
+            SELECT vec_id, s, sidx, dq,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY dq, sidx) AS rn
+            FROM pairs
+        ) WHERE rn = 1
+    )
+    SELECT vec_id,
+           CAST(sum(sidx << (4 * s)) AS BIGINT) AS code_packed,
+           CAST(sum(dq) AS BIGINT) AS recon_err_micro
+    FROM best GROUP BY vec_id
+"""
+
+
+@query("x_embed_pq_encode", oracle=_PQ_ORACLE, tags=("embed", "tierx"))
+def x_embed_pq_encode(spark, sf_dir):
+    """Product-quantization encode (Jégou et al. 2011): each 64-dim
+    vector splits into 8 subspaces of 8 dims; each subvector is
+    assigned its nearest of 16 codewords, packing the vector into
+    eight 4-bit codes — ONE int64 instead of 256 bytes, the 32×
+    compression layer under billion-scale ANN (IVFPQ/FAISS). Output:
+    the packed code plus the exact reconstruction error the encoding
+    incurs (the quantity PQ training minimizes).
+
+    The codebook here is md5-SAMPLED from the data (16 deterministic
+    seed vectors' subvectors) — the honest SQL-replicable stand-in
+    for a Lloyd-trained codebook; training with the distributed
+    k-means loop (x_embed_kmeans) per subspace upgrades codeword
+    quality without touching this encode plan, exactly like the
+    decoder gating in multimodal.py.
+
+    Spark shape: the 16-row codebook broadcasts; encode is a
+    shuffle-free fan-out map — vectors × 16 seeds × 8 subspaces,
+    bounded ×128 per vector — followed by one rank-limited argmin
+    window and one per-vector groupBy. At 100 TB the fan-out rides
+    the scan (or batches through one mapInPandas matrix multiply);
+    nothing joins on data-dependent keys.
+
+    Determinism: squared diffs are micro-quantized PER ELEMENT before
+    summation, so every distance is an exact int64 independent of
+    accumulation order; argmin orders on (int distance, seed index);
+    code packing and error totals are integer sums."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir).embeddings.select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    hashed = e.withColumn(
+        "hh", F.md5(F.concat(F.lit("pq:"), F.col("vec_id").cast("string")))
+    )
+    wseed = Window.orderBy("hh", "vec_id")
+    seeds = (
+        hashed.orderBy("hh", "vec_id")
+        .limit(_PQ_K)
+        .select(
+            (F.row_number().over(wseed) - 1).alias("sidx"),
+            F.col("v").alias("sv"),
+        )
+    )
+    pairs = (
+        e.crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id",
+            "sidx",
+            F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s"),
+            "v",
+            "sv",
+        )
+        .select(
+            "vec_id",
+            "s",
+            "sidx",
+            F.aggregate(
+                F.zip_with(
+                    F.expr(f"slice(v, s * {_PQ_SUB} + 1, {_PQ_SUB})"),
+                    F.expr(f"slice(sv, s * {_PQ_SUB} + 1, {_PQ_SUB})"),
+                    lambda x, y: F.floor(
+                        (x - y) * (x - y) * F.lit(1e6) + F.lit(0.5)
+                    ).cast("bigint"),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("dq"),
+        )
+    )
+    wmin = Window.partitionBy("vec_id", "s").orderBy("dq", "sidx")
+    best = (
+        pairs.withColumn("rn", F.row_number().over(wmin))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "s", "sidx", "dq")
+    )
+    return best.groupBy("vec_id").agg(
+        F.sum(F.expr("shiftleft(CAST(sidx AS BIGINT), s * 4)"))
+        .cast("bigint")
+        .alias("code_packed"),
+        F.sum("dq").cast("bigint").alias("recon_err_micro"),
+    )

@@ -26,6 +26,10 @@ NEW_OPS = (
     "s_cdc_upsert_apply",
     "s_rolling_active_users",
     "x_outlier_mad",
+    "o_recursive_cte",
+    "j_null_safe",
+    "f_regex_extract_all",
+    "x_embed_pq_encode",
 )
 
 
@@ -284,6 +288,32 @@ def test_outlier_mad_flags_tail_but_not_bulk(spark, sf_dir):
     for r in rows:
         assert r.n_outliers * 4 <= r.n
         assert r.mad_cents > 0
+
+
+def test_pq_encode_seeds_reconstruct_exactly(spark, sf_dir):
+    """The 16 md5-sampled codebook seeds must encode to ZERO
+    reconstruction error (their nearest codeword in every subspace is
+    themselves at distance 0) and every vector's packed code must be
+    a valid 8-nibble int64."""
+    from mcp_iceberg_duckdb_spark.operators._util import t
+
+    rows = {
+        r.vec_id: r for r in _df("x_embed_pq_encode", spark, sf_dir).collect()
+    }
+    e = t(spark, sf_dir).embeddings.select(
+        "vec_id",
+        F.md5(F.concat(F.lit("pq:"), F.col("vec_id").cast("string"))).alias(
+            "h"
+        ),
+    )
+    seeds = [r.vec_id for r in e.orderBy("h", "vec_id").limit(16).collect()]
+    for sid in seeds:
+        assert rows[sid].recon_err_micro == 0, f"seed {sid} not exact"
+    n_zero = sum(1 for r in rows.values() if r.recon_err_micro == 0)
+    assert n_zero <= len(seeds) + 5, "too many exact encodings: degenerate"
+    for r in rows.values():
+        assert 0 <= r.code_packed < (1 << 32)
+        assert r.recon_err_micro >= 0
 
 
 def test_kcore_semi_joins_and_checkpoint(spark, sf_dir):
