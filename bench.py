@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "s_rolling_active_users",
     "x_outlier_mad",
     "x_embed_pq_encode",
+    "x_ann_pq_adc_topk",
     "o_recursive_cte",
 ]
 

@@ -863,6 +863,35 @@ def x_embed_pq_encode(spark, sf_dir):
     summation, so every distance is an exact int64 independent of
     accumulation order; argmin orders on (int distance, seed index);
     code packing and error totals are integer sums."""
+    best = pq_codes(spark, sf_dir)
+    return best.groupBy("vec_id").agg(
+        F.sum(F.expr("shiftleft(CAST(sidx AS BIGINT), s * 4)"))
+        .cast("bigint")
+        .alias("code_packed"),
+        F.sum("dq").cast("bigint").alias("recon_err_micro"),
+    )
+
+
+def _pq_subdist_micro(va: str, vb: str):
+    """Per-subspace squared distance between the s-th 8-dim
+    slices of two array columns, micro-quantized PER ELEMENT before
+    the fold — an exact, order-free int64 (the column `s` must be in
+    scope)."""
+    return F.aggregate(
+        F.zip_with(
+            F.expr(f"slice({va}, s * {_PQ_SUB} + 1, {_PQ_SUB})"),
+            F.expr(f"slice({vb}, s * {_PQ_SUB} + 1, {_PQ_SUB})"),
+            lambda x, y: F.floor(
+                (x - y) * (x - y) * F.lit(1e6) + F.lit(0.5)
+            ).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_seeds(spark, sf_dir):
+    """The md5-sampled 16-row codebook relation (sidx, sv)."""
     from pyspark.sql import Window
 
     e = t(spark, sf_dir).embeddings.select(
@@ -872,7 +901,7 @@ def x_embed_pq_encode(spark, sf_dir):
         "hh", F.md5(F.concat(F.lit("pq:"), F.col("vec_id").cast("string")))
     )
     wseed = Window.orderBy("hh", "vec_id")
-    seeds = (
+    return (
         hashed.orderBy("hh", "vec_id")
         .limit(_PQ_K)
         .select(
@@ -880,8 +909,19 @@ def x_embed_pq_encode(spark, sf_dir):
             F.col("v").alias("sv"),
         )
     )
+
+
+def pq_codes(spark, sf_dir):
+    """Per-(vector, subspace) PQ assignment relation
+    (vec_id, s, sidx, dq) — shared by the encode operator and the
+    ADC search path."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir).embeddings.select(
+        "vec_id", as_double("embedding").alias("v")
+    )
     pairs = (
-        e.crossJoin(F.broadcast(seeds))
+        e.crossJoin(F.broadcast(pq_seeds(spark, sf_dir)))
         .select(
             "vec_id",
             "sidx",
@@ -890,31 +930,126 @@ def x_embed_pq_encode(spark, sf_dir):
             "sv",
         )
         .select(
-            "vec_id",
-            "s",
-            "sidx",
-            F.aggregate(
-                F.zip_with(
-                    F.expr(f"slice(v, s * {_PQ_SUB} + 1, {_PQ_SUB})"),
-                    F.expr(f"slice(sv, s * {_PQ_SUB} + 1, {_PQ_SUB})"),
-                    lambda x, y: F.floor(
-                        (x - y) * (x - y) * F.lit(1e6) + F.lit(0.5)
-                    ).cast("bigint"),
-                ),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            ).alias("dq"),
+            "vec_id", "s", "sidx", _pq_subdist_micro("v", "sv").alias("dq")
         )
     )
     wmin = Window.partitionBy("vec_id", "s").orderBy("dq", "sidx")
-    best = (
+    return (
         pairs.withColumn("rn", F.row_number().over(wmin))
         .where(F.col("rn") == 1)
         .select("vec_id", "s", "sidx", "dq")
     )
-    return best.groupBy("vec_id").agg(
-        F.sum(F.expr("shiftleft(CAST(sidx AS BIGINT), s * 4)"))
-        .cast("bigint")
-        .alias("code_packed"),
-        F.sum("dq").cast("bigint").alias("recon_err_micro"),
+
+
+# ---- PQ asymmetric-distance (ADC) top-k search ----
+
+_ADC_ORACLE = f"""
+    WITH h AS (
+        SELECT vec_id, embedding,
+               md5('pq:' || CAST(vec_id AS VARCHAR)) AS hh
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS sidx,
+               embedding AS sv
+        FROM h ORDER BY hh, vec_id LIMIT {_PQ_K}
+    ),
+    sub AS (SELECT unnest(range(0, {_PQ_M})) AS s),
+    codes AS (
+        SELECT vec_id, s, sidx FROM (
+            SELECT h.vec_id, sub.s, seeds.sidx,
+                   row_number() OVER (
+                       PARTITION BY h.vec_id, sub.s
+                       ORDER BY list_sum(list_transform(range(1, {_PQ_SUB + 1}),
+                           i -> CAST(floor(
+                               (CAST(h.embedding[{_PQ_SUB} * sub.s + i] AS DOUBLE)
+                                - CAST(seeds.sv[{_PQ_SUB} * sub.s + i] AS DOUBLE))
+                               * (CAST(h.embedding[{_PQ_SUB} * sub.s + i] AS DOUBLE)
+                                  - CAST(seeds.sv[{_PQ_SUB} * sub.s + i] AS DOUBLE))
+                               * 1e6 + 0.5) AS BIGINT))), seeds.sidx) AS rn
+            FROM h CROSS JOIN sub CROSS JOIN seeds
+        ) WHERE rn = 1
+    ),
+    lut AS (
+        SELECT q.vec_id AS query_id, sub.s, seeds.sidx,
+               CAST(list_sum(list_transform(range(1, {_PQ_SUB + 1}),
+                   i -> CAST(floor(
+                       (CAST(q.embedding[{_PQ_SUB} * sub.s + i] AS DOUBLE)
+                        - CAST(seeds.sv[{_PQ_SUB} * sub.s + i] AS DOUBLE))
+                       * (CAST(q.embedding[{_PQ_SUB} * sub.s + i] AS DOUBLE)
+                          - CAST(seeds.sv[{_PQ_SUB} * sub.s + i] AS DOUBLE))
+                       * 1e6 + 0.5) AS BIGINT)))
+                   AS BIGINT) AS ld
+        FROM h q CROSS JOIN sub CROSS JOIN seeds
+        WHERE q.vec_id < {_N_QUERIES}
+    ),
+    adc AS (
+        SELECT l.query_id, c.vec_id AS neighbor_id,
+               CAST(sum(l.ld) AS BIGINT) AS adc_micro
+        FROM codes c JOIN lut l ON l.s = c.s AND l.sidx = c.sidx
+        WHERE c.vec_id <> l.query_id
+        GROUP BY l.query_id, c.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_micro FROM (
+        SELECT query_id, neighbor_id, adc_micro,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_micro, neighbor_id) AS rn
+        FROM adc
+    ) WHERE rn <= {_TOP_K}
+"""
+
+
+@query("x_ann_pq_adc_topk", oracle=_ADC_ORACLE, tags=("similarity", "tierx"))
+def x_ann_pq_adc_topk(spark, sf_dir):
+    """PQ asymmetric-distance search (the ADC of Jégou 2011 /
+    FAISS IVFPQ): queries stay full-precision, the corpus exists only
+    as 4-bit PQ codes, and each query's distance to a vector is the
+    lookup-table sum Σ_s LUT[s][code_s] — the corpus vectors are
+    never touched at query time. Completes the PQ story:
+    x_embed_pq_encode is the write path, this is the read path.
+
+    Spark shape: the LUT is queries × subspaces × codewords =
+    8·8·16 = 1024 int64 cells — computed once from the broadcast
+    codebook and broadcast itself; the search is ONE hash join of the
+    (vec_id, s, code) relation against the LUT on the tiny (s, sidx)
+    key followed by a (query, vector) groupBy and a rank-limited
+    top-k window. Per-query cost is O(corpus codes), independent of
+    vector dimension — the whole point of ADC.
+
+    Determinism: LUT cells are the encode path's per-element
+    micro-quantized int64 distances; ADC sums and the (distance,
+    neighbor) ranking are pure int64."""
+    from pyspark.sql import Window
+
+    codes = pq_codes(spark, sf_dir).select("vec_id", "s", "sidx")
+    e = t(spark, sf_dir).embeddings.select(
+        "vec_id", as_double("embedding").alias("qv")
+    )
+    q = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "qv"
+    )
+    lut = (
+        q.crossJoin(F.broadcast(pq_seeds(spark, sf_dir)))
+        .select(
+            "query_id",
+            "sidx",
+            F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s"),
+            "qv",
+            "sv",
+        )
+        .select(
+            "query_id", "s", "sidx", _pq_subdist_micro("qv", "sv").alias("ld")
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["s", "sidx"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("ld").cast("bigint").alias("adc_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_micro", "neighbor_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", "adc_micro")
     )

@@ -30,6 +30,7 @@ NEW_OPS = (
     "j_null_safe",
     "f_regex_extract_all",
     "x_embed_pq_encode",
+    "x_ann_pq_adc_topk",
 )
 
 
@@ -314,6 +315,43 @@ def test_pq_encode_seeds_reconstruct_exactly(spark, sf_dir):
     for r in rows.values():
         assert 0 <= r.code_packed < (1 << 32)
         assert r.recon_err_micro >= 0
+
+
+def test_adc_search_shape_and_recall_floor(spark, duck, sf_dir):
+    """ADC must return a full top-10 per query in ascending distance
+    order, and its recall@10 against exact L2 top-10 must clear the
+    sampled-codebook floor (~0.2 measured; ≥0.05 pinned — the point
+    of the floor is catching a BROKEN lookup join, which drives
+    recall to random ≈ 10/|corpus| ≈ 0.02; Lloyd-training the
+    codebook and exact re-ranking are the documented quality
+    levers)."""
+    adc: dict = {}
+    for r in _df("x_ann_pq_adc_topk", spark, sf_dir).collect():
+        adc.setdefault(r.query_id, []).append((r.adc_micro, r.neighbor_id))
+    assert len(adc) == 8
+    for rows in adc.values():
+        assert len(rows) == 10
+        assert all(d >= 0 for d, _ in rows)
+    exact = {
+        qid: set(nids)
+        for qid, nids in duck.sql(
+            """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+                   FROM embeddings),
+        q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 8),
+        ex AS (
+            SELECT qid, vec_id nid,
+                   row_number() OVER (PARTITION BY qid
+                       ORDER BY list_distance(qv, v), vec_id) rn
+            FROM q JOIN e ON vec_id <> qid
+        ) SELECT qid, list(nid) FROM ex WHERE rn <= 10 GROUP BY qid
+        """
+        ).fetchall()
+    }
+    mean_recall = sum(
+        len({n for _, n in adc[k]} & exact[k]) / 10 for k in exact
+    ) / len(exact)
+    assert mean_recall >= 0.05, f"ADC lookup join broken: {mean_recall}"
 
 
 def test_kcore_semi_joins_and_checkpoint(spark, sf_dir):
