@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "x_outlier_mad",
     "x_embed_pq_encode",
     "x_ann_pq_adc_topk",
+    "x_ann_pq_rerank_topk",
     "o_recursive_cte",
 ]
 

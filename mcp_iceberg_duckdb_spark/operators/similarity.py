@@ -1053,3 +1053,162 @@ def x_ann_pq_adc_topk(spark, sf_dir):
         .where(F.col("rn") <= _TOP_K)
         .select("query_id", "neighbor_id", "adc_micro")
     )
+
+
+# ---- PQ two-stage search: ADC candidates + exact re-rank ----
+
+_RERANK_C = 50  # ADC candidates per query before exact re-ranking
+
+_RERANK_ORACLE = f"""
+    WITH h AS (
+        SELECT vec_id, embedding,
+               md5('pq:' || CAST(vec_id AS VARCHAR)) AS hh
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS sidx,
+               embedding AS sv
+        FROM h ORDER BY hh, vec_id LIMIT {_PQ_K}
+    ),
+    sub AS (SELECT unnest(range(0, {_PQ_M})) AS s),
+    codes AS (
+        SELECT vec_id, s, sidx FROM (
+            SELECT h.vec_id, sub.s, seeds.sidx,
+                   row_number() OVER (
+                       PARTITION BY h.vec_id, sub.s
+                       ORDER BY list_sum(list_transform(range(1, {_PQ_SUB + 1}),
+                           i -> CAST(floor(
+                               (CAST(h.embedding[{_PQ_SUB} * sub.s + i] AS DOUBLE)
+                                - CAST(seeds.sv[{_PQ_SUB} * sub.s + i] AS DOUBLE))
+                               * (CAST(h.embedding[{_PQ_SUB} * sub.s + i] AS DOUBLE)
+                                  - CAST(seeds.sv[{_PQ_SUB} * sub.s + i] AS DOUBLE))
+                               * 1e6 + 0.5) AS BIGINT))), seeds.sidx) AS rn
+            FROM h CROSS JOIN sub CROSS JOIN seeds
+        ) WHERE rn = 1
+    ),
+    lut AS (
+        SELECT q.vec_id AS query_id, sub.s, seeds.sidx,
+               CAST(list_sum(list_transform(range(1, {_PQ_SUB + 1}),
+                   i -> CAST(floor(
+                       (CAST(q.embedding[{_PQ_SUB} * sub.s + i] AS DOUBLE)
+                        - CAST(seeds.sv[{_PQ_SUB} * sub.s + i] AS DOUBLE))
+                       * (CAST(q.embedding[{_PQ_SUB} * sub.s + i] AS DOUBLE)
+                          - CAST(seeds.sv[{_PQ_SUB} * sub.s + i] AS DOUBLE))
+                       * 1e6 + 0.5) AS BIGINT)))
+                   AS BIGINT) AS ld
+        FROM h q CROSS JOIN sub CROSS JOIN seeds
+        WHERE q.vec_id < {_N_QUERIES}
+    ),
+    cand AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT l.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY l.query_id
+                       ORDER BY sum(l.ld), c.vec_id) AS rn
+            FROM codes c JOIN lut l ON l.s = c.s AND l.sidx = c.sidx
+            WHERE c.vec_id <> l.query_id
+            GROUP BY l.query_id, c.vec_id
+        ) WHERE rn <= {_RERANK_C}
+    ),
+    rer AS (
+        SELECT cd.query_id, cd.neighbor_id,
+               CAST(list_sum(list_transform(range(1, 65),
+                   i -> CAST(floor(
+                       (CAST(qe.embedding[i] AS DOUBLE)
+                        - CAST(ne.embedding[i] AS DOUBLE))
+                       * (CAST(qe.embedding[i] AS DOUBLE)
+                          - CAST(ne.embedding[i] AS DOUBLE))
+                       * 1e6 + 0.5) AS BIGINT)))
+                   AS BIGINT) AS dist_micro
+        FROM cand cd
+        JOIN h qe ON qe.vec_id = cd.query_id
+        JOIN h ne ON ne.vec_id = cd.neighbor_id
+    )
+    SELECT query_id, neighbor_id, dist_micro FROM (
+        SELECT query_id, neighbor_id, dist_micro,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist_micro, neighbor_id) AS rn
+        FROM rer
+    ) WHERE rn <= {_TOP_K}
+"""
+
+
+@query(
+    "x_ann_pq_rerank_topk", oracle=_RERANK_ORACLE, tags=("similarity", "tierx")
+)
+def x_ann_pq_rerank_topk(spark, sf_dir):
+    """Two-stage PQ search — the production IVFPQ+refine shape: ADC
+    over the code-only corpus selects 50 candidates per query
+    (cheap, dimension-independent), then ONLY those candidates'
+    full vectors are fetched and re-ranked by exact distance. The
+    re-rank stage touches 50·|queries| vectors regardless of corpus
+    size — the accuracy recovery that makes a sampled/coarse
+    codebook acceptable (recall@10 jumps from ~0.2 pure-ADC to the
+    candidate ceiling; pinned in tests).
+
+    Spark shape: the ADC stage as in x_ann_pq_adc_topk (broadcast
+    LUT join + rank-limited window), then one hash join of the
+    candidate list back to the vector table (at 100 TB: a point-
+    lookup-friendly join against the vector store, the small side
+    broadcast) and a second rank-limited top-k.
+
+    Determinism: both stages rank on per-element micro-quantized
+    int64 distance sums with neighbor-id tiebreaks."""
+    from pyspark.sql import Window
+
+    codes = pq_codes(spark, sf_dir).select("vec_id", "s", "sidx")
+    e = t(spark, sf_dir).embeddings.select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    q = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    lut = (
+        q.crossJoin(F.broadcast(pq_seeds(spark, sf_dir)))
+        .select(
+            "query_id",
+            "sidx",
+            F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s"),
+            F.col("qv").alias("lqv"),
+            "sv",
+        )
+        .select(
+            "query_id", "s", "sidx", _pq_subdist_micro("lqv", "sv").alias("ld")
+        )
+    )
+    wadc = Window.partitionBy("query_id").orderBy("adc_micro", "neighbor_id")
+    cand = (
+        codes.join(F.broadcast(lut), ["s", "sidx"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("ld").cast("bigint").alias("adc_micro"))
+        .withColumn("rn", F.row_number().over(wadc))
+        .where(F.col("rn") <= _RERANK_C)
+        .select("query_id", "neighbor_id")
+    )
+    exact = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("nv"),
+            lambda x, y: F.floor(
+                (x - y) * (x - y) * F.lit(1e6) + F.lit(0.5)
+            ).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    rer = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(
+            e.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")
+            ),
+            "neighbor_id",
+        )
+        .select("query_id", "neighbor_id", exact.alias("dist_micro"))
+    )
+    wr = Window.partitionBy("query_id").orderBy("dist_micro", "neighbor_id")
+    return (
+        rer.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", "dist_micro")
+    )

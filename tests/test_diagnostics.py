@@ -31,6 +31,7 @@ NEW_OPS = (
     "f_regex_extract_all",
     "x_embed_pq_encode",
     "x_ann_pq_adc_topk",
+    "x_ann_pq_rerank_topk",
 )
 
 
@@ -352,6 +353,41 @@ def test_adc_search_shape_and_recall_floor(spark, duck, sf_dir):
         len({n for _, n in adc[k]} & exact[k]) / 10 for k in exact
     ) / len(exact)
     assert mean_recall >= 0.05, f"ADC lookup join broken: {mean_recall}"
+
+
+def test_rerank_beats_pure_adc(spark, duck, sf_dir):
+    """The exact re-rank stage must lift recall@10 well above the
+    pure-ADC path on the same sampled codebook (measured 0.54 vs
+    0.19-0.22; floors pinned with margin: rerank >= 0.35 AND rerank
+    >= adc). A broken candidate stage or re-rank join collapses
+    both."""
+    exact = {
+        qid: set(nids)
+        for qid, nids in duck.sql(
+            """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+                   FROM embeddings),
+        q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 8),
+        ex AS (
+            SELECT qid, vec_id nid,
+                   row_number() OVER (PARTITION BY qid
+                       ORDER BY list_distance(qv, v), vec_id) rn
+            FROM q JOIN e ON vec_id <> qid
+        ) SELECT qid, list(nid) FROM ex WHERE rn <= 10 GROUP BY qid
+        """
+        ).fetchall()
+    }
+
+    def recall(name):
+        got: dict = {}
+        for r in _df(name, spark, sf_dir).collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(len(got[k] & exact[k]) / 10 for k in exact) / len(exact)
+
+    r_adc = recall("x_ann_pq_adc_topk")
+    r_rr = recall("x_ann_pq_rerank_topk")
+    assert r_rr >= 0.35, f"re-rank recall collapsed: {r_rr}"
+    assert r_rr >= r_adc, f"re-rank {r_rr} below pure ADC {r_adc}"
 
 
 def test_kcore_semi_joins_and_checkpoint(spark, sf_dir):
