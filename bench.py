@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "x_ann_pq_adc_topk",
     "x_ann_pq_rerank_topk",
     "o_recursive_cte",
+    "s_user_rfm",
+    "x_diag_join_blowup",
 ]
 
 

@@ -337,3 +337,96 @@ def x_outlier_mad(spark, sf_dir):
             F.expr("(n_outliers * 1000000) div n").alias("outlier_ppm"),
         )
     )
+
+
+# ---- join-blowup estimator (pre-flight join cardinality) ----
+
+_JB_ORACLE = """
+    WITH cl AS (
+        SELECT l_suppkey AS k, count(*) AS c FROM lineitem GROUP BY l_suppkey
+    ),
+    co AS (
+        SELECT s_suppkey AS k, count(*) AS c FROM supplier GROUP BY s_suppkey
+    ),
+    est AS (
+        SELECT CAST(sum(cl.c * co.c) AS BIGINT) AS est_rows,
+               CAST(max(cl.c * co.c) AS BIGINT) AS max_key_rows
+        FROM cl JOIN co ON co.k = cl.k
+    ),
+    selfest AS (
+        SELECT CAST(sum(c * c) AS BIGINT) AS self_est_rows,
+               CAST(max(c * c) AS BIGINT) AS self_max_key_rows
+        FROM cl
+    ),
+    sizes AS (
+        SELECT (SELECT count(*) FROM lineitem) AS n_left,
+               (SELECT count(*) FROM supplier) AS n_right
+    )
+    SELECT n_left, n_right, est_rows, max_key_rows,
+           self_est_rows, self_max_key_rows,
+           (max_key_rows * 1000000) // est_rows AS top_key_share_ppm,
+           self_est_rows // n_left AS self_amplification
+    FROM est, selfest, sizes
+"""
+
+
+@query("x_diag_join_blowup", oracle=_JB_ORACLE, tags=("diag", "tierx"))
+def x_diag_join_blowup(spark, sf_dir):
+    """Pre-flight join-cardinality estimate: the EXACT output size of
+    a join is Σ_k c_left(k)·c_right(k) over the key histograms — two
+    cheap groupBys predict whether the real join explodes before you
+    run it (the check that catches accidental many-to-many keys).
+    Reports the lineitem⋈supplier FK join (benign: est = |lineitem|)
+    and the lineitem SELF-join on l_suppkey (the blowup case: Σ c² ≈
+    600× amplification at sf0.1), plus the hottest key's share —
+    skew concentration for the salting decision
+    (functions/skew.py).
+
+    Spark shape: two key groupBys (|keys| rows each), one hash join
+    of the count relations, single-row aggregates — never runs the
+    candidate join itself. At 100 TB the histograms are the same
+    relations x_diag_key_skew builds; this is the planning use of
+    them.
+
+    Determinism: pure int64 counts and products; shares by integer
+    division."""
+    tb = t(spark, sf_dir)
+    cl = tb.lineitem.groupBy(F.col("l_suppkey").alias("k")).agg(
+        F.count("*").alias("cl")
+    )
+    co = tb.supplier.groupBy(F.col("s_suppkey").alias("k")).agg(
+        F.count("*").alias("co")
+    )
+    est = cl.join(co, "k").agg(
+        F.sum(F.col("cl") * F.col("co")).cast("bigint").alias("est_rows"),
+        F.max(F.col("cl") * F.col("co"))
+        .cast("bigint")
+        .alias("max_key_rows"),
+    )
+    selfest = cl.agg(
+        F.sum(F.col("cl") * F.col("cl"))
+        .cast("bigint")
+        .alias("self_est_rows"),
+        F.max(F.col("cl") * F.col("cl"))
+        .cast("bigint")
+        .alias("self_max_key_rows"),
+    )
+    sizes = tb.lineitem.agg(F.count("*").alias("n_left")).crossJoin(
+        F.broadcast(tb.supplier.agg(F.count("*").alias("n_right")))
+    )
+    return (
+        est.crossJoin(F.broadcast(selfest))
+        .crossJoin(F.broadcast(sizes))
+        .select(
+            "n_left",
+            "n_right",
+            "est_rows",
+            "max_key_rows",
+            "self_est_rows",
+            "self_max_key_rows",
+            F.expr("(max_key_rows * 1000000) div est_rows").alias(
+                "top_key_share_ppm"
+            ),
+            F.expr("self_est_rows div n_left").alias("self_amplification"),
+        )
+    )

@@ -1598,3 +1598,88 @@ def s_rolling_active_users(spark, sf_dir):
             F.count_distinct("user_id").alias("mau"),
         )
     )
+
+
+# ---- RFM segmentation (recency / frequency / monetary) ----
+
+_RFM_ORACLE = """
+    WITH p AS (
+        SELECT user_id,
+               max(ts) AS last_ts,
+               count(*) AS freq,
+               CAST(sum(CAST(floor(value * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    anchor AS (SELECT max(last_ts) AS now_ts FROM p),
+    scored AS (
+        SELECT user_id,
+               CAST(epoch_us(a.now_ts) - epoch_us(last_ts) AS BIGINT)
+                   AS recency_us,
+               freq, monetary_cents,
+               ntile(5) OVER (ORDER BY epoch_us(a.now_ts) - epoch_us(last_ts)
+                              DESC, user_id) AS r_score,
+               ntile(5) OVER (ORDER BY freq, user_id) AS f_score,
+               ntile(5) OVER (ORDER BY monetary_cents, user_id) AS m_score
+        FROM p CROSS JOIN anchor a
+    )
+    SELECT user_id, recency_us, freq, monetary_cents,
+           r_score, f_score, m_score,
+           r_score * 100 + f_score * 10 + m_score AS rfm_code
+    FROM scored
+"""
+
+
+@query("s_user_rfm", oracle=_RFM_ORACLE, tags=("streaming", "tierx"))
+def s_user_rfm(spark, sf_dir):
+    """RFM segmentation — the classic customer-value triple: recency
+    (time since last purchase, anchored at the corpus max so the
+    result is replay-stable), frequency (purchase count), monetary
+    (cents sum), each quintile-scored 1-5 and packed into the
+    three-digit RFM code marketers act on.
+
+    Spark shape: one per-user groupBy, a broadcast 1-row anchor, and
+    three ntile windows. The windows order USERS, not events — the
+    user relation is orders of magnitude smaller than the event log,
+    so the single-partition ntile sort is bounded by |users| (the
+    same justification as the key-skew median; at truly huge user
+    counts the histogram-cumsum decile pattern of
+    x_quality_stratified_sample swaps in unchanged).
+
+    Determinism: all metrics int64 (µs recency, cents money); every
+    ntile orders on (metric, user_id) — a total order, so bucket
+    boundaries are identical in both engines."""
+    e = t(spark, sf_dir).events
+    p = e.where(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("freq"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    anchor = p.agg(F.max("last_ts").alias("now_ts"))
+    scored = p.crossJoin(F.broadcast(anchor)).withColumn(
+        "recency_us",
+        (
+            F.unix_micros(F.col("now_ts").cast("timestamp"))
+            - F.unix_micros(F.col("last_ts").cast("timestamp"))
+        ).cast("bigint"),
+    )
+    wr = Window.orderBy(F.col("recency_us").desc(), "user_id")
+    wf = Window.orderBy("freq", "user_id")
+    wm = Window.orderBy("monetary_cents", "user_id")
+    return scored.select(
+        "user_id",
+        "recency_us",
+        "freq",
+        "monetary_cents",
+        F.ntile(5).over(wr).cast("bigint").alias("r_score"),
+        F.ntile(5).over(wf).cast("bigint").alias("f_score"),
+        F.ntile(5).over(wm).cast("bigint").alias("m_score"),
+    ).withColumn(
+        "rfm_code",
+        F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"),
+    )

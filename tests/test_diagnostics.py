@@ -32,6 +32,8 @@ NEW_OPS = (
     "x_embed_pq_encode",
     "x_ann_pq_adc_topk",
     "x_ann_pq_rerank_topk",
+    "s_user_rfm",
+    "x_diag_join_blowup",
 )
 
 
@@ -388,6 +390,45 @@ def test_rerank_beats_pure_adc(spark, duck, sf_dir):
     r_rr = recall("x_ann_pq_rerank_topk")
     assert r_rr >= 0.35, f"re-rank recall collapsed: {r_rr}"
     assert r_rr >= r_adc, f"re-rank {r_rr} below pure ADC {r_adc}"
+
+
+def test_rfm_scores_are_balanced_quintiles(spark, sf_dir):
+    """ntile(5) must split users into near-equal buckets (sizes
+    differ by at most 1) on every dimension, and the packed code must
+    decompose back into its digits."""
+    from collections import Counter
+
+    rows = _df("s_user_rfm", spark, sf_dir).collect()
+    assert rows
+    for dim in ("r_score", "f_score", "m_score"):
+        sizes = Counter(getattr(r, dim) for r in rows)
+        assert set(sizes) == {1, 2, 3, 4, 5}
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+    for r in rows:
+        assert r.rfm_code == r.r_score * 100 + r.f_score * 10 + r.m_score
+
+
+def test_join_blowup_estimate_is_exact(spark, sf_dir):
+    """The histogram product Σ c_l·c_r must equal the TRUE join
+    cardinality — verified by actually running both joins at test
+    scale (the one thing the production diagnostic never needs to
+    do)."""
+    from mcp_iceberg_duckdb_spark.operators._util import t
+
+    row = _df("x_diag_join_blowup", spark, sf_dir).collect()[0]
+    tb = t(spark, sf_dir)
+    li = tb.lineitem.select("l_suppkey")
+    actual_fk = li.join(
+        tb.supplier.select("s_suppkey"),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    ).count()
+    assert row.est_rows == actual_fk
+    a, b = li.alias("a"), li.alias("b")
+    actual_self = a.join(
+        b, F.col("a.l_suppkey") == F.col("b.l_suppkey")
+    ).count()
+    assert row.self_est_rows == actual_self
+    assert row.self_amplification >= 1
 
 
 def test_kcore_semi_joins_and_checkpoint(spark, sf_dir):
