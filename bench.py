@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "o_recursive_cte",
     "s_user_rfm",
     "x_diag_join_blowup",
+    "j_scd2_asof",
+    "s_latency_percentiles",
 ]
 
 

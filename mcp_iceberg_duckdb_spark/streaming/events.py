@@ -1683,3 +1683,156 @@ def s_user_rfm(spark, sf_dir):
         "rfm_code",
         F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"),
     )
+
+
+# ---- as-of enrichment against SCD2 validity intervals ----
+
+_SCD2_ASOF_ORACLE = """
+    WITH q AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq
+        FROM events WHERE event_type = 'purchase'
+    ),
+    changes AS (
+        SELECT user_id, ts, event_id, vq,
+               lag(vq) OVER w AS prev_vq
+        FROM q
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    dim AS (
+        SELECT user_id, vq AS value_micro,
+               ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
+        FROM changes
+        WHERE prev_vq IS NULL OR prev_vq <> vq
+    ),
+    fact AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'click'
+    )
+    SELECT f.event_id, f.user_id,
+           d.value_micro AS dim_value_micro,
+           d.valid_to IS NULL AS from_current_version
+    FROM fact f
+    JOIN dim d
+      ON d.user_id = f.user_id
+     AND d.valid_from <= f.ts
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+"""
+
+
+@query("j_scd2_asof", oracle=_SCD2_ASOF_ORACLE, tags=("join", "tierx"))
+def j_scd2_asof(spark, sf_dir):
+    """Fact-to-dimension as-of enrichment against SCD type-2
+    validity intervals: every click event joins the purchase-state
+    dimension version that was CURRENT at the event's timestamp
+    ([valid_from, valid_to) containment) — the canonical warehouse
+    lookup that consumes the s_scd2_intervals build, closing the CDC
+    loop (build → enrich). Clicks before a user's first purchase
+    correctly match nothing (inner join).
+
+    Spark shape: the dimension rebuild is the two-window
+    one-exchange plan of s_scd2_intervals; the enrichment is ONE
+    join on the user-id equi key with the interval containment as
+    residual — the watermark-boundable stream-enrichment shape
+    (each fact matches EXACTLY one version by construction, so
+    output rows = matched facts, no fan-out).
+
+    Determinism: interval bounds are the micro-quantized change
+    stream's timestamps; containment on exact timestamps."""
+    e = t(spark, sf_dir).events
+    q = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint")
+        .alias("vq"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        q.withColumn("prev_vq", F.lag("vq").over(w))
+        .where(F.col("prev_vq").isNull() | (F.col("prev_vq") != F.col("vq")))
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.col("vq").alias("value_micro"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+        )
+    )
+    fact = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        fact.join(
+            dim,
+            (F.col("user_id") == F.col("d_user"))
+            & (F.col("valid_from") <= F.col("ts"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("ts") < F.col("valid_to"))
+            ),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.col("value_micro").alias("dim_value_micro"),
+            F.col("valid_to").isNull().alias("from_current_version"),
+        )
+    )
+
+
+# ---- per-bucket latency percentiles (observability shape) ----
+
+_LAT_ORACLE = """
+    WITH q AS (
+        SELECT date_trunc('hour', ts) AS hour_start,
+               CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT hour_start,
+           count(*) AS n,
+           floor((quantile_cont(CAST(vq AS DOUBLE), 0.5)) * 1e2 + 0.5) / 1e2
+               AS p50_micro,
+           floor((quantile_cont(CAST(vq AS DOUBLE), 0.9)) * 1e2 + 0.5) / 1e2
+               AS p90_micro,
+           floor((quantile_cont(CAST(vq AS DOUBLE), 0.99)) * 1e2 + 0.5) / 1e2
+               AS p99_micro
+    FROM q GROUP BY hour_start
+"""
+
+
+@query("s_latency_percentiles", oracle=_LAT_ORACLE, tags=("streaming", "tierx"))
+def s_latency_percentiles(spark, sf_dir):
+    """Per-hour p50/p90/p99 of the error-event value stream — the
+    SLO/latency-dashboard aggregation every observability pipeline
+    runs. Exact interpolated percentiles over micro-quantized int64
+    values: both engines linearly interpolate over the same sorted
+    integers, so results agree to the shared 2dp rounding.
+
+    Spark shape: one (hour) groupBy with three percentile
+    aggregates; per-group state is the group's value list — bounded
+    by events-per-hour. At 100 TB the same query swaps
+    percentile_approx (mergeable sketch, fixed state) for the exact
+    aggregate; the t-digest-style trade-off is the documented knob,
+    as with HLL vs exact distinct (x_sketch_hll)."""
+    e = t(spark, sf_dir).events
+    q = e.where(F.col("event_type") == "error").select(
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour_start"),
+        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint")
+        .alias("vq"),
+    )
+    return q.groupBy("hour_start").agg(
+        F.count("*").alias("n"),
+        rn(F.percentile(F.col("vq").cast("double"), F.lit(0.5)), 2).alias(
+            "p50_micro"
+        ),
+        rn(F.percentile(F.col("vq").cast("double"), F.lit(0.9)), 2).alias(
+            "p90_micro"
+        ),
+        rn(F.percentile(F.col("vq").cast("double"), F.lit(0.99)), 2).alias(
+            "p99_micro"
+        ),
+    )

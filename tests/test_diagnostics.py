@@ -34,6 +34,8 @@ NEW_OPS = (
     "x_ann_pq_rerank_topk",
     "s_user_rfm",
     "x_diag_join_blowup",
+    "j_scd2_asof",
+    "s_latency_percentiles",
 )
 
 
@@ -429,6 +431,22 @@ def test_join_blowup_estimate_is_exact(spark, sf_dir):
     ).count()
     assert row.self_est_rows == actual_self
     assert row.self_amplification >= 1
+
+
+def test_scd2_asof_matches_exactly_one_version(spark, sf_dir):
+    """Every enriched fact must join exactly one dimension version
+    (validity intervals partition each user's timeline after their
+    first purchase), and percentile bands must be ordered."""
+    facts = _df("j_scd2_asof", spark, sf_dir)
+    per_event = (
+        facts.groupBy("event_id").count().where(F.col("count") > 1).count()
+    )
+    assert per_event == 0, "a fact matched multiple dimension versions"
+    rows = _df("s_latency_percentiles", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.p50_micro <= r.p90_micro <= r.p99_micro
+        assert r.n >= 1
 
 
 def test_kcore_semi_joins_and_checkpoint(spark, sf_dir):
