@@ -1836,3 +1836,74 @@ def s_latency_percentiles(spark, sf_dir):
             "p99_micro"
         ),
     )
+
+
+def stream_time_weighted_avg(events: DataFrame) -> DataFrame:
+    """True-streaming twin of s_time_weighted_avg: per-user state is
+    (last event-time µs, last milli-quantized value, Σ v·dur, Σ dur)
+    — each arrival CLOSES the previous sample's interval, exactly the
+    batch operator's lead()-window semantics read forward. Totals are
+    emitted per micro-batch; the last emission per user equals the
+    batch aggregate on a finite in-order replay
+    (tests/test_streaming.py pins it).
+
+    The weighted sum lives in a Python int (arbitrary precision —
+    the stateful mirror of the batch side's DECIMAL(38,0) exact sum)
+    carried in the state store as a decimal(38,0) column; durations
+    and values are the same int64 quantizations, so parity is
+    bit-for-bit."""
+    from decimal import Decimal
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = (
+        "user_id long, n_intervals long, total_dur_us long, twa double"
+    )
+    state_schema = (
+        "last_us long, last_vm long, num decimal(38,0), dur long, n long"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            last_us, last_vm, num, dur, n = state.get
+            num = int(num)
+        else:
+            last_us, last_vm, num, dur, n = None, None, 0, 0, 0
+        chunks = [pdf for pdf in pdfs]
+        batch = pd.concat(chunks) if chunks else pd.DataFrame()
+        if len(batch):
+            batch = batch.sort_values(["ts", "event_id"])
+            for ts, v in zip(batch["ts"], batch["value"]):
+                ts_us = int(pd.Timestamp(ts).value // 1000)
+                vm = math.floor(float(v) * 1e3 + 0.5)
+                if last_us is not None:
+                    d = ts_us - last_us
+                    num += last_vm * d
+                    dur += d
+                    n += 1
+                last_us, last_vm = ts_us, vm
+            state.update((last_us, last_vm, Decimal(num), dur, n))
+            if dur > 0:
+                twa = (
+                    math.floor((float(num) / (float(dur) * 1e3)) * 1e4 + 0.5)
+                    / 1e4
+                )
+                yield pd.DataFrame(
+                    [(int(key[0]), n, dur, twa)],
+                    columns=[
+                        "user_id",
+                        "n_intervals",
+                        "total_dur_us",
+                        "twa",
+                    ],
+                )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -378,3 +378,32 @@ def test_stream_counter_increase_match_batch(spark, sf_dir, events_path):
     }
     assert batch
     assert latest == batch
+
+
+def test_stream_time_weighted_avg_match_batch(spark, sf_dir, events_path):
+    """The stateful TWA twin, replayed over the finite stream, must
+    end at exactly the batch aggregate per user (int64 durations,
+    arbitrary-precision weighted sums — bit-for-bit; last emission
+    per user wins, n_intervals is monotone)."""
+    from mcp_iceberg_duckdb_spark.registry import QUERIES
+    from mcp_iceberg_duckdb_spark.streaming.events import (
+        stream_time_weighted_avg,
+    )
+
+    out = run_stream_to_memory(
+        spark,
+        stream_time_weighted_avg(read_event_stream(spark, events_path)),
+        "t_twa",
+        mode="append",
+    )
+    latest = {}
+    for r in out.collect():
+        cur = latest.get(r.user_id)
+        if cur is None or r.n_intervals > cur[0]:
+            latest[r.user_id] = (r.n_intervals, r.total_dur_us, r.twa)
+    batch = {
+        r.user_id: (r.n_intervals, r.total_dur_us, r.twa)
+        for r in QUERIES["s_time_weighted_avg"].builder(spark, sf_dir).collect()
+    }
+    assert batch
+    assert latest == batch
