@@ -1212,3 +1212,75 @@ def x_ann_pq_rerank_topk(spark, sf_dir):
         .where(F.col("rn") <= _TOP_K)
         .select("query_id", "neighbor_id", "dist_micro")
     )
+
+
+def pq_train_codebooks(spark, sf_dir, iters: int = 8, sample: int = 256):
+    """Lloyd-trained PQ codebooks — the quality upgrade over the
+    md5-sampled seeds, trained the way production PQ trains (FAISS):
+    on a bounded deterministic SAMPLE of the corpus (md5-ordered
+    head, <=256 vectors — the driver state is sample×dim floats,
+    the same budget class as the k-means centroid state), per
+    subspace, k-means++-free deterministic init (first K sample
+    subvectors). Returns a (sidx, sv) codebook DataFrame shaped
+    exactly like pq_seeds, so the ENCODE PLAN is unchanged — only
+    the broadcast rows differ.
+
+    Not oracle-backed: float centroid means are accumulation-order
+    sensitive (the x_embed_kmeans precedent); quality is pinned by
+    the recon-error-improvement contract in tests instead."""
+    import numpy as np
+
+    e = t(spark, sf_dir).embeddings.select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    hashed = e.withColumn(
+        "hh", F.md5(F.concat(F.lit("tr:"), F.col("vec_id").cast("string")))
+    )
+    rows = hashed.orderBy("hh", "vec_id").limit(sample).select("v").collect()
+    x = np.array([r.v for r in rows])  # sample × 64
+    books = []
+    for s in range(_PQ_M):
+        sub = x[:, s * _PQ_SUB : (s + 1) * _PQ_SUB]
+        cent = sub[: _PQ_K].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(_PQ_K):
+                m = sub[assign == j]
+                if len(m):
+                    cent[j] = m.mean(axis=0)
+        books.append(cent)
+    data = [
+        (j, [float(v) for s in range(_PQ_M) for v in books[s][j]])
+        for j in range(_PQ_K)
+    ]
+    return spark.createDataFrame(data, "sidx int, sv array<double>")
+
+
+def pq_codes_with_codebook(spark, sf_dir, codebook):
+    """pq_codes against an arbitrary (sidx, sv) codebook — the encode
+    plan is identical to pq_codes; only the broadcast rows differ."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir).embeddings.select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    pairs = (
+        e.crossJoin(F.broadcast(codebook))
+        .select(
+            "vec_id",
+            "sidx",
+            F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s"),
+            "v",
+            "sv",
+        )
+        .select(
+            "vec_id", "s", "sidx", _pq_subdist_micro("v", "sv").alias("dq")
+        )
+    )
+    wmin = Window.partitionBy("vec_id", "s").orderBy("dq", "sidx")
+    return (
+        pairs.withColumn("rn", F.row_number().over(wmin))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "s", "sidx", "dq")
+    )

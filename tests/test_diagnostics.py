@@ -460,3 +460,33 @@ def test_kcore_semi_joins_and_checkpoint(spark, sf_dir):
     assert plan.count("FileScan parquet") <= 1, (
         "edge relation must be checkpointed once, not re-derived per round"
     )
+
+
+def test_trained_pq_codebook_beats_sampled(spark, sf_dir):
+    """The Lloyd-trained codebook must cut total reconstruction
+    error versus the md5-sampled seeds on the SAME encode plan —
+    the documented training lever actually working (FAISS-style
+    sample training, bounded driver state)."""
+    from mcp_iceberg_duckdb_spark.operators.similarity import (
+        pq_codes,
+        pq_codes_with_codebook,
+        pq_train_codebooks,
+    )
+
+    sampled_err = (
+        pq_codes(spark, sf_dir).agg(F.sum("dq").alias("e")).collect()[0].e
+    )
+    trained = pq_train_codebooks(spark, sf_dir)
+    trained_err = (
+        pq_codes_with_codebook(spark, sf_dir, trained)
+        .agg(F.sum("dq").alias("e"))
+        .collect()[0]
+        .e
+    )
+    assert trained_err < sampled_err, (
+        f"training did not help: {trained_err} >= {sampled_err}"
+    )
+    # meaningful improvement, not noise: at least 20% lower
+    assert trained_err * 10 <= sampled_err * 8, (
+        f"improvement too small: {trained_err} vs {sampled_err}"
+    )
