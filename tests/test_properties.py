@@ -390,3 +390,111 @@ def test_effective_threshold_exact_rational(a, b):
     ne, de = _effective_threshold(num, den)
     assert Fraction(ne, de) == Fraction(num, den) - Fraction(1, 2_000_000)
     assert de > 0
+
+
+# --- round-5 third-wave primitives -------------------------------------
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10**9), min_size=1, max_size=60
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_counter_increase_decomposition(vals):
+    """Pure-Python reference of s_counter_increase's fold: the
+    positive-delta sum plus the reset drops must reconstruct the
+    net movement — increase - Σ|drops| == last - first, and resets
+    counts exactly the strict decreases."""
+    inc = sum(max(b - a, 0) for a, b in zip(vals, vals[1:]))
+    drops = sum(max(a - b, 0) for a, b in zip(vals, vals[1:]))
+    resets = sum(1 for a, b in zip(vals, vals[1:]) if b < a)
+    assert inc - drops == vals[-1] - vals[0]
+    assert resets <= max(len(vals) - 1, 0)
+    if resets == 0:
+        assert drops == 0
+
+
+@given(st.text(max_size=40), st.text(max_size=40))
+@settings(max_examples=150, deadline=None)
+def test_levenshtein_length_band_is_lossless(a, b):
+    """The length-band prune |len(a) − len(b)| ≤ d used by
+    x_dedup_levenshtein is lossless: edit distance is bounded below
+    by the length difference, so no pair within the distance
+    threshold can be dropped by the band."""
+
+    def lev(x, y):
+        if len(x) < len(y):
+            x, y = y, x
+        prev = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            cur = [i]
+            for j, cy in enumerate(y, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (cx != cy),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    assert lev(a, b) >= abs(len(a) - len(b))
+
+
+@given(
+    st.integers(min_value=0, max_value=65535),
+    st.integers(min_value=0, max_value=65535),
+)
+@settings(max_examples=200, deadline=None)
+def test_morton_interleave_roundtrips(a, b):
+    """The Z-order bit interleave (x_layout_zorder) must be a
+    bijection on 16-bit pairs: deinterleaving the Morton key
+    recovers both coordinates exactly."""
+    z = 0
+    for i in range(16):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    ra = sum(((z >> (2 * i)) & 1) << i for i in range(16))
+    rb = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
+    assert (ra, rb) == (a, b)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),
+            st.integers(min_value=1, max_value=10**6),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_twa_is_convex_combination(samples):
+    """Time-weighted average reference: Σ v·dur / Σ dur must lie in
+    [min v, max v] — the invariant test_diagnostics pins on the
+    Spark output, proven here on arbitrary inputs."""
+    num = sum(v * d for v, d in samples)
+    den = sum(d for _, d in samples)
+    twa = num / den
+    vs = [v for v, _ in samples]
+    assert min(vs) - 1e-9 <= twa <= max(vs) + 1e-9
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=64),
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=64),
+)
+@settings(max_examples=150, deadline=None)
+def test_join_blowup_histogram_product_is_exact(left, right):
+    """Σ_k c_l(k)·c_r(k) equals the true equi-join cardinality on
+    arbitrary key multisets — the identity x_diag_join_blowup relies
+    on (verified against a literal nested-loop count)."""
+    from collections import Counter
+
+    cl, cr = Counter(left), Counter(right)
+    est = sum(c * cr.get(k, 0) for k, c in cl.items())
+    actual = sum(1 for x in left for y in right if x == y)
+    assert est == actual
