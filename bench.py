@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "x_diag_join_blowup",
     "j_scd2_asof",
     "s_latency_percentiles",
+    "x_skyline_pareto",
 ]
 
 

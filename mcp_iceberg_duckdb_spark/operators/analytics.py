@@ -214,3 +214,98 @@ def x_ab_test_ztest(spark, sf_dir):
         z_micro.alias("z_micro"),
         (F.abs(z_micro) > F.lit(1_959_964)).alias("significant"),
     )
+
+
+# ---- skyline (Pareto front) over per-user purchase stats ----
+
+_SKY_ORACLE = """
+    WITH stats AS (
+        SELECT user_id,
+               count(*) AS freq,
+               CAST(sum(CAST(floor(value * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents,
+               CAST(epoch_us((SELECT max(ts) FROM events
+                              WHERE event_type = 'purchase'))
+                    - epoch_us(max(ts)) AS BIGINT) AS recency_us
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    )
+    SELECT s.user_id, s.freq, s.monetary_cents, s.recency_us
+    FROM stats s
+    WHERE NOT EXISTS (
+        SELECT 1 FROM stats d
+        WHERE d.freq >= s.freq
+          AND d.monetary_cents >= s.monetary_cents
+          AND d.recency_us <= s.recency_us
+          AND (d.freq > s.freq
+               OR d.monetary_cents > s.monetary_cents
+               OR d.recency_us < s.recency_us)
+    )
+"""
+
+
+@query("x_skyline_pareto", oracle=_SKY_ORACLE, tags=("analytics", "tierx"))
+def x_skyline_pareto(spark, sf_dir):
+    """Skyline (Pareto-front) query over per-user purchase stats:
+    the users no one else dominates on (frequency↑, monetary↑,
+    recency↓) simultaneously — the multi-criteria "best customers"
+    set that no single scoring function can rank (EDBT'23 studied
+    integrating exactly this operator into Spark SQL; Börzsönyi 2001
+    is the original skyline operator).
+
+    Spark shape: the expensive part is the per-user reduce over the
+    event log (one groupBy — the same relation RFM builds); the
+    skyline itself runs on that |users|-row relation as a
+    dominance ANTI-join (broadcast both sides). The 100 TB path for
+    skylines over UNAGGREGATED corpora is the standard two-phase
+    identity skyline(S) = skyline(∪ᵢ skyline(partitionᵢ)) — local
+    fronts per partition, then one small merged front; here the
+    aggregation step already plays the reducing role.
+
+    Determinism: all three criteria are exact int64 (count, cents
+    sum, µs recency anchored at corpus max); dominance is pure
+    integer comparison — no scoring, no ordering, no ties to
+    break."""
+    e = t(spark, sf_dir).events
+    p = e.where(F.col("event_type") == "purchase")
+    anchor = p.agg(F.max("ts").alias("now_ts"))
+    stats = (
+        p.groupBy("user_id")
+        .agg(
+            F.count("*").alias("freq"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("monetary_cents"),
+            F.max("ts").alias("last_ts"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            "freq",
+            "monetary_cents",
+            (
+                F.unix_micros(F.col("now_ts").cast("timestamp"))
+                - F.unix_micros(F.col("last_ts").cast("timestamp"))
+            )
+            .cast("bigint")
+            .alias("recency_us"),
+        )
+    )
+    d = stats.select(
+        F.col("freq").alias("d_freq"),
+        F.col("monetary_cents").alias("d_mon"),
+        F.col("recency_us").alias("d_rec"),
+    )
+    dominated = (
+        (F.col("d_freq") >= F.col("freq"))
+        & (F.col("d_mon") >= F.col("monetary_cents"))
+        & (F.col("d_rec") <= F.col("recency_us"))
+        & (
+            (F.col("d_freq") > F.col("freq"))
+            | (F.col("d_mon") > F.col("monetary_cents"))
+            | (F.col("d_rec") < F.col("recency_us"))
+        )
+    )
+    return stats.join(F.broadcast(d), dominated, "left_anti")

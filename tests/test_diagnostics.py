@@ -36,6 +36,7 @@ NEW_OPS = (
     "x_diag_join_blowup",
     "j_scd2_asof",
     "s_latency_percentiles",
+    "x_skyline_pareto",
 )
 
 
@@ -447,6 +448,48 @@ def test_scd2_asof_matches_exactly_one_version(spark, sf_dir):
     for r in rows:
         assert r.p50_micro <= r.p90_micro <= r.p99_micro
         assert r.n >= 1
+
+
+def test_skyline_is_a_maximal_antichain(spark, sf_dir):
+    """Skyline members must be pairwise incomparable (no member
+    dominates another) and every NON-member must be dominated by
+    some member — together: the front is exactly the maximal
+    antichain, verified against the full stats relation."""
+    from mcp_iceberg_duckdb_spark.operators._util import t
+    from pyspark.sql import Window as W  # noqa: F401
+
+    e = t(spark, sf_dir).events.where(F.col("event_type") == "purchase")
+    stats = {
+        r.user_id: (r.freq, r.mon, r.last)
+        for r in e.groupBy("user_id")
+        .agg(
+            F.count("*").alias("freq"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("mon"),
+            F.max("ts").alias("last"),
+        )
+        .collect()
+    }
+    sky = {r.user_id for r in _df("x_skyline_pareto", spark, sf_dir).collect()}
+
+    def dominates(a, b):
+        return (
+            a[0] >= b[0]
+            and a[1] >= b[1]
+            and a[2] >= b[2]
+            and (a[0] > b[0] or a[1] > b[1] or a[2] > b[2])
+        )
+
+    for u in sky:
+        for v in sky:
+            if u != v:
+                assert not dominates(stats[u], stats[v])
+    for u in stats:
+        if u not in sky:
+            assert any(dominates(stats[v], stats[u]) for v in sky), (
+                f"non-member {u} undominated by the front"
+            )
 
 
 def test_kcore_semi_joins_and_checkpoint(spark, sf_dir):
