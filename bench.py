@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "j_scd2_asof",
     "s_latency_percentiles",
     "x_skyline_pareto",
+    "s_trending_decay",
 ]
 
 

@@ -1907,3 +1907,65 @@ def stream_time_weighted_avg(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---- exponential-decay trending score (feed/leaderboard shape) ----
+
+_TREND_TOPK = 20
+
+_TREND_ORACLE = f"""
+    WITH anchor AS (
+        SELECT max(CAST(ts AS DATE)) AS now_d FROM events
+    ),
+    w AS (
+        SELECT user_id,
+               1000000 // (CAST(1 AS BIGINT) << least(
+                   datediff('day', CAST(ts AS DATE), a.now_d), 40))
+                   AS wt
+        FROM events, anchor a
+    )
+    SELECT user_id,
+           CAST(sum(wt) AS BIGINT) AS decayed_micro,
+           count(*) AS n_events
+    FROM w GROUP BY user_id
+    ORDER BY decayed_micro DESC, user_id
+    LIMIT {_TREND_TOPK}
+"""
+
+
+@query("s_trending_decay", oracle=_TREND_ORACLE, tags=("streaming", "tierx"))
+def s_trending_decay(spark, sf_dir):
+    """Exponentially time-decayed activity score (half-life one day,
+    anchored at the corpus max date): each event contributes
+    2^-age_days, so yesterday's burst outranks last week's marathon —
+    the decayed-counter primitive behind trending feeds and
+    leaderboards (Reddit/HN-style ranking without the wall-clock
+    nondeterminism: the anchor is data-derived, so replays agree).
+
+    Spark shape: a shuffle-free per-event weight map + ONE user
+    groupBy + a totally-ordered TakeOrdered head. The decayed counter
+    is MERGEABLE (a sum), so the streaming form maintains one int64
+    per key and rescales on anchor advance — same state budget as the
+    counter-increase twin.
+
+    Determinism: the weight is PURE INTEGER — 1e6 div 2^age via bit
+    shift (ages clamped at 40, where the contribution is already 0) —
+    no pow(), no float decay factor, identical in both engines."""
+    e = t(spark, sf_dir).events
+    anchor = e.agg(F.max(F.col("ts").cast("date")).alias("now_d"))
+    w = e.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.expr(
+            "1000000 div shiftleft(CAST(1 AS BIGINT), least("
+            "datediff(CAST(now_d AS DATE), CAST(ts AS DATE)), 40))"
+        ).alias("wt"),
+    )
+    return (
+        w.groupBy("user_id")
+        .agg(
+            F.sum("wt").cast("bigint").alias("decayed_micro"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy(F.col("decayed_micro").desc(), "user_id")
+        .limit(_TREND_TOPK)
+    )

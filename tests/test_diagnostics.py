@@ -37,6 +37,7 @@ NEW_OPS = (
     "j_scd2_asof",
     "s_latency_percentiles",
     "x_skyline_pareto",
+    "s_trending_decay",
 )
 
 
