@@ -1,0 +1,96 @@
+"""Full-registry differential sweep: run EVERY registered query and
+its DuckDB oracle side by side and compare row counts, column names,
+and order-insensitive value multisets — the driver's correctness gate
+applied to the whole registry instead of its 50-query sample.
+
+Deliberately uses a BARE SparkSession (no repo session factory) at
+local[N]: this is the driver's environment, and it has caught config
+dependencies (timestamp units, ANSI-mode division) that the tuned
+test session masks.
+
+Usage:
+    python scripts/oracle_sweep.py [SF_DIR] [CORES]
+    # defaults: /root/testdata/sf0.01, 32
+
+Exit code 0 iff every oracle-backed query matches. Round-5 baseline:
+213/213 green in ~220 s at sf0.01 on local[32].
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+
+def main() -> int:
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    cores = sys.argv[2] if len(sys.argv) > 2 else "32"
+
+    spark = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", cores)
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    queries, oracles = entry.queries(), entry.oracle_sql()
+    con = duckdb.connect()
+    for name in TABLES:
+        con.sql(
+            f"CREATE VIEW {name} AS "
+            f"SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+
+    bad: list[tuple] = []
+    t0 = time.time()
+    for i, name in enumerate(queries, 1):
+        if name not in oracles:
+            continue
+        try:
+            got = sorted(
+                tuple(str(x) for x in r)
+                for r in queries[name](spark, sf_dir).collect()
+            )
+            want_rel = con.sql(oracles[name])
+            want = sorted(
+                tuple(str(x) for x in r) for r in want_rel.fetchall()
+            )
+            s_cols = sorted(queries[name](spark, sf_dir).columns)
+            d_cols = sorted(want_rel.columns)
+            if s_cols != d_cols:
+                bad.append((name, f"columns {s_cols} != {d_cols}"))
+            elif got != want:
+                bad.append(
+                    (name, f"values ({len(got)} vs {len(want)} rows)")
+                )
+        except Exception as ex:  # noqa: BLE001 — report, keep sweeping
+            bad.append((name, repr(ex)[:200]))
+        if i % 40 == 0:
+            print(f"... {i} checked, {time.time() - t0:.0f}s", flush=True)
+
+    print(
+        f"SWEEP {len(queries)} queries, {len(bad)} bad, "
+        f"{time.time() - t0:.0f}s"
+    )
+    for b in bad:
+        print(" BAD:", *b)
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
