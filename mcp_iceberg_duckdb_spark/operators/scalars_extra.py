@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from mcp_iceberg_duckdb_spark.operators._util import dec_round, r2, r6, t
+from mcp_iceberg_duckdb_spark.operators._util import dec_round, r2, r6, rn, t
 from mcp_iceberg_duckdb_spark.registry import query
 
 
@@ -278,4 +278,68 @@ def a_histogram(spark, sf_dir):
         F.count("*").alias("n"),
         r2(F.min("l_extendedprice")).alias("min_price"),
         r2(F.max("l_extendedprice")).alias("max_price"),
+    )
+
+
+@query(
+    "a_regr_family",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           floor((regr_slope(l_extendedprice, l_quantity)) * 1e4 + 0.5) / 1e4
+               AS slope_4dp,
+           floor((regr_intercept(l_extendedprice, l_quantity)) * 1e2 + 0.5)
+               / 1e2 AS intercept_2dp,
+           floor((regr_r2(l_extendedprice, l_quantity)) * 1e6 + 0.5) / 1e6
+               AS r2_6dp,
+           floor((regr_avgx(l_extendedprice, l_quantity)) * 1e4 + 0.5) / 1e4
+               AS avgx_4dp,
+           floor((regr_avgy(l_extendedprice, l_quantity)) * 1e2 + 0.5) / 1e2
+               AS avgy_2dp
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def a_regr_family(spark, sf_dir):
+    """ANSI SQL:2003 linear-regression aggregates (regr_slope /
+    intercept / r² / count / avgx / avgy) per group — the grouped
+    simple-OLS surface both engines implement natively (Spark 3.4+
+    F.regr_*). Rounded like a_corr_covar: the covariance sums are
+    double accumulations whose order varies with partitioning, so
+    results are floor-rounded at scales safely inside the
+    deterministic digits (slope/avg 4dp, money 2dp, r² 6dp)."""
+    li = t(spark, sf_dir).lineitem
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).cast("bigint").alias("n"),
+        rn(F.regr_slope(y, x), 4).alias("slope_4dp"),
+        r2(F.regr_intercept(y, x)).alias("intercept_2dp"),
+        r6(F.regr_r2(y, x)).alias("r2_6dp"),
+        rn(F.regr_avgx(y, x), 4).alias("avgx_4dp"),
+        r2(F.regr_avgy(y, x)).alias("avgy_2dp"),
+    )
+
+
+@query(
+    "a_bitwise_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(bit_and(o_orderkey & 1023) AS BIGINT) AS and_low,
+           CAST(bit_or(o_orderkey & 1023) AS BIGINT) AS or_low,
+           CAST(bit_xor(o_orderkey & 1023) AS BIGINT) AS xor_low
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg", "bits"),
+)
+def a_bitwise_agg(spark, sf_dir):
+    """Bitwise aggregate family (bit_and / bit_or / bit_xor) — the
+    flag-mask reductions (permission intersection, feature-union,
+    parity) with exact integer semantics; order-independent by
+    algebra, so no rounding is needed anywhere."""
+    li = t(spark, sf_dir).orders
+    masked = F.col("o_orderkey").bitwiseAND(F.lit(1023))
+    return li.groupBy("o_orderstatus").agg(
+        F.bit_and(masked).cast("bigint").alias("and_low"),
+        F.bit_or(masked).cast("bigint").alias("or_low"),
+        F.bit_xor(masked).cast("bigint").alias("xor_low"),
     )

@@ -38,6 +38,8 @@ NEW_OPS = (
     "s_latency_percentiles",
     "x_skyline_pareto",
     "s_trending_decay",
+    "a_regr_family",
+    "a_bitwise_agg",
 )
 
 
