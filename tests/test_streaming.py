@@ -407,3 +407,45 @@ def test_stream_time_weighted_avg_match_batch(spark, sf_dir, events_path):
     }
     assert batch
     assert latest == batch
+
+
+def test_stream_session_window_subset_of_batch(spark, sf_dir, events_path):
+    """Native streaming session windows (30-min gap, watermarked,
+    append mode): every emitted CLOSED session must agree exactly
+    with the batch twin's session for that (user, start) — the
+    watermark only withholds sessions near the stream's end, it
+    never changes a closed session's contents."""
+    from mcp_iceberg_duckdb_spark.sources.tables import load
+
+    sess = (
+        read_event_stream(spark, events_path)
+        .withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    streamed = run_stream_to_memory(spark, sess, "t_sess", mode="append")
+    batch = {
+        (r.user_id, r.session_start): r.n_events
+        for r in load(spark, sf_dir, "events")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+        .collect()
+    }
+    s_rows = streamed.collect()
+    assert s_rows, "no closed sessions emitted"
+    for r in s_rows:
+        assert batch.get((r.user_id, r.session_start)) == r.n_events, (
+            f"closed session {(r.user_id, r.session_start)} disagrees"
+        )
+    # the stream must close the overwhelming majority of sessions
+    assert len(s_rows) >= 0.8 * len(batch)
