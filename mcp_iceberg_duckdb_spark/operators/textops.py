@@ -1692,3 +1692,121 @@ def x_sketch_hll(spark, sf_dir):
             ).alias("within_20pct"),
         )
     )
+
+
+# ---- URL canonicalization (crawl-dedup key normalization) ----
+
+_URL_ORACLE = """
+    WITH raws AS (
+        SELECT doc_id,
+               'HTTPS://WWW.' || source || '.example.com:443/docs/'
+                   || CAST(doc_id AS VARCHAR)
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN '/?utm_source=feed&utm_id='
+                                || CAST(doc_id AS VARCHAR)
+                           ELSE '/' END
+                   || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END
+                   AS raw_url,
+               'https://' || source || '.example.com/docs/'
+                   || CAST(doc_id AS VARCHAR) AS clean_url
+        FROM documents
+    ),
+    steps AS (
+        SELECT doc_id, raw_url,
+               regexp_replace(regexp_replace(raw_url, '#.*$', ''),
+                              '\\?utm_[^#]*$', '') AS no_track
+        FROM raws
+    ),
+    split AS (
+        SELECT doc_id, raw_url,
+               regexp_extract(no_track, '^[A-Za-z]+://[^/]+') AS pfx,
+               substr(no_track,
+                      length(regexp_extract(no_track, '^[A-Za-z]+://[^/]+'))
+                      + 1) AS rest
+        FROM steps
+    ),
+    canon AS (
+        SELECT doc_id, raw_url,
+               regexp_replace(
+                   regexp_replace(lower(pfx), '^https://www\\.', 'https://'),
+                   ':443$', '')
+               || CASE WHEN rest = '/' THEN '/'
+                       ELSE regexp_replace(rest, '/$', '') END AS canon_url
+        FROM canon_input
+    )
+    SELECT c.doc_id, c.raw_url, c.canon_url,
+           c.canon_url = r.clean_url AS matches_clean_form
+    FROM canon c JOIN raws r ON r.doc_id = c.doc_id
+"""
+# DuckDB lacks CTE forward refs; inline the alias:
+_URL_ORACLE = _URL_ORACLE.replace("FROM canon_input", "FROM split")
+
+
+@query("x_url_canonicalize", oracle=_URL_ORACLE, tags=("text", "tierx"))
+def x_url_canonicalize(spark, sf_dir):
+    """URL canonicalization — the normalization every web-crawl dedup
+    keys on: drop the fragment, strip tracking (utm_*) query params,
+    lowercase scheme+host (NEVER the path), remove the https default
+    port, fold the www. alias, trim the trailing slash. The fixture
+    has no URLs, so messy variants are PLANTED deterministically from
+    doc identity (the x_text_pii_scrub precedent) and the operator
+    must reduce every one to its clean form — matches_clean_form is
+    structurally TRUE row-wise, verified value-by-value against the
+    oracle rather than assumed.
+
+    Spark shape: a shuffle-free chain of regexp/substr expressions —
+    codegen'd per-row maps, the cheapest possible operator class; the
+    downstream dedup on canon_url is the ordinary exact-dedup hash
+    groupBy (x_dedup_exact).
+
+    Determinism: pure string algebra over Java-regex/RE2-shared
+    patterns (same class the PII scrub pins)."""
+    d = t(spark, sf_dir).documents
+    raw = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".example.com:443/docs/"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("/?utm_source=feed&utm_id="),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.lit("/")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    clean = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+    )
+    base = d.select("doc_id", raw.alias("raw_url"), clean.alias("clean_url"))
+    no_track = F.regexp_replace(
+        F.regexp_replace(F.col("raw_url"), "#.*$", ""),
+        r"\?utm_[^#]*$",
+        "",
+    )
+    stepped = base.withColumn("no_track", no_track).withColumn(
+        "pfx", F.regexp_extract(F.col("no_track"), "^[A-Za-z]+://[^/]+", 0)
+    )
+    rest = F.expr("substr(no_track, length(pfx) + 1)")
+    canon = F.concat(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.col("pfx")), r"^https://www\.", "https://"
+            ),
+            ":443$",
+            "",
+        ),
+        F.when(rest == "/", F.lit("/")).otherwise(
+            F.regexp_replace(rest, "/$", "")
+        ),
+    )
+    return stepped.select(
+        "doc_id",
+        "raw_url",
+        canon.alias("canon_url"),
+        (canon == F.col("clean_url")).alias("matches_clean_form"),
+    )

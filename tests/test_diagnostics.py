@@ -40,6 +40,7 @@ NEW_OPS = (
     "s_trending_decay",
     "a_regr_family",
     "a_bitwise_agg",
+    "x_url_canonicalize",
 )
 
 
@@ -493,6 +494,16 @@ def test_skyline_is_a_maximal_antichain(spark, sf_dir):
             assert any(dominates(stats[v], stats[u]) for v in sky), (
                 f"non-member {u} undominated by the front"
             )
+
+
+def test_url_canonicalization_total(spark, sf_dir):
+    """Every planted messy URL must reduce to exactly its clean form
+    (the flag is structural: all TRUE), and the op must be a
+    shuffle-free expression map."""
+    rows = _df("x_url_canonicalize", spark, sf_dir).collect()
+    assert rows
+    assert all(r.matches_clean_form for r in rows)
+    assert shuffle_count(_df("x_url_canonicalize", spark, sf_dir)) == 0
 
 
 def test_kcore_semi_joins_and_checkpoint(spark, sf_dir):
