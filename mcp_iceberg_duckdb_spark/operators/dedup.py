@@ -908,3 +908,106 @@ def x_dedup_levenshtein(spark, sf_dir):
         .where(F.col("dist") <= _LEV_MAXDIST)
         .select("id_a", "id_b", "dist")
     )
+
+
+# ---- dedup cluster report (size histogram) ----
+
+_CR_ORACLE = """
+    WITH RECURSIVE d AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   range(greatest(len(string_split(text, ' ')) - 2, 1)),
+                   i -> array_to_string(string_split(text, ' ')[i + 1:i + 3], ' ')
+               )) AS sh
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db
+        FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.sh, b.sh)))) * 1e6 + 0.5) / 1e6 >= 0.5
+    ),
+    edges AS (
+        SELECT da AS src, db AS dst FROM pairs
+        UNION
+        SELECT db AS src, da AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    clusters AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    ),
+    sizes AS (
+        SELECT cluster_id, count(*) AS cluster_size
+        FROM clusters GROUP BY cluster_id
+    ),
+    hist AS (
+        SELECT cluster_size, count(*) AS n_clusters FROM sizes
+        GROUP BY cluster_size
+    )
+    SELECT cluster_size, n_clusters,
+           cluster_size * n_clusters AS n_docs,
+           (cluster_size - 1) * n_clusters AS n_removable
+    FROM hist
+    UNION ALL
+    SELECT 1, (SELECT count(*) FROM documents)
+              - (SELECT count(*) FROM clusters),
+           (SELECT count(*) FROM documents)
+              - (SELECT count(*) FROM clusters),
+           0
+"""
+
+
+@query("x_dedup_cluster_report", oracle=_CR_ORACLE, tags=("dedup", "tierx"))
+def x_dedup_cluster_report(spark, sf_dir):
+    """The dedup REPORT every corpus pipeline publishes: the
+    component-size histogram of the near-dup cluster graph —
+    how many clusters of each size, how many docs they hold, and the
+    headline number n_removable = Σ (size−1)·count (docs deleted at
+    one-keeper-per-cluster), plus the singleton row for unclustered
+    docs. Reuses the exact CC pipeline (same prefix-filtered pair
+    join + min-label loop as x_dedup_cluster_cc) and adds two tiny
+    groupBys over the |clustered-docs| relation — report cost is
+    negligible next to the clustering it summarizes.
+
+    Determinism: pure int64 counts; the oracle extends the recursive-
+    CTE CC twin with the same histogram."""
+    from mcp_iceberg_duckdb_spark.functions.simjoin import exact_jaccard_pairs
+
+    d = t(spark, sf_dir).documents
+    docs = parallelize(
+        d.select("doc_id", "source", word_shingles("text", 3).alias("sh"))
+    )
+    pairs = exact_jaccard_pairs(
+        docs, 1, 2, block_cols=("source",), out_sim_col=None
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    clusters = connected_components(pairs).toDF("doc_id", "cluster_id")
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters")
+    ).select(
+        "cluster_size",
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias(
+            "n_removable"
+        ),
+    )
+    total = d.agg(F.count("*").alias("n_total"))
+    in_clusters = clusters.agg(F.count("*").alias("n_clustered"))
+    singleton = (
+        total.crossJoin(F.broadcast(in_clusters))
+        .select(
+            F.lit(1).cast("bigint").alias("cluster_size"),
+            (F.col("n_total") - F.col("n_clustered")).alias("n_clusters"),
+            (F.col("n_total") - F.col("n_clustered")).alias("n_docs"),
+            F.lit(0).cast("bigint").alias("n_removable"),
+        )
+    )
+    return hist.unionByName(singleton)

@@ -41,6 +41,7 @@ NEW_OPS = (
     "a_regr_family",
     "a_bitwise_agg",
     "x_url_canonicalize",
+    "x_dedup_cluster_report",
 )
 
 
@@ -504,6 +505,18 @@ def test_url_canonicalization_total(spark, sf_dir):
     assert rows
     assert all(r.matches_clean_form for r in rows)
     assert shuffle_count(_df("x_url_canonicalize", spark, sf_dir)) == 0
+
+
+def test_cluster_report_accounts_for_every_doc(spark, sf_dir):
+    """Σ n_docs over the histogram (clusters + singleton row) must
+    equal the corpus size exactly — the report's books balance."""
+    from mcp_iceberg_duckdb_spark.operators._util import t
+
+    rows = _df("x_dedup_cluster_report", spark, sf_dir).collect()
+    n_total = t(spark, sf_dir).documents.count()
+    assert sum(r.n_docs for r in rows) == n_total
+    for r in rows:
+        assert r.n_removable == (r.cluster_size - 1) * r.n_clusters
 
 
 def test_kcore_semi_joins_and_checkpoint(spark, sf_dir):
