@@ -343,3 +343,38 @@ def a_bitwise_agg(spark, sf_dir):
         F.bit_or(masked).cast("bigint").alias("or_low"),
         F.bit_xor(masked).cast("bigint").alias("xor_low"),
     )
+
+
+@query(
+    "f_interval_arith",
+    oracle="""
+    SELECT event_id,
+           ts + INTERVAL 3 DAY AS plus_3d,
+           ts + INTERVAL 1 MONTH AS plus_1mo,
+           CAST(last_day(CAST(ts AS DATE)) AS DATE) AS month_end,
+           CAST(date_trunc('quarter', CAST(ts AS DATE)) AS DATE)
+               AS quarter_start,
+           CAST(datediff('day', CAST(ts AS DATE), DATE '2024-06-30')
+               AS INTEGER) AS days_to_h1_end
+    FROM events
+    """,
+    tags=("scalar", "datetime"),
+)
+def f_interval_arith(spark, sf_dir):
+    """Calendar interval arithmetic: day/month addition (month
+    addition clamps at month end identically in both engines —
+    probed: Jan 31 + 1 month = Feb 29 10:00 in 2024), last_day,
+    quarter truncation, day distance to a fixed date. Extends
+    f_datetime's extraction surface with the MUTATION surface."""
+    e = t(spark, sf_dir).events
+    d = F.col("ts").cast("date")
+    return e.select(
+        "event_id",
+        F.expr("ts + INTERVAL 3 DAY").alias("plus_3d"),
+        F.expr("ts + INTERVAL 1 MONTH").alias("plus_1mo"),
+        F.last_day(d).alias("month_end"),
+        F.date_trunc("quarter", d).cast("date").alias("quarter_start"),
+        F.datediff(F.lit("2024-06-30").cast("date"), d).alias(
+            "days_to_h1_end"
+        ),
+    )

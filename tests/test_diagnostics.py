@@ -42,6 +42,7 @@ NEW_OPS = (
     "a_bitwise_agg",
     "x_url_canonicalize",
     "x_dedup_cluster_report",
+    "f_interval_arith",
 )
 
 
