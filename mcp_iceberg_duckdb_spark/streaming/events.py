@@ -1969,3 +1969,84 @@ def s_trending_decay(spark, sf_dir):
         .orderBy(F.col("decayed_micro").desc(), "user_id")
         .limit(_TREND_TOPK)
     )
+
+
+# ---- watermark lateness profile (how late is late data?) ----
+
+_WL_ORACLE = """
+    WITH arr AS (
+        SELECT user_id, ts,
+               max(ts) OVER (PARTITION BY user_id
+                   ORDER BY md5('arr:' || CAST(event_id AS VARCHAR)), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS seen_max
+        FROM events
+    ),
+    lat AS (
+        SELECT CAST(greatest(epoch_us(seen_max) - epoch_us(ts), 0)
+                    AS BIGINT) AS late_us
+        FROM arr
+    )
+    SELECT count(*) AS n_events,
+           count(*) FILTER (WHERE late_us > 0) AS n_late,
+           CAST(max(late_us) AS BIGINT) AS max_late_us,
+           floor((quantile_cont(CAST(late_us AS DOUBLE), 0.99)) * 1e2 + 0.5)
+               / 1e2 AS p99_late_us,
+           count(*) FILTER (WHERE late_us > 600000000)
+               AS n_beyond_10min_watermark
+    FROM lat
+"""
+
+
+@query("s_watermark_lateness", oracle=_WL_ORACLE, tags=("streaming", "tierx"))
+def s_watermark_lateness(spark, sf_dir):
+    """Watermark-policy profiler: how late does late data actually
+    arrive? Arrival order is the event_id sequence (the fixture's
+    ingest order); an event's lateness is how far the per-user
+    event-time high-water mark had already advanced past it when it
+    arrived. The output is the evidence behind choosing
+    `withWatermark("ts", X)`: p99 lateness and the count an X=10 min
+    watermark (the policy the streaming dedup twin uses) would drop.
+    The fixture log is PERFECTLY time-ordered (zero lateness — a
+    vacuous profile), so ingest disorder is planted deterministically:
+    arrival order = md5 of the event id (the planted-data precedent
+    of the PII scrub and URL canonicalizer) — a full shuffle of each
+    user's log, the worst-case disorder the profiler must quantify.
+
+    Spark shape: ONE per-user running-max window in arrival order
+    (never a global sort) + a single-row aggregate. At 100 TB
+    lateness profiling is exactly this shape over an ingest-ordered
+    log partition.
+
+    Determinism: int64 µs lateness; exact counts; the p99 is the
+    interpolated percentile over int-valued doubles both engines
+    compute identically (s_latency_percentiles precedent)."""
+    e = t(spark, sf_dir).events
+    arr_key = F.md5(
+        F.concat(F.lit("arr:"), F.col("event_id").cast("string"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(arr_key, "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lat = e.select(
+        F.greatest(
+            F.unix_micros(F.max("ts").over(w).cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp")),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("late_us")
+    )
+    return lat.agg(
+        F.count("*").alias("n_events"),
+        F.count_if(F.col("late_us") > 0).alias("n_late"),
+        F.max("late_us").cast("bigint").alias("max_late_us"),
+        rn(F.percentile(F.col("late_us").cast("double"), F.lit(0.99)), 2).alias(
+            "p99_late_us"
+        ),
+        F.count_if(F.col("late_us") > 600_000_000).alias(
+            "n_beyond_10min_watermark"
+        ),
+    )

@@ -43,6 +43,7 @@ NEW_OPS = (
     "x_url_canonicalize",
     "x_dedup_cluster_report",
     "f_interval_arith",
+    "s_watermark_lateness",
 )
 
 
