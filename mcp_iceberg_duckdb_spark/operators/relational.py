@@ -1047,3 +1047,50 @@ def j_null_safe(spark, sf_dir):
         .groupBy(F.coalesce("nk_a", F.lit(-1)).alias("nk_key"))
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+@query(
+    "o_except_all",
+    oracle="""
+    SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("setop",),
+)
+def o_except_all(spark, sf_dir):
+    """EXCEPT ALL — bag difference: a customer with 5 open and 3
+    finished orders survives TWICE (multiplicity subtraction), which
+    EXCEPT's set semantics would collapse to nothing. Both engines
+    implement SQL's bag semantics exactly, so the multiset compare
+    needs no aggregation trick."""
+    o = t(spark, sf_dir).orders
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("key")
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("key")
+    )
+    return a.exceptAll(b)
+
+
+@query(
+    "o_intersect_all",
+    oracle="""
+    SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("setop",),
+)
+def o_intersect_all(spark, sf_dir):
+    """INTERSECT ALL — bag intersection: min(multiplicity) copies
+    survive per key, completing the set-op family's ALL variants."""
+    o = t(spark, sf_dir).orders
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("key")
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("key")
+    )
+    return a.intersectAll(b)

@@ -44,6 +44,8 @@ NEW_OPS = (
     "x_dedup_cluster_report",
     "f_interval_arith",
     "s_watermark_lateness",
+    "o_except_all",
+    "o_intersect_all",
 )
 
 
