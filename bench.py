@@ -132,32 +132,29 @@ def main() -> None:
         wanted = [s.strip() for s in subset.split(",") if s.strip()]
         names = [n for n in wanted if n in registry.QUERIES]
 
-    # warmup pass: run every query once untimed — whole-stage-codegen
-    # compilation and JIT are per-plan-shape costs that would otherwise
-    # dominate the single timed run at this scale (q1 measures 0.64s
-    # cold vs 0.35s warm); the timed pass reports steady-state engine
-    # throughput
-    for name in names:
-        builder_for(name)(spark, SF_DIR).write.format("noop").mode(
-            "overwrite"
-        ).save()
-    # drop warmup persist() entries: CacheManager matches by logical
-    # plan, so the timed pass would otherwise read precomputed
-    # signatures instead of measuring the pipeline
-    spark.catalog.clearCache()
-    # settle before timing: the warmup pass allocates across every
-    # plan in the suite and the deferred major GC otherwise lands in
-    # whichever timed query runs first (observed: q1 0.4 s isolated vs
-    # 2.3 s as the first timed query of a 61-query suite). One
-    # explicit collection + settle makes the first timed slot equal to
-    # the others — steady-state measurement, not a faster engine.
-    spark.sparkContext._jvm.System.gc()
-    time.sleep(2.0)
-
+    # Per-query warm-then-time: each query warms immediately before
+    # its own timed run (whole-stage-codegen/JIT are per-plan-shape
+    # costs that would otherwise dominate a single cold run — q1
+    # measures 0.64 s cold vs 0.35 s warm), with the cache cleared and
+    # one GC settle between warmup and timing. The earlier
+    # whole-suite-warmup-then-whole-suite-timing layout accumulated
+    # allocation debt across N warmups that landed on the first timed
+    # queries — measured: q1 1.3 s isolated vs 2.1 s as the first
+    # timed slot of a 71-query suite even after a single settle.
+    # Warm-but-fresh per query removes the suite-size dependence;
+    # numbers are comparable across rounds regardless of suite growth.
     per_query: dict[str, float] = {}
     total = 0.0
     for name in names:
         builder = builder_for(name)
+        builder(spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        # drop warmup persist() entries: CacheManager matches by
+        # logical plan, so the timed run would otherwise read
+        # precomputed signatures instead of measuring the pipeline
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
         start = time.perf_counter()
         df = builder(spark, SF_DIR)
         # noop sink: materializes EVERY output column distributed-side
