@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "x_embed_pq_encode",
     "x_ann_pq_adc_topk",
     "x_ann_pq_rerank_topk",
+    "x_ann_ivfpq_topk",
     "o_recursive_cte",
     "s_user_rfm",
     "x_diag_join_blowup",

@@ -1284,3 +1284,191 @@ def pq_codes_with_codebook(spark, sf_dir, codebook):
         .where(F.col("rn") == 1)
         .select("vec_id", "s", "sidx", "dq")
     )
+
+
+# ---- IVF+PQ search (routed ADC — the billion-scale composition) ----
+
+_IVFPQ_NPROBE = 3
+
+_IVFPQ_ORACLE = f"""
+    WITH h AS (
+        SELECT vec_id, label, embedding,
+               md5('pq:' || CAST(vec_id AS VARCHAR)) AS hh
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY hh, vec_id) - 1 AS sidx,
+               embedding AS sv
+        FROM h ORDER BY hh, vec_id LIMIT {_PQ_K}
+    ),
+    sub AS (SELECT unnest(range(0, {_PQ_M})) AS s),
+    codes AS (
+        SELECT vec_id, s, sidx FROM (
+            SELECT h.vec_id, sub.s, seeds.sidx,
+                   row_number() OVER (
+                       PARTITION BY h.vec_id, sub.s
+                       ORDER BY list_sum(list_transform(range(1, {_PQ_SUB + 1}),
+                           i -> CAST(floor(
+                               (CAST(h.embedding[{_PQ_SUB} * sub.s + i] AS DOUBLE)
+                                - CAST(seeds.sv[{_PQ_SUB} * sub.s + i] AS DOUBLE))
+                               * (CAST(h.embedding[{_PQ_SUB} * sub.s + i] AS DOUBLE)
+                                  - CAST(seeds.sv[{_PQ_SUB} * sub.s + i] AS DOUBLE))
+                               * 1e6 + 0.5) AS BIGINT))), seeds.sidx) AS rn
+            FROM h CROSS JOIN sub CROSS JOIN seeds
+        ) WHERE rn = 1
+    ),
+    reps AS (
+        SELECT label AS cell, embedding AS rv FROM (
+            SELECT label, embedding,
+                   row_number() OVER (PARTITION BY label
+                       ORDER BY md5('rep:' || CAST(vec_id AS VARCHAR)),
+                                vec_id) AS rn
+            FROM h
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, cell FROM (
+            SELECT q.vec_id AS query_id, r.cell,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                       CAST(list_sum(list_transform(range(1, 65),
+                           i -> CAST(floor(
+                               (CAST(q.embedding[i] AS DOUBLE)
+                                - CAST(r.rv[i] AS DOUBLE))
+                               * (CAST(q.embedding[i] AS DOUBLE)
+                                  - CAST(r.rv[i] AS DOUBLE))
+                               * 1e6 + 0.5) AS BIGINT))) AS BIGINT),
+                       r.cell) AS rn
+            FROM h q CROSS JOIN reps r
+            WHERE q.vec_id < {_N_QUERIES}
+        ) WHERE rn <= {_IVFPQ_NPROBE}
+    ),
+    lut AS (
+        SELECT q.vec_id AS query_id, sub.s, seeds.sidx,
+               CAST(list_sum(list_transform(range(1, {_PQ_SUB + 1}),
+                   i -> CAST(floor(
+                       (CAST(q.embedding[{_PQ_SUB} * sub.s + i] AS DOUBLE)
+                        - CAST(seeds.sv[{_PQ_SUB} * sub.s + i] AS DOUBLE))
+                       * (CAST(q.embedding[{_PQ_SUB} * sub.s + i] AS DOUBLE)
+                          - CAST(seeds.sv[{_PQ_SUB} * sub.s + i] AS DOUBLE))
+                       * 1e6 + 0.5) AS BIGINT)))
+                   AS BIGINT) AS ld
+        FROM h q CROSS JOIN sub CROSS JOIN seeds
+        WHERE q.vec_id < {_N_QUERIES}
+    ),
+    cand AS (
+        SELECT p.query_id, h2.vec_id AS neighbor_id
+        FROM probes p JOIN h h2 ON h2.label = p.cell
+        WHERE h2.vec_id <> p.query_id
+    ),
+    adc AS (
+        SELECT c.query_id, c.neighbor_id,
+               CAST(sum(l.ld) AS BIGINT) AS adc_micro
+        FROM cand c
+        JOIN codes co ON co.vec_id = c.neighbor_id
+        JOIN lut l ON l.query_id = c.query_id
+                  AND l.s = co.s AND l.sidx = co.sidx
+        GROUP BY c.query_id, c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, adc_micro FROM (
+        SELECT query_id, neighbor_id, adc_micro,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_micro, neighbor_id) AS rn
+        FROM adc
+    ) WHERE rn <= {_TOP_K}
+"""
+
+
+@query("x_ann_ivfpq_topk", oracle=_IVFPQ_ORACLE, tags=("similarity", "tierx"))
+def x_ann_ivfpq_topk(spark, sf_dir):
+    """IVF+PQ — the billion-scale ANN composition (FAISS IVFPQ): an
+    inverted-file coarse quantizer routes each query to nprobe=3
+    cells, and ONLY those cells' 4-bit PQ codes are scored by ADC.
+    Query cost = nprobe/cells of the corpus × a LUT lookup per code —
+    both the touch fraction and the per-candidate cost are capped,
+    which is the entire point of the layout.
+
+    Full-parity determinism (unlike the float-mean IVF contract of
+    ann_ivf_topk): cells are the label partitions and each cell's
+    ROUTING REPRESENTATIVE is its md5-minimal member — no float
+    centroid means anywhere — so routing distances, LUT cells and ADC
+    sums are all per-element micro-quantized int64 and the oracle
+    matches value-for-value.
+
+    Spark shape: the rep relation is |cells| rows (broadcast); the
+    probe relation is queries×nprobe rows (broadcast); candidates
+    come from ONE hash join on the cell id (at scale: partition
+    pruning — vectors are STORED partitioned by cell); then the ADC
+    join + rank-limited top-k of x_ann_pq_adc_topk."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir).embeddings.select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    wrep = Window.partitionBy("label").orderBy(
+        F.md5(F.concat(F.lit("rep:"), F.col("vec_id").cast("string"))),
+        "vec_id",
+    )
+    reps = (
+        e.withColumn("rn", F.row_number().over(wrep))
+        .where(F.col("rn") == 1)
+        .select(F.col("label").alias("cell"), F.col("v").alias("rv"))
+    )
+    q = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    full_dist = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("rv"),
+            lambda x, y: F.floor(
+                (x - y) * (x - y) * F.lit(1e6) + F.lit(0.5)
+            ).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    wprobe = Window.partitionBy("query_id").orderBy("rdq", "cell")
+    probes = (
+        q.crossJoin(F.broadcast(reps))
+        .select("query_id", "qv", "cell", full_dist.alias("rdq"))
+        .withColumn("rn", F.row_number().over(wprobe))
+        .where(F.col("rn") <= _IVFPQ_NPROBE)
+        .select("query_id", "cell")
+    )
+    lut = (
+        q.crossJoin(F.broadcast(pq_seeds(spark, sf_dir)))
+        .select(
+            "query_id",
+            "sidx",
+            F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("s"),
+            F.col("qv").alias("lqv"),
+            "sv",
+        )
+        .select(
+            "query_id", "s", "sidx", _pq_subdist_micro("lqv", "sv").alias("ld")
+        )
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(
+            e.select("vec_id", F.col("label").alias("cell")),
+            "cell",
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    codes = pq_codes(spark, sf_dir).select(
+        F.col("vec_id").alias("neighbor_id"), "s", "sidx"
+    )
+    adc = (
+        cand.join(codes, "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "s", "sidx"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("ld").cast("bigint").alias("adc_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_micro", "neighbor_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _TOP_K)
+        .select("query_id", "neighbor_id", "adc_micro")
+    )

@@ -46,6 +46,7 @@ NEW_OPS = (
     "s_watermark_lateness",
     "o_except_all",
     "o_intersect_all",
+    "x_ann_ivfpq_topk",
 )
 
 
@@ -521,6 +522,26 @@ def test_cluster_report_accounts_for_every_doc(spark, sf_dir):
     assert sum(r.n_docs for r in rows) == n_total
     for r in rows:
         assert r.n_removable == (r.cluster_size - 1) * r.n_clusters
+
+
+def test_ivfpq_results_are_routed_adc_subset(spark, sf_dir):
+    """IVF+PQ must return full top-10s whose members all lie in the
+    query's nprobe=3 probed cells — i.e. its result for a query is
+    exactly the pure-ADC ranking RESTRICTED to the probed subset
+    (every IVFPQ hit that pure ADC also ranked must carry the
+    identical distance)."""
+    ivf = {}
+    for r in _df("x_ann_ivfpq_topk", spark, sf_dir).collect():
+        ivf.setdefault(r.query_id, {})[r.neighbor_id] = r.adc_micro
+    assert len(ivf) == 8
+    adc = {}
+    for r in _df("x_ann_pq_adc_topk", spark, sf_dir).collect():
+        adc.setdefault(r.query_id, {})[r.neighbor_id] = r.adc_micro
+    for qid, hits in ivf.items():
+        assert len(hits) == 10
+        for nid, dist in hits.items():
+            if nid in adc.get(qid, {}):
+                assert adc[qid][nid] == dist, "ADC distance must agree"
 
 
 def test_kcore_semi_joins_and_checkpoint(spark, sf_dir):
