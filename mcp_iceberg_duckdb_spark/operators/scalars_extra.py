@@ -378,3 +378,33 @@ def f_interval_arith(spark, sf_dir):
             "days_to_h1_end"
         ),
     )
+
+
+@query(
+    "f_string_extra",
+    oracle="""
+    SELECT doc_id,
+           translate(lang, 'aeiou', 'AEIOU') AS lang_vowels_up,
+           reverse(source) AS source_rev,
+           left(text, 12) AS head12,
+           right(text, 12) AS tail12,
+           length(text) - length(replace(text, ' ', '')) AS n_spaces
+    FROM documents
+    """,
+    tags=("scalar", "string"),
+)
+def f_string_extra(spark, sf_dir):
+    """Second string-utility batch with exact twins: translate
+    (character mapping), reverse, left/right slices, and the
+    replace-based character count."""
+    d = t(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        F.translate("lang", "aeiou", "AEIOU").alias("lang_vowels_up"),
+        F.reverse("source").alias("source_rev"),
+        F.expr("left(text, 12)").alias("head12"),
+        F.expr("right(text, 12)").alias("tail12"),
+        (
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit(" ")))
+        ).alias("n_spaces"),
+    )

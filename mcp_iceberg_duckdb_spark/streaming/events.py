@@ -2050,3 +2050,74 @@ def s_watermark_lateness(spark, sf_dir):
             "n_beyond_10min_watermark"
         ),
     )
+
+
+# ---- event-mix drift (per-day distribution vs corpus baseline) ----
+
+_DRIFT_ORACLE = """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    day_tot AS (
+        SELECT day, CAST(sum(c) AS BIGINT) AS dn FROM daily GROUP BY day
+    ),
+    gmix AS (
+        SELECT event_type, count(*) AS g FROM events GROUP BY event_type
+    ),
+    gmix_tot AS (SELECT CAST(count(*) AS BIGINT) AS gn FROM events),
+    shares AS (
+        SELECT d.day,
+               abs((d.c * 1000000) // t.dn - (g.g * 1000000) // gt.gn)
+                   AS l1_term
+        FROM daily d
+        JOIN day_tot t ON t.day = d.day
+        JOIN gmix g ON g.event_type = d.event_type
+        CROSS JOIN gmix_tot gt
+    )
+    SELECT day,
+           CAST(sum(l1_term) AS BIGINT) AS l1_drift_ppm,
+           CAST(sum(l1_term) AS BIGINT) > 100000 AS drift_alert
+    FROM shares GROUP BY day
+"""
+
+
+@query("s_mix_drift", oracle=_DRIFT_ORACLE, tags=("streaming", "tierx"))
+def s_mix_drift(spark, sf_dir):
+    """Distribution-drift monitor: each day's event-type mix compared
+    to the corpus baseline by L1 distance in ppm shares — the
+    data-drift alarm (schema unchanged, DISTRIBUTION moved) that
+    catches a broken client or an upstream filter change before
+    downstream models do. Alert at 10% total variation.
+
+    Spark shape: one (day, type) groupBy + one type groupBy; shares
+    broadcast back; output is |days| rows regardless of volume.
+    Companion to x_source_kl_divergence (KL over words) with the
+    lighter L1/integer geometry the ops alert needs.
+
+    Determinism: ppm shares by integer division, int64 L1 sums, an
+    integer threshold for the alert flag."""
+    e = t(spark, sf_dir).events
+    daily = e.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count("*").alias("c"))
+    day_tot = daily.groupBy("day").agg(
+        F.sum("c").cast("bigint").alias("dn")
+    )
+    glob = e.groupBy("event_type").agg(F.count("*").alias("g"))
+    glob_tot = e.agg(F.count("*").cast("bigint").alias("gn"))
+    shares = (
+        daily.join(day_tot, "day")
+        .join(F.broadcast(glob), "event_type")
+        .crossJoin(F.broadcast(glob_tot))
+        .select(
+            "day",
+            F.abs(
+                F.expr("(c * 1000000) div dn - (g * 1000000) div gn")
+            ).alias("l1_term"),
+        )
+    )
+    return shares.groupBy("day").agg(
+        F.sum("l1_term").cast("bigint").alias("l1_drift_ppm"),
+        (F.sum("l1_term").cast("bigint") > 100_000).alias("drift_alert"),
+    )

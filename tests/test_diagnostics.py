@@ -47,6 +47,8 @@ NEW_OPS = (
     "o_except_all",
     "o_intersect_all",
     "x_ann_ivfpq_topk",
+    "f_string_extra",
+    "s_mix_drift",
 )
 
 
