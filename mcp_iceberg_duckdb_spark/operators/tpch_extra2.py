@@ -466,3 +466,71 @@ def q20_excess_share_suppliers(spark, sf_dir):
     from mcp_iceberg_duckdb_spark.operators._util import sql_query
 
     return sql_query(_Q20_SQL)(spark, sf_dir)
+
+
+_FULFILL_ORACLE = """
+    WITH first_ship AS (
+        SELECT l_orderkey, min(l_shipdate) AS ship0
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    lat AS (
+        SELECT o.o_orderpriority,
+               CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                             CAST(f.ship0 AS DATE)) AS BIGINT) AS days
+        FROM orders o JOIN first_ship f ON f.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(min(days) AS BIGINT) AS min_days,
+           CAST(max(days) AS BIGINT) AS max_days,
+           floor((quantile_cont(CAST(days AS DOUBLE), 0.5)) * 1e2 + 0.5)
+               / 1e2 AS p50_days,
+           floor((quantile_cont(CAST(days AS DOUBLE), 0.9)) * 1e2 + 0.5)
+               / 1e2 AS p90_days
+    FROM lat GROUP BY o_orderpriority
+"""
+
+
+@query(
+    "q23_fulfillment_latency", oracle=_FULFILL_ORACLE, tags=("tpch", "join")
+)
+def q23_fulfillment_latency(spark, sf_dir):
+    """Order-fulfillment SLA (a TPC-H-style addition beyond the 22):
+    days from order date to FIRST shipment, percentile-banded per
+    order priority — the operational latency readout the
+    orders⋈lineitem pair naturally supports.
+
+    Spark shape: one lineitem groupBy (min shipdate per order — the
+    fact-side reduce), one join to orders on the order key, one
+    priority groupBy with exact interpolated percentiles over
+    integer day counts (s_latency_percentiles discipline).
+
+    Fixture note: the synthetic order/ship dates are drawn
+    independently, so negative latencies appear — parity-irrelevant,
+    but any real-data reading would add a ship0 >= orderdate DQ rule
+    (x_dq_audit's referential family)."""
+    tt = t(spark, sf_dir)
+    first_ship = tt.lineitem.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("ship0")
+    )
+    lat = tt.orders.join(
+        first_ship, tt.orders.o_orderkey == first_ship.l_orderkey
+    ).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("ship0").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("bigint")
+        .alias("days"),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.min("days").cast("bigint").alias("min_days"),
+        F.max("days").cast("bigint").alias("max_days"),
+        rn(F.percentile(F.col("days").cast("double"), F.lit(0.5)), 2).alias(
+            "p50_days"
+        ),
+        rn(F.percentile(F.col("days").cast("double"), F.lit(0.9)), 2).alias(
+            "p90_days"
+        ),
+    )

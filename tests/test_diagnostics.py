@@ -49,6 +49,7 @@ NEW_OPS = (
     "x_ann_ivfpq_topk",
     "f_string_extra",
     "s_mix_drift",
+    "q23_fulfillment_latency",
 )
 
 
