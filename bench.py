@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "s_latency_percentiles",
     "x_skyline_pareto",
     "s_trending_decay",
+    "q23_fulfillment_latency",
 ]
 
 
