@@ -406,5 +406,7 @@ def f_string_extra(spark, sf_dir):
         F.expr("right(text, 12)").alias("tail12"),
         (
             F.length("text") - F.length(F.replace(F.col("text"), F.lit(" ")))
-        ).alias("n_spaces"),
+        )
+        .cast("bigint")
+        .alias("n_spaces"),
     )
