@@ -79,3 +79,14 @@ def test_output_types_match_oracle(name, spark, duck, sf_dir):
         if stypes.get(c) != dtypes.get(c)
     }
     assert not diffs, f"{name}: column type mismatches {diffs}"
+
+
+def test_every_registered_query_is_oracle_backed():
+    """The repo's standing claim: NO rows-only queries — every
+    registered builder carries a DuckDB oracle (weaker rows-only
+    driver checks never apply here). A new query without one fails
+    here before it ships."""
+    missing = [
+        n for n, s in registry.QUERIES.items() if s.oracle is None
+    ]
+    assert not missing, f"oracle-less queries registered: {missing}"
