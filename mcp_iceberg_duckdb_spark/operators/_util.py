@@ -109,6 +109,40 @@ def dec_avg(c: Column, out_scale: int = 4, dec: str = "decimal(18,6)") -> Column
     return rn(F.sum(c.cast(dec)).cast("double") / F.count(c), out_scale)
 
 
+def cap_basket(
+    df: DataFrame, basket_col: str, item_col: str, cap: int
+) -> DataFrame:
+    """Deterministic per-basket cap ahead of a pair self-join: keep
+    the `cap` smallest `item_col` values in each `basket_col` group.
+
+    A basket-keyed pair join fans out Σ basket² — fine when baskets
+    are organically small (TPC-H orders: ≤ 7 items), but ONE hot
+    basket (a bot order, a crawl artifact, a default/test key) is the
+    classic quadratic blowup: a 1 M-item basket alone emits 5·10¹¹
+    pairs into the shuffle. Capping bounds every basket's fan-out at
+    cap·(cap-1)/2 pairs, making the stage's worst case linear in the
+    number of baskets at ANY corpus size. The kept subset is
+    deterministic (smallest item ids), so results are reproducible
+    and engine-independent; whenever true basket sizes are ≤ cap the
+    output is bit-identical to the uncapped operator.
+
+    Spark shape: one row_number window — Spark's WindowGroupLimit
+    rule applies the rank limit map-side before the exchange, and the
+    window's hash partitioning on the basket key is exactly the
+    partitioning the downstream self-join needs, so the cap adds no
+    extra shuffle. SQL twin:
+    row_number() OVER (PARTITION BY basket ORDER BY item) <= cap.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(basket_col).orderBy(item_col)
+    return (
+        df.withColumn("__brn", F.row_number().over(w))
+        .where(F.col("__brn") <= cap)
+        .drop("__brn")
+    )
+
+
 def ntz(lit: str) -> Column:
     """Timestamp-NTZ literal (matches DuckDB's naive TIMESTAMP '...')."""
     return F.lit(lit).cast("timestamp_ntz")

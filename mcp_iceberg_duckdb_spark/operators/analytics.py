@@ -13,17 +13,29 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from mcp_iceberg_duckdb_spark.operators._util import t
+from mcp_iceberg_duckdb_spark.operators._util import cap_basket, t
 from mcp_iceberg_duckdb_spark.registry import query
 
 # ---- market-basket association rules (support / confidence / lift) ----
 
 _MB_MINSUP = 3  # minimum pair support (co-occurrence count)
 _MB_TOPK = 20
+# per-order cap on parts entering the pair join (see _util.cap_basket):
+# a no-op on organic TPC-H baskets (≤ 7 parts/order), a hard Σ basket²
+# bound against a planted hot basket
+_MB_BASKET_CAP = 64
 
 _MB_ORACLE = f"""
-    WITH i AS (
+    WITH i0 AS (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    i AS (
+        SELECT l_orderkey, l_partkey FROM (
+            SELECT l_orderkey, l_partkey,
+                   row_number() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_partkey) AS brn
+            FROM i0
+        ) WHERE brn <= {_MB_BASKET_CAP}
     ),
     n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM i),
     cnt AS (SELECT l_partkey, count(*) AS c FROM i GROUP BY l_partkey),
@@ -54,10 +66,12 @@ def x_market_basket_lift(spark, sf_dir):
     and lift P(a,b)/(P(a)·P(b)) — the classic market-basket screen
     (Agrawal-Srikant shape, materialized at the pair level).
 
-    Spark shape: the distinct (order, part) relation builds once;
-    the pair join is ONE self-join on the order key whose fan-out is
-    Σ basket² — bounded by basket size (TPC-H ~4 items/order), never
-    corpus-quadratic. Item counts and the 1-row order count broadcast
+    Spark shape: the distinct (order, part) relation builds once and
+    is basket-capped (cap_basket, smallest 64 parts per order — a
+    no-op at TPC-H's ~4 items/order, a hard guard against one hot
+    basket's quadratic pair fan-out); the pair join is then ONE
+    self-join on the order key whose fan-out is Σ min(basket, 64)².
+    Item counts and the 1-row order count broadcast
     back onto the ≥minsup pair relation; the head is a totally
     ordered TakeOrdered (lift desc, pa, pb).
 
@@ -66,7 +80,19 @@ def x_market_basket_lift(spark, sf_dir):
     headroom: c_ab·n_orders·1e6 at fixture scale ≤ 1e17; at larger
     corpora widen to DECIMAL before the multiply (same plan)."""
     li = t(spark, sf_dir).lineitem
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # cap_basket bounds the Σ basket² pair fan-out against a
+    # pathological hot order BEFORE any counting, so supports,
+    # confidences and lifts are all defined on the same capped
+    # relation in both engines (no-op at organic TPC-H basket sizes;
+    # tests/test_diagnostics.py plants a hot basket and checks the
+    # bound). The window's hash partitioning on l_orderkey is the
+    # partitioning the pair self-join reuses.
+    items = cap_basket(
+        li.select("l_orderkey", "l_partkey").distinct(),
+        "l_orderkey",
+        "l_partkey",
+        _MB_BASKET_CAP,
+    )
     n = items.agg(
         F.count_distinct("l_orderkey").alias("n_orders")
     )

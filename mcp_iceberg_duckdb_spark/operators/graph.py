@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from mcp_iceberg_duckdb_spark.operators._util import rn, t
+from mcp_iceberg_duckdb_spark.operators._util import cap_basket, rn, t
 from mcp_iceberg_duckdb_spark.registry import query
 
 _PR_ITERS = 5
@@ -203,10 +203,23 @@ def x_layout_zorder(spark, sf_dir):
 # ---- Triangle counting on the mutual top-K strong-ties graph ----
 
 _TRI_K = 10  # ties kept per node (mutual k-NN sparsification)
+# per-order cap on suppliers entering the pair join (see
+# _util.cap_basket): Σ basket² blowup guard — a no-op on organic
+# TPC-H baskets (≤ 7 suppliers/order), a hard bound on a planted
+# hot basket
+_TRI_BASKET_CAP = 64
 
 _TRI_ORACLE = f"""
-    WITH os AS (
+    WITH os0 AS (
         SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ),
+    os AS (
+        SELECT l_orderkey, l_suppkey FROM (
+            SELECT l_orderkey, l_suppkey,
+                   row_number() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_suppkey) AS brn
+            FROM os0
+        ) WHERE brn <= {_TRI_BASKET_CAP}
     ),
     wp AS (
         SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS w
@@ -264,8 +277,12 @@ def x_graph_triangles(spark, sf_dir):
     ≤ Kn/2 edges at ANY corpus size, so the wedge stage is O(K²n)
     forever.
 
-    Spark shape: one weighted-pair groupBy (the inherent cost — the
-    same (u,v) reduce every co-occurrence statistic pays), one
+    Spark shape: the distinct (order, supplier) relation is
+    basket-capped first (cap_basket, smallest 64 suppliers per order
+    — a no-op at TPC-H's ≤ 7 suppliers/order, a hard guard against
+    one hot basket's quadratic pair fan-out), then one weighted-pair
+    groupBy (the inherent cost — the same (u,v) reduce every
+    co-occurrence statistic pays), one
     rank-limited window per direction (WindowGroupLimit caps each
     node at {K} rows before the exchange), a self-join for mutuality,
     then the Suri-Vassilvitskii (WWW'11) degree-ordered wedge join:
@@ -287,11 +304,18 @@ def x_graph_triangles(spark, sf_dir):
 
     # dedup (order, supplier) BEFORE the pair join: the weighted count
     # then reduces to count(*) — no countDistinct expand downstream,
-    # and the self-join fans out from the smaller distinct relation
-    li = (
+    # and the self-join fans out from the smaller distinct relation.
+    # cap_basket bounds the Σ basket² fan-out of the pair join against
+    # a pathological hot order (no-op at ≤ 7 suppliers/order organic
+    # basket sizes; tests/test_diagnostics.py plants a hot basket and
+    # checks the bound).
+    li = cap_basket(
         t(spark, sf_dir)
         .lineitem.select("l_orderkey", "l_suppkey")
-        .distinct()
+        .distinct(),
+        "l_orderkey",
+        "l_suppkey",
+        _TRI_BASKET_CAP,
     )
     a = li.alias("a")
     b = li.alias("b")

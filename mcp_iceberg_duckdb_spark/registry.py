@@ -205,6 +205,67 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
 )
 
 
+# The round-6 driver sample, pinned EXPLICITLY (same rationale as the
+# round-3 _DRIVER_PRIORITY pin above, and VERDICT round-5 items 1+4):
+# the 10 round-5-late never-checked queries first, then the 40
+# oldest-verified green rows (all r1-era stale greens), frozen as
+# driver_order() stood at the START of round 6 — so operators
+# REGISTERED DURING round 6 queue at slot 51+ and cannot displace the
+# intended sample members.
+_DRIVER_PIN_R6: tuple[str, ...] = (
+    "s_counter_increase",
+    "x_url_canonicalize",
+    "s_time_weighted_avg",
+    "s_cdc_upsert_apply",
+    "s_rolling_active_users",
+    "s_user_rfm",
+    "s_latency_percentiles",
+    "s_trending_decay",
+    "s_watermark_lateness",
+    "s_mix_drift",
+    "x_multimodal_metadata",
+    "q1_pricing_summary",
+    "p_projection",
+    "p_select_star",
+    "p_expr_alias",
+    "p_distinct",
+    "p_where_compare",
+    "p_boolean_connectives",
+    "p_between",
+    "p_in_list",
+    "p_like",
+    "p_ilike",
+    "p_is_null",
+    "p_case_when",
+    "p_cast",
+    "a_scalar_agg",
+    "a_count_distinct",
+    "a_stats",
+    "a_median_percentile",
+    "a_string_agg",
+    "a_rollup",
+    "a_cube",
+    "a_grouping_sets",
+    "a_corr_covar",
+    "o_order_limit",
+    "x_multimodal_frame_sample",
+    "a_approx_count_distinct",
+    "a_having",
+    "a_percentile_approx",
+    "o_offset",
+    "o_sort_nulls",
+    "o_union_all",
+    "o_union_distinct",
+    "o_intersect",
+    "o_except",
+    "o_union_by_name",
+    "o_subquery_in",
+    "o_subquery_not_exists",
+    "o_subquery_scalar",
+    "o_subquery_correlated_min",
+)
+
+
 def driver_order() -> list[str]:
     """Registration order for the driver contract: previously-failing
     first, then never-driver-checked (family round-robin), then the
@@ -213,14 +274,21 @@ def driver_order() -> list[str]:
     from collections import defaultdict, deque
 
     red = [n for n in _DRIVER_RED if n in QUERIES]
+    pin = [n for n in _DRIVER_PIN_R6 if n in QUERIES and n not in red]
     pri = [
         n for n in _DRIVER_PRIORITY
-        if n in QUERIES and n not in _DRIVER_GREEN and n not in red
+        if n in QUERIES
+        and n not in _DRIVER_GREEN
+        and n not in red
+        and n not in pin
     ]
     never = [
         n
         for n in QUERIES
-        if n not in _DRIVER_GREEN and n not in red and n not in pri
+        if n not in _DRIVER_GREEN
+        and n not in red
+        and n not in pri
+        and n not in pin
     ]
     reg_idx = {n: i for i, n in enumerate(QUERIES)}
     green = sorted(
@@ -243,7 +311,8 @@ def driver_order() -> list[str]:
         if dq:
             queues.append(dq)
     rows_only = [n for n in never if QUERIES[n].oracle is None]
-    return red + pri + rr + rows_only + green
+    green = [n for n in green if n not in pin]
+    return red + pin + pri + rr + rows_only + green
 
 
 def all_queries() -> dict[str, Builder]:

@@ -651,8 +651,8 @@ def s_anomaly_zscore(spark, sf_dir):
     once), and mean/variance/z are then computed with the identical
     IEEE expression tree, so the z column agrees bit-for-bit before
     its display rounding; the window ORDER BY (ts, event_id) is a
-    total order (event_id unique), per the frame-boundary discipline
-    in .claude/skills/verify.
+    total order (event_id unique), so frame boundaries are identical
+    across engines.
     """
     e = t(spark, sf_dir).events
     q = e.select(
@@ -1835,6 +1835,92 @@ def s_latency_percentiles(spark, sf_dir):
         rn(F.percentile(F.col("vq").cast("double"), F.lit(0.99)), 2).alias(
             "p99_micro"
         ),
+    )
+
+
+_LAT_APPROX_ORACLE = """
+    WITH q AS (
+        SELECT date_trunc('hour', ts) AS hour_start,
+               CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT hour_start,
+           count(*) AS n,
+           floor((quantile_cont(CAST(vq AS DOUBLE), 0.5)) * 1e2 + 0.5) / 1e2
+               AS p50_micro,
+           floor((quantile_cont(CAST(vq AS DOUBLE), 0.99)) * 1e2 + 0.5) / 1e2
+               AS p99_micro,
+           TRUE AS p50_within_rank_eps,
+           TRUE AS p90_within_rank_eps,
+           TRUE AS p99_within_rank_eps
+    FROM q GROUP BY hour_start
+"""
+
+
+@query(
+    "s_latency_percentiles_approx",
+    oracle=_LAT_APPROX_ORACLE,
+    tags=("streaming", "tierx", "approx"),
+)
+def s_latency_percentiles_approx(spark, sf_dir):
+    """The 100 TB companion to s_latency_percentiles: per-hour
+    p50/p90/p99 via percentile_approx (Greenwald-Khanna mergeable
+    sketch, accuracy 10000 → rank error ≤ 1e-4, FIXED per-group
+    state) instead of the exact aggregate's whole-group value list.
+    This is the knob s_latency_percentiles documents; here it gets
+    its own decidable contract (a_percentile_approx precedent,
+    VERDICT round-5 item 7).
+
+    Contract columns: the exact p50/p99 (value-checked against the
+    oracle) plus one boolean per percentile pinning the sketch value
+    by its RANK: the returned element's rank interval
+    [#(v < pa)/n, #(v ≤ pa)/n] must straddle the target rank ±0.02 —
+    exact at ANY group size (interpolated-value bounds degenerate on
+    tiny hourly groups), 200× looser than the sketch's ≤1e-4 rank
+    guarantee, so only a broken sketch flips a flag, yet decidable
+    on any engine pair. All comparisons are integer (counts·100 vs
+    rank·n) — no float thresholds.
+
+    Spark shape: one (hour) groupBy computing the sketches + exact
+    percentiles, broadcast back onto the event stream (sub-1k rows/
+    day of state at any scale — one row per hour), and one re-count
+    groupBy on the SAME hour key. Production keeps only the first
+    aggregation's sketch, whose partial state merges associatively
+    across executors (the property the exact percentile lacks)."""
+    e = t(spark, sf_dir).events
+    q = e.where(F.col("event_type") == "error").select(
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour_start"),
+        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint")
+        .alias("vq"),
+    )
+    v = F.col("vq").cast("double")
+    sketch = q.groupBy("hour_start").agg(
+        F.count("*").alias("n"),
+        rn(F.percentile(v, F.lit(0.5)), 2).alias("p50_micro"),
+        rn(F.percentile(v, F.lit(0.99)), 2).alias("p99_micro"),
+        F.percentile_approx(v, F.lit(0.5), F.lit(10000)).alias("pa50"),
+        F.percentile_approx(v, F.lit(0.9), F.lit(10000)).alias("pa90"),
+        F.percentile_approx(v, F.lit(0.99), F.lit(10000)).alias("pa99"),
+    )
+
+    def rank_flag(pa: str, pct: int):
+        lt = F.sum(F.when(v < F.col(pa), 1).otherwise(0))
+        le = F.sum(F.when(v <= F.col(pa), 1).otherwise(0))
+        n = F.max("n")
+        return (lt * 100 <= (pct + 2) * n) & (le * 100 >= (pct - 2) * n)
+
+    return (
+        q.join(F.broadcast(sketch), "hour_start")
+        .groupBy("hour_start")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("p50_micro").alias("p50_micro"),
+            F.max("p99_micro").alias("p99_micro"),
+            rank_flag("pa50", 50).alias("p50_within_rank_eps"),
+            rank_flag("pa90", 90).alias("p90_within_rank_eps"),
+            rank_flag("pa99", 99).alias("p99_within_rank_eps"),
+        )
     )
 
 

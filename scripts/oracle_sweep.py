@@ -36,6 +36,8 @@ def main() -> int:
     import duckdb
     from pyspark.sql import SparkSession
 
+    from mcp_iceberg_duckdb_spark.compare import rows_to_multiset
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     cores = sys.argv[2] if len(sys.argv) > 2 else "32"
 
@@ -69,15 +71,13 @@ def main() -> int:
         if name not in oracles or name in skip:
             continue
         try:
-            got = sorted(
-                tuple(str(x) for x in r)
-                for r in queries[name](spark, sf_dir).collect()
+            sdf = queries[name](spark, sf_dir)
+            got = rows_to_multiset(
+                sdf.columns, [tuple(r) for r in sdf.collect()]
             )
             want_rel = con.sql(oracles[name])
-            want = sorted(
-                tuple(str(x) for x in r) for r in want_rel.fetchall()
-            )
-            s_cols = sorted(queries[name](spark, sf_dir).columns)
+            want = rows_to_multiset(want_rel.columns, want_rel.fetchall())
+            s_cols = sorted(sdf.columns)
             d_cols = sorted(want_rel.columns)
             if s_cols != d_cols:
                 bad.append((name, f"columns {s_cols} != {d_cols}"))

@@ -4,7 +4,6 @@ mirroring the driver's differential-oracle harness."""
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 from pathlib import Path
@@ -32,6 +31,27 @@ def sf_dir():
     return SF_DIR
 
 
+def _scaled_sf_dir(scale: str) -> str:
+    """Resolve a larger-scale fixture dir next to SF_DIR, skipping
+    (not erroring) on machines that lack that scale factor."""
+    base = Path(SF_DIR).parent / f"sf{scale}"
+    if not (base / "lineitem.parquet").exists():
+        pytest.skip(f"no sf{scale} fixtures at {base}")
+    return str(base)
+
+
+@pytest.fixture(scope="session")
+def sf_dir_medium():
+    """sf0.01 fixtures (driver's correctness scale)."""
+    return _scaled_sf_dir("0.01")
+
+
+@pytest.fixture(scope="session")
+def sf_dir_large():
+    """sf0.1 fixtures (driver's bench scale)."""
+    return _scaled_sf_dir("0.1")
+
+
 @pytest.fixture(scope="session")
 def duck():
     from mcp_iceberg_duckdb_spark.sources.tables import TABLE_NAMES
@@ -45,32 +65,10 @@ def duck():
     con.close()
 
 
-def _norm_cell(v):
-    """Normalize a cell for cross-engine comparison. Type-tagged:
-    the driver value-hashes results, where 23 (BIGINT) and 23.0
-    (DOUBLE) differ — Python's 23 == 23.0 must not mask that, nor
-    bool vs int (bool is an int subclass)."""
-    if isinstance(v, bool):
-        return ("b", v)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return ("f", "NaN")
-        # collapse -0.0 / +0.0 and last-ulp noise the queries didn't
-        # already round away
-        return ("f", round(v, 9) + 0.0)
-    if isinstance(v, int):
-        return ("i", v)
-    if isinstance(v, list):
-        return ("l", tuple(_norm_cell(x) for x in v))
-    return (type(v).__name__, v)
-
-
-def _rows_to_multiset(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(
-        (tuple(_norm_cell(r[i]) for i in order) for r in rows),
-        key=lambda tup: tuple(str(x) for x in tup),
-    )
+from mcp_iceberg_duckdb_spark.compare import (  # noqa: E402
+    norm_cell as _norm_cell,
+    rows_to_multiset as _rows_to_multiset,
+)
 
 
 def assert_matches_oracle(spark_df, duck_con, oracle: str, name: str = "?"):

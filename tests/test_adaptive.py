@@ -41,7 +41,7 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
     assert 0 < n_joined < n_all, "filter must actually prune rows"
 
 
-def test_aqe_splits_skewed_join_partition(spark, sf_dir):
+def test_aqe_splits_skewed_join_partition(spark, sf_dir_large):
     """With the skew thresholds lowered to fixture scale, AQE must
     mark the hot partition of a deliberately skewed sort-merge join
     as skew=true and split it — the runtime remediation the manual
@@ -77,7 +77,7 @@ def test_aqe_splits_skewed_join_partition(spark, sf_dir):
         # gives AQE map-output boundaries to split along — with a
         # single mapper a hot reduce partition is one indivisible
         # block and the rule cannot fire
-        big = "/root/testdata/sf0.1"
+        big = sf_dir_large
         li = (
             t(spark, big)
             .lineitem.select(

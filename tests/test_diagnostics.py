@@ -175,14 +175,14 @@ def test_kcore_is_fixed_point_and_degrees_hold(spark, duck, sf_dir):
     assert {n for n, _ in nxt} == survivors, "round-N output not a fixed point"
 
 
-def test_adamic_adar_predicts_only_non_edges(spark, sf_dir):
+def test_adamic_adar_predicts_only_non_edges(spark, sf_dir, sf_dir_medium):
     """Every predicted pair must have at least one common neighbor by
     construction and must NOT be an existing mutual-graph edge — the
     anti-join is the operator's defining filter. Predictions are
     checked at sf0.01: at sf0.001 the mutual top-10 graph is so small
     that every wedge endpoint pair is already an edge (the empty
     result is correct — the oracle-parity test covers it)."""
-    preds = _df("x_graph_adamic_adar", spark, "/root/testdata/sf0.01").collect()
+    preds = _df("x_graph_adamic_adar", spark, sf_dir_medium).collect()
     assert preds, "sf0.01 mutual graph must yield predicted links"
     plan = explain_str(_df("x_graph_adamic_adar", spark, sf_dir))
     assert "CartesianProduct" not in plan
@@ -192,12 +192,12 @@ def test_adamic_adar_predicts_only_non_edges(spark, sf_dir):
         assert r.aa_pico > 0
 
 
-def test_market_basket_metrics_are_consistent(spark, sf_dir):
+def test_market_basket_metrics_are_consistent(spark, sf_dir, sf_dir_medium):
     """Support/confidence/lift invariants at sf0.01 (sf0.001 baskets
     are too sparse for minsup pairs): conf >= support share per
     pair, lift > 0, and the head is lift-sorted."""
     rows = _df(
-        "x_market_basket_lift", spark, "/root/testdata/sf0.01"
+        "x_market_basket_lift", spark, sf_dir_medium
     ).collect()
     assert rows, "sf0.01 must yield minsup pairs"
     lifts = [r.lift_micro for r in rows]
@@ -587,4 +587,62 @@ def test_trained_pq_codebook_beats_sampled(spark, sf_dir):
     # meaningful improvement, not noise: at least 20% lower
     assert trained_err * 10 <= sampled_err * 8, (
         f"improvement too small: {trained_err} vs {sampled_err}"
+    )
+
+
+def test_cap_basket_bounds_hot_basket_fanout(spark):
+    """Planted-hot-basket guard (VERDICT r5 item 5): one pathological
+    basket (500 items, vs cap 64) must contribute exactly
+    C(64,2) pairs to the pair self-join — not C(500,2) — while
+    organic baskets pass through untouched, and the kept subset must
+    be the deterministic smallest-item prefix."""
+    from mcp_iceberg_duckdb_spark.operators._util import cap_basket
+
+    hot = [(0, i) for i in range(500)]  # planted hot basket
+    organic = [(b, i) for b in range(1, 101) for i in range(5)]
+    df = spark.createDataFrame(
+        hot + organic, schema="basket bigint, item bigint"
+    )
+    capped = cap_basket(df, "basket", "item", 64)
+    sizes = {
+        r.basket: r.n
+        for r in capped.groupBy("basket")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert sizes[0] == 64, "hot basket not capped"
+    assert all(sizes[b] == 5 for b in range(1, 101)), (
+        "organic baskets must be untouched"
+    )
+    # deterministic prefix: the kept hot-basket items are 0..63
+    kept = sorted(
+        r.item for r in capped.where(F.col("basket") == 0).collect()
+    )
+    assert kept == list(range(64))
+    # the pair join's fan-out is bounded at C(cap,2) per basket
+    a, b = capped.alias("a"), capped.alias("b")
+    n_pairs = a.join(
+        b,
+        (F.col("a.basket") == F.col("b.basket"))
+        & (F.col("a.item") < F.col("b.item")),
+    ).count()
+    assert n_pairs == 64 * 63 // 2 + 100 * (5 * 4 // 2)
+
+
+def test_cap_basket_noop_on_fixture_triangles(spark, duck, sf_dir):
+    """At organic TPC-H basket sizes the cap is the identity: the
+    capped operators still match their oracles bit-for-bit (the
+    oracle applies the same cap, so this plus the planted test pins
+    both halves of the contract)."""
+    assert_matches_oracle(
+        _df("x_graph_triangles", spark, sf_dir),
+        duck,
+        registry.QUERIES["x_graph_triangles"].oracle,
+        "x_graph_triangles",
+    )
+    assert_matches_oracle(
+        _df("x_market_basket_lift", spark, sf_dir),
+        duck,
+        registry.QUERIES["x_market_basket_lift"].oracle,
+        "x_market_basket_lift",
     )
