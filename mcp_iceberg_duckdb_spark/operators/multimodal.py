@@ -25,7 +25,12 @@ from pyspark.sql import DataFrame, functions as F
 from mcp_iceberg_duckdb_spark.operators._util import t
 from mcp_iceberg_duckdb_spark.registry import query
 
-REAL_DECODERS_AVAILABLE = False  # PIL / torchaudio / cv2 not in container
+try:  # real image codec, if the environment carries one
+    from PIL import Image as _PIL_Image  # noqa: F401
+
+    REAL_DECODERS_AVAILABLE = True
+except ImportError:  # not in this container — fake path only
+    REAL_DECODERS_AVAILABLE = False
 
 
 def assets_frame(spark, sf_dir) -> DataFrame:
@@ -47,11 +52,26 @@ def assets_frame(spark, sf_dir) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> dict:
-    """Real decode path — requires codec libs not present here."""
-    raise NotImplementedError(
-        "image decode requires PIL/cv2 (not in this container); "
-        "use fake_decode for deterministic testing"
-    )
+    """Real decode path: PIL when importable (REAL_DECODERS_AVAILABLE),
+    NotImplementedError otherwise. Same output contract as fake_decode
+    (width, height, n_frames, content_hash), so it drops into the
+    mapInPandas featurizer via decoder="real" without any downstream
+    schema change; content_hash stays the payload md5 — it is a
+    CONTENT hash for dedup, not a pixel statistic."""
+    if not REAL_DECODERS_AVAILABLE:
+        raise NotImplementedError(
+            "image decode requires PIL/cv2 (not in this container); "
+            "use fake_decode for deterministic testing"
+        )
+    import io
+
+    with _PIL_Image.open(io.BytesIO(payload)) as img:
+        return {
+            "width": img.width,
+            "height": img.height,
+            "n_frames": int(getattr(img, "n_frames", 1)),
+            "content_hash": hashlib.md5(payload).hexdigest(),
+        }
 
 
 def fake_decode(payload: bytes) -> dict:
@@ -74,26 +94,49 @@ _FEATURE_SCHEMA = (
 )
 
 
-def _make_featurizer():
+def _make_featurizer(decoder: str = "fake"):
     """Build the mapInPandas worker as a self-contained closure:
     cloudpickle serializes locally-defined functions BY VALUE, so
     executors never need this package importable (a module-level
     function would be pickled by import path and break on workers
-    without the repo on PYTHONPATH)."""
+    without the repo on PYTHONPATH).
+
+    decoder="fake" (default) is the deterministic md5 stub the DuckDB
+    oracle recomputes; decoder="real" decodes actual image bytes with
+    PIL on the executors (the production branch the
+    REAL_DECODERS_AVAILABLE gate points at — import-tried inside the
+    closure, so only workers that RUN the real path need the codec)."""
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
 
         import pandas as _pd
 
-        def _decode(payload: bytes) -> dict:
-            digest = _hashlib.md5(bytes(payload)).digest()
-            return {
-                "width": 64 + digest[0] % 192,
-                "height": 64 + digest[1] % 192,
-                "n_frames": 1 + digest[2] % 16,
-                "content_hash": digest.hex(),
-            }
+        if decoder == "real":
+            import io as _io
+
+            from PIL import Image as _Image
+
+            def _decode(payload: bytes) -> dict:
+                raw = bytes(payload)
+                with _Image.open(_io.BytesIO(raw)) as img:
+                    return {
+                        "width": img.width,
+                        "height": img.height,
+                        "n_frames": int(getattr(img, "n_frames", 1)),
+                        "content_hash": _hashlib.md5(raw).hexdigest(),
+                    }
+
+        else:
+
+            def _decode(payload: bytes) -> dict:
+                digest = _hashlib.md5(bytes(payload)).digest()
+                return {
+                    "width": 64 + digest[0] % 192,
+                    "height": 64 + digest[1] % 192,
+                    "n_frames": 1 + digest[2] % 16,
+                    "content_hash": digest.hex(),
+                }
 
         for pdf in batches:
             decoded = [_decode(p) for p in pdf["payload"]]
@@ -155,12 +198,23 @@ def x_multimodal_features(spark, sf_dir):
     """Decode/feature-extract over binary assets via mapInPandas:
     Arrow-batched, partition-preserving, no shuffle. The decode is the
     deterministic md5-derived stub (REAL_DECODERS_AVAILABLE gates the
-    real one), which the DuckDB oracle recomputes byte-for-byte from
-    md5 hex — a full value check of the Arrow round-trip, schema
-    contract, and batch iteration."""
-    return assets_frame(spark, sf_dir).mapInPandas(
-        _make_featurizer(), schema=_FEATURE_SCHEMA
-    )
+    real one — featurize_assets(decoder="real")), which the DuckDB
+    oracle recomputes byte-for-byte from md5 hex — a full value check
+    of the Arrow round-trip, schema contract, and batch iteration."""
+    return featurize_assets(assets_frame(spark, sf_dir))
+
+
+def featurize_assets(assets: DataFrame, decoder: str = "fake") -> DataFrame:
+    """The featurizer entry point: same plan for both decoders — ONE
+    mapInPandas over the asset partitions, schema _FEATURE_SCHEMA.
+    decoder="real" (PIL) is the production branch; it raises
+    NotImplementedError up front when the codec is absent rather than
+    failing task-side."""
+    if decoder == "real" and not REAL_DECODERS_AVAILABLE:
+        raise NotImplementedError(
+            "decoder='real' requires PIL (not in this container)"
+        )
+    return assets.mapInPandas(_make_featurizer(decoder), schema=_FEATURE_SCHEMA)
 
 
 @query(

@@ -2057,6 +2057,117 @@ def s_trending_decay(spark, sf_dir):
     )
 
 
+_TREND_BUCKETS = 20  # ages 0..19; 1e6 div 2^20 == 0, older is weightless
+
+
+def stream_trending_decay(events: DataFrame) -> DataFrame:
+    """True-streaming twin of s_trending_decay. Per-user state is the
+    day-bucketed count ring (anchor day + 20 int64 daily counts +
+    total n): a decayed SUM cannot be carried exactly across anchor
+    advances (Σ floor(w/2) ≠ floor(Σw/2) — per-event floors do not
+    re-shift), but day COUNTS can, and the decayed score is then
+    recomputed from counts at read time, bit-for-bit equal to the
+    batch operator at any anchor. Events older than 20 days carry
+    weight 0 in both engines (1e6 div 2^20 = 0), so dropping them
+    from the ring loses nothing — state is FIXED at 22 int64s per
+    key forever, and the ring is mergeable (counts add, anchors max).
+
+    Emits the state (anchor, counts) per micro-batch in append mode;
+    the leaderboard read — re-anchor to the global max day + top-K —
+    is the stateless trending_from_state map, exactly the
+    read-time-rescale layout production decayed counters use
+    (the alternative, rescaling state in place on a timer, pays a
+    write per key per day and still needs the read-time shift for
+    keys idle since yesterday)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = (
+        "user_id long, anchor_day long, n_events long, counts array<long>"
+    )
+    state_schema = "anchor long, n long, " + ", ".join(
+        f"c{j} long" for j in range(_TREND_BUCKETS)
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            got = state.get
+            anchor, n, cs = got[0], got[1], list(got[2:])
+        else:
+            anchor, n, cs = None, 0, [0] * _TREND_BUCKETS
+        chunks = [pdf for pdf in pdfs]
+        batch = pd.concat(chunks) if chunks else pd.DataFrame()
+        if len(batch):
+            days = [
+                int(pd.Timestamp(ts).value // 86_400_000_000_000)
+                for ts in batch["ts"]
+            ]
+            new_anchor = max(days) if anchor is None else max(anchor, max(days))
+            if anchor is not None and new_anchor > anchor:
+                shift = new_anchor - anchor
+                cs = [0] * min(shift, _TREND_BUCKETS) + cs[
+                    : max(_TREND_BUCKETS - shift, 0)
+                ]
+                cs = cs[:_TREND_BUCKETS]
+            for d in days:
+                n += 1
+                age = new_anchor - d
+                if age < _TREND_BUCKETS:
+                    cs[age] += 1
+            anchor = new_anchor
+            state.update((anchor, n, *cs))
+            yield pd.DataFrame(
+                [(int(key[0]), anchor, n, cs)],
+                columns=["user_id", "anchor_day", "n_events", "counts"],
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def trending_from_state(states: DataFrame, topk: int = _TREND_TOPK):
+    """Read-time half of the trending twin: re-anchor every user's
+    count ring to the GLOBAL max day and produce the batch operator's
+    exact output (decayed_micro, n_events, top-K). Stateless pure-
+    integer map over |users| rows: posexplode the ring, weight each
+    bucket 1e6 div 2^(pos+shift), sum. The global anchor is a 1-row
+    broadcast aggregate, as in the batch operator."""
+    ga = states.agg(F.max("anchor_day").alias("ga"))
+    exploded = (
+        states.crossJoin(F.broadcast(ga))
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("ga") - F.col("anchor_day")).alias("shift"),
+            F.posexplode("counts").alias("pos", "c"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            (
+                F.col("c")
+                * F.expr(
+                    "1000000 div shiftleft(CAST(1 AS BIGINT),"
+                    " least(pos + shift, 40))"
+                )
+            ).alias("wt"),
+        )
+    )
+    return (
+        exploded.groupBy("user_id", "n_events")
+        .agg(F.sum("wt").cast("bigint").alias("decayed_micro"))
+        .select("user_id", "decayed_micro", "n_events")
+        .orderBy(F.col("decayed_micro").desc(), "user_id")
+        .limit(topk)
+    )
+
+
 # ---- watermark lateness profile (how late is late data?) ----
 
 _WL_ORACLE = """
@@ -2187,11 +2298,23 @@ def s_mix_drift(spark, sf_dir):
     daily = e.groupBy(
         F.col("ts").cast("date").alias("day"), "event_type"
     ).agg(F.count("*").alias("c"))
+    glob = e.groupBy("event_type").agg(F.count("*").alias("g"))
+    glob_tot = e.agg(F.count("*").cast("bigint").alias("gn"))
+    return mix_drift_finalize(daily, glob, glob_tot)
+
+
+def mix_drift_finalize(
+    daily: DataFrame, glob: DataFrame, glob_tot: DataFrame
+) -> DataFrame:
+    """Shared read-time half of the mix-drift pair: given (day,
+    event_type, c) counts — batch-computed OR the final table of
+    stream_mix_drift_daily_counts — and the broadcast baseline mix,
+    produce the per-day L1 drift rows. Pure integer ppm arithmetic,
+    so the batch query and the streamed-counts path agree
+    bit-for-bit (tests/test_streaming.py pins it)."""
     day_tot = daily.groupBy("day").agg(
         F.sum("c").cast("bigint").alias("dn")
     )
-    glob = e.groupBy("event_type").agg(F.count("*").alias("g"))
-    glob_tot = e.agg(F.count("*").cast("bigint").alias("gn"))
     shares = (
         daily.join(day_tot, "day")
         .join(F.broadcast(glob), "event_type")
@@ -2206,4 +2329,25 @@ def s_mix_drift(spark, sf_dir):
     return shares.groupBy("day").agg(
         F.sum("l1_term").cast("bigint").alias("l1_drift_ppm"),
         (F.sum("l1_term").cast("bigint") > 100_000).alias("drift_alert"),
+    )
+
+
+def stream_mix_drift_daily_counts(events: DataFrame) -> DataFrame:
+    """Streaming half of the s_mix_drift twin: watermarked tumbling
+    1-day (day, event_type) counts — a MERGEABLE counter aggregation,
+    the only state the drift monitor needs to maintain online (per-day
+    per-type int64s; |types|·|open days| rows, independent of volume).
+    The drift compare itself runs at read time against the broadcast
+    baseline via mix_drift_finalize, exactly like the trending twin's
+    read-time re-anchor: alerts recompute from live counters on every
+    dashboard refresh rather than being frozen into emitted rows."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.col("w").getField("start").cast("date").alias("day"),
+            "event_type",
+            "c",
+        )
     )

@@ -275,9 +275,50 @@ def test_multimodal_frame_sample_bounds(spark, sf_dir):
 def test_real_decoder_is_gated():
     from mcp_iceberg_duckdb_spark.operators import multimodal
 
-    assert not multimodal.REAL_DECODERS_AVAILABLE
+    if multimodal.REAL_DECODERS_AVAILABLE:
+        pytest.skip("codec present - covered by test_real_decoder_path")
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG...")
+    with pytest.raises(NotImplementedError):
+        multimodal.featurize_assets(None, decoder="real")
+
+
+def test_real_decoder_path(spark):
+    """Production branch of the featurizer (decoder='real'): runs
+    only where PIL is importable. Real PNG payloads of known
+    dimensions go through the SAME mapInPandas plan as the fake path
+    and must come back with the true width/height/n_frames."""
+    from mcp_iceberg_duckdb_spark.operators import multimodal
+
+    if not multimodal.REAL_DECODERS_AVAILABLE:
+        pytest.skip("PIL not in this container")
+    import io
+
+    from PIL import Image
+
+    def png(w, h):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), (0, 0, 0)).save(buf, format="PNG")
+        return buf.getvalue()
+
+    dims = [(17, 23), (64, 64), (224, 100)]
+    assets = spark.createDataFrame(
+        [
+            (i, bytearray(png(w, h)), ("image/png", len(png(w, h)), "t", "x"))
+            for i, (w, h) in enumerate(dims)
+        ],
+        schema=(
+            "asset_id long, payload binary, "
+            "meta struct<mime:string,n_bytes_claimed:long,"
+            "origin:string,lang:string>"
+        ),
+    )
+    rows = {
+        r.asset_id: r
+        for r in multimodal.featurize_assets(assets, decoder="real").collect()
+    }
+    for i, (w, h) in enumerate(dims):
+        assert (rows[i].width, rows[i].height, rows[i].n_frames) == (w, h, 1)
 
 
 def test_approx_count_distinct_accuracy(spark, duck, sf_dir):
