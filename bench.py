@@ -101,6 +101,9 @@ BENCH_QUERIES = [
     "q23_fulfillment_latency",
     # round-6 additions (compare from BENCH_r06 on)
     "s_latency_percentiles_approx",
+    "x_sketch_hll_rolling",
+    "x_quality_classifier_score",
+    "x_mix_sample_weights",
 ]
 
 # Baseline-comparable subset printed per-query on the final stdout

@@ -309,6 +309,13 @@ def x_graph_triangles(spark, sf_dir):
     # a pathological hot order (no-op at ≤ 7 suppliers/order organic
     # basket sizes; tests/test_diagnostics.py plants a hot basket and
     # checks the bound).
+    # localCheckpoint (the PageRank precedent above): the capped
+    # relation's subtree (distinct + rank window) is referenced by
+    # BOTH self-join sides and, through wp/kept/und, many more times
+    # downstream — measured 8.7→24.7 s at sf0.1 when left inline
+    # (exchange reuse does not dedup the windowed subtree);
+    # materializing the ~|lineitem-distinct| rows once restores the
+    # pre-cap plan cost.
     li = cap_basket(
         t(spark, sf_dir)
         .lineitem.select("l_orderkey", "l_suppkey")
@@ -316,7 +323,7 @@ def x_graph_triangles(spark, sf_dir):
         "l_orderkey",
         "l_suppkey",
         _TRI_BASKET_CAP,
-    )
+    ).localCheckpoint(eager=False)
     a = li.alias("a")
     b = li.alias("b")
     wp = (

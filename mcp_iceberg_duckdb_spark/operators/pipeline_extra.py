@@ -1393,3 +1393,101 @@ def x_corpus_weighted_sample(spark, sf_dir):
         .orderBy("samp_key", "doc_id")
         .limit(_WRS_K)
     )
+
+
+# ---- corpus mixture rebalancing (training-data mixing weights) ----
+
+_MIX_SQL_TW = (
+    "((( (strpos('0123456789abcdef', substr(md5(concat('mix:', source)), 1, 1)) - 1) * 1048576"
+    " + (strpos('0123456789abcdef', substr(md5(concat('mix:', source)), 2, 1)) - 1) * 65536"
+    " + (strpos('0123456789abcdef', substr(md5(concat('mix:', source)), 3, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substr(md5(concat('mix:', source)), 4, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substr(md5(concat('mix:', source)), 5, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(concat('mix:', source)), 6, 1)) - 1)"
+    ") % 1000) + 1)"
+)
+
+_MIX_ORACLE = f"""
+    WITH s1 AS (
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS mass,
+               CAST({_MIX_SQL_TW} AS BIGINT) AS tw
+        FROM documents GROUP BY source
+    ),
+    g1 AS (
+        SELECT CAST(sum(mass) AS BIGINT) AS tot_mass,
+               CAST(sum(tw) AS BIGINT) AS t
+        FROM s1
+    ),
+    g2 AS (
+        SELECT min((mass * g1.t) // tw) AS fmax FROM s1, g1
+    )
+    SELECT source, n_docs, mass,
+           (mass * 1000000) // g1.tot_mass AS actual_ppm,
+           (tw * 1000000) // g1.t AS target_ppm,
+           ((tw * g2.fmax) // g1.t * 1000000) // mass AS keep_rate_ppm,
+           (tw * g2.fmax) // g1.t AS expected_mass
+    FROM s1, g1, g2
+"""
+
+
+@query(
+    "x_mix_sample_weights",
+    oracle=_MIX_ORACLE,
+    tags=("pipeline", "tierx"),
+)
+def x_mix_sample_weights(spark, sf_dir):
+    """Training-mixture rebalancing weights: given a target per-source
+    mixture (Pile/Dolma-style mixing — the md5-derived target weights
+    are a stand-in for the tuned mixture table, which drops in as a
+    broadcast literal without changing the plan) and the corpus's
+    actual per-source token mass, compute the largest
+    downsampling-only plan that achieves the mixture: final size
+    F = min_s(mass_s·T div t_s), per-source keep rate
+    (t_s·F div T)·1e6 div mass_s. The keep rates feed the
+    deterministic md5-Bernoulli sampler (x_corpus_split_hash /
+    x_source_cap_sample) unchanged — this operator computes the
+    RATES; sampling stays one shuffle-free map.
+
+    Spark shape: ONE source groupBy (|sources| rows), two 1-row
+    broadcast aggregates (totals, then the min-ratio bottleneck
+    source), all-integer ppm arithmetic — volume-independent beyond
+    the first linear pass. mass = Σ n_chars (token mass proxy; the
+    same plan runs on exact token counts)."""
+    d = t(spark, sf_dir).documents
+    tw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix:"), F.col("source"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+        + 1
+    )
+    s1 = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("mass"),
+    ).withColumn("tw", tw)
+    g1 = s1.agg(
+        F.sum("mass").cast("bigint").alias("tot_mass"),
+        F.sum("tw").cast("bigint").alias("t"),
+    )
+    s2 = s1.crossJoin(F.broadcast(g1))
+    g2 = s2.agg(F.min(F.expr("(mass * t) div tw")).alias("fmax"))
+    return (
+        s2.crossJoin(F.broadcast(g2))
+        .select(
+            "source",
+            "n_docs",
+            "mass",
+            F.expr("(mass * 1000000) div tot_mass").alias("actual_ppm"),
+            F.expr("(tw * 1000000) div t").alias("target_ppm"),
+            F.expr("((tw * fmax) div t * 1000000) div mass").alias(
+                "keep_rate_ppm"
+            ),
+            F.expr("(tw * fmax) div t").alias("expected_mass"),
+        )
+    )

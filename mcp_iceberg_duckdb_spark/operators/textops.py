@@ -1810,3 +1810,271 @@ def x_url_canonicalize(spark, sf_dir):
         canon.alias("canon_url"),
         (canon == F.col("clean_url")).alias("matches_clean_form"),
     )
+
+
+# ---- rolling-window HLL (mergeable sketch over time windows) ----
+
+_HLLR_WINDOW = 7  # trailing days merged per output day
+
+_HLLR_ORACLE = f"""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS k FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    hashed AS (
+        SELECT day,
+               {_sql_hex6("concat('hll:', CAST(k AS VARCHAR))")} AS v
+        FROM du
+    ),
+    rhos AS (
+        SELECT day, v // {1 << _HLL_LOWBITS} AS idx,
+               CASE WHEN (v & {_HLL_LOWMASK}) = 0 THEN {_HLL_LOWBITS + 1}
+                    ELSE {_HLL_LOWBITS + 1} - length(bin(v & {_HLL_LOWMASK}))
+               END AS rho
+        FROM hashed
+    ),
+    day_regs AS (
+        SELECT day, idx, max(rho) AS m FROM rhos GROUP BY day, idx
+    ),
+    rolled AS (
+        SELECT g.day, i.idx, coalesce(max(r.m), 0) AS m
+        FROM days g
+        CROSS JOIN (SELECT unnest(range({_HLL_M})) AS idx) i
+        LEFT JOIN day_regs r
+          ON r.idx = i.idx
+         AND r.day BETWEEN g.day - {_HLLR_WINDOW - 1} AND g.day
+        GROUP BY g.day, i.idx
+    ),
+    s AS (
+        SELECT day,
+               sum(CAST(1 AS BIGINT) << ({_HLL_LOWBITS + 1} - m)) AS z_int,
+               sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS v_zero
+        FROM rolled GROUP BY day
+    ),
+    ex AS (
+        SELECT g.day, count(DISTINCT d.k) AS n_exact
+        FROM days g
+        JOIN du d ON d.day BETWEEN g.day - {_HLLR_WINDOW - 1} AND g.day
+        GROUP BY g.day
+    ),
+    est AS (
+        SELECT s.day, ex.n_exact,
+               CASE WHEN ({_HLL_ALPHA} * {_HLL_M * _HLL_M}
+                          * {1 << (_HLL_LOWBITS + 1)} / z_int)
+                         <= {2.5 * _HLL_M}
+                         AND v_zero > 0
+                    THEN {_HLL_M} * ln({_HLL_M} / CAST(v_zero AS DOUBLE))
+                    ELSE {_HLL_ALPHA} * {_HLL_M * _HLL_M}
+                         * {1 << (_HLL_LOWBITS + 1)} / z_int
+               END AS e
+        FROM s JOIN ex ON ex.day = s.day
+    )
+    SELECT day,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           floor(e * 1e2 + 0.5) / 1e2 AS hll_est,
+           abs(e - n_exact) / n_exact <= 0.25 AS within_25pct
+    FROM est
+"""
+
+
+@query("x_sketch_hll_rolling", oracle=_HLLR_ORACLE, tags=("sketch", "tierx"))
+def x_sketch_hll_rolling(spark, sf_dir):
+    """Rolling 7-day distinct-user estimate from MERGED daily HLL
+    registers — the sketch answer to s_rolling_active_users' WAU
+    column, exercising the property that makes HLL the 100 TB rolling
+    path: registers merge by element-wise max, so one m-register
+    sketch per day replaces re-touching seven days of raw (day, user)
+    rows per output day. Audited per day against the exact trailing
+    distinct count at ±25% (m=64 → 1.04/√m ≈ 13% expected error).
+
+    Spark shape: one (day, user) dedup + shuffle-free hash/rho map +
+    one (day, idx) max groupBy (the per-day sketches: 64 int64s/day —
+    this is ALL the long-term state a production rollup stores), then
+    a days×64 grid range-join over the 7-day trail + per-day max (the
+    merge; |days|·64·7 rows, volume-independent) and the same exact
+    integer Σ2^(19-m) estimator as x_sketch_hll. The exact side
+    re-derives the trailing distinct from the deduped relation
+    (bounded 7× fan-out, s_rolling_active_users shape) — at scale
+    only the sketch side runs; the exact side exists for the audit.
+
+    Determinism: identical md5-hex6 hashing, integer registers and
+    integer Z on both engines; the estimate's float ops are the same
+    IEEE expression tree, display-rounded to 2dp."""
+    e = t(spark, sf_dir).events
+    du = e.select(
+        F.col("ts").cast("date").alias("day"),
+        F.col("user_id").alias("k"),
+    ).distinct()
+    days = du.select("day").distinct()
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll:"), F.col("k").cast("string"))), 1, 6
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    rhos = du.select(
+        "day",
+        (v / F.lit(1 << _HLL_LOWBITS)).cast("bigint").alias("idx"),
+        F.when(
+            v.bitwiseAND(F.lit(_HLL_LOWMASK)) == 0, F.lit(_HLL_LOWBITS + 1)
+        )
+        .otherwise(
+            F.lit(_HLL_LOWBITS + 1)
+            - F.length(F.bin(v.bitwiseAND(F.lit(_HLL_LOWMASK))))
+        )
+        .alias("rho"),
+    )
+    day_regs = rhos.groupBy("day", "idx").agg(F.max("rho").alias("m"))
+    idx_grid = spark.range(_HLL_M).select(
+        F.col("id").cast("bigint").alias("idx")
+    )
+    grid = days.crossJoin(F.broadcast(idx_grid)).select(
+        F.col("day").alias("gday"), "idx"
+    )
+    rolled = (
+        grid.join(
+            day_regs,
+            (day_regs.idx == grid.idx)
+            & day_regs.day.between(
+                F.date_sub(F.col("gday"), _HLLR_WINDOW - 1), F.col("gday")
+            ),
+            "left",
+        )
+        .groupBy("gday", grid.idx)
+        .agg(F.coalesce(F.max("m"), F.lit(0)).alias("m"))
+    )
+    s = rolled.groupBy("gday").agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_LOWBITS + 1} - m)")
+        ).alias("z_int"),
+        F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).alias("v_zero"),
+    )
+    ex = (
+        days.select(F.col("day").alias("gday"))
+        .join(
+            du,
+            du.day.between(
+                F.date_sub(F.col("gday"), _HLLR_WINDOW - 1), F.col("gday")
+            ),
+        )
+        .groupBy("gday")
+        .agg(F.count_distinct("k").alias("n_exact"))
+    )
+    raw = (
+        F.lit(_HLL_ALPHA)
+        * F.lit(_HLL_M * _HLL_M)
+        * F.lit(1 << (_HLL_LOWBITS + 1))
+        / F.col("z_int")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (F.col("v_zero") > 0),
+        F.lit(_HLL_M) * F.log(F.lit(_HLL_M) / F.col("v_zero").cast("double")),
+    ).otherwise(raw)
+    return (
+        s.join(ex, "gday")
+        .select(
+            F.col("gday").alias("day"),
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            rn(est, 2).alias("hll_est"),
+            (
+                F.abs(est - F.col("n_exact")) / F.col("n_exact")
+                <= F.lit(0.25)
+            ).alias("within_25pct"),
+        )
+    )
+
+
+# ---- hashed linear quality classifier (fastText-style filter) ----
+
+_QC_BUCKETS = 1024
+
+_QC_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id,
+               {_sql_hex6("concat('qc:', tk)")} % {_QC_BUCKETS} AS bkt
+        FROM tok
+    ),
+    w AS (
+        SELECT doc_id,
+               {_sql_hex6("concat('qw:', CAST(bkt AS VARCHAR))")} % 2001
+                   - 1000 AS wm
+        FROM b
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(wm) AS BIGINT) AS sum_w_milli,
+           floor((CAST(sum(wm) AS DOUBLE) / count(*)) * 1e3 + 0.5) / 1e3
+               AS logit_milli,
+           CAST(sum(wm) AS BIGINT) > 0 AS keep
+    FROM w GROUP BY doc_id
+"""
+
+
+@query(
+    "x_quality_classifier_score",
+    oracle=_QC_ORACLE,
+    tags=("text", "tierx"),
+)
+def x_quality_classifier_score(spark, sf_dir):
+    """Hashed-bag-of-words linear quality classifier — the
+    fastText-style keep/drop filter (CCNet / GPT-3 / LLaMA corpus
+    curation all gate on one): score = mean over tokens of a learned
+    per-bucket weight under the hashing trick (Weinberger et al.
+    2009), docs with positive score kept. The weights here are
+    md5-derived stand-ins (a REAL model's weight vector drops in as
+    a literal array or broadcast map without changing the plan — the
+    operator is the plumbing: hashing, lookup, reduce, threshold).
+
+    Spark shape: explode tokens → WEIGHT AS AN EXPRESSION of the
+    bucket hash (no weight-table join at all — the hashing trick
+    means the "model" is a pure function of the token) → ONE doc
+    groupBy with map-side combine. Linear, one shuffle, vocabulary
+    never materialized. With a real 2^21-bucket model the weights
+    become a broadcast literal array indexed by bucket — still no
+    shuffle. Integer milli-unit weights; the mean is the shared
+    floor-rounding IEEE tree."""
+    d = t(spark, sf_dir).documents
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tk")
+    )
+    bkt = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("qc:"), F.col("tk"))), 1, 6),
+            16,
+            10,
+        ).cast("bigint")
+        % _QC_BUCKETS
+    )
+    wm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("qw:"), bkt.cast("string"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2001
+        - 1000
+    )
+    return (
+        tok.select("doc_id", wm.alias("wm"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("wm").cast("bigint").alias("sum_w_milli"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_w_milli",
+            rn(
+                F.col("sum_w_milli").cast("double") / F.col("n_tokens"), 3
+            ).alias("logit_milli"),
+            (F.col("sum_w_milli") > 0).alias("keep"),
+        )
+    )

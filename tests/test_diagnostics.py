@@ -50,6 +50,10 @@ NEW_OPS = (
     "f_string_extra",
     "s_mix_drift",
     "q23_fulfillment_latency",
+    "s_latency_percentiles_approx",
+    "x_sketch_hll_rolling",
+    "x_quality_classifier_score",
+    "x_mix_sample_weights",
 )
 
 
@@ -646,3 +650,68 @@ def test_cap_basket_noop_on_fixture_triangles(spark, duck, sf_dir):
         registry.QUERIES["x_market_basket_lift"].oracle,
         "x_market_basket_lift",
     )
+
+
+def test_hll_rolling_audit_and_monotonicity(spark, sf_dir):
+    """The per-day rolling estimate must carry a TRUE ±25% audit flag
+    everywhere at fixture scale, and the exact trailing-7-day distinct
+    must dominate each single day's distinct count."""
+    rows = {r.day: r for r in _df("x_sketch_hll_rolling", spark, sf_dir).collect()}
+    assert rows
+    assert all(r.within_25pct for r in rows.values())
+    from mcp_iceberg_duckdb_spark.operators._util import t
+
+    daily = {
+        r.day: r.n
+        for r in t(spark, sf_dir)
+        .events.select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for day, r in rows.items():
+        assert r.n_exact >= daily[day]
+
+
+def test_quality_classifier_token_accounting(spark, sf_dir):
+    """n_tokens must equal the whitespace token count, the milli sum
+    must be bounded by ±1000·n_tokens, and keep must mirror the sign
+    of the sum."""
+    rows = _df("x_quality_classifier_score", spark, sf_dir).collect()
+    assert rows
+    from mcp_iceberg_duckdb_spark.operators._util import t
+
+    n_by_doc = {
+        r.doc_id: len(r.text.split(" "))
+        for r in t(spark, sf_dir).documents.select("doc_id", "text").collect()
+    }
+    keeps = 0
+    for r in rows:
+        assert r.n_tokens == n_by_doc[r.doc_id]
+        assert abs(r.sum_w_milli) <= 1000 * r.n_tokens
+        assert r.keep == (r.sum_w_milli > 0)
+        keeps += int(r.keep)
+    # md5-derived weights are ~symmetric: both classes must appear
+    assert 0 < keeps < len(rows)
+
+
+def test_mix_weights_form_a_valid_downsampling_plan(spark, sf_dir):
+    """Rates must be a pure downsampling plan achieving the target
+    mixture: every keep rate <= 1e6, expected masses within each
+    source's mass, the bottleneck source kept (nearly) whole, and
+    expected masses proportional to the target shares up to integer
+    rounding."""
+    rows = _df("x_mix_sample_weights", spark, sf_dir).collect()
+    assert rows
+    tot_target = sum(r.target_ppm for r in rows)
+    assert abs(tot_target - 1_000_000) <= len(rows)  # div rounding
+    assert all(r.keep_rate_ppm <= 1_000_000 for r in rows)
+    assert all(r.expected_mass <= r.mass for r in rows)
+    assert max(r.keep_rate_ppm for r in rows) >= 999_000
+    f_tot = sum(r.expected_mass for r in rows)
+    for r in rows:
+        # |f_s/F - t_s/T| small: integer floors lose < 1 unit each
+        assert abs(r.expected_mass * 1_000_000 - r.target_ppm * f_tot) <= (
+            1_000_000 + f_tot
+        )

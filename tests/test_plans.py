@@ -10,6 +10,7 @@ import pytest
 
 from mcp_iceberg_duckdb_spark import registry
 from mcp_iceberg_duckdb_spark.plans import (
+    explain_str,
     has_broadcast_hash_join,
     has_pushed_filters,
     has_take_ordered,
@@ -494,3 +495,28 @@ def test_runtime_bloom_filter_fires_on_shuffle_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_quality_classifier_single_shuffle(spark, sf_dir):
+    """The hashing trick means the 'model' is an expression, not a
+    table: ONE doc-groupBy exchange and no join anywhere."""
+    df = _df("x_quality_classifier_score", spark, sf_dir)
+    assert shuffle_count(df) == 1
+    assert "Join" not in explain_str(df)
+
+
+def test_hll_rolling_state_is_register_sized(spark, sf_dir):
+    """The merge stage must operate on the days×64 register grid,
+    never re-touch raw events per output day: no cartesian/NL-join
+    over the event relation, and partial aggregation on the per-day
+    register build."""
+    plan = explain_str(_df("x_sketch_hll_rolling", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "partial_max" in plan or "HashAggregate" in plan
+
+
+def test_mix_weights_broadcasts_totals(spark, sf_dir):
+    """Both 1-row totals must broadcast back onto the |sources|-row
+    relation — no shuffle beyond the single source groupBy chain."""
+    plan = explain_str(_df("x_mix_sample_weights", spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
