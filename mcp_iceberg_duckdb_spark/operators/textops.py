@@ -1905,17 +1905,23 @@ def x_sketch_hll_rolling(spark, sf_dir):
         F.col("ts").cast("date").alias("day"),
         F.col("user_id").alias("k"),
     ).distinct()
-    days = du.select("day").distinct()
+    day_regs = hll_day_registers(du)
+    return hll_rolling_from_registers(spark, day_regs, du)
+
+
+def hll_rho_cols(key):
+    """(idx, rho) register coordinates for a key column — the shared
+    md5-hex6 HLL hash both engines compute identically (x_sketch_hll
+    discipline)."""
     v = F.conv(
         F.substring(
-            F.md5(F.concat(F.lit("hll:"), F.col("k").cast("string"))), 1, 6
+            F.md5(F.concat(F.lit("hll:"), key.cast("string"))), 1, 6
         ),
         16,
         10,
     ).cast("bigint")
-    rhos = du.select(
-        "day",
-        (v / F.lit(1 << _HLL_LOWBITS)).cast("bigint").alias("idx"),
+    idx = (v / F.lit(1 << _HLL_LOWBITS)).cast("bigint").alias("idx")
+    rho = (
         F.when(
             v.bitwiseAND(F.lit(_HLL_LOWMASK)) == 0, F.lit(_HLL_LOWBITS + 1)
         )
@@ -1923,9 +1929,32 @@ def x_sketch_hll_rolling(spark, sf_dir):
             F.lit(_HLL_LOWBITS + 1)
             - F.length(F.bin(v.bitwiseAND(F.lit(_HLL_LOWMASK))))
         )
-        .alias("rho"),
+        .alias("rho")
     )
-    day_regs = rhos.groupBy("day", "idx").agg(F.max("rho").alias("m"))
+    return idx, rho
+
+
+def hll_day_registers(du):
+    """Per-day HLL register table (day, idx, m) from the deduped
+    (day, k) relation — 64 int64s per day, ALL the long-term state a
+    production rolling rollup stores. Mergeable by max: across
+    partitions (the groupBy's partial max), across days (the rolling
+    merge), and across micro-batches (the streaming twin)."""
+    idx, rho = hll_rho_cols(F.col("k"))
+    return (
+        du.select("day", idx, rho)
+        .groupBy("day", "idx")
+        .agg(F.max("rho").alias("m"))
+    )
+
+
+def hll_rolling_from_registers(spark, day_regs, du):
+    """Read-time half of the rolling-HLL pair: merge each trailing
+    7-day register window by max over the days×64 grid and estimate;
+    the exact trailing distinct (from du) rides along for the ±25%
+    audit. Shared by the batch operator and the streaming-twin test
+    (stream maintains day_regs online; the finalize is identical)."""
+    days = du.select("day").distinct()
     idx_grid = spark.range(_HLL_M).select(
         F.col("id").cast("bigint").alias("idx")
     )

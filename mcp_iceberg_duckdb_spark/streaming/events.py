@@ -2332,6 +2332,28 @@ def mix_drift_finalize(
     )
 
 
+def stream_hll_day_registers(events: DataFrame) -> DataFrame:
+    """Streaming half of the rolling-HLL pair (x_sketch_hll_rolling):
+    maintain the per-day 64-register sketches online. The register is
+    a MAX — associative and idempotent — so the streaming aggregation
+    state IS the stored artifact (64 int64s per open day; closed days
+    are watermark-evictable), and re-delivered events cannot corrupt
+    it. The rolling estimate itself is read-time:
+    operators.textops.hll_rolling_from_registers merges the trailing
+    window by the same max, identically over batch- or
+    stream-maintained registers (tests/test_streaming.py pins
+    bit-equality of the final rolled output)."""
+    from mcp_iceberg_duckdb_spark.operators.textops import hll_rho_cols
+
+    idx, rho = hll_rho_cols(F.col("user_id"))
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .select(F.col("ts").cast("date").alias("day"), idx, rho)
+        .groupBy("day", "idx")
+        .agg(F.max("rho").alias("m"))
+    )
+
+
 def stream_mix_drift_daily_counts(events: DataFrame) -> DataFrame:
     """Streaming half of the s_mix_drift twin: watermarked tumbling
     1-day (day, event_type) counts — a MERGEABLE counter aggregation,

@@ -159,20 +159,35 @@ def test_salt_spreads_fully_duplicated_rows(spark_mod):
 
 def test_driver_order_contract():
     """The driver samples the FIRST 50 registered queries: previously
-    red first, then never-checked oracle-backed (family round-robin),
-    then never-checked rows-only, then the already-green tail. Every
-    never-driver-checked query must outrank every already-green one —
-    re-verifying known-green rows wastes the round's entire sample
-    budget (VERDICT.md round-2, "What's wrong" item 1)."""
+    red first, then the EXPLICITLY PINNED round-6 sample (the 10
+    round-5-late never-checked queries + the 40 oldest-verified stale
+    greens — VERDICT.md round-5 items 1 and 4; pinning means round-6
+    registrations queue at slot 51+ and cannot displace the sample),
+    then never-checked oracle-backed (family round-robin), then
+    never-checked rows-only, then the remaining already-green tail
+    oldest-verified-first."""
     from mcp_iceberg_duckdb_spark import registry
 
     registry.load_all()
     order = registry.driver_order()
     assert set(order) == set(registry.QUERIES), "ordering must be a permutation"
-    assert order[: len(registry._DRIVER_RED)] == list(registry._DRIVER_RED)
-    greens = [n for n in order if n in registry._DRIVER_GREEN]
-    assert order[-len(greens):] == greens, "green tail must come last"
-    never = order[: len(order) - len(greens)]
+    n_red = len([n for n in registry._DRIVER_RED if n in registry.QUERIES])
+    assert order[:n_red] == [
+        n for n in registry._DRIVER_RED if n in registry.QUERIES
+    ]
+    pin = [
+        n
+        for n in registry._DRIVER_PIN_R6
+        if n in registry.QUERIES and n not in registry._DRIVER_RED
+    ]
+    assert order[n_red : n_red + len(pin)] == pin, (
+        "pinned round-6 sample must immediately follow the red head"
+    )
+    # beyond red+pin the original contract holds on the remainder
+    rest = order[n_red + len(pin) :]
+    greens = [n for n in rest if n in registry._DRIVER_GREEN]
+    assert rest[-len(greens):] == greens, "green tail must come last"
+    never = rest[: len(rest) - len(greens)]
     oracles = {n for n, s in registry.QUERIES.items() if s.oracle is not None}
     n_oracle_backed = sum(n in oracles for n in never)
     # oracle-backed never-checked queries all outrank rows-only ones
@@ -180,6 +195,9 @@ def test_driver_order_contract():
         "rows-only queries must sort behind every oracle-backed "
         "never-checked query"
     )
+    # the pin covers a full driver sample: nothing registered later
+    # can displace an intended member
+    assert n_red + len(pin) >= min(50, len(order))
 
 
 # --- prefix-filtered exact similarity join vs brute force ----------------

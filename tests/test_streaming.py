@@ -527,3 +527,41 @@ def test_stream_mix_drift_match_batch(spark, sf_dir, events_path):
     )
     assert batch
     assert streamed == batch
+
+
+def test_stream_hll_registers_match_batch(spark, sf_dir, events_path):
+    """Rolling-HLL twin: registers maintained by the streaming max
+    aggregation, finalized by the SAME read-time merge as the batch
+    operator, must reproduce the batch rolled output bit-for-bit
+    (max is associative + idempotent, so micro-batch order and
+    re-delivery cannot move a register)."""
+    from mcp_iceberg_duckdb_spark.operators.textops import (
+        hll_rolling_from_registers,
+    )
+    from mcp_iceberg_duckdb_spark.registry import QUERIES
+    from mcp_iceberg_duckdb_spark.streaming.events import (
+        stream_hll_day_registers,
+    )
+
+    regs = run_stream_to_memory(
+        spark,
+        stream_hll_day_registers(read_event_stream(spark, events_path)),
+        "t_hll",
+        mode="complete",
+    )
+    regs = spark.createDataFrame(regs.collect(), schema=regs.schema)
+    du = (
+        load(spark, sf_dir, "events")
+        .select(F.col("ts").cast("date").alias("day"), F.col("user_id").alias("k"))
+        .distinct()
+    )
+    streamed = sorted(
+        tuple(r)
+        for r in hll_rolling_from_registers(spark, regs, du).collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in QUERIES["x_sketch_hll_rolling"].builder(spark, sf_dir).collect()
+    )
+    assert batch
+    assert streamed == batch
