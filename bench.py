@@ -227,8 +227,11 @@ def main() -> None:
         families[_family(name)] = round(
             families.get(_family(name), 0.0) + secs, 3
         )
+    # subset runs (SPARK_GRAFT_BENCH_QUERIES) are small — print every
+    # requested query; full runs print the fixed baseline subset
+    printed_names = names if subset else PRINTED_QUERIES
     printed = {
-        n: per_query[n] for n in PRINTED_QUERIES if n in per_query
+        n: per_query[n] for n in printed_names if n in per_query
     }
     while True:
         line = json.dumps(
