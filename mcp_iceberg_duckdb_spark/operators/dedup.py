@@ -634,6 +634,59 @@ def x_dedup_cluster_cc(spark, sf_dir):
     return connected_components(pairs).toDF("doc_id", "cluster_id")
 
 
+@query(
+    "x_dedup_cluster_cc_stars",
+    oracle="""
+    WITH RECURSIVE d AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   range(greatest(len(string_split(text, ' ')) - 2, 1)),
+                   i -> array_to_string(string_split(text, ' ')[i + 1:i + 3], ' ')
+               )) AS sh
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db
+        FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.sh, b.sh)))) * 1e6 + 0.5) / 1e6 >= 0.5
+    ),
+    edges AS (
+        SELECT da AS src, db AS dst FROM pairs
+        UNION
+        SELECT db AS src, da AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+    tags=("dedup", "tierx"),
+)
+def x_dedup_cluster_cc_stars(spark, sf_dir):
+    """x_dedup_cluster_cc's exact twin computed by the ALTERNATING
+    LARGE-STAR/SMALL-STAR algorithm (star_components) instead of the
+    min-label loop — identical pair graph, identical oracle,
+    identical (doc_id, cluster_id) output, different iteration
+    theory: O(log n) rounds on any topology vs diameter rounds.
+    Registering both keeps the two web-scale CC strategies
+    differentially checked against the same transitive-closure
+    oracle AND against each other (tests/test_tierx.py)."""
+    from mcp_iceberg_duckdb_spark.functions.simjoin import exact_jaccard_pairs
+
+    d = t(spark, sf_dir).documents
+    docs = parallelize(
+        d.select("doc_id", "source", word_shingles("text", 3).alias("sh"))
+    )
+    pairs = exact_jaccard_pairs(
+        docs, 1, 2, block_cols=("source",), out_sim_col=None
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    return star_components(pairs).toDF("doc_id", "cluster_id")
+
+
 def connected_components(pairs):
     """Min-label propagation over an undirected pair graph
     (src < dst rows in, (node, label) out; label = component min).
@@ -648,8 +701,9 @@ def connected_components(pairs):
     joins deep and the optimizer re-walks the whole chain each
     round. The same loop scales to billion-edge graphs where a
     recursive CTE (the DuckDB oracle's transitive closure, O(n·m)
-    state) cannot — for web-scale graphs swap in the large-star/
-    small-star variant, same loop skeleton."""
+    state) cannot — for web-scale/high-diameter graphs use
+    star_components below (the implemented large-star/small-star
+    variant, O(log n) rounds on any topology)."""
     # persist BEFORE the symmetrize-union: both union branches read
     # pairs, so an unpersisted input runs the (expensive) pair
     # generation twice — at scale that doubles the LSH verify join
@@ -671,7 +725,15 @@ def connected_components(pairs):
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(20):  # ≥ diameter; dup components converge in 2-3
+    # loop TO THE FIXPOINT (sum of labels is a strictly decreasing
+    # int64 until convergence, so termination is guaranteed); a fixed
+    # round cap silently returns wrong labels on any graph whose
+    # diameter exceeds it — caught by the hard-topology property test
+    # (a 60-node path under a 20-round cap). The cap is now a safety
+    # escape that RAISES instead of mislabeling; near-dup components
+    # still converge in 2-3 rounds, and for genuinely high-diameter
+    # graphs star_components (O(log n) rounds) is the right operator.
+    for rounds in range(10_000):
         nmin = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
@@ -691,9 +753,106 @@ def connected_components(pairs):
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            "connected_components did not converge in 10000 rounds"
+        )
     edges.unpersist()
     pairs.unpersist()
     return labels.select("node", "label")
+
+
+def star_components(pairs, max_rounds: int = 30):
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    (Kiveris-Lattanzi-Mirrokni-Rastogi-Vassilvitskii, SoCC'14 — the
+    published web-scale CC algorithm). Same contract as
+    connected_components: (src < dst) pair rows in, (node, label)
+    out with label = component min.
+
+    Why it exists beside the min-label loop: min-label converges in
+    DIAMETER rounds — fine for near-dup cliques (2-3), fatal for a
+    long-path web graph. Large/small-star halves component height
+    per round (O(log n) rounds on ANY topology) and every round's
+    edge set only shrinks toward the star forest, whereas min-label
+    keeps the full edge relation forever. The price is two
+    groupBy+join passes per round instead of one.
+
+    Round = large-star (every node hangs its LARGER neighbors onto
+    its min neighbor-or-self) then small-star (every node hangs its
+    smaller-or-equal neighborhood onto its min). Edges stay
+    canonical (big, small); each pass is one per-node min groupBy
+    broadcast-joined back — map-side combinable, no driver state but
+    the fixed-point counter.
+
+    Fixed point: the edge set is a star forest with min centers ⇔ no
+    node appears both as a leaf (big side) and a center (small
+    side) — an exact, 1-int64 check (semi-join count), no hashing
+    heuristics. Labels then read directly off the stars."""
+    edges = (
+        pairs.select(
+            F.greatest("src", "dst").alias("big"),
+            F.least("src", "dst").alias("small"),
+        )
+        .where(F.col("big") != F.col("small"))
+        .distinct()
+        .persist()
+    )
+    for _ in range(max_rounds):
+        sym = edges.select(
+            F.col("big").alias("u"), F.col("small").alias("v")
+        ).unionByName(
+            edges.select(
+                F.col("small").alias("u"), F.col("big").alias("v")
+            )
+        )
+        # large-star: m(u) = min(N(u) ∪ {u}); emit (v, m) for v > u
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m")
+        )
+        ls = (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("big"), F.col("m").alias("small"))
+            .where(F.col("big") != F.col("small"))
+        )
+        # small-star over the large-star output: m(u) = min(N⁻(u) ∪
+        # {u}); emit (v, m) for v ∈ N⁻(u) ∪ {u}, v ≠ m. On canonical
+        # (big, small) rows, N⁻(u) IS the small side grouped by big.
+        smins = ls.groupBy("big").agg(F.min("small").alias("m"))
+        ss = (
+            ls.join(smins, "big")
+            .select(F.col("small").alias("big"), F.col("m").alias("small"))
+            .unionByName(
+                smins.select(
+                    F.col("big"), F.col("m").alias("small")
+                )
+            )
+            .where(F.col("big") != F.col("small"))
+            .distinct()
+            .localCheckpoint()  # truncate per-round lineage
+        )
+        old = edges
+        edges = ss.persist()
+        old.unpersist()
+        # star-forest fixed point: leaves (big) and centers (small)
+        # are disjoint node sets
+        chained = (
+            edges.select(F.col("small").alias("n"))
+            .join(edges.select(F.col("big").alias("n")), "n", "leftsemi")
+            .count()
+        )
+        if chained == 0:
+            break
+    labels = (
+        edges.select(F.col("big").alias("node"), F.col("small").alias("label"))
+        .unionByName(
+            edges.select(
+                F.col("small").alias("node"), F.col("small").alias("label")
+            )
+        )
+        .distinct()
+    )
+    return labels
 
 
 def cluster_cc_lsh(spark, sf_dir):

@@ -516,3 +516,67 @@ def test_join_blowup_histogram_product_is_exact(left, right):
     est = sum(c * cr.get(k, 0) for k, c in cl.items())
     actual = sum(1 for x in left for y in right if x == y)
     assert est == actual
+
+
+def test_star_components_equals_minlabel_on_hard_topologies(spark_mod):
+    """large-star/small-star CC must agree with the min-label loop
+    AND a driver-side union-find on topologies that stress each:
+    a long path (diameter >> log n — min-label's worst case), a
+    star, a dense random graph, and a multi-component mix with
+    shuffled ids (seeded — deterministic)."""
+    import random
+
+    from mcp_iceberg_duckdb_spark.operators.dedup import (
+        connected_components,
+        star_components,
+    )
+
+    rng = random.Random(7)
+
+    def uf_labels(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    cases = {
+        "path": [(i, i + 1) for i in range(60)],
+        "star": [(0, i) for i in range(1, 40)],
+        "dense": [
+            tuple(sorted(rng.sample(range(80), 2))) for _ in range(300)
+        ],
+        "mix": (
+            [(i, i + 1) for i in range(0, 20)]
+            + [(100 + i, 100 + i + 1) for i in range(0, 15)]
+            + [(200, 201), (300, 301), (301, 302)]
+        ),
+    }
+    for name, raw in cases.items():
+        edges = sorted({(min(a, b), max(a, b)) for a, b in raw if a != b})
+        # shuffle ids so component minima are not positional artifacts
+        ids = sorted({n for e in edges for n in e})
+        perm = dict(zip(ids, rng.sample(range(10_000), len(ids))))
+        edges = [(perm[a], perm[b]) for a, b in edges]
+        df = spark_mod.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in edges],
+            schema="src bigint, dst bigint",
+        )
+        want = uf_labels(edges)
+        got_stars = {
+            r.node: r.label for r in star_components(df).collect()
+        }
+        got_minlabel = {
+            r.node: r.label for r in connected_components(df).collect()
+        }
+        assert got_stars == want, f"{name}: stars != union-find"
+        assert got_minlabel == want, f"{name}: min-label != union-find"
