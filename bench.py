@@ -104,6 +104,9 @@ BENCH_QUERIES = [
     "x_sketch_hll_rolling",
     "x_quality_classifier_score",
     "x_mix_sample_weights",
+    "x_corpus_snapshot_diff",
+    "s_agg_delta_merge",
+    "x_text_char_entropy",
 ]
 
 # Baseline-comparable subset printed per-query on the final stdout

@@ -1491,3 +1491,92 @@ def x_mix_sample_weights(spark, sf_dir):
             F.expr("(tw * fmax) div t").alias("expected_mass"),
         )
     )
+
+
+# ---- corpus snapshot diff (daily-refresh version delta) ----
+
+_DIFF_ORACLE = """
+    WITH old AS (
+        SELECT doc_id, md5(text) AS h FROM documents
+    ),
+    new_kept AS (
+        SELECT doc_id,
+               CASE WHEN substr(md5(concat('chg:', CAST(doc_id AS VARCHAR))), 1, 1) < '2'
+                    THEN md5(concat(text, ' v2')) ELSE md5(text) END AS h
+        FROM documents
+        WHERE substr(md5(concat('del:', CAST(doc_id AS VARCHAR))), 1, 1) >= '2'
+    ),
+    new_added AS (
+        SELECT doc_id + 1000000 AS doc_id, md5(concat('new:', text)) AS h
+        FROM documents
+        WHERE substr(md5(concat('add:', CAST(doc_id AS VARCHAR))), 1, 1) < '2'
+    ),
+    new AS (SELECT * FROM new_kept UNION ALL SELECT * FROM new_added),
+    d AS (
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.h <> n.h THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM old o FULL OUTER JOIN new n ON n.doc_id = o.doc_id
+    )
+    SELECT doc_id, status FROM d WHERE status <> 'unchanged'
+"""
+
+
+@query(
+    "x_corpus_snapshot_diff",
+    oracle=_DIFF_ORACLE,
+    tags=("pipeline", "tierx"),
+)
+def x_corpus_snapshot_diff(spark, sf_dir):
+    """Corpus version diff — the daily-crawl-refresh primitive: which
+    docs were added / removed / changed between snapshot N and N+1
+    (feeds incremental dedup, embedding refresh, and index
+    invalidation, so only the delta is reprocessed). Snapshot N+1 is
+    planted deterministically from the fixture (md5-selected ~12.5%
+    drops, ~12.5% text edits, ~12.5% additions under new ids), so
+    both engines build the identical pair of snapshots.
+
+    Spark shape: content hash computed AT THE SCAN (one md5 per
+    side — the production shape stores it as a column, making the
+    diff pure metadata), then ONE full-outer hash join on doc_id and
+    a status expression; output only the delta rows. Linear, one
+    shuffle per side. At 100 TB both snapshots are doc_id-bucketed so
+    the join is co-located and shuffle-free."""
+    d = t(spark, sf_dir).documents
+    idstr = F.col("doc_id").cast("string")
+    old = d.select("doc_id", F.md5("text").alias("h"))
+    new_kept = d.where(
+        F.substring(F.md5(F.concat(F.lit("del:"), idstr)), 1, 1) >= "2"
+    ).select(
+        "doc_id",
+        F.when(
+            F.substring(F.md5(F.concat(F.lit("chg:"), idstr)), 1, 1) < "2",
+            F.md5(F.concat(F.col("text"), F.lit(" v2"))),
+        )
+        .otherwise(F.md5("text"))
+        .alias("h"),
+    )
+    new_added = d.where(
+        F.substring(F.md5(F.concat(F.lit("add:"), idstr)), 1, 1) < "2"
+    ).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.md5(F.concat(F.lit("new:"), F.col("text"))).alias("h"),
+    )
+    new = new_kept.unionByName(new_added)
+    o, n = old.alias("o"), new.alias("n")
+    status = (
+        F.when(F.col("o.doc_id").isNull(), "added")
+        .when(F.col("n.doc_id").isNull(), "removed")
+        .when(F.col("o.h") != F.col("n.h"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        o.join(n, F.col("n.doc_id") == F.col("o.doc_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_id"),
+            status.alias("status"),
+        )
+        .where(F.col("status") != "unchanged")
+    )

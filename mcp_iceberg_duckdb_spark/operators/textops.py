@@ -2107,3 +2107,65 @@ def x_quality_classifier_score(spark, sf_dir):
             (F.col("sum_w_milli") > 0).alias("keep"),
         )
     )
+
+
+# ---- character-entropy quality signal ----
+
+_ENT_ORACLE = """
+    WITH ch AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS c
+        FROM documents
+    ),
+    cnt AS (
+        SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(sum(k) AS BIGINT) AS n,
+               CAST(sum(k * CAST(floor(ln(k) * 1e6 + 0.5) AS BIGINT))
+                    AS BIGINT) AS wsum
+        FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id, n AS n_chars,
+           CAST(floor(ln(n) * 1e6 + 0.5) AS BIGINT) - wsum // n
+               AS entropy_micro_nats
+    FROM agg
+"""
+
+
+@query("x_text_char_entropy", oracle=_ENT_ORACLE, tags=("text", "tierx"))
+def x_text_char_entropy(spark, sf_dir):
+    """Per-doc character-level Shannon entropy — the gibberish/binary
+    detector (low entropy = repeated filler, high ≈ ln(alphabet) =
+    random bytes / encoded blobs) used beside length and stopword
+    ratios in quality gates. H = ln(n) − (Σ k·ln k)/n over character
+    counts k, in MICRO-NAT integer units: each ln(k) is quantized to
+    6dp FIRST (the x_graph_adamic_adar libm discipline — quantized
+    before any sum, so float summation order cannot move the
+    result), then the weighted sum and the final division are exact
+    int64 arithmetic in both engines.
+
+    Spark shape: explode to characters (linear fan-out, the same
+    shape as tokenization) → one (doc, char) count groupBy with
+    map-side combine → one doc groupBy. Alphabet is tiny, so the
+    second groupBy input is ≤ |alphabet| rows per doc. No joins."""
+    d = t(spark, sf_dir).documents
+    ch = d.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+    cnt = ch.groupBy("doc_id", "c").agg(F.count("*").alias("k"))
+    lnq = F.floor(F.log(F.col("k").cast("double")) * F.lit(1e6) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("k").cast("bigint").alias("n"),
+        F.sum(F.col("k") * lnq).cast("bigint").alias("wsum"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").alias("n_chars"),
+        (
+            F.floor(F.log(F.col("n").cast("double")) * F.lit(1e6) + F.lit(0.5)).cast(
+                "bigint"
+            )
+            - F.expr("wsum div n")
+        ).alias("entropy_micro_nats"),
+    )

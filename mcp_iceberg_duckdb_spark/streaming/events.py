@@ -2373,3 +2373,137 @@ def stream_mix_drift_daily_counts(events: DataFrame) -> DataFrame:
             "c",
         )
     )
+
+
+# ---- incremental aggregate maintenance (delta merge == recompute) ----
+
+_ADM_ORACLE = """
+    WITH cut AS (
+        SELECT max(ts) - INTERVAL 7 DAY AS c FROM events
+    ),
+    q AS (
+        SELECT user_id, ts,
+               CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq
+        FROM events
+    ),
+    state AS (
+        SELECT user_id, count(*) AS n, CAST(sum(vq) AS BIGINT) AS s,
+               min(ts) AS f, max(ts) AS l
+        FROM q, cut WHERE ts < cut.c GROUP BY user_id
+    ),
+    delta AS (
+        SELECT user_id, count(*) AS n, CAST(sum(vq) AS BIGINT) AS s,
+               min(ts) AS f, max(ts) AS l
+        FROM q, cut WHERE ts >= cut.c GROUP BY user_id
+    ),
+    merged AS (
+        SELECT coalesce(st.user_id, d.user_id) AS user_id,
+               coalesce(st.n, 0) + coalesce(d.n, 0) AS n_events,
+               coalesce(st.s, 0) + coalesce(d.s, 0) AS sum_vq,
+               least(coalesce(st.f, d.f), coalesce(d.f, st.f)) AS first_ts,
+               greatest(coalesce(st.l, d.l), coalesce(d.l, st.l)) AS last_ts
+        FROM state st FULL OUTER JOIN delta d ON d.user_id = st.user_id
+    ),
+    full_recompute AS (
+        SELECT user_id, count(*) AS n_events, CAST(sum(vq) AS BIGINT)
+                   AS sum_vq, min(ts) AS first_ts, max(ts) AS last_ts
+        FROM q GROUP BY user_id
+    )
+    SELECT m.user_id, m.n_events, m.sum_vq, m.first_ts, m.last_ts,
+           m.n_events = r.n_events AND m.sum_vq = r.sum_vq
+           AND m.first_ts = r.first_ts AND m.last_ts = r.last_ts
+               AS merge_matches_recompute
+    FROM merged m JOIN full_recompute r ON r.user_id = m.user_id
+"""
+
+
+@query(
+    "s_agg_delta_merge",
+    oracle=_ADM_ORACLE,
+    tags=("streaming", "tierx"),
+)
+def s_agg_delta_merge(spark, sf_dir):
+    """Incremental aggregate maintenance — the materialized-view
+    delta-merge every warehouse rollup runs nightly: per-user
+    (count, sum, min, max) state computed over history, a new batch
+    (here: the last 7 days, split at a data-derived cutoff) aggregated
+    alone, and the two MERGED by the aggregates' combine functions
+    (+, +, least, greatest) instead of recomputing from scratch. The
+    contract computes BOTH routes and pins their equality per user —
+    the algebraic property (these aggregates are commutative monoids)
+    that makes incremental maintenance sound at all. AVG/stddev merge
+    the same way via (n, Σ, Σ²) carriers; exact DISTINCT does NOT
+    (only sketches like HLL merge — x_sketch_hll_rolling).
+
+    Spark shape: two filtered groupBys + ONE full-outer key join for
+    the merge + the recompute groupBy for the contract; production
+    runs only state ⟕ delta — the delta side is days, the state side
+    is bucketed storage, so the join co-locates. All-int64 micro
+    quantization."""
+    e = t(spark, sf_dir).events
+    cut = e.agg(
+        (F.max("ts") - F.expr("INTERVAL 7 DAY")).alias("c")
+    )
+    q = e.crossJoin(F.broadcast(cut)).select(
+        "user_id",
+        "ts",
+        "c",
+        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint")
+        .alias("vq"),
+    )
+
+    def agg_side(pred):
+        return (
+            q.where(pred)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("vq").cast("bigint").alias("s"),
+                F.min("ts").alias("f"),
+                F.max("ts").alias("l"),
+            )
+        )
+
+    state = agg_side(F.col("ts") < F.col("c")).alias("st")
+    delta = agg_side(F.col("ts") >= F.col("c")).alias("d")
+    merged = state.join(
+        delta, F.col("d.user_id") == F.col("st.user_id"), "full_outer"
+    ).select(
+        F.coalesce(F.col("st.user_id"), F.col("d.user_id")).alias("user_id"),
+        (
+            F.coalesce(F.col("st.n"), F.lit(0))
+            + F.coalesce(F.col("d.n"), F.lit(0))
+        ).alias("n_events"),
+        (
+            F.coalesce(F.col("st.s"), F.lit(0))
+            + F.coalesce(F.col("d.s"), F.lit(0))
+        ).alias("sum_vq"),
+        F.least(
+            F.coalesce(F.col("st.f"), F.col("d.f")),
+            F.coalesce(F.col("d.f"), F.col("st.f")),
+        ).alias("first_ts"),
+        F.greatest(
+            F.coalesce(F.col("st.l"), F.col("d.l")),
+            F.coalesce(F.col("d.l"), F.col("st.l")),
+        ).alias("last_ts"),
+    )
+    recompute = q.groupBy("user_id").agg(
+        F.count("*").alias("rn"),
+        F.sum("vq").cast("bigint").alias("rs"),
+        F.min("ts").alias("rf"),
+        F.max("ts").alias("rl"),
+    )
+    return merged.join(recompute, "user_id").select(
+        "user_id",
+        "n_events",
+        "sum_vq",
+        "first_ts",
+        "last_ts",
+        (
+            (F.col("n_events") == F.col("rn"))
+            & (F.col("sum_vq") == F.col("rs"))
+            & (F.col("first_ts") == F.col("rf"))
+            & (F.col("last_ts") == F.col("rl"))
+        ).alias("merge_matches_recompute"),
+    )

@@ -54,6 +54,9 @@ NEW_OPS = (
     "x_sketch_hll_rolling",
     "x_quality_classifier_score",
     "x_mix_sample_weights",
+    "x_corpus_snapshot_diff",
+    "s_agg_delta_merge",
+    "x_text_char_entropy",
 )
 
 
@@ -715,3 +718,44 @@ def test_mix_weights_form_a_valid_downsampling_plan(spark, sf_dir):
         assert abs(r.expected_mass * 1_000_000 - r.target_ppm * f_tot) <= (
             1_000_000 + f_tot
         )
+
+
+def test_snapshot_diff_classes_are_consistent(spark, sf_dir):
+    """Every delta row is added/removed/changed; added ids live in
+    the planted new-id space; a doc cannot be both added and removed;
+    all three classes are present at fixture scale (~12.5% rates)."""
+    rows = _df("x_corpus_snapshot_diff", spark, sf_dir).collect()
+    assert rows
+    by = {}
+    for r in rows:
+        by.setdefault(r.status, set()).add(r.doc_id)
+    assert set(by) == {"added", "removed", "changed"}
+    assert all(i >= 1_000_000 for i in by["added"])
+    assert not (by["removed"] & by["changed"])
+
+
+def test_agg_delta_merge_equals_recompute(spark, sf_dir):
+    """The operator's own contract column must be TRUE for every
+    user, and the merged counts must account for every event."""
+    rows = _df("s_agg_delta_merge", spark, sf_dir).collect()
+    assert rows
+    assert all(r.merge_matches_recompute for r in rows)
+    from mcp_iceberg_duckdb_spark.operators._util import t
+
+    total = t(spark, sf_dir).events.count()
+    assert sum(r.n_events for r in rows) == total
+    for r in rows:
+        assert r.first_ts <= r.last_ts
+
+
+def test_char_entropy_bounds(spark, sf_dir):
+    """0 <= H <= ln(n) (+1 µnat rounding slack), and docs exist on
+    both sides of the mid-entropy line (the signal separates)."""
+    import math
+
+    rows = _df("x_text_char_entropy", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1 <= r.entropy_micro_nats <= math.log(r.n_chars) * 1e6 + 1
+    hs = sorted(r.entropy_micro_nats for r in rows)
+    assert hs[0] < hs[-1], "entropy must vary across docs"
