@@ -1520,6 +1520,17 @@ def s_cdc_upsert_apply(spark, sf_dir):
     chg = latest(q.where(F.col("ts") >= cut)).withColumnsRenamed(
         {"user_id": "c_user", "vq": "c_vq"}
     )
+    return cdc_apply(base, chg)
+
+
+def cdc_apply(base, chg):
+    """Shared MERGE-apply half of the CDC pair: ONE full-outer key
+    join of (b_user, b_vq) base state against (c_user, c_vq) latest
+    changes, upsert-wins-latest + tombstone-delete. Identical over a
+    batch-derived change relation (s_cdc_upsert_apply) or the final
+    table of stream_cdc_latest_state (tests/test_streaming.py pins
+    bit-equality) — the apply is pure relational algebra; only WHO
+    maintains the latest-change state differs."""
     return (
         base.join(chg, base.b_user == chg.c_user, "full_outer")
         .where(
@@ -1532,6 +1543,59 @@ def s_cdc_upsert_apply(spark, sf_dir):
             .otherwise(F.lit("base"))
             .alias("src"),
         )
+    )
+
+
+def stream_cdc_latest_state(events: DataFrame) -> DataFrame:
+    """Streaming half of the CDC pair: maintain the latest change per
+    key online — the materializer Iceberg/Delta MoR MERGE pipelines
+    run between snapshots. Per-user state is THREE int64s (latest
+    event-time µs, event id, micro-quantized value); latest-wins is
+    the total (ts, event_id) order, so replays and out-of-order
+    micro-batches converge to the same state (idempotent compare-
+    and-swap — the streaming property MERGE needs). Emits the state
+    per micro-batch in append mode; the MERGE apply against a base
+    snapshot is the shared cdc_apply at read time."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = "user_id long, ts_us long, event_id long, vq long"
+    state_schema = "ts_us long, event_id long, vq long"
+
+    def update(key, pdfs, state: GroupState):
+        import math as _math
+
+        import pandas as pd
+
+        if state.exists:
+            ts_us, eid, vq = state.get
+        else:
+            ts_us, eid, vq = -1, -1, 0
+        chunks = [pdf for pdf in pdfs]
+        batch = pd.concat(chunks) if chunks else pd.DataFrame()
+        if len(batch):
+            for ts, e_id, v in zip(
+                batch["ts"], batch["event_id"], batch["value"]
+            ):
+                t_us = int(pd.Timestamp(ts).value // 1000)
+                if (t_us, int(e_id)) > (ts_us, eid):
+                    ts_us, eid = t_us, int(e_id)
+                    vq = _math.floor(float(v) * 1e6 + 0.5)
+            state.update((ts_us, eid, vq))
+            yield pd.DataFrame(
+                [(int(key[0]), ts_us, eid, vq)],
+                columns=["user_id", "ts_us", "event_id", "vq"],
+            )
+
+    chg = events.where(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") >= F.expr(_CDC_CUT))
+    )
+    return chg.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

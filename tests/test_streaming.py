@@ -565,3 +565,61 @@ def test_stream_hll_registers_match_batch(spark, sf_dir, events_path):
     )
     assert batch
     assert streamed == batch
+
+
+def test_stream_cdc_apply_match_batch(spark, sf_dir, events_path):
+    """CDC twin: the streamed latest-change state (3-int64 CAS per
+    key), applied against the batch base snapshot via the SHARED
+    cdc_apply, must reproduce the batch MERGE result bit-for-bit
+    (latest-wins is the total (ts, event_id) order on both paths)."""
+    from pyspark.sql import Window
+
+    from mcp_iceberg_duckdb_spark.registry import QUERIES
+    from mcp_iceberg_duckdb_spark.streaming.events import (
+        _CDC_CUT,
+        cdc_apply,
+        stream_cdc_latest_state,
+    )
+
+    out = run_stream_to_memory(
+        spark,
+        stream_cdc_latest_state(read_event_stream(spark, events_path)),
+        "t_cdc",
+        mode="append",
+    )
+    latest = {}
+    for r in out.collect():
+        cur = latest.get(r.user_id)
+        if cur is None or (r.ts_us, r.event_id) > cur[:2]:
+            latest[r.user_id] = (r.ts_us, r.event_id, r.vq)
+    chg = spark.createDataFrame(
+        [(u, vq) for u, (_, _, vq) in latest.items()],
+        schema="c_user long, c_vq long",
+    )
+    e = load(spark, sf_dir, "events")
+    q = e.where(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") < F.expr(_CDC_CUT))
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint")
+        .alias("vq"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    base = (
+        q.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("user_id").alias("b_user"), F.col("vq").alias("b_vq"))
+    )
+    streamed = sorted(tuple(r) for r in cdc_apply(base, chg).collect())
+    batch = sorted(
+        tuple(r)
+        for r in QUERIES["s_cdc_upsert_apply"].builder(spark, sf_dir).collect()
+    )
+    assert batch
+    assert streamed == batch
