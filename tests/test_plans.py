@@ -520,3 +520,49 @@ def test_mix_weights_broadcasts_totals(spark, sf_dir):
     relation — no shuffle beyond the single source groupBy chain."""
     plan = explain_str(_df("x_mix_sample_weights", spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# Queries whose plans legitimately contain a BroadcastNestedLoopJoin:
+# every entry is either the crossJoin-of-a-broadcast-1-row/k-row
+# AGGREGATE pattern (corpus totals, thresholds, centroid tables —
+# bounded build sides by construction), the deliberate CROSS JOIN
+# surface op (j_cross), or the non-equi band join whose bucketized
+# equi-key variant is the documented scale path (j_range_band).
+# A NEW query acquiring a BNLJ must be consciously added here —
+# an accidental one (e.g. a dropped join condition) fails the audit.
+_BNLJ_ALLOWED = {
+    "x_market_basket_lift", "x_skyline_pareto", "x_dedup_minhash_lsh",
+    "x_dedup_minhash_mllib", "x_dedup_simhash", "x_dedup_embedding_cosine",
+    "x_dedup_cluster_report", "x_diag_key_skew", "x_diag_join_blowup",
+    "x_graph_kcore", "j_cross", "x_semdedup", "x_text_tfidf_topk",
+    "x_text_vocab_coverage", "x_text_length_filter",
+    "x_text_unigram_logprob", "x_dsir_importance",
+    "x_quality_stratified_sample", "x_text_bigram_logprob",
+    "x_source_kl_divergence", "x_semdedup_hier_assign",
+    "x_mix_sample_weights", "a_approx_count_distinct", "p_sample",
+    "x_text_bm25_topk", "x_ann_cosine_topk", "x_ann_ivf_topk",
+    "x_ann_lsh_topk", "x_embed_centroid_assign", "x_embed_kmeans",
+    "x_embed_quantize_int8", "x_embed_pq_encode", "x_ann_pq_adc_topk",
+    "x_ann_pq_rerank_topk", "x_ann_ivfpq_topk", "j_range_band",
+    "x_text_pmi_bigrams", "x_sketch_hll", "x_sketch_hll_rolling",
+    "s_funnel_latency", "s_rolling_active_users", "s_user_rfm",
+    "s_trending_decay", "s_mix_drift", "s_agg_delta_merge",
+}
+
+
+def test_global_plan_hygiene_no_cartesian_no_accidental_bnlj(spark, sf_dir):
+    """Whole-registry plan audit: NO query may plan a
+    CartesianProduct, and a BroadcastNestedLoopJoin may appear only
+    in the frozen allowlist above. This turns the 'every crossJoin is
+    a broadcast of a tiny aggregate' review claim into a test: the
+    classic silent scale-killer (a join that lost its equi-condition
+    and quietly planned as a product over the corpus) cannot land."""
+    cart, rogue = [], []
+    for name, spec in registry.QUERIES.items():
+        plan = explain_str(spec.builder(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            cart.append(name)
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
+            rogue.append(name)
+    assert not cart, f"cartesian products: {cart}"
+    assert not rogue, f"unreviewed BroadcastNestedLoopJoin in: {rogue}"
