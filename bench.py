@@ -168,6 +168,64 @@ def main() -> None:
         wanted = [s.strip() for s in subset.split(",") if s.strip()]
         names = [n for n in wanted if n in registry.QUERIES]
 
+    # Throughput mode (TPC-H-style): SPARK_GRAFT_BENCH_STREAMS=N runs
+    # the selected queries as N concurrent client streams (threads
+    # sharing the session; Spark's scheduler multiplexes their stages
+    # across the cores). Reports ONE wall-clock for the whole batch —
+    # compare against the serial run's total to see multiplexing gain.
+    # Queries are warmed serially first so codegen/file-listing costs
+    # don't pollute the concurrency measurement.
+    streams = int(os.environ.get("SPARK_GRAFT_BENCH_STREAMS", "0"))
+    if streams > 1:
+        import threading
+
+        for name in names:
+            builder_for(name)(spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        lanes = [names[i::streams] for i in range(streams)]
+        per_stream = [0.0] * streams
+
+        def run_lane(i):
+            t0 = time.perf_counter()
+            for name in lanes[i]:
+                builder_for(name)(spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            per_stream[i] = round(time.perf_counter() - t0, 3)
+
+        start = time.perf_counter()
+        threads = [
+            threading.Thread(target=run_lane, args=(i,))
+            for i in range(streams)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        wall = round(time.perf_counter() - start, 3)
+        sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+        print(
+            json.dumps(
+                {
+                    "metric": "bench_throughput_wall",
+                    "value": wall,
+                    "unit": "sec",
+                    "streams": streams,
+                    "n_queries": len(names),
+                    "per_stream": per_stream,
+                    "sf": float(sf)
+                    if sf.replace(".", "").isdigit()
+                    else sf,
+                    "methodology": METHODOLOGY + "-throughput",
+                },
+                separators=(",", ":"),
+            )
+        )
+        return
+
     # Per-query warm-then-time: each query warms immediately before
     # its own timed run (whole-stage-codegen/JIT are per-plan-shape
     # costs that would otherwise dominate a single cold run — q1
