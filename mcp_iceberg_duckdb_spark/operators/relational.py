@@ -1094,3 +1094,46 @@ def o_intersect_all(spark, sf_dir):
         F.col("o_custkey").alias("key")
     )
     return a.intersectAll(b)
+
+
+@query(
+    "a_mode_deterministic",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderpriority AS grp, o_orderstatus AS v,
+               count(*) AS n
+        FROM orders GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT grp, v, n,
+               row_number() OVER (PARTITION BY grp
+                                  ORDER BY n DESC, v) AS rk
+        FROM c
+    )
+    SELECT grp, v AS mode_value, n AS mode_count FROM r WHERE rk = 1
+    """,
+    tags=("agg",),
+)
+def a_mode_deterministic(spark, sf_dir):
+    """Deterministic MODE per group. Engine-native mode() is a parity
+    trap: on ties both Spark's and DuckDB's mode pick an
+    implementation-defined (often arrival-order) winner, which a
+    distributed engine cannot reproduce across partitionings — so the
+    idiom here is the explicit (count desc, value) total order: one
+    (grp, v) count groupBy + a rank-limited window. WindowGroupLimit
+    keeps one row per group pre-exchange; the count relation is
+    |distinct (grp, v)| rows regardless of input volume — the same
+    argmax discipline as the quantized-argmax ops (VERDICT r4)."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir).orders
+    c = o.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_orderstatus").alias("v"),
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("grp").orderBy(F.col("n").desc(), "v")
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("grp", F.col("v").alias("mode_value"), F.col("n").alias("mode_count"))
+    )

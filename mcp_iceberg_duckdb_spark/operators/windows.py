@@ -241,3 +241,41 @@ def w_cume_percent(spark, sf_dir):
         rn(F.percent_rank().over(w), 6).alias("pr"),
         rn(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@query(
+    "w_nth_value_ntile",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           nth_value(l_quantity, 3) OVER
+               (PARTITION BY l_linestatus
+                ORDER BY l_orderkey, l_linenumber
+                ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING) AS third_qty,
+           ntile(4) OVER (PARTITION BY l_linestatus
+                          ORDER BY l_orderkey, l_linenumber) AS quartile
+    FROM lineitem
+    """,
+    tags=("window",),
+)
+def w_nth_value_ntile(spark, sf_dir):
+    """W-family completeness: nth_value over the FULL frame (the
+    default running frame would make row k's answer depend on k —
+    the explicit unbounded frame is the deterministic form) and
+    ntile quartiles, both over the total (l_orderkey, l_linenumber)
+    order so bucket boundaries and the third row are engine-
+    independent. One partition spec shared by both functions — one
+    exchange + one sort."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir).lineitem
+    w = Window.partitionBy("l_linestatus").orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.nth_value("l_quantity", 3).over(wf).alias("third_qty"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
