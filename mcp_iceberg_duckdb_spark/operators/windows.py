@@ -249,11 +249,12 @@ def w_cume_percent(spark, sf_dir):
     SELECT l_orderkey, l_linenumber,
            nth_value(l_quantity, 3) OVER
                (PARTITION BY l_linestatus
-                ORDER BY l_orderkey, l_linenumber
+                ORDER BY l_orderkey, l_linenumber, l_quantity
                 ROWS BETWEEN UNBOUNDED PRECEDING
                          AND UNBOUNDED FOLLOWING) AS third_qty,
            ntile(4) OVER (PARTITION BY l_linestatus
-                          ORDER BY l_orderkey, l_linenumber) AS quartile
+                          ORDER BY l_orderkey, l_linenumber, l_quantity)
+               AS quartile
     FROM lineitem
     """,
     tags=("window",),
@@ -262,15 +263,19 @@ def w_nth_value_ntile(spark, sf_dir):
     """W-family completeness: nth_value over the FULL frame (the
     default running frame would make row k's answer depend on k —
     the explicit unbounded frame is the deterministic form) and
-    ntile quartiles, both over the total (l_orderkey, l_linenumber)
-    order so bucket boundaries and the third row are engine-
-    independent. One partition spec shared by both functions — one
-    exchange + one sort."""
+    ntile quartiles. The fixture's (l_orderkey, l_linenumber) is NOT
+    unique (duplicated line rows exist), so the order ends in the
+    measured column l_quantity — the frame-boundary discipline: row
+    POSITIONS of fully-duplicate rows stay interchangeable (multiset-
+    identical output), while any row pair differing in the measured
+    value is totally ordered, making the third row and every bucket
+    boundary engine-independent. One partition spec shared by both
+    functions — one exchange + one sort."""
     from pyspark.sql import Window
 
     li = t(spark, sf_dir).lineitem
     w = Window.partitionBy("l_linestatus").orderBy(
-        "l_orderkey", "l_linenumber"
+        "l_orderkey", "l_linenumber", "l_quantity"
     )
     wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return li.select(
