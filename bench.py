@@ -274,7 +274,11 @@ def main() -> None:
         "sf": sf_val,
         "methodology": METHODOLOGY,
     }
-    local_path = REPO_ROOT / "BENCH_LOCAL.json"
+    # subset runs (SPARK_GRAFT_BENCH_QUERIES) must not clobber the
+    # committed full-suite record — they write a scratch sidecar
+    local_path = REPO_ROOT / (
+        "BENCH_LOCAL_SUBSET.json" if subset else "BENCH_LOCAL.json"
+    )
     local_path.write_text(json.dumps(full, indent=1) + "\n")
 
     # Printed line: suite total, per-family subtotals, and the
@@ -303,7 +307,7 @@ def main() -> None:
                 "queries": printed,
                 "families": families,
                 "n_queries": len(per_query),
-                "full": "BENCH_LOCAL.json",
+                "full": local_path.name,
                 "sf": sf_val,
                 "methodology": METHODOLOGY,
             },
