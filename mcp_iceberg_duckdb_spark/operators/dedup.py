@@ -851,7 +851,12 @@ def star_components(pairs, max_rounds: int = 30):
             )
         )
         .distinct()
+        # eager checkpoint so the cache entry below can be released
+        # before returning (connected_components' hygiene precedent —
+        # callers otherwise accumulate one cached star forest per run)
+        .localCheckpoint()
     )
+    edges.unpersist()
     return labels
 
 
