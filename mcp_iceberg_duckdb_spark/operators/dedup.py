@@ -843,6 +843,14 @@ def star_components(pairs, max_rounds: int = 30):
         )
         if chained == 0:
             break
+    else:
+        # mirror connected_components: NEVER return silently-wrong
+        # labels past the round budget (O(log² n) rounds suffice per
+        # the paper — 30 covers any feasible graph; hitting this
+        # means a bug, not a big input)
+        raise RuntimeError(
+            f"star_components did not converge in {max_rounds} rounds"
+        )
     labels = (
         edges.select(F.col("big").alias("node"), F.col("small").alias("label"))
         .unionByName(
