@@ -139,10 +139,10 @@ def _load_driver_history(
             elif path == latest and name not in red:
                 red.append(name)
     reds = tuple(n for n in red if n not in green or last_green.get(n, 0) < len(files))
-    return frozenset(green) - set(reds), reds, last_green
+    return frozenset(green) - set(reds), reds, last_green, len(files)
 
 
-_DRIVER_GREEN, _DRIVER_RED, _LAST_GREEN = _load_driver_history()
+_DRIVER_GREEN, _DRIVER_RED, _LAST_GREEN, _N_ROUNDS = _load_driver_history()
 # The round-3 driver sample, pinned EXPLICITLY: the 17 unchecked
 # TPC-H flagships the judge flagged (VERDICT round-2 item 2, q2/q20's
 # decimal-share compares called out) followed by the family
@@ -274,7 +274,16 @@ def driver_order() -> list[str]:
     from collections import defaultdict, deque
 
     red = [n for n in _DRIVER_RED if n in QUERIES]
-    pin = [n for n in _DRIVER_PIN_R6 if n in QUERIES and n not in red]
+    # the round-6 pin SELF-EXPIRES once a round-6 correctness file
+    # exists (>5 recorded rounds): by then its members all carry
+    # fresh rows, and keeping them pinned would burn the round-7
+    # sample re-verifying them instead of the round-6-new queries
+    # (which fall to the standard never-checked-first ordering)
+    pin = (
+        [n for n in _DRIVER_PIN_R6 if n in QUERIES and n not in red]
+        if _N_ROUNDS <= 5
+        else []
+    )
     pri = [
         n for n in _DRIVER_PRIORITY
         if n in QUERIES

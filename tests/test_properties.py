@@ -175,11 +175,19 @@ def test_driver_order_contract():
     assert order[:n_red] == [
         n for n in registry._DRIVER_RED if n in registry.QUERIES
     ]
-    pin = [
-        n
-        for n in registry._DRIVER_PIN_R6
-        if n in registry.QUERIES and n not in registry._DRIVER_RED
-    ]
+    # the pin self-expires once the round-6 correctness file exists
+    # (registry._N_ROUNDS > 5) — from then on the standard ordering
+    # puts round-6-new queries first and this degenerates to the
+    # original contract
+    pin = (
+        [
+            n
+            for n in registry._DRIVER_PIN_R6
+            if n in registry.QUERIES and n not in registry._DRIVER_RED
+        ]
+        if registry._N_ROUNDS <= 5
+        else []
+    )
     assert order[n_red : n_red + len(pin)] == pin, (
         "pinned round-6 sample must immediately follow the red head"
     )
@@ -195,9 +203,10 @@ def test_driver_order_contract():
         "rows-only queries must sort behind every oracle-backed "
         "never-checked query"
     )
-    # the pin covers a full driver sample: nothing registered later
-    # can displace an intended member
-    assert n_red + len(pin) >= min(50, len(order))
+    # while active, the pin covers a full driver sample: nothing
+    # registered later can displace an intended member
+    if registry._N_ROUNDS <= 5:
+        assert n_red + len(pin) >= min(50, len(order))
 
 
 # --- prefix-filtered exact similarity join vs brute force ----------------
