@@ -12,8 +12,9 @@ Usage:
     python scripts/oracle_sweep.py [SF_DIR] [CORES]
     # defaults: /root/testdata/sf0.01, 32
 
-Exit code 0 iff every oracle-backed query matches. Round-5 baseline:
-213/213 green in ~220 s at sf0.01 on local[32].
+Exit code 0 iff every oracle-backed query matches. Round-6 baseline:
+236/236 green in ~240 s at sf0.01 on local[32] (and local[4]); typed
+row-multiset compare shared with the test suite (compare.py).
 """
 
 from __future__ import annotations
