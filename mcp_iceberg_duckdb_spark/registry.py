@@ -95,7 +95,7 @@ _DRIVER_GREEN_STATIC = frozenset(
 )
 def _load_driver_history(
     base_dir: str | None = None,
-) -> tuple[frozenset[str], tuple[str, ...], dict[str, int]]:
+) -> tuple[frozenset[str], tuple[str, ...], dict[str, int], int]:
     """Union the static green baseline with every CORRECTNESS_r*.json
     at the repo root. A row is green when it matched (rows + schema,
     and hash unless the check was rows-only) without error; rows that
@@ -105,7 +105,9 @@ def _load_driver_history(
     rotated oldest-verified-first (round-4 VERDICT "Next round" item
     3: 25 queries' newest green row was still round 1 after four
     rounds of engine churn — staleness must self-heal like redness
-    does)."""
+    does). The final element is the number of CORRECTNESS files seen
+    (the round count), which lets sample pins self-expire once the
+    round they target has run."""
     import glob
     import json
     import os
@@ -265,6 +267,24 @@ _DRIVER_PIN_R6: tuple[str, ...] = (
     "o_subquery_correlated_min",
 )
 
+# The 10 round-6-late registrations (VERDICT round-6 "Next round" item
+# 2): every one is green in the judge's own full 236-query sweep but
+# none has a driver correctness row yet. Pin them at the head of the
+# round-7 sample so queries REGISTERED IN round 7 cannot round-robin
+# ahead of them; self-expires once a 7th CORRECTNESS file exists.
+_DRIVER_PIN_R7: tuple[str, ...] = (
+    "x_dedup_cluster_cc_stars",
+    "x_mix_sample_weights",
+    "x_corpus_snapshot_diff",
+    "a_mode_deterministic",
+    "x_sketch_hll_rolling",
+    "x_quality_classifier_score",
+    "x_text_char_entropy",
+    "w_nth_value_ntile",
+    "s_latency_percentiles_approx",
+    "s_agg_delta_merge",
+)
+
 
 def driver_order() -> list[str]:
     """Registration order for the driver contract: previously-failing
@@ -284,6 +304,13 @@ def driver_order() -> list[str]:
         if _N_ROUNDS <= 5
         else []
     )
+    # round-7 pin: same self-expiry mechanism, one round later
+    if _N_ROUNDS == 6:
+        pin += [
+            n
+            for n in _DRIVER_PIN_R7
+            if n in QUERIES and n not in red and n not in pin
+        ]
     pri = [
         n for n in _DRIVER_PRIORITY
         if n in QUERIES

@@ -300,9 +300,10 @@ def test_load_driver_history_parses_rounds(tmp_path):
     (tmp_path / "CORRECTNESS_r02.json").write_text(
         json.dumps({"q_c": g, "q_d": bad_hash, "q_e": rows_only, "q_fixed": g})
     )
-    green, red, last_green = registry._load_driver_history(
+    green, red, last_green, n_rounds = registry._load_driver_history(
         base_dir=str(tmp_path)
     )
+    assert n_rounds == 2
     # unions the static baseline with both rounds' greens
     assert registry._DRIVER_GREEN_STATIC <= green
     assert {"q_a", "q_c", "q_e", "q_fixed"} <= green
@@ -317,14 +318,14 @@ def test_load_driver_history_parses_rounds(tmp_path):
     (tmp_path / "CORRECTNESS_r03.json").write_text(
         json.dumps({"q_a": dict(g, hash_match=False)})
     )
-    green3, red3, _ = registry._load_driver_history(base_dir=str(tmp_path))
+    green3, red3, _, _ = registry._load_driver_history(base_dir=str(tmp_path))
     assert "q_a" in red3 and "q_a" not in green3
     # no files → static baseline, no reds
     empty = tmp_path / "empty"
     empty.mkdir()
-    green0, red0, lg0 = registry._load_driver_history(base_dir=str(empty))
+    green0, red0, lg0, nr0 = registry._load_driver_history(base_dir=str(empty))
     assert green0 == registry._DRIVER_GREEN_STATIC and red0 == ()
-    assert lg0 == {}
+    assert lg0 == {} and nr0 == 0
 
 
 # --- ExactSubstr interval-union formula (x_text_exactsubstr_scrub) -------
