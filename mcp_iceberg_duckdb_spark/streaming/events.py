@@ -2313,6 +2313,82 @@ def s_watermark_lateness(spark, sf_dir):
     )
 
 
+def stream_watermark_lateness(events: DataFrame) -> DataFrame:
+    """True-streaming twin of s_watermark_lateness's per-user scan:
+    the state is ONE int64 per user — the event-time high-water mark
+    (the cheapest state in the twin set; at 100 TB this is exactly
+    the footprint of a production lateness monitor: 8 bytes/key).
+    Each arrival is scored against the PRE-arrival hwm, then advances
+    it; arrivals are replayed in the same planted disorder as the
+    batch op (md5("arr:" + event_id) sort within the micro-batch —
+    the fixture streams as one file = one micro-batch, so the planted
+    order is reproduced exactly; across batches the state logic is
+    order-correct by construction). Emits the per-user DECOMPOSABLE
+    stats (n_events, n_late, max_late_us, n_beyond_10min) — the batch
+    profile minus the non-mergeable p99; the twin test merges the
+    last emissions and pins them bit-for-bit (pure int64 lateness
+    arithmetic on both paths) against the batch op's counts."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = (
+        "user_id long, n_events long, n_late long, max_late_us long,"
+        " n_beyond_10min_watermark long"
+    )
+    state_schema = (
+        "hwm_us long, n long, n_late long, max_late long, n_beyond long"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        if state.exists:
+            hwm_us, n, n_late, max_late, n_beyond = state.get
+        else:
+            hwm_us, n, n_late, max_late, n_beyond = None, 0, 0, 0, 0
+        chunks = [pdf for pdf in pdfs]
+        batch = pd.concat(chunks) if chunks else pd.DataFrame()
+        if len(batch):
+            batch = batch.assign(
+                _arr=[
+                    _hl.md5(f"arr:{int(e)}".encode()).hexdigest()
+                    for e in batch["event_id"]
+                ]
+            ).sort_values(["_arr", "event_id"])
+            for ts, _eid in zip(batch["ts"], batch["event_id"]):
+                ts_us = int(pd.Timestamp(ts).value // 1000)
+                late = max(hwm_us - ts_us, 0) if hwm_us is not None else 0
+                n += 1
+                if late > 0:
+                    n_late += 1
+                if late > max_late:
+                    max_late = late
+                if late > 600_000_000:
+                    n_beyond += 1
+                if hwm_us is None or ts_us > hwm_us:
+                    hwm_us = ts_us
+            state.update((hwm_us, n, n_late, max_late, n_beyond))
+            yield pd.DataFrame(
+                [(int(key[0]), n, n_late, max_late, n_beyond)],
+                columns=[
+                    "user_id",
+                    "n_events",
+                    "n_late",
+                    "max_late_us",
+                    "n_beyond_10min_watermark",
+                ],
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 # ---- event-mix drift (per-day distribution vs corpus baseline) ----
 
 _DRIFT_ORACLE = """

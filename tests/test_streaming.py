@@ -623,3 +623,75 @@ def test_stream_cdc_apply_match_batch(spark, sf_dir, events_path):
     )
     assert batch
     assert streamed == batch
+
+
+def test_stream_watermark_lateness_match_batch(spark, sf_dir, events_path):
+    """Lateness-profiler twin: the per-user hwm state machine, replayed
+    over the finite stream in the planted md5 arrival disorder, must
+    reproduce (a) per user, the batch window's lateness stats, and
+    (b) merged, the batch op's decomposable global fields — both
+    bit-for-bit (pure int64 lateness arithmetic on both paths). The
+    non-mergeable p99 stays batch-only by design."""
+    from pyspark.sql import Window
+
+    from mcp_iceberg_duckdb_spark.registry import QUERIES
+    from mcp_iceberg_duckdb_spark.streaming.events import (
+        stream_watermark_lateness,
+    )
+
+    out = run_stream_to_memory(
+        spark,
+        stream_watermark_lateness(read_event_stream(spark, events_path)),
+        "t_wml",
+        mode="append",
+    )
+    latest = {}
+    for r in out.collect():
+        cur = latest.get(r.user_id)
+        if cur is None or r.n_events > cur[0]:
+            latest[r.user_id] = (
+                r.n_events,
+                r.n_late,
+                r.max_late_us,
+                r.n_beyond_10min_watermark,
+            )
+    # batch per-user recomputation: the SAME planted-arrival window as
+    # the registered op, grouped by user instead of globally
+    e = load(spark, sf_dir, "events")
+    arr_key = F.md5(F.concat(F.lit("arr:"), F.col("event_id").cast("string")))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(arr_key, "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lat = e.select(
+        "user_id",
+        F.greatest(
+            F.unix_micros(F.max("ts").over(w).cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp")),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("late_us"),
+    )
+    batch = {
+        r.user_id: (r.n, r.n_late, r.max_late, r.n_beyond)
+        for r in lat.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_if(F.col("late_us") > 0).alias("n_late"),
+            F.max("late_us").cast("bigint").alias("max_late"),
+            F.count_if(F.col("late_us") > 600_000_000).alias("n_beyond"),
+        )
+        .collect()
+    }
+    assert batch
+    assert latest == batch
+    # merged emissions == the registered op's decomposable fields
+    g = QUERIES["s_watermark_lateness"].builder(spark, sf_dir).collect()[0]
+    assert sum(v[0] for v in latest.values()) == g.n_events
+    assert sum(v[1] for v in latest.values()) == g.n_late
+    assert max(v[2] for v in latest.values()) == g.max_late_us
+    assert (
+        sum(v[3] for v in latest.values()) == g.n_beyond_10min_watermark
+    )
