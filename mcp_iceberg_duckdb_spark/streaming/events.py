@@ -1907,17 +1907,47 @@ _LAT_APPROX_ORACLE = """
         SELECT date_trunc('hour', ts) AS hour_start,
                CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vq
         FROM events WHERE event_type = 'error'
+    ),
+    agg AS (
+        SELECT hour_start,
+               count(*) AS n,
+               floor((quantile_cont(CAST(vq AS DOUBLE), 0.5)) * 1e2 + 0.5)
+                   / 1e2 AS p50_micro,
+               floor((quantile_cont(CAST(vq AS DOUBLE), 0.99)) * 1e2 + 0.5)
+                   / 1e2 AS p99_micro,
+               approx_quantile(CAST(vq AS DOUBLE), 0.5) AS pa50,
+               approx_quantile(CAST(vq AS DOUBLE), 0.9) AS pa90,
+               approx_quantile(CAST(vq AS DOUBLE), 0.99) AS pa99
+        FROM q GROUP BY hour_start
     )
-    SELECT hour_start,
-           count(*) AS n,
-           floor((quantile_cont(CAST(vq AS DOUBLE), 0.5)) * 1e2 + 0.5) / 1e2
-               AS p50_micro,
-           floor((quantile_cont(CAST(vq AS DOUBLE), 0.99)) * 1e2 + 0.5) / 1e2
-               AS p99_micro,
-           TRUE AS p50_within_rank_eps,
-           TRUE AS p90_within_rank_eps,
-           TRUE AS p99_within_rank_eps
-    FROM q GROUP BY hour_start
+    -- DuckDB verifies the SAME rank-sandwich contract against ITS OWN
+    -- sketch (t-digest here, Greenwald-Khanna on the Spark side): each
+    -- engine independently proves its approx percentile lands within
+    -- rank +/-0.02 of the target, so a broken sketch on EITHER side
+    -- flips a flag and fails the hash compare. Integer comparisons
+    -- only (counts*100 vs pct*n) -- no float thresholds.
+    SELECT a.hour_start,
+           a.n,
+           a.p50_micro,
+           a.p99_micro,
+           (sum(CASE WHEN CAST(q.vq AS DOUBLE) < a.pa50 THEN 1 ELSE 0 END)
+                * 100 <= 50 * a.n + greatest(2 * a.n, 100)
+            AND sum(CASE WHEN CAST(q.vq AS DOUBLE) <= a.pa50 THEN 1 ELSE 0 END)
+                * 100 >= 50 * a.n - greatest(2 * a.n, 100))
+               AS p50_within_rank_eps,
+           (sum(CASE WHEN CAST(q.vq AS DOUBLE) < a.pa90 THEN 1 ELSE 0 END)
+                * 100 <= 90 * a.n + greatest(2 * a.n, 100)
+            AND sum(CASE WHEN CAST(q.vq AS DOUBLE) <= a.pa90 THEN 1 ELSE 0 END)
+                * 100 >= 90 * a.n - greatest(2 * a.n, 100))
+               AS p90_within_rank_eps,
+           (sum(CASE WHEN CAST(q.vq AS DOUBLE) < a.pa99 THEN 1 ELSE 0 END)
+                * 100 <= 99 * a.n + greatest(2 * a.n, 100)
+            AND sum(CASE WHEN CAST(q.vq AS DOUBLE) <= a.pa99 THEN 1 ELSE 0 END)
+                * 100 >= 99 * a.n - greatest(2 * a.n, 100))
+               AS p99_within_rank_eps
+    FROM q JOIN agg a USING (hour_start)
+    GROUP BY a.hour_start, a.n, a.p50_micro, a.p99_micro,
+             a.pa50, a.pa90, a.pa99
 """
 
 
@@ -1937,13 +1967,17 @@ def s_latency_percentiles_approx(spark, sf_dir):
 
     Contract columns: the exact p50/p99 (value-checked against the
     oracle) plus one boolean per percentile pinning the sketch value
-    by its RANK: the returned element's rank interval
-    [#(v < pa)/n, #(v ≤ pa)/n] must straddle the target rank ±0.02 —
-    exact at ANY group size (interpolated-value bounds degenerate on
-    tiny hourly groups), 200× looser than the sketch's ≤1e-4 rank
-    guarantee, so only a broken sketch flips a flag, yet decidable
-    on any engine pair. All comparisons are integer (counts·100 vs
-    rank·n) — no float thresholds.
+    by its RANK: the returned value's rank interval
+    [#(v < pa)/n, #(v ≤ pa)/n] must straddle the target rank within
+    ±max(0.02·n, 1 rank) — the one-rank floor because the ORACLE runs
+    the same check against its own t-digest (round-6 ADVICE: both
+    engines now independently verify the bound), and t-digest
+    interpolates between elements, so on a 6-row hour a healthy
+    sketch can sit a fraction of a rank off. Still 200× looser than
+    GK's ≤1e-4 rank guarantee at real group sizes, so only a broken
+    sketch flips a flag, yet decidable on any engine pair. All
+    comparisons are integer (counts·100 vs rank·n + tolerance) — no
+    float thresholds.
 
     Spark shape: one (hour) groupBy computing the sketches + exact
     percentiles, broadcast back onto the event stream (sub-1k rows/
@@ -1969,10 +2003,18 @@ def s_latency_percentiles_approx(spark, sf_dir):
     )
 
     def rank_flag(pa: str, pct: int):
+        # tolerance = max(2% of n, ONE rank): GK returns an element of
+        # the group (the pure 2% band suffices), but the oracle's
+        # t-digest interpolates BETWEEN elements, so on tiny groups
+        # (n=6 → 0.02n = 0.12 ranks) a perfectly healthy sketch can
+        # land a fraction of a rank outside the band. One full rank of
+        # slack keeps the contract decidable at any group size while
+        # still failing any sketch that misses by a whole element.
         lt = F.sum(F.when(v < F.col(pa), 1).otherwise(0))
         le = F.sum(F.when(v <= F.col(pa), 1).otherwise(0))
         n = F.max("n")
-        return (lt * 100 <= (pct + 2) * n) & (le * 100 >= (pct - 2) * n)
+        tol = F.greatest(n * 2, F.lit(100))
+        return (lt * 100 <= pct * n + tol) & (le * 100 >= pct * n - tol)
 
     return (
         q.join(F.broadcast(sketch), "hour_start")
