@@ -1876,11 +1876,15 @@ def s_latency_percentiles(spark, sf_dir):
     integers, so results agree to the shared 2dp rounding.
 
     Spark shape: one (hour) groupBy with three percentile
-    aggregates; per-group state is the group's value list — bounded
-    by events-per-hour. At 100 TB the same query swaps
-    percentile_approx (mergeable sketch, fixed state) for the exact
-    aggregate; the t-digest-style trade-off is the documented knob,
-    as with HLL vs exact distinct (x_sketch_hll)."""
+    aggregates; per-group state is the group's distinct-value count
+    map (~48 B per distinct value). Threshold arithmetic for the
+    knob: a 4 GiB executor at the default 0.6 memory fraction holds
+    ~50 M distinct values in one group — beyond that, flip to
+    s_latency_percentiles_approx (fixed ≤10k-entry GK sketch,
+    mergeable across executors). tests/test_memory_pressure.py
+    plants a 2M-distinct hot hour and proves this exact path
+    completes correctly on a 1 GiB heap while the approx companion
+    stays inside its rank sandwich on the same bucket."""
     e = t(spark, sf_dir).events
     q = e.where(F.col("event_type") == "error").select(
         F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour_start"),
