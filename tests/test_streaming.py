@@ -695,3 +695,47 @@ def test_stream_watermark_lateness_match_batch(spark, sf_dir, events_path):
     assert (
         sum(v[3] for v in latest.values()) == g.n_beyond_10min_watermark
     )
+
+
+def test_stateful_twin_on_rocksdb_state_store(spark, sf_dir, events_path):
+    """The 100 TB state story: HDFS-backed in-memory state store keeps
+    every key's state on the JVM heap; RocksDBStateStoreProvider
+    (bundled rocksdbjni) spills state to local SSD, so streaming state
+    can exceed executor memory. The counter twin must produce the SAME
+    bit-exact batch-matching totals under both providers — state-store
+    choice is an ops knob, never a semantics change."""
+    from mcp_iceberg_duckdb_spark.registry import QUERIES
+    from mcp_iceberg_duckdb_spark.streaming.events import (
+        stream_counter_increase,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = run_stream_to_memory(
+            spark,
+            stream_counter_increase(read_event_stream(spark, events_path)),
+            "t_ctr_rocks",
+            mode="append",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    latest = {}
+    for r in out.collect():
+        cur = latest.get(r.user_id)
+        if cur is None or r.n_samples > cur[0]:
+            latest[r.user_id] = (r.n_samples, r.increase_micro, r.n_resets)
+    batch = {
+        r.user_id: (r.n_samples, r.increase_micro, r.n_resets)
+        for r in QUERIES["s_counter_increase"].builder(spark, sf_dir).collect()
+    }
+    assert batch
+    assert latest == batch
