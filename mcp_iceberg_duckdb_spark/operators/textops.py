@@ -2169,3 +2169,238 @@ def x_text_char_entropy(spark, sf_dir):
             - F.expr("wsum div n")
         ).alias("entropy_micro_nats"),
     )
+
+
+# ---- intra-document repetition filter (Gopher repetition signals) ----
+
+# Gopher (Rae et al. 2021, table A1) drops documents whose duplicate
+# 2-gram fraction > 0.20, duplicate 3-gram fraction > 0.18, or
+# top-2-gram fraction > 0.08 — token-fraction analogues here, in
+# integer ppm.
+_REP_DUP2_MAX_PPM = 200_000
+_REP_DUP3_MAX_PPM = 180_000
+_REP_TOP2_MAX_PPM = 80_000
+
+
+def _rep_ngrams(tk, n: int):
+    """Positional word n-grams as single space-joined strings —
+    pure array expressions (sequence + transform + element_at), no
+    explode: the whole signal stays a per-row map."""
+    return F.when(
+        F.size(tk) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tk, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _rep_max_run(sorted_arr):
+    """Highest element multiplicity in a SORTED array via one
+    higher-order fold (equal elements are adjacent after sort) —
+    the per-doc mode count without any groupBy."""
+    zero = F.lit(0).cast("bigint")
+    return F.aggregate(
+        sorted_arr,
+        F.struct(
+            F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a.prev, a.run + 1).otherwise(F.lit(1).cast("bigint")).alias("run"),
+            F.greatest(
+                a.best,
+                F.when(x == a.prev, a.run + 1).otherwise(F.lit(1).cast("bigint")),
+            ).alias("best"),
+        ),
+        lambda a: a.best,
+    )
+
+
+_REP_ORACLE = f"""
+    WITH tk AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    g2 AS (
+        SELECT doc_id, tk[i + 1] || ' ' || tk[i + 2] AS g
+        FROM tk, LATERAL (
+            SELECT unnest(range(greatest(len(tk) - 1, 0))) AS i
+        ) x
+    ),
+    g3 AS (
+        SELECT doc_id, tk[i + 1] || ' ' || tk[i + 2] || ' ' || tk[i + 3] AS g
+        FROM tk, LATERAL (
+            SELECT unnest(range(greatest(len(tk) - 2, 0))) AS i
+        ) x
+    ),
+    s2 AS (
+        SELECT doc_id, count(*) AS n2, count(DISTINCT g) AS d2
+        FROM g2 GROUP BY doc_id
+    ),
+    m2 AS (
+        SELECT doc_id, max(c) AS best FROM (
+            SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g
+        ) GROUP BY doc_id
+    ),
+    s3 AS (
+        SELECT doc_id, count(*) AS n3, count(DISTINCT g) AS d3
+        FROM g3 GROUP BY doc_id
+    ),
+    ppm AS (
+        SELECT t.doc_id,
+               COALESCE(CAST(floor((s2.n2 - s2.d2) * 1000000.0 / s2.n2)
+                             AS BIGINT), 0) AS dup_2gram_ppm,
+               COALESCE(CAST(floor((s3.n3 - s3.d3) * 1000000.0 / s3.n3)
+                             AS BIGINT), 0) AS dup_3gram_ppm,
+               COALESCE(CAST(floor(m2.best * 1000000.0 / s2.n2)
+                             AS BIGINT), 0) AS top_2gram_ppm
+        FROM tk t
+        LEFT JOIN s2 ON t.doc_id = s2.doc_id
+        LEFT JOIN m2 ON t.doc_id = m2.doc_id
+        LEFT JOIN s3 ON t.doc_id = s3.doc_id
+    )
+    SELECT doc_id, dup_2gram_ppm, dup_3gram_ppm, top_2gram_ppm,
+           (dup_2gram_ppm <= {_REP_DUP2_MAX_PPM}
+            AND dup_3gram_ppm <= {_REP_DUP3_MAX_PPM}
+            AND top_2gram_ppm <= {_REP_TOP2_MAX_PPM}) AS keep
+    FROM ppm
+"""
+
+
+@query("x_text_repetition_filter", oracle=_REP_ORACLE, tags=("text", "tierx"))
+def x_text_repetition_filter(spark, sf_dir):
+    """Gopher-style intra-document repetition filter (Rae et al. 2021
+    §A1.1): duplicate 2-gram fraction, duplicate 3-gram fraction, and
+    top-2-gram fraction per document, with the paper's keep
+    thresholds (token-fraction analogues of its char fractions).
+    Repetition is the one quality signal length/stopword scoring
+    (x_text_quality) cannot see: degenerate generations and boiler
+    loops score normally on length but >20% duplicate 2-grams.
+
+    Spark shape: ZERO shuffles — n-grams are array expressions
+    (sequence→transform→element_at), the distinct counts are
+    array_distinct sizes, and the per-doc mode count is one
+    higher-order fold over the sorted n-gram array (equal elements
+    adjacent ⇒ max run = max multiplicity). The whole filter is a
+    per-row map pipelined onto the parquet scan; at 100 TB it costs
+    one pass and no cluster communication, where the naive
+    explode+groupBy(doc, gram) pays two shuffles of the full token
+    stream. tests/test_plans.py pins the no-Exchange plan.
+
+    Determinism: all-integer ppm (IEEE double division of exact
+    integers < 2^53, floored — bit-identical across engines);
+    empty-gram docs (< n tokens) define 0 ppm on both sides."""
+    from mcp_iceberg_duckdb_spark.functions.textfns import bind
+
+    d = t(spark, sf_dir).documents
+
+    def signals(tk):
+        g2, g3 = _rep_ngrams(tk, 2), _rep_ngrams(tk, 3)
+
+        def dup_ppm(g):
+            n = F.size(g).cast("bigint")
+            dups = (n - F.size(F.array_distinct(g))).cast("bigint")
+            return F.when(
+                n > 0, F.floor(dups * F.lit(1000000.0) / n).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+
+        n2 = F.size(g2).cast("bigint")
+        top2 = F.when(
+            n2 > 0,
+            F.floor(
+                _rep_max_run(F.array_sort(g2)) * F.lit(1000000.0) / n2
+            ).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        return F.struct(
+            dup_ppm(g2).alias("dup_2gram_ppm"),
+            dup_ppm(g3).alias("dup_3gram_ppm"),
+            top2.alias("top_2gram_ppm"),
+        )
+
+    s = d.select("doc_id", bind(tokens("text"), signals).alias("s"))
+    return s.select(
+        "doc_id",
+        F.col("s.dup_2gram_ppm").alias("dup_2gram_ppm"),
+        F.col("s.dup_3gram_ppm").alias("dup_3gram_ppm"),
+        F.col("s.top_2gram_ppm").alias("top_2gram_ppm"),
+        (
+            (F.col("s.dup_2gram_ppm") <= F.lit(_REP_DUP2_MAX_PPM))
+            & (F.col("s.dup_3gram_ppm") <= F.lit(_REP_DUP3_MAX_PPM))
+            & (F.col("s.top_2gram_ppm") <= F.lit(_REP_TOP2_MAX_PPM))
+        ).alias("keep"),
+    )
+
+
+# ---- benchmark decontamination (train/eval n-gram overlap) ----
+
+_DECON_N = 8  # GPT-3 used 13-gram collision; 8 fits the fixture's doc lengths
+_DECON_EVAL_MOD = 40  # planted eval set: doc_id % 40 == 0 (~2.5% of corpus)
+
+_DECON_GRAM_SQL = " || ' ' || ".join(
+    f"tk[i + {j + 1}]" for j in range(_DECON_N)
+)
+
+_DECON_ORACLE = f"""
+    WITH tk AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    dg AS (
+        SELECT DISTINCT doc_id, {_DECON_GRAM_SQL} AS g
+        FROM tk, LATERAL (
+            SELECT unnest(range(greatest(len(tk) - {_DECON_N - 1}, 0))) AS i
+        ) x
+    ),
+    ev AS (
+        SELECT DISTINCT g FROM dg WHERE doc_id % {_DECON_EVAL_MOD} = 0
+    )
+    SELECT dg.doc_id, count(*) AS n_shared_{_DECON_N}grams
+    FROM dg JOIN ev USING (g)
+    WHERE dg.doc_id % {_DECON_EVAL_MOD} <> 0
+    GROUP BY dg.doc_id
+"""
+
+
+@query("x_text_decontaminate", oracle=_DECON_ORACLE, tags=("text", "tierx"))
+def x_text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any
+    long n-gram with the held-out eval set (the GPT-3 appendix-C
+    recipe — 13-gram collision scrubbing; 8-grams here to fit the
+    fixture's doc lengths). The eval set is planted deterministically
+    as doc_id % 40 == 0, so the op's true positives are the fixture's
+    planted exact/near duplicates that straddle the split — exactly
+    the leakage shape decontamination exists to catch.
+
+    Spark shape: per-doc DISTINCT n-grams via array expressions (no
+    per-token shuffle), explode only for the join; the eval side
+    collapses to a distinct-gram set and is BROADCAST — eval
+    benchmarks are KBs-to-MBs against a 100 TB train corpus, so the
+    scan side never shuffles; the only exchange is the per-doc count
+    groupBy of the (rare) hits. At larger eval sets the same plan
+    takes a bloom-filter prefilter before the broadcast join.
+    tests/test_plans.py pins the broadcast.
+
+    Determinism: exact integer collision counts over exact string
+    matches; output is only the contaminated docs (empty at zero
+    collisions, engine-identical always)."""
+    from mcp_iceberg_duckdb_spark.functions.textfns import bind
+
+    d = t(spark, sf_dir).documents
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            bind(tokens("text"), lambda tk: F.array_distinct(_rep_ngrams(tk, _DECON_N)))
+        ).alias("g"),
+    )
+    ev = (
+        grams.where(F.col("doc_id") % _DECON_EVAL_MOD == 0)
+        .select("g")
+        .distinct()
+    )
+    return (
+        grams.where(F.col("doc_id") % _DECON_EVAL_MOD != 0)
+        .join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias(f"n_shared_{_DECON_N}grams"))
+    )

@@ -566,3 +566,26 @@ def test_global_plan_hygiene_no_cartesian_no_accidental_bnlj(spark, sf_dir):
             rogue.append(name)
     assert not cart, f"cartesian products: {cart}"
     assert not rogue, f"unreviewed BroadcastNestedLoopJoin in: {rogue}"
+
+
+def test_repetition_filter_is_shuffle_free(spark, sf_dir):
+    """The Gopher repetition signals must stay a per-row map pipelined
+    onto the scan — zero exchanges: n-grams by array expressions,
+    distinct counts by array_distinct, mode count by a fold over the
+    sorted array. The naive explode+groupBy(doc, gram) shape would
+    pay two full-token-stream shuffles at 100 TB."""
+    df = _df("x_text_repetition_filter", spark, sf_dir)
+    assert shuffle_count(df) == 0
+    plan = explain_str(df)
+    assert "Join" not in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """The eval n-gram set (KBs against a 100 TB train corpus) must
+    broadcast; the train-side gram stream must reach the join without
+    an exchange (its only shuffle is the per-doc hit count)."""
+    df = _df("x_text_decontaminate", spark, sf_dir)
+    assert has_broadcast_hash_join(df)
+    # one aggregate shuffle (per-doc hit count) + the broadcast's own
+    # collect-side exchange at most; the big side must not repartition
+    assert shuffle_count(df) <= 2
