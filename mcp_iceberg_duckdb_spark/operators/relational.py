@@ -360,8 +360,12 @@ def a_count_distinct(spark, sf_dir):
     oracle="""
     SELECT count(DISTINCT l_partkey)  AS exact_parts,
            count(DISTINCT l_orderkey) AS exact_orders,
-           TRUE AS parts_within_5pct,
-           TRUE AS orders_within_5pct
+           (abs(approx_count_distinct(l_partkey)
+                - count(DISTINCT l_partkey)) * 100
+                <= 5 * count(DISTINCT l_partkey)) AS parts_within_5pct,
+           (abs(approx_count_distinct(l_orderkey)
+                - count(DISTINCT l_orderkey)) * 100
+                <= 5 * count(DISTINCT l_orderkey)) AS orders_within_5pct
     FROM lineitem
     """,
     tags=("agg", "approx"),
@@ -371,8 +375,10 @@ def a_approx_count_distinct(spark, sf_dir):
     path for distinct counting. The sketch value itself can't
     hash-match another engine, so the DECIDABLE contract is emitted
     instead: the exact counts (value-checked) plus within-5%-of-exact
-    booleans the oracle pins to TRUE — a wrong sketch flips a bit the
-    driver hashes (VERDICT round-1 item 6)."""
+    booleans — and the oracle verifies the SAME bound against ITS OWN
+    HLL (round-6 ADVICE discipline, as s_latency_percentiles_approx),
+    so a broken sketch on EITHER engine flips a bit the driver hashes
+    (VERDICT round-1 item 6). All-integer comparisons."""
     li = t(spark, sf_dir).lineitem
     # one distinct-agg per column + 1-row cross joins, NOT several
     # count_distinct in one agg: multiple distinct aggregates plan an
@@ -487,7 +493,10 @@ def a_median_percentile(spark, sf_dir):
     SELECT l_linestatus,
            floor((quantile_cont(l_extendedprice, 0.5)) * 1e4 + 0.5) / 1e4
                AS exact_median,
-           TRUE AS approx_within_rank_eps
+           (approx_quantile(l_extendedprice, 0.5)
+                BETWEEN quantile_cont(l_extendedprice, 0.49)
+                    AND quantile_cont(l_extendedprice, 0.51))
+               AS approx_within_rank_eps
     FROM lineitem GROUP BY l_linestatus
     """,
     tags=("agg", "approx"),
@@ -498,7 +507,11 @@ def a_percentile_approx(spark, sf_dir):
     of the raw sketch value: the exact median (value-checked) plus a
     boolean pinning the approximation between the exact 0.49 and 0.51
     percentiles — far looser than the sketch's rank guarantee, so
-    only a broken sketch flips it (VERDICT round-1 item 6)."""
+    only a broken sketch flips it (VERDICT round-1 item 6). The
+    oracle verifies the SAME band against ITS OWN t-digest (round-6
+    ADVICE discipline), so either engine's sketch can fail the
+    compare; at these ≥100k-row groups the ±0.01-rank band is wide
+    for both sketches."""
     li = t(spark, sf_dir).lineitem
     pa = F.percentile_approx("l_extendedprice", 0.5, 10000)
     lo = F.percentile("l_extendedprice", 0.49)
@@ -1137,3 +1150,5 @@ def a_mode_deterministic(spark, sf_dir):
         .where(F.col("rk") == 1)
         .select("grp", F.col("v").alias("mode_value"), F.col("n").alias("mode_count"))
     )
+
+

@@ -2404,3 +2404,72 @@ def x_text_decontaminate(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count("*").cast("bigint").alias(f"n_shared_{_DECON_N}grams"))
     )
+
+
+# ---- BPE pair-merge ranking (tokenizer-training inner step) ----
+
+_BPE_TOP_K = 20
+
+_BPE_ORACLE = f"""
+    WITH wc AS (
+        SELECT tk_u AS w, count(*) AS c FROM (
+            SELECT unnest(string_split(text, ' ')) AS tk_u FROM documents
+        ) GROUP BY tk_u
+    ),
+    pairs AS (
+        SELECT substr(w, CAST(i + 1 AS INT), 2) AS pair, sum(c) AS weight
+        FROM wc, LATERAL (
+            SELECT unnest(range(greatest(len(w) - 1, 0))) AS i
+        ) x
+        GROUP BY 1
+    )
+    SELECT pair, CAST(weight AS BIGINT) AS weight
+    FROM pairs
+    ORDER BY weight DESC, pair
+    LIMIT {_BPE_TOP_K}
+"""
+
+
+@query("x_text_bpe_top_merges", oracle=_BPE_ORACLE, tags=("text", "tierx"))
+def x_text_bpe_top_merges(spark, sf_dir):
+    """BPE tokenizer training, the inner step (Sennrich et al. 2016):
+    rank adjacent symbol pairs by corpus frequency — the top pair is
+    the next merge. Char-level pairs here (the first training
+    iteration); subsequent iterations run the SAME plan over the
+    re-segmented word table.
+
+    Scale shape — the reason real BPE trainers scale: pair counting
+    runs over the WORD-FREQUENCY table, not the token stream. The
+    only corpus-sized stage is the word-count groupBy (map-side
+    combined); everything after operates on a vocab-sized relation
+    (pair explode ≤ |vocab|·max_word_len rows), and the ranked head
+    is a TakeOrdered top-K, never a global sort. At 100 TB the word
+    table is a few million rows regardless of corpus size.
+
+    Determinism: exact integer weights; ties broken by the pair text
+    so the head is engine-stable; substring semantics (incl.
+    multibyte) probed identical across engines."""
+    d = t(spark, sf_dir).documents
+    wc = (
+        d.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    pairs = wc.select(
+        F.explode(
+            F.when(
+                F.length("w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.substring(F.col("w"), i, F.lit(2)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").cast("bigint").alias("weight"))
+        .orderBy(F.col("weight").desc(), "pair")
+        .limit(_BPE_TOP_K)
+    )
