@@ -1882,7 +1882,7 @@ def s_latency_percentiles(spark, sf_dir):
     ~50 M distinct values in one group — beyond that, flip to
     s_latency_percentiles_approx (fixed ≤10k-entry GK sketch,
     mergeable across executors). tests/test_memory_pressure.py
-    plants a 2M-distinct hot hour and proves this exact path
+    plants a million-distinct hot hour and proves this exact path
     completes correctly on a 1 GiB heap while the approx companion
     stays inside its rank sandwich on the same bucket."""
     e = t(spark, sf_dir).events
