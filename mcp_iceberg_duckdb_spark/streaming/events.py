@@ -2712,3 +2712,81 @@ def s_agg_delta_merge(spark, sf_dir):
             & (F.col("last_ts") == F.col("rl"))
         ).alias("merge_matches_recompute"),
     )
+
+
+def stream_counter_increase_tws(events: DataFrame) -> DataFrame:
+    """The counter twin on Spark 4's transformWithStateInPandas — the
+    StatefulProcessor successor to applyInPandasWithState (SPARK-49770
+    "Arbitrary State API v2"): named state variables on the handle
+    (schema'd ValueState here; ListState/MapState/timers/TTL in the
+    same API), mandatory RocksDB state store, initial-state and
+    event-time support. Semantics are stream_counter_increase's
+    EXACTLY — same micro-quantized int64 arithmetic, same (ts,
+    event_id) fold order — so the parity test pins the two API
+    generations bit-for-bit against each other AND against the batch
+    aggregate. At 100 TB this is the forward-compatible face of the
+    stateful family: state schema evolution and fine-grained TTL are
+    per-variable, not per-operator.
+
+    Env gate: the API's state-server protocol needs protobuf, absent
+    from this container — the parity test importorskips (the
+    test_iceberg_live pattern); everything here is plain pyspark
+    surface, runnable wherever protobuf exists."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    output_schema = (
+        "user_id long, n_samples long, increase_micro long, n_resets long"
+    )
+
+    class CounterProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "ctr", "last_vq long, n long, inc long, resets long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            if self._state.exists():
+                last_vq, n, inc, resets = self._state.get()
+            else:
+                last_vq, n, inc, resets = None, 0, 0, 0
+            chunks = [pdf for pdf in rows]
+            batch = pd.concat(chunks) if chunks else pd.DataFrame()
+            if len(batch):
+                batch = batch[batch["event_type"] == "view"]
+            if len(batch):
+                batch = batch.sort_values(["ts", "event_id"])
+                for v in batch["value"]:
+                    vq = math.floor(float(v) * 1e6 + 0.5)
+                    if last_vq is not None:
+                        d = vq - last_vq
+                        if d > 0:
+                            inc += d
+                        elif d < 0:
+                            resets += 1
+                    last_vq = vq
+                    n += 1
+                self._state.update((last_vq, n, inc, resets))
+                yield pd.DataFrame(
+                    [(int(key[0]), n, inc, resets)],
+                    columns=[
+                        "user_id",
+                        "n_samples",
+                        "increase_micro",
+                        "n_resets",
+                    ],
+                )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        CounterProcessor(),
+        outputStructType=output_schema,
+        outputMode="append",
+        timeMode="none",
+    )

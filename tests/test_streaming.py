@@ -739,3 +739,55 @@ def test_stateful_twin_on_rocksdb_state_store(spark, sf_dir, events_path):
     }
     assert batch
     assert latest == batch
+
+
+def test_transform_with_state_matches_v1_and_batch(spark, sf_dir, events_path):
+    """Spark 4 StatefulProcessor (transformWithStateInPandas, RocksDB
+    state store mandatory) must reproduce the applyInPandasWithState
+    counter twin's totals AND the batch aggregate bit-for-bit — the
+    two stateful API generations are semantically interchangeable for
+    this operator family.
+
+    Env-gated like test_iceberg_live: the API's state-server protocol
+    runs over protobuf, which this container lacks (and installs are
+    off-limits) — the operator itself is a pure pyspark surface, so
+    the skip documents readiness, not a stub."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state protocol needs protobuf",
+    )
+    from mcp_iceberg_duckdb_spark.registry import QUERIES
+    from mcp_iceberg_duckdb_spark.streaming.events import (
+        stream_counter_increase_tws,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = run_stream_to_memory(
+            spark,
+            stream_counter_increase_tws(read_event_stream(spark, events_path)),
+            "t_ctr_tws",
+            mode="append",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    latest = {}
+    for r in out.collect():
+        cur = latest.get(r.user_id)
+        if cur is None or r.n_samples > cur[0]:
+            latest[r.user_id] = (r.n_samples, r.increase_micro, r.n_resets)
+    batch = {
+        r.user_id: (r.n_samples, r.increase_micro, r.n_resets)
+        for r in QUERIES["s_counter_increase"].builder(spark, sf_dir).collect()
+    }
+    assert batch
+    assert latest == batch
