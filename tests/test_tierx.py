@@ -408,3 +408,145 @@ def test_phash_identical_payloads_pair_at_hamming_zero(spark):
         for r in phash_hamming_pairs(assets).collect()
     }
     assert (1, 2) in strict
+
+
+# ---- round-7 text ops: differential-vs-Python + planted cases ----
+
+
+def _py_repetition(tokens_list):
+    """Pure-Python reference for the repetition signals."""
+    from collections import Counter
+
+    def grams(tk, n):
+        return [" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)]
+
+    g2, g3 = grams(tokens_list, 2), grams(tokens_list, 3)
+
+    def dup_ppm(g):
+        if not g:
+            return 0
+        import math
+
+        return int(math.floor((len(g) - len(set(g))) * 1e6 / len(g)))
+
+    top = 0
+    if g2:
+        import math
+
+        top = int(math.floor(max(Counter(g2).values()) * 1e6 / len(g2)))
+    return dup_ppm(g2), dup_ppm(g3), top
+
+
+def test_repetition_filter_matches_python_reference(spark, tmp_path):
+    """Differential check against an independent pure-Python
+    implementation on adversarial docs: empty, single-token,
+    all-same-token (100% duplicate grams), alternating loop (high
+    top-2gram, duplicate grams), and random-ish mixtures — the
+    array-fold mode count and the IEEE-floored ppm divisions must
+    agree with Counter arithmetic exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mcp_iceberg_duckdb_spark.registry import QUERIES
+
+    docs = [
+        "",
+        "one",
+        "a a a a a a a a",
+        "x y x y x y x y x y",
+        "the quick brown fox jumps over the lazy dog",
+        "ab ab cd ab cd ef " * 5,
+        "p q r p q r p q s p q r",
+        " ".join(str(i % 7) for i in range(100)),
+    ]
+    d = str(tmp_path / "rep")
+    import os
+
+    os.makedirs(d)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                "text": pa.array([t.strip() for t in docs], type=pa.string()),
+                "lang": pa.array(["en"] * len(docs), type=pa.string()),
+                "source": pa.array(["src0"] * len(docs), type=pa.string()),
+                "n_chars": pa.array(
+                    [len(t.strip()) for t in docs], type=pa.int64()
+                ),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    got = {
+        r.doc_id: (r.dup_2gram_ppm, r.dup_3gram_ppm, r.top_2gram_ppm)
+        for r in QUERIES["x_text_repetition_filter"].builder(spark, d).collect()
+    }
+    for i, text in enumerate(docs):
+        assert got[i] == _py_repetition(text.strip().split(" ")), (i, text)
+
+
+def test_decontaminate_planted_collision_only(spark, tmp_path):
+    """Planted contamination: doc 40 (train) repeats eval doc 0's
+    8-gram verbatim; every other train doc is collision-free. The op
+    must flag exactly doc 40 with exactly the shared-gram count."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mcp_iceberg_duckdb_spark.registry import QUERIES
+
+    eval_doc = "e1 e2 e3 e4 e5 e6 e7 e8 tail0"
+    # doc 41: contains the eval 8-gram e1..e8 once
+    contaminated = "lead1 e1 e2 e3 e4 e5 e6 e7 e8 trail1"
+    clean = [f"c{i} d{i} f{i} g{i} h{i} j{i} k{i} l{i} m{i}" for i in range(5)]
+    docs = {0: eval_doc, 41: contaminated}
+    for i, t in enumerate(clean, start=1):
+        docs[i] = t
+    ids = sorted(docs)
+    d = str(tmp_path / "dec")
+    os.makedirs(d)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": pa.array([docs[i] for i in ids], type=pa.string()),
+                "lang": pa.array(["en"] * len(ids), type=pa.string()),
+                "source": pa.array(["src0"] * len(ids), type=pa.string()),
+                "n_chars": pa.array(
+                    [len(docs[i]) for i in ids], type=pa.int64()
+                ),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    rows = QUERIES["x_text_decontaminate"].builder(spark, d).collect()
+    # eval grams: [e1..e8, e2..e8 tail0]; doc 41's grams are
+    # [lead1 e1..e7, e1..e8, e2..e8 trail1] — only e1..e8 collides
+    assert {(r[0], r[1]) for r in rows} == {(41, 1)}
+
+
+def test_bpe_top_merges_matches_python_reference(spark, duck, sf_dir):
+    """The ranked merge table must equal a pure-Python pair count over
+    the same corpus (independent of both engines)."""
+    from collections import Counter
+
+    from mcp_iceberg_duckdb_spark.registry import QUERIES
+    from mcp_iceberg_duckdb_spark.sources.tables import load
+
+    texts = [
+        r.text for r in load(spark, sf_dir, "documents").select("text").collect()
+    ]
+    wc = Counter()
+    for t in texts:
+        wc.update(t.split(" "))
+    pc = Counter()
+    for w, c in wc.items():
+        for i in range(len(w) - 1):
+            pc[w[i : i + 2]] += c
+    expect = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r.pair, r.weight)
+        for r in QUERIES["x_text_bpe_top_merges"].builder(spark, sf_dir).collect()
+    ]
+    assert got == expect
