@@ -1580,3 +1580,66 @@ def x_corpus_snapshot_diff(spark, sf_dir):
         )
         .where(F.col("status") != "unchanged")
     )
+
+
+# ---- temperature-scaled mixture weights (T = 0.5, sqrt-exact) ----
+
+_TEMP_ORACLE = """
+    WITH src AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    wq AS (
+        SELECT source, n_docs,
+               CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6 + 0.5)
+                    AS BIGINT) AS weight_micro
+        FROM src
+    ),
+    tot AS (SELECT CAST(sum(weight_micro) AS BIGINT) AS wsum FROM wq)
+    SELECT source, n_docs, weight_micro,
+           (weight_micro * 1000000) // wsum AS share_ppm
+    FROM wq, tot
+"""
+
+
+@query(
+    "x_mix_temperature_weights",
+    oracle=_TEMP_ORACLE,
+    tags=("pipeline", "tierx"),
+)
+def x_mix_temperature_weights(spark, sf_dir):
+    """Temperature-scaled mixture sampling weights, p_s ∝ n_s^T —
+    the multilingual/multi-source rebalancing recipe (mBERT's
+    exponent-smoothed sampling, XLM-R §3.1): T<1 upsamples the tail
+    sources relative to their natural mass. T = 0.5 here because
+    sqrt is the one power IEEE 754 requires CORRECTLY ROUNDED, so
+    the per-source weight is a bit-identical double on every engine
+    — any other exponent routes through exp/ln whose last-ulp is
+    implementation-defined (the same reason the ln-based scores
+    quantize per term). Weights are micro-quantized to int64
+    immediately after the sqrt; the normalization is pure integer
+    arithmetic (Σ weights, ppm shares by integer division), so the
+    whole output is exact.
+
+    Complements x_mix_sample_weights (target-mixture downsampling):
+    that op enforces a GIVEN mixture; this one DERIVES the mixture
+    from corpus mass under temperature smoothing. The shares feed
+    the same md5-Bernoulli sampler.
+
+    Spark shape: ONE source groupBy (map-side combined) + a 1-row
+    broadcast total — |sources| rows of state at any corpus size."""
+    d = t(spark, sf_dir).documents
+    src = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    wq = src.select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint")
+        .alias("weight_micro"),
+    )
+    tot = wq.agg(F.sum("weight_micro").cast("bigint").alias("wsum"))
+    return wq.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "weight_micro",
+        F.expr("(weight_micro * 1000000) div wsum").alias("share_ppm"),
+    )
