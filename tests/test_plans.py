@@ -547,6 +547,8 @@ _BNLJ_ALLOWED = {
     "x_text_pmi_bigrams", "x_sketch_hll", "x_sketch_hll_rolling",
     "s_funnel_latency", "s_rolling_active_users", "s_user_rfm",
     "s_trending_decay", "s_mix_drift", "s_agg_delta_merge",
+    # round 7: 1-row broadcast total onto the |sources|-row relation
+    "x_mix_temperature_weights",
 }
 
 
