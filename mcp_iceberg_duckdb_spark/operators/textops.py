@@ -2473,3 +2473,121 @@ def x_text_bpe_top_merges(spark, sf_dir):
         .orderBy(F.col("weight").desc(), "pair")
         .limit(_BPE_TOP_K)
     )
+
+
+# ---- winnowing fingerprint overlap (MOSS-style near-dup) ----
+
+_WIN_K = 3  # token k-gram size
+_WIN_W = 4  # winnowing window (consecutive k-gram hashes)
+_WIN_MIN_SHARED = 2
+_WIN_FP_CAP = 64  # hot-fingerprint guard (cap_basket discipline)
+
+_WIN_ORACLE = f"""
+    WITH tk AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ),
+    h AS (
+        SELECT doc_id, i,
+               {_sql_hex6("tk[i + 1] || ' ' || tk[i + 2] || ' ' || tk[i + 3]")}
+                   AS hv
+        FROM tk, LATERAL (
+            SELECT unnest(range(greatest(len(tk) - {_WIN_K - 1}, 0))) AS i
+        ) x
+    ),
+    win0 AS (
+        SELECT doc_id, i,
+               min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS BETWEEN CURRENT ROW
+                             AND {_WIN_W - 1} FOLLOWING) AS fp,
+               max(i) OVER (PARTITION BY doc_id) AS maxi
+        FROM h
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id, fp
+        FROM win0 WHERE i <= maxi - {_WIN_W - 1}
+        UNION
+        SELECT doc_id, min(hv) AS fp
+        FROM h GROUP BY doc_id HAVING max(i) < {_WIN_W - 1}
+    ),
+    capped AS (
+        SELECT doc_id, fp FROM (
+            SELECT doc_id, fp,
+                   row_number() OVER (PARTITION BY fp ORDER BY doc_id)
+                       AS brn
+            FROM fps
+        ) WHERE brn <= {_WIN_FP_CAP}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS n_shared
+    FROM capped a JOIN capped b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {_WIN_MIN_SHARED}
+"""
+
+
+@query("x_text_winnowing_overlap", oracle=_WIN_ORACLE, tags=("text", "dedup", "tierx"))
+def x_text_winnowing_overlap(spark, sf_dir):
+    """Winnowing fingerprint overlap (Schleimer, Wilkerson, Aiken
+    2003 — the MOSS algorithm): hash every token 3-gram, slide a
+    window of 4 hashes, keep each window's MINIMUM as a
+    fingerprint; two docs sharing ≥2 fingerprints are near-dup
+    candidates. Winnowing's guarantee: any shared substring of
+    ≥ w+k-1 tokens yields at least one shared fingerprint, while
+    storing only ~2/(w+1) of the hashes — the position-robust
+    complement to MinHash (bag-level) and SimHash (global): it
+    catches LOCAL verbatim passages reordered documents keep.
+
+    Spark shape: fingerprint EXTRACTION is a pure per-row map (the
+    repetition-filter discipline — k-grams, hashes, window minima
+    all as array expressions; no token-stream shuffle). Only the
+    ~2/(w+1)-sampled fingerprint relation shuffles: one hot-key cap
+    (cap_basket, WindowGroupLimit applies map-side) then the
+    fp-keyed self-join + pair count — Σ fp-bucket² is bounded at
+    cap² per fingerprint at any corpus size. Determinism: md5-hex6
+    integer hashes (shared engine idiom), smallest-doc_id cap set,
+    exact integer counts."""
+    from mcp_iceberg_duckdb_spark.functions.textfns import bind
+    from mcp_iceberg_duckdb_spark.operators._util import cap_basket
+
+    d = t(spark, sf_dir).documents
+
+    def fps(tk):
+        g = _rep_ngrams(tk, _WIN_K)
+
+        def winnow(h):
+            n = F.size(h)
+            full = F.transform(
+                F.sequence(F.lit(1), n - (_WIN_W - 1)),
+                lambda i: F.array_min(F.slice(h, i, _WIN_W)),
+            )
+            short = F.array(F.array_min(h))
+            return F.array_distinct(
+                F.when(n >= _WIN_W, full)
+                .when(n > 0, short)
+                .otherwise(F.array().cast("array<bigint>"))
+            )
+
+        return bind(
+            F.transform(
+                g,
+                lambda s: F.conv(F.substring(F.md5(s), 1, 6), 16, 10).cast(
+                    "bigint"
+                ),
+            ),
+            winnow,
+        )
+
+    rel = d.select(
+        "doc_id", F.explode(bind(tokens("text"), fps)).alias("fp")
+    )
+    capped = cap_basket(rel, "fp", "doc_id", _WIN_FP_CAP)
+    a = capped.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = capped.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= _WIN_MIN_SHARED)
+    )
