@@ -1643,3 +1643,108 @@ def x_mix_temperature_weights(spark, sf_dir):
         "weight_micro",
         F.expr("(weight_micro * 1000000) div wsum").alias("share_ppm"),
     )
+
+
+# ---- CCNet perplexity buckets (head / middle / tail) ----
+
+_PPLB_ORACLE = """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents
+    ),
+    cnt AS (SELECT tk, count(*) AS c FROM tok GROUP BY tk),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tok),
+    lp AS (
+        SELECT tk,
+               CAST(floor(ln(CAST(c AS DOUBLE) / total) * 1e6 + 0.5) AS BIGINT)
+                   AS lp_micro
+        FROM cnt CROSS JOIN tot
+    ),
+    per AS (
+        SELECT t.doc_id,
+               floor(((CAST(sum(lp.lp_micro) AS DOUBLE) / 1e6) / count(*))
+                     * 1e6 + 0.5) / 1e6 AS avg_logprob
+        FROM tok t JOIN lp ON t.tk = lp.tk
+        GROUP BY t.doc_id
+    ),
+    cuts AS (
+        SELECT quantile_cont(avg_logprob, CAST(1 AS DOUBLE) / 3) AS c_lo,
+               quantile_cont(avg_logprob, CAST(2 AS DOUBLE) / 3) AS c_hi
+        FROM per
+    )
+    SELECT doc_id, avg_logprob,
+           CASE WHEN avg_logprob >= c_hi THEN 'head'
+                WHEN avg_logprob >= c_lo THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM per, cuts
+"""
+
+
+@query(
+    "x_quality_perplexity_buckets",
+    oracle=_PPLB_ORACLE,
+    tags=("pipeline", "text", "tierx"),
+)
+def x_quality_perplexity_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3):
+    rank documents by LM score and cut the corpus into quality
+    terciles — head feeds training directly, middle gets a second
+    look, tail is dropped/down-weighted. The LM is the corpus
+    unigram model (x_text_unigram_logprob's micro-nat discipline; a
+    real KenLM drops in as a mapInPandas scorer without changing any
+    shape downstream).
+
+    The scale point is HOW the terciles are cut: not ntile() — a
+    global ntile plans a single-partition window over every doc (the
+    one-reducer sort this repo's lateness fix just killed) — but the
+    two-pass quantile-cut: one distributed percentile aggregate
+    yields the two cutpoints (1-row broadcast), then labeling is a
+    pure map against them. At 100 TB the sort never happens; CCNet's
+    own implementation does exactly this (computes perplexity
+    cutoffs on a sample, then streams).
+
+    Determinism: per-doc scores are the established exact-int64
+    micro-nat sums with one final IEEE divide (6dp-quantized); the
+    cutpoints interpolate over those quantized doubles identically
+    on both engines (s_latency_percentiles discipline — identical
+    p = 1/3 doubles, identical rank arithmetic); bucket comparison
+    is >= on identical doubles."""
+    d = t(spark, sf_dir).documents
+    tok = (
+        d.select("doc_id", F.explode(tokens("text")).alias("tk"))
+        .select("doc_id", F.xxhash64("tk").alias("h"))
+        .persist()
+    )
+    cnt = tok.groupBy("h").agg(F.count("*").alias("c"))
+    tot = cnt.agg(F.sum("c").cast("double").alias("total"))
+    lp = cnt.crossJoin(F.broadcast(tot)).select(
+        "h",
+        F.floor(
+            F.log(F.col("c").cast("double") / F.col("total")) * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("lp_micro"),
+    )
+    per = (
+        tok.join(lp, "h")
+        .groupBy("doc_id")
+        .agg(
+            rn(
+                (F.sum("lp_micro").cast("double") / F.lit(1e6))
+                / F.count("*"),
+                6,
+            ).alias("avg_logprob")
+        )
+    )
+    cuts = per.agg(
+        F.percentile("avg_logprob", F.lit(1.0 / 3)).alias("c_lo"),
+        F.percentile("avg_logprob", F.lit(2.0 / 3)).alias("c_hi"),
+    )
+    return per.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "avg_logprob",
+        F.when(F.col("avg_logprob") >= F.col("c_hi"), F.lit("head"))
+        .when(F.col("avg_logprob") >= F.col("c_lo"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

@@ -549,6 +549,8 @@ _BNLJ_ALLOWED = {
     "s_trending_decay", "s_mix_drift", "s_agg_delta_merge",
     # round 7: 1-row broadcast total onto the |sources|-row relation
     "x_mix_temperature_weights",
+    # round 7: 1-row broadcast quantile cutpoints onto the doc scores
+    "x_quality_perplexity_buckets",
 }
 
 
