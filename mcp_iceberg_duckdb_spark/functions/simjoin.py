@@ -172,6 +172,122 @@ def exact_jaccard_pairs(
     return out.select(*cols)
 
 
+def exact_containment_pairs(
+    docs: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+    id_col: str = "doc_id",
+    set_col: str = "sh",
+    block_cols: tuple[str, ...] = (),
+    out_sim_col: str | None = "containment",
+) -> DataFrame:
+    """All ORDERED pairs (id_a ≠ id_b), optionally within the same
+    block, with round6(|A∩B| / |A|) ≥ threshold_num/threshold_den —
+    asymmetric set CONTAINMENT (Broder's "A is roughly contained in
+    B"), the near-dup relation Jaccard misses when a short document is
+    embedded inside a much longer one (quote farms, page-in-page
+    crawls, boilerplate-wrapped reposts): Jaccard(A,B) ≈ |A|/|B| → 0
+    as B grows, but C(A→B) stays 1.
+
+    Prefix filter, containment form (Chaudhuri et al. ICDE'06 SSJoin
+    primitive): C(A→B) ≥ t needs overlap α = ⌈t·|A|⌉, which depends
+    only on the CONTAINED side — so A contributes its prefix of length
+    |A| − α + 1 under the global (df asc, tok asc) order, joined
+    against B's FULL token list (if none of A's first |A|−α+1 ordered
+    tokens hit B, overlap ≤ α−1). Anti-skew argument unchanged: a
+    token lands in A's prefix only if it is among A's rarest, so hot
+    tokens pair small A-side cardinality with large B-side and the
+    candidate key distribution stays bounded. Length filter
+    |B| ≥ ⌈t_eff·|A|⌉ (B can be arbitrarily larger — that is the
+    point). Exact verification on the full sets makes the output
+    bit-identical to the O(n²) ordered nested-loop join."""
+    from mcp_iceberg_duckdb_spark.operators._util import r6
+
+    num, den = threshold_num, threshold_den
+    assert 0 < num <= den, "threshold must be in (0, 1]"
+    num_e, den_e = _effective_threshold(num, den)
+    blocks = list(block_cols)
+
+    base = docs.select(id_col, *blocks, set_col).withColumn(
+        "_len", F.size(set_col)
+    )
+    toks = base.select(
+        id_col, *blocks, "_len", F.explode(set_col).alias("_tok")
+    )
+    dfc = toks.groupBy(*blocks, "_tok").agg(F.count("*").alias("_df"))
+    ranked = toks.join(dfc, [*blocks, "_tok"])
+    # contained-side prefix: p = len − ⌈t_eff·len⌉ + 1 (exact ints)
+    assembled = (
+        ranked.groupBy(id_col, *blocks, "_len")
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "_tok"))).alias("_st"))
+        .withColumn(
+            "_p",
+            F.greatest(
+                F.col("_len")
+                - _ceil_div(F.col("_len").cast("bigint") * num_e, den_e)
+                + 1,
+                F.lit(1),
+            ),
+        )
+    )
+    a = assembled.select(
+        F.col(id_col).alias("_ida"),
+        *[F.col(c).alias(f"_ba_{c}") for c in blocks],
+        F.col("_len").alias("_la"),
+        F.explode(
+            F.slice(
+                F.transform("_st", lambda s: s["_tok"]), F.lit(1), F.col("_p")
+            )
+        ).alias("_ptok"),
+    )
+    # container side: FULL token list (prefix theorem needs B whole)
+    b = toks.select(
+        F.col(id_col).alias("_idb"),
+        *[F.col(c).alias(f"_bb_{c}") for c in blocks],
+        F.col("_len").alias("_lb"),
+        F.col("_tok").alias("_ptok"),
+    )
+    cond = (
+        (F.col("_ida") != F.col("_idb"))
+        # overlap needs |B| ≥ ⌈t_eff·|A|⌉ ⟺ |B|·den_e ≥ |A|·num_e
+        & (
+            F.col("_lb").cast("bigint") * den_e
+            >= F.col("_la").cast("bigint") * num_e
+        )
+    )
+    for c in blocks:
+        cond = cond & (F.col(f"_ba_{c}") == F.col(f"_bb_{c}"))
+    cand = (
+        a.join(b, on=["_ptok"])
+        .filter(cond)
+        .select("_ida", "_idb")
+        .distinct()
+    )
+    sa = base.select(
+        F.col(id_col).alias("_ida"), F.col(set_col).alias("_sha")
+    )
+    sb = base.select(
+        F.col(id_col).alias("_idb"), F.col(set_col).alias("_shb")
+    )
+    thr = F.lit(num / den)  # same double literal the oracle SQL parses
+    out = (
+        cand.join(sa, "_ida")
+        .join(sb, "_idb")
+        .withColumn(
+            "_c",
+            r6(
+                F.size(F.array_intersect("_sha", "_shb"))
+                / F.size("_sha").cast("double")
+            ),
+        )
+        .filter(F.col("_c") >= thr)
+    )
+    cols = [F.col("_ida").alias("doc_a"), F.col("_idb").alias("doc_b")]
+    if out_sim_col is not None:
+        cols.append(F.col("_c").alias(out_sim_col))
+    return out.select(*cols)
+
+
 def exact_jaccard_join(
     left: DataFrame,
     right: DataFrame,

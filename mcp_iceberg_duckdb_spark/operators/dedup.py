@@ -500,6 +500,79 @@ def x_dedup_ngram_jaccard(spark, sf_dir):
 
 
 @query(
+    "x_dedup_containment",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, source, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000 AS doc_id, source,
+               array_to_string(
+                   string_split(text, ' ')[1:greatest(
+                       CAST(floor((len(string_split(text, ' ')) + 1) / 2) AS INT), 4)],
+                   ' ') AS text
+        FROM documents WHERE doc_id % 7 = 0
+    ),
+    d AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   range(greatest(len(string_split(text, ' ')) - 2, 1)),
+                   i -> array_to_string(string_split(text, ' ')[i + 1:i + 3], ' ')
+               )) AS sh
+        FROM base
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(a.sh)) * 1e6 + 0.5) / 1e6 AS containment
+    FROM d a JOIN d b ON a.source = b.source AND a.doc_id <> b.doc_id
+    WHERE floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / len(a.sh)) * 1e6 + 0.5) / 1e6 >= 0.8
+    """,
+    tags=("dedup", "tierx"),
+)
+def x_dedup_containment(spark, sf_dir):
+    """Asymmetric shingle CONTAINMENT join — C(A→B) = |A∩B| / |A| ≥
+    0.8, ordered pairs within `source` blocks. Jaccard-based dedup
+    misses the contained-document relation (a short post quoted whole
+    inside a long page has J ≈ |A|/|B| → 0 but C(A→B) = 1); crawl
+    pipelines dedup those with Broder-style containment. The corpus
+    has almost no organic containments, so the fixture is planted
+    IN-QUERY, identically in both engines: every 7th document
+    contributes a first-half excerpt (doc_id + 10⁷) whose shingle set
+    is a strict subset of its parent's — guaranteed C = 1 toward the
+    parent, while the parent-toward-excerpt direction scores ≈ 0.5
+    and is correctly absent, pinning the asymmetry.
+
+    Plan (functions/simjoin.exact_containment_pairs): the SSJoin
+    containment prefix filter — overlap bound α = ⌈t·|A|⌉ depends only
+    on the contained side, so A's (|A|−α+1)-rarest-token prefix joins
+    B's FULL token list under one global (df, tok) order, then exact
+    verification on full sets. No all-pairs join; candidate keys stay
+    anti-skewed because a token enters an A-prefix only when rare.
+    Reference parity: reference has no dedup surface (it delegates
+    SELECTs to DuckDB, IcebergConnection.py:114-116); this extends
+    §2.11's dedup family."""
+    from mcp_iceberg_duckdb_spark.functions.simjoin import (
+        exact_containment_pairs,
+    )
+
+    d = t(spark, sf_dir).documents
+    words = F.split(F.col("text"), " ")
+    k = F.greatest(
+        F.floor((F.size(words) + F.lit(1)) / F.lit(2)).cast("int"), F.lit(4)
+    )
+    ex = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(10000000)).alias("doc_id"),
+        "source",
+        F.array_join(F.slice(words, F.lit(1), k), " ").alias("text"),
+    )
+    base = d.select("doc_id", "source", "text").unionByName(ex)
+    docs = parallelize(
+        base.select("doc_id", "source", word_shingles("text", 3).alias("sh"))
+    )
+    return exact_containment_pairs(docs, 4, 5, block_cols=("source",))
+
+
+@query(
     "x_dedup_embedding_cosine",
     oracle="""
     WITH e AS (

@@ -257,6 +257,58 @@ def test_prefix_filtered_join_equals_bruteforce(spark_mod):
         )
 
 
+def test_containment_prefix_filter_equals_bruteforce(spark_mod):
+    """The containment form of the prefix filter (A-prefix joined
+    against B's FULL token list, overlap bound ⌈t·|A|⌉ from the
+    contained side only) must be LOSSLESS: across thresholds the
+    sub-quadratic join's ORDERED-pair output equals the nested-loop
+    join — and containment is asymmetric, so both directions are
+    checked independently."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mcp_iceberg_duckdb_spark.functions.simjoin import (
+        exact_containment_pairs,
+    )
+    from mcp_iceberg_duckdb_spark.operators._util import r6
+
+    rng = random.Random(11)
+    vocab = [f"t{i}" for i in range(40)]
+    rows = []
+    for i in range(80):
+        rows.append((i, rng.sample(vocab, rng.randint(1, 12))))
+    for i in range(80, 120):  # plant subsets: guaranteed containments
+        base = rows[rng.randrange(70)][1]
+        k = max(1, rng.randint(len(base) // 2, len(base)))
+        rows.append((i, rng.sample(base, k)))
+    docs = spark_mod.createDataFrame(rows, "doc_id int, sh array<string>")
+    a, b = docs.alias("a"), docs.alias("b")
+    for num, den in [(1, 2), (4, 5), (9, 10), (1, 1)]:
+        got = {
+            tuple(r)
+            for r in exact_containment_pairs(docs, num, den).collect()
+        }
+        want = {
+            tuple(r)
+            for r in a.join(b, F.col("a.doc_id") != F.col("b.doc_id"))
+            .withColumn(
+                "c",
+                r6(
+                    F.size(F.array_intersect("a.sh", "b.sh"))
+                    / F.size("a.sh").cast("double")
+                ),
+            )
+            .filter(F.col("c") >= F.lit(num / den))
+            .select(F.col("a.doc_id"), F.col("b.doc_id"), "c")
+            .collect()
+        }
+        assert got == want, (
+            f"t={num}/{den}: missing={sorted(want - got)[:3]} "
+            f"extra={sorted(got - want)[:3]}"
+        )
+
+
 def test_approx_contracts_pin_true(spark_mod, sf_dir):
     """Every decidable contract for a hash-family-specific operator
     must come out all-TRUE on the fixtures — these are the bits the

@@ -550,3 +550,39 @@ def test_bpe_top_merges_matches_python_reference(spark, duck, sf_dir):
         for r in QUERIES["x_text_bpe_top_merges"].builder(spark, sf_dir).collect()
     ]
     assert got == expect
+
+
+def test_containment_planted_excerpts_are_asymmetric(spark, sf_dir):
+    """x_dedup_containment plants a first-half excerpt (doc_id + 10⁷)
+    for every 7th document. The pin: every excerpt is contained in its
+    parent at exactly 1.0 (its shingles are a strict subset), while
+    for parents long enough that the excerpt holds at most ~55% of
+    their shingles the REVERSE row must be absent — the asymmetry that
+    distinguishes containment from Jaccard."""
+    from pyspark.sql import functions as F
+
+    from mcp_iceberg_duckdb_spark.registry import QUERIES
+    from mcp_iceberg_duckdb_spark.sources.tables import load
+
+    rows = QUERIES["x_dedup_containment"].builder(spark, sf_dir).collect()
+    pairs = {(r.doc_a, r.doc_b): r.containment for r in rows}
+    parents = {
+        r.doc_id: r.n_words
+        for r in load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id", F.size(F.split("text", " ")).alias("n_words"))
+        .collect()
+    }
+    assert parents, "fixture must contain doc_id % 7 == 0 documents"
+    for pid in parents:
+        assert pairs.get((pid + 10_000_000, pid)) == 1.0, (
+            f"excerpt of {pid} must be contained in its parent at 1.0"
+        )
+    # reverse direction: parent's containment in its excerpt is
+    # ≈ (⌈n/2⌉ − 2) / (n − 2) ≤ 0.8 definitely once n ≥ 12 words
+    long_parents = [p for p, n in parents.items() if n >= 12]
+    assert long_parents, "fixture must have a ≥12-word planted parent"
+    for pid in long_parents:
+        assert (pid, pid + 10_000_000) not in pairs, (
+            f"parent {pid} must NOT be contained in its half-excerpt"
+        )
