@@ -2591,3 +2591,181 @@ def x_text_winnowing_overlap(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("n_shared"))
         .where(F.col("n_shared") >= _WIN_MIN_SHARED)
     )
+
+
+# --- mergeable MinHash source signatures ---------------------------------
+
+_MH_PERMS = 16
+
+
+def minhash_h(p_col, sh_col):
+    """Permutation-p hash of one shingle — md5-hex6 (the portable
+    24-bit family both engines compute identically, x_sketch_hll
+    discipline)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(p_col.cast("string"), F.lit(":"), sh_col)), 1, 6
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def minhash_part_sigs(sh_rel, key_col):
+    """(key, p, h) — the m-permutation MinHash signature of each
+    partition's shingle SET, from a distinct (key, sh) relation.
+    This is the mergeable unit: sig(A ∪ B) = elementwise min of
+    sig(A), sig(B) (min is associative/commutative/idempotent), so
+    per-shard/per-day signatures maintained incrementally replace
+    ever re-touching raw shingles — m int64s per partition of state.
+    Spark shape: ×m explode then ONE groupBy whose partial min is the
+    map-side combine; shuffle volume is keys×m rows regardless of
+    corpus size."""
+    return (
+        sh_rel.select(key_col, "sh")
+        .withColumn(
+            "p", F.explode(F.sequence(F.lit(0), F.lit(_MH_PERMS - 1)))
+        )
+        .select(key_col, "p", minhash_h(F.col("p"), F.col("sh")).alias("h"))
+        .groupBy(key_col, "p")
+        .agg(F.min("h").alias("h"))
+    )
+
+
+_MH_HEX6 = _sql_hex6("CAST(p AS VARCHAR) || ':' || sh")
+
+_MH_MERGE_ORACLE = f"""
+    WITH sh AS (
+        SELECT DISTINCT source, s AS sh FROM (
+            SELECT source, unnest(list_distinct(list_transform(
+                range(greatest(len(string_split(text, ' ')) - 2, 1)),
+                i -> array_to_string(string_split(text, ' ')[i + 1:i + 3], ' ')
+            ))) AS s
+            FROM documents
+        )
+    ),
+    perm AS (SELECT unnest(range({_MH_PERMS})) AS p),
+    hv AS (
+        SELECT source, p, min({_MH_HEX6}) AS h
+        FROM sh CROSS JOIN perm GROUP BY source, p
+    ),
+    direct AS (
+        SELECT p, min({_MH_HEX6}) AS h
+        FROM (SELECT DISTINCT sh FROM sh) CROSS JOIN perm GROUP BY p
+    ),
+    merged AS (SELECT p, min(h) AS h FROM hv GROUP BY p),
+    mok AS (
+        SELECT (count(*) = {_MH_PERMS}) AS merged_equals_direct
+        FROM merged m JOIN direct d ON m.p = d.p AND m.h = d.h
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter_sh
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+        GROUP BY 1, 2
+    ),
+    agree AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_agree
+        FROM hv a JOIN hv b ON a.p = b.p AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT g.src_a, g.src_b, g.n_agree,
+           COALESCE(i.inter_sh, 0) AS inter_sh,
+           sa.n + sb.n - COALESCE(i.inter_sh, 0) AS union_sh,
+           g.n_agree * {1_000_000 // _MH_PERMS} AS est_jaccard_ppm,
+           m.merged_equals_direct
+    FROM agree g
+    LEFT JOIN inter i ON g.src_a = i.src_a AND g.src_b = i.src_b
+    JOIN sizes sa ON sa.source = g.src_a
+    JOIN sizes sb ON sb.source = g.src_b
+    CROSS JOIN mok m
+"""
+
+
+@query("x_sketch_minhash_merge", oracle=_MH_MERGE_ORACLE, tags=("sketch", "tierx"))
+def x_sketch_minhash_merge(spark, sf_dir):
+    """Mergeable per-source MinHash signatures (Broder '97) + the
+    source-similarity matrix they buy: for every source pair, the
+    signature-agreement count (the m=16 MinHash Jaccard estimator,
+    exact integer — VALUE-checked cross-engine, not just pinned) next
+    to the exact shingle-set intersection/union, plus the property
+    that makes the sketch the 100 TB incremental-corpus path, proved
+    in-query and pinned TRUE: the corpus signature recomputed from
+    scratch equals the elementwise-min MERGE of the 20 per-source
+    signatures (s_agg_delta_merge discipline — merge == recompute).
+    At scale only per-shard signatures are maintained (m int64s per
+    shard, updated by the same min on ingest); cross-source/cross-day
+    similarity and union sketches then cost O(shards·m), never a
+    corpus rescan. The exact intersect side exists for the audit and
+    runs at fixture scale only.
+
+    Plan: distinct (source, shingle) relation → ×16 perm explode →
+    map-side-combined min groupBy (signatures: 20×16 rows); the
+    agreement matrix is a signature self-join on p (≤ sources² rows);
+    the exact side is one shingle-keyed self-join whose per-key
+    fan-out is bounded by the source count. One 1-row broadcast joins
+    the merge-equality bit onto the pair rows."""
+    from mcp_iceberg_duckdb_spark.functions.textfns import word_shingles
+
+    d = t(spark, sf_dir).documents
+    sh = d.select(
+        "source", F.explode(word_shingles("text", 3)).alias("sh")
+    ).distinct()
+    hv = minhash_part_sigs(sh, "source")
+    direct = minhash_part_sigs(
+        sh.select("sh").distinct().withColumn("k", F.lit(1)), "k"
+    ).select("p", "h")
+    merged = hv.groupBy("p").agg(F.min("h").alias("h"))
+    mok = merged.join(direct, ["p", "h"]).agg(
+        (F.count("*") == _MH_PERMS).alias("merged_equals_direct")
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("source").alias("src_a"), "sh")
+    b = sh.select(F.col("source").alias("src_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("inter_sh"))
+    )
+    ha = hv.select(F.col("source").alias("src_a"), "p", F.col("h").alias("h_a"))
+    hb = hv.select(F.col("source").alias("src_b"), "p", F.col("h").alias("h_b"))
+    agree = (
+        ha.join(hb, "p")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(
+                F.when(F.col("h_a") == F.col("h_b"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_agree")
+        )
+    )
+    return (
+        agree.join(inter, ["src_a", "src_b"], "left")
+        .join(
+            sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na")),
+            "src_a",
+        )
+        .join(
+            sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb")),
+            "src_b",
+        )
+        .crossJoin(mok)
+        .select(
+            "src_a",
+            "src_b",
+            "n_agree",
+            F.coalesce("inter_sh", F.lit(0)).cast("bigint").alias("inter_sh"),
+            (F.col("na") + F.col("nb") - F.coalesce("inter_sh", F.lit(0)))
+            .cast("bigint")
+            .alias("union_sh"),
+            (F.col("n_agree") * F.lit(1_000_000 // _MH_PERMS))
+            .cast("bigint")
+            .alias("est_jaccard_ppm"),
+            "merged_equals_direct",
+        )
+    )

@@ -551,6 +551,8 @@ _BNLJ_ALLOWED = {
     "x_mix_temperature_weights",
     # round 7: 1-row broadcast quantile cutpoints onto the doc scores
     "x_quality_perplexity_buckets",
+    # round 7: 1-row broadcast merge-equality bit onto the pair rows
+    "x_sketch_minhash_merge",
 }
 
 

@@ -586,3 +586,46 @@ def test_containment_planted_excerpts_are_asymmetric(spark, sf_dir):
         assert (pid, pid + 10_000_000) not in pairs, (
             f"parent {pid} must NOT be contained in its half-excerpt"
         )
+
+
+def test_minhash_signature_merge_property(spark):
+    """The algebra x_sketch_minhash_merge rests on, checked off the
+    fixtures: for ANY partitioning of a shingle relation, the
+    elementwise-min merge of per-part signatures equals the signature
+    computed directly over the union — and duplicated shingles cannot
+    move any signature (set semantics)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mcp_iceberg_duckdb_spark.operators.textops import (
+        _MH_PERMS,
+        minhash_part_sigs,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (rng.randrange(5), f"sh{rng.randrange(200)}") for _ in range(800)
+    ]
+    rel = spark.createDataFrame(rows, "part int, sh string").distinct()
+    parts = minhash_part_sigs(rel, "part")
+    merged = {
+        r.p: r.h
+        for r in parts.groupBy("p").agg(F.min("h").alias("h")).collect()
+    }
+    direct = {
+        r.p: r.h
+        for r in minhash_part_sigs(
+            rel.select("sh").distinct().withColumn("k", F.lit(1)), "k"
+        ).collect()
+    }
+    assert merged == direct and len(direct) == _MH_PERMS
+    # duplication invariance: the same relation with every row tripled
+    tripled = rel.withColumn(
+        "dup", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3)))
+    ).select("part", "sh")
+    parts2 = {
+        (r.part, r.p): r.h
+        for r in minhash_part_sigs(tripled.distinct(), "part").collect()
+    }
+    assert parts2 == {(r.part, r.p): r.h for r in parts.collect()}
