@@ -1748,3 +1748,91 @@ def x_quality_perplexity_buckets(spark, sf_dir):
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+_EPOCH_SHARDS = 16  # 2^4 range buckets over the 24-bit hash space
+
+_EPOCH_ORACLE = """
+    WITH h AS (
+        SELECT doc_id,
+               (strpos('0123456789abcdef', substr(md5('epoch3:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 1048576
+             + (strpos('0123456789abcdef', substr(md5('epoch3:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 65536
+             + (strpos('0123456789abcdef', substr(md5('epoch3:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(md5('epoch3:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(md5('epoch3:' || CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5('epoch3:' || CAST(doc_id AS VARCHAR)), 6, 1)) - 1) AS h
+        FROM documents
+    )
+    SELECT doc_id, CAST(h AS BIGINT) AS h,
+           CAST(h // 1048576 AS BIGINT) AS shard,
+           row_number() OVER (PARTITION BY h // 1048576
+                              ORDER BY h, doc_id) AS pos_in_shard,
+           row_number() OVER (ORDER BY h, doc_id) AS global_pos
+    FROM h
+"""
+
+
+@query("x_corpus_epoch_shuffle", oracle=_EPOCH_ORACLE, tags=("pipeline", "tierx"))
+def x_corpus_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch corpus shuffle — the training-loader
+    reordering primitive: epoch e's document order is a pure function
+    of (e, doc_id) (md5-hex6 of 'epoch3:'||doc_id here), so every
+    worker, rerun, and resumed job sees the SAME permutation with no
+    shared state, and successive epochs decorrelate for free by
+    changing the salt. Emits shard (for loader parallelism), position
+    within shard, and the exact GLOBAL order index.
+
+    The scale point is how global_pos is computed WITHOUT a global
+    sort: shards are RANGE buckets of the hash (top 4 of 24 bits), so
+    the global order is (shard, within-shard order) by construction —
+    one hash-partition shuffle on shard + per-partition sort gives
+    pos_in_shard, and global_pos = pos + the shard's size-prefix-sum
+    offset, a 16-row cumulative sum broadcast back onto the rows.
+    md5 uniformity keeps range buckets balanced with no sampling step
+    (Spark's rangepartitioning would sample-scan first); at 100 TB
+    the same two-phase index is how you number a shuffled corpus
+    without ever materializing a total order in one place. The
+    oracle's single-node row_number() over the full ORDER BY verifies
+    the bucketed composition exactly."""
+    d = t(spark, sf_dir).documents
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("epoch3:"), F.col("doc_id").cast("string"))),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    hd = d.select("doc_id", h.alias("h")).withColumn(
+        "shard", F.shiftright("h", 20).cast("bigint")
+    )
+    pos = F.row_number().over(
+        W.partitionBy("shard").orderBy("h", "doc_id")
+    )
+    ranked = hd.withColumn("pos_in_shard", pos.cast("bigint"))
+    offsets = (
+        hd.groupBy("shard")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n").over(
+                    W.orderBy("shard").rowsBetween(
+                        W.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("shard", "offset")
+    )
+    return ranked.join(F.broadcast(offsets), "shard").select(
+        "doc_id",
+        "h",
+        "shard",
+        "pos_in_shard",
+        (F.col("offset") + F.col("pos_in_shard")).cast("bigint").alias(
+            "global_pos"
+        ),
+    )

@@ -595,3 +595,17 @@ def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
     # one aggregate shuffle (per-doc hit count) + the broadcast's own
     # collect-side exchange at most; the big side must not repartition
     assert shuffle_count(df) <= 2
+
+
+def test_epoch_shuffle_has_no_global_sort(spark, sf_dir):
+    """x_corpus_epoch_shuffle's whole point: the exact global order
+    index must come from hash-bucketed ranking + a broadcast 16-row
+    offset table, never a rangepartitioning exchange (whose sampling
+    scan + total-order sort is the thing being avoided at 100 TB).
+    The offsets join must broadcast."""
+    df = _df("x_corpus_epoch_shuffle", spark, sf_dir)
+    plan = explain_str(df)
+    assert "rangepartitioning" not in plan.lower(), (
+        "global_pos must not be computed via a range-partitioned sort"
+    )
+    assert has_broadcast_hash_join(df)
