@@ -2710,9 +2710,16 @@ def x_sketch_minhash_merge(spark, sf_dir):
     from mcp_iceberg_duckdb_spark.functions.textfns import word_shingles
 
     d = t(spark, sf_dir).documents
-    sh = d.select(
-        "source", F.explode(word_shingles("text", 3)).alias("sh")
-    ).distinct()
+    # localCheckpoint (the graph.py cap_basket precedent): the
+    # distinct (source, shingle) relation is referenced FIVE times
+    # (signatures, direct-recompute, sizes, both exact-intersect
+    # sides) and exchange reuse does not dedup the explode+distinct
+    # subtree — materialize it once; prod: checkpoint()
+    sh = (
+        d.select("source", F.explode(word_shingles("text", 3)).alias("sh"))
+        .distinct()
+        .localCheckpoint()
+    )
     hv = minhash_part_sigs(sh, "source")
     direct = minhash_part_sigs(
         sh.select("sh").distinct().withColumn("k", F.lit(1)), "k"

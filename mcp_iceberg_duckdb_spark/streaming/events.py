@@ -2559,6 +2559,34 @@ def stream_hll_day_registers(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_minhash_source_sigs(docs: DataFrame) -> DataFrame:
+    """Streaming half of the x_sketch_minhash_merge pair: maintain the
+    per-source MinHash signatures online over a DOCUMENT stream. min
+    is associative, commutative, and idempotent, so the aggregation
+    state IS the stored signature (sources × m int64s) and neither
+    micro-batch boundaries nor re-delivered documents can move it.
+    The deliberate twist vs the batch op: NO distinct() — MinHash is
+    duplication-invariant (min over a multiset == min over its set),
+    so the streaming path needs no unbounded dedup state at all;
+    that equivalence is exactly what the twin test pins bit-for-bit
+    against the batch signatures computed from the deduped relation.
+    Complete-mode emission; at 100 TB the same groupBy(source, p) min
+    runs continuously as corpus shards land, and every downstream
+    merge/similarity read is O(sources·m)."""
+    from mcp_iceberg_duckdb_spark.functions.textfns import word_shingles
+    from mcp_iceberg_duckdb_spark.operators.textops import _MH_PERMS, minhash_h
+
+    sh = docs.select("source", F.explode(word_shingles("text", 3)).alias("sh"))
+    return (
+        sh.withColumn(
+            "p", F.explode(F.sequence(F.lit(0), F.lit(_MH_PERMS - 1)))
+        )
+        .select("source", "p", minhash_h(F.col("p"), F.col("sh")).alias("h"))
+        .groupBy("source", "p")
+        .agg(F.min("h").alias("h"))
+    )
+
+
 def stream_mix_drift_daily_counts(events: DataFrame) -> DataFrame:
     """Streaming half of the s_mix_drift twin: watermarked tumbling
     1-day (day, event_type) counts — a MERGEABLE counter aggregation,

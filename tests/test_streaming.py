@@ -791,3 +791,42 @@ def test_transform_with_state_matches_v1_and_batch(spark, sf_dir, events_path):
     }
     assert batch
     assert latest == batch
+
+
+def test_stream_minhash_sigs_match_batch(spark, sf_dir, tmp_path):
+    """MinHash-signature twin: per-source signatures maintained by the
+    streaming min aggregation over THREE micro-batches (corpus staged
+    as 3 files, maxFilesPerTrigger=1) must equal the batch signatures
+    bit-for-bit — including that the stream side runs with NO
+    distinct() (min over the multiset == min over the set), the
+    property that lets 100 TB signature maintenance carry no dedup
+    state."""
+    from mcp_iceberg_duckdb_spark.operators.textops import minhash_part_sigs
+    from mcp_iceberg_duckdb_spark.streaming.events import (
+        run_stream_to_memory,
+        stream_minhash_source_sigs,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    stage = tmp_path / "docs_stream"
+    docs.withColumn("chunk", F.col("doc_id") % 3).repartition(
+        "chunk"
+    ).write.partitionBy("chunk").parquet(str(stage))
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(stage))
+    )
+    streamed = run_stream_to_memory(
+        spark, stream_minhash_source_sigs(stream), "t_mh", mode="complete"
+    )
+    got = sorted(tuple(r) for r in streamed.collect())
+    from mcp_iceberg_duckdb_spark.functions.textfns import word_shingles
+
+    sh = docs.select(
+        "source", F.explode(word_shingles("text", 3)).alias("sh")
+    ).distinct()
+    want = sorted(tuple(r) for r in minhash_part_sigs(sh, "source").collect())
+    assert want
+    assert got == want
