@@ -180,31 +180,51 @@ def exact_containment_pairs(
     set_col: str = "sh",
     block_cols: tuple[str, ...] = (),
     out_sim_col: str | None = "containment",
+    min_len: int = 1,
+    k_hits: int = 4,
 ) -> DataFrame:
-    """All ORDERED pairs (id_a ≠ id_b), optionally within the same
-    block, with round6(|A∩B| / |A|) ≥ threshold_num/threshold_den —
-    asymmetric set CONTAINMENT (Broder's "A is roughly contained in
-    B"), the near-dup relation Jaccard misses when a short document is
-    embedded inside a much longer one (quote farms, page-in-page
-    crawls, boilerplate-wrapped reposts): Jaccard(A,B) ≈ |A|/|B| → 0
-    as B grows, but C(A→B) stays 1.
+    """All ORDERED pairs (id_a ≠ id_b, |set_a| ≥ min_len), optionally
+    within the same block, with round6(|A∩B| / |A|) ≥
+    threshold_num/threshold_den — asymmetric set CONTAINMENT
+    (Broder's "A is roughly contained in B"), the near-dup relation
+    Jaccard misses when a short document is embedded inside a much
+    longer one (quote farms, page-in-page crawls, boilerplate-wrapped
+    reposts): Jaccard(A,B) ≈ |A|/|B| → 0 as B grows, but C(A→B)
+    stays 1. `min_len` gates the CONTAINED side only (B is
+    unconstrained — that is the point): production pipelines apply a
+    Gopher-style minimum-length filter before dedup anyway, and tiny
+    sets are trivially "contained" everywhere, which is noise, not
+    duplication signal.
 
-    Prefix filter, containment form (Chaudhuri et al. ICDE'06 SSJoin
-    primitive): C(A→B) ≥ t needs overlap α = ⌈t·|A|⌉, which depends
-    only on the CONTAINED side — so A contributes its prefix of length
-    |A| − α + 1 under the global (df asc, tok asc) order, joined
-    against B's FULL token list (if none of A's first |A|−α+1 ordered
-    tokens hit B, overlap ≤ α−1). Anti-skew argument unchanged: a
-    token lands in A's prefix only if it is among A's rarest, so hot
-    tokens pair small A-side cardinality with large B-side and the
-    candidate key distribution stays bounded. Length filter
-    |B| ≥ ⌈t_eff·|A|⌉ (B can be arbitrarily larger — that is the
-    point). Exact verification on the full sets makes the output
-    bit-identical to the O(n²) ordered nested-loop join."""
+    Candidate condition (SSJoin ICDE'06 containment form, k-extended
+    MPJoin-style): C(A→B) ≥ t needs overlap α = ⌈t·|A|⌉, which
+    depends only on the contained side — A contributes its prefix of
+    length min(|A| − α + K, |A|) under the global (df asc, tok asc)
+    order, joined against B's FULL token list, and by pigeonhole a
+    qualifying pair must score ≥ min(K, α) prefix hits (unshared
+    tokens ≤ |A| − α, so the first |A| − α + K positions hold ≥ K
+    shared ones). The plain K=1 prefix is too weak against a full
+    inverted list — measured 161M candidates for ~10⁵ true pairs at
+    550k docs, because every prefix token contributes its whole df —
+    while each +1 of K costs ONE more prefix token and multiplies
+    candidates away. Two further lossless prunes ride on the same
+    aggregation: the length filter |B| ≥ α, and a positional bound —
+    the order-minimal shared token s* must sit in A's α-prefix (else
+    unshared ≥ |A| − α + 1), and every B token ordered before s* is
+    unshared, so overlap ≤ |B| − jmin + 1 where jmin is the smallest
+    matched B position.
+
+    Verification is exact but deliberately NARROW: candidates join
+    back to the (doc, token) relation and count |A∩B| with one more
+    groupBy — never to the assembled set arrays (two ~KB arrays per
+    candidate row is the thing that spilled /tmp dry at 550k docs).
+    Output is bit-identical to the O(n²) ordered nested-loop join
+    restricted to |A| ≥ min_len."""
     from mcp_iceberg_duckdb_spark.operators._util import r6
 
     num, den = threshold_num, threshold_den
     assert 0 < num <= den, "threshold must be in (0, 1]"
+    assert k_hits >= 1
     num_e, den_e = _effective_threshold(num, den)
     blocks = list(block_cols)
 
@@ -216,37 +236,45 @@ def exact_containment_pairs(
     )
     dfc = toks.groupBy(*blocks, "_tok").agg(F.count("*").alias("_df"))
     ranked = toks.join(dfc, [*blocks, "_tok"])
-    # contained-side prefix: p = len − ⌈t_eff·len⌉ + 1 (exact ints)
+    # α_eff = ⌈t_eff·len⌉; prefix p = min(len − α + K, len), required
+    # prefix hits = min(K, α) — all exact integer arithmetic
+    alpha = _ceil_div(F.col("_len").cast("bigint") * num_e, den_e)
     assembled = (
         ranked.groupBy(id_col, *blocks, "_len")
         .agg(F.array_sort(F.collect_list(F.struct("_df", "_tok"))).alias("_st"))
         .withColumn(
             "_p",
-            F.greatest(
-                F.col("_len")
-                - _ceil_div(F.col("_len").cast("bigint") * num_e, den_e)
-                + 1,
-                F.lit(1),
+            F.least(
+                F.greatest(
+                    F.col("_len") - alpha + F.lit(k_hits), F.lit(1)
+                ),
+                F.col("_len"),
             ),
         )
+        .withColumn("_need", F.least(F.lit(k_hits), F.greatest(alpha, F.lit(1))))
     )
-    a = assembled.select(
+    a = assembled.filter(F.col("_len") >= min_len).select(
         F.col(id_col).alias("_ida"),
         *[F.col(c).alias(f"_ba_{c}") for c in blocks],
         F.col("_len").alias("_la"),
+        F.col("_need").alias("_need"),
         F.explode(
             F.slice(
                 F.transform("_st", lambda s: s["_tok"]), F.lit(1), F.col("_p")
             )
         ).alias("_ptok"),
     )
-    # container side: FULL token list (prefix theorem needs B whole)
-    b = toks.select(
+    # container side: FULL token list (the prefix theorem needs B
+    # whole), position-annotated in the same global order for the
+    # jmin bound
+    b = assembled.select(
         F.col(id_col).alias("_idb"),
         *[F.col(c).alias(f"_bb_{c}") for c in blocks],
         F.col("_len").alias("_lb"),
-        F.col("_tok").alias("_ptok"),
-    )
+        F.posexplode(F.transform("_st", lambda s: s["_tok"])).alias(
+            "_j", "_ptok"
+        ),
+    ).withColumn("_j", F.col("_j") + 1)
     cond = (
         (F.col("_ida") != F.col("_idb"))
         # overlap needs |B| ≥ ⌈t_eff·|A|⌉ ⟺ |B|·den_e ≥ |A|·num_e
@@ -260,28 +288,36 @@ def exact_containment_pairs(
     cand = (
         a.join(b, on=["_ptok"])
         .filter(cond)
-        .select("_ida", "_idb")
-        .distinct()
+        .groupBy("_ida", "_idb")
+        .agg(
+            F.count("*").alias("_hits"),
+            F.min("_j").alias("_jmin"),
+            F.first("_la").alias("_la"),
+            F.first("_lb").alias("_lb"),
+            F.first("_need").alias("_need"),
+        )
+        .filter(
+            (F.col("_hits") >= F.col("_need"))
+            # overlap ≤ |B| − jmin + 1 must reach α
+            & (
+                (F.col("_lb") - F.col("_jmin") + 1).cast("bigint") * den_e
+                >= F.col("_la").cast("bigint") * num_e
+            )
+        )
+        .select("_ida", "_idb", "_la")
     )
-    sa = base.select(
-        F.col(id_col).alias("_ida"), F.col(set_col).alias("_sha")
-    )
-    sb = base.select(
-        F.col(id_col).alias("_idb"), F.col(set_col).alias("_shb")
+    ta = toks.select(F.col(id_col).alias("_ida"), F.col("_tok").alias("_t"))
+    tb = toks.select(F.col(id_col).alias("_idb"), F.col("_tok").alias("_t"))
+    inter = (
+        cand.join(ta, "_ida")
+        .join(tb, ["_idb", "_t"])
+        .groupBy("_ida", "_idb", "_la")
+        .agg(F.count("*").alias("_inter"))
     )
     thr = F.lit(num / den)  # same double literal the oracle SQL parses
-    out = (
-        cand.join(sa, "_ida")
-        .join(sb, "_idb")
-        .withColumn(
-            "_c",
-            r6(
-                F.size(F.array_intersect("_sha", "_shb"))
-                / F.size("_sha").cast("double")
-            ),
-        )
-        .filter(F.col("_c") >= thr)
-    )
+    out = inter.withColumn(
+        "_c", r6(F.col("_inter") / F.col("_la").cast("double"))
+    ).filter(F.col("_c") >= thr)
     cols = [F.col("_ida").alias("doc_a"), F.col("_idb").alias("doc_b")]
     if out_sim_col is not None:
         cols.append(F.col("_c").alias(out_sim_col))

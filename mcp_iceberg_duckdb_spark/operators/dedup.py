@@ -524,6 +524,7 @@ def x_dedup_ngram_jaccard(spark, sf_dir):
            floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                  / len(a.sh)) * 1e6 + 0.5) / 1e6 AS containment
     FROM d a JOIN d b ON a.source = b.source AND a.doc_id <> b.doc_id
+                     AND len(a.sh) >= 30
     WHERE floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                 / len(a.sh)) * 1e6 + 0.5) / 1e6 >= 0.8
     """,
@@ -531,26 +532,33 @@ def x_dedup_ngram_jaccard(spark, sf_dir):
 )
 def x_dedup_containment(spark, sf_dir):
     """Asymmetric shingle CONTAINMENT join — C(A→B) = |A∩B| / |A| ≥
-    0.8, ordered pairs within `source` blocks. Jaccard-based dedup
-    misses the contained-document relation (a short post quoted whole
-    inside a long page has J ≈ |A|/|B| → 0 but C(A→B) = 1); crawl
-    pipelines dedup those with Broder-style containment. The corpus
-    has almost no organic containments, so the fixture is planted
-    IN-QUERY, identically in both engines: every 7th document
+    0.8, ordered pairs within `source` blocks, contained side gated
+    at ≥ 30 shingles (~32 words — the Gopher-style minimum-length
+    filter production pipelines apply before dedup; a tiny doc is
+    trivially "contained" everywhere, which is noise). Jaccard-based
+    dedup misses the contained-document relation (a short post quoted
+    whole inside a long page has J ≈ |A|/|B| → 0 but C(A→B) = 1);
+    crawl pipelines dedup those with Broder-style containment. The
+    corpus has almost no organic containments, so the fixture is
+    planted IN-QUERY, identically in both engines: every 7th document
     contributes a first-half excerpt (doc_id + 10⁷) whose shingle set
     is a strict subset of its parent's — guaranteed C = 1 toward the
-    parent, while the parent-toward-excerpt direction scores ≈ 0.5
-    and is correctly absent, pinning the asymmetry.
+    parent (for parents long enough to clear the gate), while the
+    parent-toward-excerpt direction scores ≈ 0.5 and is correctly
+    absent, pinning the asymmetry.
 
     Plan (functions/simjoin.exact_containment_pairs): the SSJoin
-    containment prefix filter — overlap bound α = ⌈t·|A|⌉ depends only
-    on the contained side, so A's (|A|−α+1)-rarest-token prefix joins
-    B's FULL token list under one global (df, tok) order, then exact
-    verification on full sets. No all-pairs join; candidate keys stay
-    anti-skewed because a token enters an A-prefix only when rare.
-    Reference parity: reference has no dedup surface (it delegates
-    SELECTs to DuckDB, IcebergConnection.py:114-116); this extends
-    §2.11's dedup family."""
+    containment prefix filter, K-extended — A's rarest-token prefix
+    (|A|−α+4 tokens) joins B's FULL position-annotated token list
+    under one global (df, tok) order; candidates must score ≥ 4
+    prefix hits (pigeonhole-lossless) and pass the jmin positional
+    bound, then exact verification counts |A∩B| on the NARROW
+    (doc, token) relation — measured at 550k docs: the plain K=1
+    prefix + array-join verify spilled /tmp dry on 161M candidates;
+    this shape verifies ~10⁴. Reference parity: reference has no
+    dedup surface (it delegates SELECTs to DuckDB,
+    IcebergConnection.py:114-116); this extends §2.11's dedup
+    family."""
     from mcp_iceberg_duckdb_spark.functions.simjoin import (
         exact_containment_pairs,
     )
@@ -569,7 +577,9 @@ def x_dedup_containment(spark, sf_dir):
     docs = parallelize(
         base.select("doc_id", "source", word_shingles("text", 3).alias("sh"))
     )
-    return exact_containment_pairs(docs, 4, 5, block_cols=("source",))
+    return exact_containment_pairs(
+        docs, 4, 5, block_cols=("source",), min_len=30
+    )
 
 
 @query(

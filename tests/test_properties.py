@@ -284,14 +284,26 @@ def test_containment_prefix_filter_equals_bruteforce(spark_mod):
         rows.append((i, rng.sample(base, k)))
     docs = spark_mod.createDataFrame(rows, "doc_id int, sh array<string>")
     a, b = docs.alias("a"), docs.alias("b")
-    for num, den in [(1, 2), (4, 5), (9, 10), (1, 1)]:
+    for (num, den), min_len, k_hits in [
+        ((1, 2), 1, 1),
+        ((4, 5), 1, 4),
+        ((9, 10), 1, 2),
+        ((1, 1), 1, 4),
+        ((4, 5), 5, 4),  # contained-side length gate active
+    ]:
         got = {
             tuple(r)
-            for r in exact_containment_pairs(docs, num, den).collect()
+            for r in exact_containment_pairs(
+                docs, num, den, min_len=min_len, k_hits=k_hits
+            ).collect()
         }
         want = {
             tuple(r)
-            for r in a.join(b, F.col("a.doc_id") != F.col("b.doc_id"))
+            for r in a.join(
+                b,
+                (F.col("a.doc_id") != F.col("b.doc_id"))
+                & (F.size("a.sh") >= min_len),
+            )
             .withColumn(
                 "c",
                 r6(
@@ -304,7 +316,8 @@ def test_containment_prefix_filter_equals_bruteforce(spark_mod):
             .collect()
         }
         assert got == want, (
-            f"t={num}/{den}: missing={sorted(want - got)[:3]} "
+            f"t={num}/{den} min_len={min_len} K={k_hits}: "
+            f"missing={sorted(want - got)[:3]} "
             f"extra={sorted(got - want)[:3]}"
         )
 

@@ -573,16 +573,23 @@ def test_containment_planted_excerpts_are_asymmetric(spark, sf_dir):
         .select("doc_id", F.size(F.split("text", " ")).alias("n_words"))
         .collect()
     }
-    assert parents, "fixture must contain doc_id % 7 == 0 documents"
-    for pid in parents:
+    # the contained side is gated at >= 30 shingles: an excerpt has
+    # ceil(n/2) - 2 shingles, so parents with n >= 64 words qualify
+    gated = {p: n for p, n in parents.items() if n >= 64}
+    assert gated, "fixture must have a >=64-word planted parent"
+    for pid in gated:
         assert pairs.get((pid + 10_000_000, pid)) == 1.0, (
             f"excerpt of {pid} must be contained in its parent at 1.0"
         )
+    # short excerpts fall under the min-length gate and must be absent
+    for pid, n in parents.items():
+        if (max((n + 1) // 2, 4) - 2) < 30:
+            assert (pid + 10_000_000, pid) not in pairs, (
+                f"sub-gate excerpt of {pid} (n={n}) must be filtered"
+            )
     # reverse direction: parent's containment in its excerpt is
-    # ≈ (⌈n/2⌉ − 2) / (n − 2) ≤ 0.8 definitely once n ≥ 12 words
-    long_parents = [p for p, n in parents.items() if n >= 12]
-    assert long_parents, "fixture must have a ≥12-word planted parent"
-    for pid in long_parents:
+    # ≈ (⌈n/2⌉ − 2) / (n − 2) ≈ 0.5 < 0.8 — the asymmetry pin
+    for pid in gated:
         assert (pid, pid + 10_000_000) not in pairs, (
             f"parent {pid} must NOT be contained in its half-excerpt"
         )
