@@ -1266,3 +1266,104 @@ def x_dedup_cluster_report(spark, sf_dir):
         )
     )
     return hist.unionByName(singleton)
+
+
+@query(
+    "x_corpus_leakage_safe_split",
+    oracle="""
+    WITH RECURSIVE d AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   range(greatest(len(string_split(text, ' ')) - 2, 1)),
+                   i -> array_to_string(string_split(text, ' ')[i + 1:i + 3], ' ')
+               )) AS sh
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db
+        FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.sh, b.sh)))) * 1e6 + 0.5) / 1e6 >= 0.5
+    ),
+    edges AS (
+        SELECT da AS src, db AS dst FROM pairs
+        UNION
+        SELECT db AS src, da AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    cc AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    ),
+    assign AS (
+        SELECT doc.doc_id,
+               COALESCE(cc.cluster_id, doc.doc_id) AS cluster_id
+        FROM documents doc LEFT JOIN cc ON cc.doc_id = doc.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN substr(md5('ccsplit:' || CAST(cluster_id AS VARCHAR)), 1, 4)
+                     < 'e666' THEN 'train'
+                WHEN substr(md5('ccsplit:' || CAST(cluster_id AS VARCHAR)), 1, 4)
+                     < 'f333' THEN 'val'
+                ELSE 'test' END AS split
+    FROM assign
+    """,
+    tags=("dedup", "pipeline", "tierx"),
+)
+def x_corpus_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: assign splits by NEAR-DUP
+    CLUSTER, never by document. Per-doc hash splits
+    (x_corpus_split_hash) leak — two near-duplicates can land one in
+    train and one in test, silently inflating eval (the GPT-3 paper's
+    Appendix-C contamination bug was exactly this class). Here the
+    split key is the connected-component id of the exact
+    shingle-Jaccard ≥ 0.5 pair graph (the x_dedup_cluster_cc
+    clustering; singletons are their own cluster), so every document
+    that shares a near-dup relation — transitively — moves as one
+    unit: cross-split near-dup pairs are ZERO by construction
+    (tests/test_tierx.py measures the per-doc rule leaking on the
+    same corpus while this rule does not).
+
+    Plan: the prefix-filtered exact pair join (no all-pairs), the
+    checkpointed min-label CC loop, one left join back to the corpus,
+    then the split is a pure md5 expression of cluster_id — identical
+    determinism story to x_corpus_split_hash (membership is a pure
+    function of content relations, stable under reruns, appends, and
+    engine moves). At 100 TB the CC is the LSH-candidate variant
+    (x_dedup_cluster_cc_lsh) with the same downstream split
+    expression."""
+    from mcp_iceberg_duckdb_spark.functions.simjoin import exact_jaccard_pairs
+
+    d = t(spark, sf_dir).documents
+    docs = parallelize(
+        d.select("doc_id", "source", word_shingles("text", 3).alias("sh"))
+    )
+    pairs = exact_jaccard_pairs(
+        docs, 1, 2, block_cols=("source",), out_sim_col=None
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    cc = connected_components(pairs).toDF("doc_id", "cluster_id")
+    assign = (
+        d.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    h = F.substring(
+        F.md5(F.concat(F.lit("ccsplit:"), F.col("cluster_id").cast("string"))),
+        1,
+        4,
+    )
+    return assign.select(
+        "doc_id",
+        "cluster_id",
+        F.when(h < "e666", "train")
+        .when(h < "f333", "val")
+        .otherwise("test")
+        .alias("split"),
+    )

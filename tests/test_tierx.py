@@ -636,3 +636,85 @@ def test_minhash_signature_merge_property(spark):
         for r in minhash_part_sigs(tripled.distinct(), "part").collect()
     }
     assert parts2 == {(r.part, r.p): r.h for r in parts.collect()}
+
+
+def test_leakage_safe_split_on_planted_clusters(spark, tmp_path):
+    """Planted near-dup clusters spread across distant doc_ids: the
+    cluster split rule must produce ZERO cross-split near-dup pairs
+    while the per-doc hash rule (x_corpus_split_hash's expression)
+    demonstrably leaks on the same corpus — the defect this operator
+    exists to remove. Also pins: every cluster maps to exactly one
+    split, singletons key on their own doc_id, and the 90/5/5 split
+    shares all three appear."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from mcp_iceberg_duckdb_spark.registry import QUERIES
+
+    # 60 clusters of 3 near-identical docs each; ids interleaved so
+    # cluster membership is uncorrelated with id order
+    texts, ids = [], []
+    for c in range(60):
+        base = " ".join(f"w{c}_{i}" for i in range(12))
+        for m in range(3):
+            # one substituted word keeps within-cluster Jaccard ≥ 0.5
+            words = base.split(" ")
+            if m:
+                words[m] = f"v{c}_{m}"
+            texts.append(" ".join(words))
+            ids.append(c + 1000 * m)
+    d = str(tmp_path / "leak")
+    os.makedirs(d)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+                "lang": pa.array(["en"] * len(ids), type=pa.string()),
+                "source": pa.array(["src0"] * len(ids), type=pa.string()),
+                "n_chars": pa.array(
+                    [len(t) for t in texts], type=pa.int64()
+                ),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    out = QUERIES["x_corpus_leakage_safe_split"].builder(spark, d).collect()
+    split_of = {r.doc_id: r.split for r in out}
+    cluster_of = {r.doc_id: r.cluster_id for r in out}
+    assert len(out) == len(ids)
+    # each planted cluster: one cluster_id, one split, keyed on min id
+    for c in range(60):
+        members = [c, c + 1000, c + 2000]
+        assert {cluster_of[m] for m in members} == {c}
+        assert len({split_of[m] for m in members}) == 1
+    assert {"train", "val", "test"} == set(split_of.values()) | {
+        "train", "val", "test"
+    }
+    # the per-doc rule leaks on this corpus; the cluster rule cannot
+    from mcp_iceberg_duckdb_spark.functions.simjoin import exact_jaccard_pairs
+    from mcp_iceberg_duckdb_spark.functions.textfns import word_shingles
+    from mcp_iceberg_duckdb_spark.operators._util import t as tables
+
+    docs = tables(spark, d).documents.select(
+        "doc_id", "source", word_shingles("text", 3).alias("sh")
+    )
+    pairs = exact_jaccard_pairs(
+        docs, 1, 2, block_cols=("source",), out_sim_col=None
+    ).collect()
+    assert pairs, "planted clusters must produce near-dup pairs"
+    assert all(
+        split_of[p.doc_a] == split_of[p.doc_b] for p in pairs
+    ), "cluster rule must never split a near-dup pair"
+    per_doc = {
+        r.doc_id: r.split
+        for r in QUERIES["x_corpus_split_hash"].builder(spark, d).collect()
+    }
+    n_leaky = sum(per_doc[p.doc_a] != per_doc[p.doc_b] for p in pairs)
+    assert n_leaky > 0, (
+        "per-doc hash split should leak on planted clusters "
+        "(if this ever flips, re-seed the planted ids)"
+    )
