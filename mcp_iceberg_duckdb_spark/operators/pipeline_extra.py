@@ -1836,3 +1836,94 @@ def x_corpus_epoch_shuffle(spark, sf_dir):
             "global_pos"
         ),
     )
+
+
+# ---- k-anonymity audit with a generalization ladder ----
+
+# Published-corpus privacy gate (Sweeney 2002, k-anonymity): an
+# equivalence class of quasi-identifiers may be released only when it
+# contains >= k records. Classes failing at the finest QI level are
+# GENERALIZED one rung (market segment -> '*') and re-tested; rows
+# still failing after generalization are suppressed (reported as one
+# accounting row, never released). k = 10 exercises both branches at
+# the sf0.01 fixture (35 of 125 level-0 classes fail).
+_KANON_K = 10
+
+
+@query(
+    "x_privacy_k_anonymity",
+    oracle=f"""
+    WITH g0 AS (
+        SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM customer GROUP BY 1, 2
+    ),
+    f0 AS (SELECT nation, n_rows FROM g0 WHERE n_rows < {_KANON_K}),
+    g1 AS (
+        SELECT nation, CAST(sum(n_rows) AS BIGINT) AS n_rows
+        FROM f0 GROUP BY nation
+    ),
+    rel2 AS (
+        SELECT CAST(-1 AS BIGINT) AS nation, '*' AS segment,
+               CAST(sum(n_rows) AS BIGINT) AS n_rows,
+               CAST(2 AS BIGINT) AS anon_level
+        FROM g1 WHERE n_rows < {_KANON_K}
+        HAVING count(*) > 0
+    )
+    SELECT nation, segment, n_rows, CAST(0 AS BIGINT) AS anon_level
+    FROM g0 WHERE n_rows >= {_KANON_K}
+    UNION ALL
+    SELECT nation, '*' AS segment, n_rows, CAST(1 AS BIGINT) AS anon_level
+    FROM g1 WHERE n_rows >= {_KANON_K}
+    UNION ALL
+    SELECT * FROM rel2
+    """,
+    tags=("privacy", "tierx"),
+)
+def x_privacy_k_anonymity(spark, sf_dir):
+    """k-anonymity release audit (Sweeney 2002) over the customer
+    quasi-identifiers (nation, market segment), with a one-rung
+    generalization ladder: equivalence classes of >= k rows release at
+    level 0; failing rows re-pool under the generalized QI (segment ->
+    '*') and release at level 1 if the pooled class reaches k; the
+    remainder is suppressed into a single level-2 accounting row
+    (nation = -1) so released row counts always reconcile with the
+    corpus total.
+
+    Spark shape: ONE corpus shuffle (the level-0 groupBy, map-side
+    partial-agg) — every later rung re-aggregates the GROUP-COUNT
+    relation (|classes| rows, ~QI-cardinality), not the rows, so the
+    ladder costs nothing extra at 100 TB. No joins back to the fact
+    table; the suppressed row is a scalar aggregate of the level-1
+    failures."""
+    c = t(spark, sf_dir).customer
+    k = F.lit(_KANON_K)
+    g0 = c.groupBy(
+        F.col("c_nationkey").cast("bigint").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(F.count("*").cast("bigint").alias("n_rows"))
+    rel0 = g0.where(F.col("n_rows") >= k).select(
+        "nation", "segment", "n_rows",
+        F.lit(0).cast("bigint").alias("anon_level"),
+    )
+    g1 = (
+        g0.where(F.col("n_rows") < k)
+        .groupBy("nation")
+        .agg(F.sum("n_rows").cast("bigint").alias("n_rows"))
+    )
+    rel1 = g1.where(F.col("n_rows") >= k).select(
+        "nation", F.lit("*").alias("segment"), "n_rows",
+        F.lit(1).cast("bigint").alias("anon_level"),
+    )
+    rel2 = (
+        g1.where(F.col("n_rows") < k)
+        .agg(F.sum("n_rows").cast("bigint").alias("n_rows"))
+        .where(F.col("n_rows").isNotNull())
+        .select(
+            F.lit(-1).cast("bigint").alias("nation"),
+            F.lit("*").alias("segment"),
+            "n_rows",
+            F.lit(2).cast("bigint").alias("anon_level"),
+        )
+    )
+    return rel0.unionByName(rel1).unionByName(rel2)

@@ -1152,3 +1152,67 @@ def a_mode_deterministic(spark, sf_dir):
     )
 
 
+
+
+@query(
+    "a_bool_aggs",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (WHERE o_totalprice > 150000) AS BIGINT)
+               AS n_large,
+           bool_and(o_totalprice > 0)            AS all_positive,
+           bool_or(o_orderstatus = 'F')          AS any_finished,
+           bool_and(o_custkey IS NOT NULL)       AS all_keyed
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def a_bool_aggs(spark, sf_dir):
+    """Boolean aggregate family (SQL:1999 EVERY/ANY): count_if,
+    bool_and, bool_or per group — the predicates-as-aggregates
+    surface (DuckDB spells count_if as a FILTER clause; semantics are
+    identical). One map-side-combined groupBy; booleans combine
+    associatively so partial aggregation is exact at any scale."""
+    o = t(spark, sf_dir).orders
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 150000)
+        .cast("bigint")
+        .alias("n_large"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.bool_and(F.col("o_custkey").isNotNull()).alias("all_keyed"),
+    )
+
+
+@query(
+    "o_qualify",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           floor((o_totalprice) * 1e2 + 0.5) / 1e2 AS total,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+    FROM orders
+    QUALIFY rk <= 2
+    """,
+    tags=("sort",),
+)
+def o_qualify(spark, sf_dir):
+    """QUALIFY clause (filter on a window result — DuckDB/Snowflake/
+    BigQuery surface syntax): top-2 orders per customer. Spark has no
+    QUALIFY keyword; the same logical plan is window + filter, and
+    Catalyst's WindowGroupLimit applies the rank bound map-side so
+    only 2 rows per customer survive the exchange — the identical
+    physical shape QUALIFY engines plan. Total order via the
+    (o_totalprice, o_orderkey) tiebreak."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir).orders
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= 2)
+        .select("o_custkey", "o_orderkey", r2("o_totalprice").alias("total"), "rk")
+    )

@@ -1472,3 +1472,148 @@ def x_ann_ivfpq_topk(spark, sf_dir):
         .where(F.col("rn") <= _TOP_K)
         .select("query_id", "neighbor_id", "adc_micro")
     )
+
+
+# ---- retrieval-quality evaluation (recall@k / MRR / NDCG) ----
+
+# The eval harness every ANN/retrieval deployment runs continuously:
+# score a sampled query set against the corpus, rank, and compare the
+# ranked list to labeled relevance. Label match = relevant (the
+# fixture's `label` column plays the judgment file). All metrics are
+# integers: discount weights w_i = floor(1e6/log2(i+1)+0.5) are a
+# fixed 10-entry literal table (same constants in both engines, the
+# _hyperplanes() precedent), DCG/IDCG/recall/RR are int64 sums and
+# floored divisions — no float leaves the ranking stage.
+_EV_K = 10
+_EV_QMOD = 25  # vec_id % 25 == 0 → the sampled query set
+_EV_W = [1000000, 630930, 500000, 430677, 386853, 356207, 333333,
+         315465, 301030, 289065]
+_EV_PFX = [1000000, 1630930, 2130930, 2561607, 2948460, 3304667,
+           3638000, 3953465, 4254495, 4543560]
+
+_EV_GAIN_SQL = "CASE rn " + " ".join(
+    f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_EV_W)
+) + " END"
+_EV_IDCG_SQL = "CASE least(n_rel, 10) " + " ".join(
+    f"WHEN {i + 1} THEN {p}" for i, p in enumerate(_EV_PFX)
+) + " END"
+
+
+@query(
+    "x_eval_retrieval_metrics",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    lbl AS (SELECT label, count(*) AS n_lbl FROM e GROUP BY label),
+    q AS (
+        SELECT e.vec_id AS query_id, e.label AS q_label, e.v AS qv,
+               l.n_lbl - 1 AS n_rel
+        FROM e JOIN lbl l ON e.label = l.label
+        WHERE e.vec_id % {_EV_QMOD} = 0
+    ),
+    scored AS (
+        SELECT q.query_id, q.n_rel,
+               CASE WHEN e.label = q.q_label THEN 1 ELSE 0 END AS rel,
+               floor((list_cosine_similarity(q.qv, e.v)) * 1e6 + 0.5)
+                   / 1e6 AS cos_sim,
+               e.vec_id
+        FROM q JOIN e ON e.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored
+    ),
+    agg AS (
+        SELECT query_id, n_rel,
+               CAST(sum(rel) AS BIGINT) AS hits_at_k,
+               min(CASE WHEN rel = 1 THEN rn END) AS first_rel,
+               CAST(sum(rel * ({_EV_GAIN_SQL})) AS BIGINT) AS dcg_micro
+        FROM ranked WHERE rn <= {_EV_K}
+        GROUP BY query_id, n_rel
+    )
+    SELECT query_id, CAST(n_rel AS BIGINT) AS n_rel, hits_at_k,
+           CAST(hits_at_k * 1000000 // n_rel AS BIGINT) AS recall_ppm,
+           CAST(COALESCE(1000000 // first_rel, 0) AS BIGINT) AS rr_micro,
+           CAST(dcg_micro * 1000000 // ({_EV_IDCG_SQL}) AS BIGINT)
+               AS ndcg_ppm
+    FROM agg
+    """,
+    tags=("similarity", "tierx"),
+)
+def x_eval_retrieval_metrics(spark, sf_dir):
+    """Retrieval-quality evaluation: recall@10, reciprocal rank, and
+    NDCG@10 per sampled query, with relevance = label match (the
+    embeddings fixture's `label` column as the judgment file). This is
+    the continuous-eval loop of a production retrieval system — run
+    the same ranked scan the ANN index serves, but against labeled
+    queries, and aggregate ranking-quality metrics.
+
+    Spark shape: the sampled query set (|C|/25 rows) is BROADCAST so
+    the corpus is scanned once and never shuffled at scoring time; the
+    per-query ranking is one row_number window (WindowGroupLimit keeps
+    only k rows per query map-side); metrics are one small groupBy
+    over |Q|·k rows. At 100 TB the eval cost is one corpus scan — the
+    same plan a brute-force ground-truth job uses, which is exactly
+    what you want the harness to share.
+
+    Integer determinism: cosine is 6dp-rounded BEFORE ranking (the
+    x_ann_cosine_topk discipline, vec_id tiebreak); gains use the
+    fixed micro-unit 1/log2(i+1) literal table `_EV_W`, IDCG its
+    prefix sums, and recall/RR/NDCG are floored integer divisions —
+    both engines agree bit-for-bit."""
+    e = parallelize(
+        t(spark, sf_dir).embeddings.select(
+            "vec_id", "label", as_double("embedding").alias("v")
+        )
+    )
+    lbl = e.groupBy("label").agg(F.count("*").alias("n_lbl"))
+    q = (
+        e.filter(F.col("vec_id") % _EV_QMOD == 0)
+        .join(F.broadcast(lbl), "label")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("q_label"),
+            F.col("v").alias("qv"),
+            (F.col("n_lbl") - 1).alias("n_rel"),
+        )
+    )
+    scored = e.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "n_rel",
+        (F.col("label") == F.col("q_label")).cast("int").alias("rel"),
+        r6(cosine(F.col("qv"), F.col("v"))).alias("cos_sim"),
+        "vec_id",
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    gain = F.element_at(
+        F.array(*[F.lit(x) for x in _EV_W]), F.col("rn")
+    )
+    agg = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _EV_K)
+        .groupBy("query_id", "n_rel")
+        .agg(
+            F.sum("rel").cast("bigint").alias("hits_at_k"),
+            F.min(F.when(F.col("rel") == 1, F.col("rn"))).alias("first_rel"),
+            F.sum(F.col("rel") * gain).cast("bigint").alias("dcg_micro"),
+        )
+    )
+    idcg = F.element_at(
+        F.array(*[F.lit(x) for x in _EV_PFX]),
+        F.least(F.col("n_rel"), F.lit(_EV_K)).cast("int"),
+    )
+    return agg.withColumn("idcg_micro", idcg).select(
+        "query_id",
+        F.col("n_rel").cast("bigint").alias("n_rel"),
+        "hits_at_k",
+        F.expr("hits_at_k * 1000000 div n_rel").alias("recall_ppm"),
+        F.coalesce(
+            F.expr("1000000 div first_rel"), F.lit(0).cast("bigint")
+        ).alias("rr_micro"),
+        F.expr("dcg_micro * 1000000 div idcg_micro").alias("ndcg_ppm"),
+    )

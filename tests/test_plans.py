@@ -553,6 +553,11 @@ _BNLJ_ALLOWED = {
     "x_quality_perplexity_buckets",
     # round 7: 1-row broadcast merge-equality bit onto the pair rows
     "x_sketch_minhash_merge",
+    # round 7: broadcast sampled-query set scored against the corpus
+    # scan under a != self-pair guard (the x_ann_cosine_topk shape)
+    "x_eval_retrieval_metrics",
+    # round 7: 1-row broadcast max-normalizer per HITS half-step
+    "x_graph_hits",
 }
 
 

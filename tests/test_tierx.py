@@ -718,3 +718,46 @@ def test_leakage_safe_split_on_planted_clusters(spark, tmp_path):
         "per-doc hash split should leak on planted clusters "
         "(if this ever flips, re-seed the planted ids)"
     )
+
+
+def test_retrieval_metrics_invariants(spark, sf_dir):
+    """Metric algebra of x_eval_retrieval_metrics: every metric lives
+    in [0, 1e6]; hits==0 forces RR==0 and NDCG==0; any hit puts RR in
+    [1e5, 1e6] (first_rel <= 10); a full-relevant prefix with
+    n_rel >= k is a PERFECT ranking, so NDCG must be exactly 1e6; and
+    recall_ppm must equal the integer division hits*1e6 // n_rel."""
+    from mcp_iceberg_duckdb_spark.registry import QUERIES
+
+    rows = QUERIES["x_eval_retrieval_metrics"].builder(spark, sf_dir).collect()
+    assert rows, "query sample (vec_id % 25 == 0) must be non-empty"
+    for r in rows:
+        assert 0 <= r.recall_ppm <= 1_000_000
+        assert 0 <= r.ndcg_ppm <= 1_000_000
+        assert r.rr_micro == 0 or 100_000 <= r.rr_micro <= 1_000_000
+        assert 0 <= r.hits_at_k <= 10
+        assert r.recall_ppm == r.hits_at_k * 1_000_000 // r.n_rel
+        if r.hits_at_k == 0:
+            assert r.rr_micro == 0 and r.ndcg_ppm == 0
+        if r.hits_at_k == 10 and r.n_rel >= 10:
+            assert r.ndcg_ppm == 1_000_000
+
+
+def test_k_anonymity_books_balance_and_floor(spark, sf_dir):
+    """Privacy algebra of x_privacy_k_anonymity: every RELEASED class
+    (level 0/1) has >= k rows — the whole point of the gate; the
+    suppressed accounting row (level 2) is the only one allowed under
+    k; and total rows across all levels reconcile exactly with the
+    corpus (nothing lost, nothing double-counted by the ladder)."""
+    from mcp_iceberg_duckdb_spark.operators._util import t as tables
+    from mcp_iceberg_duckdb_spark.registry import QUERIES
+
+    rows = QUERIES["x_privacy_k_anonymity"].builder(spark, sf_dir).collect()
+    released = [r for r in rows if r.anon_level < 2]
+    assert released, "fixture must release at least one class"
+    assert all(r.n_rows >= 10 for r in released)
+    assert {r.anon_level for r in rows} <= {0, 1, 2}
+    total = sum(r.n_rows for r in rows)
+    assert total == tables(spark, sf_dir).customer.count()
+    # generalized classes never collide with a released level-0 class
+    lvl1_nations = {r.nation for r in rows if r.anon_level == 1}
+    assert all(n != -1 for n in lvl1_nations)
