@@ -778,3 +778,127 @@ def x_graph_adamic_adar(spark, sf_dir):
         .orderBy(F.col("aa_pico").desc(), "u", "v")
         .limit(_AA_TOPK)
     )
+
+
+# ---- HITS hubs & authorities (Kleinberg 1999) ----
+
+# The third iterative-graph shape after PageRank and CC: alternating
+# matrix-vector products on the DIRECTED bipartite co-purchase graph
+# (customer --buys-from--> supplier). Hubs = customers, authorities =
+# suppliers. Determinism discipline: scores live in int64 micro-units
+# and each half-step is MAX-normalized by integer division (the
+# standard ||·||_inf variant of the algorithm — deterministic where
+# an L2 norm would drag in float sqrt), so both engines agree
+# bit-for-bit and every intermediate is bounded by deg_max · 1e6.
+_HITS_ITERS = 4
+_HITS_ONE = 1_000_000
+
+
+def _hits_oracle() -> str:
+    # Every CTE is MATERIALIZED: each level references the previous one
+    # twice (the normalize step reads a{i}r in both its body and its
+    # scalar max subquery), so plain inlining doubles the plan per
+    # half-step — 2^8 copies of the orders⋈lineitem scan over 4
+    # iterations (measured: >390 s vs 0.06 s at sf0.01). Same
+    # plan-doubling hazard the Spark side solves with localCheckpoint.
+    parts = [
+        """
+    WITH edges AS MATERIALIZED (
+        SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    h0 AS MATERIALIZED (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS v
+           FROM edges)"""
+    ]
+    prev_h = "h0"
+    for i in range(1, _HITS_ITERS + 1):
+        parts.append(
+            f""",
+    a{i}r AS MATERIALIZED (
+        SELECT e.dst AS node, CAST(sum(h.v) AS BIGINT) AS v
+        FROM edges e JOIN {prev_h} h ON h.node = e.src GROUP BY e.dst
+    ),
+    a{i} AS MATERIALIZED (
+        SELECT node, CAST(v * 1000000 // (SELECT max(v) FROM a{i}r)
+                          AS BIGINT) AS v
+        FROM a{i}r
+    ),
+    h{i}r AS MATERIALIZED (
+        SELECT e.src AS node, CAST(sum(a.v) AS BIGINT) AS v
+        FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY e.src
+    ),
+    h{i} AS MATERIALIZED (
+        SELECT node, CAST(v * 1000000 // (SELECT max(v) FROM h{i}r)
+                          AS BIGINT) AS v
+        FROM h{i}r
+    )"""
+        )
+        prev_h = f"h{i}"
+    parts.append(
+        f"""
+    SELECT 'hub' AS kind, node, v AS score_micro FROM h{_HITS_ITERS}
+    UNION ALL
+    SELECT 'auth' AS kind, node, v AS score_micro FROM a{_HITS_ITERS}"""
+    )
+    return "".join(parts)
+
+
+@query("x_graph_hits", oracle=_hits_oracle(), tags=("graph", "tierx"))
+def x_graph_hits(spark, sf_dir):
+    """HITS (Kleinberg 1999, max-normalized variant): 4 alternating
+    hub/authority updates on the directed customer→supplier
+    co-purchase graph. a(s) = Σ_{c→s} h(c), h(c) = Σ_{c→s} a(s), each
+    half-step re-scaled to max 1e6 by integer division.
+
+    Spark shape: the distinct edge relation is computed once,
+    localCheckpointed (the PageRank/CC lineage-truncation precedent —
+    8 unrolled half-steps would otherwise inline the orders⋈lineitem
+    subtree 8×), and reused; each half-step is ONE contribution join +
+    ONE map-side-combined groupBy, plus a 1-row max aggregate
+    broadcast back onto the |V|-row score relation (the allowlisted
+    1-row-BNLJ pattern). State per step is |V| rows of two int64s. At
+    100 TB each half-step is a shuffle on the node key — the same cost
+    profile as a PageRank iteration — and max-normalization bounds
+    every sum by deg_max·1e6, far inside int64."""
+    o = t(spark, sf_dir).orders.select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir).lineitem.select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint()  # eager, the kcore-loop precedent
+    )
+    h = edges.select("src").distinct().select(
+        F.col("src").alias("node"),
+        F.lit(_HITS_ONE).cast("bigint").alias("v"),
+    )
+
+    def _half(scores, in_key, out_key):
+        # localCheckpoint BEFORE the double reference below: `raw`
+        # feeds both the 1-row max aggregate and the normalize join,
+        # so without lineage truncation each half-step DOUBLES the
+        # unrolled subtree — 2^8 plan copies over 4 iterations (the
+        # x_graph_triangles plan-reuse regression, graph.py:313).
+        raw = (
+            edges.join(
+                scores.select(F.col("node").alias(in_key), "v"), in_key
+            )
+            .groupBy(F.col(out_key).alias("node"))
+            .agg(F.sum("v").cast("bigint").alias("v"))
+            .localCheckpoint()  # eager: truncates BEFORE analysis of
+            # the next half-step, keeping plan size flat per step
+        )
+        m = raw.agg(F.max("v").alias("m"))
+        return raw.crossJoin(F.broadcast(m)).select(
+            "node", F.expr("CAST(v * 1000000 div m AS BIGINT)").alias("v")
+        )
+
+    a = None
+    for _ in range(_HITS_ITERS):
+        a = _half(h, "src", "dst")
+        h = _half(a, "dst", "src")
+    return h.select(F.lit("hub").alias("kind"), "node", F.col("v").alias("score_micro")).unionByName(
+        a.select(F.lit("auth").alias("kind"), "node", F.col("v").alias("score_micro"))
+    )

@@ -759,3 +759,28 @@ def test_char_entropy_bounds(spark, sf_dir):
         assert -1 <= r.entropy_micro_nats <= math.log(r.n_chars) * 1e6 + 1
     hs = sorted(r.entropy_micro_nats for r in rows)
     assert hs[0] < hs[-1], "entropy must vary across docs"
+
+
+def test_hits_max_normalization_and_node_sets(spark, sf_dir):
+    """HITS invariants: max-normalization makes the top hub and top
+    authority EXACTLY 1e6 after every iteration (so also at output);
+    every score is in (0, 1e6]; hub nodes are precisely the customers
+    with at least one order line and authorities precisely the
+    suppliers that shipped one."""
+    rows = registry.QUERIES["x_graph_hits"].builder(spark, sf_dir).collect()
+    hubs = {r.node: r.score_micro for r in rows if r.kind == "hub"}
+    auths = {r.node: r.score_micro for r in rows if r.kind == "auth"}
+    assert hubs and auths
+    assert max(hubs.values()) == 1_000_000
+    assert max(auths.values()) == 1_000_000
+    assert all(0 < v <= 1_000_000 for v in hubs.values())
+    assert all(0 < v <= 1_000_000 for v in auths.values())
+    from mcp_iceberg_duckdb_spark.operators._util import t as tables
+
+    o = tables(spark, sf_dir).orders.select("o_orderkey", "o_custkey")
+    li = tables(spark, sf_dir).lineitem.select("l_orderkey", "l_suppkey")
+    ed = o.join(li, o.o_orderkey == li.l_orderkey)
+    custs = {r.o_custkey for r in ed.select("o_custkey").distinct().collect()}
+    supps = {r.l_suppkey for r in ed.select("l_suppkey").distinct().collect()}
+    assert set(hubs) == custs
+    assert set(auths) == supps
