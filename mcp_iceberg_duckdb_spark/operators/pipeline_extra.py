@@ -1927,3 +1927,192 @@ def x_privacy_k_anonymity(spark, sf_dir):
         )
     )
     return rel0.unionByName(rel1).unionByName(rel2)
+
+
+# ---- distinct l-diversity audit ----
+
+# k-anonymity's known failure mode (homogeneity attack): a class can
+# contain >= k rows yet a SINGLE sensitive value, so membership alone
+# discloses the attribute. Distinct l-diversity (Machanavajjhala et
+# al. 2006, "l-Diversity: Privacy Beyond k-Anonymity") requires each
+# released equivalence class to carry >= l DISTINCT sensitive values.
+# QI = (nation, account-balance band of 2000); sensitive attribute =
+# market segment (5 values). l = 4 exercises both branches on the
+# fixture (118 of 150 classes release at sf0.01).
+_LDIV_L = 4
+
+
+@query(
+    "x_privacy_l_diversity",
+    oracle=f"""
+    SELECT CAST(c_nationkey AS BIGINT) AS nation,
+           CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_sens,
+           count(DISTINCT c_mktsegment) >= {_LDIV_L} AS released
+    FROM customer
+    GROUP BY 1, 2
+    """,
+    tags=("privacy", "tierx"),
+)
+def x_privacy_l_diversity(spark, sf_dir):
+    """Distinct l-diversity audit (Machanavajjhala et al. 2006): an
+    equivalence class of the quasi-identifiers (nation, acctbal band)
+    is releasable only when its sensitive attribute (market segment)
+    takes >= l distinct values — the homogeneity-attack gate that
+    k-anonymity alone misses. Complements x_privacy_k_anonymity: a
+    publication pipeline runs both audits off the SAME class relation.
+
+    Spark shape: one corpus shuffle (groupBy on the QI pair);
+    count_distinct expands map-side (partial distinct per partition)
+    so the exchange carries (class, segment) pairs — bounded by
+    |classes|·|sensitive domain|, not the row count. At 100 TB the
+    audit is exactly one pass; the release decision is an expression
+    over the class relation."""
+    c = t(spark, sf_dir).customer
+    return (
+        c.groupBy(
+            F.col("c_nationkey").cast("bigint").alias("nation"),
+            F.floor(F.col("c_acctbal") / 2000).cast("bigint").alias("bal_band"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.count_distinct("c_mktsegment").cast("bigint").alias("n_sens"),
+        )
+        .withColumn("released", F.col("n_sens") >= F.lit(_LDIV_L))
+    )
+
+
+# ---- differentially-private count release (geometric mechanism) ----
+
+# epsilon-DP noisy counts via the TRUNCATED two-sided geometric
+# mechanism (Ghosh, Roughgarden & Sundararajan 2009 — the discrete
+# analogue of Laplace, utility-optimal for counts; truncation per
+# Canonne, Kamath & Steinke 2020's discrete-Laplace treatment). At
+# epsilon = ln 2 the decay ratio alpha = e^-eps = 1/2 EXACTLY, so
+# every probability is a dyadic-over-3 rational and the inverse-CDF
+# thresholds are computed in exact Python Fractions at import time
+# and inlined as integer literals in BOTH engines — no runtime
+# ln/exp, bit-identical noise everywhere. The uniform variate is the
+# md5-hex6 integer (24 bits) of the group key, the repo's portable
+# hash; noise is truncated to |z| <= _DP_MAX with the tail mass
+# folded into the extremes (P(|Z| >= 8) ~ 2.6e-3 pre-fold).
+_DP_MAX = 8
+_DP_SCALE = 16**6  # hex6 uniform domain
+
+
+def _dp_thresholds() -> list[tuple[int, int]]:
+    """(threshold, z) pairs: noise = first z with U < threshold,
+    cumulative over z = -MAX..+MAX of P(Z=z) = (1/3)·2^-|z|
+    (alpha = 1/2), tails folded into ±MAX. Exact integers; the final
+    threshold is 16^6 so the ladder is total."""
+    from fractions import Fraction
+
+    third = Fraction(1, 3)
+    p = {}
+    for z in range(-_DP_MAX, _DP_MAX + 1):
+        p[z] = third * Fraction(1, 2 ** abs(z))
+    # fold the untruncated tail P(|Z| >= MAX) = (2/3)·2^-MAX per side
+    p[_DP_MAX] = p[-_DP_MAX] = Fraction(2, 3) * Fraction(1, 2**_DP_MAX)
+    assert sum(p.values()) == 1
+    out, cum = [], Fraction(0)
+    for z in range(-_DP_MAX, _DP_MAX + 1):
+        cum += p[z]
+        out.append((int(cum * _DP_SCALE), z))
+    assert out[-1][0] == _DP_SCALE
+    return out
+
+
+_DP_LADDER = _dp_thresholds()
+
+
+def _dp_noise_sql(u_expr: str) -> str:
+    """DuckDB CASE ladder mapping a hex6 uniform to geometric noise."""
+    whens = " ".join(
+        f"WHEN {u_expr} < {thr} THEN {z}" for thr, z in _DP_LADDER[:-1]
+    )
+    return f"(CASE {whens} ELSE {_DP_LADDER[-1][1]} END)"
+
+
+def _dp_noise_col(u):
+    """Spark twin of _dp_noise_sql."""
+    expr = F.lit(_DP_LADDER[-1][1])
+    for thr, z in reversed(_DP_LADDER[:-1]):
+        expr = F.when(u < F.lit(thr), F.lit(z)).otherwise(expr)
+    return expr.cast("bigint")
+
+
+def _sql_hex6_dp(expr: str) -> str:
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"({terms})"
+
+
+@query(
+    "x_privacy_dp_count",
+    oracle=f"""
+    WITH g AS (
+        SELECT o_orderpriority AS priority,
+               CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+               CAST(count(*) AS BIGINT) AS n_true
+        FROM orders GROUP BY 1, 2
+    ),
+    n AS (
+        SELECT *,
+               CAST({_dp_noise_sql(_sql_hex6_dp(
+                   "concat('dp:', priority, ':', CAST(yr AS VARCHAR))"))}
+                    AS BIGINT) AS noise
+        FROM g
+    )
+    SELECT priority, yr, n_true, noise,
+           greatest(n_true + noise, 0) AS n_released,
+           abs(noise) <= {_DP_MAX} AS noise_bounded
+    FROM n
+    """,
+    tags=("privacy", "tierx"),
+)
+def x_privacy_dp_count(spark, sf_dir):
+    """Differentially-private count release at epsilon = ln 2 via the
+    truncated geometric mechanism (Ghosh et al. 2009): per
+    (order-priority, year) cell, true count + two-sided geometric
+    noise with decay alpha = 1/2, clamped at 0 (counts are
+    non-negative). Noise is a pure expression over exact inverse-CDF
+    integer thresholds precomputed in Python Fractions, seeded by the
+    md5-hex6 of the group key — deterministic, so the oracle checks
+    FULL value parity including the noise itself, and `noise_bounded`
+    is computed independently by both engines (not pinned).
+
+    Spark shape: one map-side-combined groupBy; the mechanism adds
+    zero distributed work (a CASE ladder on the |cells|-row class
+    relation). At 100 TB the release costs exactly the aggregation;
+    per-cell noise keeps the whole release epsilon-DP under parallel
+    composition across disjoint cells."""
+    o = t(spark, sf_dir).orders
+    g = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+    ).agg(F.count("*").cast("bigint").alias("n_true"))
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("dp:"),
+                    F.col("priority"),
+                    F.lit(":"),
+                    F.col("yr").cast("string"),
+                )
+            ),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        g.withColumn("noise", _dp_noise_col(u))
+        .withColumn("n_released", F.greatest(F.col("n_true") + F.col("noise"), F.lit(0).cast("bigint")))
+        .withColumn("noise_bounded", F.abs("noise") <= F.lit(_DP_MAX))
+    )

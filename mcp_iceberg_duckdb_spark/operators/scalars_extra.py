@@ -410,3 +410,65 @@ def f_string_extra(spark, sf_dir):
         .cast("bigint")
         .alias("n_spaces"),
     )
+
+
+@query(
+    "f_url_parse",
+    oracle="""
+    WITH u AS (
+        SELECT o_orderkey,
+               'https://shop' || CAST(o_custkey % 7 AS VARCHAR)
+               || '.example.com/cat/' || CAST(o_custkey % 100 AS VARCHAR)
+               || '/item?ok=' || CAST(o_orderkey AS VARCHAR)
+               || '&pri=' || substr(o_orderpriority, 1, 1)
+               || '#frag' || CAST(o_orderkey % 3 AS VARCHAR) AS url
+        FROM orders
+    )
+    SELECT o_orderkey, url,
+           regexp_extract(url, '^([a-z]+)://', 1)          AS proto,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)   AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?([^#]*)', 1)            AS qs,
+           regexp_extract(url, '[?&]pri=([^&#]*)', 1)      AS pri_param,
+           regexp_extract(url, '#(.*)$', 1)                AS fragment
+    FROM u
+    """,
+    tags=("scalar", "string"),
+)
+def f_url_parse(spark, sf_dir):
+    """URL dissection — Spark's java.net-backed `parse_url`
+    (PROTOCOL/HOST/PATH/QUERY/QUERY:key/REF) differentially checked
+    against an INDEPENDENT implementation (DuckDB RE2 regexes over the
+    identically-constructed URL), so the oracle is a true
+    cross-implementation test rather than a shared-expression twin.
+    URLs are synthesized deterministically from order columns (crawl
+    pipelines parse billions of these before x_url_canonicalize keys
+    the dedup).
+
+    Spark shape: pure per-row expressions, shuffle-free, whole-stage
+    codegen; at 100 TB this is scan-bound — exactly what a URL-field
+    extraction stage must be."""
+    o = t(spark, sf_dir).orders
+    url = F.concat(
+        F.lit("https://shop"),
+        (F.col("o_custkey") % 7).cast("string"),
+        F.lit(".example.com/cat/"),
+        (F.col("o_custkey") % 100).cast("string"),
+        F.lit("/item?ok="),
+        F.col("o_orderkey").cast("string"),
+        F.lit("&pri="),
+        F.substring("o_orderpriority", 1, 1),
+        F.lit("#frag"),
+        (F.col("o_orderkey") % 3).cast("string"),
+    )
+    d = o.select("o_orderkey", url.alias("url"))
+    return d.select(
+        "o_orderkey",
+        "url",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("qs"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("pri")).alias("pri_param"),
+        F.parse_url("url", F.lit("REF")).alias("fragment"),
+    )

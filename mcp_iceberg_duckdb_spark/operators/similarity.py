@@ -1617,3 +1617,106 @@ def x_eval_retrieval_metrics(spark, sf_dir):
         ).alias("rr_micro"),
         F.expr("dcg_micro * 1000000 div idcg_micro").alias("ndcg_ppm"),
     )
+
+
+# ---- Johnson-Lindenstrauss random projection (64 -> 16 dims) ----
+
+# Dimensionality reduction for the ANN/dedup pipeline: a dense
+# Achlioptas (2003) ±1 projection — E[<Px,Py>] proportional to <x,y>,
+# distances preserved within JL distortion — implemented matrix-free:
+# the 16x64 sign matrix is derived from md5 at IMPORT time (no
+# runtime randomness; Date.now/seed-free by construction), inlined as
+# literal arrays, and applied as a pure expression. Inputs are
+# micro-quantized to int64 first so the ±1 dot products are exact
+# integer sums — full value parity across engines, no float-order
+# hazard.
+_RP_K = 16
+_RP_DIM = 64
+
+
+def _rp_signs() -> list[list[int]]:
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()[0], 16) < 8
+            else -1
+            for i in range(_RP_DIM)
+        ]
+        for j in range(_RP_K)
+    ]
+
+
+_RP_SIGNS = _rp_signs()
+
+
+def _rp_oracle() -> str:
+    branches = " UNION ALL ".join(
+        f"""
+    SELECT vec_id, CAST({j} AS BIGINT) AS dim,
+           CAST(list_sum(list_transform(range({_RP_DIM}),
+                i -> vq[i+1] * ([{",".join(map(str, _RP_SIGNS[j]))}])[i+1]))
+               AS BIGINT) AS proj_micro FROM e"""
+        for j in range(_RP_K)
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS vq
+        FROM embeddings
+    )
+    {branches}
+    """
+
+
+@query(
+    "x_embed_random_projection",
+    oracle=_rp_oracle(),
+    tags=("similarity", "tierx"),
+)
+def x_embed_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss ±1 random projection (Achlioptas 2003,
+    "Database-friendly random projections"): 64-dim embeddings down
+    to 16 dims for cheaper near-dup scoring / coarse ANN routing. The
+    projection matrix is 16x64 import-time md5 signs broadcast as
+    LITERALS inside the expression — no join, no shuffle, no runtime
+    RNG; each output component is an exact int64 signed sum of the
+    micro-quantized input, so the oracle checks full value parity.
+
+    Spark shape: shuffle-free narrow map (zip_with + aggregate inside
+    whole-stage codegen), then one posexplode to the long (vec_id,
+    dim, proj_micro) layout. At 100 TB this is scan-bound and
+    embarrassingly parallel — the canonical first stage before a
+    bucketed similarity join on the reduced vectors; distortion is
+    bounded by the JL lemma (test pins the empirical distortion of
+    sampled pairs)."""
+    e = parallelize(
+        t(spark, sf_dir).embeddings.select(
+            "vec_id", as_double("embedding").alias("v")
+        )
+    ).withColumn(
+        "vq",
+        F.transform("v", lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long")),
+    )
+    comps = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("bigint").alias("dim"),
+                F.aggregate(
+                    F.zip_with(
+                        "vq",
+                        F.array(*[F.lit(s) for s in _RP_SIGNS[j]]),
+                        lambda x, s: x * s.cast("long"),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("proj_micro"),
+            )
+            for j in range(_RP_K)
+        ]
+    )
+    return e.select("vec_id", F.explode(comps).alias("c")).select(
+        "vec_id", F.col("c.dim").alias("dim"), F.col("c.proj_micro").alias("proj_micro")
+    )
