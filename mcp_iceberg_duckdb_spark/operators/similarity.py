@@ -1485,7 +1485,12 @@ def x_ann_ivfpq_topk(spark, sf_dir):
 # _hyperplanes() precedent), DCG/IDCG/recall/RR are int64 sums and
 # floored divisions — no float leaves the ranking stage.
 _EV_K = 10
-_EV_QMOD = 25  # vec_id % 25 == 0 → the sampled query set
+_EV_QMOD = 25  # vec_id % 25 == 0 → the sampled query pool
+# Fixed eval-set size: the 100 smallest qualifying vec_ids. Eval sets
+# do NOT grow with the corpus (a benchmark is a fixed file); without
+# the cap |Q| ∝ |C| made the scoring join quadratic — measured 2.5 s
+# → 115 s over one 10× decade before the cap, ~flat after it.
+_EV_QCAP = 100
 _EV_W = [1000000, 630930, 500000, 430677, 386853, 356207, 333333,
          315465, 301030, 289065]
 _EV_PFX = [1000000, 1630930, 2130930, 2561607, 2948460, 3304667,
@@ -1512,6 +1517,7 @@ _EV_IDCG_SQL = "CASE least(n_rel, 10) " + " ".join(
                l.n_lbl - 1 AS n_rel
         FROM e JOIN lbl l ON e.label = l.label
         WHERE e.vec_id % {_EV_QMOD} = 0
+        ORDER BY e.vec_id LIMIT {_EV_QCAP}
     ),
     scored AS (
         SELECT q.query_id, q.n_rel,
@@ -1551,7 +1557,10 @@ def x_eval_retrieval_metrics(spark, sf_dir):
     the same ranked scan the ANN index serves, but against labeled
     queries, and aggregate ranking-quality metrics.
 
-    Spark shape: the sampled query set (|C|/25 rows) is BROADCAST so
+    Spark shape: the query set is a FIXED-size sample (the _EV_QCAP
+    smallest qualifying vec_ids — eval sets are fixed files, they do
+    not grow with the corpus; the cap is what keeps the scoring join
+    linear, measured 115 s → ~3 s at 10× data) and is BROADCAST so
     the corpus is scanned once and never shuffled at scoring time; the
     per-query ranking is one row_number window (WindowGroupLimit keeps
     only k rows per query map-side); metrics are one small groupBy
@@ -1572,6 +1581,8 @@ def x_eval_retrieval_metrics(spark, sf_dir):
     lbl = e.groupBy("label").agg(F.count("*").alias("n_lbl"))
     q = (
         e.filter(F.col("vec_id") % _EV_QMOD == 0)
+        .orderBy("vec_id")
+        .limit(_EV_QCAP)
         .join(F.broadcast(lbl), "label")
         .select(
             F.col("vec_id").alias("query_id"),

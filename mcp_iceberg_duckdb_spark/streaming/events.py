@@ -2818,3 +2818,140 @@ def stream_counter_increase_tws(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeMode="none",
     )
+
+
+# ---- CEP sequence-pattern detection over sessions ----
+
+# The MATCH_RECOGNIZE / Flink-CEP shape: declarative patterns over
+# per-session ORDERED event sequences ("a view eventually followed by
+# a purchase", "the exact view>click>purchase funnel"), evaluated as
+# regular expressions over the serialized path — the classic
+# sequences-as-strings CEP encoding. Patterns are token-boundary-
+# anchored ((^|>)tok(>|$)) so event-type names can never match as
+# substrings of each other, and restricted to RE2-compatible syntax
+# (no lookahead) so Spark's java.util.regex and DuckDB's RE2 agree.
+_CEP_PATTERNS = (
+    ("view_then_purchase", "(^|>)view(>[a-z]+)*>purchase(>|$)"),
+    ("strict_view_click", "(^|>)view>click(>|$)"),
+    ("signup_activation", "(^|>)signup(>[a-z]+)*>purchase(>|$)"),
+)
+
+_CEP_PATHS_SQL = """
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - lag(ts) OVER w <= INTERVAL '30 minutes'
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM marked
+    ),
+    paths AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM numbered GROUP BY user_id, session_id
+    )
+"""
+
+
+@query(
+    "s_session_pattern_match",
+    oracle=_CEP_PATHS_SQL
+    + " ".join(
+        f"""
+    {"UNION ALL" if i else ""}
+    SELECT '{name}' AS pattern,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(*) FILTER (WHERE regexp_matches(path, '{rx}'))
+                AS BIGINT) AS n_matched,
+           CAST(count(*) FILTER (WHERE regexp_matches(path, '{rx}'))
+                * 1000000 // count(*) AS BIGINT) AS match_ppm
+    FROM paths"""
+        for i, (name, rx) in enumerate(_CEP_PATTERNS)
+    ),
+    tags=("streaming", "tierx"),
+)
+def s_session_pattern_match(spark, sf_dir):
+    """CEP sequence-pattern detection (the MATCH_RECOGNIZE /
+    Flink-CEP surface): sessionize (30-min gap), serialize each
+    session's totally-ordered event-type sequence, and evaluate
+    declarative patterns — eventual funnels and the strict contiguous
+    funnel — as boundary-anchored regexes over the path string.
+    Reuses s_session_paths' order-independent serialization (structs
+    collected, array_sort imposes (ts, event_id) total order AFTER
+    collection), so the match bit is identical at any partitioning.
+
+    Spark shape: one user-hash exchange for both window passes + one
+    per-session groupBy; the pattern battery is then a pure
+    expression over the session relation (|sessions| rows), and the
+    final rollup is a 3-row scalar aggregate — adding a pattern costs
+    zero distributed work. At 100 TB this is exactly the
+    sequences-as-strings CEP plan: no per-pattern NFA state shuffles,
+    no cross-session data movement."""
+    e = t(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("ts") - F.lag("ts").over(w)
+            <= F.expr("INTERVAL 30 MINUTES"),
+            0,
+        )
+        .otherwise(1)
+        .alias("new_session"),
+    )
+    numbered = marked.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum("new_session")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("session_id"),
+    )
+    paths = numbered.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s.getField("event_type"),
+            ),
+            ">",
+        ).alias("path")
+    )
+    outs = []
+    for name, rx in _CEP_PATTERNS:
+        matched = F.sum(
+            F.col("path").rlike(rx).cast("bigint")
+        ).alias("n_matched")
+        outs.append(
+            paths.agg(
+                F.count("*").cast("bigint").alias("n_sessions"), matched
+            ).select(
+                F.lit(name).alias("pattern"),
+                "n_sessions",
+                "n_matched",
+                F.floor(
+                    F.col("n_matched") * 1000000 / F.col("n_sessions")
+                )
+                .cast("bigint")
+                .alias("match_ppm"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

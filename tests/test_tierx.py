@@ -852,3 +852,45 @@ def test_url_parse_shuffle_free(spark, sf_dir):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_session_pattern_match_python_reference(spark, sf_dir):
+    """s_session_pattern_match vs an independent pure-Python CEP
+    evaluation: rebuild the session paths with plain dict/sort logic
+    from the raw events and re-evaluate every pattern with re.search
+    — catches both serialization-order and regex-dialect slips."""
+    import re
+    from collections import defaultdict
+
+    from mcp_iceberg_duckdb_spark.operators._util import t as tables
+    from mcp_iceberg_duckdb_spark.registry import QUERIES
+    from mcp_iceberg_duckdb_spark.streaming.events import _CEP_PATTERNS
+
+    ev = sorted(
+        (
+            (r.user_id, r.ts, r.event_id, r.event_type)
+            for r in tables(spark, sf_dir)
+            .events.select("user_id", "ts", "event_id", "event_type")
+            .collect()
+        ),
+        key=lambda x: (x[0], x[1], x[2]),
+    )
+    sessions, last = defaultdict(list), {}
+    sid = {}
+    for u, ts, eid, et in ev:
+        if u not in last or (ts - last[u]).total_seconds() > 1800:
+            sid[u] = sid.get(u, 0) + 1
+        last[u] = ts
+        sessions[(u, sid[u])].append(et)
+    paths = [">".join(s) for s in sessions.values()]
+    want = {
+        name: sum(1 for p in paths if re.search(rx, p))
+        for name, rx in _CEP_PATTERNS
+    }
+    rows = QUERIES["s_session_pattern_match"].builder(spark, sf_dir).collect()
+    assert len(rows) == len(_CEP_PATTERNS)
+    for r in rows:
+        assert r.n_sessions == len(paths)
+        assert r.n_matched == want[r.pattern], (r.pattern, r.n_matched, want)
+        assert r.match_ppm == r.n_matched * 1_000_000 // r.n_sessions
+    assert any(r.n_matched > 0 for r in rows)
