@@ -22,7 +22,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from mcp_iceberg_duckdb_spark.operators._util import t
+from mcp_iceberg_duckdb_spark.functions.vector import as_double, cosine
+from mcp_iceberg_duckdb_spark.operators._util import parallelize, r6, t
 from mcp_iceberg_duckdb_spark.registry import query
 
 try:  # real image codec, if the environment carries one
@@ -451,3 +452,74 @@ def x_multimodal_phash_dedup(spark, sf_dir):
     OR-of-band-equalities join (fixture-scale only — the Spark plan
     is the banded bucket join, pinned never-all-pairs)."""
     return phash_hamming_pairs(assets_frame(spark, sf_dir))
+
+
+# ---- paired-modality alignment filter (LAION-style CLIP gate) ----
+
+# The curation step that built LAION-400M/5B (Schuhmann et al. 2021):
+# keep an (image, caption) pair only when the cross-modal embedding
+# cosine clears a threshold. The fixture plays both towers with one
+# embedding table — even vec_ids are the image tower, odd vec_ids the
+# caption tower, pair_id = vec_id // 2 — so the op is pure plumbing
+# truth: the pair join, the alignment score, and the gate are exactly
+# the production shapes. (LAION used 0.28 for real CLIP ViT-B/32
+# scores; the synthetic fixture's score distribution centers on 0, so
+# the gate here is 0.10 to keep both branches populated.)
+_CLIP_TAU = 0.10
+
+
+@query(
+    "x_multimodal_clip_filter",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    img AS (SELECT vec_id // 2 AS pair_id, v FROM e WHERE vec_id % 2 = 0),
+    txt AS (SELECT vec_id // 2 AS pair_id, v FROM e WHERE vec_id % 2 = 1),
+    p AS (
+        SELECT img.pair_id,
+               floor((list_cosine_similarity(img.v, txt.v)) * 1e6 + 0.5)
+                   / 1e6 AS alignment
+        FROM img JOIN txt USING (pair_id)
+    )
+    SELECT pair_id, alignment, alignment >= {_CLIP_TAU} AS kept
+    FROM p
+    """,
+    tags=("multimodal", "tierx"),
+)
+def x_multimodal_clip_filter(spark, sf_dir):
+    """Paired-modality alignment gate (the LAION curation filter,
+    Schuhmann et al. 2021): join the image-tower embedding with its
+    caption-tower embedding on pair_id, score cross-modal cosine,
+    keep pairs above the threshold. Relevance of the shape: this ONE
+    equi-join + expression is the entire 5-billion-pair LAION
+    pipeline's filter stage.
+
+    Spark shape: two filtered scans of the same table, one hash join
+    on pair_id (at 100 TB both towers arrive partitioned by pair_id
+    from the inference stage, so the join co-locates without a
+    shuffle; here it is one exchange each side), cosine as the
+    zip_with/aggregate expression — no UDF, no collect. The gate is
+    an expression; changing tau re-runs nothing upstream."""
+    e = parallelize(
+        t(spark, sf_dir).embeddings.select(
+            "vec_id", as_double("embedding").alias("v")
+        )
+    )
+    img = e.filter(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") / 2).cast("bigint").alias("pair_id"),
+        F.col("v").alias("iv"),
+    )
+    txt = e.filter(F.col("vec_id") % 2 == 1).select(
+        (F.col("vec_id") / 2).cast("bigint").alias("pair_id"),
+        F.col("v").alias("tv"),
+    )
+    return (
+        img.join(txt, "pair_id")
+        .select(
+            "pair_id",
+            r6(cosine(F.col("iv"), F.col("tv"))).alias("alignment"),
+        )
+        .withColumn("kept", F.col("alignment") >= F.lit(_CLIP_TAU))
+    )
