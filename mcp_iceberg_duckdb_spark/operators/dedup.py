@@ -115,10 +115,15 @@ _JACCARD_THRESHOLD = 0.8
 _MAX_BUCKET = 200  # degenerate-bucket guard
 
 
-def lsh_verified_pairs(spark, sf_dir, threshold=_JACCARD_THRESHOLD):
+def lsh_verified_pairs(
+    spark, sf_dir, threshold=_JACCARD_THRESHOLD,
+    n_bands=_N_BANDS, rows=_ROWS,
+):
     """Shared sub-quadratic near-dup pair generator: 3-word shingles
-    → 32-hash MinHash → 8×4 banding → bucket-local candidate pairs →
-    exact-Jaccard verify ≥ threshold. Returns (doc_a, doc_b, jaccard).
+    → 32-hash MinHash → n_bands×rows banding (default 8×4, tuned for
+    t=0.8; pass 16×2 for a t=0.5 operating point, P(cand)≈0.99 at
+    j=0.5) → bucket-local candidate pairs → exact-Jaccard verify ≥
+    threshold. Returns (doc_a, doc_b, jaccard).
 
     Plan shape: signature stage is shuffle-free; candidates shuffle
     once on (band, hash); verify joins token sets back by doc_id.
@@ -146,7 +151,7 @@ def lsh_verified_pairs(spark, sf_dir, threshold=_JACCARD_THRESHOLD):
         "doc_id", F.col("b.sh").alias("sh"), F.col("b.sig").alias("sig")
     )
     bands = docs.select(
-        "doc_id", F.posexplode(lsh_bands(F.col("sig"), _N_BANDS, _ROWS))
+        "doc_id", F.posexplode(lsh_bands(F.col("sig"), n_bands, rows))
     ).toDF("doc_id", "band", "bhash")
     # degenerate-bucket guard: a bucket with B docs yields B² pairs
     from pyspark.sql import Window as W
@@ -1345,6 +1350,21 @@ def x_corpus_leakage_safe_split(spark, sf_dir):
     pairs = exact_jaccard_pairs(
         docs, 1, 2, block_cols=("source",), out_sim_col=None
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    return cluster_split_assign(d, pairs)
+
+
+def cluster_split_assign(d, pairs):
+    """Downstream of the leakage-safe split, factored out so the pair
+    SOURCE is pluggable: the registered op feeds it the exact
+    prefix-filtered pairs (full oracle parity at fixture scale); the
+    production/decade path feeds it lsh_verified_pairs(threshold=0.5,
+    n_bands=16, rows=2) — measured: the exact t=1/2 prefix join's
+    candidate mass grows superlinearly on a fixed-vocabulary corpus
+    (533M candidates, shuffle-spilled /tmp dry at 500k docs) while the
+    LSH-fed variant stays near the x_dedup_cluster_cc_lsh envelope.
+    Same CC, same md5 split expression, identical output whenever the
+    pair sources agree (planted near-dups sit far above either
+    operating point)."""
     cc = connected_components(pairs).toDF("doc_id", "cluster_id")
     assign = (
         d.select("doc_id")

@@ -894,3 +894,48 @@ def test_session_pattern_match_python_reference(spark, sf_dir):
         assert r.n_matched == want[r.pattern], (r.pattern, r.n_matched, want)
         assert r.match_ppm == r.n_matched * 1_000_000 // r.n_sessions
     assert any(r.n_matched > 0 for r in rows)
+
+
+def test_leakage_split_lsh_path_safety(spark, sf_dir_medium):
+    """The production pair source for x_corpus_leakage_safe_split
+    (cluster_split_assign fed by lsh_verified_pairs at the t=0.5
+    operating point, 16x2 banding) must preserve the property the op
+    exists for: STRONG near-dup pairs (exact Jaccard >= 0.8 — far
+    above the LSH operating point, recall ~1) never land in
+    different splits. Also pins high row-level agreement with the
+    exact-pair registered path (divergence is only borderline ~0.5
+    pairs and unblocked cross-source merges, which make the LSH rule
+    STRICTER, never leakier on strong pairs)."""
+    from pyspark.sql import functions as F
+
+    from mcp_iceberg_duckdb_spark.operators._util import t as tables
+    from mcp_iceberg_duckdb_spark.operators.dedup import (
+        cluster_split_assign,
+        lsh_verified_pairs,
+    )
+    from mcp_iceberg_duckdb_spark.registry import QUERIES
+
+    d = tables(spark, sf_dir_medium).documents
+    pairs = lsh_verified_pairs(
+        spark, sf_dir_medium, threshold=0.5, n_bands=16, rows=2
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    lsh_split = {
+        r.doc_id: r.split
+        for r in cluster_split_assign(d, pairs).collect()
+    }
+    strong = lsh_verified_pairs(spark, sf_dir_medium, threshold=0.8).collect()
+    assert strong, "fixture must contain strong near-dup pairs"
+    leaks = [
+        (p.doc_a, p.doc_b)
+        for p in strong
+        if lsh_split[p.doc_a] != lsh_split[p.doc_b]
+    ]
+    assert not leaks, f"strong pairs split across sets: {leaks[:5]}"
+    exact = {
+        r.doc_id: r.split
+        for r in QUERIES["x_corpus_leakage_safe_split"]
+        .builder(spark, sf_dir_medium)
+        .collect()
+    }
+    agree = sum(1 for k in exact if exact[k] == lsh_split[k]) / len(exact)
+    assert agree >= 0.9, agree
