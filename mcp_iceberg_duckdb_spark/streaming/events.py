@@ -2955,3 +2955,85 @@ def s_session_pattern_match(spark, sf_dir):
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def stream_session_pattern_match(events: DataFrame) -> DataFrame:
+    """True-streaming twin of s_session_pattern_match: per-user CEP
+    state machine via applyInPandasWithState. State = (last event µs,
+    the OPEN session's serialized path, closed-session count, one
+    matched-count per pattern) — the Flink-CEP layout where pattern
+    progress lives in the keyed state store, not in a shuffle.
+
+    Each arrival either extends the open session's path or (gap >
+    30 min) CLOSES it — the close evaluates every pattern with
+    Python re.search over exactly the regexes the batch side gives
+    rlike (the battery is lookahead-free, so the java.util.regex /
+    re dialects agree). Emissions include the open session evaluated
+    provisionally, so on a finite in-order replay the LAST emission
+    per user equals the batch sessionization bit-for-bit
+    (tests/test_streaming.py pins the corpus-level rollup equality).
+
+    State is O(current session length) per user — the path string —
+    bounded by the session gap, never by history; at 100 TB this is
+    the RocksDB-state-store shape with one string per live key."""
+    import re as _re
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = (
+        "user_id long, n_events long, n_sessions long, "
+        + ", ".join(f"m{i} long" for i in range(len(_CEP_PATTERNS)))
+    )
+    state_schema = (
+        "last_us long, path string, n_events long, closed long, "
+        + ", ".join(f"c{i} long" for i in range(len(_CEP_PATTERNS)))
+    )
+    regexes = [rx for _n, rx in _CEP_PATTERNS]
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            st = list(state.get)
+        else:
+            st = [None, "", 0, 0] + [0] * len(regexes)
+        last_us, path, n_events, closed = st[0], st[1], st[2], st[3]
+        cnt = st[4:]
+        chunks = [pdf for pdf in pdfs]
+        batch = pd.concat(chunks) if chunks else pd.DataFrame()
+        if not len(batch):
+            return
+        batch = batch.sort_values(["ts", "event_id"])
+        for ts, et in zip(batch["ts"], batch["event_type"]):
+            ts_us = int(pd.Timestamp(ts).value // 1000)
+            if last_us is not None and ts_us - last_us > 1_800_000_000:
+                closed += 1
+                for i, rx in enumerate(regexes):
+                    if _re.search(rx, path):
+                        cnt[i] += 1
+                path = et
+            else:
+                path = f"{path}>{et}" if path else et
+            last_us = ts_us
+            n_events += 1
+        state.update(tuple([last_us, path, n_events, closed] + cnt))
+        # provisional view: the open session evaluated as-if closed
+        out = [
+            closed + (1 if path else 0),
+        ] + [
+            c + (1 if path and _re.search(rx, path) else 0)
+            for c, rx in zip(cnt, regexes)
+        ]
+        yield pd.DataFrame(
+            [tuple([int(key[0]), n_events] + out)],
+            columns=["user_id", "n_events", "n_sessions"]
+            + [f"m{i}" for i in range(len(regexes))],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -830,3 +830,45 @@ def test_stream_minhash_sigs_match_batch(spark, sf_dir, tmp_path):
     want = sorted(tuple(r) for r in minhash_part_sigs(sh, "source").collect())
     assert want
     assert got == want
+
+
+def test_stream_session_pattern_match_batch(spark, sf_dir, events_path):
+    """The CEP state-machine twin, replayed over the finite stream,
+    must roll up to exactly the batch s_session_pattern_match
+    answer: same total session count, same per-pattern matched
+    count (last emission per user wins; n_events is monotone)."""
+    from mcp_iceberg_duckdb_spark.registry import QUERIES
+    from mcp_iceberg_duckdb_spark.streaming.events import (
+        _CEP_PATTERNS,
+        stream_session_pattern_match,
+    )
+
+    out = run_stream_to_memory(
+        spark,
+        stream_session_pattern_match(read_event_stream(spark, events_path)),
+        "t_cep",
+        mode="append",
+    )
+    latest = {}
+    for r in out.collect():
+        cur = latest.get(r.user_id)
+        if cur is None or r.n_events > cur[0]:
+            latest[r.user_id] = (
+                r.n_events,
+                r.n_sessions,
+                tuple(r[f"m{i}"] for i in range(len(_CEP_PATTERNS))),
+            )
+    n_sessions = sum(v[1] for v in latest.values())
+    matched = [
+        sum(v[2][i] for v in latest.values())
+        for i in range(len(_CEP_PATTERNS))
+    ]
+    batch = {
+        r.pattern: (r.n_sessions, r.n_matched)
+        for r in QUERIES["s_session_pattern_match"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    for i, (name, _rx) in enumerate(_CEP_PATTERNS):
+        assert batch[name][0] == n_sessions, (name, batch[name], n_sessions)
+        assert batch[name][1] == matched[i], (name, batch[name], matched[i])
