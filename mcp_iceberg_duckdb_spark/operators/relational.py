@@ -1216,3 +1216,79 @@ def o_qualify(spark, sf_dir):
         .where(F.col("rk") <= 2)
         .select("o_custkey", "o_orderkey", r2("o_totalprice").alias("total"), "rk")
     )
+
+
+@query(
+    "a_weighted_median",
+    oracle="""
+    WITH v AS (
+        SELECT l_returnflag AS grp,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+    ),
+    cum AS (
+        SELECT grp, price_c, w,
+               sum(w) OVER (PARTITION BY grp ORDER BY price_c
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               sum(w) OVER (PARTITION BY grp) AS tw
+        FROM v
+    )
+    SELECT grp,
+           CAST(max(tw) AS BIGINT) AS total_weight,
+           CAST(min(CASE WHEN 2 * cw >= tw THEN price_c END) AS BIGINT)
+               AS wmedian_cents,
+           CAST(min(CASE WHEN 10 * cw >= 9 * tw THEN price_c END) AS BIGINT)
+               AS wp90_cents
+    FROM cum
+    GROUP BY grp
+    """,
+    tags=("agg",),
+)
+def a_weighted_median(spark, sf_dir):
+    """Grouped WEIGHTED percentiles (lower weighted median + weighted
+    p90 of extended price, weighted by quantity) — the volume-weighted
+    quantile surface (DuckDB spells it quantile with weights via this
+    same cumulative construction; Spark has no native weighted
+    percentile, and the published definition — smallest v with
+    cumulative weight ≥ q·W — is exactly one cumulative window). All
+    integer: prices in cents, int64 weights, the q·W comparison
+    cross-multiplied (2·cw ≥ tw, 10·cw ≥ 9·tw) so no division ever
+    happens — bit-identical in any engine.
+
+    Spark shape: ONE exchange on the group key serves both windows
+    (cumulative and total — same partitioning) and the final groupBy;
+    ties in price collapse to the same answer under any row order
+    because the cut condition depends only on the (value, weight)
+    multiset. At 100 TB this is the sort-based single-pass weighted
+    quantile — no per-group value collection, spill-friendly sort."""
+    from pyspark.sql import Window as W
+
+    li = t(spark, sf_dir).lineitem.select(
+        F.col("l_returnflag").alias("grp"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("price_c"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    cum_w = (
+        W.partitionBy("grp")
+        .orderBy("price_c")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tot_w = W.partitionBy("grp")
+    cum = li.select(
+        "grp",
+        "price_c",
+        F.sum("w").over(cum_w).alias("cw"),
+        F.sum("w").over(tot_w).alias("tw"),
+    )
+    return cum.groupBy("grp").agg(
+        F.max("tw").cast("bigint").alias("total_weight"),
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("price_c")))
+        .cast("bigint")
+        .alias("wmedian_cents"),
+        F.min(F.when(10 * F.col("cw") >= 9 * F.col("tw"), F.col("price_c")))
+        .cast("bigint")
+        .alias("wp90_cents"),
+    )

@@ -939,3 +939,41 @@ def test_leakage_split_lsh_path_safety(spark, sf_dir_medium):
     }
     agree = sum(1 for k in exact if exact[k] == lsh_split[k]) / len(exact)
     assert agree >= 0.9, agree
+
+
+def test_weighted_median_python_reference(spark, sf_dir):
+    """a_weighted_median against a pure-Python recompute of the
+    lower-weighted-quantile definition (smallest v with cumulative
+    weight >= q*W), plus the ordering invariant median <= p90."""
+    from collections import defaultdict
+
+    from mcp_iceberg_duckdb_spark.operators._util import t as tables
+    from mcp_iceberg_duckdb_spark.registry import QUERIES
+
+    vals = defaultdict(list)
+    for r in (
+        tables(spark, sf_dir)
+        .lineitem.select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    ):
+        vals[r.l_returnflag].append(
+            (int(r.l_extendedprice * 100 + 0.5), int(r.l_quantity))
+        )
+
+    def wq(pairs, num, den):
+        pairs = sorted(pairs)
+        tw = sum(w for _v, w in pairs)
+        cw = 0
+        for v, w in pairs:
+            cw += w
+            if den * cw >= num * tw:
+                return v
+        raise AssertionError
+
+    rows = QUERIES["a_weighted_median"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.total_weight == sum(w for _v, w in vals[r.grp])
+        assert r.wmedian_cents == wq(vals[r.grp], 1, 2)
+        assert r.wp90_cents == wq(vals[r.grp], 9, 10)
+        assert r.wmedian_cents <= r.wp90_cents
