@@ -2116,3 +2116,216 @@ def x_privacy_dp_count(spark, sf_dir):
         .withColumn("n_released", F.greatest(F.col("n_true") + F.col("noise"), F.lit(0).cast("bigint")))
         .withColumn("noise_bounded", F.abs("noise") <= F.lit(_DP_MAX))
     )
+
+
+# ---- Poisson bootstrap (corpus-statistic uncertainty) ----
+
+# Resampling at 100 TB can't materialize B resampled corpora; the
+# production technique is the ONE-PASS Poisson bootstrap (Chamandy et
+# al. 2012, "Estimating uncertainty for massive data streams"):
+# each row enters replicate b with weight ~ Poisson(1), independent
+# across (row, b) — E[weight]=1 reproduces the sample, and the B
+# weighted statistics estimate the sampling distribution. Weights are
+# derived from md5-hex6 uniforms via an inverse-CDF ladder whose
+# thresholds are computed ONCE in Python (floats, then frozen as
+# integer literals — both engines read the same constants; same
+# discipline as the DP geometric ladder), truncated at k=8.
+_BS_B = 32
+_BS_MAX_W = 8
+
+
+def _poisson1_ladder() -> list[tuple[int, int]]:
+    import math
+
+    scale = 16**6
+    cum, out = 0.0, []
+    for k in range(_BS_MAX_W):
+        cum += math.exp(-1.0) / math.factorial(k)
+        out.append((int(cum * scale), k))
+    out.append((scale, _BS_MAX_W))  # folded tail
+    return out
+
+
+_BS_LADDER = _poisson1_ladder()
+
+
+def _bs_weight_sql(u_expr: str) -> str:
+    whens = " ".join(
+        f"WHEN {u_expr} < {thr} THEN {k}" for thr, k in _BS_LADDER[:-1]
+    )
+    return f"(CASE {whens} ELSE {_BS_LADDER[-1][1]} END)"
+
+
+def _bs_hex6_sql(expr: str) -> str:
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"({terms})"
+
+
+@query(
+    "x_corpus_bootstrap_ci",
+    oracle=f"""
+    WITH r AS (SELECT unnest(range({_BS_B})) AS b),
+    w AS (
+        SELECT r.b, d.n_chars,
+               {_bs_weight_sql(_bs_hex6_sql(
+                   "concat('bs:', CAST(r.b AS VARCHAR), ':', "
+                   "CAST(d.doc_id AS VARCHAR))"))} AS wt
+        FROM documents d, r
+    )
+    SELECT CAST(b AS BIGINT) AS replicate,
+           CAST(sum(wt) AS BIGINT) AS n_eff,
+           CAST(sum(wt * n_chars) * 1000000 // sum(wt) AS BIGINT)
+               AS mean_chars_micro
+    FROM w GROUP BY b
+    """,
+    tags=("stats", "tierx"),
+)
+def x_corpus_bootstrap_ci(spark, sf_dir):
+    """One-pass Poisson bootstrap (Chamandy et al. 2012) of the mean
+    document length: every doc contributes Poisson(1)-weighted copies
+    to each of B=32 replicates in a single scan — the way uncertainty
+    bars get put on corpus statistics at 100 TB, where materializing
+    B resamples is impossible. Weights are deterministic (md5-hex6
+    inverse-CDF ladder, frozen integer thresholds), so the oracle
+    checks every replicate's weighted mean exactly (integer `div`,
+    never a float quotient); the CI itself is order statistics of the
+    32 output rows (test pins that it brackets the true mean and that
+    n_eff ~ corpus size).
+
+    Spark shape: explode a B-element literal array per row (narrow,
+    codegen'd) → ONE map-side-combined groupBy on the replicate id —
+    B×|corpus| rows into 32 groups, the same cost envelope as B
+    scalar aggregates fused into one pass. Nothing collects; the 32
+    replicate rows ARE the result relation."""
+    d = t(spark, sf_dir).documents
+    b = F.explode(F.sequence(F.lit(0), F.lit(_BS_B - 1))).alias("b")
+    rows = d.select("doc_id", "n_chars", b)
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("bs:"),
+                    F.col("b").cast("string"),
+                    F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    wt = F.lit(_BS_LADDER[-1][1])
+    for thr, k in reversed(_BS_LADDER[:-1]):
+        wt = F.when(u < F.lit(thr), F.lit(k)).otherwise(wt)
+    return (
+        rows.withColumn("wt", wt.cast("bigint"))
+        .groupBy(F.col("b").cast("bigint").alias("replicate"))
+        .agg(
+            F.sum("wt").cast("bigint").alias("n_eff"),
+            F.expr(
+                "CAST((sum(wt * n_chars) * 1000000) div sum(wt) AS BIGINT)"
+            ).alias("mean_chars_micro"),
+        )
+    )
+
+
+# ---- Kolmogorov-Smirnov drift between sources ----
+
+
+@query(
+    "x_source_ks_drift",
+    oracle="""
+    WITH v AS (
+        SELECT CASE WHEN source = 'src0' THEN 0 ELSE 1 END AS s, n_chars
+        FROM documents WHERE source IN ('src0', 'src1')
+    ),
+    n AS (
+        SELECT sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS n0,
+               sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS n1
+        FROM v
+    ),
+    pts AS (
+        SELECT n_chars AS x,
+               sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS c0,
+               sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS c1
+        FROM v GROUP BY n_chars
+    ),
+    ecdf AS (
+        SELECT x,
+               sum(c0) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS f0,
+               sum(c1) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS f1
+        FROM pts
+    )
+    SELECT CAST(n.n0 AS BIGINT) AS n0, CAST(n.n1 AS BIGINT) AS n1,
+           CAST(max(abs(f0 * n.n1 - f1 * n.n0)) AS BIGINT) AS ks_scaled,
+           CAST(max(abs(f0 * n.n1 - f1 * n.n0)) * 1000000
+                // (n.n0 * n.n1) AS BIGINT) AS ks_ppm
+    FROM ecdf, n
+    GROUP BY n.n0, n.n1
+    """,
+    tags=("stats", "tierx"),
+)
+def x_source_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov distance between two sources'
+    document-length distributions — the binless drift detector (KL
+    via x_source_kl_divergence needs a binning choice; KS is the
+    sup-norm of the ECDF difference and needs none). All integer:
+    the ECDF comparison |F0(x) − F1(x)| is cross-multiplied to
+    |f0·n1 − f1·n0| over cumulative COUNTS, and the ppm output is one
+    exact integer `div` at the very end — no float quotient anywhere.
+
+    Spark shape: one groupBy to the distinct-value relation (bounded
+    by the value domain, not the corpus), one cumulative window over
+    it, one scalar max — the same single-sort plan a 100 TB drift
+    monitor wants; per-source counts ride the same pass. The window
+    is a single partition over the VALUE-DISTINCT relation (tiny),
+    not the corpus."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir).documents.where(
+        F.col("source").isin("src0", "src1")
+    )
+    v = d.select(
+        F.when(F.col("source") == "src0", 0).otherwise(1).alias("s"),
+        "n_chars",
+    )
+    pts = v.groupBy(F.col("n_chars").alias("x")).agg(
+        F.sum(F.when(F.col("s") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    cum = W.orderBy("x").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ecdf = pts.select(
+        F.sum("c0").over(cum).alias("f0"),
+        F.sum("c1").over(cum).alias("f1"),
+    )
+    n = v.agg(
+        F.sum(F.when(F.col("s") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+    )
+    diff = ecdf.crossJoin(F.broadcast(n)).agg(
+        F.first("n0").alias("n0"),
+        F.first("n1").alias("n1"),
+        F.max(
+            F.abs(F.col("f0") * F.col("n1") - F.col("f1") * F.col("n0"))
+        )
+        .cast("bigint")
+        .alias("ks_scaled"),
+    )
+    return diff.select(
+        "n0",
+        "n1",
+        "ks_scaled",
+        F.expr("CAST((ks_scaled * 1000000) div (n0 * n1) AS BIGINT)").alias(
+            "ks_ppm"
+        ),
+    )

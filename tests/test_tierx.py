@@ -977,3 +977,72 @@ def test_weighted_median_python_reference(spark, sf_dir):
         assert r.wmedian_cents == wq(vals[r.grp], 1, 2)
         assert r.wp90_cents == wq(vals[r.grp], 9, 10)
         assert r.wmedian_cents <= r.wp90_cents
+
+
+def test_bootstrap_ci_brackets_truth(spark, sf_dir):
+    """x_corpus_bootstrap_ci: 32 replicates; each replicate's
+    weighted mean recomputed in pure Python from the same md5 ladder
+    must match exactly; n_eff concentrates near the corpus size; and
+    the percentile CI (2nd..31st order stats) brackets the true
+    mean — the property the op exists to deliver."""
+    import hashlib
+
+    from mcp_iceberg_duckdb_spark.operators._util import t as tables
+    from mcp_iceberg_duckdb_spark.operators.pipeline_extra import _BS_LADDER
+    from mcp_iceberg_duckdb_spark.registry import QUERIES
+
+    docs = [
+        (r.doc_id, r.n_chars)
+        for r in tables(spark, sf_dir).documents.select("doc_id", "n_chars").collect()
+    ]
+    true_mean = sum(c for _i, c in docs) / len(docs)
+    rows = sorted(
+        QUERIES["x_corpus_bootstrap_ci"].builder(spark, sf_dir).collect(),
+        key=lambda r: r.replicate,
+    )
+    assert len(rows) == 32
+    for r in rows:
+        num = den = 0
+        for doc_id, n_chars in docs:
+            u = int(
+                hashlib.md5(f"bs:{r.replicate}:{doc_id}".encode()).hexdigest()[:6],
+                16,
+            )
+            w = next(k for thr, k in _BS_LADDER if u < thr or thr == _BS_LADDER[-1][0])
+            num += w * n_chars
+            den += w
+        assert r.n_eff == den
+        assert r.mean_chars_micro == num * 1_000_000 // den
+        assert abs(r.n_eff - len(docs)) < 4 * len(docs) ** 0.5 + 10
+    means = sorted(r.mean_chars_micro / 1e6 for r in rows)
+    assert means[0] <= true_mean <= means[-1]
+    assert means[1] < true_mean < means[30]
+
+
+def test_ks_drift_python_reference(spark, sf_dir):
+    """x_source_ks_drift vs a pure-Python two-sample KS over the same
+    documents: exact scaled statistic equality, ppm consistency, and
+    bounds (0 <= KS <= 1)."""
+    from mcp_iceberg_duckdb_spark.operators._util import t as tables
+    from mcp_iceberg_duckdb_spark.registry import QUERIES
+
+    a, b = [], []
+    for r in (
+        tables(spark, sf_dir)
+        .documents.select("source", "n_chars")
+        .where("source IN ('src0','src1')")
+        .collect()
+    ):
+        (a if r.source == "src0" else b).append(r.n_chars)
+    n0, n1 = len(a), len(b)
+    xs = sorted(set(a) | set(b))
+    best = 0
+    for x in xs:
+        f0 = sum(1 for v in a if v <= x)
+        f1 = sum(1 for v in b if v <= x)
+        best = max(best, abs(f0 * n1 - f1 * n0))
+    row = QUERIES["x_source_ks_drift"].builder(spark, sf_dir).collect()[0]
+    assert (row.n0, row.n1) == (n0, n1)
+    assert row.ks_scaled == best
+    assert row.ks_ppm == best * 1_000_000 // (n0 * n1)
+    assert 0 <= row.ks_ppm <= 1_000_000
