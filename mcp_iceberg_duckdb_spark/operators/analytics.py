@@ -344,3 +344,94 @@ def x_skyline_pareto(spark, sf_dir):
         )
     )
     return stats.join(F.broadcast(d), dominated, "left_anti")
+
+
+# ---- chi-square test of independence (contingency rollup) ----
+
+
+@query(
+    "x_stats_chi2_independence",
+    oracle="""
+    WITH cells AS (
+        SELECT o_orderpriority AS rk, o_orderstatus AS ck,
+               CAST(count(*) AS BIGINT) AS obs
+        FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT rk, ck, obs,
+               sum(obs) OVER (PARTITION BY rk) AS row_tot,
+               sum(obs) OVER (PARTITION BY ck) AS col_tot,
+               sum(obs) OVER () AS n
+        FROM cells
+    ),
+    contrib AS (
+        SELECT n,
+               (obs * n - row_tot * col_tot) AS d,
+               (n * row_tot * col_tot) AS den
+        FROM m
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n,
+           CAST((SELECT (count(DISTINCT rk) - 1)
+                      * (count(DISTINCT ck) - 1) FROM cells)
+               AS BIGINT) AS dof,
+           CAST(sum((d * d // den) * 1000000
+                    + ((d * d % den) * 1000000) // den) AS BIGINT)
+               AS chi2_micro
+    FROM contrib
+    """,
+    tags=("stats", "tierx"),
+)
+def x_stats_chi2_independence(spark, sf_dir):
+    """Pearson chi-square test of independence over the (order
+    priority × order status) contingency table — the categorical
+    companion to x_ab_test_ztest. Exact integer rational throughout:
+    the per-cell term (obs − exp)²/exp with exp = row·col/N is
+    rewritten as D²/(N·row·col) with D = obs·N − row·col, and D²·1e6
+    would overflow int64, so each term is split divmod-style:
+    q·1e6 + (r·1e6) div den with (q, r) = divmod(D², den) — every
+    intermediate fits int64 and both engines compute the identical
+    sum (no decimal-division rounding rules in play).
+
+    Spark shape: one map-side-combined groupBy to the R×C cell
+    relation, window totals over it (|cells| rows, not corpus rows),
+    one scalar aggregate. At 100 TB the statistic costs exactly the
+    contingency rollup — the same plan a BI cube already runs."""
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir).orders
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("rk"),
+        F.col("o_orderstatus").alias("ck"),
+    ).agg(F.count("*").cast("bigint").alias("obs"))
+    m = cells.select(
+        "rk",
+        "ck",
+        "obs",
+        F.sum("obs").over(W.partitionBy("rk")).alias("row_tot"),
+        F.sum("obs").over(W.partitionBy("ck")).alias("col_tot"),
+        F.sum("obs").over(W.partitionBy()).alias("n"),
+    )
+    contrib = m.select(
+        "n",
+        "rk",
+        "ck",
+        (F.col("obs") * F.col("n") - F.col("row_tot") * F.col("col_tot")).alias("d"),
+        (F.col("n") * F.col("row_tot") * F.col("col_tot")).alias("den"),
+    )
+    dof = cells.agg(
+        (
+            (F.count_distinct("rk") - 1) * (F.count_distinct("ck") - 1)
+        )
+        .cast("bigint")
+        .alias("dof")
+    )
+    stat = contrib.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(
+            F.expr("(d * d div den) * 1000000")
+            + F.expr("((d * d % den) * 1000000) div den")
+        )
+        .cast("bigint")
+        .alias("chi2_micro"),
+    )
+    return stat.crossJoin(F.broadcast(dof)).select("n", "dof", "chi2_micro")

@@ -1046,3 +1046,36 @@ def test_ks_drift_python_reference(spark, sf_dir):
     assert row.ks_scaled == best
     assert row.ks_ppm == best * 1_000_000 // (n0 * n1)
     assert 0 <= row.ks_ppm <= 1_000_000
+
+
+def test_chi2_python_reference(spark, sf_dir):
+    """x_stats_chi2_independence vs a pure-Python float chi-square on
+    the same contingency table: micro value within 1 micro-unit per
+    cell of the float statistic (the exact-rational sum floors each
+    cell), dof exact, and books balance (n = corpus)."""
+    from collections import Counter
+
+    from mcp_iceberg_duckdb_spark.operators._util import t as tables
+    from mcp_iceberg_duckdb_spark.registry import QUERIES
+
+    obs = Counter(
+        (r.o_orderpriority, r.o_orderstatus)
+        for r in tables(spark, sf_dir)
+        .orders.select("o_orderpriority", "o_orderstatus")
+        .collect()
+    )
+    n = sum(obs.values())
+    rows = {r for r, _c in obs}
+    cols = {c for _r, c in obs}
+    row_t = {r: sum(v for (rr, _c), v in obs.items() if rr == r) for r in rows}
+    col_t = {c: sum(v for (_r, cc), v in obs.items() if cc == c) for c in cols}
+    chi2 = sum(
+        (obs[(r, c)] * n - row_t[r] * col_t[c]) ** 2 / (n * row_t[r] * col_t[c])
+        for r in rows
+        for c in cols
+        if (r, c) in obs
+    )
+    out = QUERIES["x_stats_chi2_independence"].builder(spark, sf_dir).collect()[0]
+    assert out.n == n
+    assert out.dof == (len(rows) - 1) * (len(cols) - 1)
+    assert abs(out.chi2_micro - chi2 * 1e6) <= len(obs) + 1
