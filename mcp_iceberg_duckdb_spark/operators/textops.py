@@ -2776,3 +2776,98 @@ def x_sketch_minhash_merge(spark, sf_dir):
             "merged_equals_direct",
         )
     )
+
+
+# ---- balanced shard packing (sorted zigzag round-robin / LPT-lite) ----
+
+_LPT_K = 64  # target shard count
+
+
+@query(
+    "x_pack_balanced_shards",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, n_tokens,
+               row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS pos
+        FROM toks
+    ),
+    assigned AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN (pos // {_LPT_K}) % 2 = 0
+                    THEN pos % {_LPT_K}
+                    ELSE {_LPT_K - 1} - (pos % {_LPT_K}) END AS shard
+        FROM ranked
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS token_load
+    FROM assigned GROUP BY shard
+    """,
+    tags=("text", "tierx"),
+)
+def x_pack_balanced_shards(spark, sf_dir):
+    """Balanced training-shard packing: documents sorted by token
+    count DESC and dealt into K=64 shards in zigzag (boustrophedon)
+    round-robin — the distributed stand-in for greedy LPT scheduling
+    (Graham 1969): big docs spread first, the zigzag cancels the
+    systematic bias plain round-robin gives shard 0, and the max/min
+    shard load lands within one document of ideal (test pins
+    imbalance ≤ 2·max_len/ideal in ppm). This is how sequence-packing
+    pipelines balance GPU-step token loads without a sequential
+    greedy pass.
+
+    Spark shape: the global rank does NOT use a single-partition
+    window — the same two-phase scheme as x_pack_token_shards
+    (repartitionByRange on the sort key, partition-local row_number,
+    P-row count-offset broadcast); then shard assignment is a pure
+    expression of the rank and one groupBy emits the K-row load
+    relation. At 100 TB: one range exchange + one K-group aggregate."""
+    d = t(spark, sf_dir).documents
+    toks = d.select(
+        "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    sc = spark.sparkContext
+    nparts = max(sc.defaultParallelism, 2)
+    ranged = toks.repartitionByRange(
+        nparts, F.col("n_tokens").desc(), F.col("doc_id").asc()
+    ).withColumn("pid", F.spark_partition_id())
+    from pyspark.sql import Window as W
+
+    local_w = W.partitionBy("pid").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    local = ranged.withColumn(
+        "lrk", F.row_number().over(local_w)
+    ).persist()
+    counts = {
+        r["pid"]: r["c"]
+        for r in local.groupBy("pid").agg(F.count("*").alias("c")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "pid int, off long"
+        )
+    )
+    k = F.lit(_LPT_K)
+    assigned = (
+        local.join(off_df, "pid")
+        .withColumn("pos", F.col("off") + F.col("lrk") - 1)
+        .withColumn(
+            "shard",
+            F.when(
+                (F.col("pos") / k).cast("bigint") % 2 == 0, F.col("pos") % k
+            ).otherwise(F.lit(_LPT_K - 1) - (F.col("pos") % k)),
+        )
+    )
+    return assigned.groupBy(F.col("shard").cast("bigint").alias("shard")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("token_load"),
+    )

@@ -1079,3 +1079,37 @@ def test_chi2_python_reference(spark, sf_dir):
     assert out.n == n
     assert out.dof == (len(rows) - 1) * (len(cols) - 1)
     assert abs(out.chi2_micro - chi2 * 1e6) <= len(obs) + 1
+
+
+def test_balanced_shards_python_reference_and_balance(spark, sf_dir):
+    """x_pack_balanced_shards vs a pure-Python zigzag deal over the
+    same (n_tokens desc, doc_id) order, plus the balance contract:
+    every shard's token load within 2·max_doc_len of the ideal
+    (total/K) — the property the zigzag exists to deliver — and
+    books balance (Σ loads = corpus tokens, Σ docs = corpus)."""
+    from mcp_iceberg_duckdb_spark.operators._util import t as tables
+    from mcp_iceberg_duckdb_spark.operators.textops import _LPT_K
+    from mcp_iceberg_duckdb_spark.registry import QUERIES
+
+    docs = [
+        (len(r.text.split(" ")), r.doc_id)
+        for r in tables(spark, sf_dir).documents.select("doc_id", "text").collect()
+    ]
+    order = sorted(docs, key=lambda x: (-x[0], x[1]))
+    want_load = [0] * _LPT_K
+    want_docs = [0] * _LPT_K
+    for pos, (n_tok, _i) in enumerate(order):
+        rnd, idx = divmod(pos, _LPT_K)
+        shard = idx if rnd % 2 == 0 else _LPT_K - 1 - idx
+        want_load[shard] += n_tok
+        want_docs[shard] += 1
+    rows = QUERIES["x_pack_balanced_shards"].builder(spark, sf_dir).collect()
+    assert len(rows) == _LPT_K
+    for r in rows:
+        assert r.token_load == want_load[r.shard]
+        assert r.n_docs == want_docs[r.shard]
+    total = sum(want_load)
+    ideal = total / _LPT_K
+    max_len = max(n for n, _i in docs)
+    assert all(abs(r.token_load - ideal) <= 2 * max_len for r in rows)
+    assert sum(r.n_docs for r in rows) == len(docs)
