@@ -374,9 +374,9 @@ def x_skyline_pareto(spark, sf_dir):
            CAST((SELECT (count(DISTINCT rk) - 1)
                       * (count(DISTINCT ck) - 1) FROM cells)
                AS BIGINT) AS dof,
-           CAST(sum((d * d // den) * 1000000
-                    + ((d * d % den) * 1000000) // den) AS BIGINT)
-               AS chi2_micro
+           CAST(sum(CAST(floor(((CAST(d AS DOUBLE) * CAST(d AS DOUBLE))
+                                / CAST(den AS DOUBLE)) * 1e6 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS chi2_micro
     FROM contrib
     """,
     tags=("stats", "tierx"),
@@ -386,11 +386,13 @@ def x_stats_chi2_independence(spark, sf_dir):
     priority × order status) contingency table — the categorical
     companion to x_ab_test_ztest. Exact integer rational throughout:
     the per-cell term (obs − exp)²/exp with exp = row·col/N is
-    rewritten as D²/(N·row·col) with D = obs·N − row·col, and D²·1e6
-    would overflow int64, so each term is split divmod-style:
-    q·1e6 + (r·1e6) div den with (q, r) = divmod(D², den) — every
-    intermediate fits int64 and both engines compute the identical
-    sum (no decimal-division rounding rules in play).
+    rewritten as D²/(N·row·col) with D = obs·N − row·col. D² can
+    overflow int64 once the corpus passes ~3e9·cell-share (it did at
+    sf0.1), so the per-cell term runs in IEEE doubles — D and den are
+    integer-exact in double, the multiply/divide are correctly
+    rounded, and the term is micro-quantized (the rn() discipline)
+    BEFORE the sum, which is then an exact int64 add: deterministic
+    at any partitioning, identical in both engines.
 
     Spark shape: one map-side-combined groupBy to the R×C cell
     relation, window totals over it (|cells| rows, not corpus rows),
@@ -425,13 +427,17 @@ def x_stats_chi2_independence(spark, sf_dir):
         .cast("bigint")
         .alias("dof")
     )
+    cell = F.floor(
+        (
+            F.col("d").cast("double")
+            * F.col("d").cast("double")
+            / F.col("den").cast("double")
+        )
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("bigint")
     stat = contrib.agg(
         F.max("n").cast("bigint").alias("n"),
-        F.sum(
-            F.expr("(d * d div den) * 1000000")
-            + F.expr("((d * d % den) * 1000000) div den")
-        )
-        .cast("bigint")
-        .alias("chi2_micro"),
+        F.sum(cell).cast("bigint").alias("chi2_micro"),
     )
     return stat.crossJoin(F.broadcast(dof)).select("n", "dof", "chi2_micro")
