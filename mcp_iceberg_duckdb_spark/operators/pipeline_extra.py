@@ -2329,3 +2329,100 @@ def x_source_ks_drift(spark, sf_dir):
             "ks_ppm"
         ),
     )
+
+
+# ---- Mann-Whitney U / AUC shift between sources ----
+
+
+@query(
+    "x_source_auc_shift",
+    oracle="""
+    WITH v AS (
+        SELECT CASE WHEN source = 'src0' THEN 0 ELSE 1 END AS s, n_chars
+        FROM documents WHERE source IN ('src0', 'src1')
+    ),
+    n AS (
+        SELECT sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS n0,
+               sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS n1
+        FROM v
+    ),
+    pts AS (
+        SELECT n_chars AS x,
+               sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS c0,
+               sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS c1
+        FROM v GROUP BY n_chars
+    ),
+    cum AS (
+        SELECT x, c0, c1,
+               sum(c0) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) - c0
+                   AS f0_below
+        FROM pts
+    )
+    SELECT CAST(n.n0 AS BIGINT) AS n0, CAST(n.n1 AS BIGINT) AS n1,
+           CAST(sum(c1 * (2 * f0_below + c0)) AS BIGINT) AS u2,
+           CAST(sum(c1 * (2 * f0_below + c0)) * 1000000
+                // (2 * n.n0 * n.n1) AS BIGINT) AS auc_ppm
+    FROM cum, n
+    GROUP BY n.n0, n.n1
+    """,
+    tags=("stats", "tierx"),
+)
+def x_source_auc_shift(spark, sf_dir):
+    """Mann-Whitney U between two sources' document-length
+    distributions, reported as the common-language effect size
+    AUC = P(len₀ < len₁) (+ ½·ties) — the location-shift companion to
+    x_source_ks_drift (KS detects ANY shape change; U/AUC says which
+    source runs longer and by how much, the metric drift dashboards
+    chart). Exact integers throughout: with ties, 2·U = Σ_x c1(x) ·
+    (2·F0(x⁻) + c0(x)) over the value-count relation, and the ppm AUC
+    is one exact integer `div` at the end.
+
+    Spark shape: identical cost envelope to the KS op — one groupBy
+    to the distinct-value relation, one cumulative window over it
+    (value-domain-sized, not corpus-sized), one scalar aggregate.
+    Both drift statistics can share one pass in production."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir).documents.where(
+        F.col("source").isin("src0", "src1")
+    )
+    v = d.select(
+        F.when(F.col("source") == "src0", 0).otherwise(1).alias("s"),
+        "n_chars",
+    )
+    pts = v.groupBy(F.col("n_chars").alias("x")).agg(
+        F.sum(F.when(F.col("s") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    cumw = W.orderBy("x").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = pts.select(
+        "c0",
+        "c1",
+        (F.sum("c0").over(cumw) - F.col("c0")).alias("f0_below"),
+    )
+    n = v.agg(
+        F.sum(F.when(F.col("s") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+    )
+    u = cum.agg(
+        F.sum(
+            F.col("c1") * (2 * F.col("f0_below") + F.col("c0"))
+        )
+        .cast("bigint")
+        .alias("u2")
+    )
+    return (
+        u.crossJoin(F.broadcast(n))
+        .select(
+            "n0",
+            "n1",
+            "u2",
+            F.expr("CAST((u2 * 1000000) div (2 * n0 * n1) AS BIGINT)").alias(
+                "auc_ppm"
+            ),
+        )
+    )

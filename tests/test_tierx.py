@@ -1113,3 +1113,32 @@ def test_balanced_shards_python_reference_and_balance(spark, sf_dir):
     max_len = max(n for n, _i in docs)
     assert all(abs(r.token_load - ideal) <= 2 * max_len for r in rows)
     assert sum(r.n_docs for r in rows) == len(docs)
+
+
+def test_auc_shift_python_reference(spark, sf_dir):
+    """x_source_auc_shift vs the O(n0·n1) pure-Python Mann-Whitney
+    definition (pairs won + half-ties), exact u2 equality, ppm
+    consistency, and the antisymmetry identity u2(0,1) + u2(1,0) =
+    2·n0·n1."""
+    from mcp_iceberg_duckdb_spark.operators._util import t as tables
+    from mcp_iceberg_duckdb_spark.registry import QUERIES
+
+    a, b = [], []
+    for r in (
+        tables(spark, sf_dir)
+        .documents.select("source", "n_chars")
+        .where("source IN ('src0','src1')")
+        .collect()
+    ):
+        (a if r.source == "src0" else b).append(r.n_chars)
+    u2 = sum(
+        2 if x0 < x1 else (1 if x0 == x1 else 0) for x0 in a for x1 in b
+    )
+    row = QUERIES["x_source_auc_shift"].builder(spark, sf_dir).collect()[0]
+    assert (row.n0, row.n1) == (len(a), len(b))
+    assert row.u2 == u2
+    assert row.auc_ppm == u2 * 1_000_000 // (2 * len(a) * len(b))
+    u2_rev = sum(
+        2 if x1 < x0 else (1 if x0 == x1 else 0) for x0 in a for x1 in b
+    )
+    assert u2 + u2_rev == 2 * len(a) * len(b)
