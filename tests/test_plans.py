@@ -534,7 +534,7 @@ _BNLJ_ALLOWED = {
     # round-7 third wave: 1-row broadcast scalars joined onto a tiny
     # relation (KS's (n0,n1) totals; chi2's dof) — the sanctioned
     # 1-row-BNLJ aggregate pattern
-    "x_source_ks_drift", "x_stats_chi2_independence",
+    "x_source_ks_drift", "x_stats_chi2_independence", "x_source_auc_shift",
     "x_market_basket_lift", "x_skyline_pareto", "x_dedup_minhash_lsh",
     "x_dedup_minhash_mllib", "x_dedup_simhash", "x_dedup_embedding_cosine",
     "x_dedup_cluster_report", "x_diag_key_skew", "x_diag_join_blowup",
