@@ -1387,3 +1387,125 @@ def cluster_split_assign(d, pairs):
         .otherwise("test")
         .alias("split"),
     )
+
+
+# ---- capstone 2: training-data release manifest ----
+
+_REL_K = 16  # shards per split
+
+
+@query(
+    "x_pipeline_release_manifest",
+    oracle=f"""
+    WITH RECURSIVE d AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   range(greatest(len(string_split(text, ' ')) - 2, 1)),
+                   i -> array_to_string(string_split(text, ' ')[i + 1:i + 3], ' ')
+               )) AS sh
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db
+        FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.sh, b.sh)))) * 1e6 + 0.5) / 1e6 >= 0.5
+    ),
+    edges AS (
+        SELECT da AS src, db AS dst FROM pairs
+        UNION
+        SELECT db AS src, da AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    cc AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    ),
+    assign AS (
+        SELECT doc.doc_id,
+               len(string_split(doc.text, ' ')) AS n_tokens,
+               CASE WHEN substr(md5('ccsplit:' || CAST(
+                        COALESCE(cc.cluster_id, doc.doc_id) AS VARCHAR)), 1, 4)
+                         < 'e666' THEN 'train'
+                    WHEN substr(md5('ccsplit:' || CAST(
+                        COALESCE(cc.cluster_id, doc.doc_id) AS VARCHAR)), 1, 4)
+                         < 'f333' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents doc LEFT JOIN cc ON cc.doc_id = doc.doc_id
+    ),
+    ranked AS (
+        SELECT split, n_tokens,
+               row_number() OVER (PARTITION BY split
+                                  ORDER BY n_tokens DESC, doc_id) - 1 AS pos
+        FROM assign
+    ),
+    sharded AS (
+        SELECT split, n_tokens,
+               CASE WHEN (pos // {_REL_K}) % 2 = 0
+                    THEN pos % {_REL_K}
+                    ELSE {_REL_K - 1} - (pos % {_REL_K}) END AS shard
+        FROM ranked
+    )
+    SELECT split, CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS token_load
+    FROM sharded GROUP BY split, shard
+    """,
+    tags=("pipeline", "tierx"),
+)
+def x_pipeline_release_manifest(spark, sf_dir):
+    """Capstone 2 — the training-data RELEASE manifest, the artifact a
+    data team actually hands to a training run: leakage-safe
+    cluster split (near-dups move as one unit) composed with per-split
+    balanced shard packing (zigzag LPT-lite, K=16 per split), emitting
+    per (split, shard) document and token loads. Composes the
+    separately-oracled x_corpus_leakage_safe_split and
+    x_pack_balanced_shards stages end-to-end — the proof the operators
+    CHAIN into one lazy plan (the x_pipeline_corpus_curation
+    precedent).
+
+    Spark shape: the split assignment reuses cluster_split_assign
+    (prefix-filtered exact pairs at fixture scale, LSH-fed at 100 TB);
+    the within-split rank is ONE window per split partition (3
+    partitions — at 100 TB swap in the two-phase count-offset rank of
+    x_pack_balanced_shards, same output by construction, pinned by
+    that op's oracle); the manifest is one (split, shard) groupBy."""
+    from pyspark.sql import Window as W
+
+    from mcp_iceberg_duckdb_spark.functions.simjoin import exact_jaccard_pairs
+    from mcp_iceberg_duckdb_spark.functions.textfns import tokens as _toks
+
+    d = t(spark, sf_dir).documents
+    docs = parallelize(
+        d.select("doc_id", "source", word_shingles("text", 3).alias("sh"))
+    )
+    pairs = exact_jaccard_pairs(
+        docs, 1, 2, block_cols=("source",), out_sim_col=None
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    split = cluster_split_assign(d, pairs).select("doc_id", "split")
+    toks = d.select(
+        "doc_id", F.size(_toks("text")).cast("bigint").alias("n_tokens")
+    )
+    assign = toks.join(split, "doc_id")
+    w = W.partitionBy("split").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    k = F.lit(_REL_K)
+    sharded = assign.withColumn(
+        "pos", F.row_number().over(w) - 1
+    ).withColumn(
+        "shard",
+        F.when(
+            (F.col("pos") / k).cast("bigint") % 2 == 0, F.col("pos") % k
+        ).otherwise(F.lit(_REL_K - 1) - (F.col("pos") % k)),
+    )
+    return sharded.groupBy(
+        "split", F.col("shard").cast("bigint").alias("shard")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("token_load"),
+    )

@@ -1142,3 +1142,39 @@ def test_auc_shift_python_reference(spark, sf_dir):
         2 if x1 < x0 else (1 if x0 == x1 else 0) for x0 in a for x1 in b
     )
     assert u2 + u2_rev == 2 * len(a) * len(b)
+
+
+def test_release_manifest_books_balance(spark, sf_dir):
+    """x_pipeline_release_manifest: 3 splits × 16 shards, per-split
+    loads balanced (within 2·max_len of the split ideal), totals
+    reconcile with the corpus (docs and tokens), and the split mix
+    matches x_corpus_leakage_safe_split exactly (the composition must
+    not perturb its stages)."""
+    from collections import Counter
+
+    from mcp_iceberg_duckdb_spark.operators._util import t as tables
+    from mcp_iceberg_duckdb_spark.registry import QUERIES
+
+    rows = QUERIES["x_pipeline_release_manifest"].builder(spark, sf_dir).collect()
+    docs = [
+        (len(r.text.split(" ")), r.doc_id)
+        for r in tables(spark, sf_dir).documents.select("doc_id", "text").collect()
+    ]
+    assert sum(r.n_docs for r in rows) == len(docs)
+    assert sum(r.token_load for r in rows) == sum(n for n, _i in docs)
+    split_docs = Counter()
+    for r in rows:
+        assert 0 <= r.shard < 16
+        split_docs[r.split] += r.n_docs
+    want_mix = Counter(
+        r.split
+        for r in QUERIES["x_corpus_leakage_safe_split"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+    assert split_docs == want_mix
+    max_len = max(n for n, _i in docs)
+    for split in split_docs:
+        loads = [r.token_load for r in rows if r.split == split]
+        ideal = sum(loads) / len(loads)
+        assert all(abs(ld - ideal) <= 2 * max_len for ld in loads), split
