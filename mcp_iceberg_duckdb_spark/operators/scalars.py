@@ -414,3 +414,46 @@ def f_regex_extract_all(spark, sf_dir):
             ",",
         ).alias("initials5"),
     )
+
+
+@query(
+    "f_array_explode_outer",
+    oracle="""
+    WITH d AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN []
+                    ELSE string_split(o_orderpriority, '-') END AS parts
+        FROM orders WHERE o_orderkey < 300
+    )
+    SELECT o_orderkey, u.part
+    FROM d, LATERAL (
+        SELECT unnest(CASE WHEN len(parts) = 0
+                           THEN [NULL]::VARCHAR[] ELSE parts END) AS part
+    ) u
+    """,
+    tags=("scalar", "array"),
+)
+def f_array_explode_outer(spark, sf_dir):
+    """EXPLODE_OUTER — the row-preserving flatten: rows whose array is
+    EMPTY survive with a NULL element instead of vanishing (plain
+    explode silently drops them — the bug class this op's tests
+    exist to catch in ETL). Every third order gets an empty parts
+    array to exercise the preserved branch. DuckDB has no native
+    outer unnest; the oracle's CASE-to-[NULL] rewrite is the
+    documented equivalent, which doubles as the spec.
+
+    Spark shape: generator expression inside codegen, shuffle-free;
+    outer-ness costs nothing at any scale."""
+    o = t(spark, sf_dir).orders.where(F.col("o_orderkey") < 300)
+    d = o.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.array().cast("array<string>"),
+        )
+        .otherwise(F.split("o_orderpriority", "-"))
+        .alias("parts"),
+    )
+    return d.select(
+        "o_orderkey", F.explode_outer("parts").alias("part")
+    )
