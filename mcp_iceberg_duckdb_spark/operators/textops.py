@@ -2871,3 +2871,127 @@ def x_pack_balanced_shards(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("token_load"),
     )
+
+
+# ---- ExactSubstr scrub EMIT (the corpus rewrite, not the stats) ----
+
+
+@query(
+    "x_text_exactsubstr_emit",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    win AS (
+        SELECT d.doc_id, g.i AS p,
+               array_to_string(d.tk[g.i + 1:g.i + 10], ' ') AS w
+        FROM d, LATERAL (
+            SELECT unnest(range(greatest(len(d.tk) - 9, 0))) AS i
+        ) g
+    ),
+    shared AS (
+        SELECT w FROM win GROUP BY w HAVING min(doc_id) <> max(doc_id)
+    ),
+    dup AS (SELECT win.doc_id, win.p FROM win JOIN shared USING (w)),
+    covered AS (
+        SELECT DISTINCT doc_id, unnest(range(p, p + 10)) AS pos
+        FROM dup
+    ),
+    toks AS (
+        SELECT d.doc_id, g.pos, d.tk[g.pos + 1] AS tok
+        FROM d, LATERAL (
+            SELECT unnest(range(len(d.tk))) AS pos
+        ) g
+    ),
+    kept AS (
+        SELECT t.doc_id, t.pos, t.tok
+        FROM toks t LEFT JOIN covered c
+          ON c.doc_id = t.doc_id AND c.pos = t.pos
+        WHERE c.doc_id IS NULL
+    )
+    SELECT d.doc_id,
+           CAST(len(d.tk) AS BIGINT) AS n_tokens,
+           CAST(count(k.pos) AS BIGINT) AS n_kept,
+           md5(coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), ''))
+               AS cleaned_md5
+    FROM d LEFT JOIN kept k USING (doc_id)
+    GROUP BY d.doc_id, len(d.tk)
+    """,
+    tags=("text", "dedup", "tierx"),
+)
+def x_text_exactsubstr_emit(spark, sf_dir):
+    """ExactSubstr scrub EMIT (Lee et al. 2022) — the corpus REWRITE
+    x_text_exactsubstr_scrub only reports statistics for: every token
+    covered by a 10-token window that occurs verbatim in another
+    document is dropped, the survivors re-serialize in original order,
+    and the op emits (n_tokens, n_kept, md5 of the cleaned text) per
+    document — full value parity on the rewritten corpus itself.
+
+    Spark shape: the shared-window machinery of the stats op (window
+    hashes, one groupBy, join back), then covered positions explode
+    ONLY from duplicate windows (Σ dup-windows × 10 rows — scrub-mass-
+    bounded, not corpus-bounded), a LEFT ANTI join removes them from
+    the posexploded token relation, and one per-doc groupBy rebuilds
+    the text order-independently (collect_list of (pos, tok) structs,
+    array_sort AFTER collection — the s_session_paths discipline).
+    At 100 TB every stage is a hash shuffle on doc_id or the window
+    hash; nothing global, nothing driver-side."""
+    from mcp_iceberg_duckdb_spark.functions.textfns import bind
+
+    d = t(spark, sf_dir).documents
+
+    def spans(tk):
+        idx = F.sequence(F.lit(0), F.size(tk) - 10)
+        return F.when(
+            F.size(tk) >= 10,
+            F.transform(idx, lambda i: F.xxhash64(F.slice(tk, i + 1, 10))),
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    win = d.select(
+        "doc_id", F.posexplode(bind(tokens("text"), spans)).alias("p", "h")
+    ).persist()
+    shared = (
+        win.groupBy("h")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .select("h")
+    )
+    covered = (
+        win.join(shared, "h")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("p"), F.col("p") + 9)).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = d.select(
+        "doc_id",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        F.posexplode(tokens("text")).alias("pos", "tok"),
+    )
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id", "n_tokens").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.getField("tok"),
+                ),
+                " ",
+            )
+        ).alias("cleaned_md5"),
+    )
+    # fully-scrubbed docs vanish from the anti-join — restore them
+    # with n_kept = 0 and the empty-string hash, so the output is a
+    # total function of the corpus (books always balance)
+    base = d.select(
+        "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    return (
+        base.join(rebuilt, ["doc_id", "n_tokens"], "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
+            F.coalesce("cleaned_md5", F.md5(F.lit(""))).alias("cleaned_md5"),
+        )
+    )

@@ -1178,3 +1178,35 @@ def test_release_manifest_books_balance(spark, sf_dir):
         loads = [r.token_load for r in rows if r.split == split]
         ideal = sum(loads) / len(loads)
         assert all(abs(ld - ideal) <= 2 * max_len for ld in loads), split
+
+
+def test_exactsubstr_emit_consistency(spark, sf_dir):
+    """x_text_exactsubstr_emit agrees with the stats op: per doc,
+    n_tokens − n_kept == the scrub op's dup_token_count (the emit op
+    ACTS on exactly the coverage the stats op reports); unscathed
+    docs keep their original text hash; scrubbed docs' hash differs."""
+    import hashlib
+
+    from mcp_iceberg_duckdb_spark.operators._util import t as tables
+    from mcp_iceberg_duckdb_spark.registry import QUERIES
+
+    stats = {
+        r.doc_id: r.dup_token_count
+        for r in QUERIES["x_text_exactsubstr_scrub"].builder(spark, sf_dir).collect()
+    }
+    text = {
+        r.doc_id: r.text
+        for r in tables(spark, sf_dir).documents.select("doc_id", "text").collect()
+    }
+    rows = QUERIES["x_text_exactsubstr_emit"].builder(spark, sf_dir).collect()
+    assert len(rows) == len(text)
+    scrubbed = 0
+    for r in rows:
+        assert r.n_tokens - r.n_kept == stats[r.doc_id], r.doc_id
+        orig_md5 = hashlib.md5(text[r.doc_id].encode()).hexdigest()
+        if r.n_kept == r.n_tokens:
+            assert r.cleaned_md5 == orig_md5
+        else:
+            scrubbed += 1
+            assert r.cleaned_md5 != orig_md5
+    assert scrubbed > 0, "fixture must contain cross-doc shared windows"
