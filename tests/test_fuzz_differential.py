@@ -1,0 +1,141 @@
+"""Differential SQL fuzzing: hypothesis generates random SELECTs in a
+dialect-common grammar and runs the SAME string through Spark SQL and
+DuckDB over the same parquet — correctness coverage BEYOND the 267
+curated registry queries (which pin specific operator shapes; the
+fuzzer walks the combinatorial space between them).
+
+Grammar restrictions keep the string valid and deterministic in both
+dialects:
+- integer and string columns only in expressions (the one DOUBLE
+  column, o_totalprice, appears only under MIN/MAX/COUNT, never SUM —
+  double-sum order is partitioning-dependent in any engine);
+- aggregates CAST to BIGINT (Spark count is BIGINT, DuckDB's HUGEINT);
+- no LIMIT/ORDER BY — comparison is the order-insensitive typed
+  row-multiset used by the oracle sweeps (compare.py);
+- predicates: comparisons, BETWEEN, IN-lists, LIKE with literal
+  prefixes/suffixes, AND/OR/NOT nesting.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mcp_iceberg_duckdb_spark.compare import rows_to_multiset
+
+INT_COLS = ["o_orderkey", "o_custkey"]
+STR_COLS = ["o_orderpriority", "o_orderstatus"]
+DATE_COL = "o_orderdate"
+GROUP_COLS = STR_COLS
+
+_int_lit = st.integers(min_value=-10, max_value=60000)
+_str_lit = st.sampled_from(
+    ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW", "F", "O", "P"]
+)
+
+
+def _pred() -> st.SearchStrategy[str]:
+    simple = st.one_of(
+        st.tuples(st.sampled_from(INT_COLS), st.sampled_from(["<", "<=", ">", ">=", "=", "<>"]), _int_lit).map(
+            lambda t: f"({t[0]} {t[1]} {t[2]})"
+        ),
+        st.tuples(st.sampled_from(INT_COLS), _int_lit, _int_lit).map(
+            lambda t: f"({t[0]} BETWEEN {min(t[1], t[2])} AND {max(t[1], t[2])})"
+        ),
+        st.tuples(st.sampled_from(STR_COLS), st.lists(_str_lit, min_size=1, max_size=3, unique=True)).map(
+            lambda t: "({} IN ({}))".format(t[0], ", ".join(f"'{v}'" for v in t[1]))
+        ),
+        st.tuples(st.sampled_from(STR_COLS), st.sampled_from(["1-%", "%H", "%MED%", "_-%"])).map(
+            lambda t: f"({t[0]} LIKE '{t[1]}')"
+        ),
+        st.tuples(st.sampled_from(INT_COLS), st.integers(2, 7), st.integers(0, 6)).map(
+            lambda t: f"(({t[0]} % {t[1]}) = {t[2] % t[1]})"
+        ),
+    )
+    return st.recursive(
+        simple,
+        lambda kids: st.one_of(
+            st.tuples(kids, kids).map(lambda t: f"({t[0]} AND {t[1]})"),
+            st.tuples(kids, kids).map(lambda t: f"({t[0]} OR {t[1]})"),
+            kids.map(lambda p: f"(NOT {p})"),
+        ),
+        max_leaves=4,
+    )
+
+
+_aggs = st.lists(
+    st.sampled_from(
+        [
+            "CAST(count(*) AS BIGINT) AS n",
+            "CAST(count(o_custkey) AS BIGINT) AS n_ck",
+            "CAST(sum(o_orderkey) AS BIGINT) AS s_ok",
+            "CAST(min(o_orderkey) AS BIGINT) AS mn_ok",
+            "CAST(max(o_custkey) AS BIGINT) AS mx_ck",
+            "min(o_orderpriority) AS mn_pri",
+            "max(o_orderstatus) AS mx_st",
+            "floor((min(o_totalprice)) * 1e2 + 0.5) / 1e2 AS mn_tp",
+            "floor((max(o_totalprice)) * 1e2 + 0.5) / 1e2 AS mx_tp",
+        ]
+    ),
+    min_size=1,
+    max_size=4,
+    unique=True,
+)
+
+
+@st.composite
+def _query(draw) -> str:
+    pred = draw(_pred())
+    mode = draw(st.sampled_from(["agg", "group", "project"]))
+    if mode == "project":
+        cols = draw(
+            st.lists(
+                st.sampled_from(INT_COLS + STR_COLS), min_size=1, max_size=4, unique=True
+            )
+        )
+        distinct = draw(st.booleans())
+        sel = ("DISTINCT " if distinct else "") + ", ".join(cols)
+        return f"SELECT {sel} FROM orders WHERE {pred}"
+    aggs = draw(_aggs)
+    if mode == "agg":
+        return f"SELECT {', '.join(aggs)} FROM orders WHERE {pred}"
+    gcols = draw(st.lists(st.sampled_from(GROUP_COLS), min_size=1, max_size=2, unique=True))
+    having = draw(st.one_of(st.none(), st.integers(0, 50)))
+    sql = (
+        f"SELECT {', '.join(gcols)}, {', '.join(aggs)} FROM orders "
+        f"WHERE {pred} GROUP BY {', '.join(gcols)}"
+    )
+    if having is not None:
+        sql += f" HAVING count(*) > {having}"
+    return sql
+
+
+@pytest.fixture(scope="module")
+def _orders_env(spark, sf_dir):
+    from mcp_iceberg_duckdb_spark.sources.tables import load
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'")
+    return spark, con
+
+
+@given(sql=_query())
+@settings(max_examples=120, deadline=None, derandomize=True)
+def test_fuzzed_select_matches_duckdb(_orders_env, sql):
+    spark, con = _orders_env
+    sdf = spark.sql(sql)
+    got = rows_to_multiset(sdf.columns, [tuple(r) for r in sdf.collect()])
+    # cursor per example: duckdb relations hold a pending result on
+    # the shared connection and error across hypothesis examples
+    cur = con.cursor()
+    try:
+        res = cur.execute(sql)
+        cols = [d[0] for d in res.description]
+        want = rows_to_multiset(cols, res.fetchall())
+    finally:
+        cur.close()
+    assert sorted(sdf.columns) == sorted(cols), sql
+    assert got == want, sql
