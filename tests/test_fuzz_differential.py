@@ -85,10 +85,73 @@ _aggs = st.lists(
 )
 
 
+_scalar_exprs = st.lists(
+    st.sampled_from(
+        [
+            "upper(o_orderstatus) AS u_st",
+            "lower(o_orderpriority) AS l_pri",
+            "CAST(length(o_orderpriority) AS BIGINT) AS len_pri",
+            "substr(o_orderpriority, 1, 3) AS pri3",
+            "concat(o_orderstatus, ':', o_orderpriority) AS st_pri",
+            "replace(o_orderpriority, '-', '_') AS pri_u",
+            "CAST(o_orderkey % 97 AS BIGINT) AS ok_mod",
+            "CAST(abs(o_custkey - 750) AS BIGINT) AS ck_dev",
+            "coalesce(nullif(o_orderstatus, 'O'), 'open') AS st_nz",
+            "CASE WHEN o_orderkey % 2 = 0 THEN 'even' ELSE 'odd' END AS parity",
+        ]
+    ),
+    min_size=1,
+    max_size=4,
+    unique=True,
+)
+
+_window_exprs = st.lists(
+    st.sampled_from(
+        [
+            "CAST(row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS BIGINT) AS rn",
+            "CAST(rank() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS BIGINT) AS rk",
+            "CAST(sum(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_ok",
+            "CAST(lag(o_orderkey, 1) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS BIGINT) AS prev_ok",
+            "CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n_pri",
+            "CAST(min(o_custkey) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS mn3_ck",
+        ]
+    ),
+    min_size=1,
+    max_size=3,
+    unique=True,
+)
+
+
 @st.composite
 def _query(draw) -> str:
     pred = draw(_pred())
-    mode = draw(st.sampled_from(["agg", "group", "project"]))
+    mode = draw(
+        st.sampled_from(
+            ["agg", "group", "project", "scalar", "window", "join"]
+        )
+    )
+    if mode == "scalar":
+        exprs = draw(_scalar_exprs)
+        return (
+            f"SELECT o_orderkey, {', '.join(exprs)} FROM orders "
+            f"WHERE {pred}"
+        )
+    if mode == "window":
+        exprs = draw(_window_exprs)
+        return (
+            f"SELECT o_orderkey, {', '.join(exprs)} FROM orders "
+            f"WHERE {pred}"
+        )
+    if mode == "join":
+        aggs = draw(_aggs)
+        seg = draw(st.sampled_from(["BUILDING", "MACHINERY", "AUTOMOBILE"]))
+        jty = draw(st.sampled_from(["JOIN", "LEFT JOIN"]))
+        return (
+            f"SELECT c_mktsegment, {', '.join(aggs)} FROM orders "
+            f"{jty} customer ON o_custkey = c_custkey "
+            f"AND c_mktsegment <> '{seg}' "
+            f"WHERE {pred} GROUP BY c_mktsegment"
+        )
     if mode == "project":
         cols = draw(
             st.lists(
@@ -117,13 +180,17 @@ def _orders_env(spark, sf_dir):
     from mcp_iceberg_duckdb_spark.sources.tables import load
 
     load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     con = duckdb.connect()
     con.sql(f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'")
+    con.sql(
+        f"CREATE VIEW customer AS SELECT * FROM '{sf_dir}/customer.parquet'"
+    )
     return spark, con
 
 
 @given(sql=_query())
-@settings(max_examples=120, deadline=None, derandomize=True)
+@settings(max_examples=150, deadline=None, derandomize=True)
 def test_fuzzed_select_matches_duckdb(_orders_env, sql):
     spark, con = _orders_env
     sdf = spark.sql(sql)
