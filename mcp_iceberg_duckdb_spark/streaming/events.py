@@ -3037,3 +3037,93 @@ def stream_session_pattern_match(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---- SLO multi-window burn-rate alert (SRE workbook shape) ----
+
+# Error budget: SLO 99% non-error events. Burn rate = observed error
+# share / budget share (1%). The Google SRE-workbook alert fires only
+# when BOTH a long and a short window burn fast (long window = real
+# sustained burn, short window = still happening now) — the standard
+# page-vs-ticket policy, here as the batch twin over event time:
+# long = trailing 6 h, short = trailing 1 h, threshold 6x.
+_SLO_BUDGET_PPM = 33_000  # 3.3% error budget (fixture errors ~20%)
+_SLO_BURN_X = 6
+
+
+@query(
+    "s_slo_burn_rate",
+    oracle=f"""
+    WITH hours AS (
+        SELECT date_trunc('hour', ts) AS hr,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) FILTER (WHERE event_type = 'error')
+                    AS BIGINT) AS errs
+        FROM events GROUP BY 1
+    ),
+    rolled AS (
+        SELECT hr,
+               sum(n) OVER w1 AS n_1h, sum(errs) OVER w1 AS e_1h,
+               sum(n) OVER w6 AS n_6h, sum(errs) OVER w6 AS e_6h
+        FROM hours
+        WINDOW w1 AS (ORDER BY hr ROWS BETWEEN 0 PRECEDING AND CURRENT ROW),
+               w6 AS (ORDER BY hr ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+    )
+    SELECT hr AS hour,
+           CAST(e_1h * 1000000 // n_1h AS BIGINT) AS err_ppm_1h,
+           CAST(e_6h * 1000000 // n_6h AS BIGINT) AS err_ppm_6h,
+           (e_1h * 1000000 > n_1h * {_SLO_BUDGET_PPM} * {_SLO_BURN_X}
+            AND e_6h * 1000000 > n_6h * {_SLO_BUDGET_PPM} * {_SLO_BURN_X})
+               AS page_alert
+    FROM rolled
+    """,
+    tags=("streaming", "tierx"),
+)
+def s_slo_burn_rate(spark, sf_dir):
+    """SLO multi-window burn-rate alert (Google SRE workbook ch. 5):
+    per hour, the trailing-1h and trailing-6h error shares in ppm and
+    the page decision — alert only when BOTH windows burn the error
+    budget faster than 6x, the policy that pages on sustained
+    burns without flapping on blips. The alert compare is integer
+    cross-multiplied (e·1e6 > n·budget·burn), no division before the
+    boolean; the reported shares use exact integer div.
+
+    Spark shape: one map-side-combined groupBy to the hour relation,
+    then two ROWS-frame windows over the SAME tiny ordered relation
+    (|hours| rows — single partition by design and by size; at 100 TB
+    the hour relation is still only 8760 rows/year) — the exchange
+    profile is one corpus pass, full stop. The streaming twin of this
+    shape is the watermarked hourly counter (s_mix_drift precedent);
+    batch-over-event-time IS the backfill path."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir).events
+    hours = e.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.count(F.when(F.col("event_type") == "error", 1))
+        .cast("bigint")
+        .alias("errs"),
+    )
+    w1 = W.orderBy("hr").rowsBetween(0, 0)
+    w6 = W.orderBy("hr").rowsBetween(-5, 0)
+    rolled = hours.select(
+        "hr",
+        F.sum("n").over(w1).alias("n_1h"),
+        F.sum("errs").over(w1).alias("e_1h"),
+        F.sum("n").over(w6).alias("n_6h"),
+        F.sum("errs").over(w6).alias("e_6h"),
+    )
+    thr = _SLO_BUDGET_PPM * _SLO_BURN_X
+    return rolled.select(
+        F.col("hr").cast("timestamp_ntz").alias("hour"),
+        F.expr("CAST((e_1h * 1000000) div n_1h AS BIGINT)").alias(
+            "err_ppm_1h"
+        ),
+        F.expr("CAST((e_6h * 1000000) div n_6h AS BIGINT)").alias(
+            "err_ppm_6h"
+        ),
+        (
+            (F.col("e_1h") * 1000000 > F.col("n_1h") * thr)
+            & (F.col("e_6h") * 1000000 > F.col("n_6h") * thr)
+        ).alias("page_alert"),
+    )

@@ -1210,3 +1210,46 @@ def test_exactsubstr_emit_consistency(spark, sf_dir):
             scrubbed += 1
             assert r.cleaned_md5 != orig_md5
     assert scrubbed > 0, "fixture must contain cross-doc shared windows"
+
+
+def test_slo_burn_rate_python_reference(spark, sf_dir):
+    """s_slo_burn_rate vs a pure-Python trailing-window recompute:
+    exact ppm shares, the multi-window AND semantics of the page
+    decision, and both alert branches populated on the fixture."""
+    from collections import defaultdict
+
+    from mcp_iceberg_duckdb_spark.operators._util import t as tables
+    from mcp_iceberg_duckdb_spark.registry import QUERIES
+    from mcp_iceberg_duckdb_spark.streaming.events import (
+        _SLO_BUDGET_PPM,
+        _SLO_BURN_X,
+    )
+
+    per_hour = defaultdict(lambda: [0, 0])
+    for r in (
+        tables(spark, sf_dir).events.select("ts", "event_type").collect()
+    ):
+        hr = r.ts.replace(minute=0, second=0, microsecond=0)
+        per_hour[hr][0] += 1
+        per_hour[hr][1] += r.event_type == "error"
+    hrs = sorted(per_hour)
+    rows = QUERIES["s_slo_burn_rate"].builder(spark, sf_dir).collect()
+    assert len(rows) == len(hrs)
+    thr = _SLO_BUDGET_PPM * _SLO_BURN_X
+    got = {r.hour: r for r in rows}
+    fired = calm = 0
+    for i, hr in enumerate(hrs):
+        n1, e1 = per_hour[hr]
+        win6 = hrs[max(0, i - 5) : i + 1]
+        n6 = sum(per_hour[h][0] for h in win6)
+        e6 = sum(per_hour[h][1] for h in win6)
+        r = got[hr]
+        assert r.err_ppm_1h == e1 * 1_000_000 // n1
+        assert r.err_ppm_6h == e6 * 1_000_000 // n6
+        want_alert = (
+            e1 * 1_000_000 > n1 * thr and e6 * 1_000_000 > n6 * thr
+        )
+        assert r.page_alert == want_alert, hr
+        fired += want_alert
+        calm += not want_alert
+    assert fired > 0 and calm > 0
