@@ -98,6 +98,9 @@ _scalar_exprs = st.lists(
             "CAST(abs(o_custkey - 750) AS BIGINT) AS ck_dev",
             "coalesce(nullif(o_orderstatus, 'O'), 'open') AS st_nz",
             "CASE WHEN o_orderkey % 2 = 0 THEN 'even' ELSE 'odd' END AS parity",
+            "CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr",
+            "CAST(extract(month FROM o_orderdate) AS BIGINT) AS mth",
+            "CAST(extract(day FROM o_orderdate) AS BIGINT) AS dom",
         ]
     ),
     min_size=1,
