@@ -284,3 +284,48 @@ def w_nth_value_ntile(spark, sf_dir):
         F.nth_value("l_quantity", 3).over(wf).alias("third_qty"),
         F.ntile(4).over(w).cast("bigint").alias("quartile"),
     )
+
+
+@query(
+    "w_moving_median",
+    oracle="""
+    SELECT event_id, user_id,
+           floor((median(value) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+                 * 1e6 + 0.5) / 1e6 AS med7,
+           floor((min(value) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+                 * 1e6 + 0.5) / 1e6 AS min7
+    FROM events
+    """,
+    tags=("window",),
+)
+def w_moving_median(spark, sf_dir):
+    """Moving MEDIAN over a sliding frame (trailing 7 events per
+    user) — the robust smoother ops dashboards prefer over moving
+    averages (one outlier shifts a mean by its magnitude, a median by
+    one rank). Spark's percentile(0.5) as a WINDOW aggregate ↔
+    DuckDB's windowed median; the trailing min rides the same frame
+    as the cheap companion.
+
+    Determinism: the frame order is the total (ts, event_id) per
+    user; the interpolated median averages the two middle DOUBLEs —
+    exact IEEE on identical inputs — and rn-rounds. Scale: one
+    user-hash exchange, sort within partitions; the frame is O(7)
+    state per row — no per-group value collection anywhere."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir).events
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        rn(F.percentile("value", 0.5).over(w), 6).alias("med7"),
+        rn(F.min("value").over(w), 6).alias("min7"),
+    )
