@@ -130,9 +130,29 @@ def _query(draw) -> str:
     pred = draw(_pred())
     mode = draw(
         st.sampled_from(
-            ["agg", "group", "project", "scalar", "window", "join"]
+            ["agg", "group", "project", "scalar", "window", "join", "setop"]
         )
     )
+    if mode == "setop":
+        pred2 = draw(_pred())
+        cols = draw(
+            st.lists(
+                st.sampled_from(INT_COLS + STR_COLS),
+                min_size=1,
+                max_size=3,
+                unique=True,
+            )
+        )
+        op = draw(
+            st.sampled_from(
+                ["UNION ALL", "UNION", "INTERSECT", "EXCEPT"]
+            )
+        )
+        sel = ", ".join(cols)
+        return (
+            f"SELECT {sel} FROM orders WHERE {pred} "
+            f"{op} SELECT {sel} FROM orders WHERE {pred2}"
+        )
     if mode == "scalar":
         exprs = draw(_scalar_exprs)
         return (
