@@ -367,7 +367,8 @@ def x_skyline_pareto(spark, sf_dir):
     contrib AS (
         SELECT n,
                (obs * n - row_tot * col_tot) AS d,
-               (n * row_tot * col_tot) AS den
+               (CAST(n AS DOUBLE) * CAST(row_tot AS DOUBLE)
+                * CAST(col_tot AS DOUBLE)) AS den
         FROM m
     )
     SELECT CAST(max(n) AS BIGINT) AS n,
@@ -375,7 +376,7 @@ def x_skyline_pareto(spark, sf_dir):
                       * (count(DISTINCT ck) - 1) FROM cells)
                AS BIGINT) AS dof,
            CAST(sum(CAST(floor(((CAST(d AS DOUBLE) * CAST(d AS DOUBLE))
-                                / CAST(den AS DOUBLE)) * 1e6 + 0.5)
+                                / den) * 1e6 + 0.5)
                          AS BIGINT)) AS BIGINT) AS chi2_micro
     FROM contrib
     """,
@@ -418,7 +419,11 @@ def x_stats_chi2_independence(spark, sf_dir):
         "rk",
         "ck",
         (F.col("obs") * F.col("n") - F.col("row_tot") * F.col("col_tot")).alias("d"),
-        (F.col("n") * F.col("row_tot") * F.col("col_tot")).alias("den"),
+        (
+            F.col("n").cast("double")
+            * F.col("row_tot").cast("double")
+            * F.col("col_tot").cast("double")
+        ).alias("den"),
     )
     dof = cells.agg(
         (
@@ -431,7 +436,7 @@ def x_stats_chi2_independence(spark, sf_dir):
         (
             F.col("d").cast("double")
             * F.col("d").cast("double")
-            / F.col("den").cast("double")
+            / F.col("den")
         )
         * F.lit(1e6)
         + F.lit(0.5)

@@ -2263,9 +2263,12 @@ def x_corpus_bootstrap_ci(spark, sf_dir):
         FROM pts
     )
     SELECT CAST(n.n0 AS BIGINT) AS n0, CAST(n.n1 AS BIGINT) AS n1,
-           CAST(max(abs(f0 * n.n1 - f1 * n.n0)) AS BIGINT) AS ks_scaled,
-           CAST(max(abs(f0 * n.n1 - f1 * n.n0)) * 1000000
-                // (n.n0 * n.n1) AS BIGINT) AS ks_ppm
+           CAST(max(abs(CAST(f0 AS HUGEINT) * n.n1
+                      - CAST(f1 AS HUGEINT) * n.n0)) AS BIGINT)
+               AS ks_scaled,
+           CAST(max(abs(CAST(f0 AS HUGEINT) * n.n1
+                      - CAST(f1 AS HUGEINT) * n.n0)) * 1000000
+                // (CAST(n.n0 AS HUGEINT) * n.n1) AS BIGINT) AS ks_ppm
     FROM ecdf, n
     GROUP BY n.n0, n.n1
     """,
@@ -2277,15 +2280,23 @@ def x_source_ks_drift(spark, sf_dir):
     via x_source_kl_divergence needs a binning choice; KS is the
     sup-norm of the ECDF difference and needs none). All integer:
     the ECDF comparison |F0(x) − F1(x)| is cross-multiplied to
-    |f0·n1 − f1·n0| over cumulative COUNTS, and the ppm output is one
-    exact integer `div` at the very end — no float quotient anywhere.
+    |f0·n1 − f1·n0| over cumulative COUNTS; the cross-multiply and
+    the ppm quotient run in DECIMAL(38,0) (HUGEINT on the oracle
+    side) because both are bounded by n0·n1, which passes int64 at
+    ~3e9 docs per source — exactly the silent-wraparound class the
+    decade discipline exists for. Only the ≤1e6 ppm and the
+    ks_scaled head (int64-safe until n0·n1 > 9.2e18) are cast back.
 
-    Spark shape: one groupBy to the distinct-value relation (bounded
-    by the value domain, not the corpus), one cumulative window over
-    it, one scalar max — the same single-sort plan a 100 TB drift
-    monitor wants; per-source counts ride the same pass. The window
-    is a single partition over the VALUE-DISTINCT relation (tiny),
-    not the corpus."""
+    Spark shape — the two-phase broadcast-offset cumulative sum
+    (same pattern as x_corpus_epoch_shuffle): the distinct-value
+    relation is bucketed by `x div 256`, per-bucket subtotals make a
+    bucket-grid relation (bounded by VALUE DOMAIN / 256, independent
+    of corpus size) whose exclusive prefix sums are the only
+    unpartitioned window; the per-value cumulative counts are then a
+    PARTITIONED window inside each bucket plus the broadcast bucket
+    offset. No corpus-scaled relation ever flows through a single
+    partition — the old shape put the whole value-distinct relation
+    (≈ n for long-tailed lengths) through one WindowExec."""
     from pyspark.sql import Window as W
 
     d = t(spark, sf_dir).documents.where(
@@ -2299,10 +2310,22 @@ def x_source_ks_drift(spark, sf_dir):
         F.sum(F.when(F.col("s") == 0, 1).otherwise(0)).alias("c0"),
         F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("c1"),
     )
-    cum = W.orderBy("x").rowsBetween(W.unboundedPreceding, W.currentRow)
-    ecdf = pts.select(
-        F.sum("c0").over(cum).alias("f0"),
-        F.sum("c1").over(cum).alias("f1"),
+    pts = pts.withColumn("b", F.expr("CAST(x div 256 AS BIGINT)"))
+    btot = pts.groupBy("b").agg(
+        F.sum("c0").alias("b0"), F.sum("c1").alias("b1")
+    )
+    wb = W.orderBy("b").rowsBetween(W.unboundedPreceding, W.currentRow)
+    off = btot.select(
+        "b",
+        (F.sum("b0").over(wb) - F.col("b0")).alias("off0"),
+        (F.sum("b1").over(wb) - F.col("b1")).alias("off1"),
+    )
+    wl = W.partitionBy("b").orderBy("x").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ecdf = pts.join(F.broadcast(off), "b").select(
+        (F.col("off0") + F.sum("c0").over(wl)).alias("f0"),
+        (F.col("off1") + F.sum("c1").over(wl)).alias("f1"),
     )
     n = v.agg(
         F.sum(F.when(F.col("s") == 0, 1).otherwise(0))
@@ -2316,18 +2339,20 @@ def x_source_ks_drift(spark, sf_dir):
         F.first("n0").alias("n0"),
         F.first("n1").alias("n1"),
         F.max(
-            F.abs(F.col("f0") * F.col("n1") - F.col("f1") * F.col("n0"))
-        )
-        .cast("bigint")
-        .alias("ks_scaled"),
+            F.abs(
+                F.col("f0").cast("decimal(38,0)") * F.col("n1")
+                - F.col("f1").cast("decimal(38,0)") * F.col("n0")
+            )
+        ).alias("ksd"),
     )
     return diff.select(
         "n0",
         "n1",
-        "ks_scaled",
-        F.expr("CAST((ks_scaled * 1000000) div (n0 * n1) AS BIGINT)").alias(
-            "ks_ppm"
-        ),
+        F.col("ksd").cast("bigint").alias("ks_scaled"),
+        F.expr(
+            "CAST((ksd * 1000000) div (CAST(n0 AS DECIMAL(38,0)) * n1)"
+            " AS BIGINT)"
+        ).alias("ks_ppm"),
     )
 
 
@@ -2359,9 +2384,11 @@ def x_source_ks_drift(spark, sf_dir):
         FROM pts
     )
     SELECT CAST(n.n0 AS BIGINT) AS n0, CAST(n.n1 AS BIGINT) AS n1,
-           CAST(sum(c1 * (2 * f0_below + c0)) AS BIGINT) AS u2,
-           CAST(sum(c1 * (2 * f0_below + c0)) * 1000000
-                // (2 * n.n0 * n.n1) AS BIGINT) AS auc_ppm
+           CAST(sum(CAST(c1 AS HUGEINT) * (2 * CAST(f0_below AS HUGEINT)
+                                           + c0)) AS BIGINT) AS u2,
+           CAST(sum(CAST(c1 AS HUGEINT) * (2 * CAST(f0_below AS HUGEINT)
+                                           + c0)) * 1000000
+                // (2 * CAST(n.n0 AS HUGEINT) * n.n1) AS BIGINT) AS auc_ppm
     FROM cum, n
     GROUP BY n.n0, n.n1
     """,
@@ -2374,13 +2401,19 @@ def x_source_auc_shift(spark, sf_dir):
     x_source_ks_drift (KS detects ANY shape change; U/AUC says which
     source runs longer and by how much, the metric drift dashboards
     chart). Exact integers throughout: with ties, 2·U = Σ_x c1(x) ·
-    (2·F0(x⁻) + c0(x)) over the value-count relation, and the ppm AUC
-    is one exact integer `div` at the end.
+    (2·F0(x⁻) + c0(x)) over the value-count relation. Per-term and
+    total are bounded by 2·n0·n1 > int64 at ~2e9 docs per source, so
+    the sum, the per-term product, and the ppm quotient run in
+    DECIMAL(38,0) (HUGEINT in the oracle); only the ≤1e6 ppm and the
+    u2 head are cast back to int64.
 
     Spark shape: identical cost envelope to the KS op — one groupBy
-    to the distinct-value relation, one cumulative window over it
-    (value-domain-sized, not corpus-sized), one scalar aggregate.
-    Both drift statistics can share one pass in production."""
+    to the distinct-value relation, then the two-phase
+    broadcast-offset cumulative sum (bucket grid `x div 256`,
+    exclusive prefix over the bounded bucket relation, partitioned
+    per-bucket window + broadcast offset) for F0(x⁻) — no
+    corpus-scaled single-partition WindowExec. Both drift statistics
+    can share one pass in production."""
     from pyspark.sql import Window as W
 
     d = t(spark, sf_dir).documents.where(
@@ -2394,11 +2427,21 @@ def x_source_auc_shift(spark, sf_dir):
         F.sum(F.when(F.col("s") == 0, 1).otherwise(0)).alias("c0"),
         F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("c1"),
     )
-    cumw = W.orderBy("x").rowsBetween(W.unboundedPreceding, W.currentRow)
-    cum = pts.select(
+    pts = pts.withColumn("b", F.expr("CAST(x div 256 AS BIGINT)"))
+    btot = pts.groupBy("b").agg(F.sum("c0").alias("b0"))
+    wb = W.orderBy("b").rowsBetween(W.unboundedPreceding, W.currentRow)
+    off = btot.select(
+        "b", (F.sum("b0").over(wb) - F.col("b0")).alias("off0")
+    )
+    wl = W.partitionBy("b").orderBy("x").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = pts.join(F.broadcast(off), "b").select(
         "c0",
         "c1",
-        (F.sum("c0").over(cumw) - F.col("c0")).alias("f0_below"),
+        (F.col("off0") + F.sum("c0").over(wl) - F.col("c0")).alias(
+            "f0_below"
+        ),
     )
     n = v.agg(
         F.sum(F.when(F.col("s") == 0, 1).otherwise(0))
@@ -2410,19 +2453,19 @@ def x_source_auc_shift(spark, sf_dir):
     )
     u = cum.agg(
         F.sum(
-            F.col("c1") * (2 * F.col("f0_below") + F.col("c0"))
-        )
-        .cast("bigint")
-        .alias("u2")
+            F.col("c1").cast("decimal(38,0)")
+            * (2 * F.col("f0_below") + F.col("c0"))
+        ).alias("u2d")
     )
     return (
         u.crossJoin(F.broadcast(n))
         .select(
             "n0",
             "n1",
-            "u2",
-            F.expr("CAST((u2 * 1000000) div (2 * n0 * n1) AS BIGINT)").alias(
-                "auc_ppm"
-            ),
+            F.col("u2d").cast("bigint").alias("u2"),
+            F.expr(
+                "CAST((u2d * 1000000)"
+                " div (2 * CAST(n0 AS DECIMAL(38,0)) * n1) AS BIGINT)"
+            ).alias("auc_ppm"),
         )
     )

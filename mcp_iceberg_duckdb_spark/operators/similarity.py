@@ -1516,7 +1516,7 @@ _EV_IDCG_SQL = "CASE least(n_rel, 10) " + " ".join(
         SELECT e.vec_id AS query_id, e.label AS q_label, e.v AS qv,
                l.n_lbl - 1 AS n_rel
         FROM e JOIN lbl l ON e.label = l.label
-        WHERE e.vec_id % {_EV_QMOD} = 0
+        WHERE e.vec_id % {_EV_QMOD} = 0 AND l.n_lbl >= 2
         ORDER BY e.vec_id LIMIT {_EV_QCAP}
     ),
     scored AS (
@@ -1579,11 +1579,17 @@ def x_eval_retrieval_metrics(spark, sf_dir):
         )
     )
     lbl = e.groupBy("label").agg(F.count("*").alias("n_lbl"))
+    # n_lbl >= 2 guard (i.e. n_rel >= 1) BEFORE the LIMIT, mirrored in
+    # the oracle's q CTE: a singleton-label query has zero relevant
+    # neighbors, so recall divides by zero and element_at(idcg, 0)
+    # throws INVALID_INDEX_OF_ZERO — a regenerated fixture with a rare
+    # label would crash the Spark side instead of mismatching.
     q = (
         e.filter(F.col("vec_id") % _EV_QMOD == 0)
+        .join(F.broadcast(lbl), "label")
+        .where(F.col("n_lbl") >= 2)
         .orderBy("vec_id")
         .limit(_EV_QCAP)
-        .join(F.broadcast(lbl), "label")
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("label").alias("q_label"),

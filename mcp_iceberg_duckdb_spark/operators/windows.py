@@ -232,14 +232,48 @@ def w_topk_per_group(spark, sf_dir):
     tags=("window",),
 )
 def w_cume_percent(spark, sf_dir):
-    """W1 percent_rank / cume_dist (global window — demonstration
-    only; at scale these need a partition or a pre-bucketed range)."""
+    """W1 percent_rank / cume_dist over a global order — computed
+    scale-correctly via the two-phase broadcast-offset rank (the
+    x_corpus_epoch_shuffle pattern), NOT a single-partition window:
+    the order key (o_totalprice, o_orderkey) is unique, so every row
+    is its own peer group and percent_rank = (rn−1)/(N−1),
+    cume_dist = rn/N with rn the global row number. Phase 1 buckets
+    by `o_totalprice div 16384` (price domain is fixed — the bucket
+    grid does not grow with the corpus) and takes exclusive prefix
+    counts over that bounded grid; phase 2 is a PARTITIONED per-bucket
+    row_number plus the broadcast offset. The old shape — the naive
+    `OVER (ORDER BY ...)` — moved the whole orders relation through
+    one WindowExec partition."""
     o = t(spark, sf_dir).orders
-    w = W.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
+    pts = o.select(
         "o_orderkey",
-        rn(F.percent_rank().over(w), 6).alias("pr"),
-        rn(F.cume_dist().over(w), 6).alias("cd"),
+        "o_totalprice",
+        F.expr("CAST(CAST(o_totalprice AS BIGINT) div 16384 AS BIGINT)").alias(
+            "b"
+        ),
+    )
+    btot = pts.groupBy("b").agg(F.count("*").alias("bc"))
+    wb = W.orderBy("b").rowsBetween(W.unboundedPreceding, W.currentRow)
+    off = btot.select(
+        "b", (F.sum("bc").over(wb) - F.col("bc")).alias("off")
+    )
+    n = o.agg(F.count("*").cast("bigint").alias("n_tot"))
+    wl = W.partitionBy("b").orderBy("o_totalprice", "o_orderkey")
+    ranked = (
+        pts.join(F.broadcast(off), "b")
+        .withColumn("gr", F.col("off") + F.row_number().over(wl))
+        .crossJoin(F.broadcast(n))
+    )
+    return ranked.select(
+        "o_orderkey",
+        rn(
+            (F.col("gr") - 1).cast("double")
+            / (F.col("n_tot") - 1).cast("double"),
+            6,
+        ).alias("pr"),
+        rn(
+            F.col("gr").cast("double") / F.col("n_tot").cast("double"), 6
+        ).alias("cd"),
     )
 
 

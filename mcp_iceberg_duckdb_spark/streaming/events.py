@@ -2944,11 +2944,13 @@ def s_session_pattern_match(spark, sf_dir):
                 F.lit(name).alias("pattern"),
                 "n_sessions",
                 "n_matched",
-                F.floor(
-                    F.col("n_matched") * 1000000 / F.col("n_sessions")
-                )
-                .cast("bigint")
-                .alias("match_ppm"),
+                # exact integer div, not a double divide + floor: the
+                # double quotient can land exactly ON an integer the
+                # true ratio is just below, off-by-one ppm at large
+                # session counts (every sibling op uses `div`)
+                F.expr(
+                    "CAST((n_matched * 1000000) div n_sessions AS BIGINT)"
+                ).alias("match_ppm"),
             )
         )
     out = outs[0]

@@ -11,10 +11,12 @@ import pytest
 from mcp_iceberg_duckdb_spark import registry
 from mcp_iceberg_duckdb_spark.plans import (
     explain_str,
+    global_window_count,
     has_broadcast_hash_join,
     has_pushed_filters,
     has_take_ordered,
     has_window_group_limit,
+    range_partitioning_count,
     read_schema_columns,
     shuffle_count,
 )
@@ -557,12 +559,30 @@ _BNLJ_ALLOWED = {
     "x_quality_perplexity_buckets",
     # round 7: 1-row broadcast merge-equality bit onto the pair rows
     "x_sketch_minhash_merge",
+    # round 8: 1-row broadcast N joined onto the ranked orders (the
+    # two-phase percent_rank/cume_dist rework)
+    "w_cume_percent",
     # round 7: broadcast sampled-query set scored against the corpus
     # scan under a != self-pair guard (the x_ann_cosine_topk shape)
     "x_eval_retrieval_metrics",
     # round 7: 1-row broadcast max-normalizer per HITS half-step
     "x_graph_hits",
 }
+
+
+# One simple-mode explain per registered query, shared by every
+# whole-registry audit below (building 269 plans dominates the cost;
+# string scans are free).
+_PLAN_CENSUS: dict[str, str] = {}
+
+
+def _census(spark, sf_dir) -> dict[str, str]:
+    if not _PLAN_CENSUS:
+        for name, spec in registry.QUERIES.items():
+            _PLAN_CENSUS[name] = explain_str(
+                spec.builder(spark, sf_dir), mode="simple"
+            )
+    return _PLAN_CENSUS
 
 
 def test_global_plan_hygiene_no_cartesian_no_accidental_bnlj(spark, sf_dir):
@@ -573,14 +593,93 @@ def test_global_plan_hygiene_no_cartesian_no_accidental_bnlj(spark, sf_dir):
     classic silent scale-killer (a join that lost its equi-condition
     and quietly planned as a product over the corpus) cannot land."""
     cart, rogue = [], []
-    for name, spec in registry.QUERIES.items():
-        plan = explain_str(spec.builder(spark, sf_dir))
+    for name, plan in _census(spark, sf_dir).items():
         if "CartesianProduct" in plan:
             cart.append(name)
         if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
             rogue.append(name)
     assert not cart, f"cartesian products: {cart}"
     assert not rogue, f"unreviewed BroadcastNestedLoopJoin in: {rogue}"
+
+
+# Every unpartitioned-but-ordered Window site in the registry, each
+# with its PROVEN input-row bound — the relation the window consumes
+# must be bounded by a value DOMAIN or a constant, never by corpus
+# size. Spark runs such a window in ONE partition ("WindowExec: No
+# Partition Defined" at runtime); over anything corpus-scaled that is
+# the canonical 100 TB scale-killer. A new query acquiring a global
+# window fails this audit until it is either re-shaped (two-phase
+# broadcast-offset cumulative sum — see x_corpus_epoch_shuffle,
+# w_cume_percent, x_source_ks_drift) or registered here with a bound.
+_GLOBAL_WINDOW_BOUNDED: dict[str, tuple[int, str]] = {
+    # (max allowed count, proven bound of the window's input relation)
+    "x_stats_chi2_independence": (1, "R*C contingency cells (|priorities| x |statuses| = 15)"),
+    "x_text_vocab_coverage": (2, "LIMIT _VOCAB_K head (constant 1000)"),
+    "x_text_length_filter": (1, "token-length histogram <= length domain (~1e5 at 100 TB)"),
+    "x_quality_stratified_sample": (1, "micro-quantized score histogram <= 1e6 grid points"),
+    "x_corpus_epoch_shuffle": (1, "16-row hash-bucket offset table"),
+    "x_source_ks_drift": (1, "length-bucket grid <= max_len div 256 (domain, not corpus)"),
+    "x_source_auc_shift": (1, "length-bucket grid <= max_len div 256 (domain, not corpus)"),
+    "x_embed_pq_encode": (1, "LIMIT _PQ_K codebook seeds (constant)"),
+    "x_ann_pq_adc_topk": (2, "LIMIT _PQ_K codebook seeds (constant)"),
+    "x_ann_pq_rerank_topk": (2, "LIMIT _PQ_K codebook seeds (constant)"),
+    "x_ann_ivfpq_topk": (2, "LIMIT _PQ_K codebook seeds (constant)"),
+    "x_corpus_mix_weights": (1, "|sources| relation (catalog-sized)"),
+    "x_text_zipf_fit": (1, "count-of-counts relation, |distinct freq| = O(sqrt(tokens))"),
+    "w_cume_percent": (1, "price-bucket grid <= price domain div 16384"),
+    "s_user_rfm": (3, "|users| ntile ladder; documented histogram swap at events.py:1735"),
+    "s_slo_burn_rate": (1, "720-row hour grid (30-day SLO window)"),
+}
+
+
+def test_no_unbounded_global_windows(spark, sf_dir):
+    """Whole-registry audit: every Window with no partition spec must
+    sit at a site registered in _GLOBAL_WINDOW_BOUNDED with a proven
+    input-row bound. The r7 bench log's `Moving all data to a single
+    partition` warnings become test failures for any NEW site — the
+    two genuinely unbounded ones it caught (x_source_ks_drift /
+    x_source_auc_shift cumulative ECDFs over a value-distinct
+    relation that grows with the corpus) were re-shaped to the
+    two-phase broadcast-offset cumulative sum in round 8."""
+    rogue, over = [], []
+    for name, plan in _census(spark, sf_dir).items():
+        n = global_window_count(plan)
+        if n == 0:
+            continue
+        if name not in _GLOBAL_WINDOW_BOUNDED:
+            rogue.append((name, n))
+        elif n > _GLOBAL_WINDOW_BOUNDED[name][0]:
+            over.append((name, n, _GLOBAL_WINDOW_BOUNDED[name][0]))
+    assert not rogue, f"unregistered global windows: {rogue}"
+    assert not over, f"global-window count grew past the registered bound: {over}"
+
+
+# Queries allowed a rangepartitioning exchange. Both entries are the
+# DELIBERATE distributed global sort that replaces a single-partition
+# rank: repartitionByRange + partition-local row_number + broadcast
+# P-row offsets (textops.py x_pack_*) — the exchange is the scale
+# path, not a regression. Presentation-only ORDER BY heads plan as
+# TakeOrderedAndProject and never appear here.
+_RANGEPART_ALLOWED = {
+    "x_pack_token_shards": 2,
+    "x_pack_balanced_shards": 2,
+}
+
+
+def test_global_sort_census(spark, sf_dir):
+    """Whole-registry audit: no query may acquire a global sort
+    (rangepartitioning exchange) outside the frozen allowlist. A
+    global sort samples and total-orders its whole input — legitimate
+    only where it IS the algorithm (distributed rank for shard
+    packing); an accidental one (an orderBy surviving in front of a
+    join or window) silently costs a full extra shuffle + sort at
+    100 TB."""
+    rogue = []
+    for name, plan in _census(spark, sf_dir).items():
+        n = range_partitioning_count(plan)
+        if n > _RANGEPART_ALLOWED.get(name, 0):
+            rogue.append((name, n))
+    assert not rogue, f"unreviewed rangepartitioning (global sort) in: {rogue}"
 
 
 def test_repetition_filter_is_shuffle_free(spark, sf_dir):
