@@ -205,6 +205,56 @@ _STRONG_PAIRS_SQL = f"""
     )
 """
 
+# DuckDB's OWN MinHash-LSH twin (round-8, the two-sided-contract fix:
+# VERDICT r7 "What's wrong" item 1). Instead of pinning the approx
+# contracts' booleans as literal TRUE — one-sided, only Spark could
+# falsify them — the oracle builds an independent 32-perm MinHash
+# (xxhash64 over perm-salted shingles), bands it 8x4 exactly like the
+# Spark parameters (_N_HASHES/_N_BANDS/_ROWS), verifies candidates
+# with exact Jaccard, and derives the SAME precision/recall/
+# co-clustering booleans from its own pipeline. A structurally
+# unachievable contract (banding that cannot reach the pinned recall,
+# a tolerance tighter than the method) now fails on both engines.
+# CTEs provided: d(doc_id, sh), cand(doc_a, doc_b),
+# verified(doc_a, doc_b, jac), strong(doc_a, doc_b), ns(n).
+# (WITH RECURSIVE so consumers may append recursive CTEs — the
+# keyword is harmless for the non-recursive ones.)
+_LSH_TWIN_SQL = f"""
+    WITH RECURSIVE d AS ({_SHINGLES_SQL}),
+    shx AS (SELECT doc_id, unnest(sh) AS s FROM d),
+    mh AS (
+        SELECT doc_id, p.p AS p,
+               min(hash(CAST(p.p AS VARCHAR) || ':' || s)) AS mv
+        FROM shx, (SELECT unnest(range(32)) AS p) p
+        GROUP BY doc_id, p.p
+    ),
+    bands AS (
+        SELECT doc_id, p // 4 AS band,
+               hash(string_agg(CAST(mv AS VARCHAR), ',' ORDER BY p)) AS bhash
+        FROM mh GROUP BY doc_id, p // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT c.doc_a, c.doc_b,
+               floor((CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(da.sh, db.sh)))) * 1e6 + 0.5) / 1e6 AS jac
+        FROM cand c
+        JOIN d da ON da.doc_id = c.doc_a
+        JOIN d db ON db.doc_id = c.doc_b
+    ),
+    strong AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.sh, b.sh)))) * 1e6 + 0.5) / 1e6 >= 0.9
+    ),
+    ns AS (SELECT count(*) AS n FROM strong)
+"""
+
 
 def strong_pairs(spark, sf_dir):
     """Exact unblocked strong-pair set (shingle Jaccard ≥ 0.9) via the
@@ -221,12 +271,21 @@ def strong_pairs(spark, sf_dir):
 
 @query(
     "x_dedup_minhash_lsh",
+    # TWO-SIDED: DuckDB runs its own minhash+banding+verify pipeline
+    # (_LSH_TWIN_SQL) through the identical contract instead of
+    # pinning TRUE.
     oracle=f"""
-    {_STRONG_PAIRS_SQL}
-    SELECT n AS n_strong_pairs,
-           TRUE AS precision_ok,
-           TRUE AS recall_ok
-    FROM s
+    {_LSH_TWIN_SQL},
+    emitted AS (SELECT * FROM verified WHERE jac >= 0.8),
+    hit AS (
+        SELECT count(*) AS n_hit
+        FROM strong SEMI JOIN emitted USING (doc_a, doc_b)
+    ),
+    prec AS (SELECT min(jac) >= 0.8 AS precision_ok FROM emitted)
+    SELECT ns.n AS n_strong_pairs,
+           prec.precision_ok,
+           (hit.n_hit * 100 >= ns.n * 95) AS recall_ok
+    FROM ns, hit, prec
     """,
     tags=("dedup", "tierx"),
 )
@@ -303,12 +362,22 @@ def minhash_mllib_pairs(spark, sf_dir):
 
 @query(
     "x_dedup_minhash_mllib",
+    # TWO-SIDED: same independent DuckDB LSH twin at this contract's
+    # looser operating point (precision floor 0.75, recall floor 90%
+    # — the MLlib route estimates similarity over the hashed space,
+    # so its exact-Jaccard floor sits below the emission threshold).
     oracle=f"""
-    {_STRONG_PAIRS_SQL}
-    SELECT n AS n_strong_pairs,
-           TRUE AS precision_ok,
-           TRUE AS recall_ok
-    FROM s
+    {_LSH_TWIN_SQL},
+    emitted AS (SELECT * FROM verified WHERE jac >= 0.75),
+    hit AS (
+        SELECT count(*) AS n_hit
+        FROM strong SEMI JOIN emitted USING (doc_a, doc_b)
+    ),
+    prec AS (SELECT min(jac) >= 0.75 AS precision_ok FROM emitted)
+    SELECT ns.n AS n_strong_pairs,
+           prec.precision_ok,
+           (hit.n_hit * 10 >= ns.n * 9) AS recall_ok
+    FROM ns, hit, prec
     """,
     tags=("dedup", "tierx"),
 )
@@ -399,17 +468,60 @@ def simhash_pairs(spark, sf_dir):
 
 @query(
     "x_dedup_simhash",
+    # TWO-SIDED (round-8): instead of pinning identical_covered TRUE,
+    # DuckDB builds its OWN 64-bit SimHash (xxhash64 token bits,
+    # majority vote per bit), bands it 4x16, and checks that every
+    # identical-content pair collides at hamming 0 in its own banded
+    # candidate set — a contract that is structurally unachievable
+    # (e.g. banding that can drop identical pairs) now fails on both
+    # engines, not only where Spark can falsify it.
     oracle="""
-    WITH h AS (
+    WITH toks AS (
         SELECT doc_id,
-               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS sig
+               unnest(list_distinct(string_split(text, ' '))) AS tk
         FROM documents
     ),
-    g AS (SELECT sig, count(*) AS k FROM h GROUP BY sig)
+    votes AS (
+        SELECT doc_id, b.b AS b,
+               CASE WHEN sum(CASE WHEN (hash(tk) >> b.b) & 1 = 1
+                                  THEN 1 ELSE -1 END) > 0
+                    THEN 1::HUGEINT ELSE 0::HUGEINT END AS bit
+        FROM toks, (SELECT unnest(range(64)) AS b) b
+        GROUP BY doc_id, b.b
+    ),
+    sig AS (
+        SELECT doc_id, sum(bit * (1::HUGEINT << CAST(b AS INT))) AS sh
+        FROM votes GROUP BY doc_id
+    ),
+    h AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS csig
+        FROM documents
+    ),
+    ident AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM h a JOIN h b ON a.csig = b.csig AND a.doc_id < b.doc_id
+    ),
+    bands AS (
+        SELECT doc_id, sh, b.b AS band,
+               CAST((sh >> (16 * CAST(b.b AS INT))) & 65535 AS BIGINT) AS bval
+        FROM sig, (SELECT unnest(range(4)) AS b) b
+    ),
+    cand0 AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+        WHERE a.sh = b.sh
+    ),
+    found AS (
+        SELECT count(*) AS n_found
+        FROM ident SEMI JOIN cand0 USING (doc_a, doc_b)
+    ),
+    ni AS (SELECT count(*) AS n_ident FROM ident)
     SELECT (SELECT count(*) FROM documents) AS n_docs,
-           CAST(sum(k * (k - 1) // 2) AS BIGINT) AS n_identical_pairs,
-           TRUE AS identical_covered
-    FROM g
+           CAST(ni.n_ident AS BIGINT) AS n_identical_pairs,
+           (found.n_found = ni.n_ident) AS identical_covered
+    FROM ni, found
     """,
     tags=("dedup", "tierx"),
 )
@@ -969,11 +1081,36 @@ def cluster_cc_lsh(spark, sf_dir):
 
 @query(
     "x_dedup_cluster_cc_lsh",
+    # TWO-SIDED: DuckDB clusters its OWN LSH-verified pairs with a
+    # recursive-CTE transitive closure and checks the co-clustering
+    # floor on its own components instead of pinning TRUE.
     oracle=f"""
-    {_STRONG_PAIRS_SQL}
-    SELECT n AS n_strong_pairs,
-           TRUE AS strong_coclustered_ok
-    FROM s
+    {_LSH_TWIN_SQL},
+    emitted AS (SELECT * FROM verified WHERE jac >= 0.8),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM emitted
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM emitted
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    labels AS (
+        SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    ),
+    co AS (
+        SELECT count(*) AS n_co
+        FROM strong s
+        JOIN labels la ON la.doc_id = s.doc_a
+        JOIN labels lb ON lb.doc_id = s.doc_b
+        WHERE la.cluster_id = lb.cluster_id
+    )
+    SELECT ns.n AS n_strong_pairs,
+           (co.n_co * 100 >= ns.n * 95) AS strong_coclustered_ok
+    FROM ns, co
     """,
     tags=("dedup", "tierx"),
 )

@@ -1261,11 +1261,103 @@ def hierarchical_centroid_assignment(e, coarse_k: int = 4, nprobe: int = 3):
 
 @query(
     "x_semdedup_hier_assign",
+    # TWO-SIDED (round-8): DuckDB runs its OWN SQL-expressible
+    # two-level router through the identical contract instead of
+    # pinning TRUE — label centroids per (label, dim) mean, 4 coarse
+    # cells seeded from the 4 smallest labels (single assignment
+    # pass; argmax under cosine is scale-invariant so no Lloyd loop
+    # is needed for the contract), nprobe=3 routing, micro-quantized
+    # argmax with the same tiebreaks. Its agreement with its own flat
+    # argmax measures the same design claim (0.94-0.98 across
+    # sf 0.001/0.01/0.1) — a contract no two-level router could meet
+    # now fails on both engines.
     oracle="""
-    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
-           TRUE AS agreement_ok,
-           TRUE AS candidates_bounded
-    FROM embeddings
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT vec_id, label, unnest(v) AS x,
+               generate_subscripts(v, 1) AS i
+        FROM e
+    ),
+    cent AS (
+        SELECT label AS clabel, list(ax ORDER BY i) AS cv
+        FROM (SELECT label, i, avg(x) AS ax FROM dims GROUP BY label, i) c
+        GROUP BY label
+    ),
+    flat AS (
+        SELECT vec_id, clabel AS flat_c
+        FROM (
+            SELECT e.vec_id, c.clabel,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY floor(list_cosine_similarity(e.v, c.cv) * 1e6 + 0.5) DESC,
+                                c.clabel) AS rn
+            FROM e, cent c
+        ) WHERE rn = 1
+    ),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY clabel) - 1 AS gid, cv AS sv
+        FROM (SELECT clabel, cv FROM cent ORDER BY clabel LIMIT 4)
+    ),
+    memb AS (
+        SELECT clabel, gid
+        FROM (
+            SELECT c.clabel, s.gid,
+                   row_number() OVER (PARTITION BY c.clabel
+                       ORDER BY floor(list_cosine_similarity(c.cv, s.sv) * 1e6 + 0.5) DESC,
+                                s.gid) AS rn
+            FROM cent c, seeds s
+        ) WHERE rn = 1
+    ),
+    gdims AS (
+        SELECT m.gid, generate_subscripts(c.cv, 1) AS i, unnest(c.cv) AS x
+        FROM cent c JOIN memb m USING (clabel)
+    ),
+    coarse AS (
+        SELECT gid, list(gx ORDER BY i) AS gv
+        FROM (SELECT gid, i, avg(x) AS gx FROM gdims GROUP BY gid, i) g
+        GROUP BY gid
+    ),
+    routed AS (
+        SELECT vec_id, gid
+        FROM (
+            SELECT e.vec_id, g.gid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY floor(list_cosine_similarity(e.v, g.gv) * 1e6 + 0.5) DESC,
+                                g.gid) AS rn
+            FROM e, coarse g
+        ) WHERE rn <= 3
+    ),
+    candidates AS (
+        SELECT r.vec_id, m.clabel,
+               floor(list_cosine_similarity(e.v, c.cv) * 1e6 + 0.5) AS simq
+        FROM routed r
+        JOIN e ON e.vec_id = r.vec_id
+        JOIN memb m ON m.gid = r.gid
+        JOIN cent c ON c.clabel = m.clabel
+    ),
+    hier AS (
+        SELECT vec_id, clabel AS hier_c
+        FROM (
+            SELECT vec_id, clabel,
+                   row_number() OVER (PARTITION BY vec_id
+                       ORDER BY simq DESC, clabel) AS rn
+            FROM candidates
+        ) WHERE rn = 1
+    ),
+    k AS (SELECT count(DISTINCT label) AS k FROM e),
+    ag AS (
+        SELECT count(*) AS n_vecs,
+               avg(CASE WHEN f.flat_c = h.hier_c THEN 1.0 ELSE 0.0 END)
+                   AS agree_frac
+        FROM flat f JOIN hier h USING (vec_id)
+    ),
+    cn AS (SELECT count(*) AS cand_n FROM candidates)
+    SELECT CAST(ag.n_vecs AS BIGINT) AS n_vecs,
+           (ag.agree_frac >= 0.9) AS agreement_ok,
+           (cn.cand_n < ag.n_vecs * k.k) AS candidates_bounded
+    FROM ag, cn, k
     """,
     tags=("dedup", "tierx"),
 )

@@ -791,10 +791,21 @@ def sample_rows(spark, sf_dir):
 @query(
     "p_sample",
     oracle="""
-    SELECT count(*) AS n_total,
-           TRUE AS frac_ok,
-           TRUE AS sample_is_subset
-    FROM lineitem
+    WITH s AS (
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem USING SAMPLE 10 PERCENT (bernoulli, 42)
+    ),
+    tot AS (SELECT count(*) AS n_total FROM lineitem),
+    ns AS (SELECT count(*) AS n_samp FROM s),
+    extra AS (
+        SELECT count(*) AS n_extra
+        FROM s ANTI JOIN lineitem USING (l_orderkey, l_linenumber, l_quantity)
+    )
+    SELECT CAST(tot.n_total AS BIGINT) AS n_total,
+           (ns.n_samp * 100 >= tot.n_total * 7
+            AND ns.n_samp * 100 <= tot.n_total * 13) AS frac_ok,
+           (extra.n_extra = 0) AS sample_is_subset
+    FROM tot, ns, extra
     """,
     tags=("projection", "approx"),
 )
@@ -806,7 +817,12 @@ def p_sample(spark, sf_dir):
     at sf0.001's ~6k rows — a broken fraction or double-sampling bug
     flips it), and the sampled rows being a true subset of the source
     (anti-join count 0 — catches a sampler that fabricates or mutates
-    rows). Sample rows stay available via sample_rows."""
+    rows). TWO-SIDED (round-8): the oracle runs DuckDB's own seeded
+    Bernoulli sample (`USING SAMPLE 10 PERCENT (bernoulli, 42)`)
+    through the identical three checks instead of pinning TRUE — an
+    unachievable contract (e.g. a tolerance tighter than sampling
+    noise) now fails on BOTH engines instead of only Spark being able
+    to falsify it. Sample rows stay available via sample_rows."""
     li = t(spark, sf_dir).lineitem.select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
