@@ -53,26 +53,41 @@ def assets_frame(spark, sf_dir) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> dict:
-    """Real decode path: PIL when importable (REAL_DECODERS_AVAILABLE),
-    NotImplementedError otherwise. Same output contract as fake_decode
-    (width, height, n_frames, content_hash), so it drops into the
-    mapInPandas featurizer via decoder="real" without any downstream
-    schema change; content_hash stays the payload md5 — it is a
-    CONTENT hash for dedup, not a pixel statistic."""
-    if not REAL_DECODERS_AVAILABLE:
-        raise NotImplementedError(
-            "image decode requires PIL/cv2 (not in this container); "
-            "use fake_decode for deterministic testing"
-        )
-    import io
+    """Real decode path: PIL when importable (REAL_DECODERS_AVAILABLE,
+    any format PIL knows); otherwise the vendored pure-python PNG
+    decoder (functions/png.py — real zlib inflate + filter
+    reconstruction, always available) for PNG payloads, and
+    NotImplementedError for other formats. Same output contract as
+    fake_decode (width, height, n_frames, content_hash), so it drops
+    into the mapInPandas featurizer via decoder="real" without any
+    downstream schema change; content_hash stays the payload md5 — it
+    is a CONTENT hash for dedup, not a pixel statistic."""
+    raw = bytes(payload)
+    if REAL_DECODERS_AVAILABLE:
+        import io
 
-    with _PIL_Image.open(io.BytesIO(payload)) as img:
+        with _PIL_Image.open(io.BytesIO(raw)) as img:
+            return {
+                "width": img.width,
+                "height": img.height,
+                "n_frames": int(getattr(img, "n_frames", 1)),
+                "content_hash": hashlib.md5(raw).hexdigest(),
+            }
+    from mcp_iceberg_duckdb_spark.functions.png import decode_png, is_png
+
+    if is_png(raw):
+        d = decode_png(raw)
         return {
-            "width": img.width,
-            "height": img.height,
-            "n_frames": int(getattr(img, "n_frames", 1)),
-            "content_hash": hashlib.md5(payload).hexdigest(),
+            "width": d["width"],
+            "height": d["height"],
+            "n_frames": 1,
+            "content_hash": hashlib.md5(raw).hexdigest(),
         }
+    raise NotImplementedError(
+        "non-PNG image decode requires PIL/cv2 (not in this container); "
+        "PNG decodes via the vendored codec, or use fake_decode for "
+        "deterministic testing"
+    )
 
 
 def fake_decode(payload: bytes) -> dict:
@@ -116,15 +131,35 @@ def _make_featurizer(decoder: str = "fake"):
         if decoder == "real":
             import io as _io
 
-            from PIL import Image as _Image
+            try:
+                from PIL import Image as _Image
 
-            def _decode(payload: bytes) -> dict:
-                raw = bytes(payload)
-                with _Image.open(_io.BytesIO(raw)) as img:
+                def _decode(payload: bytes) -> dict:
+                    raw = bytes(payload)
+                    with _Image.open(_io.BytesIO(raw)) as img:
+                        return {
+                            "width": img.width,
+                            "height": img.height,
+                            "n_frames": int(getattr(img, "n_frames", 1)),
+                            "content_hash": _hashlib.md5(raw).hexdigest(),
+                        }
+
+            except ImportError:
+                # PIL-less executors: the vendored PNG codec (shipped
+                # with the package — workers running the REAL branch
+                # need the package or PIL; the fake branch still needs
+                # neither)
+                from mcp_iceberg_duckdb_spark.functions.png import (
+                    decode_png as _decode_png,
+                )
+
+                def _decode(payload: bytes) -> dict:
+                    raw = bytes(payload)
+                    d = _decode_png(raw)
                     return {
-                        "width": img.width,
-                        "height": img.height,
-                        "n_frames": int(getattr(img, "n_frames", 1)),
+                        "width": d["width"],
+                        "height": d["height"],
+                        "n_frames": 1,
                         "content_hash": _hashlib.md5(raw).hexdigest(),
                     }
 
@@ -208,13 +243,11 @@ def x_multimodal_features(spark, sf_dir):
 def featurize_assets(assets: DataFrame, decoder: str = "fake") -> DataFrame:
     """The featurizer entry point: same plan for both decoders — ONE
     mapInPandas over the asset partitions, schema _FEATURE_SCHEMA.
-    decoder="real" (PIL) is the production branch; it raises
-    NotImplementedError up front when the codec is absent rather than
-    failing task-side."""
-    if decoder == "real" and not REAL_DECODERS_AVAILABLE:
-        raise NotImplementedError(
-            "decoder='real' requires PIL (not in this container)"
-        )
+    decoder="real" is the production branch: PIL when present (any
+    format), else the vendored pure-python PNG codec
+    (functions/png.py) — so the real decode path always executes in
+    CI; non-PNG payloads on a PIL-less executor fail task-side with
+    a clear ValueError/NotImplementedError."""
     return assets.mapInPandas(_make_featurizer(decoder), schema=_FEATURE_SCHEMA)
 
 

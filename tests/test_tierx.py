@@ -273,33 +273,44 @@ def test_multimodal_frame_sample_bounds(spark, sf_dir):
 
 
 def test_real_decoder_is_gated():
+    """Non-PNG formats still require PIL; PNG always decodes via the
+    vendored codec (functions/png.py), PIL or not."""
     from mcp_iceberg_duckdb_spark.operators import multimodal
 
     if multimodal.REAL_DECODERS_AVAILABLE:
-        pytest.skip("codec present - covered by test_real_decoder_path")
+        pytest.skip("PIL present - all formats decode")
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG...")
-    with pytest.raises(NotImplementedError):
-        multimodal.featurize_assets(None, decoder="real")
+        multimodal.decode_image(b"\xff\xd8\xff\xe0 fake jpeg bytes")
+    from mcp_iceberg_duckdb_spark.functions.png import encode_png
+
+    d = multimodal.decode_image(encode_png(3, 2, bytes(18), "RGB"))
+    assert (d["width"], d["height"], d["n_frames"]) == (3, 2, 1)
 
 
 def test_real_decoder_path(spark):
-    """Production branch of the featurizer (decoder='real'): runs
-    only where PIL is importable. Real PNG payloads of known
-    dimensions go through the SAME mapInPandas plan as the fake path
-    and must come back with the true width/height/n_frames."""
+    """Production branch of the featurizer (decoder='real'): REAL PNG
+    payloads of known dimensions go through the SAME mapInPandas plan
+    as the fake path and must come back with the true
+    width/height/n_frames — decoded by PIL where present, by the
+    vendored pure-python PNG codec otherwise (so this test never
+    skips: one real decode path always runs in CI)."""
     from mcp_iceberg_duckdb_spark.operators import multimodal
 
-    if not multimodal.REAL_DECODERS_AVAILABLE:
-        pytest.skip("PIL not in this container")
-    import io
+    if multimodal.REAL_DECODERS_AVAILABLE:
+        import io
 
-    from PIL import Image
+        from PIL import Image
 
-    def png(w, h):
-        buf = io.BytesIO()
-        Image.new("RGB", (w, h), (0, 0, 0)).save(buf, format="PNG")
-        return buf.getvalue()
+        def png(w, h):
+            buf = io.BytesIO()
+            Image.new("RGB", (w, h), (0, 0, 0)).save(buf, format="PNG")
+            return buf.getvalue()
+
+    else:
+        from mcp_iceberg_duckdb_spark.functions.png import encode_png
+
+        def png(w, h):
+            return encode_png(w, h, bytes(w * h * 3), "RGB")
 
     dims = [(17, 23), (64, 64), (224, 100)]
     assets = spark.createDataFrame(
