@@ -259,15 +259,135 @@ def _ann_contract(spark, sf_dir, approx_df, recall_floor_pct: int):
     )
 
 
-_ANN_CONTRACT_ORACLE = f"""
-    SELECT count(*) AS n_queries,
-           TRUE AS results_ok,
-           TRUE AS recall_ok
-    FROM embeddings WHERE vec_id < {_N_QUERIES}
+# TWO-SIDED ANN contracts (round-8, extending the VERDICT r7 item-1
+# fix beyond the six named sites): DuckDB runs its OWN approximate
+# index — IVF over label-centroid cells, or sign-bit LSH over
+# hash-derived Rademacher hyperplanes — against its own exact top-k,
+# and derives the same results_ok/recall_ok booleans, so a contract
+# no implementation of the method could meet fails on both engines.
+# Shared head: vectors, per-label centroids, the query pool, and the
+# exact brute-force top-10 (micro-quantized cosine, vec_id tiebreak).
+_ANN_TWIN_HEAD = f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i
+        FROM e
+    ),
+    q AS (
+        SELECT vec_id AS query_id, v AS qv FROM e
+        WHERE vec_id < {_N_QUERIES}
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY floor(list_cosine_similarity(q.qv, e.v) * 1e6 + 0.5) DESC,
+                                e.vec_id) AS rn
+            FROM q JOIN e ON e.vec_id <> q.query_id
+        ) WHERE rn <= {_TOP_K}
+    )
+"""
+
+# Shared tail: per-query sanity + recall vs the twin's own exact set.
+def _ann_twin_tail(recall_floor_pct: int) -> str:
+    return f"""
+    perq AS (
+        SELECT query_id, count(*) AS c,
+               sum(CASE WHEN neighbor_id = query_id THEN 1 ELSE 0 END)
+                   AS selfs
+        FROM approx GROUP BY query_id
+    ),
+    sane AS (
+        SELECT (max(c) <= {_TOP_K} AND sum(selfs) = 0) AS results_ok
+        FROM perq
+    ),
+    nq AS (SELECT count(*) AS n_queries FROM q),
+    hit AS (
+        SELECT count(*) AS n_hit
+        FROM exact SEMI JOIN approx USING (query_id, neighbor_id)
+    ),
+    ne AS (SELECT count(*) AS n_exact FROM exact)
+    SELECT nq.n_queries, sane.results_ok,
+           (hit.n_hit * 100 >= ne.n_exact * {recall_floor_pct}) AS recall_ok
+    FROM nq, sane, hit, ne
+    """
+
+
+_ANN_IVF_ORACLE = f"""
+    {_ANN_TWIN_HEAD},
+    cent AS (
+        SELECT label AS cell, list(ax ORDER BY i) AS cv
+        FROM (
+            SELECT e2.label, d.i, avg(d.x) AS ax
+            FROM dims d JOIN e e2 USING (vec_id) GROUP BY e2.label, d.i
+        ) c GROUP BY label
+    ),
+    probed AS (
+        SELECT query_id, qv, cell FROM (
+            SELECT q.query_id, q.qv, c.cell,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY floor(list_cosine_similarity(q.qv, c.cv) * 1e6 + 0.5) DESC,
+                                c.cell) AS rn
+            FROM q, cent c
+        ) WHERE rn <= 3
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY p.query_id
+                       ORDER BY floor(list_cosine_similarity(p.qv, e.v) * 1e6 + 0.5) DESC,
+                                e.vec_id) AS rn
+            FROM probed p
+            JOIN e ON e.label = p.cell AND e.vec_id <> p.query_id
+        ) WHERE rn <= {_TOP_K}
+    ),
+    {_ann_twin_tail(30)}
+"""
+
+_ANN_LSH_ORACLE = f"""
+    {_ANN_TWIN_HEAD},
+    sig AS (
+        SELECT vec_id, b.b AS b,
+               CASE WHEN sum(CASE WHEN (hash(CAST(b.b AS VARCHAR) || ':'
+                                             || CAST(i AS VARCHAR)) & 1) = 1
+                                  THEN x ELSE -x END) > 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM dims, (SELECT unnest(range(16)) AS b) b
+        GROUP BY vec_id, b.b
+    ),
+    bands AS (
+        SELECT vec_id, b // 4 AS band,
+               sum(bit * (1 << (CAST(b AS INT) % 4))) AS bkey
+        FROM sig GROUP BY vec_id, b // 4
+    ),
+    qb AS (
+        SELECT vec_id AS query_id, band, bkey FROM bands
+        WHERE vec_id < {_N_QUERIES}
+    ),
+    cand AS (
+        SELECT DISTINCT qb.query_id, b.vec_id AS neighbor_id
+        FROM qb JOIN bands b USING (band, bkey)
+        WHERE b.vec_id <> qb.query_id
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT c.query_id, c.neighbor_id,
+                   row_number() OVER (PARTITION BY c.query_id
+                       ORDER BY floor(list_cosine_similarity(q.qv, e.v) * 1e6 + 0.5) DESC,
+                                c.neighbor_id) AS rn
+            FROM cand c
+            JOIN q ON q.query_id = c.query_id
+            JOIN e ON e.vec_id = c.neighbor_id
+        ) WHERE rn <= {_TOP_K}
+    ),
+    {_ann_twin_tail(25)}
 """
 
 
-@query("x_ann_ivf_topk", oracle=_ANN_CONTRACT_ORACLE, tags=("similarity", "tierx"))
+@query("x_ann_ivf_topk", oracle=_ANN_IVF_ORACLE, tags=("similarity", "tierx"))
 def x_ann_ivf_topk(spark, sf_dir):
     """Decidable contract over ann_ivf_topk (nprobe=3 of ~10 label
     cells): recall vs the exact top-k pinned ≥ 30% — measured
@@ -277,7 +397,7 @@ def x_ann_ivf_topk(spark, sf_dir):
     return _ann_contract(spark, sf_dir, ann_ivf_topk(spark, sf_dir), 30)
 
 
-@query("x_ann_lsh_topk", oracle=_ANN_CONTRACT_ORACLE, tags=("similarity", "tierx"))
+@query("x_ann_lsh_topk", oracle=_ANN_LSH_ORACLE, tags=("similarity", "tierx"))
 def x_ann_lsh_topk(spark, sf_dir):
     """Decidable contract over ann_lsh_topk (4 bands × 4 hyperplane
     bits, seed 42): recall vs the exact top-k pinned ≥ 25% — measured
@@ -421,11 +541,57 @@ def kmeans_assign(spark, sf_dir):
 
 @query(
     "x_embed_kmeans",
+    # TWO-SIDED: DuckDB runs its OWN clustering (one-pass assignment
+    # to label centroids, then recomputed assignment centroids)
+    # through the identical contract — non-degenerate cluster count
+    # and within-cluster SSE <= 98% of the single-global-centroid SSE
+    # (measured 0.935-0.953 across sf 0.001/0.01/0.1) — instead of
+    # pinning TRUE.
     oracle="""
-    SELECT count(*) AS n_points,
-           TRUE AS clusters_ok,
-           TRUE AS sse_ok
-    FROM embeddings
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT vec_id, label, unnest(v) AS x,
+               generate_subscripts(v, 1) AS i
+        FROM e
+    ),
+    cent AS (
+        SELECT label AS cell, list(ax ORDER BY i) AS cv
+        FROM (SELECT label, i, avg(x) AS ax FROM dims GROUP BY label, i) c
+        GROUP BY label
+    ),
+    assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY floor(list_cosine_similarity(e.v, c.cv) * 1e6 + 0.5) DESC,
+                                c.cell) AS rn
+            FROM e, cent c
+        ) WHERE rn = 1
+    ),
+    rec AS (
+        SELECT a.cell, d.i, avg(d.x) AS cx
+        FROM assigned a JOIN dims d USING (vec_id)
+        GROUP BY a.cell, d.i
+    ),
+    wsse AS (
+        SELECT sum((d.x - r.cx) * (d.x - r.cx)) AS sse_w
+        FROM assigned a JOIN dims d USING (vec_id)
+        JOIN rec r ON r.cell = a.cell AND r.i = d.i
+    ),
+    gmean AS (SELECT i, avg(x) AS gx FROM dims GROUP BY i),
+    gsse AS (
+        SELECT sum((d.x - g.gx) * (d.x - g.gx)) AS sse_g
+        FROM dims d JOIN gmean g USING (i)
+    ),
+    nc AS (SELECT count(DISTINCT cell) AS k_eff FROM assigned),
+    np AS (SELECT count(*) AS n_points FROM e)
+    SELECT CAST(np.n_points AS BIGINT) AS n_points,
+           (nc.k_eff BETWEEN 2 AND 16) AS clusters_ok,
+           (wsse.sse_w <= 0.98 * gsse.sse_g) AS sse_ok
+    FROM np, nc, wsse, gsse
     """,
     tags=("similarity", "tierx"),
 )
@@ -697,8 +863,17 @@ def x_embed_pca_project(spark, sf_dir):
     shuffle-free distributed projection of every vector.
 
     Driver-side eigenvectors are not SQL-expressible, so this is a
-    decidable contract (the x_embed_kmeans pattern): the oracle
-    value-checks the corpus size and pins three booleans TRUE —
+    decidable contract: the oracle value-checks the corpus size and
+    pins three booleans TRUE. This is the ONE remaining one-sided
+    contract (every other approx contract gained a DuckDB twin in
+    round 8): a SQL twin needs the top-2 eigenpairs, and the
+    fixtures' covariance spectrum is near-degenerate (lambda2/lambda1
+    = 0.93-0.99 measured at sf 0.001/0.01/0.1), so a power-iteration
+    twin would need ~180 unrolled matrix-vector CTEs to clear the
+    1e-4 tolerance — recursive CTEs cannot aggregate over the
+    recursive relation, and a generated 2,500-line oracle would be
+    less trustworthy than the pin. The variance identity below is
+    still checked end-to-end on the Spark side against LAPACK. —
     ev_order_ok (top eigenvalues correctly ordered, non-negative up to
     jitter) and var1_ok/var2_ok, which assert THE defining PCA
     invariant: the distributed empirical variance of each projection

@@ -125,14 +125,94 @@ _window_exprs = st.lists(
 )
 
 
+# HAVING predicates over the aggregate space (round-8 fuzzer-depth
+# item): compound conditions on count/sum/min/max — the HAVING clause
+# re-binds aggregate expressions after grouping, a rewrite path the
+# simple `HAVING count(*) > n` never exercised.
+_having_atoms = st.one_of(
+    st.integers(0, 40).map(lambda n: f"(count(*) > {n})"),
+    st.integers(0, 60000).map(lambda n: f"(min(o_orderkey) < {n})"),
+    st.integers(0, 1500).map(lambda n: f"(max(o_custkey) >= {n})"),
+    st.integers(1, 5).map(lambda n: f"((sum(o_orderkey) % {n}) = 0)"),
+    st.tuples(st.integers(0, 30), st.integers(30, 99)).map(
+        lambda t: f"(count(DISTINCT o_custkey) BETWEEN {t[0]} AND {t[1]})"
+    ),
+)
+_having_pred = st.recursive(
+    _having_atoms,
+    lambda kids: st.one_of(
+        st.tuples(kids, kids).map(lambda t: f"({t[0]} AND {t[1]})"),
+        st.tuples(kids, kids).map(lambda t: f"({t[0]} OR {t[1]})"),
+    ),
+    max_leaves=3,
+)
+
+# group keys that are EXPRESSIONS, not bare columns — exercises
+# grouping-by-computed-key alignment between the two planners
+_group_exprs = st.sampled_from(
+    [
+        "o_orderstatus",
+        "o_orderpriority",
+        "CAST(o_orderkey % 7 AS BIGINT)",
+        "CAST(extract(year FROM o_orderdate) AS BIGINT)",
+        "substr(o_orderpriority, 1, 1)",
+        "CASE WHEN o_custkey % 2 = 0 THEN 'e' ELSE 'o' END",
+    ]
+)
+
+# customer-side predicates for the correlated-subquery mode
+_cust_pred = st.one_of(
+    st.sampled_from(
+        ["c_mktsegment = 'BUILDING'", "c_mktsegment <> 'MACHINERY'"]
+    ),
+    st.integers(0, 24).map(lambda n: f"c_nationkey <= {n}"),
+    st.integers(-900, 9000).map(lambda n: f"c_acctbal > {n}"),
+)
+
+
 @st.composite
 def _query(draw) -> str:
     pred = draw(_pred())
     mode = draw(
         st.sampled_from(
-            ["agg", "group", "project", "scalar", "window", "join", "setop"]
+            [
+                "agg", "group", "project", "scalar", "window", "join",
+                "setop", "having", "corr",
+            ]
         )
     )
+    if mode == "having":
+        gexpr = draw(_group_exprs)
+        aggs = draw(_aggs)
+        hv = draw(_having_pred)
+        return (
+            f"SELECT {gexpr} AS g, {', '.join(aggs)} FROM orders "
+            f"WHERE {pred} GROUP BY {gexpr} HAVING {hv}"
+        )
+    if mode == "corr":
+        cp = draw(_cust_pred)
+        shape = draw(st.sampled_from(["exists", "not_exists", "in", "scalar"]))
+        if shape == "exists" or shape == "not_exists":
+            aggs = draw(_aggs)
+            neg = "NOT " if shape == "not_exists" else ""
+            return (
+                f"SELECT {', '.join(aggs)} FROM orders "
+                f"WHERE {pred} AND {neg}EXISTS (SELECT 1 FROM customer "
+                f"WHERE c_custkey = o_custkey AND {cp})"
+            )
+        if shape == "in":
+            return (
+                f"SELECT CAST(count(*) AS BIGINT) AS n, "
+                f"CAST(min(o_orderkey) AS BIGINT) AS mn_ok FROM orders "
+                f"WHERE {pred} AND o_custkey IN "
+                f"(SELECT c_custkey FROM customer WHERE {cp})"
+            )
+        return (
+            f"SELECT o_orderkey, "
+            f"CAST((SELECT count(*) FROM customer "
+            f"WHERE c_custkey = orders.o_custkey AND {cp}) AS BIGINT) "
+            f"AS n_sub FROM orders WHERE {pred}"
+        )
     if mode == "setop":
         pred2 = draw(_pred())
         cols = draw(
@@ -212,8 +292,21 @@ def _orders_env(spark, sf_dir):
     return spark, con
 
 
+# CI runs the fixed-seed 150-example corpus (derandomize). For the
+# deep sweep (VERDICT r7 item 6: 10k queries, zero divergences), set
+# SPARK_GRAFT_FUZZ_EXAMPLES=10000 — derandomization switches off so
+# repeated sweeps walk fresh regions of the grammar.
+import os as _os
+
+_N_EXAMPLES = int(_os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "150"))
+
+
 @given(sql=_query())
-@settings(max_examples=150, deadline=None, derandomize=True)
+@settings(
+    max_examples=_N_EXAMPLES,
+    deadline=None,
+    derandomize=_N_EXAMPLES <= 150,
+)
 def test_fuzzed_select_matches_duckdb(_orders_env, sql):
     spark, con = _orders_env
     sdf = spark.sql(sql)
@@ -225,6 +318,18 @@ def test_fuzzed_select_matches_duckdb(_orders_env, sql):
         res = cur.execute(sql)
         cols = [d[0] for d in res.description]
         want = rows_to_multiset(cols, res.fetchall())
+    except duckdb.Error as ex:
+        # The ORACLE engine crashing on valid SQL is a DuckDB defect,
+        # not a divergence — e.g. DuckDB 1.0.0's optimizer
+        # null-derefs on a duplicated contradictory conjunction under
+        # NOT: `NOT ((k < 0 AND k BETWEEN 0 AND 1) OR (<same>))`
+        # (found by the 10k sweep; Spark answers it fine). Discard
+        # the example; anything but an INTERNAL error still fails.
+        from hypothesis import assume
+
+        if "INTERNAL Error" in str(ex):
+            assume(False)
+        raise
     finally:
         cur.close()
     assert sorted(sdf.columns) == sorted(cols), sql
