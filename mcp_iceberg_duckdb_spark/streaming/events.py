@@ -1703,17 +1703,25 @@ def s_user_rfm(spark, sf_dir):
     (cents sum), each quintile-scored 1-5 and packed into the
     three-digit RFM code marketers act on.
 
-    Spark shape: one per-user groupBy, a broadcast 1-row anchor, and
-    three ntile windows. The windows order USERS, not events — the
-    user relation is orders of magnitude smaller than the event log,
-    so the single-partition ntile sort is bounded by |users| (the
-    same justification as the key-skew median; at truly huge user
-    counts the histogram-cumsum decile pattern of
-    x_quality_stratified_sample swaps in unchanged).
+    Spark shape (round-8 rework — previously three single-partition
+    ntile windows over the |users| relation, `weak` at scale): each
+    quintile score is the two-phase broadcast-offset rank
+    (functions/rank2p.py) over a VALUE-bucket grid — recency buckets
+    of 2^32 µs (~72 min; grid bounded by the retention window),
+    frequency bucketed by its own small-integer value, money in 2^20-
+    cent (~$10k) buckets — followed by exact integer ntile arithmetic
+    on (rank, |users|). No window's partition ever exceeds one value
+    bucket; the only cross-bucket state is each metric's bucket-count
+    grid, broadcast back as offsets.
 
     Determinism: all metrics int64 (µs recency, cents money); every
-    ntile orders on (metric, user_id) — a total order, so bucket
+    rank orders on (metric, user_id) — a total order, so bucket
     boundaries are identical in both engines."""
+    from mcp_iceberg_duckdb_spark.functions.rank2p import (
+        broadcast_offset_rank,
+        ntile_from_rank,
+    )
+
     e = t(spark, sf_dir).events
     p = e.where(F.col("event_type") == "purchase").groupBy("user_id").agg(
         F.max("ts").alias("last_ts"),
@@ -1732,17 +1740,32 @@ def s_user_rfm(spark, sf_dir):
             - F.unix_micros(F.col("last_ts").cast("timestamp"))
         ).cast("bigint"),
     )
-    wr = Window.orderBy(F.col("recency_us").desc(), "user_id")
-    wf = Window.orderBy("freq", "user_id")
-    wm = Window.orderBy("monetary_cents", "user_id")
-    return scored.select(
+    n = p.agg(F.count("*").cast("bigint").alias("n_users"))
+    # recency DESC: -(r div W) is non-decreasing as r descends, so
+    # bucket order matches the sort order (rank2p's monotone contract)
+    ranked = broadcast_offset_rank(
+        scored,
+        F.expr("CAST(-(recency_us div 4294967296) AS BIGINT)"),
+        [F.col("recency_us").desc(), F.col("user_id")],
+        out="gr_r",
+    )
+    ranked = broadcast_offset_rank(
+        ranked, F.col("freq").cast("bigint"), ["freq", "user_id"], out="gr_f"
+    )
+    ranked = broadcast_offset_rank(
+        ranked,
+        F.expr("CAST(monetary_cents div 1048576 AS BIGINT)"),
+        ["monetary_cents", "user_id"],
+        out="gr_m",
+    ).crossJoin(F.broadcast(n))
+    return ranked.select(
         "user_id",
         "recency_us",
         "freq",
         "monetary_cents",
-        F.ntile(5).over(wr).cast("bigint").alias("r_score"),
-        F.ntile(5).over(wf).cast("bigint").alias("f_score"),
-        F.ntile(5).over(wm).cast("bigint").alias("m_score"),
+        ntile_from_rank("gr_r", "n_users", 5).alias("r_score"),
+        ntile_from_rank("gr_f", "n_users", 5).alias("f_score"),
+        ntile_from_rank("gr_m", "n_users", 5).alias("m_score"),
     ).withColumn(
         "rfm_code",
         F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"),

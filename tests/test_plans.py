@@ -627,7 +627,7 @@ _GLOBAL_WINDOW_BOUNDED: dict[str, tuple[int, str]] = {
     "x_corpus_mix_weights": (1, "|sources| relation (catalog-sized)"),
     "x_text_zipf_fit": (1, "count-of-counts relation, |distinct freq| = O(sqrt(tokens))"),
     "w_cume_percent": (1, "price-bucket grid <= price domain div 16384"),
-    "s_user_rfm": (3, "|users| ntile ladder; documented histogram swap at events.py:1735"),
+    "s_user_rfm": (3, "three value-bucket grids (recency 2^32us, freq value, money 2^20c) - domain-bounded since the round-8 rank2p rework"),
     "s_slo_burn_rate": (1, "720-row hour grid (30-day SLO window)"),
 }
 
