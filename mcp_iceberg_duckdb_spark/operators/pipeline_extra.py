@@ -2561,3 +2561,95 @@ def x_source_auc_shift(spark, sf_dir):
             ).alias("auc_ppm"),
         )
     )
+
+
+# ---- Population Stability Index between sources ----
+
+
+@query(
+    "x_source_psi_drift",
+    oracle="""
+    WITH v AS (
+        SELECT CASE WHEN source = 'src0' THEN 0 ELSE 1 END AS s, n_chars
+        FROM documents WHERE source IN ('src0', 'src1')
+    ),
+    bins AS (
+        SELECT n_chars // 64 AS b,
+               sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS c0,
+               sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS c1
+        FROM v GROUP BY 1
+    ),
+    n AS (
+        SELECT sum(c0) AS n0, sum(c1) AS n1,
+               CAST(count(*) AS BIGINT) AS nb
+        FROM bins
+    ),
+    terms AS (
+        SELECT CAST(floor(
+                   ((CAST(c0 + 1 AS DOUBLE) / (n.n0 + n.nb))
+                    - (CAST(c1 + 1 AS DOUBLE) / (n.n1 + n.nb)))
+                   * ln((CAST(c0 + 1 AS DOUBLE) / (n.n0 + n.nb))
+                        / (CAST(c1 + 1 AS DOUBLE) / (n.n1 + n.nb)))
+                   * 1e6 + 0.5) AS BIGINT) AS t_micro
+        FROM bins, n
+    )
+    SELECT CAST(n.n0 AS BIGINT) AS n0, CAST(n.n1 AS BIGINT) AS n1,
+           n.nb AS n_bins,
+           CAST(sum(t_micro) AS BIGINT) AS psi_micro
+    FROM terms, n
+    GROUP BY n.n0, n.n1, n.nb
+    """,
+    tags=("stats", "tierx"),
+)
+def x_source_psi_drift(spark, sf_dir):
+    """Population Stability Index between two sources' document-length
+    distributions — the drift metric risk/monitoring dashboards
+    standardize on (PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ); rule-of-thumb alerts at
+    0.1/0.25). Completes the drift family: KL (needs bins, asymmetric),
+    KS (binless sup-norm), AUC (location shift), PSI (symmetrized,
+    binned, the one with industry thresholds).
+
+    Determinism: fixed 64-char bins over the OCCUPIED length grid,
+    add-one smoothing against the shared bin count (so empty-in-one-
+    source bins contribute finitely and identically in both engines),
+    each term quantized to integer micro-nats (floor(t·1e6 + 0.5), the
+    x_text_unigram_logprob discipline) BEFORE the exact int64 sum —
+    partitioning-independent and engine-identical.
+
+    Spark shape: one map-side-combined groupBy to the bin grid
+    (bounded by length domain / 64, NOT corpus size), a broadcast
+    1-row totals join, one scalar sum. At 100 TB the metric costs one
+    aggregation pass — and shares its bin relation with the KS/AUC
+    ops' bucket grids in a production multi-metric drift job."""
+    d = t(spark, sf_dir).documents.where(
+        F.col("source").isin("src0", "src1")
+    )
+    v = d.select(
+        F.when(F.col("source") == "src0", 0).otherwise(1).alias("s"),
+        "n_chars",
+    )
+    bins = v.groupBy(
+        F.expr("CAST(n_chars div 64 AS BIGINT)").alias("b")
+    ).agg(
+        F.sum(F.when(F.col("s") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    n = bins.agg(
+        F.sum("c0").alias("n0"),
+        F.sum("c1").alias("n1"),
+        F.count("*").cast("bigint").alias("nb"),
+    )
+    p = (F.col("c0") + 1).cast("double") / (F.col("n0") + F.col("nb"))
+    q = (F.col("c1") + 1).cast("double") / (F.col("n1") + F.col("nb"))
+    t_micro = F.floor((p - q) * F.log(p / q) * F.lit(1e6) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    return (
+        bins.crossJoin(F.broadcast(n))
+        .agg(
+            F.first("n0").cast("bigint").alias("n0"),
+            F.first("n1").cast("bigint").alias("n1"),
+            F.first("nb").alias("n_bins"),
+            F.sum(t_micro).cast("bigint").alias("psi_micro"),
+        )
+    )

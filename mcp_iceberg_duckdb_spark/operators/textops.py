@@ -2995,3 +2995,134 @@ def x_text_exactsubstr_emit(spark, sf_dir):
             F.coalesce("cleaned_md5", F.md5(F.lit(""))).alias("cleaned_md5"),
         )
     )
+
+
+# ---- context-window packing (longest-with-shortest pairing) ----
+
+_CW_BUDGET = 256  # tokens per training context window
+
+
+@query(
+    "x_pack_context_windows",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               least(len(string_split(text, ' ')), {_CW_BUDGET}) AS n_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, n_tokens,
+               row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS r,
+               count(*) OVER () AS n
+        FROM toks
+    ),
+    pairs AS (
+        SELECT a.r AS ra, a.n_tokens AS la, b.n_tokens AS lb
+        FROM ranked a JOIN ranked b ON b.r = a.n + 1 - a.r
+        WHERE a.r < a.n + 1 - a.r
+    ),
+    mid AS (
+        SELECT count(*) AS n_mid, coalesce(sum(n_tokens), 0) AS mid_load
+        FROM ranked WHERE r * 2 = n + 1
+    ),
+    agg AS (
+        SELECT count(*) AS n_pairs,
+               sum(CASE WHEN la + lb <= {_CW_BUDGET} THEN 1 ELSE 2 END)
+                   AS pair_windows,
+               sum(la + lb) AS pair_load
+        FROM pairs
+    )
+    SELECT CAST((SELECT count(*) FROM toks) AS BIGINT) AS n_docs,
+           CAST(agg.pair_windows + mid.n_mid AS BIGINT) AS n_windows,
+           CAST((agg.pair_windows + mid.n_mid) * {_CW_BUDGET}
+                - (agg.pair_load + mid.mid_load) AS BIGINT) AS pad_tokens,
+           CAST((agg.pair_load + mid.mid_load) * 1000000
+                // ((agg.pair_windows + mid.n_mid) * {_CW_BUDGET})
+               AS BIGINT) AS util_ppm
+    FROM agg, mid
+    """,
+    tags=("text", "tierx"),
+)
+def x_pack_context_windows(spark, sf_dir):
+    """Context-window packing: place documents into fixed
+    {budget}-token training windows with minimal padding via the
+    longest-with-shortest pairing (rank r pairs with rank n+1−r) —
+    the deterministic, fully-parallel stand-in for sequential
+    first-fit-decreasing that sequence-packing pipelines use to cut
+    pad-token waste (each pair fits in one window iff the two lengths
+    sum under budget; overlong docs truncate to the budget). Emits
+    the packing ledger: window count, pad tokens, utilization ppm.
+
+    Spark shape: the global length rank comes from the two-phase
+    broadcast-offset scheme (functions/rank2p — bucket on the length
+    value, domain-bounded grid, NO single-partition window); the
+    pairing is ONE hash self-join on the computed partner rank
+    (r = n+1−r'); the ledger is one scalar aggregate. At 100 TB:
+    one groupBy-sized shuffle for the rank, one join keyed on dense
+    integers, no sort of the corpus.
+
+    Exactness: every quantity is an int64 count/sum; utilization is
+    one exact integer `div` — bit-identical across engines."""
+    from mcp_iceberg_duckdb_spark.functions.rank2p import broadcast_offset_rank
+
+    d = t(spark, sf_dir).documents
+    toks = d.select(
+        "doc_id",
+        F.least(F.size(tokens("text")), F.lit(_CW_BUDGET))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    n = toks.agg(F.count("*").cast("long").alias("n"))
+    # persist: the ranked relation feeds BOTH pairing sides and the
+    # odd-middle branch — unpersisted, each branch re-scans and
+    # re-ranks the corpus
+    ranked = (
+        broadcast_offset_rank(
+            toks,
+            # descending length: -(len) is monotone non-decreasing
+            # along the (n_tokens DESC, doc_id) order; lengths are
+            # <= budget so the bucket grid is at most budget+1 cells
+            (-F.col("n_tokens")).cast("bigint"),
+            [F.col("n_tokens").desc(), F.col("doc_id")],
+            out="r",
+        )
+        .crossJoin(F.broadcast(n))
+        .persist()
+    )
+    a = ranked.select("r", "n", F.col("n_tokens").alias("la"))
+    b = ranked.select(
+        (F.col("n") + 1 - F.col("r")).alias("r"),
+        F.col("n_tokens").alias("lb"),
+    )
+    pairs = a.join(b, "r").where(F.col("r") < F.col("n") + 1 - F.col("r"))
+    mid = ranked.where(F.col("r") * 2 == F.col("n") + 1).agg(
+        F.count("*").alias("n_mid"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("mid_load"),
+    )
+    agg = pairs.agg(
+        F.sum(
+            F.when(F.col("la") + F.col("lb") <= _CW_BUDGET, 1).otherwise(2)
+        ).alias("pair_windows"),
+        F.sum(F.col("la") + F.col("lb")).alias("pair_load"),
+    )
+    nd = toks.agg(F.count("*").cast("long").alias("n_docs"))
+    return (
+        agg.crossJoin(F.broadcast(mid))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            (F.col("pair_windows") + F.col("n_mid"))
+            .cast("bigint")
+            .alias("n_windows"),
+            (
+                (F.col("pair_windows") + F.col("n_mid")) * _CW_BUDGET
+                - (F.col("pair_load") + F.col("mid_load"))
+            )
+            .cast("bigint")
+            .alias("pad_tokens"),
+            F.expr(
+                f"CAST(((pair_load + mid_load) * 1000000)"
+                f" div ((pair_windows + n_mid) * {_CW_BUDGET}) AS BIGINT)"
+            ).alias("util_ppm"),
+        )
+    )

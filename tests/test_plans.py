@@ -562,6 +562,11 @@ _BNLJ_ALLOWED = {
     # round 8: 1-row broadcast N joined onto the ranked orders (the
     # two-phase percent_rank/cume_dist rework)
     "w_cume_percent",
+    # round 8: 1-row broadcast (n0, n1, nb) totals onto the bin grid
+    "x_source_psi_drift",
+    # round 8: 1-row broadcast N / mid-element / doc-count scalars in
+    # the rank-pairing packer
+    "x_pack_context_windows",
     # round 7: broadcast sampled-query set scored against the corpus
     # scan under a != self-pair guard (the x_ann_cosine_topk shape)
     "x_eval_retrieval_metrics",
@@ -627,6 +632,7 @@ _GLOBAL_WINDOW_BOUNDED: dict[str, tuple[int, str]] = {
     "x_corpus_mix_weights": (1, "|sources| relation (catalog-sized)"),
     "x_text_zipf_fit": (1, "count-of-counts relation, |distinct freq| = O(sqrt(tokens))"),
     "w_cume_percent": (1, "price-bucket grid <= price domain div 16384"),
+    "x_pack_context_windows": (3, "length-value bucket grid <= budget+1 cells (lengths truncate to the 256-token budget); 3 static copies = pair sides + odd-middle branch over the persisted rank"),
     "s_user_rfm": (3, "three value-bucket grids (recency 2^32us, freq value, money 2^20c) - domain-bounded since the round-8 rank2p rework"),
     "s_slo_burn_rate": (1, "720-row hour grid (30-day SLO window)"),
 }

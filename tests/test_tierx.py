@@ -1126,6 +1126,41 @@ def test_balanced_shards_python_reference_and_balance(spark, sf_dir):
     assert sum(r.n_docs for r in rows) == len(docs)
 
 
+def test_psi_drift_python_reference(spark, sf_dir):
+    """x_source_psi_drift vs a pure-Python PSI over the same
+    documents: exact micro-nat equality, bin books balance, and
+    PSI >= 0 (it is a sum of (p-q)ln(p/q) terms, each nonnegative)."""
+    import math
+
+    from mcp_iceberg_duckdb_spark.operators._util import t as tables
+    from mcp_iceberg_duckdb_spark.registry import QUERIES
+
+    a, b = [], []
+    for r in (
+        tables(spark, sf_dir)
+        .documents.select("source", "n_chars")
+        .where("source IN ('src0','src1')")
+        .collect()
+    ):
+        (a if r.source == "src0" else b).append(r.n_chars)
+    from collections import Counter
+
+    c0 = Counter(x // 64 for x in a)
+    c1 = Counter(x // 64 for x in b)
+    bins = sorted(set(c0) | set(c1))
+    nb = len(bins)
+    n0, n1 = len(a), len(b)
+    psi = 0
+    for bn in bins:
+        p = (c0.get(bn, 0) + 1) / (n0 + nb)
+        q = (c1.get(bn, 0) + 1) / (n1 + nb)
+        psi += math.floor((p - q) * math.log(p / q) * 1e6 + 0.5)
+    row = QUERIES["x_source_psi_drift"].builder(spark, sf_dir).collect()[0]
+    assert (row.n0, row.n1, row.n_bins) == (n0, n1, nb)
+    assert row.psi_micro == psi
+    assert row.psi_micro >= 0
+
+
 def test_auc_shift_python_reference(spark, sf_dir):
     """x_source_auc_shift vs the O(n0·n1) pure-Python Mann-Whitney
     definition (pairs won + half-ties), exact u2 equality, ppm
