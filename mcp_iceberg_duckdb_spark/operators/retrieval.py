@@ -228,3 +228,115 @@ def x_text_bm25_topk(spark, sf_dir):
         .where(F.col("rnk") <= _BM25_TOPK)
         .select("term", "doc_id", F.col("rnk").cast("int").alias("rnk"), "score")
     )
+
+
+# ---- chunk-level dedup rate (sub-document duplication analysis) ----
+
+_CDUP_W = 16  # non-overlapping chunk width
+
+
+@query(
+    "x_text_chunk_dedup_rate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(text, ' ') AS tk
+        FROM documents
+    ),
+    chunks AS (
+        SELECT source,
+               md5(array_to_string(tk[start + 1:start + {_CDUP_W}], ' '))
+                   AS h
+        FROM (
+            SELECT doc_id, source, tk,
+                   unnest(range(0, len(tk), {_CDUP_W})) AS start
+            FROM toks
+        )
+    ),
+    per_src AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(count(DISTINCT h) AS BIGINT) AS n_unique
+        FROM chunks GROUP BY source
+    ),
+    srcs AS (SELECT DISTINCT source, h FROM chunks),
+    shared AS (
+        SELECT h FROM srcs GROUP BY h HAVING count(*) > 1
+    ),
+    sh_per AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_shared
+        FROM srcs SEMI JOIN shared USING (h)
+        GROUP BY source
+    )
+    SELECT p.source, p.n_chunks, p.n_unique,
+           CAST((p.n_chunks - p.n_unique) * 1000000 // p.n_chunks
+               AS BIGINT) AS dup_ppm,
+           CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared_other
+    FROM per_src p LEFT JOIN sh_per s ON p.source = s.source
+    """,
+    tags=("text", "tierx"),
+)
+def x_text_chunk_dedup_rate(spark, sf_dir):
+    """Sub-document duplication ledger: non-overlapping {W}-token
+    chunks md5-keyed, then per source (1) the within-source duplicate
+    chunk rate — the signal C4/RefinedWeb-style pipelines act on at
+    paragraph granularity, here at fixed token granularity since the
+    fixture has no sentence structure — and (2) the count of this
+    source's distinct chunks that ALSO appear in another source
+    (cross-source boilerplate/syndication pressure, the thing that
+    makes per-source dedup insufficient).
+
+    Exactness: md5 chunk keys (the x_text_chunking discipline), all
+    counts int64, one integer div for the ppm — bit-identical rows.
+
+    Spark shape: one narrow chunk explode (scan-bandwidth), one
+    (source, h) map-side-combined distinct, two key-hashed groupBys,
+    and a semi join against the >1-source chunk set — every shuffle
+    keyed on the chunk hash, nothing corpus-wide through one
+    partition. At 100 TB this is the same cost envelope as exact
+    dedup, reused at chunk granularity."""
+    d = t(spark, sf_dir).documents.select(
+        "source", F.split("text", " ").alias("tk")
+    )
+    chunks = d.select(
+        "source",
+        F.explode(
+            F.sequence(F.lit(0), F.size("tk") - 1, F.lit(_CDUP_W))
+        ).alias("start"),
+        "tk",
+    ).select(
+        "source",
+        F.md5(
+            F.concat_ws(" ", F.slice("tk", F.col("start") + 1, _CDUP_W))
+        ).alias("h"),
+    )
+    per_src = chunks.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.count_distinct("h").cast("long").alias("n_unique"),
+    )
+    srcs = chunks.select("source", "h").distinct()
+    shared = (
+        srcs.groupBy("h")
+        .agg(F.count("*").alias("ns"))
+        .where(F.col("ns") > 1)
+        .select("h")
+    )
+    sh_per = (
+        srcs.join(shared, "h", "semi")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    return (
+        per_src.join(sh_per, "source", "left")
+        .select(
+            "source",
+            "n_chunks",
+            "n_unique",
+            F.expr(
+                "CAST(((n_chunks - n_unique) * 1000000) div n_chunks"
+                " AS BIGINT)"
+            ).alias("dup_ppm"),
+            F.coalesce(F.col("n_shared"), F.lit(0))
+            .cast("long")
+            .alias("n_shared_other"),
+        )
+    )
