@@ -3152,3 +3152,97 @@ def s_slo_burn_rate(spark, sf_dir):
             & (F.col("e_6h") * 1000000 > F.col("n_6h") * thr)
         ).alias("page_alert"),
     )
+
+
+# ---- daily value-distribution drift (PSI vs corpus reference) ----
+
+
+@query(
+    "s_value_drift_daily",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(floor(value / 16) AS BIGINT) AS vb
+        FROM events
+    ),
+    ref AS (SELECT vb, CAST(count(*) AS BIGINT) AS c_ref FROM v GROUP BY vb),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_tot,
+               (SELECT CAST(count(*) AS BIGINT) FROM ref) AS nb
+        FROM v
+    ),
+    days AS (SELECT day, CAST(count(*) AS BIGINT) AS n_d FROM v GROUP BY day),
+    cnt AS (
+        SELECT day, vb, CAST(count(*) AS BIGINT) AS c
+        FROM v GROUP BY day, vb
+    ),
+    terms AS (
+        SELECT d.day, d.n_d,
+               CAST(floor(
+                   ((CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+                        / CAST(d.n_d + t.nb AS DOUBLE))
+                    - (CAST(r.c_ref + 1 AS DOUBLE)
+                        / CAST(t.n_tot + t.nb AS DOUBLE)))
+                   * ln((CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+                            / CAST(d.n_d + t.nb AS DOUBLE))
+                        / (CAST(r.c_ref + 1 AS DOUBLE)
+                            / CAST(t.n_tot + t.nb AS DOUBLE)))
+                   * 1e6 + 0.5) AS BIGINT) AS tm
+        FROM days d CROSS JOIN ref r CROSS JOIN tot t
+        LEFT JOIN cnt c ON c.day = d.day AND c.vb = r.vb
+    )
+    SELECT day, CAST(min(n_d) AS BIGINT) AS n_events,
+           CAST(sum(tm) AS BIGINT) AS psi_micro
+    FROM terms GROUP BY day
+    """,
+    tags=("streaming", "stats", "tierx"),
+)
+def s_value_drift_daily(spark, sf_dir):
+    """Per-day Population Stability Index of the event-value
+    distribution against the whole-corpus reference — the
+    drift-monitor panel a streaming pipeline charts next to
+    s_mix_drift (which watches the event-TYPE mix; this watches the
+    VALUE distribution). Alert thresholds 0.1/0.25 as usual for PSI.
+
+    Determinism (the x_source_psi_drift discipline): fixed 16-unit
+    value buckets over the GLOBAL occupied grid, add-one smoothing
+    against the shared bucket count, per-(day, bucket) term quantized
+    to integer micro-nats before the exact int64 per-day sum. Every
+    day scores the full reference grid (absent buckets enter at
+    count 0) so the sum has the same terms in both engines.
+
+    Spark shape: two map-side-combined groupBys (per-day-bucket, and
+    the reference grid), then the |days| x |buckets| cross of two
+    BOUNDED relations (retention window x value domain / 16 — grid
+    cells, never corpus rows) with the counts LEFT-joined back. At
+    100 TB the cost is the counting scan; a true-streaming twin
+    maintains cnt incrementally per watermark-closed day."""
+    e = t(spark, sf_dir).events
+    v = e.select(
+        F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"),
+        F.expr("CAST(floor(value / 16) AS BIGINT)").alias("vb"),
+    )
+    ref = v.groupBy("vb").agg(F.count("*").cast("long").alias("c_ref"))
+    tot = v.agg(F.count("*").cast("long").alias("n_tot")).crossJoin(
+        F.broadcast(ref.agg(F.count("*").cast("long").alias("nb")))
+    )
+    days = v.groupBy("day").agg(F.count("*").cast("long").alias("n_d"))
+    cnt = v.groupBy("day", "vb").agg(F.count("*").cast("long").alias("c"))
+    grid = (
+        days.crossJoin(F.broadcast(ref))
+        .crossJoin(F.broadcast(tot))
+        .join(cnt, ["day", "vb"], "left")
+    )
+    p = (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double") / (
+        F.col("n_d") + F.col("nb")
+    ).cast("double")
+    q = (F.col("c_ref") + 1).cast("double") / (
+        F.col("n_tot") + F.col("nb")
+    ).cast("double")
+    tm = F.floor((p - q) * F.log(p / q) * F.lit(1e6) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    return grid.groupBy("day").agg(
+        F.min("n_d").cast("long").alias("n_events"),
+        F.sum(tm).cast("long").alias("psi_micro"),
+    )

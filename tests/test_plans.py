@@ -570,6 +570,9 @@ _BNLJ_ALLOWED = {
     # round 8: k-row broadcast centroid table scored against the scan
     # (the x_semdedup pattern)
     "x_eval_calibration_ece",
+    # round 8: |days| x |value buckets| cross of two BOUNDED grids
+    # (retention window x value domain / 16) + 1-row totals
+    "s_value_drift_daily",
     # round 7: broadcast sampled-query set scored against the corpus
     # scan under a != self-pair guard (the x_ann_cosine_topk shape)
     "x_eval_retrieval_metrics",
