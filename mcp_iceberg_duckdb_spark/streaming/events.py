@@ -3214,9 +3214,11 @@ def s_value_drift_daily(spark, sf_dir):
     Spark shape: two map-side-combined groupBys (per-day-bucket, and
     the reference grid), then the |days| x |buckets| cross of two
     BOUNDED relations (retention window x value domain / 16 — grid
-    cells, never corpus rows) with the counts LEFT-joined back. At
-    100 TB the cost is the counting scan; a true-streaming twin
-    maintains cnt incrementally per watermark-closed day."""
+    cells, never corpus rows) with the counts LEFT-joined back. The
+    true-streaming twin (stream_value_drift_daily_counts) maintains
+    exactly the (day, bucket) counters online and shares
+    value_drift_finalize for the read-time PSI — the mix-drift twin
+    pattern."""
     e = t(spark, sf_dir).events
     v = e.select(
         F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"),
@@ -3226,8 +3228,18 @@ def s_value_drift_daily(spark, sf_dir):
     tot = v.agg(F.count("*").cast("long").alias("n_tot")).crossJoin(
         F.broadcast(ref.agg(F.count("*").cast("long").alias("nb")))
     )
-    days = v.groupBy("day").agg(F.count("*").cast("long").alias("n_d"))
     cnt = v.groupBy("day", "vb").agg(F.count("*").cast("long").alias("c"))
+    return value_drift_finalize(cnt, ref, tot)
+
+
+def value_drift_finalize(cnt: DataFrame, ref: DataFrame, tot: DataFrame) -> DataFrame:
+    """Shared read-time PSI finalizer over mergeable (day, vb, c)
+    counters — used identically by the batch operator and the
+    streaming twin (the mix_drift_finalize pattern: alerts recompute
+    from live counters on every refresh, nothing frozen into emitted
+    rows). ``ref`` is the (vb, c_ref) reference grid, ``tot`` the
+    1-row (n_tot, nb) totals."""
+    days = cnt.groupBy("day").agg(F.sum("c").cast("long").alias("n_d"))
     grid = (
         days.crossJoin(F.broadcast(ref))
         .crossJoin(F.broadcast(tot))
@@ -3245,4 +3257,25 @@ def s_value_drift_daily(spark, sf_dir):
     return grid.groupBy("day").agg(
         F.min("n_d").cast("long").alias("n_events"),
         F.sum(tm).cast("long").alias("psi_micro"),
+    )
+
+
+def stream_value_drift_daily_counts(events: DataFrame) -> DataFrame:
+    """Streaming half of the s_value_drift_daily twin: watermarked
+    tumbling 1-day (day, value-bucket) counters — mergeable int64
+    state, |open days| x |value buckets| rows independent of volume.
+    The PSI itself runs at read time via the SHARED
+    value_drift_finalize against the broadcast reference grid."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            F.expr("CAST(floor(value / 16) AS BIGINT)").alias("vb"),
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+        .select(
+            F.col("w").getField("start").cast("timestamp_ntz").alias("day"),
+            "vb",
+            "c",
+        )
     )

@@ -872,3 +872,40 @@ def test_stream_session_pattern_match_batch(spark, sf_dir, events_path):
     for i, (name, _rx) in enumerate(_CEP_PATTERNS):
         assert batch[name][0] == n_sessions, (name, batch[name], n_sessions)
         assert batch[name][1] == matched[i], (name, batch[name], matched[i])
+
+
+def test_stream_value_drift_match_batch(spark, sf_dir, events_path):
+    """The value-drift twin: streamed watermarked (day, value-bucket)
+    counters, finalized at read time against the batch-derived
+    reference grid via the SHARED value_drift_finalize, must
+    reproduce the batch operator's per-day PSI rows bit-for-bit
+    (complete mode — the counter table IS the state; counts are
+    mergeable, PSI is recomputed on every refresh)."""
+    from mcp_iceberg_duckdb_spark.registry import QUERIES
+    from mcp_iceberg_duckdb_spark.streaming.events import (
+        stream_value_drift_daily_counts,
+        value_drift_finalize,
+    )
+
+    counts = run_stream_to_memory(
+        spark,
+        stream_value_drift_daily_counts(read_event_stream(spark, events_path)),
+        "t_vdrift",
+        mode="complete",
+    )
+    counts = spark.createDataFrame(counts.collect(), schema=counts.schema)
+    e = load(spark, sf_dir, "events")
+    v = e.select(F.expr("CAST(floor(value / 16) AS BIGINT)").alias("vb"))
+    ref = v.groupBy("vb").agg(F.count("*").cast("long").alias("c_ref"))
+    tot = v.agg(F.count("*").cast("long").alias("n_tot")).crossJoin(
+        F.broadcast(ref.agg(F.count("*").cast("long").alias("nb")))
+    )
+    streamed = sorted(
+        tuple(r) for r in value_drift_finalize(counts, ref, tot).collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in QUERIES["s_value_drift_daily"].builder(spark, sf_dir).collect()
+    )
+    assert batch
+    assert streamed == batch
