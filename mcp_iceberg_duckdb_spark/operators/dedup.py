@@ -219,6 +219,10 @@ _STRONG_PAIRS_SQL = f"""
 # verified(doc_a, doc_b, jac), strong(doc_a, doc_b), ns(n).
 # (WITH RECURSIVE so consumers may append recursive CTEs — the
 # keyword is harmless for the non-recursive ones.)
+# Sweep cost: the strong-pairs CTE is deliberately quadratic (it is
+# the ground truth), so the three consumers run ~10-13 s each at the
+# driver's sf0.01 gate but ~15 min at sf0.1 (measured 880 s) — for
+# sf0.1 oracle sweeps, skip them via SPARK_GRAFT_SWEEP_SKIP.
 _LSH_TWIN_SQL = f"""
     WITH RECURSIVE d AS ({_SHINGLES_SQL}),
     shx AS (SELECT doc_id, unnest(sh) AS s FROM d),
