@@ -573,6 +573,8 @@ _BNLJ_ALLOWED = {
     # round 8: |days| x |value buckets| cross of two BOUNDED grids
     # (retention window x value domain / 16) + 1-row totals
     "s_value_drift_daily",
+    # round 8: 1-row theta/size scalars broadcast in the KMV sketch
+    "x_sketch_kmv_setops",
     # round 7: broadcast sampled-query set scored against the corpus
     # scan under a != self-pair guard (the x_ann_cosine_topk shape)
     "x_eval_retrieval_metrics",
@@ -639,6 +641,7 @@ _GLOBAL_WINDOW_BOUNDED: dict[str, tuple[int, str]] = {
     "x_text_zipf_fit": (1, "count-of-counts relation, |distinct freq| = O(sqrt(tokens))"),
     "w_cume_percent": (1, "price-bucket grid <= price domain div 16384"),
     "x_pack_context_windows": (3, "length-value bucket grid <= budget+1 cells (lengths truncate to the 256-token budget); 3 static copies = pair sides + odd-middle branch over the persisted rank"),
+    "x_sketch_kmv_setops": (3, "union-sketch relation <= 2k rows (k=256) - rank-limit windows, WindowGroupLimit plan-pinned"),
     "s_user_rfm": (3, "three value-bucket grids (recency 2^32us, freq value, money 2^20c) - domain-bounded since the round-8 rank2p rework"),
     "s_slo_burn_rate": (1, "720-row hour grid (30-day SLO window)"),
 }
