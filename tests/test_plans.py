@@ -732,3 +732,52 @@ def test_epoch_shuffle_has_no_global_sort(spark, sf_dir):
         "global_pos must not be computed via a range-partitioned sort"
     )
     assert has_broadcast_hash_join(df)
+
+
+def test_kmv_sketch_rank_limits_windows(spark, sf_dir):
+    """x_sketch_kmv_setops: the per-source k-minimum selection must
+    plan as a WindowGroupLimit rank-limit (only k rows per source
+    survive map-side) — without it the 'sketch build' would sort the
+    whole distinct-shingle relation inside 2 corpus-scaled window
+    partitions."""
+    df = _df("x_sketch_kmv_setops", spark, sf_dir)
+    assert has_window_group_limit(df)
+
+
+def test_ece_broadcasts_centroids_and_rank_limits(spark, sf_dir):
+    """x_eval_calibration_ece: the k-row centroid table must
+    broadcast (corpus scanned once, never shuffled for scoring) and
+    the per-vector argmax must rank-limit map-side."""
+    df = _df("x_eval_calibration_ece", spark, sf_dir)
+    assert has_window_group_limit(df)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_chunk_dedup_every_shuffle_is_hash_keyed(spark, sf_dir):
+    """x_text_chunk_dedup_rate: chunking is a narrow map; every
+    exchange must be keyed on (source, chunk-hash) aggregates — no
+    global sort, no cartesian."""
+    df = _df("x_text_chunk_dedup_rate", spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert range_partitioning_count(plan) == 0
+
+
+def test_context_packer_joins_on_partner_rank(spark, sf_dir):
+    """x_pack_context_windows: the pairing must be a hash join on the
+    computed partner rank (dense integer keys), never a sort-merge
+    over a range exchange or a nested loop over the corpus."""
+    df = _df("x_pack_context_windows", spark, sf_dir)
+    plan = explain_str(df, mode="simple")
+    assert range_partitioning_count(plan) == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_psi_bin_grid_single_aggregation_pass(spark, sf_dir):
+    """x_source_psi_drift: one groupBy to the domain-bounded bin grid
+    + the 1-row broadcast totals — no windows at all, bounded shuffle
+    count."""
+    df = _df("x_source_psi_drift", spark, sf_dir)
+    assert global_window_count(df) == 0
+    assert shuffle_count(df) <= 4
