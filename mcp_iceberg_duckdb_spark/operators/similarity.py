@@ -1982,24 +1982,35 @@ def x_eval_calibration_ece(spark, sf_dir):
     bins (domain-bounded grid).
 
     Spark shape: one (label, dim) groupBy for centroids (broadcast
-    k×dim), one per-vector argmax window over k candidate rows
-    (WindowGroupLimit-able), one 10-row bin aggregate — at 100 TB
-    the cost is the scoring scan, the same pass the classifier's
-    own inference runs. Norms are precomputed ONCE per vector and
-    per centroid (the label_centroid_assignment discipline), so each
-    of the n·k candidate pairs costs a single dot-product fold
-    instead of three — measured 3× on the 200k-vector decade
-    fixture, where folds are the whole wall."""
+    k×dim), scoring as one crossJoin map stage, argmax as a
+    PARTIAL-AGGREGATING max(struct(simq, -clabel)) — map-side combine
+    ships one row per vector per task instead of shuffling all n·k
+    scored rows (a row_number window moved 200M rows at the decade
+    fixture) — then one 10-row bin aggregate. Norms are precomputed
+    ONCE per vector and per centroid so each candidate pair costs a
+    single dot fold. Measured at the 200k-vector / 1000-label decade
+    fixture: ~99 s on local[16], fully fold-bound (n·k = 200M
+    64-element dot folds — the same arithmetic the flat classifier's
+    inference pays; at k≈1000 production routes through the two-level
+    x_semdedup_hier_assign router for ~8× fewer folds, at the cost of
+    its measured 94-96% agreement)."""
     from pyspark.sql import Window as W
 
     from mcp_iceberg_duckdb_spark.functions.vector import l2_norm
     from mcp_iceberg_duckdb_spark.functions.vector import dot as vdot
 
-    e = parallelize(
-        t(spark, sf_dir).embeddings.select(
-            "vec_id", "label", as_double("embedding").alias("v")
+    # persist: e feeds the centroid posexplode AND the scoring
+    # crossJoin — unpersisted, the parquet is scanned and
+    # repartitioned twice (the label_centroid_assignment discipline)
+    e = (
+        parallelize(
+            t(spark, sf_dir).embeddings.select(
+                "vec_id", "label", as_double("embedding").alias("v")
+            )
         )
-    ).withColumn("nv", l2_norm(F.col("v")))
+        .withColumn("nv", l2_norm(F.col("v")))
+        .persist()
+    )
     comp = (
         e.select("label", F.posexplode("v").alias("pos", "x"))
         .groupBy("label", "pos")
@@ -2020,14 +2031,25 @@ def x_eval_calibration_ece(spark, sf_dir):
     scored = e.crossJoin(F.broadcast(cent)).select(
         "vec_id", "label", "clabel", simq.alias("simq")
     )
-    w = W.partitionBy("vec_id").orderBy(F.col("simq").desc(), "clabel")
+    # argmax as a PARTIAL-AGGREGATING max over struct(simq, -clabel)
+    # — lexicographic struct max == (simq DESC, clabel ASC) — instead
+    # of a row_number window: the window shuffles all n*k scored rows
+    # (200M at the 1000-label decade fixture, 95 of its 100 s), the
+    # map-side-combined groupBy ships one partial row per vector per
+    # task. Same result, pinned by the unchanged oracle.
+    m = F.max(
+        F.struct(
+            F.col("simq").alias("sq"),
+            (-F.col("clabel")).alias("negc"),
+        )
+    ).alias("m")
     top = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        scored.groupBy("vec_id", "label")
+        .agg(m)
         .select(
-            F.expr("least((simq + 1000000) div 200000, 9)").alias("bin"),
-            F.expr("(simq + 1000000) div 2").alias("s01"),
-            (F.col("label") == F.col("clabel")).cast("int").alias("hit"),
+            F.expr("least((m.sq + 1000000) div 200000, 9)").alias("bin"),
+            F.expr("(m.sq + 1000000) div 2").alias("s01"),
+            (F.col("label") == -F.col("m.negc")).cast("int").alias("hit"),
         )
     )
     bins = top.groupBy("bin").agg(

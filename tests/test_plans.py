@@ -744,14 +744,18 @@ def test_kmv_sketch_rank_limits_windows(spark, sf_dir):
     assert has_window_group_limit(df)
 
 
-def test_ece_broadcasts_centroids_and_rank_limits(spark, sf_dir):
+def test_ece_broadcasts_centroids_and_partial_aggregates(spark, sf_dir):
     """x_eval_calibration_ece: the k-row centroid table must
     broadcast (corpus scanned once, never shuffled for scoring) and
-    the per-vector argmax must rank-limit map-side."""
+    the per-vector argmax must be a PARTIAL-aggregating max(struct)
+    — map-side combine ships one row per vector per task instead of
+    the n*k scored rows a row_number window would shuffle (200M rows
+    at the 1000-label decade fixture)."""
     df = _df("x_eval_calibration_ece", spark, sf_dir)
-    assert has_window_group_limit(df)
     plan = explain_str(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan, "argmax regressed to a window"
+    assert plan.count("HashAggregate") >= 2, "no partial aggregation"
 
 
 def test_chunk_dedup_every_shuffle_is_hash_keyed(spark, sf_dir):
