@@ -3366,3 +3366,102 @@ def x_sketch_kmv_setops(spark, sf_dir):
             ).alias("est_inter"),
         )
     )
+
+
+# ---- classifier agreement: Cohen's kappa for the lang-ID heuristic ----
+
+
+@query(
+    "x_eval_langid_kappa",
+    oracle=f"""
+    WITH s AS (
+        SELECT CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                                 x -> x IN ('{_SW_SQL}'))) AS DOUBLE)
+                     / greatest(len(string_split(text, ' ')), 1) >= 0.05
+               THEN 1 ELSE 0 END AS pred_en,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS true_en
+        FROM documents
+    ),
+    c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pred_en * true_en) AS BIGINT) AS tp,
+               CAST(sum(pred_en * (1 - true_en)) AS BIGINT) AS fp,
+               CAST(sum((1 - pred_en) * true_en) AS BIGINT) AS fn,
+               CAST(sum((1 - pred_en) * (1 - true_en)) AS BIGINT) AS tn
+        FROM s
+    )
+    SELECT n, tp, fp, fn, tn,
+           CAST((tp + tn) * 1000000 // n AS BIGINT) AS accuracy_ppm,
+           CAST(((CAST(tp AS HUGEINT) + tn) * n
+                 - (CAST(tp AS HUGEINT) + fp) * (tp + fn)
+                 - (CAST(tn AS HUGEINT) + fn) * (tn + fp)) * 1000000
+                // (CAST(n AS HUGEINT) * n
+                    - (CAST(tp AS HUGEINT) + fp) * (tp + fn)
+                    - (CAST(tn AS HUGEINT) + fn) * (tn + fp))
+               AS BIGINT) AS kappa_ppm
+    FROM c
+    """,
+    tags=("text", "tierx"),
+)
+def x_eval_langid_kappa(spark, sf_dir):
+    """Cohen's kappa for the language-ID heuristic against the fixture
+    labels — chance-corrected accuracy, the agreement statistic
+    annotation pipelines report alongside raw accuracy (a classifier
+    that always says the majority class scores high accuracy but
+    kappa ~ 0). Binary task: pred = x_text_langid's en/unk decision,
+    truth = (lang = 'en').
+
+    Exact integer rational end-to-end: with confusion counts
+    (tp, fp, fn, tn) and n, kappa = (hits·n − Σ_c row_c·col_c) /
+    (n² − Σ_c row_c·col_c) — one exact integer division to ppm. The
+    n² products pass int64 at ~3e9 docs, so the kappa arithmetic runs
+    in DECIMAL(38,0) (HUGEINT in the oracle) — the KS/AUC decade
+    discipline.
+
+    Spark shape: one codegen'd map for the two indicator bits + one
+    scalar aggregate — scan-bandwidth at any scale, no shuffle beyond
+    the 1-row gather."""
+    d = t(spark, sf_dir).documents
+    toks = tokens("text")
+    sw = F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS)))
+    ratio = sw.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast(
+        "double"
+    )
+    s = d.select(
+        F.when(ratio >= 0.05, 1).otherwise(0).alias("pred_en"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("true_en"),
+    )
+    c = s.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("pred_en") * F.col("true_en"))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.col("pred_en") * (1 - F.col("true_en")))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum((1 - F.col("pred_en")) * F.col("true_en"))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum((1 - F.col("pred_en")) * (1 - F.col("true_en")))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    return c.select(
+        "n",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr("CAST(((tp + tn) * 1000000) div n AS BIGINT)").alias(
+            "accuracy_ppm"
+        ),
+        F.expr(
+            "CAST((((CAST(tp AS DECIMAL(38,0)) + tn) * n"
+            " - (CAST(tp AS DECIMAL(38,0)) + fp) * (tp + fn)"
+            " - (CAST(tn AS DECIMAL(38,0)) + fn) * (tn + fp)) * 1000000)"
+            " div (CAST(n AS DECIMAL(38,0)) * n"
+            " - (CAST(tp AS DECIMAL(38,0)) + fp) * (tp + fn)"
+            " - (CAST(tn AS DECIMAL(38,0)) + fn) * (tn + fp))"
+            " AS BIGINT)"
+        ).alias("kappa_ppm"),
+    )
