@@ -3465,3 +3465,94 @@ def x_eval_langid_kappa(spark, sf_dir):
             " AS BIGINT)"
         ).alias("kappa_ppm"),
     )
+
+
+# ---- paired classifier comparison: McNemar's test ----
+
+
+@query(
+    "x_eval_mcnemar",
+    oracle=f"""
+    WITH s AS (
+        SELECT CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                                 x -> x IN ('{_SW_SQL}'))) AS DOUBLE)
+                     / greatest(len(string_split(text, ' ')), 1) >= 0.05
+               THEN 1 ELSE 0 END AS pa,
+               CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                                 x -> x IN ('{_SW_SQL}'))) AS DOUBLE)
+                     / greatest(len(string_split(text, ' ')), 1) >= 0.08
+               THEN 1 ELSE 0 END AS pb,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END)
+                   AS BIGINT) AS b,
+               CAST(sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END)
+                   AS BIGINT) AS c
+        FROM s
+    )
+    SELECT n, b, c,
+           CAST(CASE WHEN b + c = 0 THEN 0
+                ELSE (b - c) * (b - c) * 1000000 // (b + c) END
+               AS BIGINT) AS mcnemar_micro
+    FROM c
+    """,
+    tags=("text", "tierx"),
+)
+def x_eval_mcnemar(spark, sf_dir):
+    """McNemar's test between two classifier variants on the SAME
+    rows — the paired-comparison significance statistic an eval
+    harness runs before declaring model B better than model A
+    (unpaired accuracy deltas ignore that both models see the same
+    examples; only the discordant pairs b and c carry information).
+    Variants here: the lang-ID stopword heuristic at thresholds 0.05
+    (the shipped operating point) vs 0.08.
+
+    Exact integers: b and c are plain counts; the chi-square-1df
+    statistic (b−c)²/(b+c) is emitted in exact micro-units via one
+    integer division, with the b+c=0 guard both engines share.
+    Compare mcnemar_micro ≥ 3.84e6 for the 5% level.
+
+    Spark shape: one codegen'd map computing three indicator bits +
+    one scalar aggregate — scan-bandwidth, shuffle-free but for the
+    1-row gather; the same pass evaluates any number of candidate
+    thresholds at once in production."""
+    d = t(spark, sf_dir).documents
+    toks = tokens("text")
+    sw = F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS)))
+    ratio = sw.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast(
+        "double"
+    )
+    s = d.select(
+        F.when(ratio >= 0.05, 1).otherwise(0).alias("pa"),
+        F.when(ratio >= 0.08, 1).otherwise(0).alias("pb"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    c = s.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                (F.col("pa") == F.col("y")) & (F.col("pb") != F.col("y")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("b"),
+        F.sum(
+            F.when(
+                (F.col("pa") != F.col("y")) & (F.col("pb") == F.col("y")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("c"),
+    )
+    return c.select(
+        "n",
+        "b",
+        "c",
+        F.expr(
+            "CAST(CASE WHEN b + c = 0 THEN 0"
+            " ELSE ((b - c) * (b - c) * 1000000) div (b + c) END AS BIGINT)"
+        ).alias("mcnemar_micro"),
+    )
