@@ -366,7 +366,8 @@ def x_skyline_pareto(spark, sf_dir):
     ),
     contrib AS (
         SELECT n,
-               (obs * n - row_tot * col_tot) AS d,
+               (CAST(obs AS HUGEINT) * n
+                - CAST(row_tot AS HUGEINT) * col_tot) AS d,
                (CAST(n AS DOUBLE) * CAST(row_tot AS DOUBLE)
                 * CAST(col_tot AS DOUBLE)) AS den
         FROM m
@@ -418,7 +419,12 @@ def x_stats_chi2_independence(spark, sf_dir):
         "n",
         "rk",
         "ck",
-        (F.col("obs") * F.col("n") - F.col("row_tot") * F.col("col_tot")).alias("d"),
+        # DECIMAL(38,0): obs*n approaches n^2, past int64 at ~3e9 rows
+        # (the same class den already escaped to doubles)
+        (
+            F.col("obs").cast("decimal(38,0)") * F.col("n")
+            - F.col("row_tot").cast("decimal(38,0)") * F.col("col_tot")
+        ).alias("d"),
         (
             F.col("n").cast("double")
             * F.col("row_tot").cast("double")

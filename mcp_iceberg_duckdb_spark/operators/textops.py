@@ -3027,16 +3027,16 @@ _CW_BUDGET = 256  # tokens per training context window
     ),
     agg AS (
         SELECT count(*) AS n_pairs,
-               sum(CASE WHEN la + lb <= {_CW_BUDGET} THEN 1 ELSE 2 END)
-                   AS pair_windows,
-               sum(la + lb) AS pair_load
+               coalesce(sum(CASE WHEN la + lb <= {_CW_BUDGET}
+                                 THEN 1 ELSE 2 END), 0) AS pair_windows,
+               coalesce(sum(la + lb), 0) AS pair_load
         FROM pairs
     )
     SELECT CAST((SELECT count(*) FROM toks) AS BIGINT) AS n_docs,
            CAST(agg.pair_windows + mid.n_mid AS BIGINT) AS n_windows,
            CAST((agg.pair_windows + mid.n_mid) * {_CW_BUDGET}
                 - (agg.pair_load + mid.mid_load) AS BIGINT) AS pad_tokens,
-           CAST((agg.pair_load + mid.mid_load) * 1000000
+           CAST(CAST(agg.pair_load + mid.mid_load AS HUGEINT) * 1000000
                 // ((agg.pair_windows + mid.n_mid) * {_CW_BUDGET})
                AS BIGINT) AS util_ppm
     FROM agg, mid
@@ -3099,13 +3099,26 @@ def x_pack_context_windows(spark, sf_dir):
         F.count("*").alias("n_mid"),
         F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("mid_load"),
     )
+    # coalesce: a single-document corpus has NO pairs, and a NULL sum
+    # would otherwise propagate into every ledger column; util in
+    # DECIMAL(38,0) — load*1e6 wraps int64 past ~9.2e12 total tokens
     agg = pairs.agg(
-        F.sum(
-            F.when(F.col("la") + F.col("lb") <= _CW_BUDGET, 1).otherwise(2)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("la") + F.col("lb") <= _CW_BUDGET, 1
+                ).otherwise(2)
+            ),
+            F.lit(0),
         ).alias("pair_windows"),
-        F.sum(F.col("la") + F.col("lb")).alias("pair_load"),
+        F.coalesce(F.sum(F.col("la") + F.col("lb")), F.lit(0)).alias(
+            "pair_load"
+        ),
     )
-    nd = toks.agg(F.count("*").cast("long").alias("n_docs"))
+    # n_docs = the already-computed broadcast total (ranked carries n
+    # on every row); a fresh count(*) aggregate would re-scan the
+    # corpus
+    nd = ranked.agg(F.first("n").cast("long").alias("n_docs"))
     return (
         agg.crossJoin(F.broadcast(mid))
         .crossJoin(F.broadcast(nd))
@@ -3121,7 +3134,8 @@ def x_pack_context_windows(spark, sf_dir):
             .cast("bigint")
             .alias("pad_tokens"),
             F.expr(
-                f"CAST(((pair_load + mid_load) * 1000000)"
+                f"CAST((CAST(pair_load + mid_load AS DECIMAL(38,0))"
+                f" * 1000000)"
                 f" div ((pair_windows + n_mid) * {_CW_BUDGET}) AS BIGINT)"
             ).alias("util_ppm"),
         )
@@ -3392,13 +3406,17 @@ def x_sketch_kmv_setops(spark, sf_dir):
     )
     SELECT n, tp, fp, fn, tn,
            CAST((tp + tn) * 1000000 // n AS BIGINT) AS accuracy_ppm,
-           CAST(((CAST(tp AS HUGEINT) + tn) * n
-                 - (CAST(tp AS HUGEINT) + fp) * (tp + fn)
-                 - (CAST(tn AS HUGEINT) + fn) * (tn + fp)) * 1000000
-                // (CAST(n AS HUGEINT) * n
+           CAST(CASE WHEN CAST(n AS HUGEINT) * n
                     - (CAST(tp AS HUGEINT) + fp) * (tp + fn)
-                    - (CAST(tn AS HUGEINT) + fn) * (tn + fp))
-               AS BIGINT) AS kappa_ppm
+                    - (CAST(tn AS HUGEINT) + fn) * (tn + fp) = 0
+                THEN 1000000
+                ELSE ((CAST(tp AS HUGEINT) + tn) * n
+                      - (CAST(tp AS HUGEINT) + fp) * (tp + fn)
+                      - (CAST(tn AS HUGEINT) + fn) * (tn + fp)) * 1000000
+                     // (CAST(n AS HUGEINT) * n
+                         - (CAST(tp AS HUGEINT) + fp) * (tp + fn)
+                         - (CAST(tn AS HUGEINT) + fn) * (tn + fp))
+                END AS BIGINT) AS kappa_ppm
     FROM c
     """,
     tags=("text", "tierx"),
@@ -3455,14 +3473,21 @@ def x_eval_langid_kappa(spark, sf_dir):
         F.expr("CAST(((tp + tn) * 1000000) div n AS BIGINT)").alias(
             "accuracy_ppm"
         ),
+        # pe=1 (degenerate marginals, zero denominator) forces po=1
+        # in the binary case, so kappa := 1e6 instead of a div-by-zero
+        # NULL/error
         F.expr(
-            "CAST((((CAST(tp AS DECIMAL(38,0)) + tn) * n"
+            "CAST(CASE WHEN CAST(n AS DECIMAL(38,0)) * n"
+            " - (CAST(tp AS DECIMAL(38,0)) + fp) * (tp + fn)"
+            " - (CAST(tn AS DECIMAL(38,0)) + fn) * (tn + fp) = 0"
+            " THEN 1000000"
+            " ELSE (((CAST(tp AS DECIMAL(38,0)) + tn) * n"
             " - (CAST(tp AS DECIMAL(38,0)) + fp) * (tp + fn)"
             " - (CAST(tn AS DECIMAL(38,0)) + fn) * (tn + fp)) * 1000000)"
             " div (CAST(n AS DECIMAL(38,0)) * n"
             " - (CAST(tp AS DECIMAL(38,0)) + fp) * (tp + fn)"
             " - (CAST(tn AS DECIMAL(38,0)) + fn) * (tn + fp))"
-            " AS BIGINT)"
+            " END AS BIGINT)"
         ).alias("kappa_ppm"),
     )
 
@@ -3495,8 +3520,8 @@ def x_eval_langid_kappa(spark, sf_dir):
     )
     SELECT n, b, c,
            CAST(CASE WHEN b + c = 0 THEN 0
-                ELSE (b - c) * (b - c) * 1000000 // (b + c) END
-               AS BIGINT) AS mcnemar_micro
+                ELSE CAST(b - c AS HUGEINT) * (b - c) * 1000000 // (b + c)
+                END AS BIGINT) AS mcnemar_micro
     FROM c
     """,
     tags=("text", "tierx"),
@@ -3551,8 +3576,11 @@ def x_eval_mcnemar(spark, sf_dir):
         "n",
         "b",
         "c",
+        # DECIMAL(38,0): (b-c)^2 * 1e6 wraps int64 past ~3e6
+        # discordant pairs (the kappa/KS/AUC decade discipline)
         F.expr(
             "CAST(CASE WHEN b + c = 0 THEN 0"
-            " ELSE ((b - c) * (b - c) * 1000000) div (b + c) END AS BIGINT)"
+            " ELSE (CAST(b - c AS DECIMAL(38,0)) * (b - c) * 1000000)"
+            " div (b + c) END AS BIGINT)"
         ).alias("mcnemar_micro"),
     )

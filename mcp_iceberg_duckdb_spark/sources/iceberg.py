@@ -73,6 +73,10 @@ def load_dotenv_file(path) -> dict[str, str]:
         key, val = key.strip(), val.strip()
         if len(val) >= 2 and val[0] == val[-1] and val[0] in "\"'":
             val = val[1:-1]
+        elif " #" in val:
+            # unquoted values lose trailing inline comments, matching
+            # python-dotenv (quoted values keep their # characters)
+            val = val.split(" #", 1)[0].rstrip()
         if key:
             out[key] = val
     return out

@@ -1299,3 +1299,76 @@ def test_slo_burn_rate_python_reference(spark, sf_dir):
         fired += want_alert
         calm += not want_alert
     assert fired > 0 and calm > 0
+
+
+def test_pack_context_windows_single_document(spark, tmp_path, duck):
+    """Round-8 review fix: a single-document corpus has NO pairs —
+    the empty-pairs aggregate must coalesce to 0 (not propagate NULL
+    through every ledger column) in BOTH engines. One doc of 5 tokens
+    -> exactly 1 window, 251 pad tokens."""
+    import duckdb as _duckdb
+    import pyspark.sql.functions as F
+
+    from mcp_iceberg_duckdb_spark.registry import QUERIES
+
+    d = str(tmp_path / "one")
+    spark.createDataFrame(
+        [(1, "a b c d e", "src0", "en", 9)],
+        "doc_id long, text string, source string, lang string, n_chars int",
+    ).coalesce(1).write.parquet(d + "/documents.parquet")
+    row = QUERIES["x_pack_context_windows"].builder(spark, d).collect()[0]
+    assert (row.n_docs, row.n_windows, row.pad_tokens) == (1, 1, 251)
+    assert row.util_ppm == 5 * 1_000_000 // 256
+    con = _duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    want = con.sql(
+        QUERIES["x_pack_context_windows"].oracle
+    ).fetchall()[0]
+    assert tuple(row) == want
+
+
+def test_langid_kappa_degenerate_marginals(spark, tmp_path):
+    """Round-8 review fix: when every doc is 'en' and every prediction
+    is 'en', the chance-agreement denominator is 0 — kappa must be
+    the defined 1e6 fallback (po = pe = 1), not a NULL/div-by-zero,
+    in BOTH engines."""
+    import duckdb as _duckdb
+
+    from mcp_iceberg_duckdb_spark.operators.textops import EN_STOPWORDS
+    from mcp_iceberg_duckdb_spark.registry import QUERIES
+
+    sw = " ".join(sorted(EN_STOPWORDS)[:5])
+    d = str(tmp_path / "allen")
+    spark.createDataFrame(
+        [(i, sw, "src0", "en", len(sw)) for i in range(4)],
+        "doc_id long, text string, source string, lang string, n_chars int",
+    ).coalesce(1).write.parquet(d + "/documents.parquet")
+    row = QUERIES["x_eval_langid_kappa"].builder(spark, d).collect()[0]
+    assert (row.tp, row.fp, row.fn, row.tn) == (4, 0, 0, 0)
+    assert row.kappa_ppm == 1_000_000
+    con = _duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    want = con.sql(QUERIES["x_eval_langid_kappa"].oracle).fetchall()[0]
+    assert tuple(row) == want
+
+
+def test_dotenv_inline_comment_stripped(tmp_path):
+    """Round-8 review fix: unquoted values lose trailing inline
+    comments (python-dotenv semantics); quoted values keep their #."""
+    from mcp_iceberg_duckdb_spark.sources.iceberg import load_dotenv_file
+
+    p = tmp_path / ".env"
+    p.write_text(
+        "A=http://catalog:8181 # prod endpoint\n"
+        "B='keep # this'\n"
+        "C=plain\n"
+    )
+    env = load_dotenv_file(p)
+    assert env["A"] == "http://catalog:8181"
+    assert env["B"] == "keep # this"
+    assert env["C"] == "plain"
+
