@@ -640,7 +640,7 @@ _GLOBAL_WINDOW_BOUNDED: dict[str, tuple[int, str]] = {
     "x_corpus_mix_weights": (1, "|sources| relation (catalog-sized)"),
     "x_text_zipf_fit": (1, "count-of-counts relation, |distinct freq| = O(sqrt(tokens))"),
     "w_cume_percent": (1, "price-bucket grid <= price domain div 16384"),
-    "x_pack_context_windows": (3, "length-value bucket grid <= budget+1 cells (lengths truncate to the 256-token budget); 3 static copies = pair sides + odd-middle branch over the persisted rank"),
+    "x_pack_context_windows": (4, "length-value bucket grid <= budget+1 cells (lengths truncate to the 256-token budget); 4 static copies = pair sides + odd-middle + doc-count branches over the persisted rank"),
     "x_sketch_kmv_setops": (3, "union-sketch relation <= 2k rows (k=256) - rank-limit windows, WindowGroupLimit plan-pinned"),
     "s_user_rfm": (3, "three value-bucket grids (recency 2^32us, freq value, money 2^20c) - domain-bounded since the round-8 rank2p rework"),
     "s_slo_burn_rate": (1, "720-row hour grid (30-day SLO window)"),
