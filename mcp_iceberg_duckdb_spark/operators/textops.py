@@ -3073,9 +3073,9 @@ def x_pack_context_windows(spark, sf_dir):
         .alias("n_tokens"),
     )
     n = toks.agg(F.count("*").cast("long").alias("n"))
-    # persist: the ranked relation feeds BOTH pairing sides and the
-    # odd-middle branch — unpersisted, each branch re-scans and
-    # re-ranks the corpus
+    # persist: the ranked relation feeds both pairing sides, the
+    # odd-middle branch, AND the doc-count head — unpersisted, each
+    # branch re-scans and re-ranks the corpus
     ranked = (
         broadcast_offset_rank(
             toks,
