@@ -42,6 +42,12 @@ def _chunks(payload: bytes):
         data = bytes(payload[pos + 8 : pos + 8 + length])
         if len(data) != length:
             raise ValueError("truncated PNG chunk")
+        crc_bytes = payload[pos + 8 + length : pos + 12 + length]
+        if len(crc_bytes) != 4:
+            raise ValueError("truncated PNG chunk (missing CRC)")
+        (crc,) = struct.unpack(">I", crc_bytes)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in {ctype!r} chunk")
         yield ctype, data
         pos += 12 + length  # length + type + data + crc
         if ctype == b"IEND":

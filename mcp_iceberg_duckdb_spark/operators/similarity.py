@@ -236,9 +236,13 @@ def _ann_contract(spark, sf_dir, approx_df, recall_floor_pct: int):
             F.when(F.col("neighbor_id") == F.col("query_id"), 1).otherwise(0)
         ).alias("selfs"),
     )
+    # Coalesce like the oracle twin tail: an empty approx set leaves
+    # max/sum NULL, and the contract must stay boolean (recall_ok is
+    # the clause that fails on emptiness, not a NULL here).
     sane = per_q.agg(
         (
-            (F.max("c") <= F.lit(_TOP_K)) & (F.sum("selfs") == 0)
+            F.coalesce(F.max("c") <= F.lit(_TOP_K), F.lit(True))
+            & F.coalesce(F.sum("selfs") == 0, F.lit(True))
         ).alias("results_ok")
     )
     counts = (
@@ -301,7 +305,11 @@ def _ann_twin_tail(recall_floor_pct: int) -> str:
         FROM approx GROUP BY query_id
     ),
     sane AS (
-        SELECT (max(c) <= {_TOP_K} AND sum(selfs) = 0) AS results_ok
+        -- empty candidate set => perq has no rows and the aggregates
+        -- are NULL; coalesce so the contract stays boolean instead of
+        -- a NULL-vs-bool mismatch (round-8 ADVICE finding)
+        SELECT (coalesce(max(c) <= {_TOP_K}, TRUE)
+                AND coalesce(sum(selfs) = 0, TRUE)) AS results_ok
         FROM perq
     ),
     nq AS (SELECT count(*) AS n_queries FROM q),

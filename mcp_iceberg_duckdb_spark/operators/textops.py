@@ -3036,9 +3036,14 @@ _CW_BUDGET = 256  # tokens per training context window
            CAST(agg.pair_windows + mid.n_mid AS BIGINT) AS n_windows,
            CAST((agg.pair_windows + mid.n_mid) * {_CW_BUDGET}
                 - (agg.pair_load + mid.mid_load) AS BIGINT) AS pad_tokens,
-           CAST(CAST(agg.pair_load + mid.mid_load AS HUGEINT) * 1000000
-                // ((agg.pair_windows + mid.n_mid) * {_CW_BUDGET})
-               AS BIGINT) AS util_ppm
+           -- empty corpus: 0 windows — Spark's div yields NULL but
+           -- DuckDB's // raises, so guard the quotient on both sides
+           -- (round-8 ADVICE finding)
+           CAST(CASE WHEN agg.pair_windows + mid.n_mid = 0 THEN 0
+                ELSE CAST(agg.pair_load + mid.mid_load AS HUGEINT)
+                     * 1000000
+                     // ((agg.pair_windows + mid.n_mid) * {_CW_BUDGET})
+                END AS BIGINT) AS util_ppm
     FROM agg, mid
     """,
     tags=("text", "tierx"),
@@ -3134,9 +3139,11 @@ def x_pack_context_windows(spark, sf_dir):
             .cast("bigint")
             .alias("pad_tokens"),
             F.expr(
-                f"CAST((CAST(pair_load + mid_load AS DECIMAL(38,0))"
+                f"CAST(CASE WHEN pair_windows + n_mid = 0 THEN 0"
+                f" ELSE (CAST(pair_load + mid_load AS DECIMAL(38,0))"
                 f" * 1000000)"
-                f" div ((pair_windows + n_mid) * {_CW_BUDGET}) AS BIGINT)"
+                f" div ((pair_windows + n_mid) * {_CW_BUDGET}) END"
+                " AS BIGINT)"
             ).alias("util_ppm"),
         )
     )
@@ -3239,10 +3246,9 @@ def _sql_hex12(expr: str) -> str:
            CAST(CASE WHEN z.su < {_KMV_K} THEN z.su
                 ELSE ({_KMV_K} - 1) * {_KMV_DOM} // t.tu END AS BIGINT)
                AS est_union,
-           CAST(t.n_match
-                * (CASE WHEN z.su < {_KMV_K} THEN z.su
-                   ELSE ({_KMV_K} - 1) * {_KMV_DOM} // t.tu END)
-                // {_KMV_K} AS BIGINT) AS est_inter
+           CAST(CASE WHEN z.su < {_KMV_K} THEN t.n_match
+                ELSE t.n_match * (({_KMV_K} - 1) * {_KMV_DOM} // t.tu)
+                     // {_KMV_K} END AS BIGINT) AS est_inter
     FROM exact e, inter i, thetas t, sizes z
     """,
     tags=("sketch", "tierx"),
@@ -3375,8 +3381,14 @@ def x_sketch_kmv_setops(spark, sf_dir):
                 f" ELSE {k1d} div tb END AS BIGINT)"
             ).alias("est_b"),
             F.expr(f"CAST({est_u} AS BIGINT)").alias("est_union"),
+            # Small-set rule applies to the INTERSECTION too: when the
+            # union sketch is exhaustive (su < k) n_match IS the exact
+            # intersection, so scaling it by est_union/k would bias low
+            # by su/k (round-8 ADVICE finding).
             F.expr(
-                f"CAST((n_match * ({est_u})) div {_KMV_K} AS BIGINT)"
+                f"CAST(CASE WHEN su < {_KMV_K} THEN n_match"
+                f" ELSE (n_match * ({k1d} div tu)) div {_KMV_K} END"
+                " AS BIGINT)"
             ).alias("est_inter"),
         )
     )

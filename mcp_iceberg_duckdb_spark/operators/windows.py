@@ -258,9 +258,14 @@ def w_cume_percent(spark, sf_dir):
     ).crossJoin(F.broadcast(n))
     return ranked.select(
         "o_orderkey",
+        # n_tot=1 would make this 0/0 = NaN where SQL percent_rank
+        # defines the single-row case as 0 (round-8 ADVICE finding).
         rn(
-            (F.col("gr") - 1).cast("double")
-            / (F.col("n_tot") - 1).cast("double"),
+            F.when(
+                F.col("n_tot") > 1,
+                (F.col("gr") - 1).cast("double")
+                / (F.col("n_tot") - 1).cast("double"),
+            ).otherwise(F.lit(0.0)),
             6,
         ).alias("pr"),
         rn(

@@ -110,6 +110,19 @@ def test_corrupt_inputs_raise_valueerror():
         decode_png(bad)
 
 
+def test_crc_mismatch_raises():
+    """Length-consistent payload corruption must raise, not decode to
+    garbage — the docstring's 'raises on corrupt data' contract
+    (round-8 ADVICE finding: chunks were not CRC-verified)."""
+    payload = bytearray(encode_png(3, 2, bytes(range(18)), "RGB"))
+    # flip one bit inside the IDAT *data* (past the 8-byte sig, the
+    # 25-byte IHDR chunk, and the new chunk's 8-byte header)
+    idat_pos = payload.index(b"IDAT")
+    payload[idat_pos + 4 + 5] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(payload))
+
+
 @settings(max_examples=25, deadline=None)
 @given(
     w=st.integers(1, 12),
