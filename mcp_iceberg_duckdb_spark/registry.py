@@ -25,7 +25,12 @@ Builder = Callable[[SparkSession, str], DataFrame]
 class QuerySpec:
     name: str
     builder: Builder
-    oracle: str | None  # ANSI SQL for the DuckDB differential oracle
+    # ANSI SQL for the DuckDB differential oracle. A zero-arg callable
+    # is resolved at all_oracles() time — the certificate-checking
+    # pattern (x_embed_pca_project): a driver-side numeric routine
+    # proposes constants that are rendered into the SQL as literals,
+    # and DuckDB independently certifies them against the raw tables.
+    oracle: str | Callable[[], str] | None
     tags: tuple[str, ...] = field(default_factory=tuple)
     doc: str = ""
 
@@ -357,7 +362,11 @@ def all_queries() -> dict[str, Builder]:
 
 def all_oracles() -> dict[str, str]:
     return {
-        name: QUERIES[name].oracle
+        name: (
+            QUERIES[name].oracle()
+            if callable(QUERIES[name].oracle)
+            else QUERIES[name].oracle
+        )
         for name in driver_order()
         if QUERIES[name].oracle is not None
     }

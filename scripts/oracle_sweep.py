@@ -42,12 +42,24 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     cores = sys.argv[2] if len(sys.argv) > 2 else "32"
 
-    spark = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .config("spark.sql.shuffle.partitions", cores)
-        .getOrCreate()
+    import os
+
+    builder = SparkSession.builder.master(f"local[{cores}]").config(
+        "spark.sql.shuffle.partitions", cores
     )
+    # Default stays the driver's BARE 1 GB heap (that tightness has
+    # caught real bugs); decade-scale sweeps (sf1+) need a sized heap
+    # or local-mode's shared driver/executor JVM OOMs on shuffle
+    # buffers alone.
+    mem = os.environ.get("SPARK_GRAFT_SWEEP_MEM")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    # Certificate-pattern oracles render data-derived literals from
+    # this dir — must match the dir the views read.
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
 
     import __spark_entry__ as entry
 
@@ -58,8 +70,6 @@ def main() -> int:
             f"CREATE VIEW {name} AS "
             f"SELECT * FROM '{sf_dir}/{name}.parquet'"
         )
-
-    import os
 
     skip = {
         s.strip()

@@ -16,6 +16,10 @@ if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+# Callable oracles (certificate pattern) render literals from the
+# data at this dir — keep it in lockstep with the dir the DuckDB
+# views read.
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
 
 
 @pytest.fixture(scope="session")
@@ -71,9 +75,11 @@ from mcp_iceberg_duckdb_spark.compare import (  # noqa: E402
 )
 
 
-def assert_matches_oracle(spark_df, duck_con, oracle: str, name: str = "?"):
+def assert_matches_oracle(spark_df, duck_con, oracle, name: str = "?"):
     """Driver-style comparison: column names (sorted), row count, and
     order-insensitive value multiset must all match."""
+    if callable(oracle):  # certificate-pattern oracle (registry.py)
+        oracle = oracle()
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
     rel = duck_con.sql(oracle)

@@ -71,7 +71,8 @@ def test_output_types_match_oracle(name, spark, duck, sf_dir):
     spec = registry.QUERIES[name]
     sdf = spec.builder(spark, sf_dir)  # lazy: schema only, no execution
     stypes = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
-    rel = duck.sql(spec.oracle)
+    oracle = spec.oracle() if callable(spec.oracle) else spec.oracle
+    rel = duck.sql(oracle)
     dtypes = {c: _canon_duck(t) for c, t in zip(rel.columns, rel.types)}
     diffs = {
         c: (stypes.get(c), dtypes.get(c))

@@ -1372,3 +1372,51 @@ def test_dotenv_inline_comment_stripped(tmp_path):
     assert env["B"] == "keep # this"
     assert env["C"] == "plain"
 
+
+
+def test_pca_certificate_rejects_wrong_eigenpairs(sf_dir):
+    """Round-9: the PCA oracle is two-sided via certificate checking —
+    DuckDB must certify the TRUE eigenpairs and REJECT perturbed ones
+    (wrong eigenvalue, rotated eigenvector, swapped order). This is
+    the property the old pinned-TRUE oracle could not exhibit."""
+    import duckdb as _duckdb
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mcp_iceberg_duckdb_spark.operators.similarity import (
+        _render_pca_certificate,
+    )
+
+    x = np.array(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .column("embedding")
+        .to_pylist(),
+        dtype=np.float64,
+    )
+    x = np.floor(x * 1e6 + 0.5) / 1e6
+    mu = x.mean(axis=0)
+    cov = (x.T @ x) / x.shape[0] - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    l1, l2 = float(evals[-1]), float(evals[-2])
+    w1, w2 = evecs[:, -1].copy(), evecs[:, -2].copy()
+
+    con = _duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+
+    def certify(a, b, la, lb):
+        row = con.sql(_render_pca_certificate(a, b, la, lb)).fetchall()[0]
+        return row[1:]  # (ev_order_ok, var1_ok, var2_ok)
+
+    assert certify(w1, w2, l1, l2) == (True, True, True)
+    # wrong eigenvalue: variance identity and residual both break
+    ok = certify(w1, w2, l1 * 1.01, l2)
+    assert ok[0] is False or ok[1] is False
+    # rotated eigenvector: residual breaks
+    mix = (w1 + w2) / np.linalg.norm(w1 + w2)
+    assert certify(mix, w2, l1, l2)[0] is False
+    # swapped order: ordering check breaks
+    assert certify(w2, w1, l2, l1)[1] is False or certify(
+        w2, w1, l2, l1
+    )[0] is False
