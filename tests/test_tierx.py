@@ -1420,3 +1420,54 @@ def test_pca_certificate_rejects_wrong_eigenpairs(sf_dir):
     assert certify(w2, w1, l2, l1)[1] is False or certify(
         w2, w1, l2, l1
     )[0] is False
+
+
+def test_dct_phash_semantic_properties(spark, sf_dir):
+    """Round-9: the REAL DCT pHash must exhibit the property the md5
+    stand-in could not — a brightness-shifted near-duplicate collides
+    (hamming ~0: brightness moves only the DC coefficient) while
+    distinct images do not (hamming ~32)."""
+    import numpy as np
+
+    from mcp_iceberg_duckdb_spark.functions.phash import (
+        hamming64,
+        phash64,
+        planted_gray,
+    )
+
+    base = planted_gray(100).astype(np.int16)
+    shifted = np.clip(base + 12, 0, 255).astype(np.uint8)
+    assert hamming64(phash64(base), phash64(shifted)) <= 2
+    assert hamming64(phash64(planted_gray(100)), phash64(planted_gray(102))) > 10
+    # the planted corpus rule: doc_id % 50 == 1 is a near-dup of -1
+    assert hamming64(phash64(planted_gray(150)), phash64(planted_gray(151))) <= 2
+
+
+def test_dct_phash_dedup_finds_exactly_planted_pairs(spark, sf_dir):
+    """End-to-end through Spark (PNG generation -> vendored decode ->
+    DCT pHash -> banded join): the result is exactly the planted
+    near-dup pairs (k*50, k*50+1) at hamming 0, plus nothing else at
+    fixture scale (local reference agrees — certificate oracle)."""
+    import pyarrow.parquet as pq
+
+    from mcp_iceberg_duckdb_spark.registry import QUERIES
+
+    rows = {
+        (r.asset_a, r.asset_b): r.hamming
+        for r in QUERIES["x_multimodal_phash_dedup"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    doc_ids = set(
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    planted = {
+        (d - 1, d)
+        for d in doc_ids
+        if d % 50 == 1 and d > 0 and (d - 1) in doc_ids
+    }
+    assert planted, "fixture has no planted pair ids"
+    assert set(rows) == planted
+    assert all(h == 0 for h in rows.values())
