@@ -76,16 +76,35 @@ def main() -> int:
         for s in os.environ.get("SPARK_GRAFT_SWEEP_SKIP", "").split(",")
         if s.strip()
     }
+    # Queries whose DUCKDB oracle is deliberately stated as an
+    # all-pairs/quadratic relation ("fine at fixture scale"): at
+    # decade scale the ORACLE, not the Spark plan, is intractable —
+    # run the Spark side and record rows-only instead of hanging.
+    rows_only = {
+        s.strip()
+        for s in os.environ.get("SPARK_GRAFT_SWEEP_ROWS_ONLY", "").split(",")
+        if s.strip()
+    }
     bad: list[tuple] = []
+    n_rows_only = 0
     t0 = time.time()
     for i, name in enumerate(queries, 1):
         if name not in oracles or name in skip:
             continue
+        tq = time.time()
         try:
             sdf = queries[name](spark, sf_dir)
             got = rows_to_multiset(
                 sdf.columns, [tuple(r) for r in sdf.collect()]
             )
+            if name in rows_only:
+                n_rows_only += 1
+                print(
+                    f"  [{i}] {name} ROWS-ONLY {len(got)} rows "
+                    f"{time.time() - tq:.1f}s",
+                    flush=True,
+                )
+                continue
             want_rel = con.sql(oracles[name])
             want = rows_to_multiset(want_rel.columns, want_rel.fetchall())
             s_cols = sorted(sdf.columns)
@@ -98,12 +117,15 @@ def main() -> int:
                 )
         except Exception as ex:  # noqa: BLE001 — report, keep sweeping
             bad.append((name, repr(ex)[:200]))
+        dt = time.time() - tq
+        if dt > 20:
+            print(f"  [{i}] {name} {dt:.1f}s", flush=True)
         if i % 40 == 0:
             print(f"... {i} checked, {time.time() - t0:.0f}s", flush=True)
 
     print(
         f"SWEEP {len(queries)} queries, {len(bad)} bad, "
-        f"{time.time() - t0:.0f}s"
+        f"{n_rows_only} rows-only, {time.time() - t0:.0f}s"
     )
     for b in bad:
         print(" BAD:", *b)
