@@ -27,6 +27,27 @@ REPO_ROOT = Path(__file__).resolve().parents[1]
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
 
+# Queries whose DUCKDB oracle is deliberately stated as an
+# all-pairs/recursive-CC relation ("fine at fixture scale" — the
+# SPARK plan is the bucketed/bounded one): at decade scale the
+# ORACLE, not the Spark side, is intractable. Measured at sf1
+# (50k docs): each of these DuckDB oracles exceeded a 720 s cap,
+# while every other oracle finished in <= 260 s. The decade gate
+# runs their Spark side rows-only; full value parity for them is
+# still enforced every round at sf0.01/sf0.1 (pytest + driver).
+DECADE_ROWS_ONLY = (
+    "x_corpus_leakage_safe_split",
+    "x_dedup_cluster_cc",
+    "x_dedup_cluster_cc_lsh",
+    "x_dedup_cluster_cc_stars",
+    "x_dedup_cluster_report",
+    "x_dedup_containment",
+    "x_dedup_minhash_lsh",
+    "x_dedup_minhash_mllib",
+    "x_dedup_ngram_jaccard",
+    "x_pipeline_release_manifest",
+)
+
 TABLES = (
     "region nation customer supplier part orders lineitem "
     "events documents embeddings"
@@ -76,10 +97,6 @@ def main() -> int:
         for s in os.environ.get("SPARK_GRAFT_SWEEP_SKIP", "").split(",")
         if s.strip()
     }
-    # Queries whose DUCKDB oracle is deliberately stated as an
-    # all-pairs/quadratic relation ("fine at fixture scale"): at
-    # decade scale the ORACLE, not the Spark plan, is intractable —
-    # run the Spark side and record rows-only instead of hanging.
     rows_only = {
         s.strip()
         for s in os.environ.get("SPARK_GRAFT_SWEEP_ROWS_ONLY", "").split(",")
