@@ -679,3 +679,106 @@ def x_multimodal_clip_filter(spark, sf_dir):
         )
         .withColumn("kept", F.col("alignment") >= F.lit(_CLIP_TAU))
     )
+
+
+# ---- image-corpus exposure profile over REAL decoded pixels ----
+
+
+def _brightness_oracle() -> str:
+    """Certificate oracle for x_multimodal_brightness_profile: the
+    planted corpus is deterministic, so a local numpy reference
+    (straight from planted_gray, no PNG round-trip, no Spark)
+    computes the exact 16-bucket profile and renders it as VALUES.
+    Exactness: per-asset mean/std run the same numpy ops on the same
+    uint8 arrays on both sides (the codec round-trip is lossless and
+    pinned by test), and cross-asset aggregation is integer-only
+    (quantized std millis summed in int64) — order-independent."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    sf = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    doc_ids = (
+        pq_.read_table(f"{sf}/documents.parquet", columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    import numpy as _np
+
+    from mcp_iceberg_duckdb_spark.functions.phash import planted_gray
+
+    buckets: dict[int, list[int]] = {}
+    for did in doc_ids:
+        g = planted_gray(int(did))
+        mean = float(g.mean())
+        std_milli = int(_np.floor(g.std() * 1000.0 + 0.5))
+        b = int(mean // 16)
+        buckets.setdefault(b, [0, 0])
+        buckets[b][0] += 1
+        buckets[b][1] += std_milli
+    rows = ", ".join(
+        f"({b}, {n}, {s})" for b, (n, s) in sorted(buckets.items())
+    )
+    return f"""
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(n_assets AS BIGINT) AS n_assets,
+           CAST(sum_std_milli AS BIGINT) AS sum_std_milli
+    FROM (VALUES {rows}) AS v(bucket, n_assets, sum_std_milli)
+    """
+
+
+@query(
+    "x_multimodal_brightness_profile",
+    oracle=_brightness_oracle,
+    tags=("multimodal", "tierx"),
+)
+def x_multimodal_brightness_profile(spark, sf_dir):
+    """Image-corpus exposure/contrast audit over REAL decoded pixels
+    — the quality-filter stage a multimodal training pipeline runs
+    before captioning/embedding (drop over/under-exposed or flat
+    images): decode every PNG payload with the vendored codec,
+    compute per-asset mean brightness and contrast (std), profile the
+    corpus as 16 brightness buckets (mean div 16) with asset counts
+    and summed milli-quantized contrast.
+
+    Scale: decode + per-asset stats are one shuffle-free mapInPandas
+    stage; the shuffle carries <= 16-bucket partials per task
+    (map-side combine). Cross-asset sums are int64-exact, so the
+    result is order/partitioning-independent — certificate-checked
+    against a local reference (see _brightness_oracle)."""
+    assets = planted_image_assets(spark, sf_dir)
+    decode_png = _png_mod.decode_png
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            means, stds = [], []
+            for p in pdf["payload"]:
+                d = decode_png(bytes(p))
+                g = _np.frombuffer(d["pixels"], dtype=_np.uint8)
+                means.append(float(g.mean()))
+                stds.append(int(_np.floor(g.std() * 1000.0 + 0.5)))
+            yield _pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].values,
+                    "mean_b": means,
+                    "std_milli": stds,
+                }
+            )
+
+    per_asset = assets.mapInPandas(
+        stats, schema="asset_id long, mean_b double, std_milli long"
+    )
+    return (
+        per_asset.groupBy(
+            F.floor(F.col("mean_b") / 16).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_assets"),
+            F.sum("std_milli").cast("bigint").alias("sum_std_milli"),
+        )
+    )
