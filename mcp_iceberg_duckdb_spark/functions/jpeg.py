@@ -144,6 +144,8 @@ def is_jpeg(payload: bytes) -> bool:
 
 def _build_codes(bits, values):
     """(length, code) per symbol in canonical order."""
+    if len(bits) < 16 or sum(bits) > len(values):
+        raise ValueError("truncated/corrupt Huffman table definition")
     codes = {}
     code = 0
     k = 0
@@ -197,6 +199,8 @@ class _BitReader:
 
     def _fill(self) -> None:
         d = self.data
+        if self.pos >= len(d):
+            raise ValueError("entropy stream truncated")
         b = d[self.pos]
         if b == 0xFF:
             nxt = d[self.pos + 1]
@@ -262,6 +266,15 @@ def decode_jpeg(payload: bytes) -> dict:
     "pixels"} like decode_png: mode "L" or "RGB", pixels row-major
     interleaved bytes. Raises ValueError outside the supported
     subset or on corrupt data."""
+    try:
+        return _decode_jpeg_inner(payload)
+    except (struct.error, IndexError) as ex:
+        # truncated segments surface as short unpacks / index misses —
+        # normalize to the documented corrupt-data contract
+        raise ValueError(f"corrupt/truncated JPEG: {ex}") from ex
+
+
+def _decode_jpeg_inner(payload: bytes) -> dict:
     d = bytes(payload)
     if not is_jpeg(d):
         raise ValueError("not a JPEG (bad SOI)")

@@ -126,3 +126,13 @@ def test_pil_crosscheck_when_available():
         d = decode_jpeg(buf.getvalue())
         got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(40, 56, 3)
         assert np.abs(got.astype(int) - arr.astype(int)).max() <= 40
+
+
+def test_every_truncation_point_raises_valueerror():
+    """Exhaustive truncation fuzz: cutting the stream at ANY byte
+    must raise ValueError (the documented corrupt-data contract) —
+    never IndexError/struct.error, never a silent partial decode."""
+    j = encode_jpeg(16, 16, bytes(range(256)), "L")
+    for cut in range(2, len(j) - 1):
+        with pytest.raises(ValueError):
+            decode_jpeg(j[:cut])
