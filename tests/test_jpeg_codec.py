@@ -130,9 +130,20 @@ def test_pil_crosscheck_when_available():
 
 def test_every_truncation_point_raises_valueerror():
     """Exhaustive truncation fuzz: cutting the stream at ANY byte
-    must raise ValueError (the documented corrupt-data contract) —
-    never IndexError/struct.error, never a silent partial decode."""
+    must either raise ValueError (the documented corrupt-data
+    contract — never IndexError/struct.error) or, ONLY when the cut
+    falls after the last MCU's entropy bits (missing-EOI tail, which
+    conforming decoders tolerate), produce the complete full-size
+    image."""
+    full = decode_jpeg(encode_jpeg(16, 16, bytes(range(256)), "L"))
     j = encode_jpeg(16, 16, bytes(range(256)), "L")
+    tolerated_tail = 0
     for cut in range(2, len(j) - 1):
-        with pytest.raises(ValueError):
-            decode_jpeg(j[:cut])
+        try:
+            d = decode_jpeg(j[:cut])
+        except ValueError:
+            continue
+        tolerated_tail += 1
+        assert d["pixels"] == full["pixels"], f"partial decode at {cut}"
+    # the tolerated region is only the trailing pad/EOI bytes
+    assert tolerated_tail <= 3, f"{tolerated_tail} cuts decoded"
