@@ -46,6 +46,15 @@ DECADE_ROWS_ONLY = (
     "x_dedup_minhash_mllib",
     "x_dedup_ngram_jaccard",
     "x_pipeline_release_manifest",
+    # memory-hungry rather than quadratic: these two DuckDB oracles
+    # (recursive k-core peel, wedge-join Adamic-Adar) finish at sf1
+    # only with ~the whole machine's RAM (measured: fine standalone,
+    # 76 GB spill / OOM beside a 48 GB JVM). The decade gate
+    # value-checks them in a dedicated two-phase test that stops the
+    # Spark JVM before running DuckDB
+    # (test_decade.py::test_sf1_memory_hungry_oracles).
+    "x_graph_kcore",
+    "x_graph_adamic_adar",
 )
 
 TABLES = (
@@ -86,6 +95,13 @@ def main() -> int:
 
     queries, oracles = entry.queries(), entry.oracle_sql()
     con = duckdb.connect()
+    # Coexist with the (possibly large-heap) local-mode JVM: DuckDB's
+    # default memory_limit assumes it owns ~80% of RAM and OOMs under
+    # pressure instead of spilling; bound it and give the spill a
+    # known temp dir (decade run r9: kcore filled the cwd-relative
+    # .tmp to disk-full, adamic-adar hit a bad allocation).
+    con.sql("SET memory_limit='32GB'")
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
     for name in TABLES:
         con.sql(
             f"CREATE VIEW {name} AS "

@@ -62,3 +62,57 @@ def test_sf1_full_registry_sweep():
     tail = "\n".join(proc.stdout.splitlines()[-40:])
     assert proc.returncode == 0, f"sf1 sweep failed:\n{tail}"
     assert "SWEEP" in proc.stdout, f"sweep produced no summary:\n{tail}"
+
+
+def test_sf1_memory_hungry_oracles():
+    """Value parity at sf1 for the two oracles whose DuckDB form
+    needs ~the whole machine's RAM (recursive k-core peel, wedge-join
+    Adamic-Adar — measured: fine standalone, 76 GB spill / OOM beside
+    a 48 GB JVM). Two-phase: run the Spark side and collect, STOP the
+    JVM, then run DuckDB with full RAM. A subprocess keeps this
+    test's JVM lifecycle away from the session-scoped fixture."""
+    _require_sf1()
+    code = f"""
+import os, sys, time
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = {SF1_DIR!r}
+sys.path.insert(0, {str(REPO)!r})
+from pyspark.sql import SparkSession
+from mcp_iceberg_duckdb_spark.compare import rows_to_multiset
+spark = (SparkSession.builder.master("local[32]")
+         .config("spark.sql.shuffle.partitions", "32")
+         .config("spark.driver.memory", "24g").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+import __spark_entry__ as e
+qs, orc = e.queries(), e.oracle_sql()
+names = ["x_graph_kcore", "x_graph_adamic_adar"]
+spark_res = {{}}
+for n in names:
+    df = qs[n](spark, {SF1_DIR!r})
+    spark_res[n] = (df.columns, [tuple(r) for r in df.collect()])
+spark.stop()  # free the JVM before DuckDB needs the RAM
+import duckdb
+con = duckdb.connect()
+# threads=2: at default (32) threads the recursive k-core peel's
+# per-thread operator state balloons past RAM and spills >76 GB;
+# at 2 threads it completes in-RAM in ~3 min (measured both ways)
+con.sql("SET threads=2")
+con.sql("SET temp_directory='/tmp/duckdb_spill'")
+for t in ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split():
+    con.sql(f"CREATE VIEW {{t}} AS SELECT * FROM '{SF1_DIR}/{{t}}.parquet'")
+for n in names:
+    cols, rows = spark_res[n]
+    rel = con.sql(orc[n])
+    ok = (sorted(cols) == sorted(rel.columns)
+          and rows_to_multiset(cols, rows)
+              == rows_to_multiset(rel.columns, rel.fetchall()))
+    print(n, "OK" if ok else "MISMATCH", flush=True)
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert proc.stdout.count(" OK") == 2, proc.stdout + proc.stderr[-1000:]
