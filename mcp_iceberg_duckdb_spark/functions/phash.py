@@ -33,6 +33,7 @@ import hashlib
 
 import numpy as np
 
+from mcp_iceberg_duckdb_spark.functions.jpeg import decode_jpeg, encode_jpeg
 from mcp_iceberg_duckdb_spark.functions.png import encode_png
 
 PH_BANDS = 4  # 4 bands x 16 bits = 64-bit hash
@@ -122,15 +123,45 @@ def planted_png(doc_id: int) -> bytes:
     return encode_png(g.shape[1], g.shape[0], g.tobytes(), "L")
 
 
+_JPEG_QUALITY = 95  # lossy-robustness operating point (margins
+# measured at q95: planted pairs <= 6, distinct >= 20, threshold 10)
+
+
+def planted_jpeg(doc_id: int) -> bytes:
+    """planted_gray encoded as a LOSSY baseline JPEG via the vendored
+    codec — the payload of the JPEG-robustness pipeline. (The jpeg
+    import is module-level: an in-body package import would execute
+    on PYTHONPATH-less workers and defeat the by-value pickling.)"""
+    g = planted_gray(doc_id)
+    return encode_jpeg(
+        g.shape[1], g.shape[0], g.tobytes(), "L", _JPEG_QUALITY
+    )
+
+
+def jpeg_phash(doc_id: int) -> int:
+    """The full lossy pipeline for one doc: planted image -> JPEG
+    encode (q95) -> baseline decode -> pHash of the RECONSTRUCTED
+    pixels. Deterministic (pure integer/float pipeline)."""
+    d = decode_jpeg(planted_jpeg(doc_id))
+    g = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(
+        d["height"], d["width"]
+    )
+    return phash64(g)
+
+
 def reference_phash_pairs(
-    doc_ids, max_hamming: int
+    doc_ids, max_hamming: int, hash_fn=None
 ) -> list[tuple[int, int, int]]:
     """Local reference for the banded-hamming pHash dedup: computes
     every doc's pHash straight from planted_gray (no PNG round-trip,
     no Spark — an independent data path that would catch a codec or
     plumbing corruption), buckets by 16-bit band, verifies candidates
-    at <= max_hamming. Returns sorted (asset_a, asset_b, hamming)."""
-    hashes = {int(d): phash64(planted_gray(int(d))) for d in doc_ids}
+    at <= max_hamming. Returns sorted (asset_a, asset_b, hamming).
+    ``hash_fn`` overrides the per-doc hash (e.g. jpeg_phash for the
+    lossy-robustness twin)."""
+    if hash_fn is None:
+        hash_fn = lambda d: phash64(planted_gray(d))  # noqa: E731
+    hashes = {int(d): hash_fn(int(d)) for d in doc_ids}
     buckets: dict[tuple[int, int], list[int]] = {}
     for a, h in hashes.items():
         for band, bval in enumerate(phash_bands(h)):

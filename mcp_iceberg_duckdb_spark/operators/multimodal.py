@@ -782,3 +782,109 @@ def x_multimodal_brightness_profile(spark, sf_dir):
             F.sum("std_milli").cast("bigint").alias("sum_std_milli"),
         )
     )
+
+
+# ---- pHash robustness through LOSSY compression (the defining
+# perceptual-hash property) ----
+
+
+def _phash_jpeg_oracle() -> str:
+    """Certificate oracle for x_multimodal_phash_jpeg_robust: local
+    reference runs the same deterministic lossy pipeline (planted
+    image -> vendored JPEG q95 encode -> baseline decode -> pHash)
+    per doc in the 20% subset and renders the expected verified
+    pairs as VALUES. SF dir from SPARK_GRAFT_ORACLE_SF_DIR."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from mcp_iceberg_duckdb_spark.functions.phash import (
+        jpeg_phash,
+        reference_phash_pairs,
+    )
+
+    sf = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    doc_ids = [
+        d
+        for d in pq_.read_table(
+            f"{sf}/documents.parquet", columns=["doc_id"]
+        )
+        .column("doc_id")
+        .to_pylist()
+        if d % 10 < 2
+    ]
+    pairs = reference_phash_pairs(
+        doc_ids, _PH_DCT_MAX_HAMMING, hash_fn=jpeg_phash
+    )
+    if not pairs:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS asset_a, "
+            "CAST(NULL AS BIGINT) AS asset_b, "
+            "CAST(NULL AS INTEGER) AS hamming WHERE FALSE"
+        )
+    rows = ", ".join(f"({a}, {b}, {h})" for a, b, h in pairs)
+    return f"""
+    SELECT CAST(asset_a AS BIGINT) AS asset_a,
+           CAST(asset_b AS BIGINT) AS asset_b,
+           CAST(hamming AS INTEGER) AS hamming
+    FROM (VALUES {rows}) AS v(asset_a, asset_b, hamming)
+    """
+
+
+@query(
+    "x_multimodal_phash_jpeg_robust",
+    oracle=_phash_jpeg_oracle,
+    tags=("multimodal", "dedup", "tierx"),
+)
+def x_multimodal_phash_jpeg_robust(spark, sf_dir):
+    """The DEFINING perceptual-hash property, exercised end to end:
+    the hash survives lossy re-encoding. Each asset in a 20% subset
+    (doc_id % 10 < 2 — keeps every planted near-dup pair, ids are
+    ≡ 0,1 mod 50) is stored as a LOSSY baseline JPEG (vendored
+    encoder, q95), decoded with the vendored baseline decoder
+    (Huffman + dequant + IDCT — reconstructed pixels differ from the
+    source), pHashed, and run through the same banded-hamming join.
+    Planted brightness-shifted near-dups STILL collide (measured
+    hamming <= 6 after JPEG q95) and distinct images stay far
+    (>= 20) — a content hash (md5) flips completely on one
+    re-encode, which is exactly why image dedup uses pHash.
+
+    Scale: identical plan shape to x_multimodal_phash_dedup (one
+    shuffle-free generate+decode+hash mapInPandas pipeline, band
+    bucket join); the JPEG codec is the heavier decode (~7 ms/img),
+    hence the deterministic 20% subset at bench scales. Certificate
+    oracle: the same lossy pipeline run locally (no Spark)."""
+    ids = (
+        t(spark, sf_dir)
+        .documents.select(F.col("doc_id").alias("asset_id"))
+        .where(F.col("doc_id") % 10 < 2)
+    )
+    planted_jpeg = _phash_mod.planted_jpeg
+    decode_jpeg = _jpeg_mod.decode_jpeg
+    phash64 = _phash_mod.phash64
+    phash_bands = _phash_mod.phash_bands
+
+    def gen_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            bands = []
+            for a in pdf["asset_id"]:
+                d = decode_jpeg(planted_jpeg(int(a)))
+                g = _np.frombuffer(d["pixels"], dtype=_np.uint8).reshape(
+                    d["height"], d["width"]
+                )
+                bands.append(phash_bands(phash64(g)))
+            rows = {"asset_id": pdf["asset_id"].values}
+            for b in range(_PH_BANDS):
+                rows[f"b{b}"] = [bb[b] for bb in bands]
+            yield _pd.DataFrame(rows)
+
+    sigs = ids.mapInPandas(
+        gen_hash,
+        schema="asset_id long, b0 bigint, b1 bigint, b2 bigint, b3 bigint",
+    )
+    return banded_hamming_pairs(sigs, _PH_DCT_MAX_HAMMING)
