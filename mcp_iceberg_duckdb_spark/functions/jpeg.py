@@ -6,15 +6,17 @@ without PIL.
 
 Scope, deliberately small but REAL:
 - decoder: baseline sequential DCT (SOF0), 8-bit, grayscale or
-  YCbCr with 4:4:4 or 4:2:0 (h2v2) sampling, restart intervals,
-  standard JFIF YCbCr->RGB. Huffman entropy decode, dequantize,
-  dezigzag, float IDCT — actual pixels out, not header fields.
-  Progressive (SOF2), arithmetic coding, 12-bit, and exotic
-  samplings raise ValueError.
-- encoder: baseline, 4:4:4 (or single-component grayscale), Annex K
-  quantization tables with IJG quality scaling, the spec's "typical"
-  Huffman tables (ITU-T T.81 §K.3). Round-trips through this
-  decoder and through any conforming decoder (PIL included).
+  YCbCr with any power-of-two sampling dividing the max — 4:4:4,
+  4:2:0 (h2v2), 4:2:2 (h2v1), 4:4:0 (h1v2), 4:1:1 — restart
+  intervals, 0xFF fill bytes (T.81 B.1.1.2), standard JFIF
+  YCbCr->RGB. Huffman entropy decode, dequantize, dezigzag, float
+  IDCT — actual pixels out, not header fields. Progressive (SOF2),
+  arithmetic coding, and 12-bit raise ValueError.
+- encoder: baseline, MCU-interleaved 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0
+  (or single-component grayscale), Annex K quantization tables with
+  IJG quality scaling, the spec's "typical" Huffman tables (ITU-T
+  T.81 §K.3). Round-trips through this decoder and through any
+  conforming decoder (PIL included).
 
 Built from the public JPEG specification (ITU-T T.81 / ISO 10918-1)
 and the JFIF spec; constants below are the spec's own Annex K
@@ -212,8 +214,13 @@ class _BitReader:
                 raise ValueError("unexpected marker inside entropy data")
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
+        # _fill only runs at nbits == 0, so the live window is exactly
+        # this byte — assigning (not or-ing onto stale history) keeps
+        # acc bounded at 8 bits; the old `acc = (acc << 8) | b` grew
+        # acc by 8 bits per entropy byte, making every shift O(stream)
+        # and whole-image decode quadratic.
+        self.acc = b
+        self.nbits = 8
 
     def read_bit(self) -> int:
         if self.nbits == 0:
@@ -289,9 +296,18 @@ def _decode_jpeg_inner(payload: bytes) -> dict:
     while pos + 4 <= n:
         if d[pos] != 0xFF:
             raise ValueError("marker expected")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker code — skip them so the byte after the last 0xFF is
+        # read as the marker, not as segment-length payload.
+        while pos + 1 < n and d[pos + 1] == 0xFF:
+            pos += 1
         marker = d[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / stray RSTn: standalone markers with no length field
+            pos += 2
+            continue
         (seglen,) = struct.unpack(">H", d[pos + 2 : pos + 4])
         seg = d[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT
@@ -326,13 +342,19 @@ def _decode_jpeg_inner(payload: bytes) -> dict:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
+            if comps is None:
+                raise ValueError("SOS before SOF0")
             ns = seg[0]
             scan = []  # (comp index, dc table, ac table)
             for s in range(ns):
                 cs, tda = seg[1 + 2 * s : 3 + 2 * s]
                 ci = next(
-                    i for i, c in enumerate(comps) if c[0] == cs
+                    (i for i, c in enumerate(comps) if c[0] == cs), None
                 )
+                if ci is None:
+                    raise ValueError(
+                        f"SOS references component id {cs} absent from SOF0"
+                    )
                 scan.append((ci, tda >> 4, tda & 0xF))
             return _decode_scan(
                 d,
@@ -363,13 +385,18 @@ def _decode_scan(
         hmax = vmax = 1
         comps = [(comps[0][0], 1, 1, comps[0][3])]
     elif nc == 3:
-        ok_444 = all((c[1], c[2]) == (1, 1) for c in comps)
-        ok_420 = (
-            (comps[0][1], comps[0][2]) == (2, 2)
-            and all((c[1], c[2]) == (1, 1) for c in comps[1:])
-        )
-        if not (ok_444 or ok_420):
-            raise ValueError(f"unsupported sampling {samplings}")
+        # any sampling whose factors are powers of two dividing the
+        # max — covers 4:4:4 (1x1), 4:2:0 (h2v2), 4:2:2 (h2v1),
+        # 4:4:0 (h1v2), 4:1:1 (h4v1). Upsampling below is generic
+        # nearest-neighbor repeat by (hmax/h, vmax/v).
+        for c in comps:
+            if (
+                c[1] not in (1, 2, 4)
+                or c[2] not in (1, 2, 4)
+                or hmax % c[1]
+                or vmax % c[2]
+            ):
+                raise ValueError(f"unsupported sampling {samplings}")
     else:
         raise ValueError(f"unsupported component count {nc}")
 
@@ -416,11 +443,17 @@ def _decode_scan(
             "mode": "L",
             "pixels": out.astype(np.uint8).tobytes(),
         }
-    y = planes[0]
-    cb, cr = planes[1], planes[2]
-    if (comps[0][1], comps[0][2]) == (2, 2):  # 4:2:0 — upsample chroma
-        cb = cb.repeat(2, axis=0).repeat(2, axis=1)
-        cr = cr.repeat(2, axis=0).repeat(2, axis=1)
+    def _upsample(plane, c):
+        fy, fx = vmax // c[2], hmax // c[1]
+        if fy > 1:
+            plane = plane.repeat(fy, axis=0)
+        if fx > 1:
+            plane = plane.repeat(fx, axis=1)
+        return plane
+
+    y = _upsample(planes[0], comps[0])
+    cb = _upsample(planes[1], comps[1])
+    cr = _upsample(planes[2], comps[2])
     y = y[:height, :width] + 128
     cb = cb[:height, :width]
     cr = cr[:height, :width]
@@ -505,29 +538,58 @@ def _encode_block(w: _BitWriter, block, qtab, codes_dc, codes_ac, pred, ci):
         run = 0
 
 
+_SUBSAMPLINGS = {"444": (1, 1), "422": (2, 1), "440": (1, 2), "420": (2, 2)}
+
+
 def encode_jpeg(
-    width: int, height: int, pixels: bytes, mode: str = "RGB", quality: int = 90
+    width: int,
+    height: int,
+    pixels: bytes,
+    mode: str = "RGB",
+    quality: int = 90,
+    subsampling: str = "444",
 ) -> bytes:
     """Encode raw 8-bit pixels (row-major interleaved, like
-    encode_png) as a baseline JFIF JPEG: 4:4:4 for RGB, single
-    component for "L". Round-trips through decode_jpeg and any
-    conforming decoder within quantization error."""
+    encode_png) as a baseline JFIF JPEG. `subsampling` picks the
+    chroma layout for RGB input — "444" (h1v1), "422" (h2v1),
+    "440" (h1v2), or "420" (h2v2); chroma is box-averaged down and
+    the scan is MCU-interleaved per T.81 A.2.3. Single component for
+    "L". Round-trips through decode_jpeg and any conforming decoder
+    within quantization (+ chroma-resample) error."""
     if mode not in ("L", "RGB"):
         raise ValueError("encode_jpeg supports modes L and RGB")
+    if subsampling not in _SUBSAMPLINGS:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
     ch = 1 if mode == "L" else 3
+    hs, vs = _SUBSAMPLINGS[subsampling] if ch == 3 else (1, 1)
     px = np.frombuffer(bytes(pixels), dtype=np.uint8)
     if len(px) != width * height * ch:
         raise ValueError("pixel buffer does not match dimensions")
     px = px.reshape(height, width, ch).astype(np.float64)
     if mode == "RGB":
         r, g, b = px[..., 0], px[..., 1], px[..., 2]
-        planes = [
+        full = [
             0.299 * r + 0.587 * g + 0.114 * b - 128,
             -0.168736 * r - 0.331264 * g + 0.5 * b,
             0.5 * r - 0.418688 * g - 0.081312 * b,
         ]
     else:
-        planes = [px[..., 0] - 128]
+        full = [px[..., 0] - 128]
+    # pad every plane to whole MCUs up front (edge replicate), then
+    # box-average chroma — all block extraction below is exact slices
+    mcu_w, mcu_h = 8 * hs, 8 * vs
+    mcus_x = (width + mcu_w - 1) // mcu_w
+    mcus_y = (height + mcu_h - 1) // mcu_h
+    pw, ph = mcus_x * mcu_w, mcus_y * mcu_h
+    full = [
+        np.pad(p, ((0, ph - height), (0, pw - width)), mode="edge")
+        for p in full
+    ]
+    planes = [full[0]]
+    for p in full[1:]:
+        planes.append(
+            p.reshape(ph // vs, vs, pw // hs, hs).mean(axis=(1, 3))
+        )
     # tables kept in ZIGZAG order throughout — the order DQT stores
     # them and the order _encode_block's zigzagged coefficients need
     qy = _quality_scale(_STD_LUMA_Q, quality)[ZIGZAG]
@@ -542,7 +604,8 @@ def encode_jpeg(
     out += b"\xff\xc0" + struct.pack(">H", 8 + 3 * ch, ) + bytes([8])
     out += struct.pack(">HH", height, width) + bytes([ch])
     for c in range(ch):
-        out += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+        hv = (hs << 4) | vs if c == 0 else 0x11
+        out += bytes([c + 1, hv, 0 if c == 0 else 1])
     tables = (
         [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
         if ch == 1
@@ -565,25 +628,28 @@ def encode_jpeg(
     cdc_c, cac_c = _build_codes(*_DC_CHROMA), _build_codes(*_AC_CHROMA)
     w = _BitWriter()
     pred = [0] * ch
-    bw = (width + 7) // 8
-    bh = (height + 7) // 8
-    for by in range(bh):
-        for bx in range(bw):
-            for c in range(ch):
-                plane = planes[c]
-                blk = np.zeros((8, 8))
-                ys, xs = by * 8, bx * 8
-                h = min(8, height - ys)
-                wd = min(8, width - xs)
-                blk[:h, :wd] = plane[ys : ys + h, xs : xs + wd]
-                blk[h:, :wd] = blk[h - 1 : h, :wd]  # edge-replicate pad
-                blk[:, wd:] = blk[:, wd - 1 : wd]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for by in range(vs):  # luma blocks of this MCU, T.81 A.2.3
+                for bx in range(hs):
+                    ys, xs = (my * vs + by) * 8, (mx * hs + bx) * 8
+                    _encode_block(
+                        w,
+                        planes[0][ys : ys + 8, xs : xs + 8],
+                        qtabs[0],
+                        cdc_y,
+                        cac_y,
+                        pred,
+                        0,
+                    )
+            for c in range(1, ch):
+                ys, xs = my * 8, mx * 8
                 _encode_block(
                     w,
-                    blk,
+                    planes[c][ys : ys + 8, xs : xs + 8],
                     qtabs[c],
-                    cdc_y if c == 0 else cdc_c,
-                    cac_y if c == 0 else cac_c,
+                    cdc_c,
+                    cac_c,
                     pred,
                     c,
                 )

