@@ -540,20 +540,22 @@ def dct_phash_sigs(assets: DataFrame) -> DataFrame:
 
 def _phash_dedup_oracle() -> str:
     """Certificate-style oracle for x_multimodal_phash_dedup: the
-    planted corpus is deterministic, so a LOCAL reference (numpy
-    pHash straight from the generated pixel arrays — no PNG
-    round-trip, no Spark; functions/phash.py
-    reference_phash_pairs) computes the exact expected pairs and
-    renders them as a VALUES relation. A codec bug, banding slip, or
-    join-plumbing defect diverges from it. SF dir from
-    SPARK_GRAFT_ORACLE_SF_DIR (driver default sf0.01), like the PCA
-    certificate."""
+    planted corpus is deterministic, so a LOCAL reference computes
+    the exact expected pairs and renders them as a VALUES relation.
+    As of round 10 the reference is the INDEPENDENT twin
+    (functions/phash_ref.py — textbook direct-sum DCT, separate
+    generator, zero shared code with the engine's
+    functions/phash.py), so a defect inside phash64 itself now
+    diverges, not just codec/banding/plumbing bugs (the r9 verdict's
+    shared-fate caveat; mutation-tested in tests/test_phash_ref.py).
+    SF dir from SPARK_GRAFT_ORACLE_SF_DIR (driver default sf0.01),
+    like the PCA certificate."""
     import os
 
     import pyarrow.parquet as pq_
 
-    from mcp_iceberg_duckdb_spark.functions.phash import (
-        reference_phash_pairs,
+    from mcp_iceberg_duckdb_spark.functions.phash_ref import (
+        reference_phash_pairs_ref,
     )
 
     sf = os.environ.get(
@@ -571,7 +573,7 @@ def _phash_dedup_oracle() -> str:
         # in the registry at oracle_sql() resolution time — same
         # contract as _pca_certificate_oracle's OSError fallback.
         doc_ids = []
-    pairs = reference_phash_pairs(doc_ids, _PH_DCT_MAX_HAMMING)
+    pairs = reference_phash_pairs_ref(doc_ids, _PH_DCT_MAX_HAMMING)
     if not pairs:
         return (
             "SELECT CAST(NULL AS BIGINT) AS asset_a, "
@@ -693,8 +695,9 @@ def x_multimodal_clip_filter(spark, sf_dir):
 
 def _brightness_oracle() -> str:
     """Certificate oracle for x_multimodal_brightness_profile: the
-    planted corpus is deterministic, so a local numpy reference
-    (straight from planted_gray, no PNG round-trip, no Spark)
+    planted corpus is deterministic, so a local reference — the
+    INDEPENDENT twin (functions/phash_ref.brightness_stats_ref), no
+    PNG round-trip, no Spark, zero shared code with the engine path —
     computes the exact 16-bucket profile and renders it as VALUES.
     Exactness: per-asset mean/std run the same numpy ops on the same
     uint8 arrays on both sides (the codec round-trip is lossless and
@@ -721,15 +724,13 @@ def _brightness_oracle() -> str:
             "CAST(NULL AS BIGINT) AS n_assets, "
             "CAST(NULL AS BIGINT) AS sum_std_milli WHERE FALSE"
         )
-    import numpy as _np
-
-    from mcp_iceberg_duckdb_spark.functions.phash import planted_gray
+    from mcp_iceberg_duckdb_spark.functions.phash_ref import (
+        brightness_stats_ref,
+    )
 
     buckets: dict[int, list[int]] = {}
     for did in doc_ids:
-        g = planted_gray(int(did))
-        mean = float(g.mean())
-        std_milli = int(_np.floor(g.std() * 1000.0 + 0.5))
+        mean, std_milli = brightness_stats_ref(int(did))
         b = int(mean // 16)
         buckets.setdefault(b, [0, 0])
         buckets[b][0] += 1
@@ -812,17 +813,21 @@ def x_multimodal_brightness_profile(spark, sf_dir):
 
 def _phash_jpeg_oracle() -> str:
     """Certificate oracle for x_multimodal_phash_jpeg_robust: local
-    reference runs the same deterministic lossy pipeline (planted
-    image -> vendored JPEG q95 encode -> baseline decode -> pHash)
-    per doc in the 20% subset and renders the expected verified
-    pairs as VALUES. SF dir from SPARK_GRAFT_ORACLE_SF_DIR."""
+    reference runs the deterministic lossy pipeline (planted image ->
+    vendored JPEG q95 encode -> baseline decode -> pHash) per doc in
+    the 20% subset and renders the expected verified pairs as VALUES.
+    Generator + pHash come from the independent twin
+    (functions/phash_ref.py); only the JPEG codec itself is shared
+    with the engine path (documented there — pinned by its own
+    round-trip/fuzz/PIL suite). SF dir from
+    SPARK_GRAFT_ORACLE_SF_DIR."""
     import os
 
     import pyarrow.parquet as pq_
 
-    from mcp_iceberg_duckdb_spark.functions.phash import (
-        jpeg_phash,
-        reference_phash_pairs,
+    from mcp_iceberg_duckdb_spark.functions.phash_ref import (
+        jpeg_phash_ref,
+        reference_phash_pairs_ref,
     )
 
     sf = os.environ.get(
@@ -842,8 +847,8 @@ def _phash_jpeg_oracle() -> str:
         # missing fixture: empty relation, not a registry-wide
         # oracle_sql() failure — see _phash_dedup_oracle
         doc_ids = []
-    pairs = reference_phash_pairs(
-        doc_ids, _PH_DCT_MAX_HAMMING, hash_fn=jpeg_phash
+    pairs = reference_phash_pairs_ref(
+        doc_ids, _PH_DCT_MAX_HAMMING, hash_fn=jpeg_phash_ref
     )
     if not pairs:
         return (

@@ -1,0 +1,130 @@
+"""The independent pHash twin (functions/phash_ref.py) vs the engine
+implementation (functions/phash.py): bit-exact equivalence on the
+planted corpus and on arbitrary images, plus MUTATION tests proving
+the certificate oracles — which as of round 10 use ONLY the twin —
+actually catch a defective engine hash (the r9 verdict's shared-fate
+caveat: previously a bug inside phash64 would have passed both
+sides)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mcp_iceberg_duckdb_spark.functions import phash as P
+from mcp_iceberg_duckdb_spark.functions import phash_ref as R
+
+IDS = list(range(0, 160)) + [49, 50, 51, 99, 100, 101, 999, 1000, 1001]
+
+
+def test_planted_gray_twin_equiv():
+    """The synthesis-sum generator reproduces the matrix-transform
+    generator byte-for-byte, dups included."""
+    for did in IDS:
+        assert (R.planted_gray_ref(did) == P.planted_gray(did)).all(), did
+
+
+def test_phash64_twin_equiv_on_corpus_and_random():
+    """Direct-sum DCT + reduceat resample + manual median == matrix
+    DCT + reshape mean + np.median, on corpus images and arbitrary
+    random images (including non-square multiples of 32)."""
+    for did in IDS[:60]:
+        g = P.planted_gray(did)
+        assert R.phash64_ref(g) == P.phash64(g), did
+    rng = np.random.RandomState(7)
+    for h, w in [(32, 32), (64, 32), (32, 96), (64, 64)]:
+        for _ in range(5):
+            g = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+            assert R.phash64_ref(g) == P.phash64(g), (h, w)
+
+
+def test_jpeg_phash_twin_equiv():
+    for did in [0, 1, 50, 51, 100, 101, 110]:
+        assert R.jpeg_phash_ref(did) == P.jpeg_phash(did), did
+
+
+def test_pair_reference_twin_equiv():
+    ids = list(range(0, 300))
+    assert R.reference_phash_pairs_ref(ids, 10) == P.reference_phash_pairs(
+        ids, 10
+    )
+    sub = [i for i in ids if i % 10 < 2]
+    assert R.reference_phash_pairs_ref(
+        sub, 10, hash_fn=R.jpeg_phash_ref
+    ) == P.reference_phash_pairs(sub, 10, hash_fn=P.jpeg_phash)
+
+
+def test_brightness_stats_twin_equiv():
+    for did in IDS[:80]:
+        g = P.planted_gray(did)
+        mean, std_milli = R.brightness_stats_ref(did)
+        assert abs(mean - float(g.mean())) < 1e-9, did
+        assert std_milli == int(np.floor(g.std() * 1000.0 + 0.5)), did
+
+
+def _mut_phash_no_alpha0(g):
+    """A realistic engine-hash bug: the DCT matrix missing the
+    alpha(0)=sqrt(1/2) normalization on row 0 — coefficient scales
+    shift, the median moves, bits near it flip."""
+    n, blk = P.PH_SIZE, P.PH_BLOCK
+    j = np.arange(n)
+    k = np.arange(n).reshape(-1, 1)
+    d_mat = np.cos(np.pi * (2 * j + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    g = np.asarray(g, dtype=np.float64)
+    h, w = g.shape
+    g = g.reshape(n, h // n, n, w // n).mean(axis=(1, 3))
+    block = (d_mat @ g @ d_mat.T)[:blk, :blk].ravel()
+    med = float(np.median(block))
+    out = 0
+    for v in block:
+        out = (out << 1) | int(v > med)
+    return out
+
+
+def test_mutation_missing_dct_norm_is_caught():
+    """Simulate the engine side with the no-alpha0 bug on the lossy
+    JPEG pipeline (where planted pairs sit at nonzero hamming, so
+    hash perturbations are visible in the output): the pair list the
+    buggy engine would emit differs from the twin oracle's — the
+    check FAILS, as it must. Under the pre-r10 shared-fate oracle
+    both sides would have computed the same buggy pairs and passed."""
+    from mcp_iceberg_duckdb_spark.functions.jpeg import decode_jpeg
+
+    def buggy_engine_jpeg_hash(did):
+        d = decode_jpeg(P.planted_jpeg(did))
+        g = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(
+            d["height"], d["width"]
+        )
+        return _mut_phash_no_alpha0(g)
+
+    ids = [i for i in range(500) if i % 10 < 2]
+    oracle = R.reference_phash_pairs_ref(ids, 10, hash_fn=R.jpeg_phash_ref)
+    buggy = P.reference_phash_pairs(ids, 10, hash_fn=buggy_engine_jpeg_hash)
+    assert buggy != oracle, "no-alpha0 mutation was NOT caught"
+    # sanity: the unmutated engine path does match the twin oracle
+    good = P.reference_phash_pairs(ids, 10, hash_fn=P.jpeg_phash)
+    assert good == oracle
+
+
+def test_mutation_entropy_collapse_is_caught():
+    """The catastrophic class the shared-fate oracle masked: phash64
+    degenerating to a constant makes the engine emit all-pairs at
+    hamming 0; the twin oracle still expects only the planted pairs."""
+    ids = list(range(0, 100))
+    oracle = R.reference_phash_pairs_ref(ids, 10)
+    collapsed = P.reference_phash_pairs(ids, 10, hash_fn=lambda d: 0)
+    assert collapsed != oracle
+    assert len(collapsed) == 100 * 99 // 2  # the explosion itself
+
+
+def test_twin_shares_no_code_with_engine_path():
+    """Static pin: phash_ref must not import functions.phash (the
+    point of the twin); functions.jpeg is the one documented shared
+    component (lossy pipeline only)."""
+    import inspect
+
+    src = inspect.getsource(R)
+    assert "functions.phash import" not in src
+    assert "functions import phash" not in src
+    with pytest.raises(ValueError):
+        R.phash64_ref(np.zeros((31, 32)))  # same input contract
