@@ -4,6 +4,19 @@ ONE JSON line with per-query wall times.
 
 One shared SparkSession amortizes JVM/session startup (BASELINE.md);
 a warmup run triggers file listing + codegen before timing.
+
+Machine-drift normalization (round-10, VERDICT r9 item 5): every run
+also times a FIXED calibration workload — a pinned 10M-row
+whole-stage-codegen aggregate with no fixture dependence — and
+records it as `calibration_sec` (median of 3 warm runs). Round 9
+measured a uniform ~1.35x wall-time shift across every query,
+including untouched trivial ones, caused purely by the machine; the
+comparison rule is therefore: compare
+`per_query[q] / calibration_sec` across rounds, and treat a raw
+round-over-round change as a regression only if the NORMALIZED value
+moved by more than ~2 committed standard deviations
+(BENCH_LOCAL.json `queries_sd`, recorded with
+SPARK_GRAFT_BENCH_REPEATS >= 3).
 """
 
 from __future__ import annotations
@@ -117,6 +130,38 @@ PRINTED_QUERIES = BENCH_QUERIES[:22]
 # methodology changes. v2 = per-query warm + clearCache + GC settle
 # (rounds 5+); rounds 1-4 used suite-wide warmup ("v1").
 METHODOLOGY = "v2-per-query-warm"
+
+
+def _calibration_sec(spark) -> float:
+    """Fixed reference workload for machine-drift normalization: a
+    10M-row codegen aggregate over spark.range — no fixture, no
+    Python, stable plan shape. Median of 3 warm runs."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    def run() -> None:
+        (
+            spark.range(0, 10_000_000, 1, 32)
+            .select(
+                (F.col("id") % 97).alias("k"),
+                (F.col("id") * 2654435761 % 1000003).alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    run()  # warm codegen/JIT
+    samples = []
+    for _ in range(3):
+        spark.sparkContext._jvm.System.gc()
+        t0 = _time.perf_counter()
+        run()
+        samples.append(_time.perf_counter() - t0)
+    return round(sorted(samples)[1], 3)
 
 
 def _family(name: str) -> str:
@@ -251,6 +296,7 @@ def main() -> None:
     # verdict tell a real regression from scheduler noise). Default 1
     # keeps the driver's per-round bench at its usual wall time.
     repeats = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1")), 1)
+    calibration = _calibration_sec(spark)
     per_query: dict[str, float] = {}
     per_query_sd: dict[str, float] = {}
     total = 0.0
@@ -293,6 +339,7 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,
+        "calibration_sec": calibration,
         "sf": sf_val,
         "methodology": METHODOLOGY,
     }
@@ -331,6 +378,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": printed,
                 "families": families,
+                "calibration_sec": calibration,
                 "n_queries": len(per_query),
                 "full": local_path.name,
                 "sf": sf_val,

@@ -350,7 +350,15 @@ def minhash_mllib_pairs(spark, sf_dir):
         # MinHashLSH rejects empty vectors
         F.size("sh") > 0
     )
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    # numHashTables drives approxSimilarityJoin's explode factor
+    # almost linearly — round-10 profile at sf0.1: fit+join 3.7 s at
+    # 8 tables vs 1.4 s at 4, with an IDENTICAL 256-pair result
+    # (HashingTF+persist is the other ~5 s and is table-independent).
+    # 4 single-minhash OR-amplified tables capture a Jaccard>=0.8
+    # pair with p = 1-(1-0.8)^4 = 99.84% — far above the contract's
+    # 90% strong-pair recall floor, so the library default (the r9
+    # verdict's "slowest stable query" flag) was pure overhead here.
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
     model = lsh.fit(feats)
     joined = model.approxSimilarityJoin(feats, feats, 0.2, distCol="jdist")
     return (

@@ -15,7 +15,10 @@ to the session builder.
 Jar-acquisition retries (VERDICT items, one per round): 2026-08-15
 (round 9) — no network (DNS resolution to repo1.maven.org fails, no
 local ivy/maven cache, no iceberg-spark-runtime jar on disk);
-tests/test_iceberg_live.py remains cleanly skipped.
+tests/test_iceberg_live.py remains cleanly skipped. 2026-08-15
+(round 10) — re-probed: DNS to repo1.maven.org still fails, `find /
+-name 'iceberg-spark-runtime*'` still empty, pip index unreachable
+(PIL retry for the decode branch fails the same way); unchanged.
 """
 
 from __future__ import annotations

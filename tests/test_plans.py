@@ -785,3 +785,65 @@ def test_psi_bin_grid_single_aggregation_pass(spark, sf_dir):
     df = _df("x_source_psi_drift", spark, sf_dir)
     assert global_window_count(df) == 0
     assert shuffle_count(df) <= 4
+
+
+def test_plan_gate_detectors_fire_on_deliberately_bad_plans(spark, sf_dir):
+    """Red-team the scale insurance itself (VERDICT r9 item 6): the
+    registry-wide audits above are only worth their ink if the
+    detectors actually fire. Build the canonical 100 TB scale-killer
+    plans on purpose and assert each detector rejects them — a silent
+    detector regression (an explain-format change, a regex slip) now
+    fails THIS test instead of letting a bad plan through the audits.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mcp_iceberg_duckdb_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    orders = load(spark, sf_dir, "orders")
+
+    # 1. a join that lost its equi-condition. Planned as
+    # CartesianProduct when neither side broadcasts, as a Cross
+    # BroadcastNestedLoopJoin when one does (the small-SF case) —
+    # the hygiene audit flags BOTH, so assert its combined predicate
+    # fires, plus the pure-product form under a no-broadcast hint.
+    bad_cross = docs.select("doc_id").crossJoin(
+        orders.select("o_orderkey")
+    )
+    plan = explain_str(bad_cross, mode="simple")
+    assert "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+    forced = explain_str(
+        docs.select("doc_id")
+        .hint("shuffle_replicate_nl")
+        .crossJoin(orders.select("o_orderkey")),
+        mode="simple",
+    )
+    assert "CartesianProduct" in forced
+
+    # 2. an unpartitioned ordered window over the corpus -> the
+    # global-window detector must count it (and the partitioned
+    # control must stay at zero)
+    bad_window = docs.withColumn(
+        "rn", F.row_number().over(Window.orderBy("doc_id"))
+    )
+    assert global_window_count(bad_window) >= 1
+    ok_window = docs.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy("doc_id")
+        ),
+    )
+    assert global_window_count(ok_window) == 0
+
+    # 3. a global sort surviving in front of downstream work ->
+    # rangepartitioning exchange
+    bad_sort = docs.orderBy("doc_id").withColumn(
+        "flag", F.length("text") > 10
+    )
+    assert range_partitioning_count(bad_sort) >= 1
+
+    # 4. negative control for the shuffle counter: a pure scan-side
+    # map plans zero exchanges, the bad sort at least one
+    assert shuffle_count(docs.select("doc_id")) == 0
+    assert shuffle_count(bad_sort) >= 1
