@@ -5,18 +5,22 @@ the featurizer's real decode branch covers JPEG in containers
 without PIL.
 
 Scope, deliberately small but REAL:
-- decoder: baseline sequential DCT (SOF0), 8-bit, grayscale or
-  YCbCr with any power-of-two sampling dividing the max — 4:4:4,
-  4:2:0 (h2v2), 4:2:2 (h2v1), 4:4:0 (h1v2), 4:1:1 — restart
-  intervals, 0xFF fill bytes (T.81 B.1.1.2), standard JFIF
-  YCbCr->RGB. Huffman entropy decode, dequantize, dezigzag, float
-  IDCT — actual pixels out, not header fields. Progressive (SOF2),
-  arithmetic coding, and 12-bit raise ValueError.
-- encoder: baseline, MCU-interleaved 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0
-  (or single-component grayscale), Annex K quantization tables with
-  IJG quality scaling, the spec's "typical" Huffman tables (ITU-T
-  T.81 §K.3). Round-trips through this decoder and through any
-  conforming decoder (PIL included).
+- decoder: baseline sequential (SOF0) AND progressive (SOF2) DCT,
+  8-bit, grayscale or YCbCr with any power-of-two sampling dividing
+  the max — 4:4:4, 4:2:0 (h2v2), 4:2:2 (h2v1), 4:4:0 (h1v2),
+  4:1:1 — restart intervals, 0xFF fill bytes (T.81 B.1.1.2),
+  standard JFIF YCbCr->RGB. Huffman entropy decode (progressive:
+  DC first/refine + spectral-band AC first/refine with EOB runs,
+  Annex G), dequantize, dezigzag, float IDCT — actual pixels out,
+  not header fields. Arithmetic coding and 12-bit raise ValueError.
+- encoders: baseline (encode_jpeg) and progressive
+  (encode_jpeg_progressive), MCU-interleaved 4:4:4 / 4:2:2 / 4:4:0 /
+  4:2:0 (or single-component grayscale), Annex K quantization tables
+  with IJG quality scaling, the spec's "typical" Huffman tables
+  (ITU-T T.81 §K.3; progressive AC scans ship a custom EOBn-capable
+  table). Round-trips through this decoder and through any
+  conforming decoder (PIL included); progressive decodes
+  BIT-IDENTICAL to the equivalent baseline stream.
 
 Built from the public JPEG specification (ITU-T T.81 / ISO 10918-1)
 and the JFIF spec; constants below are the spec's own Annex K
@@ -123,6 +127,28 @@ _AC_CHROMA = (
         0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
         0xF9, 0xFA,
     ],
+)
+
+
+# AC table for the progressive encoder: the spec's "typical" AC
+# tables have no room for the EOBn symbols (0x10..0xE0) progressive
+# EOB runs need — appending them at length 16 overflows the canonical
+# code space — so progressive scans ship this complete custom table:
+# every (run, size) symbol for s=1..10, EOB0..EOB14, and ZRL. Four
+# high-frequency symbols at length 3, the rest at length 9
+# (Kraft 4/8 + 172/512 = 0.836 <= 1; all-ones code unused).
+_AC_PROG_SHORT = [0x00, 0x01, 0x11, 0xF0]
+_AC_PROG = (
+    [0, 0, 4, 0, 0, 0, 0, 0, 172, 0, 0, 0, 0, 0, 0, 0],
+    _AC_PROG_SHORT
+    + sorted(
+        set(
+            [(r << 4) | s for r in range(16) for s in range(1, 11)]
+            + [r << 4 for r in range(15)]  # EOB0..EOB14
+            + [0xF0]
+        )
+        - set(_AC_PROG_SHORT)
+    ),
 )
 
 
@@ -275,9 +301,10 @@ def decode_jpeg(payload: bytes) -> dict:
     subset or on corrupt data."""
     try:
         return _decode_jpeg_inner(payload)
-    except (struct.error, IndexError) as ex:
-        # truncated segments surface as short unpacks / index misses —
-        # normalize to the documented corrupt-data contract
+    except (struct.error, IndexError, KeyError) as ex:
+        # truncated segments surface as short unpacks / index misses /
+        # missing table ids — normalize to the documented corrupt-data
+        # contract
         raise ValueError(f"corrupt/truncated JPEG: {ex}") from ex
 
 
@@ -291,6 +318,8 @@ def _decode_jpeg_inner(payload: bytes) -> dict:
     width = height = None
     comps = None  # list of (cid, h, v, tq)
     restart_interval = 0
+    progressive = False
+    prog = None  # progressive coefficient state (built at first SOS)
     pos = 2
     n = len(d)
     while pos + 4 <= n:
@@ -303,6 +332,10 @@ def _decode_jpeg_inner(payload: bytes) -> dict:
             pos += 1
         marker = d[pos + 1]
         if marker == 0xD9:  # EOI
+            if progressive and prog is not None:
+                return _reconstruct_progressive(
+                    prog, comps, width, height, qt
+                )
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             # TEM / stray RSTn: standalone markers with no length field
@@ -330,15 +363,18 @@ def _decode_jpeg_inner(payload: bytes) -> dict:
                 table = _build_decode_table(bits, values)
                 (huff_ac if tc else huff_dc)[th] = table
                 i += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             height, width = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError("only baseline (SOF0) JPEG supported")
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(
+                "only baseline (SOF0) and progressive (SOF2) JPEG supported"
+            )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
@@ -356,27 +392,49 @@ def _decode_jpeg_inner(payload: bytes) -> dict:
                         f"SOS references component id {cs} absent from SOF0"
                     )
                 scan.append((ci, tda >> 4, tda & 0xF))
-            return _decode_scan(
+            if not progressive:
+                return _decode_scan(
+                    d,
+                    pos + 2 + seglen,
+                    width,
+                    height,
+                    comps,
+                    scan,
+                    qt,
+                    huff_dc,
+                    huff_ac,
+                    restart_interval,
+                )
+            ss, se, ahl = seg[1 + 2 * ns : 4 + 2 * ns]
+            if prog is None:
+                prog = _init_progressive(comps, width, height)
+            pos = _decode_progressive_scan(
                 d,
                 pos + 2 + seglen,
-                width,
-                height,
-                comps,
+                prog,
                 scan,
-                qt,
+                ss,
+                se,
+                ahl >> 4,
+                ahl & 0xF,
                 huff_dc,
                 huff_ac,
                 restart_interval,
+                width,
+                height,
             )
+            continue
         pos += 2 + seglen
+    if progressive and prog is not None:
+        # missing-EOI tail: all scans decoded — reconstruct anyway,
+        # matching the baseline decoder's tolerated-tail contract
+        return _reconstruct_progressive(prog, comps, width, height, qt)
     raise ValueError("JPEG ended without SOS")
 
 
-def _decode_scan(
-    d, pos, width, height, comps, scan, qt, huff_dc, huff_ac, restart
-):
-    if width is None or not comps:
-        raise ValueError("JPEG missing SOF0 before SOS")
+def _validate_sampling(comps):
+    """Normalize + validate component sampling; returns
+    (comps, hmax, vmax)."""
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     samplings = sorted((c[1], c[2]) for c in comps)
@@ -399,6 +457,16 @@ def _decode_scan(
                 raise ValueError(f"unsupported sampling {samplings}")
     else:
         raise ValueError(f"unsupported component count {nc}")
+    return comps, hmax, vmax
+
+
+def _decode_scan(
+    d, pos, width, height, comps, scan, qt, huff_dc, huff_ac, restart
+):
+    if width is None or not comps:
+        raise ValueError("JPEG missing SOF0 before SOS")
+    comps, hmax, vmax = _validate_sampling(comps)
+    nc = len(comps)
 
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     mcus_x = (width + mcu_w - 1) // mcu_w
@@ -435,7 +503,14 @@ def _decode_scan(
                 raise ValueError("restart marker misaligned with DRI")
             mcu_count += 1
 
-    if nc == 1:
+    return _assemble(planes, comps, width, height, hmax, vmax)
+
+
+def _assemble(planes, comps, width, height, hmax, vmax):
+    """Crop, upsample chroma, color-convert level-shifted component
+    planes into the output dict (shared by the baseline and
+    progressive paths)."""
+    if len(comps) == 1:
         out = np.clip(np.round(planes[0][:height, :width] + 128), 0, 255)
         return {
             "width": width,
@@ -443,6 +518,7 @@ def _decode_scan(
             "mode": "L",
             "pixels": out.astype(np.uint8).tobytes(),
         }
+
     def _upsample(plane, c):
         fy, fx = vmax // c[2], hmax // c[1]
         if fy > 1:
@@ -497,6 +573,247 @@ def _decode_block(reader, dc_table, ac_table, q, pred, ci):
     return _C8.T @ block @ _C8  # IDCT (values still level-shifted)
 
 
+# ---- progressive (SOF2) decoding, T.81 Annex G ----
+#
+# A progressive stream delivers the SAME quantized coefficients as a
+# baseline stream, split across scans: DC first (point-transformed by
+# Al) then DC refinement bits, and per-component AC scans over
+# spectral bands (Ss..Se) at successive approximations (Ah -> Al).
+# Decoding accumulates integer coefficients per block across scans
+# and reconstructs once at EOI — so a progressive re-encode of the
+# same coefficients decodes to BIT-IDENTICAL pixels vs baseline
+# (pinned in tests/test_jpeg_codec.py).
+
+
+def _comp_block_grid(c, width, height, hmax, vmax):
+    """(block rows, block cols) of a component's OWN grid — what a
+    non-interleaved scan covers (T.81 A.2.2); may be smaller than the
+    MCU-padded grid interleaved DC scans cover."""
+    cw = -(-(width * c[1]) // hmax)
+    chh = -(-(height * c[2]) // vmax)
+    return -(-chh // 8), -(-cw // 8)
+
+
+def _init_progressive(comps, width, height):
+    comps_n, hmax, vmax = _validate_sampling(comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (width + mcu_w - 1) // mcu_w
+    mcus_y = (height + mcu_h - 1) // mcu_h
+    coef = [
+        np.zeros((mcus_y * c[2], mcus_x * c[1], 64), dtype=np.int64)
+        for c in comps_n
+    ]
+    return {
+        "comps": comps_n,
+        "hmax": hmax,
+        "vmax": vmax,
+        "mcus_x": mcus_x,
+        "mcus_y": mcus_y,
+        "coef": coef,
+    }
+
+
+def _dc_unit(reader, zz, dc_table, pred, ci, ah, al):
+    if ah == 0:  # first DC scan: Huffman diff, point-transformed
+        t = _decode_huffman(reader, dc_table)
+        diff = _extend(reader.read_bits(t), t) if t else 0
+        pred[ci] += diff
+        zz[0] = pred[ci] << al
+    else:  # refinement: one raw bit per block
+        if reader.read_bit():
+            zz[0] |= 1 << al
+
+
+def _ac_first(reader, zz, ac_table, ss, se, al, state):
+    """First AC scan of a band (Ah=0), with EOB-run support
+    (T.81 G.1.2.2 / F.2.2.2)."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_huffman(reader, ac_table)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1  # this block consumes one
+            if r:
+                eobrun += reader.read_bits(r)
+            state["eobrun"] = eobrun
+            return
+        k += r
+        if k > se:
+            raise ValueError("AC coefficient index out of range")
+        zz[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+
+
+def _ac_refine(reader, zz, ac_table, ss, se, al, state):
+    """AC refinement scan (Ah=Al+1): newly-nonzero coefficients
+    arrive as +-1<<Al; already-nonzero ones receive one correction
+    bit each as the scan pointer passes them (T.81 G.1.2.3)."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _decode_huffman(reader, ac_table)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    state["eobrun"] = eobrun
+                    break
+                # r == 15: ZRL — skip 16 zero-history positions below
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "invalid magnitude in AC refinement scan"
+                    )
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if zz[k] != 0:
+                    if reader.read_bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:  # EOB run: correct every remaining nonzero
+            if zz[k] != 0:
+                if reader.read_bit() and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else m1
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _decode_progressive_scan(
+    d, pos, prog, scan, ss, se, ah, al, huff_dc, huff_ac, restart, width, height
+):
+    comps = prog["comps"]
+    coef = prog["coef"]
+    reader = _BitReader(d, pos)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+    else:
+        if len(scan) != 1:
+            raise ValueError(
+                "progressive AC scans must be non-interleaved (Ns=1)"
+            )
+        if not (ss <= se <= 63):
+            raise ValueError("bad spectral selection")
+    pred = [0] * len(comps)
+    state = {"eobrun": 0}
+    unit = 0
+    try:
+        if ss == 0 and len(scan) > 1:  # interleaved DC scan: MCU order
+            for my in range(prog["mcus_y"]):
+                for mx in range(prog["mcus_x"]):
+                    if restart and unit and unit % restart == 0:
+                        reader.byte_align_skip_rst()
+                        pred = [0] * len(comps)
+                    for ci, tdc, _tac in scan:
+                        _, ch, cv, _tq = comps[ci]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                _dc_unit(
+                                    reader,
+                                    coef[ci][my * cv + by, mx * ch + bx],
+                                    huff_dc[tdc] if ah == 0 else None,
+                                    pred,
+                                    ci,
+                                    ah,
+                                    al,
+                                )
+                    unit += 1
+        else:  # non-interleaved: the component's own block grid
+            ci, tdc, tac = scan[0]
+            c = comps[ci]
+            bh, bw = _comp_block_grid(
+                c, width, height, prog["hmax"], prog["vmax"]
+            )
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart and unit and unit % restart == 0:
+                        reader.byte_align_skip_rst()
+                        pred = [0] * len(comps)
+                        state["eobrun"] = 0
+                    zz = coef[ci][by, bx]
+                    if ss == 0:
+                        _dc_unit(
+                            reader,
+                            zz,
+                            huff_dc[tdc] if ah == 0 else None,
+                            pred,
+                            ci,
+                            ah,
+                            al,
+                        )
+                    elif ah == 0:
+                        _ac_first(reader, zz, huff_ac[tac], ss, se, al, state)
+                    else:
+                        _ac_refine(reader, zz, huff_ac[tac], ss, se, al, state)
+                    unit += 1
+    except _RestartMarker:
+        raise ValueError("restart marker misaligned with DRI")
+    return _next_marker_pos(d, reader.pos)
+
+
+def _next_marker_pos(d, pos):
+    """First real marker at/after pos: skips entropy bytes, stuffed
+    FF00, fill 0xFFs, and stray RSTn."""
+    n = len(d)
+    p = pos
+    while p + 1 < n:
+        if d[p] == 0xFF:
+            nxt = d[p + 1]
+            if nxt == 0x00:
+                p += 2
+                continue
+            if nxt == 0xFF:
+                p += 1
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    return n  # no further marker — the missing-EOI tail contract
+
+
+def _reconstruct_progressive(prog, comps, width, height, qt):
+    comps_n, hmax, vmax = prog["comps"], prog["hmax"], prog["vmax"]
+    planes = []
+    for ci, c in enumerate(comps_n):
+        q = qt[c[3]]
+        arr = prog["coef"][ci]
+        bh, bw = arr.shape[0], arr.shape[1]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        for by in range(bh):
+            for bx in range(bw):
+                coeffs = np.zeros(64, dtype=np.float64)
+                coeffs[ZIGZAG] = arr[by, bx] * q
+                blk = coeffs.reshape(8, 8)
+                # same matmul as the baseline path -> bit-identical
+                # reconstruction of identical coefficients
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _C8.T @ blk @ _C8
+                )
+        planes.append(plane)
+    return _assemble(planes, comps_n, width, height, hmax, vmax)
+
+
 # ---- encoder ----
 
 
@@ -541,21 +858,10 @@ def _encode_block(w: _BitWriter, block, qtab, codes_dc, codes_ac, pred, ci):
 _SUBSAMPLINGS = {"444": (1, 1), "422": (2, 1), "440": (1, 2), "420": (2, 2)}
 
 
-def encode_jpeg(
-    width: int,
-    height: int,
-    pixels: bytes,
-    mode: str = "RGB",
-    quality: int = 90,
-    subsampling: str = "444",
-) -> bytes:
-    """Encode raw 8-bit pixels (row-major interleaved, like
-    encode_png) as a baseline JFIF JPEG. `subsampling` picks the
-    chroma layout for RGB input — "444" (h1v1), "422" (h2v1),
-    "440" (h1v2), or "420" (h2v2); chroma is box-averaged down and
-    the scan is MCU-interleaved per T.81 A.2.3. Single component for
-    "L". Round-trips through decode_jpeg and any conforming decoder
-    within quantization (+ chroma-resample) error."""
+def _enc_setup(width, height, pixels, mode, quality, subsampling):
+    """Shared encoder front end: level-shifted YCbCr (or L) planes
+    padded to whole MCUs (edge replicate), chroma box-averaged down,
+    zigzag-order quant tables."""
     if mode not in ("L", "RGB"):
         raise ValueError("encode_jpeg supports modes L and RGB")
     if subsampling not in _SUBSAMPLINGS:
@@ -575,8 +881,6 @@ def encode_jpeg(
         ]
     else:
         full = [px[..., 0] - 128]
-    # pad every plane to whole MCUs up front (edge replicate), then
-    # box-average chroma — all block extraction below is exact slices
     mcu_w, mcu_h = 8 * hs, 8 * vs
     mcus_x = (width + mcu_w - 1) // mcu_w
     mcus_y = (height + mcu_h - 1) // mcu_h
@@ -595,30 +899,60 @@ def encode_jpeg(
     qy = _quality_scale(_STD_LUMA_Q, quality)[ZIGZAG]
     qc = _quality_scale(_STD_CHROMA_Q, quality)[ZIGZAG]
     qtabs = [qy] + [qc] * (ch - 1)
+    return planes, qtabs, qy, qc, ch, hs, vs, mcus_x, mcus_y
 
+
+def _enc_headers(width, height, ch, hs, vs, qy, qc, sof, ac_tables=None):
+    """SOI + JFIF APP0 + DQT(s) + SOF (0xC0 baseline / 0xC2
+    progressive) + DHTs (the typical tables, or ``ac_tables``
+    overriding the AC pair — the progressive encoder's EOBn-capable
+    table)."""
+    ac_luma, ac_chroma = ac_tables or (_AC_LUMA, _AC_CHROMA)
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     for tq, q in enumerate([qy] if ch == 1 else [qy, qc]):
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
         out += bytes(int(v) for v in q)
-    out += b"\xff\xc0" + struct.pack(">H", 8 + 3 * ch, ) + bytes([8])
+    out += bytes([0xFF, sof]) + struct.pack(">H", 8 + 3 * ch) + bytes([8])
     out += struct.pack(">HH", height, width) + bytes([ch])
     for c in range(ch):
         hv = (hs << 4) | vs if c == 0 else 0x11
         out += bytes([c + 1, hv, 0 if c == 0 else 1])
     tables = (
-        [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
+        [(0x00, _DC_LUMA), (0x10, ac_luma)]
         if ch == 1
         else [
             (0x00, _DC_LUMA),
-            (0x10, _AC_LUMA),
+            (0x10, ac_luma),
             (0x01, _DC_CHROMA),
-            (0x11, _AC_CHROMA),
+            (0x11, ac_chroma),
         ]
     )
     for tid, (bits, values) in tables:
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(values))
         out += bytes([tid] + bits + values)
+    return out
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    pixels: bytes,
+    mode: str = "RGB",
+    quality: int = 90,
+    subsampling: str = "444",
+) -> bytes:
+    """Encode raw 8-bit pixels (row-major interleaved, like
+    encode_png) as a baseline JFIF JPEG. `subsampling` picks the
+    chroma layout for RGB input — "444" (h1v1), "422" (h2v1),
+    "440" (h1v2), or "420" (h2v2); chroma is box-averaged down and
+    the scan is MCU-interleaved per T.81 A.2.3. Single component for
+    "L". Round-trips through decode_jpeg and any conforming decoder
+    within quantization (+ chroma-resample) error."""
+    planes, qtabs, qy, qc, ch, hs, vs, mcus_x, mcus_y = _enc_setup(
+        width, height, pixels, mode, quality, subsampling
+    )
+    out = _enc_headers(width, height, ch, hs, vs, qy, qc, sof=0xC0)
     out += b"\xff\xda" + struct.pack(">H", 6 + 2 * ch) + bytes([ch])
     for c in range(ch):
         out += bytes([c + 1, 0x00 if c == 0 else 0x11])
@@ -655,5 +989,246 @@ def encode_jpeg(
                 )
     w.flush()
     out += w.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---- progressive encoder (T.81 Annex G) ----
+#
+# Emits the same quantized coefficients as encode_jpeg, split across
+# a simple spec-legal scan script: interleaved DC first (Al=1) + DC
+# refinement (Al=0), then per component AC 1..63 first (Al=1) and AC
+# refinement (Al=0), with cross-block EOB runs (up to the spec max
+# 32767) in both AC scan kinds. Exists so the progressive DECODER is
+# round-trip-testable in a container with no image libraries;
+# decode(encode_jpeg_progressive(x)) is BIT-IDENTICAL to
+# decode(encode_jpeg(x)) at the same quality.
+
+
+def _sos_header(comp_specs, ss, se, ah, al):
+    out = bytearray(
+        b"\xff\xda"
+        + struct.pack(">H", 6 + 2 * len(comp_specs))
+        + bytes([len(comp_specs)])
+    )
+    for cid, tdc, tac in comp_specs:
+        out += bytes([cid, (tdc << 4) | tac])
+    out += bytes([ss, se, (ah << 4) | al])
+    return out
+
+
+def _enc_dc_first(w, v, codes_dc, pred, ci):
+    diff = v - pred[ci]
+    pred[ci] = v
+    t = int(diff).bit_length() if diff else 0
+    ln, code = codes_dc[t]
+    w.write(code, ln)
+    if t:
+        w.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+
+
+def _flush_eobrun(w, codes_ac, state):
+    """Emit the pending EOB run — symbol (r,0) with r = floor(log2 n)
+    plus r extra bits (T.81 G.1.2.2) — followed by the buffered
+    correction bits of the run's blocks (refinement scans only)."""
+    n = state["eobrun"]
+    if n > 0:
+        r = n.bit_length() - 1
+        ln, code = codes_ac[r << 4]
+        w.write(code, ln)
+        if r:
+            w.write(n - (1 << r), r)
+        state["eobrun"] = 0
+    for b in state["pending"]:
+        w.write(b, 1)
+    state["pending"] = []
+
+
+def _enc_ac_first(w, zz, codes_ac, al, state):
+    """First AC scan of band 1..63 at point transform Al (magnitudes
+    truncated toward zero per G.1.2.2). Trailing/whole-block zeros
+    accumulate into cross-block EOB runs in ``state``."""
+    vals = []
+    for k in range(1, 64):
+        v = int(zz[k])
+        mag = abs(v) >> al
+        vals.append(mag if v >= 0 else -mag)
+    last = -1
+    for i, v in enumerate(vals):
+        if v:
+            last = i
+    if last == -1:  # whole band empty: block joins the EOB run
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(w, codes_ac, state)
+        return
+    _flush_eobrun(w, codes_ac, state)
+    r = 0
+    for i in range(last + 1):
+        v = vals[i]
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            ln, code = codes_ac[0xF0]
+            w.write(code, ln)
+            r -= 16
+        s = abs(v).bit_length()
+        ln, code = codes_ac[(r << 4) | s]
+        w.write(code, ln)
+        w.write(v if v > 0 else v + (1 << s) - 1, s)
+        r = 0
+    if last < 62:
+        state["eobrun"] += 1  # this block's tail starts/continues a run
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(w, codes_ac, state)
+
+
+def _enc_ac_refine(w, zz, codes_ac, al, state):
+    """AC refinement of band 1..63 (Ah=Al+1), per T.81 G.1.2.3:
+    newly-nonzero coefficients (|v|>>Al == 1) emit (run,1)+sign;
+    already-nonzero ones buffer one correction bit, flushed after the
+    next symbol so the decoder consumes them as its scan pointer
+    passes. Blocks without newly-nonzero coefficients join the
+    cross-block EOB run, their correction bits buffered in
+    ``state['pending']`` and emitted right after the run symbol."""
+    temps = []
+    signs = []
+    for k in range(1, 64):
+        v = int(zz[k])
+        temps.append(abs(v) >> al)
+        signs.append(v >= 0)
+    eob = -1
+    for i, t in enumerate(temps):
+        if t == 1:
+            eob = i
+    if eob == -1:  # no newly-nonzero: whole block joins the EOB run
+        state["eobrun"] += 1
+        state["pending"].extend(t & 1 for t in temps if t > 1)
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(w, codes_ac, state)
+        return
+    _flush_eobrun(w, codes_ac, state)
+    r = 0
+    br: list[int] = []
+    for i, t in enumerate(temps):
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob:
+            ln, code = codes_ac[0xF0]
+            w.write(code, ln)
+            r -= 16
+            for b in br:
+                w.write(b, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)
+            continue
+        ln, code = codes_ac[(r << 4) | 1]
+        w.write(code, ln)
+        r = 0
+        w.write(1 if signs[i] else 0, 1)
+        for b in br:
+            w.write(b, 1)
+        br = []
+    if r > 0 or br:
+        state["eobrun"] += 1  # tail joins the run; corrections pend
+        state["pending"].extend(br)
+        if state["eobrun"] == 0x7FFF:
+            _flush_eobrun(w, codes_ac, state)
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    pixels: bytes,
+    mode: str = "RGB",
+    quality: int = 90,
+    subsampling: str = "444",
+) -> bytes:
+    """Progressive (SOF2) counterpart of encode_jpeg: identical
+    coefficients, delivered as DC-first / DC-refine / per-component
+    AC-first / AC-refine scans. Decodes (here and in any conforming
+    decoder) to exactly the pixels of the equivalent baseline
+    stream."""
+    planes, qtabs, qy, qc, ch, hs, vs, mcus_x, mcus_y = _enc_setup(
+        width, height, pixels, mode, quality, subsampling
+    )
+    # quantized coefficient grids (zigzag order), MCU-padded like the
+    # decoder's
+    coefs = []
+    for c in range(ch):
+        fh, fv = (hs, vs) if c == 0 else (1, 1)
+        bh, bw = mcus_y * fv, mcus_x * fh
+        arr = np.zeros((bh, bw, 64), dtype=np.int64)
+        plane = planes[c]
+        for by in range(bh):
+            for bx in range(bw):
+                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                d = _C8 @ blk @ _C8.T
+                arr[by, bx] = np.round(
+                    d.reshape(-1)[ZIGZAG] / qtabs[c]
+                ).astype(np.int64)
+        coefs.append(arr)
+
+    out = _enc_headers(
+        width, height, ch, hs, vs, qy, qc, sof=0xC2,
+        ac_tables=(_AC_PROG, _AC_PROG),
+    )
+    cdc = [_build_codes(*_DC_LUMA)] + [_build_codes(*_DC_CHROMA)] * (ch - 1)
+    cac = [_build_codes(*_AC_PROG)] * ch
+    comp_ids = [(c + 1, 0 if c == 0 else 1, 0 if c == 0 else 1) for c in range(ch)]
+    samp = [(hs, vs) if c == 0 else (1, 1) for c in range(ch)]
+    comps_spec = [(c + 1, samp[c][0], samp[c][1], 0) for c in range(ch)]
+
+    # scan 1: DC first, interleaved, Al=1
+    out += _sos_header(comp_ids, 0, 0, 0, 1)
+    w = _BitWriter()
+    pred = [0] * ch
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for c in range(ch):
+                fh, fv = samp[c]
+                for by in range(fv):
+                    for bx in range(fh):
+                        v = int(coefs[c][my * fv + by, mx * fh + bx, 0]) >> 1
+                        _enc_dc_first(w, v, cdc[c], pred, c)
+    w.flush()
+    out += w.out
+
+    # scan 2: DC refinement, interleaved, Al=0 (raw bits)
+    out += _sos_header(comp_ids, 0, 0, 1, 0)
+    w = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for c in range(ch):
+                fh, fv = samp[c]
+                for by in range(fv):
+                    for bx in range(fh):
+                        w.write(
+                            int(coefs[c][my * fv + by, mx * fh + bx, 0]) & 1,
+                            1,
+                        )
+    w.flush()
+    out += w.out
+
+    # per component: AC first (Al=1) then AC refine (Al=0), each over
+    # the component's OWN block grid (non-interleaved scans)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    for c in range(ch):
+        bh, bw = _comp_block_grid(comps_spec[c], width, height, hmax, vmax)
+        for ah, al, fn in ((0, 1, _enc_ac_first), (1, 0, _enc_ac_refine)):
+            out += _sos_header([comp_ids[c]], 1, 63, ah, al)
+            w = _BitWriter()
+            state = {"eobrun": 0, "pending": []}
+            for by in range(bh):
+                for bx in range(bw):
+                    fn(w, coefs[c][by, bx], cac[c], al, state)
+            _flush_eobrun(w, cac[c], state)
+            w.flush()
+            out += w.out
+
     out += b"\xff\xd9"  # EOI
     return bytes(out)

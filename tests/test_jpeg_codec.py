@@ -12,6 +12,7 @@ from hypothesis import strategies as st
 from mcp_iceberg_duckdb_spark.functions.jpeg import (
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_progressive,
     is_jpeg,
 )
 
@@ -64,10 +65,11 @@ def test_is_jpeg_and_corrupt_inputs_raise():
         decode_jpeg(b"not a jpeg at all")
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8\xff\xe0 truncated")
-    # progressive (SOF2) must be rejected, not mis-decoded
-    with pytest.raises(ValueError, match="baseline"):
+    # arithmetic-coded (SOF9) must be rejected, not mis-decoded
+    # (progressive SOF2 is decoded as of round 10)
+    with pytest.raises(ValueError, match="SOF0"):
         decode_jpeg(
-            b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+            b"\xff\xd8\xff\xc9\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
         )
 
 
@@ -211,6 +213,111 @@ def test_bitreader_acc_stays_bounded():
     for _ in range(400_000):
         r.read_bit()
     assert r.acc < 256, f"acc grew to {r.acc.bit_length()} bits"
+
+
+@pytest.mark.parametrize(
+    "mode,subsampling", [("L", "444"), ("RGB", "444"), ("RGB", "420"), ("RGB", "422")]
+)
+@pytest.mark.parametrize("quality", [30, 90])
+def test_progressive_bit_identical_to_baseline(mode, subsampling, quality):
+    """Progressive (SOF2) decoding: a progressive stream carries the
+    SAME quantized coefficients as the equivalent baseline stream, so
+    decoding must produce BIT-IDENTICAL pixels — the strongest
+    possible differential between the two entropy pipelines (DC
+    first/refine + per-band AC first/refine with EOB runs vs one
+    sequential scan). Odd dims force partial MCUs; noise forces ZRL
+    and correction-bit paths."""
+    h, w = 37, 51
+    ch = 1 if mode == "L" else 3
+    rng = np.random.RandomState(11)
+    yy, xx = np.mgrid[0:h, 0:w]
+    arr = np.clip(
+        rng.randint(60, 196, size=(1, 1, ch))
+        + (40 * np.cos(xx / 5) * np.cos(yy / 6))[..., None]
+        + rng.randint(-20, 21, size=(h, w, ch)),
+        0,
+        255,
+    ).astype(np.uint8)
+    base = decode_jpeg(
+        encode_jpeg(w, h, arr.tobytes(), mode, quality, subsampling=subsampling)
+    )
+    prog = decode_jpeg(
+        encode_jpeg_progressive(
+            w, h, arr.tobytes(), mode, quality, subsampling=subsampling
+        )
+    )
+    assert prog["mode"] == base["mode"]
+    assert prog["pixels"] == base["pixels"]
+
+
+def test_progressive_long_eob_runs():
+    """A flat image's AC scans are one cross-block EOB run (63 blocks
+    -> EOBn symbol with run > 1) — exercises the decoder's
+    eobrun-skip path in both first and refinement scans; a wide
+    gradient exercises DC-heavy streams."""
+    flat = np.full((64, 64), 77, dtype=np.uint8)
+    assert (
+        decode_jpeg(encode_jpeg_progressive(64, 64, flat.tobytes(), "L", 90))[
+            "pixels"
+        ]
+        == decode_jpeg(encode_jpeg(64, 64, flat.tobytes(), "L", 90))["pixels"]
+    )
+    grad = np.tile(np.arange(256, dtype=np.uint8), (64, 1))
+    assert (
+        decode_jpeg(encode_jpeg_progressive(256, 64, grad.tobytes(), "L", 40))[
+            "pixels"
+        ]
+        == decode_jpeg(encode_jpeg(256, 64, grad.tobytes(), "L", 40))["pixels"]
+    )
+
+
+def test_progressive_truncation_contract():
+    """Progressive streams are renderable prefixes BY DESIGN: a cut
+    may (a) raise ValueError (mid-entropy / mid-segment) or (b) decode
+    to a full-size image from the scans received so far (partial
+    refinement). Nothing else — no IndexError/KeyError/struct.error
+    may escape, and any successful decode must be full-size."""
+    arr = np.clip(
+        128 + 60 * np.cos(np.mgrid[0:24, 0:24][1] / 4), 0, 255
+    ).astype(np.uint8)
+    j = encode_jpeg_progressive(24, 24, arr.tobytes(), "L", 90)
+    full = decode_jpeg(j)
+    partial_ok = 0
+    for cut in range(2, len(j) - 1):
+        try:
+            d = decode_jpeg(j[:cut])
+        except ValueError:
+            continue
+        partial_ok += 1
+        assert (d["width"], d["height"]) == (full["width"], full["height"])
+    assert partial_ok < len(j) - 3  # some cuts must still fail
+
+
+def test_progressive_pil_crosscheck_when_available():
+    """When PIL exists: decode PIL's own progressive output (the
+    real-world bitstream, optimized tables + its scan script) and
+    check our encoder's progressive stream decodes in PIL."""
+    try:
+        from PIL import Image
+    except ImportError:
+        pytest.skip("PIL not in this container")
+    import io
+
+    yy, xx = np.mgrid[0:40, 0:56]
+    arr = np.stack(
+        [128 + 50 * np.cos(xx / 8), 128 + 50 * np.cos(yy / 9), xx * 0 + 99],
+        axis=-1,
+    ).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(
+        buf, format="JPEG", quality=95, progressive=True
+    )
+    d = decode_jpeg(buf.getvalue())
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(40, 56, 3)
+    assert np.abs(got.astype(int) - arr.astype(int)).max() <= 40
+    ours = encode_jpeg_progressive(56, 40, arr.tobytes(), "RGB", 95)
+    pil_out = np.asarray(Image.open(io.BytesIO(ours)).convert("RGB"))
+    assert np.abs(pil_out.astype(int) - arr.astype(int)).max() <= 12
 
 
 def test_every_truncation_point_raises_valueerror():
