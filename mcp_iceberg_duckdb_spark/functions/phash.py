@@ -33,8 +33,13 @@ import hashlib
 
 import numpy as np
 
-from mcp_iceberg_duckdb_spark.functions.jpeg import decode_jpeg, encode_jpeg
-from mcp_iceberg_duckdb_spark.functions.png import encode_png
+from mcp_iceberg_duckdb_spark.functions.jpeg import (
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_progressive,
+    is_jpeg,
+)
+from mcp_iceberg_duckdb_spark.functions.png import decode_png, encode_png
 
 PH_BANDS = 4  # 4 bands x 16 bits = 64-bit hash
 PH_SIZE = 32  # resample target (pHash spec)
@@ -136,6 +141,39 @@ def planted_jpeg(doc_id: int) -> bytes:
     return encode_jpeg(
         g.shape[1], g.shape[0], g.tobytes(), "L", _JPEG_QUALITY
     )
+
+
+def planted_mixed_payload(doc_id: int) -> bytes:
+    """The mixed-codec corpus: each asset stored in the format a web
+    crawl would hand you — doc_id % 3 == 0 -> lossless PNG, 1 ->
+    baseline JPEG q95, 2 -> progressive JPEG q95. Planted near-dup
+    pairs (ids = 0,1 mod 50) therefore land in DIFFERENT codecs, so
+    matching them requires the hash to survive cross-codec decode."""
+    did = int(doc_id)
+    f = did % 3
+    g = planted_gray(did)
+    if f == 0:
+        return encode_png(g.shape[1], g.shape[0], g.tobytes(), "L")
+    if f == 1:
+        return encode_jpeg(
+            g.shape[1], g.shape[0], g.tobytes(), "L", _JPEG_QUALITY
+        )
+    # module-level imports only: an in-body package import would
+    # execute on PYTHONPATH-less workers and defeat by-value pickling
+    return encode_jpeg_progressive(
+        g.shape[1], g.shape[0], g.tobytes(), "L", _JPEG_QUALITY
+    )
+
+
+def mixed_phash(doc_id: int) -> int:
+    """pHash of a mixed-codec asset after a real sniff-and-decode
+    (PNG signature vs JPEG SOI — never trusting metadata)."""
+    payload = planted_mixed_payload(doc_id)
+    d = decode_jpeg(payload) if is_jpeg(payload) else decode_png(payload)
+    g = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(
+        d["height"], d["width"]
+    )
+    return phash64(g)
 
 
 def jpeg_phash(doc_id: int) -> int:

@@ -157,6 +157,42 @@ def jpeg_phash_ref(doc_id: int) -> int:
     )
 
 
+def mixed_phash_ref(doc_id: int) -> int:
+    """Twin of the mixed-codec pipeline: independent generator +
+    independent pHash around the shared vendored codecs (doc_id % 3:
+    0 -> PNG, 1 -> baseline JPEG q95, 2 -> progressive JPEG q95)."""
+    from mcp_iceberg_duckdb_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+        is_jpeg,
+    )
+    from mcp_iceberg_duckdb_spark.functions.png import (
+        decode_png,
+        encode_png,
+    )
+
+    did = int(doc_id)
+    g = planted_gray_ref(did)
+    f = did % 3
+    if f == 0:
+        payload = encode_png(g.shape[1], g.shape[0], g.tobytes(), "L")
+    elif f == 1:
+        payload = encode_jpeg(
+            g.shape[1], g.shape[0], g.tobytes(), "L", _JPEG_Q
+        )
+    else:
+        payload = encode_jpeg_progressive(
+            g.shape[1], g.shape[0], g.tobytes(), "L", _JPEG_Q
+        )
+    d = decode_jpeg(payload) if is_jpeg(payload) else decode_png(payload)
+    return phash64_ref(
+        np.frombuffer(d["pixels"], dtype=np.uint8).reshape(
+            d["height"], d["width"]
+        )
+    )
+
+
 def reference_phash_pairs_ref(
     doc_ids, max_hamming: int, hash_fn=None
 ) -> list[tuple[int, int, int]]:

@@ -920,3 +920,121 @@ def x_multimodal_phash_jpeg_robust(spark, sf_dir):
         schema="asset_id long, b0 bigint, b1 bigint, b2 bigint, b3 bigint",
     )
     return banded_hamming_pairs(sigs, _PH_DCT_MAX_HAMMING)
+
+
+# ---- mixed-codec corpus dedup (PNG + baseline JPEG + progressive
+# JPEG — the real shape of a web crawl) ----
+
+
+def _mixed_codec_oracle() -> str:
+    """Certificate oracle for x_multimodal_mixed_codec_dedup: the
+    independent twin (functions/phash_ref.mixed_phash_ref — its own
+    generator + pHash around the shared vendored codecs) runs the
+    identical sniff-and-decode pipeline locally and renders the
+    expected pairs as VALUES. SF dir from SPARK_GRAFT_ORACLE_SF_DIR."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from mcp_iceberg_duckdb_spark.functions.phash_ref import (
+        mixed_phash_ref,
+        reference_phash_pairs_ref,
+    )
+
+    sf = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    try:
+        doc_ids = [
+            d
+            for d in pq_.read_table(
+                f"{sf}/documents.parquet", columns=["doc_id"]
+            )
+            .column("doc_id")
+            .to_pylist()
+            if d % 10 < 2
+        ]
+    except OSError:
+        # missing fixture: empty relation, not a registry-wide
+        # oracle_sql() failure — see _phash_dedup_oracle
+        doc_ids = []
+    pairs = reference_phash_pairs_ref(
+        doc_ids, _PH_DCT_MAX_HAMMING, hash_fn=mixed_phash_ref
+    )
+    if not pairs:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS asset_a, "
+            "CAST(NULL AS BIGINT) AS asset_b, "
+            "CAST(NULL AS INTEGER) AS hamming WHERE FALSE"
+        )
+    rows = ", ".join(f"({a}, {b}, {h})" for a, b, h in pairs)
+    return f"""
+    SELECT CAST(asset_a AS BIGINT) AS asset_a,
+           CAST(asset_b AS BIGINT) AS asset_b,
+           CAST(hamming AS INTEGER) AS hamming
+    FROM (VALUES {rows}) AS v(asset_a, asset_b, hamming)
+    """
+
+
+@query(
+    "x_multimodal_mixed_codec_dedup",
+    oracle=_mixed_codec_oracle,
+    tags=("multimodal", "dedup", "tierx"),
+)
+def x_multimodal_mixed_codec_dedup(spark, sf_dir):
+    """Image dedup over a MIXED-CODEC corpus — the shape a real web
+    crawl hands you: each asset in a 20% subset (doc_id % 10 < 2) is
+    stored as lossless PNG, baseline JPEG q95, or progressive (SOF2)
+    JPEG q95 by doc_id % 3, so every planted near-dup pair spans TWO
+    DIFFERENT codecs. The executor pipeline sniffs the container
+    (PNG signature vs JPEG SOI — metadata is never trusted), decodes
+    with the matching vendored decoder (progressive goes through the
+    full Annex-G scan accumulation), pHashes the decoded pixels, and
+    joins via the same banded-hamming LSH. Cross-codec dup pairs
+    collide at hamming <= 6 while distinct images stay >= 18 —
+    content hashes (md5) are useless across re-encodes, which is
+    exactly the production motivation for perceptual hashing.
+
+    Scale: identical plan to x_multimodal_phash_dedup — one
+    shuffle-free generate+sniff+decode+hash mapInPandas stage, band
+    bucket join, never all-pairs. Certificate oracle: the independent
+    twin pipeline run locally (see _mixed_codec_oracle)."""
+    ids = (
+        t(spark, sf_dir)
+        .documents.select(F.col("doc_id").alias("asset_id"))
+        .where(F.col("doc_id") % 10 < 2)
+    )
+    planted_mixed_payload = _phash_mod.planted_mixed_payload
+    decode_jpeg = _jpeg_mod.decode_jpeg
+    is_jpeg_fn = _jpeg_mod.is_jpeg
+    decode_png = _png_mod.decode_png
+    phash64 = _phash_mod.phash64
+    phash_bands = _phash_mod.phash_bands
+
+    def gen_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            bands = []
+            for a in pdf["asset_id"]:
+                payload = planted_mixed_payload(int(a))
+                d = (
+                    decode_jpeg(payload)
+                    if is_jpeg_fn(payload)
+                    else decode_png(payload)
+                )
+                g = _np.frombuffer(d["pixels"], dtype=_np.uint8).reshape(
+                    d["height"], d["width"]
+                )
+                bands.append(phash_bands(phash64(g)))
+            rows = {"asset_id": pdf["asset_id"].values}
+            for b in range(_PH_BANDS):
+                rows[f"b{b}"] = [bb[b] for bb in bands]
+            yield _pd.DataFrame(rows)
+
+    sigs = ids.mapInPandas(
+        gen_hash,
+        schema="asset_id long, b0 bigint, b1 bigint, b2 bigint, b3 bigint",
+    )
+    return banded_hamming_pairs(sigs, _PH_DCT_MAX_HAMMING)

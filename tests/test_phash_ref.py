@@ -117,6 +117,39 @@ def test_mutation_entropy_collapse_is_caught():
     assert len(collapsed) == 100 * 99 // 2  # the explosion itself
 
 
+def test_mixed_codec_twin_equiv_and_margins():
+    """The mixed-codec pipeline (PNG / baseline JPEG / progressive
+    JPEG by doc_id % 3): engine and twin agree hash-for-hash, planted
+    CROSS-CODEC near-dup pairs collide at hamming <= 6, and distinct
+    images stay >= 12 — the semantic property that makes pHash (and
+    not md5) the production image-dedup key across re-encodes."""
+    ids = [i for i in range(300) if i % 10 < 2]
+    hashes = {}
+    for i in ids:
+        h = P.mixed_phash(i)
+        assert h == R.mixed_phash_ref(i), i
+        hashes[i] = h
+    dup_h = [
+        P.hamming64(hashes[i], hashes[i - 1])
+        for i in ids
+        if i % 50 == 1 and (i - 1) in hashes
+    ]
+    assert dup_h and max(dup_h) <= 6, dup_h
+    import itertools
+
+    dist_h = [
+        P.hamming64(hashes[a], hashes[b])
+        for a, b in itertools.combinations(ids[:30], 2)
+        if not (b - a == 1 and b % 50 == 1)
+    ]
+    assert min(dist_h) >= 12, min(dist_h)
+    # formats really do differ within a pair (0,1 mod 50 -> 0,1 mod 3
+    # or 2,0 etc. — never equal since 50 % 3 != 0... check directly)
+    for i in ids:
+        if i % 50 == 1:
+            assert i % 3 != (i - 1) % 3
+
+
 def test_twin_shares_no_code_with_engine_path():
     """Static pin: phash_ref must not import functions.phash (the
     point of the twin); functions.jpeg is the one documented shared
