@@ -6,6 +6,7 @@ from mcp_iceberg_duckdb_spark.operators import (  # noqa: F401
     dedup,
     diagnostics,
     graph,
+    iceberg_ops,
     joins,
     multimodal,
     pipeline_extra,

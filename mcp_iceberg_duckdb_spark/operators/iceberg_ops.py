@@ -1,0 +1,102 @@
+"""Iceberg-table queries over the vendored filesystem implementation
+(sources/iceberg_fs.py) — the no-jar path that makes the reference's
+core surface (SQL over Iceberg tables, IcebergConnection.py:107-177)
+actually executable in this container, with the manifest-level
+pruning the reference's full-download design lacks.
+
+The query materializes a real Iceberg v1 table (metadata JSON + Avro
+manifest list + Avro manifests + partitioned parquet) from the
+orders fixture, then answers an aggregate through the Iceberg scan
+path: snapshot -> manifest pruning (identity partition values +
+column bounds) -> spark.read over the surviving files. The oracle is
+the same aggregate straight off the source parquet — equality proves
+the whole table round-trip (write, commit, manifest stats, pruning,
+read) loses and invents nothing.
+
+At 100 TB: pruning happens on manifest metadata (KBs per thousands
+of files) before Spark lists a single data file; the residual filter
+still reaches the parquet scan as PushedFilters for row-group
+pruning. Tests: tests/test_iceberg_fs.py (pruning counts, time
+travel, Avro fuzz)."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from mcp_iceberg_duckdb_spark.operators._util import dec_sum, t
+from mcp_iceberg_duckdb_spark.registry import query
+
+_FILTERS = (
+    ("o_orderpriority", "=", "1-URGENT"),  # identity-partition prune
+    ("o_orderkey", ">=", 16),  # column-bounds prune
+)
+
+
+def iceberg_orders_table(spark, sf_dir: str) -> str:
+    """Materialize (once per sf fixture) the orders columns this
+    container's Iceberg types cover as a partitioned Iceberg v1
+    table under /tmp; reuse when the marker says it was built from
+    the same fixture."""
+    from mcp_iceberg_duckdb_spark.sources import iceberg_fs as ice
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    loc = f"/tmp/spark_graft_iceberg_orders_{key}"
+    marker = os.path.join(loc, "fixture.json")
+    try:
+        with open(marker) as fh:
+            if json.load(fh)["sf_dir"] == sf_dir:
+                return loc
+    except (OSError, ValueError, KeyError):
+        pass
+    shutil.rmtree(loc, ignore_errors=True)
+    orders = t(spark, sf_dir).orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    schema = ice.spark_schema_to_iceberg(orders)
+    ice.create_table(loc, schema, part_cols=["o_orderpriority"])
+    ice.append(spark, loc, orders)
+    with open(marker, "w") as fh:
+        json.dump({"sf_dir": sf_dir}, fh)
+    return loc
+
+
+@query(
+    "x_iceberg_fs_scan",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(30,6)) * CAST(100 AS DECIMAL(3,0)) + 0.5) AS DOUBLE) / CAST(100 AS DOUBLE) AS sum_price,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT' AND o_orderkey >= 16
+    GROUP BY o_orderpriority
+    """,
+    tags=("source", "iceberg", "tierx"),
+)
+def x_iceberg_fs_scan(spark, sf_dir):
+    """Aggregate over a REAL Iceberg table via the vendored scan
+    path: the orders fixture committed as a partitioned Iceberg v1
+    table (metadata JSON + Avro manifests, sources/iceberg_fs.py),
+    read back through snapshot resolution + manifest pruning — the
+    partition predicate eliminates 4/5 partitions at the MANIFEST
+    level (no file listed, no byte read) and the key predicate
+    prunes on stored column bounds; the oracle aggregates the source
+    parquet directly, so any loss/invention in the write-commit-scan
+    loop breaks value parity. Cites the reference's
+    IcebergConnection.py full-scan design as the contrast."""
+    from mcp_iceberg_duckdb_spark.sources.iceberg_fs import read_iceberg
+
+    loc = iceberg_orders_table(spark, sf_dir)
+    df = read_iceberg(spark, loc, filters=_FILTERS)
+    return df.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        dec_sum(F.col("o_totalprice")).alias("sum_price"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+        F.max("o_orderkey").cast("bigint").alias("max_key"),
+    )

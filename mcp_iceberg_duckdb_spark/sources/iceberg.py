@@ -19,6 +19,10 @@ tests/test_iceberg_live.py remains cleanly skipped. 2026-08-15
 (round 10) — re-probed: DNS to repo1.maven.org still fails, `find /
 -name 'iceberg-spark-runtime*'` still empty, pip index unreachable
 (PIL retry for the decode branch fails the same way); unchanged.
+Round 10 adds the jar-independent path instead: vendored Iceberg v1
+filesystem tables with spec-built Avro manifests
+(sources/iceberg_fs.py + sources/avro_io.py) — real create/append/
+snapshot/time-travel/pruning reads, oracled as x_iceberg_fs_scan.
 """
 
 from __future__ import annotations
