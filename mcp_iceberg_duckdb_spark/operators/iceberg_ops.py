@@ -100,3 +100,69 @@ def x_iceberg_fs_scan(spark, sf_dir):
         F.min("o_orderkey").cast("bigint").alias("min_key"),
         F.max("o_orderkey").cast("bigint").alias("max_key"),
     )
+
+
+_DEL_FILTERS = (
+    ("o_orderpriority", "=", "5-LOW"),
+    ("o_custkey", "<", 64),
+)
+
+
+@query(
+    "x_iceberg_fs_delete",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(30,6)) * CAST(100 AS DECIMAL(3,0)) + 0.5) AS DOUBLE) / CAST(100 AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE NOT (o_orderpriority = '5-LOW' AND o_custkey < 64)
+    GROUP BY o_orderpriority
+    """,
+    tags=("source", "iceberg", "dml", "tierx"),
+)
+def x_iceberg_fs_delete(spark, sf_dir):
+    """Copy-on-write DELETE on a real Iceberg table, verified through
+    the surviving rows: build the orders table (own location — this
+    query mutates), DELETE WHERE priority='5-LOW' AND custkey<64 via
+    sources/iceberg_fs.delete_where (manifest pruning bounds the
+    rewrite to the one affected partition; the other four files
+    survive as EXISTING entries, the replaced file is recorded
+    DELETED and stays time-travelable), then aggregate the table.
+    Oracle: the same aggregate over the source parquet with the
+    predicate negated — parity proves the rewrite removed exactly
+    the matching rows. Mirrors the reference's DELETE surface
+    (QueryManager routes DML to DuckDB; here it is a real Iceberg
+    overwrite snapshot)."""
+    import hashlib as _hashlib
+    import json as _json
+
+    from mcp_iceberg_duckdb_spark.sources import iceberg_fs as ice
+
+    key = _hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    loc = f"/tmp/spark_graft_iceberg_del_{key}"
+    marker = os.path.join(loc, "fixture.json")
+    built = False
+    try:
+        with open(marker) as fh:
+            built = _json.load(fh)["sf_dir"] == sf_dir
+    except (OSError, ValueError, KeyError):
+        pass
+    if not built:
+        shutil.rmtree(loc, ignore_errors=True)
+        orders = t(spark, sf_dir).orders.select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+        )
+        ice.create_table(
+            loc,
+            ice.spark_schema_to_iceberg(orders),
+            part_cols=["o_orderpriority"],
+        )
+        ice.append(spark, loc, orders)
+        ice.delete_where(spark, loc, list(_DEL_FILTERS))
+        with open(marker, "w") as fh:
+            _json.dump({"sf_dir": sf_dir}, fh)
+    df = ice.read_iceberg(spark, loc)
+    return df.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        dec_sum(F.col("o_totalprice")).alias("sum_price"),
+    )

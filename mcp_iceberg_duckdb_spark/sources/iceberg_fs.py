@@ -543,6 +543,143 @@ def plan_files(loc: str, snapshot_id=None, filters=()):
     return files, total
 
 
+def _apply_filters(df, filters):
+    from pyspark.sql import functions as F
+
+    ops = {
+        "=": lambda c, v: F.col(c) == v,
+        "<": lambda c, v: F.col(c) < v,
+        "<=": lambda c, v: F.col(c) <= v,
+        ">": lambda c, v: F.col(c) > v,
+        ">=": lambda c, v: F.col(c) >= v,
+    }
+    for col, op, val in filters:
+        df = df.filter(ops[op](col, val))
+    return df
+
+
+def delete_where(spark, loc: str, filters) -> dict:
+    """Copy-on-write DELETE (the Iceberg v1 overwrite pattern): files
+    whose partition/bounds CAN contain matching rows are rewritten
+    without them; provably-unaffected files survive untouched — the
+    same manifest pruning that accelerates reads bounds the rewrite
+    set. Commits an 'overwrite' snapshot whose manifest carries the
+    untouched files as EXISTING, the rewrites as ADDED, and the
+    replaced files as DELETED (manifest compaction into one manifest,
+    spec-legal)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    meta = read_table_meta(loc)
+    part_cols = [f["name"] for f in meta["partition-spec"]]
+    ice_schema = meta["schema"]
+    cols = [f["name"] for f in ice_schema["fields"]]
+    candidates, _ = plan_files(loc, filters=filters)
+    live, _ = plan_files(loc)
+    untouched = [f for f in live if f not in set(candidates)]
+
+    data_dir = os.path.join(loc, "data")
+    new_files: list[str] = []
+    if candidates:
+        before = _list_parquet(data_dir)
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        src = (
+            spark.read.option("basePath", data_dir)
+            .parquet(*candidates)
+            .select(*cols)
+        )
+        ops = {
+            "=": lambda c, v: F.col(c) == v,
+            "<": lambda c, v: F.col(c) < v,
+            "<=": lambda c, v: F.col(c) <= v,
+            ">": lambda c, v: F.col(c) > v,
+            ">=": lambda c, v: F.col(c) >= v,
+        }
+        conj = reduce(
+            lambda a, b: a & b,
+            [ops[op](col, val) for col, op, val in filters],
+        )
+        # keep rows NOT matching the conjunction (null-safe: a null
+        # predicate keeps the row — DELETE removes only proven matches)
+        kept = src.filter(~F.coalesce(conj, F.lit(False)))
+        writer = kept.write.mode("append")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(data_dir)
+        new_files = sorted(set(_list_parquet(data_dir)) - set(before))
+
+    snapshot_id = int(time.time() * 1000) * 1000 + len(meta["snapshots"])
+    entries = []
+    for status, paths in ((0, untouched), (1, new_files), (2, candidates)):
+        for path in paths:
+            part = _partition_from_path(path, part_cols, ice_schema)
+            stats = _file_stats(path, ice_schema, set(cols))
+            entries.append(
+                {
+                    "status": status,
+                    "snapshot_id": snapshot_id,
+                    "data_file": {
+                        "file_path": path,
+                        "file_format": "PARQUET",
+                        "partition": part,
+                        "record_count": stats["record_count"],
+                        "file_size_in_bytes": stats["file_size_in_bytes"],
+                        "block_size_in_bytes": 64 * 1024 * 1024,
+                        "value_counts": None,
+                        "null_value_counts": stats["null_value_counts"],
+                        "lower_bounds": stats["lower_bounds"],
+                        "upper_bounds": stats["upper_bounds"],
+                    },
+                }
+            )
+    mschema = _manifest_schema(part_cols, ice_schema)
+    mpath = os.path.join(_meta_dir(loc), f"{uuid.uuid4()}-m0.avro")
+    blob = write_container(mschema, entries)
+    with open(mpath, "wb") as fh:
+        fh.write(blob)
+    ml_path = os.path.join(
+        _meta_dir(loc), f"snap-{snapshot_id}-1-{uuid.uuid4()}.avro"
+    )
+    with open(ml_path, "wb") as fh:
+        fh.write(
+            write_container(
+                _MANIFEST_LIST_SCHEMA,
+                [
+                    {
+                        "manifest_path": mpath,
+                        "manifest_length": len(blob),
+                        "partition_spec_id": 0,
+                        "added_snapshot_id": snapshot_id,
+                        "added_data_files_count": len(new_files),
+                    }
+                ],
+            )
+        )
+    now_ms = int(time.time() * 1000)
+    snap = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": now_ms,
+        "summary": {
+            "operation": "overwrite",
+            "deleted-data-files": str(len(candidates)),
+            "added-data-files": str(len(new_files)),
+        },
+        "manifest-list": ml_path,
+    }
+    if meta["current-snapshot-id"] != -1:
+        snap["parent-snapshot-id"] = meta["current-snapshot-id"]
+    meta["snapshots"].append(snap)
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshot-log"].append(
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    )
+    meta["last-updated-ms"] = now_ms
+    _write_meta(loc, meta, _read_version(loc) + 1)
+    return snap
+
+
 def read_iceberg(spark, loc: str, snapshot_id=None, filters=()):
     """Iceberg scan -> Spark DataFrame: manifest-pruned file list
     into spark.read.parquet, residual filter re-applied inside Spark

@@ -165,6 +165,59 @@ def test_iceberg_snapshot_time_travel(spark, sf_dir, orders_table):
     assert meta["snapshots"][1]["parent-snapshot-id"] == snap1["snapshot-id"]
 
 
+def test_iceberg_copy_on_write_delete(spark, sf_dir, tmp_path):
+    """DELETE WHERE pred: only manifest-candidate files get
+    rewritten; survivors carry EXISTING entries; replaced files stay
+    time-travelable; values equal the source minus exact matches."""
+    loc = str(tmp_path / "del_tbl")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    ice.create_table(
+        loc, ice.spark_schema_to_iceberg(orders), part_cols=["o_orderpriority"]
+    )
+    snap1 = ice.append(spark, loc, orders)
+    pre_files, _ = ice.plan_files(loc)
+    median_key = orders.approxQuantile("o_custkey", [0.5], 0)[0]
+    filters = [("o_orderpriority", "=", "3-MEDIUM"), ("o_custkey", "<", int(median_key))]
+    snap2 = ice.delete_where(spark, loc, filters)
+    assert snap2["summary"]["operation"] == "overwrite"
+    # exactly the one affected partition was rewritten
+    assert snap2["summary"]["deleted-data-files"] == "1"
+    got = {
+        tuple(r)
+        for r in ice.read_iceberg(spark, loc).select("o_orderkey").collect()
+    }
+    want = {
+        tuple(r)
+        for r in orders.filter(
+            ~(
+                (F.col("o_orderpriority") == "3-MEDIUM")
+                & (F.col("o_custkey") < int(median_key))
+            )
+        )
+        .select("o_orderkey")
+        .collect()
+    }
+    assert got == want
+    # partial delete: the partition still has rows (rewrite, not drop)
+    remaining = (
+        ice.read_iceberg(
+            spark, loc, filters=[("o_orderpriority", "=", "3-MEDIUM")]
+        ).count()
+    )
+    assert 0 < remaining < orders.filter(
+        F.col("o_orderpriority") == "3-MEDIUM"
+    ).count()
+    # pre-delete snapshot still reads the full table
+    assert (
+        ice.read_iceberg(spark, loc, snapshot_id=snap1["snapshot-id"]).count()
+        == orders.count()
+    )
+    post_files, _ = ice.plan_files(loc)
+    assert len(post_files) == len(pre_files)  # 4 untouched + 1 rewrite
+
+
 def test_iceberg_unknown_snapshot_and_column_raise(spark, sf_dir, orders_table):
     loc, _, _ = orders_table
     with pytest.raises(ValueError, match="snapshot"):
