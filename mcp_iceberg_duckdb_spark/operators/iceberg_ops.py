@@ -166,3 +166,41 @@ def x_iceberg_fs_delete(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_orders"),
         dec_sum(F.col("o_totalprice")).alias("sum_price"),
     )
+
+
+@query(
+    "x_iceberg_fs_timetravel",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+    FROM orders
+    """,
+    tags=("source", "iceberg", "tierx"),
+)
+def x_iceberg_fs_timetravel(spark, sf_dir):
+    """Snapshot time travel as a first-class query: the DELETE
+    table's history still holds the pre-delete snapshot; reading AT
+    that snapshot id must reproduce the ORIGINAL table exactly even
+    though the current snapshot has rows removed and files rewritten.
+    Oracle: the unfiltered aggregate over the source parquet — parity
+    proves deleted data remains reachable through the snapshot log
+    (the Iceberg property backing reproducible training-data
+    lineage). Depends on x_iceberg_fs_delete's builder for the
+    mutated table."""
+    from mcp_iceberg_duckdb_spark.sources import iceberg_fs as ice
+
+    # ensure the table exists with its delete applied (the builder
+    # materializes the table eagerly; no action needed on its result)
+    x_iceberg_fs_delete(spark, sf_dir)
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    loc = f"/tmp/spark_graft_iceberg_del_{key}"
+    first_snap = ice.read_table_meta(loc)["snapshots"][0]["snapshot-id"]
+    df = ice.read_iceberg(spark, loc, snapshot_id=first_snap)
+    return df.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+        F.count_distinct("o_orderpriority").cast("bigint").alias(
+            "n_priorities"
+        ),
+    )
