@@ -204,3 +204,69 @@ def x_iceberg_fs_timetravel(spark, sf_dir):
             "n_priorities"
         ),
     )
+
+
+@query(
+    "x_iceberg_fs_update",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(floor(CAST(sum(CAST(
+               CASE WHEN o_orderpriority = '2-HIGH' AND o_custkey < 64
+                    THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END
+           AS DECIMAL(18,6))) AS DECIMAL(30,6)) * CAST(100 AS DECIMAL(3,0)) + 0.5) AS DOUBLE) / CAST(100 AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("source", "iceberg", "dml", "tierx"),
+)
+def x_iceberg_fs_update(spark, sf_dir):
+    """Copy-on-write UPDATE on a real Iceberg table: build the orders
+    table (own mutable location), UPDATE SET totalprice += 1000 WHERE
+    priority='2-HIGH' AND custkey<64 via iceberg_fs.update_where
+    (pruning bounds the rewrite to the one affected partition; the
+    exact +1000.0 double increment is engine-portable), then
+    aggregate. Oracle: the same aggregate over source parquet with
+    the CASE applied inline — parity proves matched rows changed
+    exactly as assigned and nothing else moved. The reference routes
+    UPDATE to DuckDB over its full download; here it is a real
+    Iceberg overwrite snapshot."""
+    import hashlib as _hashlib
+    import json as _json
+
+    from mcp_iceberg_duckdb_spark.sources import iceberg_fs as ice
+
+    key = _hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    loc = f"/tmp/spark_graft_iceberg_upd_{key}"
+    marker = os.path.join(loc, "fixture.json")
+    built = False
+    try:
+        with open(marker) as fh:
+            built = _json.load(fh)["sf_dir"] == sf_dir
+    except (OSError, ValueError, KeyError):
+        pass
+    if not built:
+        shutil.rmtree(loc, ignore_errors=True)
+        orders = t(spark, sf_dir).orders.select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+        )
+        ice.create_table(
+            loc,
+            ice.spark_schema_to_iceberg(orders),
+            part_cols=["o_orderpriority"],
+        )
+        ice.append(spark, loc, orders)
+        ice.update_where(
+            spark,
+            loc,
+            [("o_orderpriority", "=", "2-HIGH"), ("o_custkey", "<", 64)],
+            {"o_totalprice": F.col("o_totalprice") + 1000.0},
+        )
+        with open(marker, "w") as fh:
+            _json.dump({"sf_dir": sf_dir}, fh)
+    df = ice.read_iceberg(spark, loc)
+    return df.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        dec_sum(F.col("o_totalprice")).alias("sum_price"),
+    )

@@ -558,6 +558,24 @@ def _apply_filters(df, filters):
     return df
 
 
+def _conjunction(filters):
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    ops = {
+        "=": lambda c, v: F.col(c) == v,
+        "<": lambda c, v: F.col(c) < v,
+        "<=": lambda c, v: F.col(c) <= v,
+        ">": lambda c, v: F.col(c) > v,
+        ">=": lambda c, v: F.col(c) >= v,
+    }
+    return reduce(
+        lambda a, b: a & b,
+        [ops[op](col, val) for col, op, val in filters],
+    )
+
+
 def delete_where(spark, loc: str, filters) -> dict:
     """Copy-on-write DELETE (the Iceberg v1 overwrite pattern): files
     whose partition/bounds CAN contain matching rows are rewritten
@@ -567,8 +585,49 @@ def delete_where(spark, loc: str, filters) -> dict:
     untouched files as EXISTING, the rewrites as ADDED, and the
     replaced files as DELETED (manifest compaction into one manifest,
     spec-legal)."""
-    from pyspark.sql import functions as F  # noqa: F401
+    from pyspark.sql import functions as F
 
+    # null-safe: a null predicate keeps the row — DELETE removes only
+    # proven matches
+    return _cow_rewrite(
+        spark,
+        loc,
+        filters,
+        lambda src, conj: src.filter(~F.coalesce(conj, F.lit(False))),
+    )
+
+
+def update_where(spark, loc: str, filters, assignments) -> dict:
+    """Copy-on-write UPDATE: rewrite candidate files with
+    ``assignments`` ({column: Spark Column or literal}) applied to
+    rows matching the filter conjunction, all other rows byte-
+    identical. Same pruning-bounded rewrite + overwrite snapshot as
+    delete_where. Updating identity-partition columns is rejected
+    (it would require routing rows across partitions — out of scope
+    for the vendored path)."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    meta = read_table_meta(loc)
+    part_set = {f["name"] for f in meta["partition-spec"]}
+    bad = part_set.intersection(assignments)
+    if bad:
+        raise ValueError(f"cannot update partition columns {sorted(bad)}")
+
+    def rewrite(src, conj):
+        matched = F.coalesce(conj, F.lit(False))
+        out = src
+        for col, val in assignments.items():
+            new = val if isinstance(val, Column) else F.lit(val)
+            out = out.withColumn(
+                col, F.when(matched, new).otherwise(F.col(col))
+            )
+        return out
+
+    return _cow_rewrite(spark, loc, filters, rewrite)
+
+
+def _cow_rewrite(spark, loc: str, filters, rewrite_fn) -> dict:
     meta = read_table_meta(loc)
     part_cols = [f["name"] for f in meta["partition-spec"]]
     ice_schema = meta["schema"]
@@ -581,30 +640,13 @@ def delete_where(spark, loc: str, filters) -> dict:
     new_files: list[str] = []
     if candidates:
         before = _list_parquet(data_dir)
-        from functools import reduce
-
-        from pyspark.sql import functions as F
-
         src = (
             spark.read.option("basePath", data_dir)
             .parquet(*candidates)
             .select(*cols)
         )
-        ops = {
-            "=": lambda c, v: F.col(c) == v,
-            "<": lambda c, v: F.col(c) < v,
-            "<=": lambda c, v: F.col(c) <= v,
-            ">": lambda c, v: F.col(c) > v,
-            ">=": lambda c, v: F.col(c) >= v,
-        }
-        conj = reduce(
-            lambda a, b: a & b,
-            [ops[op](col, val) for col, op, val in filters],
-        )
-        # keep rows NOT matching the conjunction (null-safe: a null
-        # predicate keeps the row — DELETE removes only proven matches)
-        kept = src.filter(~F.coalesce(conj, F.lit(False)))
-        writer = kept.write.mode("append")
+        replacement = rewrite_fn(src, _conjunction(filters)).select(*cols)
+        writer = replacement.write.mode("append")
         if part_cols:
             writer = writer.partitionBy(*part_cols)
         writer.parquet(data_dir)

@@ -224,3 +224,34 @@ def test_iceberg_unknown_snapshot_and_column_raise(spark, sf_dir, orders_table):
         ice.plan_files(loc, snapshot_id=42)
     with pytest.raises(ValueError, match="unknown column"):
         ice.plan_files(loc, filters=[("nope", "=", 1)])
+
+
+def test_iceberg_copy_on_write_update(spark, sf_dir, tmp_path):
+    """UPDATE SET col=expr WHERE pred: matched rows change exactly as
+    assigned, everything else byte-identical; partition-column
+    updates are rejected."""
+    loc = str(tmp_path / "upd_tbl")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    ice.create_table(
+        loc, ice.spark_schema_to_iceberg(orders), part_cols=["o_orderpriority"]
+    )
+    ice.append(spark, loc, orders)
+    filters = [("o_orderpriority", "=", "2-HIGH"), ("o_custkey", "<", 75)]
+    snap = ice.update_where(
+        spark, loc, filters, {"o_totalprice": F.col("o_totalprice") + 1000.0}
+    )
+    assert snap["summary"]["operation"] == "overwrite"
+    cond = (F.col("o_orderpriority") == "2-HIGH") & (F.col("o_custkey") < 75)
+    exp = orders.withColumn(
+        "o_totalprice",
+        F.when(cond, F.col("o_totalprice") + 1000.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    got = {tuple(r) for r in ice.read_iceberg(spark, loc).collect()}
+    want = {tuple(r) for r in exp.collect()}
+    assert got == want
+    with pytest.raises(ValueError, match="partition columns"):
+        ice.update_where(spark, loc, filters, {"o_orderpriority": "X"})
