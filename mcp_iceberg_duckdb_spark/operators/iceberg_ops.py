@@ -270,3 +270,212 @@ def x_iceberg_fs_update(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_orders"),
         dec_sum(F.col("o_totalprice")).alias("sum_price"),
     )
+
+
+def _mutable_table(spark, sf_dir: str, tag: str, build_fn) -> str:
+    """Build-once marker pattern shared by the mutating Iceberg
+    queries: materialize a per-(sf_dir, tag) table under /tmp via
+    ``build_fn(loc, orders_df)`` and reuse it while the marker says
+    it came from the same fixture."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    loc = f"/tmp/spark_graft_iceberg_{tag}_{key}"
+    marker = os.path.join(loc, "fixture.json")
+    try:
+        with open(marker) as fh:
+            if json.load(fh)["sf_dir"] == sf_dir:
+                return loc
+    except (OSError, ValueError, KeyError):
+        pass
+    shutil.rmtree(loc, ignore_errors=True)
+    orders = t(spark, sf_dir).orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    build_fn(loc, orders)
+    with open(marker, "w") as fh:
+        json.dump({"sf_dir": sf_dir}, fh)
+    return loc
+
+
+_DEC_SUM_SQL = (
+    "CAST(floor(CAST(sum(CAST({x} AS DECIMAL(18,6))) AS DECIMAL(30,6))"
+    " * CAST(100 AS DECIMAL(3,0)) + 0.5) AS DOUBLE) / CAST(100 AS DOUBLE)"
+)
+
+
+@query(
+    "x_iceberg_fs_merge",
+    oracle=f"""
+    WITH merged AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_custkey < 50 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderpriority
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, o_totalprice * 2,
+               o_orderpriority
+        FROM orders WHERE o_custkey < 20
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {_DEC_SUM_SQL.format(x='o_totalprice')} AS sum_price,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+    FROM merged
+    GROUP BY o_orderpriority
+    """,
+    tags=("source", "iceberg", "dml", "tierx"),
+)
+def x_iceberg_fs_merge(spark, sf_dir):
+    """MERGE INTO (upsert) on a real Iceberg table: the source holds
+    UPDATES (every order with custkey<50, price doubled — keys that
+    exist) and INSERTS (custkey<20 rows re-keyed +10M — keys that
+    don't), merged on o_orderkey via iceberg_fs.merge_into. The
+    rewrite set is bounds-pruned on the source's key range; matched
+    rows take the source's non-partition columns, unmatched source
+    rows are inserted (their partition value routes the write). The
+    *2 double arithmetic is exact in binary, so the oracle — the same
+    upsert expressed as CASE + UNION ALL over the source parquet —
+    must match to the bit. Reference parity: QueryManager routes
+    MERGE-shaped DML to DuckDB over a full download
+    (IcebergConnection.py:107-177); here it is an Iceberg overwrite
+    snapshot with a pruning-bounded rewrite."""
+    from mcp_iceberg_duckdb_spark.sources import iceberg_fs as ice
+
+    def build(loc, orders):
+        ice.create_table(
+            loc,
+            ice.spark_schema_to_iceberg(orders),
+            part_cols=["o_orderpriority"],
+        )
+        ice.append(spark, loc, orders)
+        updates = orders.filter(F.col("o_custkey") < 50).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        inserts = (
+            orders.filter(F.col("o_custkey") < 20)
+            .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        )
+        ice.merge_into(
+            spark, loc, updates.unionByName(inserts), on_cols=["o_orderkey"]
+        )
+
+    loc = _mutable_table(spark, sf_dir, "merge", build)
+    df = ice.read_iceberg(spark, loc)
+    return df.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        dec_sum(F.col("o_totalprice")).alias("sum_price"),
+        F.sum("o_custkey").cast("bigint").alias("sum_cust"),
+    )
+
+
+@query(
+    "x_iceberg_fs_schema_evolution",
+    oracle=f"""
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-evolution>'
+                ELSE o_orderpriority END AS prio,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+           {_DEC_SUM_SQL.format(x='o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("source", "iceberg", "ddl", "tierx"),
+)
+def x_iceberg_fs_schema_evolution(spark, sf_dir):
+    """Metadata-only ALTER TABLE ADD COLUMN, proven through the read
+    path: append even-keyed orders to a 3-column table, add
+    o_orderpriority (an O(1) metadata commit — zero data files
+    touched), append odd-keyed orders WITH the column, then read the
+    union — pre-evolution rows surface the new column as NULL
+    (labelled '<pre-evolution>'), post-evolution rows carry real
+    values, and per-group counts/sums prove no row was lost or
+    duplicated across the schema boundary. The oracle derives the
+    same partition of orders by key parity. At 100 TB this is the
+    difference between a metadata write and a full-table rewrite."""
+    from mcp_iceberg_duckdb_spark.sources import iceberg_fs as ice
+
+    def build(loc, orders):
+        base = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        ice.create_table(loc, ice.spark_schema_to_iceberg(base))
+        ice.append(spark, loc, base.filter(F.col("o_orderkey") % 2 == 0))
+        ice.add_column(loc, "o_orderpriority", "string")
+        ice.append(
+            spark,
+            loc,
+            orders.filter(F.col("o_orderkey") % 2 == 1).select(
+                "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+            ),
+        )
+
+    loc = _mutable_table(spark, sf_dir, "evo", build)
+    from mcp_iceberg_duckdb_spark.sources.iceberg_fs import read_iceberg
+
+    df = read_iceberg(spark, loc)
+    return df.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("<pre-evolution>")).alias(
+            "prio"
+        )
+    ).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+        dec_sum(F.col("o_totalprice")).alias("sum_price"),
+    )
+
+
+@query(
+    "x_iceberg_fs_compaction",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+           {_DEC_SUM_SQL.format(x='o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("source", "iceberg", "maintenance", "tierx"),
+)
+def x_iceberg_fs_compaction(spark, sf_dir):
+    """Small-files compaction + snapshot expiration, proven lossless:
+    orders appended in four key-sliced batches (the small-files
+    problem — every append commits per-task files into each of the 5
+    priority partitions), then compact_files rewrites to EXACTLY one
+    file per partition (repartition on the identity partition column
+    => 5 files, asserted in the builder) and expire_snapshots(1)
+    physically reclaims every orphaned parquet and Avro manifest.
+    The post-maintenance aggregate must equal the oracle's aggregate
+    over the raw source — compaction moved bytes, not data. This is
+    the RewriteDataFiles/ExpireSnapshots maintenance pair every
+    production Iceberg lake runs."""
+    from mcp_iceberg_duckdb_spark.sources import iceberg_fs as ice
+
+    def build(loc, orders):
+        ice.create_table(
+            loc,
+            ice.spark_schema_to_iceberg(orders),
+            part_cols=["o_orderpriority"],
+        )
+        for i in range(4):
+            ice.append(spark, loc, orders.filter(F.col("o_orderkey") % 4 == i))
+        n_before = len(ice.plan_files(loc)[0])
+        ice.compact_files(spark, loc)
+        files, _ = ice.plan_files(loc)
+        n_parts = orders.select("o_orderpriority").distinct().count()
+        assert len(files) == n_parts, (len(files), n_parts)
+        assert n_before > len(files), (n_before, len(files))
+        ice.expire_snapshots(loc, keep_last=1)
+        assert len(ice.read_table_meta(loc)["snapshots"]) == 1
+        # expiration physically reclaimed the orphans
+        live = set(ice.plan_files(loc)[0])
+        on_disk = set(ice._list_parquet(os.path.join(loc, "data")))
+        assert on_disk == live, (len(on_disk), len(live))
+
+    loc = _mutable_table(spark, sf_dir, "compact", build)
+    from mcp_iceberg_duckdb_spark.sources.iceberg_fs import read_iceberg
+
+    df = read_iceberg(spark, loc)
+    return df.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+        dec_sum(F.col("o_totalprice")).alias("sum_price"),
+    )

@@ -627,6 +627,51 @@ def update_where(spark, loc: str, filters, assignments) -> dict:
     return _cow_rewrite(spark, loc, filters, rewrite)
 
 
+_ICE_TO_SPARK = {
+    "long": "bigint",
+    "int": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+    "date": "date",
+}
+
+
+def _read_files(spark, loc: str, files, ice_schema):
+    """Read a set of the table's data files at the CURRENT schema:
+    mergeSchema unions per-file parquet schemas, and any schema
+    column absent from every file (added by ``add_column`` after the
+    files were written) is filled with typed nulls — the Iceberg
+    read-side of metadata-only schema evolution."""
+    from pyspark.sql import functions as F
+
+    cols = [f["name"] for f in ice_schema["fields"]]
+    df = (
+        spark.read.option("basePath", os.path.join(loc, "data"))
+        .option("mergeSchema", "true")
+        .parquet(*files)
+    )
+    for f in ice_schema["fields"]:
+        if f["name"] not in df.columns:
+            df = df.withColumn(
+                f["name"], F.lit(None).cast(_ICE_TO_SPARK[f["type"]])
+            )
+    return df.select(*cols)
+
+
+def _write_replacement(spark, loc: str, replacement, part_cols):
+    """Write the replacement rows as new parquet under data/ and
+    return the new file paths."""
+    data_dir = os.path.join(loc, "data")
+    before = _list_parquet(data_dir)
+    writer = replacement.write.mode("append")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(data_dir)
+    return sorted(set(_list_parquet(data_dir)) - set(before))
+
+
 def _cow_rewrite(spark, loc: str, filters, rewrite_fn) -> dict:
     meta = read_table_meta(loc)
     part_cols = [f["name"] for f in meta["partition-spec"]]
@@ -636,22 +681,29 @@ def _cow_rewrite(spark, loc: str, filters, rewrite_fn) -> dict:
     live, _ = plan_files(loc)
     untouched = [f for f in live if f not in set(candidates)]
 
-    data_dir = os.path.join(loc, "data")
     new_files: list[str] = []
     if candidates:
-        before = _list_parquet(data_dir)
-        src = (
-            spark.read.option("basePath", data_dir)
-            .parquet(*candidates)
-            .select(*cols)
-        )
+        src = _read_files(spark, loc, candidates, ice_schema)
         replacement = rewrite_fn(src, _conjunction(filters)).select(*cols)
-        writer = replacement.write.mode("append")
-        if part_cols:
-            writer = writer.partitionBy(*part_cols)
-        writer.parquet(data_dir)
-        new_files = sorted(set(_list_parquet(data_dir)) - set(before))
+        new_files = _write_replacement(spark, loc, replacement, part_cols)
 
+    return _commit_overwrite(
+        loc, meta, candidates, untouched, new_files
+    )
+
+
+def _commit_overwrite(
+    loc: str, meta: dict, candidates, untouched, new_files,
+    operation: str = "overwrite",
+) -> dict:
+    """Commit a copy-on-write snapshot: ``candidates`` recorded
+    DELETED, ``new_files`` ADDED, ``untouched`` carried as EXISTING —
+    one compacted manifest (spec-legal), new manifest list, new
+    metadata version. Shared by DELETE/UPDATE (_cow_rewrite), MERGE
+    (merge_into), and compaction (compact_files)."""
+    part_cols = [f["name"] for f in meta["partition-spec"]]
+    ice_schema = meta["schema"]
+    cols = [f["name"] for f in ice_schema["fields"]]
     snapshot_id = int(time.time() * 1000) * 1000 + len(meta["snapshots"])
     entries = []
     for status, paths in ((0, untouched), (1, new_files), (2, candidates)):
@@ -704,7 +756,7 @@ def _cow_rewrite(spark, loc: str, filters, rewrite_fn) -> dict:
         "snapshot-id": snapshot_id,
         "timestamp-ms": now_ms,
         "summary": {
-            "operation": "overwrite",
+            "operation": operation,
             "deleted-data-files": str(len(candidates)),
             "added-data-files": str(len(new_files)),
         },
@@ -731,20 +783,13 @@ def read_iceberg(spark, loc: str, snapshot_id=None, filters=()):
 
     meta = read_table_meta(loc)
     files, _ = plan_files(loc, snapshot_id, filters)
-    cols = [f["name"] for f in meta["schema"]["fields"]]
     if not files:
-        from pyspark.sql.types import StructType
-
         return spark.createDataFrame([], schema=", ".join(
-            f"{f['name']} {'bigint' if f['type'] == 'long' else f['type']}"
+            f"{f['name']} {_ICE_TO_SPARK[f['type']]}"
             for f in meta["schema"]["fields"]
         ))
     # Spark drops hive-partition dirs' columns unless basePath is set
-    df = (
-        spark.read.option("basePath", os.path.join(loc, "data"))
-        .parquet(*files)
-        .select(*cols)
-    )
+    df = _read_files(spark, loc, files, meta["schema"])
     for col, op, val in filters:
         if op == "=":
             df = df.filter(F.col(col) == val)
@@ -757,3 +802,182 @@ def read_iceberg(spark, loc: str, snapshot_id=None, filters=()):
         elif op == ">=":
             df = df.filter(F.col(col) >= val)
     return df
+
+
+# ---- MERGE INTO (upsert), schema evolution, maintenance ----
+
+
+def merge_into(spark, loc: str, source_df, on_cols, update_cols=None) -> dict:
+    """MERGE INTO (upsert) as a copy-on-write overwrite snapshot:
+    WHEN MATCHED on ``on_cols`` the target row's ``update_cols`` are
+    replaced by the source's values; WHEN NOT MATCHED the source row
+    is inserted (INSERT *, so ``source_df`` must carry every table
+    column). Default ``update_cols`` = every non-key, non-partition
+    column.
+
+    Scale shape: the rewrite set is BOUNDED BY MANIFEST PRUNING on
+    the source's key range — a 1-row ``agg(min,max)`` of the join key
+    prunes candidate files on their stored column bounds, so merging
+    a day's increment into a 100 TB table rewrites only the files
+    whose key bounds overlap the increment. The join itself runs
+    candidate-files x source inside Spark (AQE broadcasts a small
+    source); any target row matching a source key necessarily lives
+    in a candidate file (bounds pruning is conservative), so the
+    not-matched anti-join against candidates alone is exact.
+    Partition columns cannot be updated (identity routing only, same
+    contract as update_where). Reference parity: the reference
+    routes MERGE-shaped DML to DuckDB over its full table download
+    (IcebergConnection.py:107-177); here it is a real Iceberg
+    overwrite commit."""
+    from pyspark.sql import functions as F
+
+    meta = read_table_meta(loc)
+    part_cols = [f["name"] for f in meta["partition-spec"]]
+    ice_schema = meta["schema"]
+    cols = [f["name"] for f in ice_schema["fields"]]
+    on_cols = list(on_cols)
+    missing = [c for c in cols if c not in source_df.columns]
+    if missing:
+        raise ValueError(f"MERGE source lacks table columns {missing}")
+    if update_cols is None:
+        update_cols = [
+            c for c in cols if c not in on_cols and c not in part_cols
+        ]
+    bad = set(update_cols) & set(part_cols)
+    if bad:
+        raise ValueError(f"cannot update partition columns {sorted(bad)}")
+
+    source = source_df.select(*cols)
+
+    # bounds-prune candidates on the first join key's source range
+    types = {f["name"]: f["type"] for f in ice_schema["fields"]}
+    filters = []
+    key = on_cols[0]
+    if types.get(key) in ("int", "long", "float", "double", "string", "date"):
+        lo, hi = source.agg(F.min(key), F.max(key)).first()
+        if lo is not None:
+            filters = [(key, ">=", lo), (key, "<=", hi)]
+    candidates, _ = plan_files(loc, filters=filters)
+    live, _ = plan_files(loc)
+    untouched = [f for f in live if f not in set(candidates)]
+
+    marked = source.select(
+        *on_cols,
+        *[F.col(c).alias(f"__s_{c}") for c in update_cols],
+    ).withColumn("__matched", F.lit(True))
+    if candidates:
+        tgt = _read_files(spark, loc, candidates, ice_schema)
+        joined = tgt.join(marked, on=on_cols, how="left")
+        out = joined
+        for c in update_cols:
+            out = out.withColumn(
+                c,
+                F.when(F.col("__matched"), F.col(f"__s_{c}")).otherwise(
+                    F.col(c)
+                ),
+            )
+        rewritten = out.select(*cols)
+        inserts = source.join(
+            tgt.select(*on_cols), on=on_cols, how="left_anti"
+        ).select(*cols)
+        replacement = rewritten.unionByName(inserts)
+    else:
+        replacement = source
+    new_files = _write_replacement(spark, loc, replacement, part_cols)
+    return _commit_overwrite(loc, meta, candidates, untouched, new_files)
+
+
+def add_column(loc: str, name: str, ice_type: str) -> dict:
+    """Metadata-only schema evolution: append an optional column to
+    the table schema in a new metadata version. No data file is
+    touched — files written before the change simply lack the column
+    and read back as typed nulls (_read_files); files written after
+    carry it, with bounds collected for manifest pruning. This is
+    the Iceberg property that makes ALTER TABLE on a 100 TB table an
+    O(1) metadata commit instead of a full rewrite."""
+    if ice_type not in _ICE_TO_SPARK:
+        raise ValueError(f"unsupported type {ice_type!r}")
+    meta = read_table_meta(loc)
+    if any(f["name"] == name for f in meta["schema"]["fields"]):
+        raise ValueError(f"column {name!r} already exists")
+    fid = meta["last-column-id"] + 1
+    field = {"id": fid, "name": name, "required": False, "type": ice_type}
+    meta["schema"]["fields"].append(field)
+    meta["schemas"] = [meta["schema"]]
+    meta["last-column-id"] = fid
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _write_meta(loc, meta, _read_version(loc) + 1)
+    return field
+
+
+def compact_files(spark, loc: str) -> dict:
+    """Small-files compaction (the RewriteDataFiles maintenance
+    action): read every live data file, repartition so each identity
+    partition value lands in exactly one task (=> one output file per
+    partition), and commit a 'replace' snapshot — old files DELETED,
+    compacted files ADDED. Row content is untouched, so time travel
+    to pre-compaction snapshots still reads the original files until
+    expire_snapshots reclaims them."""
+    meta = read_table_meta(loc)
+    part_cols = [f["name"] for f in meta["partition-spec"]]
+    live, _ = plan_files(loc)
+    if not live:
+        raise ValueError("nothing to compact: table has no live files")
+    df = _read_files(spark, loc, live, meta["schema"])
+    df = df.repartition(*part_cols) if part_cols else df.coalesce(1)
+    new_files = _write_replacement(spark, loc, df, part_cols)
+    return _commit_overwrite(
+        loc, meta, live, [], new_files, operation="replace"
+    )
+
+
+def expire_snapshots(loc: str, keep_last: int = 1) -> dict:
+    """Expire all but the last ``keep_last`` snapshots and physically
+    delete files no kept snapshot can reach: orphan parquet under
+    data/ and orphan manifest / manifest-list Avro under metadata/.
+    Reachability = union over kept snapshots of their non-DELETED
+    manifest entries, so a file still carried as EXISTING by any kept
+    snapshot survives. The current snapshot is always kept."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    meta = read_table_meta(loc)
+    snaps = meta["snapshots"]
+    if len(snaps) <= keep_last:
+        return {"removed_snapshots": 0, "removed_files": 0}
+    keep = snaps[-keep_last:]
+    kept_ids = {s["snapshot-id"] for s in keep}
+    if meta["current-snapshot-id"] not in kept_ids:
+        raise ValueError("cannot expire the current snapshot")
+
+    reachable_data: set[str] = set()
+    reachable_meta: set[str] = set()
+    for s in keep:
+        reachable_meta.add(s["manifest-list"])
+        _, manifests = read_container(_read_file(s["manifest-list"]))
+        for m in manifests:
+            reachable_meta.add(m["manifest_path"])
+            _, entries = read_container(_read_file(m["manifest_path"]))
+            for e in entries:
+                if e["status"] != 2:
+                    reachable_data.add(e["data_file"]["file_path"])
+
+    removed = 0
+    for path in _list_parquet(os.path.join(loc, "data")):
+        if path not in reachable_data:
+            os.remove(path)
+            removed += 1
+    mdir = _meta_dir(loc)
+    for fname in os.listdir(mdir):
+        path = os.path.join(mdir, fname)
+        if fname.endswith(".avro") and path not in reachable_meta:
+            os.remove(path)
+            removed += 1
+
+    n_expired = len(snaps) - len(keep)
+    meta["snapshots"] = keep
+    meta["snapshot-log"] = [
+        e for e in meta["snapshot-log"] if e["snapshot-id"] in kept_ids
+    ]
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _write_meta(loc, meta, _read_version(loc) + 1)
+    return {"removed_snapshots": n_expired, "removed_files": removed}

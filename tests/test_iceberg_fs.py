@@ -255,3 +255,131 @@ def test_iceberg_copy_on_write_update(spark, sf_dir, tmp_path):
     assert got == want
     with pytest.raises(ValueError, match="partition columns"):
         ice.update_where(spark, loc, filters, {"o_orderpriority": "X"})
+
+
+def _mini_table(spark, tmp_path, name, parted=True):
+    loc = str(tmp_path / name)
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i * 10), "A" if i < 50 else "B") for i in range(100)],
+        "k bigint, g bigint, v double, p string",
+    )
+    ice.create_table(
+        loc,
+        ice.spark_schema_to_iceberg(df),
+        part_cols=["p"] if parted else (),
+    )
+    ice.append(spark, loc, df)
+    return loc, df
+
+
+def test_iceberg_merge_upsert(spark, tmp_path):
+    """MERGE: matched keys take the source's non-partition columns,
+    unmatched source rows are inserted, everything else unchanged."""
+    loc, _ = _mini_table(spark, tmp_path, "merge_tbl")
+    src = spark.createDataFrame(
+        [(k, k % 3, float(k * 1000), "A" if k < 50 else "B") for k in range(40, 60)]
+        + [(k, k % 3, float(k), "C") for k in range(200, 210)],
+        "k bigint, g bigint, v double, p string",
+    )
+    snap = ice.merge_into(spark, loc, src, on_cols=["k"])
+    assert snap["summary"]["operation"] == "overwrite"
+    got = {r["k"]: (r["v"], r["p"]) for r in ice.read_iceberg(spark, loc).collect()}
+    assert len(got) == 110
+    assert got[45] == (45000.0, "A")   # matched: updated
+    assert got[10] == (100.0, "A")     # in key range, unmatched: untouched
+    assert got[205] == (205.0, "C")    # inserted, partition from source
+
+
+def test_iceberg_merge_bounds_prune_rewrite_set(spark, tmp_path):
+    """A source whose key range misses most files rewrites ONLY the
+    bounds-overlapping candidates — the untouched files' paths
+    survive identical into the new snapshot (EXISTING, not copied)."""
+    loc, _ = _mini_table(spark, tmp_path, "merge_prune")
+    pre = set(ice.plan_files(loc)[0])
+    src = spark.createDataFrame(
+        [(99, 0, -1.0, "B"), (150, 0, -2.0, "B")],
+        "k bigint, g bigint, v double, p string",
+    )
+    snap = ice.merge_into(spark, loc, src, on_cols=["k"])
+    post = set(ice.plan_files(loc)[0])
+    surviving = pre & post
+    assert surviving, "bounds pruning rewrote every file"
+    assert int(snap["summary"]["deleted-data-files"]) < len(pre)
+    got = {r["k"]: r["v"] for r in ice.read_iceberg(spark, loc).collect()}
+    assert got[99] == -1.0 and got[150] == -2.0 and len(got) == 101
+
+
+def test_iceberg_merge_contract_errors(spark, tmp_path):
+    loc, _ = _mini_table(spark, tmp_path, "merge_err")
+    src = spark.createDataFrame([(1, 2.0)], "k bigint, v double")
+    with pytest.raises(ValueError, match="lacks table columns"):
+        ice.merge_into(spark, loc, src, on_cols=["k"])
+    full = spark.createDataFrame(
+        [(1, 1, 2.0, "A")], "k bigint, g bigint, v double, p string"
+    )
+    with pytest.raises(ValueError, match="partition columns"):
+        ice.merge_into(spark, loc, full, on_cols=["k"], update_cols=["p"])
+
+
+def test_iceberg_add_column_evolution(spark, tmp_path):
+    """Metadata-only ADD COLUMN: zero data files change, old rows
+    read as typed nulls, new appends carry values, and bounds
+    pruning on the evolved column conservatively keeps old files."""
+    loc, _ = _mini_table(spark, tmp_path, "evo_tbl")
+    files_before = set(ice.plan_files(loc)[0])
+    ice.add_column(loc, "tag", "long")
+    assert set(ice.plan_files(loc)[0]) == files_before  # no rewrite
+    df = ice.read_iceberg(spark, loc)
+    assert df.columns == ["k", "g", "v", "p", "tag"]
+    assert df.filter(F.col("tag").isNull()).count() == 100
+    ice.append(
+        spark,
+        loc,
+        spark.createDataFrame(
+            [(500, 2, 1.5, "B", 7)], "k bigint, g bigint, v double, p string, tag bigint"
+        ),
+    )
+    # bounds filter on the evolved column: old files lack bounds -> kept
+    files, _ = ice.plan_files(loc, filters=[("tag", ">=", 7)])
+    assert files_before <= set(files)
+    got = ice.read_iceberg(spark, loc, filters=[("tag", ">=", 7)]).collect()
+    assert [(r["k"], r["tag"]) for r in got] == [(500, 7)]
+    with pytest.raises(ValueError, match="already exists"):
+        ice.add_column(loc, "tag", "long")
+    with pytest.raises(ValueError, match="unsupported type"):
+        ice.add_column(loc, "t2", "uuid")
+
+
+def test_iceberg_compact_and_expire(spark, tmp_path):
+    """Compaction collapses to one file per partition under a
+    'replace' snapshot; pre-compaction snapshots stay readable until
+    expire_snapshots reclaims exactly the unreachable files."""
+    loc, df = _mini_table(spark, tmp_path, "compact_tbl")
+    ice.append(spark, loc, df.filter(F.col("k") < 10))  # more small files
+    snap_pre = ice.read_table_meta(loc)["current-snapshot-id"]
+    n_pre = len(ice.plan_files(loc)[0])
+    snap = ice.compact_files(spark, loc)
+    assert snap["summary"]["operation"] == "replace"
+    files, _ = ice.plan_files(loc)
+    assert len(files) == 2 and n_pre > 2  # partitions A, B
+    # pre-compaction snapshot still time-travelable
+    assert ice.read_iceberg(spark, loc, snapshot_id=snap_pre).count() == 110
+    res = ice.expire_snapshots(loc, keep_last=1)
+    assert res["removed_snapshots"] == 2 and res["removed_files"] > 0
+    import os as _os
+
+    on_disk = set(ice._list_parquet(_os.path.join(loc, "data")))
+    assert on_disk == set(ice.plan_files(loc)[0])
+    assert ice.read_iceberg(spark, loc).count() == 110
+    with pytest.raises(ValueError, match="not in"):
+        ice.read_iceberg(spark, loc, snapshot_id=snap_pre)
+    with pytest.raises(ValueError, match="keep_last"):
+        ice.expire_snapshots(loc, keep_last=0)
+
+
+def test_iceberg_compact_empty_table_raises(spark, tmp_path):
+    loc = str(tmp_path / "empty_tbl")
+    df = spark.createDataFrame([(1,)], "k bigint")
+    ice.create_table(loc, ice.spark_schema_to_iceberg(df))
+    with pytest.raises(ValueError, match="nothing to compact"):
+        ice.compact_files(spark, loc)
