@@ -479,3 +479,80 @@ def x_iceberg_fs_compaction(spark, sf_dir):
         F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
         dec_sum(F.col("o_totalprice")).alias("sum_price"),
     )
+
+
+@query(
+    "x_iceberg_fs_sql_surface",
+    oracle=f"""
+    WITH final AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_custkey < 50 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderpriority
+        FROM orders
+        WHERE NOT (o_orderpriority = '5-LOW' AND o_custkey >= 900)
+        UNION ALL
+        SELECT o_orderkey + 1000000000, o_custkey, o_totalprice,
+               o_orderpriority
+        FROM orders WHERE o_custkey < 20
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+           {_DEC_SUM_SQL.format(x='o_totalprice')} AS sum_price
+    FROM final
+    GROUP BY o_orderpriority
+    """,
+    tags=("source", "iceberg", "dml", "sql", "tierx"),
+)
+def x_iceberg_fs_sql_surface(spark, sf_dir):
+    """The reference's ENTIRE statement surface executed as SQL text
+    against a filesystem Iceberg warehouse (sources/fs_catalog.py):
+    CREATE NAMESPACE -> CREATE TABLE (partitioned) -> INSERT..SELECT
+    -> UPDATE..WHERE -> DELETE..WHERE -> MERGE INTO (all-insert
+    upsert whose source key range prunes the rewrite set to ZERO
+    candidate files) -> final SELECT aggregate — six statement kinds,
+    five Iceberg snapshots, one oracle. The oracle replays the same
+    mutation history as CASE/WHERE/UNION ALL over the source parquet;
+    value parity proves the SQL layer parsed, routed, and committed
+    every statement exactly. Reference parity: QueryManager.py:20-159
+    accepts the same statements but routes them to DuckDB over a full
+    table download; here each DML lands as a pruning-bounded Iceberg
+    copy-on-write commit."""
+    from mcp_iceberg_duckdb_spark.sources.fs_catalog import FsCatalog
+
+    def build(loc, orders):
+        # loc doubles as the warehouse root for this query's catalog
+        cat = FsCatalog(loc)
+        orders.createOrReplaceTempView("__src_orders")
+        for stmt in (
+            "CREATE NAMESPACE lake",
+            "CREATE TABLE lake.orders (o_orderkey bigint, o_custkey"
+            " bigint, o_totalprice double, o_orderpriority string)"
+            " PARTITIONED BY (o_orderpriority)",
+            "INSERT INTO lake.orders SELECT o_orderkey, o_custkey,"
+            " o_totalprice, o_orderpriority FROM __src_orders",
+            "UPDATE lake.orders SET o_totalprice = o_totalprice * 2"
+            " WHERE o_custkey < 50",
+            "DELETE FROM lake.orders WHERE o_orderpriority = '5-LOW'"
+            " AND o_custkey >= 900",
+            "MERGE INTO lake.orders t USING (SELECT o_orderkey +"
+            " 1000000000 AS o_orderkey, o_custkey, o_totalprice,"
+            " o_orderpriority FROM __src_orders WHERE o_custkey < 20) s"
+            " ON t.o_orderkey = s.o_orderkey"
+            " WHEN MATCHED THEN UPDATE SET *"
+            " WHEN NOT MATCHED THEN INSERT *",
+        ):
+            cat.execute(spark, stmt)
+
+    wh = _mutable_table(spark, sf_dir, "sqlwh", build)
+    cat = FsCatalog(wh)
+    return cat.execute(
+        spark,
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,"
+        " CAST(sum(o_custkey) AS BIGINT) AS sum_cust,"
+        " CAST(floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS"
+        " DECIMAL(30,6)) * CAST(100 AS DECIMAL(3,0)) + 0.5) AS DOUBLE)"
+        " / CAST(100 AS DOUBLE) AS sum_price"
+        " FROM lake.orders o GROUP BY o_orderpriority",
+    )

@@ -56,13 +56,34 @@ def _respond(rows: list[dict[str, Any]], elapsed: float) -> ToolResult:
     return ToolResult(f"Query execution time: {elapsed:.2f} seconds\n{body}")
 
 
+def _fs_catalog():
+    """When SPARK_GRAFT_FS_WAREHOUSE points at a directory, every
+    statement runs against the vendored Iceberg v1 warehouse
+    (sources/fs_catalog.py) — real Iceberg tables on the filesystem,
+    no runtime jar needed. Unset, the session catalog serves (the
+    DSv2 path when a jar exists, temp views otherwise)."""
+    import os
+
+    wh = os.environ.get("SPARK_GRAFT_FS_WAREHOUSE")
+    if not wh:
+        return None
+    from mcp_iceberg_duckdb_spark.sources.fs_catalog import FsCatalog
+
+    return FsCatalog(wh)
+
+
 def query_table(spark: SparkSession, query: str) -> ToolResult:
     """The reference's ``query_table`` tool (server.py:96-99): run a
     SQL statement against lake tables. SELECT/INSERT/CREATE/UPDATE/
     DELETE all go through Spark SQL; errors return as text."""
     start = time.time()
     try:
-        df = router.execute(spark, query)
+        cat = _fs_catalog()
+        df = (
+            cat.execute(spark, query)
+            if cat is not None
+            else router.execute(spark, query)
+        )
         rows = _rows_to_json(df) if df is not None else [{"status": "OK"}]
         return _respond(rows, time.time() - start)
     except Exception as exc:  # parity: errors-as-text, server.py:106-112
@@ -79,7 +100,12 @@ def query_catalog(spark: SparkSession, query: str) -> ToolResult:
             return ToolResult(
                 f"Unsupported catalog query type: {query!r}", is_error=True
             )
-        df = router.execute(spark, query)
+        cat = _fs_catalog()
+        df = (
+            cat.execute(spark, query)
+            if cat is not None
+            else router.execute(spark, query)
+        )
         return _respond(_rows_to_json(df), time.time() - start)
     except Exception as exc:
         return ToolResult(f"Error executing query: {exc}", is_error=True)

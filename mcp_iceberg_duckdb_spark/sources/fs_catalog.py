@@ -1,0 +1,453 @@
+"""Filesystem Iceberg warehouse behind the reference's full SQL
+surface — the end-to-end answer to "live Iceberg execution" in a
+container with no runtime jar and no network (sources/iceberg.py
+keeps the dated retry log): every statement the reference's
+QueryManager accepts (QueryManager.py:20-159 — LIST NAMESPACES/
+TABLES, DESCRIBE, CREATE, INSERT, SELECT, UPDATE, DELETE, plus MERGE
+which the reference routes to DuckDB) executes here against REAL
+Iceberg v1 tables (sources/iceberg_fs.py: metadata JSON + Avro
+manifests + partitioned parquet) laid out as
+``<warehouse>/<namespace>/<table>/``.
+
+Design choices vs the reference:
+
+- NO hand-rolled value parsing: INSERT ... VALUES delegates to Spark
+  SQL's own VALUES parser (the reference hand-parses tuples,
+  QueryManager.py:94-140, and breaks on nested commas).
+- NO in-literal table-name rewriting: SELECT rewriting substitutes
+  table identifiers only OUTSIDE single-quoted string literals (the
+  reference string-replaces everywhere, IcebergConnection.py:115 —
+  documented bug).
+- Multi-table SELECT/joins work: every warehouse table referenced is
+  registered as a temp view over its manifest-pruned Iceberg scan
+  (the reference is single-table, README.md:6).
+- DML is a real Iceberg copy-on-write commit: UPDATE/DELETE extract a
+  conservative (col, op, literal) conjunction from the WHERE clause
+  purely to BOUND the rewrite set via manifest pruning; row-level
+  correctness always comes from evaluating the full predicate with
+  F.expr inside Spark. MERGE maps to iceberg_fs.merge_into (bounds-
+  pruned upsert).
+
+At 100 TB: identical plans to the underlying iceberg_fs ops —
+manifest pruning before file listing, pushdown inside the scan,
+pruning-bounded rewrites, and snapshot isolation for readers.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, functions as F
+
+from mcp_iceberg_duckdb_spark.sources import iceberg_fs as ice
+
+_IDENT = r"[A-Za-z_]\w*"
+_TBL = rf"(?:{_IDENT}\.)?{_IDENT}"
+
+_CREATE_NS = re.compile(
+    rf"^\s*CREATE\s+NAMESPACE\s+(?:IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*;?\s*$",
+    re.I,
+)
+_DROP_NS = re.compile(rf"^\s*DROP\s+NAMESPACE\s+({_IDENT})\s*;?\s*$", re.I)
+_CREATE_TBL = re.compile(
+    rf"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?({_TBL})\s*\((.*?)\)"
+    rf"\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*$",
+    re.I | re.S,
+)
+_DROP_TBL = re.compile(rf"^\s*DROP\s+TABLE\s+({_TBL})\s*;?\s*$", re.I)
+_INSERT = re.compile(
+    rf"^\s*INSERT\s+INTO\s+({_TBL})\s+(VALUES\s+.+|SELECT\s+.+?)\s*;?\s*$",
+    re.I | re.S,
+)
+_UPDATE = re.compile(
+    rf"^\s*UPDATE\s+({_TBL})\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+    re.I | re.S,
+)
+_DELETE = re.compile(
+    rf"^\s*DELETE\s+FROM\s+({_TBL})(?:\s+WHERE\s+(.+?))?\s*;?\s*$",
+    re.I | re.S,
+)
+_MERGE = re.compile(
+    rf"^\s*MERGE\s+INTO\s+({_TBL})\s+(?:AS\s+)?({_IDENT})\s+"
+    rf"USING\s+(?:\((.+)\)|({_TBL}))\s+(?:AS\s+)?({_IDENT})\s+"
+    rf"ON\s+(.+?)\s+"
+    rf"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
+    rf"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$",
+    re.I | re.S,
+)
+_DESCRIBE = re.compile(rf"^\s*DESCRIBE\s+TABLE\s+({_TBL})\s*;?\s*$", re.I)
+_LIST_NS = re.compile(r"^\s*LIST\s+NAMESPACES\s*;?\s*$", re.I)
+_LIST_TBLS = re.compile(
+    rf"^\s*LIST\s+TABLES(?:\s+(?:IN\s+)?({_IDENT}))?\s*;?\s*$", re.I
+)
+_SNAPSHOTS = re.compile(
+    rf"^\s*SHOW\s+SNAPSHOTS\s+(?:IN\s+)?({_TBL})\s*;?\s*$", re.I
+)
+_SELECT = re.compile(r"^\s*(SELECT|WITH)\b", re.I)
+
+# conservative comparison extraction for rewrite-set pruning only
+_SIMPLE_CMP = re.compile(
+    rf"^\s*({_IDENT})\s*(=|<=|>=|<|>)\s*"
+    r"((?:-?\d+(?:\.\d+)?)|'(?:[^']|'')*')\s*$"
+)
+
+
+def _simple_filters(where: str | None):
+    """Extract (col, op, literal) pruning hints from a WHERE clause
+    that is a bare conjunction of comparisons with literals; anything
+    fancier returns () — the full predicate is still evaluated
+    row-level, pruning just degrades to all-files."""
+    if not where:
+        return ()
+    out = []
+    for part in re.split(r"\bAND\b", where, flags=re.I):
+        m = _SIMPLE_CMP.match(part)
+        if not m:
+            return ()
+        col, op, lit = m.groups()
+        if lit.startswith("'"):
+            val = lit[1:-1].replace("''", "'")
+        elif "." in lit:
+            val = float(lit)
+        else:
+            val = int(lit)
+        out.append((col, op, val))
+    return tuple(out)
+
+
+def _split_top_level(s: str, sep: str = ","):
+    """Split on ``sep`` at paren/quote depth 0 (SET lists, column
+    defs)."""
+    out, depth, start, i, in_str = [], 0, 0, 0, False
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            if c == "'":
+                if i + 1 < len(s) and s[i + 1] == "'":
+                    i += 1
+                else:
+                    in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == sep and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+        i += 1
+    out.append(s[start:])
+    return [p.strip() for p in out if p.strip()]
+
+
+class FsCatalog:
+    """A namespace/table tree of vendored Iceberg v1 tables under one
+    warehouse directory, with a one-call SQL entry point
+    (``execute``)."""
+
+    def __init__(self, warehouse: str):
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    # ---- catalog structure ----
+
+    def list_namespaces(self):
+        return sorted(
+            d
+            for d in os.listdir(self.warehouse)
+            if os.path.isdir(os.path.join(self.warehouse, d))
+        )
+
+    def list_tables(self, ns: str | None = None):
+        spaces = [ns] if ns else self.list_namespaces()
+        out = []
+        for s in spaces:
+            root = os.path.join(self.warehouse, s)
+            if not os.path.isdir(root):
+                raise ValueError(f"namespace {s!r} does not exist")
+            for t in sorted(os.listdir(root)):
+                if os.path.isdir(os.path.join(root, t, "metadata")):
+                    out.append((s, t))
+        return out
+
+    def _resolve(self, ident: str, must_exist: bool = True):
+        if "." in ident:
+            ns, tbl = ident.split(".", 1)
+        else:
+            ns, tbl = "default", ident
+        loc = os.path.join(self.warehouse, ns, tbl)
+        exists = os.path.isdir(os.path.join(loc, "metadata"))
+        if must_exist and not exists:
+            raise ValueError(f"table {ns}.{tbl} does not exist")
+        return ns, tbl, loc, exists
+
+    # ---- SELECT support: temp views + literal-safe substitution ----
+
+    def _view_name(self, ns: str, tbl: str) -> str:
+        return f"__fs_{ns}__{tbl}"
+
+    def _rewrite_select(self, spark, sql: str) -> str:
+        """Register every referenced warehouse table as a temp view
+        over its Iceberg scan and substitute identifiers — only
+        outside single-quoted literals (the reference's in-literal
+        replace bug, IcebergConnection.py:115, is the counterexample
+        pinned in tests). Contract: qualified column references need
+        a table alias (``FROM ns.t t ... t.col``) — the substitution
+        renames the table, not column qualifiers."""
+        chunks = re.split(r"('(?:[^']|'')*')", sql)
+        known = {
+            f"{ns}.{tbl}": (ns, tbl) for ns, tbl in self.list_tables()
+        }
+        # bare names resolve in the default namespace
+        for ns, tbl in list(known.values()):
+            if ns == "default":
+                known.setdefault(tbl, (ns, tbl))
+        used = set()
+        for name in sorted(known, key=len, reverse=True):
+            ns, tbl = known[name]
+            pat = re.compile(rf"(?<![\w.]){re.escape(name)}(?![\w.])")
+            for i in range(0, len(chunks), 2):  # even chunks = code
+                if pat.search(chunks[i]):
+                    chunks[i] = pat.sub(self._view_name(ns, tbl), chunks[i])
+                    used.add((ns, tbl))
+        for ns, tbl in used:
+            loc = os.path.join(self.warehouse, ns, tbl)
+            ice.read_iceberg(spark, loc).createOrReplaceTempView(
+                self._view_name(ns, tbl)
+            )
+        return "".join(chunks)
+
+    def _run_select(self, spark, sql: str) -> DataFrame:
+        return spark.sql(self._rewrite_select(spark, sql))
+
+    def _aligned(self, spark, df, loc: str) -> DataFrame:
+        """Cast a result positionally to the table schema (Spark SQL
+        semantics for INSERT by position)."""
+        fields = ice.read_table_meta(loc)["schema"]["fields"]
+        if len(df.columns) != len(fields):
+            raise ValueError(
+                f"expected {len(fields)} columns, got {len(df.columns)}"
+            )
+        return df.select(
+            *[
+                F.col(c).cast(ice._ICE_TO_SPARK[f["type"]]).alias(f["name"])
+                for c, f in zip(df.columns, fields)
+            ]
+        )
+
+    # ---- the SQL entry point ----
+
+    def execute(self, spark, sql: str) -> DataFrame:
+        """Run one statement against the warehouse; always returns a
+        DataFrame (DML returns a one-row summary, like Spark's
+        own v2 DML commands return metrics)."""
+        if not sql or not sql.strip():
+            raise ValueError("empty query")
+        if _LIST_NS.match(sql):
+            return spark.createDataFrame(
+                [(n,) for n in self.list_namespaces()], "namespace string"
+            )
+        if m := _LIST_TBLS.match(sql):
+            return spark.createDataFrame(
+                self.list_tables(m.group(1)) or [],
+                "namespace string, tableName string",
+            )
+        if m := _DESCRIBE.match(sql):
+            _, _, loc, _ = self._resolve(m.group(1))
+            meta = ice.read_table_meta(loc)
+            parts = {f["name"] for f in meta["partition-spec"]}
+            return spark.createDataFrame(
+                [
+                    (
+                        f["name"],
+                        f["type"],
+                        "partition" if f["name"] in parts else "",
+                    )
+                    for f in meta["schema"]["fields"]
+                ],
+                "col_name string, data_type string, comment string",
+            )
+        if m := _SNAPSHOTS.match(sql):
+            _, _, loc, _ = self._resolve(m.group(1))
+            meta = ice.read_table_meta(loc)
+            return spark.createDataFrame(
+                [
+                    (
+                        s["snapshot-id"],
+                        s.get("parent-snapshot-id"),
+                        s["timestamp-ms"],
+                        s["summary"]["operation"],
+                    )
+                    for s in meta["snapshots"]
+                ],
+                "snapshot_id bigint, parent_id bigint, "
+                "committed_at_ms bigint, operation string",
+            )
+        if m := _CREATE_NS.match(sql):
+            os.makedirs(os.path.join(self.warehouse, m.group(1)), exist_ok=True)
+            return self._ok(spark, "create_namespace")
+        if m := _DROP_NS.match(sql):
+            ns = m.group(1)
+            if self.list_tables(ns):
+                raise ValueError(f"namespace {ns!r} is not empty")
+            shutil.rmtree(os.path.join(self.warehouse, ns))
+            return self._ok(spark, "drop_namespace")
+        if m := _CREATE_TBL.match(sql):
+            return self._create_table(spark, *m.groups(), sql=sql)
+        if m := _DROP_TBL.match(sql):
+            _, _, loc, _ = self._resolve(m.group(1))
+            shutil.rmtree(loc)
+            return self._ok(spark, "drop_table")
+        if m := _INSERT.match(sql):
+            return self._insert(spark, m.group(1), m.group(2))
+        if m := _MERGE.match(sql):
+            return self._merge(spark, m)
+        if m := _UPDATE.match(sql):
+            return self._update(spark, *m.groups())
+        if m := _DELETE.match(sql):
+            return self._delete(spark, *m.groups())
+        if _SELECT.match(sql):
+            return self._run_select(spark, sql)
+        raise ValueError(f"unsupported statement: {sql.strip()[:80]!r}")
+
+    @staticmethod
+    def _ok(spark, op: str, **extra) -> DataFrame:
+        cols = {"operation": op, **{k: str(v) for k, v in extra.items()}}
+        return spark.createDataFrame(
+            [tuple(cols.values())],
+            ", ".join(f"{k} string" for k in cols),
+        )
+
+    def _create_table(self, spark, ident, cols_sql, part_sql, sql):
+        ns, tbl, loc, exists = self._resolve(ident, must_exist=False)
+        if exists:
+            if re.search(r"IF\s+NOT\s+EXISTS", sql, re.I):
+                return self._ok(spark, "create_table", skipped=True)
+            raise ValueError(f"table {ns}.{tbl} already exists")
+        fields = []
+        for i, coldef in enumerate(_split_top_level(cols_sql)):
+            parts = coldef.split()
+            if len(parts) < 2:
+                raise ValueError(f"bad column definition {coldef!r}")
+            name, typ = parts[0], parts[1].lower()
+            ice_t = ice._SPARK_TO_ICE.get(typ)
+            if ice_t is None:
+                raise ValueError(f"unsupported column type {typ!r}")
+            fields.append(
+                {"id": i + 1, "name": name, "required": False, "type": ice_t}
+            )
+        part_cols = (
+            [c.strip() for c in part_sql.split(",")] if part_sql else []
+        )
+        names = {f["name"] for f in fields}
+        for c in part_cols:
+            if c not in names:
+                raise ValueError(f"partition column {c!r} not in schema")
+        os.makedirs(os.path.join(self.warehouse, ns), exist_ok=True)
+        ice.create_table(
+            loc,
+            {"type": "struct", "schema-id": 0, "fields": fields},
+            part_cols=part_cols,
+        )
+        return self._ok(spark, "create_table")
+
+    def _insert(self, spark, ident, tail) -> DataFrame:
+        _, _, loc, _ = self._resolve(ident)
+        if re.match(r"^\s*VALUES\b", tail, re.I):
+            # Spark SQL parses the tuples — no hand-rolled literal
+            # parser (the reference's QueryManager.py:94-140 pitfall)
+            src = spark.sql(tail)
+        else:
+            src = self._run_select(spark, tail)
+        snap = ice.append(spark, loc, self._aligned(spark, src, loc))
+        return self._ok(
+            spark,
+            "insert",
+            added_records=snap["summary"].get("added-records", "0"),
+        )
+
+    def _update(self, spark, ident, set_sql, where) -> DataFrame:
+        _, _, loc, _ = self._resolve(ident)
+        meta = ice.read_table_meta(loc)
+        part_set = {f["name"] for f in meta["partition-spec"]}
+        assignments = {}
+        for item in _split_top_level(set_sql):
+            col, _, expr = item.partition("=")
+            col = col.strip()
+            if not col or not expr.strip():
+                raise ValueError(f"bad SET item {item!r}")
+            if col in part_set:
+                raise ValueError(f"cannot update partition column {col!r}")
+            assignments[col] = F.expr(expr.strip())
+        pred = F.expr(where) if where else F.lit(True)
+
+        def rewrite(src, predicate):
+            matched = F.coalesce(predicate, F.lit(False))
+            out = src
+            for col, new in assignments.items():
+                out = out.withColumn(
+                    col, F.when(matched, new).otherwise(F.col(col))
+                )
+            return out
+
+        snap = ice.cow_rewrite_where(
+            spark, loc, pred, rewrite, prune_filters=_simple_filters(where)
+        )
+        return self._ok(
+            spark,
+            "update",
+            rewritten_files=snap["summary"]["deleted-data-files"],
+        )
+
+    def _delete(self, spark, ident, where) -> DataFrame:
+        _, _, loc, _ = self._resolve(ident)
+        pred = F.expr(where) if where else F.lit(True)
+        snap = ice.cow_rewrite_where(
+            spark,
+            loc,
+            pred,
+            lambda src, p: src.filter(~F.coalesce(p, F.lit(False))),
+            prune_filters=_simple_filters(where),
+        )
+        return self._ok(
+            spark,
+            "delete",
+            rewritten_files=snap["summary"]["deleted-data-files"],
+        )
+
+    def _merge(self, spark, m) -> DataFrame:
+        (tgt_ident, tgt_alias, sub_sql, src_ident, src_alias, on_sql) = (
+            m.group(1), m.group(2), m.group(3), m.group(4), m.group(5),
+            m.group(6),
+        )
+        _, _, loc, _ = self._resolve(tgt_ident)
+        source = (
+            self._run_select(spark, sub_sql)
+            if sub_sql
+            else self._run_select(spark, f"SELECT * FROM {src_ident}")
+        )
+        on_cols = []
+        for part in re.split(r"\bAND\b", on_sql, flags=re.I):
+            mm = re.match(
+                rf"^\s*({_IDENT})\.({_IDENT})\s*=\s*({_IDENT})\.({_IDENT})\s*$",
+                part,
+            )
+            if not mm:
+                raise ValueError(f"unsupported ON term {part.strip()!r}")
+            a1, c1, a2, c2 = mm.groups()
+            if {a1, a2} != {tgt_alias, src_alias} or c1 != c2:
+                raise ValueError(
+                    "ON terms must equate the same column across the "
+                    f"two aliases, got {part.strip()!r}"
+                )
+            on_cols.append(c1)
+        snap = ice.merge_into(spark, loc, source, on_cols=on_cols)
+        return self._ok(
+            spark,
+            "merge",
+            rewritten_files=snap["summary"]["deleted-data-files"],
+            added_files=snap["summary"]["added-data-files"],
+        )

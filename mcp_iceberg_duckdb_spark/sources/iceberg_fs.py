@@ -981,3 +981,30 @@ def expire_snapshots(loc: str, keep_last: int = 1) -> dict:
     meta["last-updated-ms"] = int(time.time() * 1000)
     _write_meta(loc, meta, _read_version(loc) + 1)
     return {"removed_snapshots": n_expired, "removed_files": removed}
+
+
+def cow_rewrite_where(
+    spark, loc: str, predicate, rewrite_fn, prune_filters=()
+) -> dict:
+    """Generalized copy-on-write rewrite for SQL-surface DML
+    (fs_catalog): ``predicate`` is any Spark boolean Column (built
+    with F.expr from the statement's WHERE), ``prune_filters`` an
+    optional conservative (col, op, literal) conjunction extracted
+    from that WHERE to bound the candidate set via manifest pruning —
+    correctness never depends on the extraction, only the rewrite
+    bound does. ``rewrite_fn(src_df, predicate)`` returns the
+    replacement rows for the candidate files."""
+    meta = read_table_meta(loc)
+    part_cols = [f["name"] for f in meta["partition-spec"]]
+    ice_schema = meta["schema"]
+    cols = [f["name"] for f in ice_schema["fields"]]
+    candidates, _ = plan_files(loc, filters=prune_filters)
+    live, _ = plan_files(loc)
+    untouched = [f for f in live if f not in set(candidates)]
+
+    new_files: list[str] = []
+    if candidates:
+        src = _read_files(spark, loc, candidates, ice_schema)
+        replacement = rewrite_fn(src, predicate).select(*cols)
+        new_files = _write_replacement(spark, loc, replacement, part_cols)
+    return _commit_overwrite(loc, meta, candidates, untouched, new_files)

@@ -1,0 +1,239 @@
+"""FsCatalog (sources/fs_catalog.py): the reference's full SQL
+statement surface against a filesystem warehouse of vendored Iceberg
+v1 tables — CREATE/INSERT/SELECT/UPDATE/DELETE/MERGE/LIST/DESCRIBE/
+SHOW SNAPSHOTS, plus the two reference bugs this layer deliberately
+does NOT reproduce (in-literal table-name rewriting, hand-rolled
+INSERT value parsing)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mcp_iceberg_duckdb_spark.sources import iceberg_fs as ice
+from mcp_iceberg_duckdb_spark.sources.fs_catalog import (
+    FsCatalog,
+    _simple_filters,
+    _split_top_level,
+)
+
+
+@pytest.fixture()
+def cat(tmp_path):
+    return FsCatalog(str(tmp_path / "wh"))
+
+
+@pytest.fixture()
+def loaded(cat, spark):
+    run = lambda s: cat.execute(spark, s)  # noqa: E731
+    run("CREATE NAMESPACE sales")
+    run(
+        "CREATE TABLE sales.orders (k bigint, region string,"
+        " amount double) PARTITIONED BY (region)"
+    )
+    run(
+        "INSERT INTO sales.orders VALUES"
+        " (1, 'eu', 10.0), (2, 'us', 20.0), (3, 'eu', 30.0)"
+    )
+    return cat, run
+
+
+def test_catalog_verbs(loaded, spark):
+    cat, run = loaded
+    assert [r[0] for r in run("LIST NAMESPACES").collect()] == ["sales"]
+    assert [tuple(r) for r in run("LIST TABLES IN sales").collect()] == [
+        ("sales", "orders")
+    ]
+    desc = {r["col_name"]: (r["data_type"], r["comment"])
+            for r in run("DESCRIBE TABLE sales.orders").collect()}
+    assert desc == {
+        "k": ("long", ""),
+        "region": ("string", "partition"),
+        "amount": ("double", ""),
+    }
+
+
+def test_insert_values_and_select(loaded):
+    cat, run = loaded
+    got = sorted(
+        tuple(r) for r in run("SELECT k, amount FROM sales.orders o").collect()
+    )
+    assert got == [(1, 10.0), (2, 20.0), (3, 30.0)]
+
+
+def test_insert_select_and_join(loaded, spark):
+    cat, run = loaded
+    run("CREATE TABLE sales.big (k bigint, region string, amount double)")
+    run(
+        "INSERT INTO sales.big SELECT k + 10, region, amount * 2"
+        " FROM sales.orders o"
+    )
+    j = run(
+        "SELECT t.k AS tk, s.k AS sk FROM sales.orders t"
+        " JOIN sales.big s ON t.k + 10 = s.k ORDER BY tk"
+    ).collect()
+    assert [(r["tk"], r["sk"]) for r in j] == [(1, 11), (2, 12), (3, 13)]
+
+
+def test_no_in_literal_rewrite(loaded):
+    """The reference rewrites table names even inside string literals
+    (IcebergConnection.py:115). This layer must not."""
+    cat, run = loaded
+    row = run(
+        "SELECT 'sales.orders' AS name, count(*) AS n FROM sales.orders o"
+    ).collect()[0]
+    assert row["name"] == "sales.orders" and row["n"] == 3
+
+
+def test_insert_values_with_nested_commas(loaded):
+    """Spark's own VALUES parser handles nested commas the
+    reference's hand-rolled tuple splitter (QueryManager.py:94-140)
+    cannot."""
+    cat, run = loaded
+    run(
+        "INSERT INTO sales.orders VALUES"
+        " (CAST(concat('4', '') AS BIGINT), concat('e', 'u'), 1.0 + 2.0)"
+    )
+    got = {r["k"]: r["amount"]
+           for r in run("SELECT k, amount FROM sales.orders o").collect()}
+    assert got[4] == 3.0
+
+
+def test_update_where_is_pruned_cow(loaded, spark):
+    cat, run = loaded
+    loc = cat._resolve("sales.orders")[2]
+    pre = set(ice.plan_files(loc)[0])
+    res = run(
+        "UPDATE sales.orders SET amount = amount + 100, k = k"
+        " WHERE region = 'us' AND k <= 2"
+    ).collect()[0]
+    # partition-value pruning bounded the rewrite to the us file
+    assert res["rewritten_files"] == "1"
+    post = set(ice.plan_files(loc)[0])
+    assert len(pre & post) == len(pre) - 1
+    got = {r["k"]: r["amount"]
+           for r in run("SELECT k, amount FROM sales.orders o").collect()}
+    assert got == {1: 10.0, 2: 120.0, 3: 30.0}
+
+
+def test_update_partition_column_rejected(loaded):
+    cat, run = loaded
+    with pytest.raises(ValueError, match="partition column"):
+        run("UPDATE sales.orders SET region = 'xx' WHERE k = 1")
+
+
+def test_delete_where(loaded):
+    cat, run = loaded
+    run("DELETE FROM sales.orders WHERE amount >= 20.0 AND region = 'eu'")
+    got = sorted(r["k"] for r in run("SELECT k FROM sales.orders o").collect())
+    assert got == [1, 2]
+
+
+def test_merge_upsert_sql(loaded):
+    cat, run = loaded
+    run("CREATE TABLE sales.inc (k bigint, region string, amount double)")
+    run("INSERT INTO sales.inc VALUES (3, 'eu', 999.0), (9, 'ap', 9.0)")
+    run(
+        "MERGE INTO sales.orders t USING sales.inc s ON t.k = s.k"
+        " WHEN MATCHED THEN UPDATE SET *"
+        " WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r["k"]: (r["amount"], r["region"])
+           for r in run("SELECT * FROM sales.orders o").collect()}
+    assert got[3] == (999.0, "eu") and got[9] == (9.0, "ap") and len(got) == 4
+
+
+def test_merge_on_term_validation(loaded):
+    cat, run = loaded
+    run("CREATE TABLE sales.inc (k bigint, region string, amount double)")
+    with pytest.raises(ValueError, match="ON term"):
+        run(
+            "MERGE INTO sales.orders t USING sales.inc s ON t.k = 5"
+            " WHEN MATCHED THEN UPDATE SET *"
+            " WHEN NOT MATCHED THEN INSERT *"
+        )
+
+
+def test_show_snapshots_history(loaded):
+    cat, run = loaded
+    run("DELETE FROM sales.orders WHERE k = 1")
+    ops = [r["operation"]
+           for r in run("SHOW SNAPSHOTS IN sales.orders").collect()]
+    assert ops == ["append", "overwrite"]
+
+
+def test_create_drop_contracts(loaded):
+    cat, run = loaded
+    with pytest.raises(ValueError, match="already exists"):
+        run("CREATE TABLE sales.orders (k bigint)")
+    run("CREATE TABLE IF NOT EXISTS sales.orders (k bigint)")  # no-op
+    with pytest.raises(ValueError, match="unsupported column type"):
+        run("CREATE TABLE sales.bad (k uuid)")
+    with pytest.raises(ValueError, match="not in schema"):
+        run("CREATE TABLE sales.bad (k bigint) PARTITIONED BY (missing)")
+    with pytest.raises(ValueError, match="not empty"):
+        run("DROP NAMESPACE sales")
+    run("DROP TABLE sales.orders")
+    run("DROP NAMESPACE sales")
+    assert run("LIST NAMESPACES").count() == 0
+    with pytest.raises(ValueError, match="does not exist"):
+        run("DELETE FROM sales.orders")
+
+
+def test_default_namespace_bare_names(cat, spark):
+    run = lambda s: cat.execute(spark, s)  # noqa: E731
+    run("CREATE TABLE t (k bigint)")
+    run("INSERT INTO t VALUES (7)")
+    assert run("SELECT k FROM t x").collect()[0][0] == 7
+    assert run("LIST TABLES").collect()[0]["namespace"] == "default"
+
+
+def test_unsupported_statement_raises(cat, spark):
+    with pytest.raises(ValueError, match="unsupported statement"):
+        cat.execute(spark, "VACUUM ALL THE THINGS")
+    with pytest.raises(ValueError, match="empty"):
+        cat.execute(spark, "   ")
+
+
+def test_simple_filter_extraction():
+    assert _simple_filters("a = 5 AND b < 'x''y'") == (
+        ("a", "=", 5),
+        ("b", "<", "x'y"),
+    )
+    assert _simple_filters("a >= 1.5") == (("a", ">=", 1.5),)
+    # anything non-conjunctive or non-literal degrades to no pruning
+    assert _simple_filters("a = 5 OR b = 6") == ()
+    assert _simple_filters("a = b") == ()
+    assert _simple_filters("f(a) = 5") == ()
+    assert _simple_filters(None) == ()
+
+
+def test_split_top_level_respects_nesting():
+    assert _split_top_level("a = f(x, y), b = 'p,q', c = 1") == [
+        "a = f(x, y)",
+        "b = 'p,q'",
+        "c = 1",
+    ]
+
+
+def test_server_routes_through_fs_warehouse(loaded, spark, monkeypatch):
+    """SPARK_GRAFT_FS_WAREHOUSE routes the MCP tools through the
+    Iceberg warehouse: query_table DML + query_catalog listing."""
+    import json
+
+    from mcp_iceberg_duckdb_spark import server
+
+    cat, run = loaded
+    monkeypatch.setenv("SPARK_GRAFT_FS_WAREHOUSE", cat.warehouse)
+    res = server.query_table(
+        spark, "SELECT count(*) AS n FROM sales.orders o"
+    )
+    assert not res.is_error
+    assert json.loads(res.text.split("\n", 1)[1]) == [{"n": 3}]
+    res = server.query_catalog(spark, "LIST TABLES IN sales")
+    assert not res.is_error and "orders" in res.text
+    res = server.query_table(spark, "DELETE FROM sales.orders WHERE k = 1")
+    assert not res.is_error
+    res = server.query_table(
+        spark, "SELECT count(*) AS n FROM sales.orders o"
+    )
+    assert json.loads(res.text.split("\n", 1)[1]) == [{"n": 2}]
