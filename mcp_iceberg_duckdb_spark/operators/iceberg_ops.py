@@ -556,3 +556,51 @@ def x_iceberg_fs_sql_surface(spark, sf_dir):
         " / CAST(100 AS DOUBLE) AS sum_price"
         " FROM lake.orders o GROUP BY o_orderpriority",
     )
+
+
+@query(
+    "x_iceberg_fs_incremental",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+           {_DEC_SUM_SQL.format(x='o_totalprice')} AS sum_price
+    FROM orders
+    WHERE o_orderkey % 3 = 2
+    GROUP BY o_orderpriority
+    """,
+    tags=("source", "iceberg", "incremental", "tierx"),
+)
+def x_iceberg_fs_incremental(spark, sf_dir):
+    """Incremental append scan between snapshots: orders land in
+    three appends (key mod 3); the query reads ONLY the rows the
+    THIRD snapshot added, via iceberg_fs.read_incremental — the
+    engine resolves just that snapshot's ADDED manifest entries, so
+    the scan cost is proportional to the increment, not the table
+    (the mechanism behind CDC-style downstream syncs off a 100 TB
+    lake). Oracle: the same aggregate over the source parquet
+    filtered to the third batch — parity proves the snapshot
+    lineage attributes every file to exactly one append."""
+    from mcp_iceberg_duckdb_spark.sources import iceberg_fs as ice
+
+    def build(loc, orders):
+        ice.create_table(
+            loc,
+            ice.spark_schema_to_iceberg(orders),
+            part_cols=["o_orderpriority"],
+        )
+        for i in range(3):
+            ice.append(spark, loc, orders.filter(F.col("o_orderkey") % 3 == i))
+
+    loc = _mutable_table(spark, sf_dir, "incr", build)
+    from mcp_iceberg_duckdb_spark.sources import iceberg_fs as ice
+
+    snaps = ice.read_table_meta(loc)["snapshots"]
+    df = ice.read_incremental(
+        spark, loc, snaps[1]["snapshot-id"], snaps[2]["snapshot-id"]
+    )
+    return df.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+        dec_sum(F.col("o_totalprice")).alias("sum_price"),
+    )

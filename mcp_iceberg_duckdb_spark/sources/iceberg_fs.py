@@ -1008,3 +1008,52 @@ def cow_rewrite_where(
         replacement = rewrite_fn(src, predicate).select(*cols)
         new_files = _write_replacement(spark, loc, replacement, part_cols)
     return _commit_overwrite(loc, meta, candidates, untouched, new_files)
+
+
+def read_incremental(
+    spark, loc: str, from_snapshot_id: int, to_snapshot_id: int | None = None
+):
+    """Incremental append scan (Iceberg's incremental read API): the
+    rows ADDED by snapshots AFTER ``from_snapshot_id`` (exclusive) up
+    to ``to_snapshot_id`` (inclusive, default current). Resolves each
+    in-range snapshot's manifest list and keeps only manifest entries
+    with status ADDED stamped by that snapshot — existing files are
+    never re-read, which is what makes a periodic 100 TB-table sync
+    cost proportional to the increment, not the table. Matches the
+    engine contract: only 'append' snapshots are valid in the range
+    (an overwrite would need row-level diffing — a changelog scan);
+    anything else raises ValueError."""
+    meta = read_table_meta(loc)
+    snaps = meta["snapshots"]
+    ids = [s["snapshot-id"] for s in snaps]
+    if from_snapshot_id not in ids:
+        raise ValueError(f"snapshot {from_snapshot_id} not in {loc}")
+    if to_snapshot_id is None:
+        to_snapshot_id = meta["current-snapshot-id"]
+    if to_snapshot_id not in ids:
+        raise ValueError(f"snapshot {to_snapshot_id} not in {loc}")
+    lo, hi = ids.index(from_snapshot_id), ids.index(to_snapshot_id)
+    if hi < lo:
+        raise ValueError("to_snapshot precedes from_snapshot")
+    files: list[str] = []
+    for s in snaps[lo + 1 : hi + 1]:
+        if s["summary"].get("operation") != "append":
+            raise ValueError(
+                f"incremental scan crosses non-append snapshot "
+                f"{s['snapshot-id']} ({s['summary'].get('operation')})"
+            )
+        _, manifests = read_container(_read_file(s["manifest-list"]))
+        for m in manifests:
+            _, entries = read_container(_read_file(m["manifest_path"]))
+            files.extend(
+                e["data_file"]["file_path"]
+                for e in entries
+                if e["status"] == 1
+                and e.get("snapshot_id") == s["snapshot-id"]
+            )
+    if not files:
+        return spark.createDataFrame([], schema=", ".join(
+            f"{f['name']} {_ICE_TO_SPARK[f['type']]}"
+            for f in meta["schema"]["fields"]
+        ))
+    return _read_files(spark, loc, files, meta["schema"])

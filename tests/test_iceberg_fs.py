@@ -383,3 +383,31 @@ def test_iceberg_compact_empty_table_raises(spark, tmp_path):
     ice.create_table(loc, ice.spark_schema_to_iceberg(df))
     with pytest.raises(ValueError, match="nothing to compact"):
         ice.compact_files(spark, loc)
+
+
+def test_iceberg_incremental_scan(spark, tmp_path):
+    """read_incremental returns exactly the rows added in-range,
+    never existing files; overwrites in range are rejected; empty
+    range yields an empty typed frame."""
+    loc, df = _mini_table(spark, tmp_path, "incr_tbl")
+    snaps = [ice.read_table_meta(loc)["current-snapshot-id"]]
+    batch2 = spark.createDataFrame(
+        [(200 + i, 0, float(i), "B") for i in range(5)],
+        "k bigint, g bigint, v double, p string",
+    )
+    ice.append(spark, loc, batch2)
+    snaps.append(ice.read_table_meta(loc)["current-snapshot-id"])
+    got = sorted(
+        r["k"] for r in ice.read_incremental(spark, loc, snaps[0]).collect()
+    )
+    assert got == [200, 201, 202, 203, 204]
+    # empty range: from == to
+    empty = ice.read_incremental(spark, loc, snaps[1], snaps[1])
+    assert empty.count() == 0 and empty.columns == ["k", "g", "v", "p"]
+    with pytest.raises(ValueError, match="precedes"):
+        ice.read_incremental(spark, loc, snaps[1], snaps[0])
+    with pytest.raises(ValueError, match="not in"):
+        ice.read_incremental(spark, loc, 12345)
+    ice.delete_where(spark, loc, [("k", "=", 200)])
+    with pytest.raises(ValueError, match="non-append"):
+        ice.read_incremental(spark, loc, snaps[0])
