@@ -910,21 +910,48 @@ def add_column(loc: str, name: str, ice_type: str) -> dict:
     return field
 
 
-def compact_files(spark, loc: str) -> dict:
+def compact_files(
+    spark, loc: str, sort_by: str | None = None, n_slices: int = 1
+) -> dict:
     """Small-files compaction (the RewriteDataFiles maintenance
     action): read every live data file, repartition so each identity
     partition value lands in exactly one task (=> one output file per
     partition), and commit a 'replace' snapshot — old files DELETED,
     compacted files ADDED. Row content is untouched, so time travel
     to pre-compaction snapshots still reads the original files until
-    expire_snapshots reclaims them."""
+    expire_snapshots reclaims them.
+
+    ``sort_by`` adds the OPTIMIZE..SORT BY shape: rows are
+    range-clustered on (partition cols, sort_by) into ``n_slices``
+    range slices, so the rewritten files carry DISJOINT sort-key
+    bounds within each partition — after which manifest-level bounds
+    pruning on the sort key skips whole files (at 100 TB the
+    difference between touching one slice and scanning the
+    partition). Range boundaries come from Spark's range-partition
+    sampling; no driver-side data."""
+    from pyspark.sql import functions as F
+
     meta = read_table_meta(loc)
     part_cols = [f["name"] for f in meta["partition-spec"]]
     live, _ = plan_files(loc)
     if not live:
         raise ValueError("nothing to compact: table has no live files")
     df = _read_files(spark, loc, live, meta["schema"])
-    df = df.repartition(*part_cols) if part_cols else df.coalesce(1)
+    if sort_by is not None:
+        keys = [F.col(c) for c in (*part_cols, sort_by)]
+        # partition-value count straight off the manifest metadata —
+        # no Spark job, no driver-side row data
+        n_parts = max(1, len({
+            tuple(
+                _partition_from_path(p, part_cols, meta["schema"]).items()
+            )
+            for p in live
+        })) if part_cols else 1
+        df = df.repartitionByRange(
+            n_parts * n_slices, *keys
+        ).sortWithinPartitions(*keys)
+    else:
+        df = df.repartition(*part_cols) if part_cols else df.coalesce(1)
     new_files = _write_replacement(spark, loc, df, part_cols)
     return _commit_overwrite(
         loc, meta, live, [], new_files, operation="replace"

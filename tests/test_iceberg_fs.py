@@ -411,3 +411,40 @@ def test_iceberg_incremental_scan(spark, tmp_path):
     ice.delete_where(spark, loc, [("k", "=", 200)])
     with pytest.raises(ValueError, match="non-append"):
         ice.read_incremental(spark, loc, snaps[0])
+
+
+def test_iceberg_sorted_compaction_prunes_on_sort_key(spark, tmp_path):
+    """OPTIMIZE..SORT BY: range-clustered rewrite gives files
+    DISJOINT sort-key bounds, so a key predicate prunes whole files
+    at the manifest level — unsorted compaction cannot."""
+    loc, df = _mini_table(spark, tmp_path, "sortc_tbl")
+    ice.compact_files(spark, loc, sort_by="k", n_slices=4)
+    files, total = ice.plan_files(loc)
+    assert total >= 4  # sliced, not one-file-per-partition
+    hit, _ = ice.plan_files(loc, filters=[("k", "<", 5)])
+    assert 0 < len(hit) < len(files), (len(hit), len(files))
+    # data unchanged
+    got = sorted(r["k"] for r in ice.read_iceberg(spark, loc).collect())
+    assert got == list(range(100))
+    # bounds really are disjoint per partition value: each file's
+    # k-range must not overlap another file of the same partition
+    meta = ice.read_table_meta(loc)
+    by_part = {}
+    kid = str(next(f["id"] for f in meta["schema"]["fields"]
+                   if f["name"] == "k"))
+    snap = meta["snapshots"][-1]
+    from mcp_iceberg_duckdb_spark.sources.avro_io import read_container
+    _, manifests = read_container(open(snap["manifest-list"], "rb").read())
+    for m in manifests:
+        _, entries = read_container(open(m["manifest_path"], "rb").read())
+        for e in entries:
+            if e["status"] == 2:
+                continue
+            d = e["data_file"]
+            lo = ice.decode_bound("long", d["lower_bounds"][kid])
+            hi = ice.decode_bound("long", d["upper_bounds"][kid])
+            by_part.setdefault(d["partition"]["p"], []).append((lo, hi))
+    for part, ranges in by_part.items():
+        ranges.sort()
+        for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
+            assert h1 <= l2, (part, ranges)
