@@ -373,6 +373,7 @@ class FsCatalog:
         _, _, loc, _ = self._resolve(ident)
         meta = ice.read_table_meta(loc)
         part_set = {f["name"] for f in meta["partition-spec"]}
+        schema_cols = {f["name"] for f in meta["schema"]["fields"]}
         assignments = {}
         for item in _split_top_level(set_sql):
             col, _, expr = item.partition("=")
@@ -381,6 +382,11 @@ class FsCatalog:
                 raise ValueError(f"bad SET item {item!r}")
             if col in part_set:
                 raise ValueError(f"cannot update partition column {col!r}")
+            if col not in schema_cols:
+                # without this, withColumn would mint a new column the
+                # final schema-projection silently drops — a no-op
+                # UPDATE instead of an error
+                raise ValueError(f"SET target {col!r} is not a column")
             assignments[col] = F.expr(expr.strip())
         pred = F.expr(where) if where else F.lit(True)
 

@@ -121,6 +121,16 @@ def test_update_partition_column_rejected(loaded):
         run("UPDATE sales.orders SET region = 'xx' WHERE k = 1")
 
 
+def test_update_unknown_set_target_rejected(loaded):
+    """A SET target that is not a schema column must error, not
+    silently no-op (withColumn would mint-then-drop it)."""
+    cat, run = loaded
+    with pytest.raises(ValueError, match="not a column"):
+        run("UPDATE sales.orders SET nope = 1 WHERE k = 1")
+    with pytest.raises(ValueError, match="not a column"):
+        run("UPDATE sales.orders SET amount + 1 = 2 WHERE k = 1")
+
+
 def test_delete_where(loaded):
     cat, run = loaded
     run("DELETE FROM sales.orders WHERE amount >= 20.0 AND region = 'eu'")
