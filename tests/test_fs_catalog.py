@@ -247,3 +247,87 @@ def test_server_routes_through_fs_warehouse(loaded, spark, monkeypatch):
         spark, "SELECT count(*) AS n FROM sales.orders o"
     )
     assert json.loads(res.text.split("\n", 1)[1]) == [{"n": 2}]
+
+
+# ---- hypothesis fuzz for the micro-parsers ----
+
+from hypothesis import given, strategies as st  # noqa: E402
+
+_name = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True)
+_quoted = st.text(
+    alphabet=st.sampled_from(list("ab,() '")), max_size=8
+).map(lambda s: "'" + s.replace("'", "''") + "'")
+_leaf = st.one_of(
+    _name,
+    _quoted,
+    st.integers(-999, 999).map(str),
+)
+
+
+@st.composite
+def _item(draw, depth=2):
+    """A SET-list item with balanced parens and quoted strings —
+    commas only below depth 0 or inside quotes."""
+    kind = draw(st.integers(0, 2 if depth else 1))
+    if kind == 0:
+        return draw(_leaf)
+    if kind == 1:
+        return draw(_name) + " = " + draw(_leaf)
+    inner = draw(st.lists(_item(depth - 1), min_size=1, max_size=3))
+    return draw(_name) + "(" + ", ".join(inner) + ")"
+
+
+@given(st.lists(_item(), min_size=1, max_size=5))
+def test_split_top_level_roundtrip(items):
+    assert _split_top_level(", ".join(items)) == [
+        i.strip() for i in items if i.strip()
+    ]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            _name,
+            st.sampled_from(["=", "<", "<=", ">", ">="]),
+            st.one_of(
+                st.integers(-10**6, 10**6),
+                st.floats(
+                    allow_nan=False,
+                    allow_infinity=False,
+                    min_value=-1e6,
+                    max_value=1e6,
+                ).filter(lambda f: "e" not in repr(f) and "." in repr(f)),
+                st.text(
+                    alphabet=st.sampled_from(list("ab AND or()'")),
+                    max_size=6,
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_simple_filters_roundtrip(triples):
+    """Rendering a conjunction of simple comparisons and re-parsing
+    yields exactly the input triples — the pruning extraction can
+    never misread a literal (which would mis-prune the rewrite
+    set)."""
+    rendered = " AND ".join(
+        f"{c} {op} "
+        + (f"'{v.replace(chr(39), chr(39) * 2)}'" if isinstance(v, str)
+           else repr(v))
+        for c, op, v in triples
+    )
+    got = _simple_filters(rendered)
+    assert got == tuple(
+        (c, op, float(v) if isinstance(v, float) else v)
+        for c, op, v in triples
+    )
+
+
+@given(st.text(max_size=40))
+def test_simple_filters_never_raises(s):
+    """Arbitrary WHERE text either parses to triples or degrades to
+    () — it must never throw (pruning is best-effort)."""
+    out = _simple_filters(s)
+    assert isinstance(out, tuple)
