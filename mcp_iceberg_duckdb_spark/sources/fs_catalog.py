@@ -78,6 +78,24 @@ _MERGE = re.compile(
     re.I | re.S,
 )
 _DESCRIBE = re.compile(rf"^\s*DESCRIBE\s+TABLE\s+({_TBL})\s*;?\s*$", re.I)
+_ALTER_ADD = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_TBL})\s+ADD\s+COLUMN\s+({_IDENT})\s+"
+    rf"({_IDENT})\s*;?\s*$",
+    re.I,
+)
+_OPTIMIZE = re.compile(
+    rf"^\s*OPTIMIZE\s+({_TBL})"
+    rf"(?:\s+SORT\s+BY\s+({_IDENT})(?:\s+SLICES\s+(\d+))?)?\s*;?\s*$",
+    re.I,
+)
+_EXPIRE = re.compile(
+    rf"^\s*EXPIRE\s+SNAPSHOTS\s+(?:IN\s+)?({_TBL})"
+    rf"(?:\s+KEEP\s+(\d+))?\s*;?\s*$",
+    re.I,
+)
+_VERSION_AS_OF = re.compile(
+    rf"({_TBL})\s+VERSION\s+AS\s+OF\s+(\d+)", re.I
+)
 _LIST_NS = re.compile(r"^\s*LIST\s+NAMESPACES\s*;?\s*$", re.I)
 _LIST_TBLS = re.compile(
     rf"^\s*LIST\s+TABLES(?:\s+(?:IN\s+)?({_IDENT}))?\s*;?\s*$", re.I
@@ -198,6 +216,19 @@ class FsCatalog:
         a table alias (``FROM ns.t t ... t.col``) — the substitution
         renames the table, not column qualifiers."""
         chunks = re.split(r"('(?:[^']|'')*')", sql)
+        # time travel first: `ns.t VERSION AS OF <id>` becomes a view
+        # over the snapshot-pinned scan before plain-name substitution
+        for i in range(0, len(chunks), 2):
+            def _tt(m):
+                ns, tbl, loc, _ = self._resolve(m.group(1))
+                snap = int(m.group(2))
+                view = f"{self._view_name(ns, tbl)}__v{snap}"
+                ice.read_iceberg(
+                    spark, loc, snapshot_id=snap
+                ).createOrReplaceTempView(view)
+                return view
+
+            chunks[i] = _VERSION_AS_OF.sub(_tt, chunks[i])
         known = {
             f"{ns}.{tbl}": (ns, tbl) for ns, tbl in self.list_tables()
         }
@@ -295,6 +326,33 @@ class FsCatalog:
                 raise ValueError(f"namespace {ns!r} is not empty")
             shutil.rmtree(os.path.join(self.warehouse, ns))
             return self._ok(spark, "drop_namespace")
+        if m := _ALTER_ADD.match(sql):
+            _, _, loc, _ = self._resolve(m.group(1))
+            typ = ice._SPARK_TO_ICE.get(m.group(3).lower())
+            if typ is None:
+                raise ValueError(f"unsupported column type {m.group(3)!r}")
+            ice.add_column(loc, m.group(2), typ)
+            return self._ok(spark, "add_column", column=m.group(2))
+        if m := _OPTIMIZE.match(sql):
+            _, _, loc, _ = self._resolve(m.group(1))
+            snap = ice.compact_files(
+                spark,
+                loc,
+                sort_by=m.group(2),
+                n_slices=int(m.group(3) or 1),
+            )
+            return self._ok(
+                spark,
+                "optimize",
+                rewritten_files=snap["summary"]["deleted-data-files"],
+                new_files=snap["summary"]["added-data-files"],
+            )
+        if m := _EXPIRE.match(sql):
+            _, _, loc, _ = self._resolve(m.group(1))
+            res = ice.expire_snapshots(
+                loc, keep_last=int(m.group(2) or 1)
+            )
+            return self._ok(spark, "expire_snapshots", **res)
         if m := _CREATE_TBL.match(sql):
             return self._create_table(spark, *m.groups(), sql=sql)
         if m := _DROP_TBL.match(sql):

@@ -331,3 +331,41 @@ def test_simple_filters_never_raises(s):
     () — it must never throw (pruning is best-effort)."""
     out = _simple_filters(s)
     assert isinstance(out, tuple)
+
+
+def test_maintenance_statements(loaded, spark):
+    """ALTER TABLE ADD COLUMN / OPTIMIZE SORT BY / EXPIRE SNAPSHOTS
+    as SQL text — the maintenance surface a lake operator runs."""
+    cat, run = loaded
+    run("ALTER TABLE sales.orders ADD COLUMN tag bigint")
+    assert "tag" in [r["col_name"]
+                     for r in run("DESCRIBE TABLE sales.orders").collect()]
+    assert run(
+        "SELECT count(*) AS n FROM sales.orders o WHERE tag IS NULL"
+    ).collect()[0]["n"] == 3
+    run("INSERT INTO sales.orders VALUES (10, 'eu', 1.0, 7)")
+    res = run("OPTIMIZE sales.orders SORT BY k SLICES 2").collect()[0]
+    assert res["operation"] == "optimize" and int(res["new_files"]) >= 2
+    res = run("EXPIRE SNAPSHOTS IN sales.orders KEEP 1").collect()[0]
+    assert int(res["removed_snapshots"]) >= 2
+    got = sorted(r["k"] for r in run("SELECT k FROM sales.orders o").collect())
+    assert got == [1, 2, 3, 10]
+    with pytest.raises(ValueError, match="unsupported column type"):
+        run("ALTER TABLE sales.orders ADD COLUMN bad uuid")
+
+
+def test_version_as_of_time_travel(loaded, spark):
+    cat, run = loaded
+    snap1 = run("SHOW SNAPSHOTS IN sales.orders").collect()[0]["snapshot_id"]
+    run("DELETE FROM sales.orders WHERE k = 1")
+    assert run("SELECT count(*) AS n FROM sales.orders o").collect()[0]["n"] == 2
+    old = run(
+        f"SELECT count(*) AS n FROM sales.orders VERSION AS OF {snap1} o"
+    ).collect()[0]["n"]
+    assert old == 3
+    # both reads in one statement: current vs pinned
+    row = run(
+        f"SELECT (SELECT count(*) FROM sales.orders VERSION AS OF {snap1} a)"
+        f" - (SELECT count(*) FROM sales.orders b) AS diff"
+    ).collect()[0]
+    assert row["diff"] == 1
