@@ -430,7 +430,7 @@ class FsCatalog:
     def _update(self, spark, ident, set_sql, where) -> DataFrame:
         _, _, loc, _ = self._resolve(ident)
         meta = ice.read_table_meta(loc)
-        part_set = {f["name"] for f in meta["partition-spec"]}
+        part_set = ice.partition_source_cols(meta)
         schema_cols = {f["name"] for f in meta["schema"]["fields"]}
         assignments = {}
         for item in _split_top_level(set_sql):

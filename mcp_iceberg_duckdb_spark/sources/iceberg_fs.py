@@ -56,6 +56,111 @@ _SPARK_TO_ICE = {
     "date": "date",
 }
 
+# ---- bucket transform (spec appendix B: 32-bit Murmur3, seed 0) ----
+
+
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    """murmur3_x86_32 over ``data`` — vendored from the public
+    algorithm because Spark's builtin hash() uses seed 42 and a
+    different input encoding, so it cannot reproduce Iceberg bucket
+    ids. Returns the UNSIGNED 32-bit result."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data) & ~3
+    for i in range(0, n, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[n:]
+    if len(tail) == 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def bucket_value(v, ice_type: str, n: int) -> int:
+    """Iceberg bucket id: ``(murmur3(encode(v)) & INT_MAX) % n``.
+    int/long/date hash their 8-byte little-endian two's-complement;
+    strings hash raw UTF-8 (spec appendix B — pinned against the
+    spec's own test vectors in tests)."""
+    if ice_type in ("int", "long", "date"):
+        data = int(v).to_bytes(8, "little", signed=True)
+    elif ice_type == "string":
+        data = str(v).encode("utf-8")
+    else:
+        raise ValueError(f"bucket transform unsupported for {ice_type}")
+    return (_murmur3_32(data) & 0x7FFFFFFF) % n
+
+
+def _transform_parts(transform: str):
+    """'identity' -> ('identity', None); 'bucket[8]' -> ('bucket', 8)."""
+    if transform == "identity":
+        return "identity", None
+    if transform.startswith("bucket[") and transform.endswith("]"):
+        return "bucket", int(transform[7:-1])
+    raise ValueError(f"unsupported partition transform {transform!r}")
+
+
+def partition_source_cols(meta: dict) -> set:
+    """Schema columns a partition value derives from — identity
+    columns AND bucket sources. None of these may be updated in
+    place (rows would need re-routing across partitions)."""
+    by_id = {f["id"]: f["name"] for f in meta["schema"]["fields"]}
+    return {
+        by_id.get(e["source-id"], e["name"])
+        for e in meta["partition-spec"]
+    }
+
+
+def _with_partition_cols(df, meta: dict):
+    """Materialize the partition DIRECTORY columns on a DataFrame
+    about to be written: identity fields are the source columns
+    themselves; bucket fields get a hidden ``<col>_bucket`` column
+    computed by an Arrow-batched pandas_udf of the spec's murmur3
+    bucket (hidden partitioning: the reader never sees or supplies
+    it). Returns (df, dir_col_names)."""
+    from pyspark.sql import functions as F
+
+    by_id = {f["id"]: f for f in meta["schema"]["fields"]}
+    dir_cols = []
+    out = df
+    for e in meta["partition-spec"]:
+        kind, n = _transform_parts(e["transform"])
+        dir_cols.append(e["name"])
+        if kind == "identity" or e["name"] in out.columns:
+            continue
+        src = by_id[e["source-id"]]
+
+        def _make(n=n, t=src["type"]):
+            return F.pandas_udf(
+                lambda s: s.map(
+                    lambda v: None if v is None else bucket_value(v, t, n)
+                ),
+                "int",
+            )
+
+        out = out.withColumn(e["name"], _make()(F.col(src["name"])))
+    return out, dir_cols
+
+
 # ---- single-value binary serialization (spec appendix D) ----
 
 
@@ -99,17 +204,30 @@ def decode_bound(ice_type: str, raw):
 # ---- manifest Avro schemas (spec v1, required fields) ----
 
 
-def _partition_avro_fields(part_cols, ice_schema):
+def _partition_avro_fields(spec, ice_schema):
+    """Avro fields of the manifest's partition record: identity
+    fields carry the source type, bucket fields carry the int
+    bucket id. ``spec`` may also be a plain list of column names
+    (identity shorthand used by older call sites)."""
+    by_id = {f["id"]: f["type"] for f in ice_schema["fields"]}
     types = {f["name"]: f["type"] for f in ice_schema["fields"]}
     avro_t = {
         "int": "int", "long": "long", "date": "int",
         "float": "float", "double": "double",
         "string": "string", "boolean": "boolean",
     }
-    return [
-        {"name": c, "type": ["null", avro_t[types[c]]], "default": None}
-        for c in part_cols
-    ]
+    out = []
+    for e in spec:
+        if isinstance(e, str):
+            name, t = e, types[e]
+        else:
+            kind, _ = _transform_parts(e["transform"])
+            name = e["name"]
+            t = "int" if kind == "bucket" else by_id[e["source-id"]]
+        out.append(
+            {"name": name, "type": ["null", avro_t[t]], "default": None}
+        )
+    return out
 
 
 def _manifest_schema(part_cols, ice_schema):
@@ -248,20 +366,41 @@ def spark_schema_to_iceberg(df) -> dict:
 
 
 def create_table(loc: str, ice_schema: dict, part_cols=()) -> dict:
-    """Write v1 table metadata (no snapshot yet). Identity partition
-    transforms only."""
+    """Write v1 table metadata (no snapshot yet). ``part_cols``
+    entries are either a column name (identity transform) or a
+    ``(column, "bucket", N)`` tuple (hidden bucket partitioning:
+    the murmur3 bucket id routes rows and prunes scans without the
+    reader ever supplying it — at 100 TB this is how a join key
+    becomes a co-located partition key without skew on hot
+    values)."""
     os.makedirs(_meta_dir(loc), exist_ok=True)
     os.makedirs(os.path.join(loc, "data"), exist_ok=True)
     by_name = {f["name"]: f for f in ice_schema["fields"]}
-    spec_fields = [
-        {
-            "name": c,
-            "transform": "identity",
-            "source-id": by_name[c]["id"],
-            "field-id": 1000 + i,
-        }
-        for i, c in enumerate(part_cols)
-    ]
+    spec_fields = []
+    for i, c in enumerate(part_cols):
+        if isinstance(c, str):
+            spec_fields.append(
+                {
+                    "name": c,
+                    "transform": "identity",
+                    "source-id": by_name[c]["id"],
+                    "field-id": 1000 + i,
+                }
+            )
+        else:
+            col, kind, n = c
+            if kind != "bucket":
+                raise ValueError(f"unsupported transform {kind!r}")
+            bucket_value(0 if by_name[col]["type"] != "string" else "",
+                         by_name[col]["type"], int(n))  # type check
+            spec_fields.append(
+                {
+                    "name": f"{col}_bucket",
+                    "transform": f"bucket[{int(n)}]",
+                    "source-id": by_name[col]["id"],
+                    "field-id": 1000 + i,
+                }
+            )
     meta = {
         "format-version": 1,
         "table-uuid": str(uuid.uuid4()),
@@ -336,25 +475,20 @@ def append(spark, loc: str, df, stat_cols=None) -> dict:
     (hive-layout dirs for identity partitions — Iceberg tracks files
     explicitly so layout is irrelevant), then the metadata commit."""
     meta = read_table_meta(loc)
-    part_cols = [f["name"] for f in meta["partition-spec"]]
     ice_schema = meta["schema"]
     stat_cols = set(
         stat_cols
         if stat_cols is not None
         else [f["name"] for f in ice_schema["fields"]]
     )
-    data_dir = os.path.join(loc, "data")
-    before = _list_parquet(data_dir)
-    writer = df.write.mode("append")
-    if part_cols:
-        writer = writer.partitionBy(*part_cols)
-    writer.parquet(data_dir)
-    new_files = sorted(set(_list_parquet(data_dir)) - set(before))
+    new_files = _write_replacement(spark, loc, df, meta)
 
     snapshot_id = int(time.time() * 1000) * 1000 + len(meta["snapshots"])
     entries = []
     for path in new_files:
-        part = _partition_from_path(path, part_cols, ice_schema)
+        part = _partition_from_path(
+            path, meta["partition-spec"], ice_schema
+        )
         stats = _file_stats(path, ice_schema, stat_cols)
         entries.append(
             {
@@ -374,7 +508,7 @@ def append(spark, loc: str, df, stat_cols=None) -> dict:
                 },
             }
         )
-    mschema = _manifest_schema(part_cols, ice_schema)
+    mschema = _manifest_schema(meta["partition-spec"], ice_schema)
     mpath = os.path.join(
         _meta_dir(loc), f"{uuid.uuid4()}-m0.avro"
     )
@@ -452,27 +586,36 @@ def _list_parquet(root: str):
     return out
 
 
-def _partition_from_path(path: str, part_cols, ice_schema):
-    """Identity partition values from the hive dir layout Spark
-    wrote (``col=value``); typed per the Iceberg schema."""
+def _partition_from_path(path: str, spec, ice_schema):
+    """Partition values from the hive dir layout Spark wrote
+    (``field=value``): identity fields typed per the source column,
+    bucket fields typed int. ``spec`` may be spec dicts or plain
+    column names (identity shorthand)."""
     types = {f["name"]: f["type"] for f in ice_schema["fields"]}
+    by_id = {f["id"]: f["type"] for f in ice_schema["fields"]}
     vals = dict(
         seg.split("=", 1)
         for seg in path.split(os.sep)
         if "=" in seg
     )
     out = {}
-    for c in part_cols:
+    for e in spec:
+        if isinstance(e, str):
+            c, t = e, types[e]
+        else:
+            kind, _ = _transform_parts(e["transform"])
+            c = e["name"]
+            t = "int" if kind == "bucket" else by_id[e["source-id"]]
         if c not in vals:
             raise ValueError(f"partition column {c} missing in {path}")
         raw = vals[c]
         if raw == "__HIVE_DEFAULT_PARTITION__":
             out[c] = None
-        elif types[c] in ("int", "long", "date"):
+        elif t in ("int", "long", "date"):
             out[c] = int(raw)
-        elif types[c] in ("float", "double"):
+        elif t in ("float", "double"):
             out[c] = float(raw)
-        elif types[c] == "boolean":
+        elif t == "boolean":
             out[c] = raw.lower() == "true"
         else:
             out[c] = raw
@@ -509,7 +652,17 @@ def plan_files(loc: str, snapshot_id=None, filters=()):
     if snap is None:
         raise ValueError(f"snapshot {snapshot_id} not in {loc}")
     by_name = {f["name"]: f for f in meta["schema"]["fields"]}
-    part_cols = {f["name"] for f in meta["partition-spec"]}
+    by_id = {f["id"]: f["name"] for f in meta["schema"]["fields"]}
+    identity_cols = set()
+    bucket_specs: dict[str, list] = {}  # source col -> [(field, n)]
+    for e in meta["partition-spec"]:
+        kind, n = _transform_parts(e["transform"])
+        if kind == "identity":
+            identity_cols.add(e["name"])
+        else:
+            bucket_specs.setdefault(by_id[e["source-id"]], []).append(
+                (e["name"], n)
+            )
     _, manifests = read_container(_read_file(snap["manifest-list"]))
     files = []
     total = 0
@@ -526,12 +679,24 @@ def plan_files(loc: str, snapshot_id=None, filters=()):
                 if f is None:
                     raise ValueError(f"unknown column {col}")
                 t = f["type"]
-                if col in part_cols:
+                if col in identity_cols:
                     pv = df_["partition"].get(col)
                     if pv is not None and not _OPS[op](pv, pv, val):
                         keep = False
                         break
                     continue
+                if op == "=" and col in bucket_specs:
+                    # hidden partitioning: an equality on the SOURCE
+                    # column prunes on its bucket id — the reader
+                    # never mentions the partition field
+                    for fname, n in bucket_specs[col]:
+                        pv = df_["partition"].get(fname)
+                        if pv is not None and pv != bucket_value(val, t, n):
+                            keep = False
+                            break
+                    if not keep:
+                        break
+                    # fall through: source-column bounds still apply
                 fid = str(f["id"])
                 lo = decode_bound(t, (df_.get("lower_bounds") or {}).get(fid))
                 hi = decode_bound(t, (df_.get("upper_bounds") or {}).get(fid))
@@ -609,8 +774,7 @@ def update_where(spark, loc: str, filters, assignments) -> dict:
     from pyspark.sql import functions as F
 
     meta = read_table_meta(loc)
-    part_set = {f["name"] for f in meta["partition-spec"]}
-    bad = part_set.intersection(assignments)
+    bad = partition_source_cols(meta).intersection(assignments)
     if bad:
         raise ValueError(f"cannot update partition columns {sorted(bad)}")
 
@@ -660,21 +824,23 @@ def _read_files(spark, loc: str, files, ice_schema):
     return df.select(*cols)
 
 
-def _write_replacement(spark, loc: str, replacement, part_cols):
+def _write_replacement(spark, loc: str, replacement, meta):
     """Write the replacement rows as new parquet under data/ and
-    return the new file paths."""
+    return the new file paths. Materializes transform (bucket)
+    partition columns first; they live only in the directory layout,
+    never in the row data the readers see."""
     data_dir = os.path.join(loc, "data")
     before = _list_parquet(data_dir)
+    replacement, dir_cols = _with_partition_cols(replacement, meta)
     writer = replacement.write.mode("append")
-    if part_cols:
-        writer = writer.partitionBy(*part_cols)
+    if dir_cols:
+        writer = writer.partitionBy(*dir_cols)
     writer.parquet(data_dir)
     return sorted(set(_list_parquet(data_dir)) - set(before))
 
 
 def _cow_rewrite(spark, loc: str, filters, rewrite_fn) -> dict:
     meta = read_table_meta(loc)
-    part_cols = [f["name"] for f in meta["partition-spec"]]
     ice_schema = meta["schema"]
     cols = [f["name"] for f in ice_schema["fields"]]
     candidates, _ = plan_files(loc, filters=filters)
@@ -685,7 +851,7 @@ def _cow_rewrite(spark, loc: str, filters, rewrite_fn) -> dict:
     if candidates:
         src = _read_files(spark, loc, candidates, ice_schema)
         replacement = rewrite_fn(src, _conjunction(filters)).select(*cols)
-        new_files = _write_replacement(spark, loc, replacement, part_cols)
+        new_files = _write_replacement(spark, loc, replacement, meta)
 
     return _commit_overwrite(
         loc, meta, candidates, untouched, new_files
@@ -701,14 +867,15 @@ def _commit_overwrite(
     one compacted manifest (spec-legal), new manifest list, new
     metadata version. Shared by DELETE/UPDATE (_cow_rewrite), MERGE
     (merge_into), and compaction (compact_files)."""
-    part_cols = [f["name"] for f in meta["partition-spec"]]
     ice_schema = meta["schema"]
     cols = [f["name"] for f in ice_schema["fields"]]
     snapshot_id = int(time.time() * 1000) * 1000 + len(meta["snapshots"])
     entries = []
     for status, paths in ((0, untouched), (1, new_files), (2, candidates)):
         for path in paths:
-            part = _partition_from_path(path, part_cols, ice_schema)
+            part = _partition_from_path(
+                path, meta["partition-spec"], ice_schema
+            )
             stats = _file_stats(path, ice_schema, set(cols))
             entries.append(
                 {
@@ -728,7 +895,7 @@ def _commit_overwrite(
                     },
                 }
             )
-    mschema = _manifest_schema(part_cols, ice_schema)
+    mschema = _manifest_schema(meta["partition-spec"], ice_schema)
     mpath = os.path.join(_meta_dir(loc), f"{uuid.uuid4()}-m0.avro")
     blob = write_container(mschema, entries)
     with open(mpath, "wb") as fh:
@@ -832,7 +999,7 @@ def merge_into(spark, loc: str, source_df, on_cols, update_cols=None) -> dict:
     from pyspark.sql import functions as F
 
     meta = read_table_meta(loc)
-    part_cols = [f["name"] for f in meta["partition-spec"]]
+    part_sources = partition_source_cols(meta)
     ice_schema = meta["schema"]
     cols = [f["name"] for f in ice_schema["fields"]]
     on_cols = list(on_cols)
@@ -841,9 +1008,9 @@ def merge_into(spark, loc: str, source_df, on_cols, update_cols=None) -> dict:
         raise ValueError(f"MERGE source lacks table columns {missing}")
     if update_cols is None:
         update_cols = [
-            c for c in cols if c not in on_cols and c not in part_cols
+            c for c in cols if c not in on_cols and c not in part_sources
         ]
-    bad = set(update_cols) & set(part_cols)
+    bad = set(update_cols) & part_sources
     if bad:
         raise ValueError(f"cannot update partition columns {sorted(bad)}")
 
@@ -883,7 +1050,7 @@ def merge_into(spark, loc: str, source_df, on_cols, update_cols=None) -> dict:
         replacement = rewritten.unionByName(inserts)
     else:
         replacement = source
-    new_files = _write_replacement(spark, loc, replacement, part_cols)
+    new_files = _write_replacement(spark, loc, replacement, meta)
     return _commit_overwrite(loc, meta, candidates, untouched, new_files)
 
 
@@ -932,27 +1099,26 @@ def compact_files(
     from pyspark.sql import functions as F
 
     meta = read_table_meta(loc)
-    part_cols = [f["name"] for f in meta["partition-spec"]]
+    spec = meta["partition-spec"]
     live, _ = plan_files(loc)
     if not live:
         raise ValueError("nothing to compact: table has no live files")
     df = _read_files(spark, loc, live, meta["schema"])
+    df, dir_cols = _with_partition_cols(df, meta)
     if sort_by is not None:
-        keys = [F.col(c) for c in (*part_cols, sort_by)]
+        keys = [F.col(c) for c in (*dir_cols, sort_by)]
         # partition-value count straight off the manifest metadata —
         # no Spark job, no driver-side row data
         n_parts = max(1, len({
-            tuple(
-                _partition_from_path(p, part_cols, meta["schema"]).items()
-            )
+            tuple(_partition_from_path(p, spec, meta["schema"]).items())
             for p in live
-        })) if part_cols else 1
+        })) if dir_cols else 1
         df = df.repartitionByRange(
             n_parts * n_slices, *keys
         ).sortWithinPartitions(*keys)
     else:
-        df = df.repartition(*part_cols) if part_cols else df.coalesce(1)
-    new_files = _write_replacement(spark, loc, df, part_cols)
+        df = df.repartition(*dir_cols) if dir_cols else df.coalesce(1)
+    new_files = _write_replacement(spark, loc, df, meta)
     return _commit_overwrite(
         loc, meta, live, [], new_files, operation="replace"
     )
@@ -1022,7 +1188,6 @@ def cow_rewrite_where(
     bound does. ``rewrite_fn(src_df, predicate)`` returns the
     replacement rows for the candidate files."""
     meta = read_table_meta(loc)
-    part_cols = [f["name"] for f in meta["partition-spec"]]
     ice_schema = meta["schema"]
     cols = [f["name"] for f in ice_schema["fields"]]
     candidates, _ = plan_files(loc, filters=prune_filters)
@@ -1033,7 +1198,7 @@ def cow_rewrite_where(
     if candidates:
         src = _read_files(spark, loc, candidates, ice_schema)
         replacement = rewrite_fn(src, predicate).select(*cols)
-        new_files = _write_replacement(spark, loc, replacement, part_cols)
+        new_files = _write_replacement(spark, loc, replacement, meta)
     return _commit_overwrite(loc, meta, candidates, untouched, new_files)
 
 

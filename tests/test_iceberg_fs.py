@@ -448,3 +448,77 @@ def test_iceberg_sorted_compaction_prunes_on_sort_key(spark, tmp_path):
         ranges.sort()
         for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
             assert h1 <= l2, (part, ranges)
+
+
+def test_murmur3_spec_vectors():
+    """The Iceberg spec's own appendix-B bucket-hash test vectors:
+    hash(34) as int/long and hash('iceberg') as string."""
+    assert ice._murmur3_32((34).to_bytes(8, "little", signed=True)) in (
+        2017239379,
+    )
+    assert ice._murmur3_32("iceberg".encode()) == 1210000089
+    # int and long bucket identically (spec: ints hash as longs)
+    assert ice.bucket_value(34, "int", 16) == ice.bucket_value(34, "long", 16)
+    with pytest.raises(ValueError, match="unsupported"):
+        ice.bucket_value(1.5, "double", 4)
+
+
+def test_iceberg_bucket_hidden_partitioning(spark, tmp_path):
+    """bucket[N] partitioning: rows route by murmur3 bucket id, the
+    reader never supplies the partition column, and an EQUALITY on
+    the source column prunes to the one bucket at the manifest
+    level."""
+    loc = str(tmp_path / "bucket_tbl")
+    df = spark.createDataFrame(
+        [(i, f"u{i}", float(i)) for i in range(200)],
+        "k bigint, name string, v double",
+    )
+    ice.create_table(
+        loc, ice.spark_schema_to_iceberg(df), part_cols=[("k", "bucket", 8)]
+    )
+    ice.append(spark, loc, df)
+    # schema columns only — the bucket col is hidden
+    out = ice.read_iceberg(spark, loc)
+    assert out.columns == ["k", "name", "v"]
+    assert sorted(r["k"] for r in out.collect()) == list(range(200))
+    all_files, total = ice.plan_files(loc)
+    assert len({f.split("k_bucket=")[1].split("/")[0] for f in all_files}) == 8
+    # equality on k prunes to the single matching bucket
+    hit, _ = ice.plan_files(loc, filters=[("k", "=", 42)])
+    want_bucket = ice.bucket_value(42, "long", 8)
+    assert hit and all(f"k_bucket={want_bucket}/" in f for f in hit)
+    assert len(hit) < len(all_files)
+    got = ice.read_iceberg(spark, loc, filters=[("k", "=", 42)]).collect()
+    assert [(r["k"], r["name"]) for r in got] == [(42, "u42")]
+    # range predicates cannot use the bucket but still bounds-prune
+    rng = ice.read_iceberg(spark, loc, filters=[("k", "<", 3)])
+    assert sorted(r["k"] for r in rng.collect()) == [0, 1, 2]
+
+
+def test_iceberg_bucket_dml_and_maintenance(spark, tmp_path):
+    """CoW DELETE/UPDATE/MERGE and compaction on a bucket-partitioned
+    table; updating the bucket SOURCE column is rejected."""
+    loc = str(tmp_path / "bucket_dml")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "k bigint, v double"
+    )
+    ice.create_table(
+        loc, ice.spark_schema_to_iceberg(df), part_cols=[("k", "bucket", 4)]
+    )
+    ice.append(spark, loc, df)
+    with pytest.raises(ValueError, match="partition columns"):
+        ice.update_where(spark, loc, [("v", ">=", 0.0)], {"k": 999})
+    ice.update_where(spark, loc, [("k", "=", 10)], {"v": -1.0})
+    ice.delete_where(spark, loc, [("k", "=", 11)])
+    src = spark.createDataFrame(
+        [(12, 1200.0), (500, 500.0)], "k bigint, v double"
+    )
+    ice.merge_into(spark, loc, src, on_cols=["k"])
+    got = {r["k"]: r["v"] for r in ice.read_iceberg(spark, loc).collect()}
+    assert got[10] == -1.0 and 11 not in got
+    assert got[12] == 1200.0 and got[500] == 500.0 and len(got) == 100
+    ice.compact_files(spark, loc)
+    files, _ = ice.plan_files(loc)
+    assert len(files) == 4  # one per bucket
+    got2 = {r["k"]: r["v"] for r in ice.read_iceberg(spark, loc).collect()}
+    assert got2 == got
