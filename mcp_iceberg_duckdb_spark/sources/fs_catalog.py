@@ -53,7 +53,7 @@ _CREATE_NS = re.compile(
 _DROP_NS = re.compile(rf"^\s*DROP\s+NAMESPACE\s+({_IDENT})\s*;?\s*$", re.I)
 _CREATE_TBL = re.compile(
     rf"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?({_TBL})\s*\((.*?)\)"
-    rf"\s*(?:PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*$",
+    rf"\s*(?:PARTITIONED\s+BY\s*\((.*)\))?\s*;?\s*$",
     re.I | re.S,
 )
 _DROP_TBL = re.compile(rf"^\s*DROP\s+TABLE\s+({_TBL})\s*;?\s*$", re.I)
@@ -397,13 +397,22 @@ class FsCatalog:
             fields.append(
                 {"id": i + 1, "name": name, "required": False, "type": ice_t}
             )
-        part_cols = (
-            [c.strip() for c in part_sql.split(",")] if part_sql else []
-        )
         names = {f["name"] for f in fields}
-        for c in part_cols:
-            if c not in names:
-                raise ValueError(f"partition column {c!r} not in schema")
+        part_cols = []
+        for item in _split_top_level(part_sql) if part_sql else []:
+            m2 = re.match(
+                rf"^(bucket|truncate)\s*\(\s*(\d+)\s*,\s*({_IDENT})\s*\)$",
+                item,
+                re.I,
+            )
+            if m2:
+                kind, n, col = m2.groups()
+                part_cols.append((col, kind.lower(), int(n)))
+            else:
+                col = item
+                part_cols.append(col)
+            if col not in names:
+                raise ValueError(f"partition column {col!r} not in schema")
         os.makedirs(os.path.join(self.warehouse, ns), exist_ok=True)
         ice.create_table(
             loc,

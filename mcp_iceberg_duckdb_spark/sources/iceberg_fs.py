@@ -111,12 +111,28 @@ def bucket_value(v, ice_type: str, n: int) -> int:
 
 
 def _transform_parts(transform: str):
-    """'identity' -> ('identity', None); 'bucket[8]' -> ('bucket', 8)."""
+    """'identity' -> ('identity', None); 'bucket[8]' -> ('bucket', 8);
+    'truncate[10]' -> ('truncate', 10)."""
     if transform == "identity":
         return "identity", None
     if transform.startswith("bucket[") and transform.endswith("]"):
         return "bucket", int(transform[7:-1])
+    if transform.startswith("truncate[") and transform.endswith("]"):
+        return "truncate", int(transform[9:-1])
     raise ValueError(f"unsupported partition transform {transform!r}")
+
+
+def truncate_value(v, ice_type: str, w: int):
+    """Iceberg truncate transform (spec appendix B): ints/longs
+    floor to a multiple of W (``v - (v mod W)`` with floor-mod, so
+    negatives round DOWN); strings keep the first W characters.
+    Order-preserving — which is why truncate partitions admit RANGE
+    pruning where bucket admits only equality."""
+    if ice_type in ("int", "long"):
+        return int(v) - (int(v) % w)
+    if ice_type == "string":
+        return str(v)[:w]
+    raise ValueError(f"truncate transform unsupported for {ice_type}")
 
 
 def partition_source_cols(meta: dict) -> set:
@@ -148,6 +164,17 @@ def _with_partition_cols(df, meta: dict):
         if kind == "identity" or e["name"] in out.columns:
             continue
         src = by_id[e["source-id"]]
+        if kind == "truncate":
+            # order-preserving truncate stays JVM-side: floor-mod for
+            # ints/longs, prefix for strings — no Python in the write
+            c = src["name"]
+            expr = (
+                F.substring(F.col(c), 1, n)
+                if src["type"] == "string"
+                else F.col(c) - ((F.col(c) % n + n) % n)
+            )
+            out = out.withColumn(e["name"], expr)
+            continue
 
         def _make(n=n, t=src["type"]):
             return F.pandas_udf(
@@ -389,14 +416,19 @@ def create_table(loc: str, ice_schema: dict, part_cols=()) -> dict:
             )
         else:
             col, kind, n = c
-            if kind != "bucket":
+            probe = 0 if by_name[col]["type"] != "string" else ""
+            if kind == "bucket":
+                bucket_value(probe, by_name[col]["type"], int(n))
+                suffix = "bucket"
+            elif kind == "truncate":
+                truncate_value(probe, by_name[col]["type"], int(n))
+                suffix = "trunc"
+            else:
                 raise ValueError(f"unsupported transform {kind!r}")
-            bucket_value(0 if by_name[col]["type"] != "string" else "",
-                         by_name[col]["type"], int(n))  # type check
             spec_fields.append(
                 {
-                    "name": f"{col}_bucket",
-                    "transform": f"bucket[{int(n)}]",
+                    "name": f"{col}_{suffix}",
+                    "transform": f"{kind}[{int(n)}]",
                     "source-id": by_name[col]["id"],
                     "field-id": 1000 + i,
                 }
@@ -655,12 +687,17 @@ def plan_files(loc: str, snapshot_id=None, filters=()):
     by_id = {f["id"]: f["name"] for f in meta["schema"]["fields"]}
     identity_cols = set()
     bucket_specs: dict[str, list] = {}  # source col -> [(field, n)]
+    trunc_specs: dict[str, list] = {}  # source col -> [(field, w)]
     for e in meta["partition-spec"]:
         kind, n = _transform_parts(e["transform"])
         if kind == "identity":
             identity_cols.add(e["name"])
-        else:
+        elif kind == "bucket":
             bucket_specs.setdefault(by_id[e["source-id"]], []).append(
+                (e["name"], n)
+            )
+        else:
+            trunc_specs.setdefault(by_id[e["source-id"]], []).append(
                 (e["name"], n)
             )
     _, manifests = read_container(_read_file(snap["manifest-list"]))
@@ -693,6 +730,32 @@ def plan_files(loc: str, snapshot_id=None, filters=()):
                         pv = df_["partition"].get(fname)
                         if pv is not None and pv != bucket_value(val, t, n):
                             keep = False
+                            break
+                    if not keep:
+                        break
+                    # fall through: source-column bounds still apply
+                if col in trunc_specs:
+                    # truncate is order-preserving: ints/longs admit
+                    # RANGE pruning (file rows live in [pv, pv+w)),
+                    # strings prune on prefix equality
+                    for fname, w in trunc_specs[col]:
+                        pv = df_["partition"].get(fname)
+                        if pv is None:
+                            continue
+                        if t == "string":
+                            if op == "=" and pv != truncate_value(
+                                val, t, w
+                            ):
+                                keep = False
+                        elif (
+                            (op == "=" and pv != truncate_value(val, t, w))
+                            or (op == "<" and not pv < val)
+                            or (op == "<=" and not pv <= val)
+                            or (op == ">" and not pv + w - 1 > val)
+                            or (op == ">=" and not pv + w - 1 >= val)
+                        ):
+                            keep = False
+                        if not keep:
                             break
                     if not keep:
                         break

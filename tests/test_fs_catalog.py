@@ -369,3 +369,24 @@ def test_version_as_of_time_travel(loaded, spark):
         f" - (SELECT count(*) FROM sales.orders b) AS diff"
     ).collect()[0]
     assert row["diff"] == 1
+
+
+def test_create_table_transform_partitions(cat, spark):
+    """PARTITIONED BY (bucket(4, k), truncate(10, v)) SQL syntax maps
+    to hidden transform partitions; readers never mention them."""
+    run = lambda s: cat.execute(spark, s)  # noqa: E731
+    run(
+        "CREATE TABLE default.ev (k bigint, name string)"
+        " PARTITIONED BY (bucket(4, k))"
+    )
+    run("INSERT INTO default.ev SELECT id, concat('u', id)"
+        " FROM (SELECT explode(sequence(0, 99)) AS id)")
+    desc = {r["col_name"]: r["comment"]
+            for r in run("DESCRIBE TABLE default.ev").collect()}
+    assert desc == {"k": "", "name": ""}  # hidden: not a schema column
+    assert run("SELECT count(*) AS n FROM default.ev e").collect()[0]["n"] == 100
+    loc = cat._resolve("default.ev")[2]
+    files, _ = ice.plan_files(loc)
+    assert len({f.split("k_bucket=")[1].split("/")[0] for f in files}) == 4
+    with pytest.raises(ValueError, match="not in schema"):
+        run("CREATE TABLE default.bad (k bigint) PARTITIONED BY (bucket(4, z))")

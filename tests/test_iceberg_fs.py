@@ -522,3 +522,38 @@ def test_iceberg_bucket_dml_and_maintenance(spark, tmp_path):
     assert len(files) == 4  # one per bucket
     got2 = {r["k"]: r["v"] for r in ice.read_iceberg(spark, loc).collect()}
     assert got2 == got
+
+
+def test_iceberg_truncate_partitioning(spark, tmp_path):
+    """truncate[W] partitioning: JVM-side floor-to-W routing, range
+    AND equality pruning (order-preserving), negatives round down
+    per the spec's floor-mod."""
+    assert ice.truncate_value(-1, "long", 10) == -10
+    assert ice.truncate_value(19, "long", 10) == 10
+    assert ice.truncate_value("iceberg", "string", 3) == "ice"
+    loc = str(tmp_path / "trunc_tbl")
+    df = spark.createDataFrame(
+        [(i - 20, float(i)) for i in range(120)], "k bigint, v double"
+    )
+    ice.create_table(
+        loc, ice.spark_schema_to_iceberg(df), part_cols=[("k", "truncate", 25)]
+    )
+    ice.append(spark, loc, df)
+    out = ice.read_iceberg(spark, loc)
+    assert out.columns == ["k", "v"]
+    assert out.count() == 120
+    all_files, _ = ice.plan_files(loc)
+    # partitions: floor(k/25)*25 for k in [-20, 100) -> -25,0,25,50,75
+    assert len({f.split("k_trunc=")[1].split("/")[0] for f in all_files}) == 5
+    eq, _ = ice.plan_files(loc, filters=[("k", "=", 30)])
+    assert all("k_trunc=25/" in f for f in eq) and len(eq) < len(all_files)
+    lt, _ = ice.plan_files(loc, filters=[("k", "<", 0)])
+    assert all("k_trunc=-25/" in f for f in lt)
+    ge, _ = ice.plan_files(loc, filters=[("k", ">=", 80)])
+    assert all("k_trunc=75/" in f for f in ge)
+    got = sorted(
+        r["k"]
+        for r in ice.read_iceberg(spark, loc, filters=[("k", "<", -15)])
+        .collect()
+    )
+    assert got == [-20, -19, -18, -17, -16]
