@@ -27,8 +27,11 @@ thing the reference's design note says it cannot do.
 
 Column resolution is BY NAME on the parquet side (Spark's parquet
 files don't carry Iceberg field-ids; the spec's name-mapping
-fallback). Identity partition transforms only — the production
-DSv2 path (sources/iceberg.py) covers the rest when a jar exists.
+fallback). Partition transforms: identity, bucket[N] (hidden
+murmur3 routing + equality pruning), truncate[W] (hidden
+order-preserving routing + range pruning). The production DSv2
+path (sources/iceberg.py) covers the remaining transforms when a
+jar exists.
 """
 
 from __future__ import annotations
