@@ -122,7 +122,27 @@ def _transform_parts(transform: str):
         return "bucket", int(transform[7:-1])
     if transform.startswith("truncate[") and transform.endswith("]"):
         return "truncate", int(transform[9:-1])
+    if transform in ("year", "month", "day"):
+        return transform, None
     raise ValueError(f"unsupported partition transform {transform!r}")
+
+
+def temporal_value(epoch_days: int, kind: str) -> int:
+    """Iceberg temporal transforms of a date (stored as days since
+    1970-01-01, matching the bound encoding): ``year`` -> years from
+    1970, ``month`` -> months from 1970-01, ``day`` -> the epoch day
+    itself. All monotone in the source date, so range predicates
+    prune conservatively on the partition value."""
+    import datetime
+
+    d = datetime.date(1970, 1, 1) + datetime.timedelta(days=int(epoch_days))
+    if kind == "year":
+        return d.year - 1970
+    if kind == "month":
+        return (d.year - 1970) * 12 + (d.month - 1)
+    if kind == "day":
+        return int(epoch_days)
+    raise ValueError(f"not a temporal transform {kind!r}")
 
 
 def truncate_value(v, ice_type: str, w: int):
@@ -167,6 +187,15 @@ def _with_partition_cols(df, meta: dict):
         if kind == "identity" or e["name"] in out.columns:
             continue
         src = by_id[e["source-id"]]
+        if kind in ("year", "month", "day"):
+            c = F.col(src["name"])
+            expr = {
+                "year": F.year(c) - 1970,
+                "month": (F.year(c) - 1970) * 12 + F.month(c) - 1,
+                "day": F.datediff(c, F.to_date(F.lit("1970-01-01"))),
+            }[kind]
+            out = out.withColumn(e["name"], expr.cast("int"))
+            continue
         if kind == "truncate":
             # order-preserving truncate stays JVM-side: floor-mod for
             # ints/longs, prefix for strings — no Python in the write
@@ -200,6 +229,10 @@ def encode_bound(ice_type: str, v):
     if ice_type == "int":
         return struct.pack("<i", int(v))
     if ice_type in ("long", "date"):
+        if ice_type == "date" and hasattr(v, "toordinal"):
+            # pyarrow surfaces date statistics as datetime.date;
+            # bounds store days since 1970-01-01 (epoch ordinal)
+            v = v.toordinal() - 719163
         return struct.pack("<q", int(v))
     if ice_type == "float":
         return struct.pack("<f", float(v))
@@ -253,7 +286,11 @@ def _partition_avro_fields(spec, ice_schema):
         else:
             kind, _ = _transform_parts(e["transform"])
             name = e["name"]
-            t = "int" if kind == "bucket" else by_id[e["source-id"]]
+            t = (
+                by_id[e["source-id"]]
+                if kind in ("identity", "truncate")
+                else "int"
+            )
         out.append(
             {"name": name, "type": ["null", avro_t[t]], "default": None}
         )
@@ -418,20 +455,29 @@ def create_table(loc: str, ice_schema: dict, part_cols=()) -> dict:
                 }
             )
         else:
-            col, kind, n = c
+            col, kind, *rest = c
             probe = 0 if by_name[col]["type"] != "string" else ""
             if kind == "bucket":
-                bucket_value(probe, by_name[col]["type"], int(n))
-                suffix = "bucket"
+                n = int(rest[0])
+                bucket_value(probe, by_name[col]["type"], n)
+                name, transform = f"{col}_bucket", f"bucket[{n}]"
             elif kind == "truncate":
-                truncate_value(probe, by_name[col]["type"], int(n))
-                suffix = "trunc"
+                n = int(rest[0])
+                truncate_value(probe, by_name[col]["type"], n)
+                name, transform = f"{col}_trunc", f"truncate[{n}]"
+            elif kind in ("year", "month", "day"):
+                if by_name[col]["type"] != "date":
+                    raise ValueError(
+                        f"{kind} transform requires a date column, "
+                        f"{col} is {by_name[col]['type']}"
+                    )
+                name, transform = f"{col}_{kind}", kind
             else:
                 raise ValueError(f"unsupported transform {kind!r}")
             spec_fields.append(
                 {
-                    "name": f"{col}_{suffix}",
-                    "transform": f"{kind}[{int(n)}]",
+                    "name": name,
+                    "transform": transform,
                     "source-id": by_name[col]["id"],
                     "field-id": 1000 + i,
                 }
@@ -640,7 +686,11 @@ def _partition_from_path(path: str, spec, ice_schema):
         else:
             kind, _ = _transform_parts(e["transform"])
             c = e["name"]
-            t = "int" if kind == "bucket" else by_id[e["source-id"]]
+            t = (
+                by_id[e["source-id"]]
+                if kind in ("identity", "truncate")
+                else "int"
+            )
         if c not in vals:
             raise ValueError(f"partition column {c} missing in {path}")
         raw = vals[c]
@@ -691,6 +741,7 @@ def plan_files(loc: str, snapshot_id=None, filters=()):
     identity_cols = set()
     bucket_specs: dict[str, list] = {}  # source col -> [(field, n)]
     trunc_specs: dict[str, list] = {}  # source col -> [(field, w)]
+    temporal_specs: dict[str, list] = {}  # source col -> [(field, kind)]
     for e in meta["partition-spec"]:
         kind, n = _transform_parts(e["transform"])
         if kind == "identity":
@@ -699,9 +750,13 @@ def plan_files(loc: str, snapshot_id=None, filters=()):
             bucket_specs.setdefault(by_id[e["source-id"]], []).append(
                 (e["name"], n)
             )
-        else:
+        elif kind == "truncate":
             trunc_specs.setdefault(by_id[e["source-id"]], []).append(
                 (e["name"], n)
+            )
+        else:
+            temporal_specs.setdefault(by_id[e["source-id"]], []).append(
+                (e["name"], kind)
             )
     _, manifests = read_container(_read_file(snap["manifest-list"]))
     files = []
@@ -732,6 +787,25 @@ def plan_files(loc: str, snapshot_id=None, filters=()):
                     for fname, n in bucket_specs[col]:
                         pv = df_["partition"].get(fname)
                         if pv is not None and pv != bucket_value(val, t, n):
+                            keep = False
+                            break
+                    if not keep:
+                        break
+                    # fall through: source-column bounds still apply
+                if col in temporal_specs:
+                    # monotone transforms admit conservative range
+                    # pruning on the transformed value (filter values
+                    # are epoch days, matching the date bound encoding)
+                    for fname, kind in temporal_specs[col]:
+                        pv = df_["partition"].get(fname)
+                        if pv is None:
+                            continue
+                        tv = temporal_value(val, kind)
+                        if (
+                            (op == "=" and pv != tv)
+                            or (op in ("<", "<=") and not pv <= tv)
+                            or (op in (">", ">=") and not pv >= tv)
+                        ):
                             keep = False
                             break
                     if not keep:

@@ -557,3 +557,54 @@ def test_iceberg_truncate_partitioning(spark, tmp_path):
         .collect()
     )
     assert got == [-20, -19, -18, -17, -16]
+
+
+def test_iceberg_temporal_partitioning(spark, tmp_path):
+    """year/month/day transforms on date columns: JVM-side hidden
+    routing, monotone range pruning on the partition ordinal (filter
+    values are epoch days, matching the date bound encoding)."""
+    import datetime
+
+    assert ice.temporal_value(0, "year") == 0
+    assert ice.temporal_value(365, "year") == 1       # 1971-01-01
+    assert ice.temporal_value(31, "month") == 1       # 1970-02-01
+    assert ice.temporal_value(59, "month") == 2       # 1970-03-01
+    assert ice.temporal_value(12345, "day") == 12345
+    loc = str(tmp_path / "temporal_tbl")
+    epoch = datetime.date(1970, 1, 1)
+    rows = [
+        (i, epoch + datetime.timedelta(days=19000 + 30 * i))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "k bigint, d date")
+    ice.create_table(
+        loc, ice.spark_schema_to_iceberg(df), part_cols=[("d", "month")]
+    )
+    ice.append(spark, loc, df)
+    out = ice.read_iceberg(spark, loc)
+    assert out.columns == ["k", "d"] and out.count() == 12
+    all_files, _ = ice.plan_files(loc)
+    months = {f.split("d_month=")[1].split("/")[0] for f in all_files}
+    assert len(months) >= 11  # ~monthly spread
+    # equality on the source date prunes to its month
+    probe = 19000 + 30 * 5
+    hit, _ = ice.plan_files(loc, filters=[("d", "=", probe)])
+    want = ice.temporal_value(probe, "month")
+    assert hit and all(f"d_month={want}/" in f for f in hit)
+    assert len(hit) < len(all_files)
+    # range: everything strictly before the probe month
+    lo, _ = ice.plan_files(loc, filters=[("d", "<", 19000 + 30 * 2)])
+    assert 0 < len(lo) < len(all_files)
+    assert all(
+        int(f.split("d_month=")[1].split("/")[0])
+        <= ice.temporal_value(19000 + 60, "month")
+        for f in lo
+    )
+    # non-date sources are rejected at create time
+    df2 = spark.createDataFrame([(1,)], "k bigint")
+    with pytest.raises(ValueError, match="requires a date column"):
+        ice.create_table(
+            str(tmp_path / "bad"),
+            ice.spark_schema_to_iceberg(df2),
+            part_cols=[("k", "month")],
+        )
