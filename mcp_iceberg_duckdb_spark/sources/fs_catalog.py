@@ -405,9 +405,15 @@ class FsCatalog:
                 item,
                 re.I,
             )
+            m3 = re.match(
+                rf"^(year|month|day)\s*\(\s*({_IDENT})\s*\)$", item, re.I
+            )
             if m2:
                 kind, n, col = m2.groups()
                 part_cols.append((col, kind.lower(), int(n)))
+            elif m3:
+                kind, col = m3.groups()
+                part_cols.append((col, kind.lower()))
             else:
                 col = item
                 part_cols.append(col)

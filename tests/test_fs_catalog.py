@@ -390,3 +390,20 @@ def test_create_table_transform_partitions(cat, spark):
     assert len({f.split("k_bucket=")[1].split("/")[0] for f in files}) == 4
     with pytest.raises(ValueError, match="not in schema"):
         run("CREATE TABLE default.bad (k bigint) PARTITIONED BY (bucket(4, z))")
+
+
+def test_create_table_temporal_partition(cat, spark):
+    run = lambda s: cat.execute(spark, s)  # noqa: E731
+    run(
+        "CREATE TABLE default.logs (k bigint, d date)"
+        " PARTITIONED BY (month(d))"
+    )
+    run(
+        "INSERT INTO default.logs SELECT id,"
+        " date_add(to_date('2023-01-15'), CAST(id * 20 AS INT))"
+        " FROM (SELECT explode(sequence(0, 9)) AS id)"
+    )
+    assert run("SELECT count(*) AS n FROM default.logs l").collect()[0]["n"] == 10
+    loc = cat._resolve("default.logs")[2]
+    files, _ = ice.plan_files(loc)
+    assert len({f.split("d_month=")[1].split("/")[0] for f in files}) >= 6
