@@ -774,78 +774,85 @@ def plan_files(loc: str, snapshot_id=None, filters=()):
                 if f is None:
                     raise ValueError(f"unknown column {col}")
                 t = f["type"]
-                if col in identity_cols:
-                    pv = df_["partition"].get(col)
-                    if pv is not None and not _OPS[op](pv, pv, val):
-                        keep = False
-                        break
-                    continue
-                if op == "=" and col in bucket_specs:
-                    # hidden partitioning: an equality on the SOURCE
-                    # column prunes on its bucket id — the reader
-                    # never mentions the partition field
-                    for fname, n in bucket_specs[col]:
-                        pv = df_["partition"].get(fname)
-                        if pv is not None and pv != bucket_value(val, t, n):
-                            keep = False
-                            break
-                    if not keep:
-                        break
-                    # fall through: source-column bounds still apply
-                if col in temporal_specs:
-                    # monotone transforms admit conservative range
-                    # pruning on the transformed value (filter values
-                    # are epoch days, matching the date bound encoding)
-                    for fname, kind in temporal_specs[col]:
-                        pv = df_["partition"].get(fname)
-                        if pv is None:
-                            continue
-                        tv = temporal_value(val, kind)
-                        if (
-                            (op == "=" and pv != tv)
-                            or (op in ("<", "<=") and not pv <= tv)
-                            or (op in (">", ">=") and not pv >= tv)
-                        ):
-                            keep = False
-                            break
-                    if not keep:
-                        break
-                    # fall through: source-column bounds still apply
-                if col in trunc_specs:
-                    # truncate is order-preserving: ints/longs admit
-                    # RANGE pruning (file rows live in [pv, pv+w)),
-                    # strings prune on prefix equality
-                    for fname, w in trunc_specs[col]:
-                        pv = df_["partition"].get(fname)
-                        if pv is None:
-                            continue
-                        if t == "string":
-                            if op == "=" and pv != truncate_value(
-                                val, t, w
-                            ):
-                                keep = False
-                        elif (
-                            (op == "=" and pv != truncate_value(val, t, w))
-                            or (op == "<" and not pv < val)
-                            or (op == "<=" and not pv <= val)
-                            or (op == ">" and not pv + w - 1 > val)
-                            or (op == ">=" and not pv + w - 1 >= val)
-                        ):
-                            keep = False
-                        if not keep:
-                            break
-                    if not keep:
-                        break
-                    # fall through: source-column bounds still apply
-                fid = str(f["id"])
-                lo = decode_bound(t, (df_.get("lower_bounds") or {}).get(fid))
-                hi = decode_bound(t, (df_.get("upper_bounds") or {}).get(fid))
-                if not _OPS[op](lo, hi, val):
-                    keep = False
+                try:
+                    keep = _eval_filter(
+                        df_, col, op, val, t, identity_cols,
+                        bucket_specs, trunc_specs, temporal_specs, f,
+                    )
+                except (TypeError, ValueError):
+                    # a literal whose type cannot be compared against
+                    # the stored partition value / bounds (e.g. an
+                    # untyped date string) must degrade to keeping the
+                    # file, never crash the statement
+                    keep = True
+                if not keep:
                     break
             if keep:
                 files.append(df_["file_path"])
     return files, total
+
+
+def _eval_filter(
+    df_, col, op, val, t, identity_cols,
+    bucket_specs, trunc_specs, temporal_specs, f,
+):
+    """One (col, op, val) pruning decision for one manifest entry —
+    True = the file may contain matching rows. Split out of
+    plan_files so a type mismatch anywhere in the comparison chain
+    (untyped date-string literal, string vs numeric bound) is caught
+    in ONE place by the caller and degrades to keep-the-file."""
+    if col in identity_cols:
+        pv = df_["partition"].get(col)
+        return pv is None or _OPS[op](pv, pv, val)
+    if op == "=" and col in bucket_specs:
+        # hidden partitioning: an equality on the SOURCE column prunes
+        # on its bucket id — the reader never mentions the partition
+        # field
+        for fname, n in bucket_specs[col]:
+            pv = df_["partition"].get(fname)
+            if pv is not None and pv != bucket_value(val, t, n):
+                return False
+        # fall through: source-column bounds still apply
+    if col in temporal_specs:
+        # monotone transforms admit conservative range pruning on the
+        # transformed value (filter values are epoch days, matching
+        # the date bound encoding)
+        for fname, kind in temporal_specs[col]:
+            pv = df_["partition"].get(fname)
+            if pv is None:
+                continue
+            tv = temporal_value(val, kind)
+            if (
+                (op == "=" and pv != tv)
+                or (op in ("<", "<=") and not pv <= tv)
+                or (op in (">", ">=") and not pv >= tv)
+            ):
+                return False
+        # fall through: source-column bounds still apply
+    if col in trunc_specs:
+        # truncate is order-preserving: ints/longs admit RANGE pruning
+        # (file rows live in [pv, pv+w)), strings prune on prefix
+        # equality
+        for fname, w in trunc_specs[col]:
+            pv = df_["partition"].get(fname)
+            if pv is None:
+                continue
+            if t == "string":
+                if op == "=" and pv != truncate_value(val, t, w):
+                    return False
+            elif (
+                (op == "=" and pv != truncate_value(val, t, w))
+                or (op == "<" and not pv < val)
+                or (op == "<=" and not pv <= val)
+                or (op == ">" and not pv + w - 1 > val)
+                or (op == ">=" and not pv + w - 1 >= val)
+            ):
+                return False
+        # fall through: source-column bounds still apply
+    fid = str(f["id"])
+    lo = decode_bound(t, (df_.get("lower_bounds") or {}).get(fid))
+    hi = decode_bound(t, (df_.get("upper_bounds") or {}).get(fid))
+    return _OPS[op](lo, hi, val)
 
 
 def _apply_filters(df, filters):
@@ -1081,15 +1088,20 @@ def _commit_overwrite(
     return snap
 
 
-def read_iceberg(spark, loc: str, snapshot_id=None, filters=()):
+def read_iceberg(spark, loc: str, snapshot_id=None, filters=(), stats_out=None):
     """Iceberg scan -> Spark DataFrame: manifest-pruned file list
     into spark.read.parquet, residual filter re-applied inside Spark
     (it reaches the parquet scan as PushedFilters, so row-group
-    pruning still applies on the surviving files)."""
+    pruning still applies on the surviving files). ``stats_out``
+    (optional dict) receives {files_planned, files_total} so callers
+    (fs_catalog SELECT views) can surface/assert the pruning."""
     from pyspark.sql import functions as F
 
     meta = read_table_meta(loc)
-    files, _ = plan_files(loc, snapshot_id, filters)
+    files, total = plan_files(loc, snapshot_id, filters)
+    if stats_out is not None:
+        stats_out["files_planned"] = len(files)
+        stats_out["files_total"] = total
     if not files:
         return spark.createDataFrame([], schema=", ".join(
             f"{f['name']} {_ICE_TO_SPARK[f['type']]}"
@@ -1155,6 +1167,25 @@ def merge_into(spark, loc: str, source_df, on_cols, update_cols=None) -> dict:
         raise ValueError(f"cannot update partition columns {sorted(bad)}")
 
     source = source_df.select(*cols)
+
+    # MERGE cardinality contract (Spark/Iceberg raise on a source
+    # that matches one target row more than once): duplicate join
+    # keys in the source would silently multiply matched rows through
+    # the left join below — detect and refuse (round-10 ADVICE.md
+    # item 2). One cheap aggregate job over the (small) source.
+    dup = (
+        source.groupBy(*on_cols)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "MERGE source has duplicate rows for the ON key(s) "
+            f"{on_cols} — each target row may match at most one "
+            "source row (cardinality violation)"
+        )
 
     # bounds-prune candidates on the first join key's source range
     types = {f["name"]: f["type"] for f in ice_schema["fields"]}
