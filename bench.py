@@ -164,6 +164,31 @@ def _calibration_sec(spark) -> float:
     return round(sorted(samples)[1], 3)
 
 
+def _carry_sd_forward(full: dict, local_path) -> None:
+    """Keep the variance record clobber-proof (VERDICT r10 item 5):
+    a repeats=1 run (the driver's default) must not orphan the
+    normalized-comparison rule this module documents by rewriting
+    BENCH_LOCAL.json without `queries_sd`. When the new record lacks
+    an sd block and the existing file has one, carry it forward under
+    `queries_sd` with an `sd_provenance` stamp (the repeats/sf/
+    methodology of the run that MEASURED it) so a later reader knows
+    the sd is inherited, not from this run."""
+    if full.get("queries_sd"):
+        return
+    try:
+        prev = json.loads(Path(local_path).read_text())
+    except (OSError, ValueError):
+        return
+    if not prev.get("queries_sd"):
+        return
+    full["queries_sd"] = prev["queries_sd"]
+    full["sd_provenance"] = prev.get("sd_provenance") or {
+        "repeats": prev.get("repeats"),
+        "sf": prev.get("sf"),
+        "methodology": prev.get("methodology"),
+    }
+
+
 def _family(name: str) -> str:
     """Coarse per-family grouping for the compact bench summary."""
     if name.startswith("q"):
@@ -351,6 +376,7 @@ def main() -> None:
     local_path = REPO_ROOT / (
         "BENCH_LOCAL_SUBSET.json" if subset else "BENCH_LOCAL.json"
     )
+    _carry_sd_forward(full, local_path)
     local_path.write_text(json.dumps(full, indent=1) + "\n")
 
     # Printed line: suite total, per-family subtotals, and the

@@ -843,3 +843,38 @@ def test_hilbert_key_reference_and_locality(spark, sf_dir):
     h_box = mean_box_area(lambda c: c[2])
     z_box = mean_box_area(lambda c: c[3])
     assert h_box < z_box, (h_box, z_box)
+
+
+def test_bench_sd_carry_forward(tmp_path):
+    """VERDICT r10 item 5: a repeats=1 bench run must not orphan the
+    committed queries_sd block — it carries forward with provenance."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parents[1]))
+    from bench import _carry_sd_forward
+
+    rec = tmp_path / "BENCH_LOCAL.json"
+    rec.write_text(json.dumps({
+        "queries": {"q1": 1.0}, "repeats": 3, "sf": 0.1,
+        "methodology": "v2-per-query-warm",
+        "queries_sd": {"q1": 0.05},
+    }))
+    new = {"queries": {"q1": 1.1}, "sf": 0.1}
+    _carry_sd_forward(new, rec)
+    assert new["queries_sd"] == {"q1": 0.05}
+    assert new["sd_provenance"]["repeats"] == 3
+    # a fresh >=3-repeat run keeps its OWN sd
+    own = {"queries_sd": {"q1": 0.01}, "repeats": 3}
+    _carry_sd_forward(own, rec)
+    assert own["queries_sd"] == {"q1": 0.01} and "sd_provenance" not in own
+    # provenance survives a second repeats=1 overwrite
+    rec.write_text(json.dumps(new))
+    third = {"queries": {"q1": 1.2}}
+    _carry_sd_forward(third, rec)
+    assert third["sd_provenance"]["repeats"] == 3
+    # no existing record: no-op
+    empty = {"queries": {}}
+    _carry_sd_forward(empty, tmp_path / "missing.json")
+    assert "queries_sd" not in empty
