@@ -85,7 +85,8 @@ _ALTER_ADD = re.compile(
 )
 _OPTIMIZE = re.compile(
     rf"^\s*OPTIMIZE\s+({_TBL})"
-    rf"(?:\s+SORT\s+BY\s+({_IDENT})(?:\s+SLICES\s+(\d+))?)?\s*;?\s*$",
+    rf"(?:\s+SORT\s+BY\s+({_IDENT})(?:\s+SLICES\s+(\d+))?)?"
+    rf"(?:\s+TARGET\s+SIZE\s+(\d+))?\s*;?\s*$",
     re.I,
 )
 _EXPIRE = re.compile(
@@ -533,6 +534,11 @@ class FsCatalog:
                 loc,
                 sort_by=m.group(2),
                 n_slices=int(m.group(3) or 1),
+                **(
+                    {"target_file_bytes": int(m.group(4))}
+                    if m.group(4)
+                    else {}
+                ),
             )
             return self._ok(
                 spark,

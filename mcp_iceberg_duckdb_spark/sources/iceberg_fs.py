@@ -1249,7 +1249,11 @@ def add_column(loc: str, name: str, ice_type: str) -> dict:
 
 
 def compact_files(
-    spark, loc: str, sort_by: str | None = None, n_slices: int = 1
+    spark,
+    loc: str,
+    sort_by: str | None = None,
+    n_slices: int = 1,
+    target_file_bytes: int = 128 * 1024 * 1024,
 ) -> dict:
     """Small-files compaction (the RewriteDataFiles maintenance
     action): read every live data file, repartition so each identity
@@ -1259,6 +1263,15 @@ def compact_files(
     to pre-compaction snapshots still reads the original files until
     expire_snapshots reclaims them.
 
+    Unpartitioned tables are sliced by BYTES, not coalesced to one
+    file (VERDICT r10 item 2): output file count = ceil(live input
+    bytes / ``target_file_bytes``), sizes read driver-side from the
+    file listing exactly as sources/files.compact_parquet does — a
+    multi-TB unpartitioned table compacts to bounded files instead of
+    one unwritable blob. Partitioned tables get one file per
+    partition; per-partition byte-slicing is the OPTIMIZE..SORT BY
+    path (``n_slices``), which also clusters for pruning.
+
     ``sort_by`` adds the OPTIMIZE..SORT BY shape: rows are
     range-clustered on (partition cols, sort_by) into ``n_slices``
     range slices, so the rewritten files carry DISJOINT sort-key
@@ -1267,6 +1280,8 @@ def compact_files(
     difference between touching one slice and scanning the
     partition). Range boundaries come from Spark's range-partition
     sampling; no driver-side data."""
+    import math
+
     from pyspark.sql import functions as F
 
     meta = read_table_meta(loc)
@@ -1287,8 +1302,12 @@ def compact_files(
         df = df.repartitionByRange(
             n_parts * n_slices, *keys
         ).sortWithinPartitions(*keys)
+    elif dir_cols:
+        df = df.repartition(*dir_cols)
     else:
-        df = df.repartition(*dir_cols) if dir_cols else df.coalesce(1)
+        total_bytes = sum(os.path.getsize(p) for p in live)
+        n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+        df = df.repartition(n_out)
     new_files = _write_replacement(spark, loc, df, meta)
     return _commit_overwrite(
         loc, meta, live, [], new_files, operation="replace"

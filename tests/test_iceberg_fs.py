@@ -608,3 +608,59 @@ def test_iceberg_temporal_partitioning(spark, tmp_path):
             ice.spark_schema_to_iceberg(df2),
             part_cols=[("k", "month")],
         )
+
+
+def test_iceberg_compact_unpartitioned_byte_sized(spark, tmp_path):
+    """VERDICT r10 item 2: compacting an unpartitioned table slices
+    output by bytes (ceil(input/target)) instead of coalesce(1) — a
+    100 TB unpartitioned table must compact to bounded files, not one
+    blob. Values and row count survive the rewrite."""
+    import os as _os
+
+    loc = str(tmp_path / "flat_tbl")
+    df = spark.range(0, 20_000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("s"),
+    )
+    ice.create_table(loc, ice.spark_schema_to_iceberg(df))
+    # several appends -> several small live files
+    for i in range(4):
+        ice.append(
+            spark, loc, df.filter((F.col("k") % 4) == i).repartition(3)
+        )
+    live = ice.plan_files(loc)[0]
+    total_bytes = sum(_os.path.getsize(p) for p in live)
+    target = max(1, total_bytes // 3)  # expect ~3-4 output slices
+    snap = ice.compact_files(spark, loc, target_file_bytes=target)
+    assert snap["summary"]["operation"] == "replace"
+    files, _ = ice.plan_files(loc)
+    import math
+
+    assert 1 < len(files) == math.ceil(total_bytes / target)
+    got = ice.read_iceberg(spark, loc)
+    assert got.count() == 20_000
+    assert got.agg(F.sum("k")).first()[0] == sum(range(20_000))
+    # and the default 128 MB target leaves this tiny table at 1 file
+    snap2 = ice.compact_files(spark, loc)
+    assert int(snap2["summary"]["added-data-files"]) == 1
+
+
+def test_optimize_target_size_sql(spark, tmp_path):
+    """OPTIMIZE ... TARGET SIZE n reaches byte-sized slicing through
+    the SQL surface."""
+    from mcp_iceberg_duckdb_spark.sources.fs_catalog import FsCatalog
+
+    cat = FsCatalog(str(tmp_path / "wh"))
+    run = lambda s: cat.execute(spark, s)  # noqa: E731
+    run("CREATE TABLE default.flat (k bigint, s string)")
+    run("INSERT INTO default.flat SELECT id, concat('v', id)"
+        " FROM (SELECT explode(sequence(0, 9999)) AS id)")
+    loc = cat._resolve("default.flat")[2]
+    import os as _os
+
+    total = sum(_os.path.getsize(p) for p in ice.plan_files(loc)[0])
+    res = run(
+        f"OPTIMIZE default.flat TARGET SIZE {max(1, total // 2)}"
+    ).collect()[0]
+    assert int(res["new_files"]) >= 2
+    assert run("SELECT count(*) AS n FROM default.flat f").collect()[0]["n"] == 10_000
