@@ -83,6 +83,11 @@ _ALTER_ADD = re.compile(
     rf"({_IDENT})\s*;?\s*$",
     re.I,
 )
+_ALTER_PROPS = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_TBL})\s+SET\s+TBLPROPERTIES\s*\(\s*"
+    r"'((?:[^']|'')+)'\s*=\s*'((?:[^']|'')*)'\s*\)\s*;?\s*$",
+    re.I,
+)
 _OPTIMIZE = re.compile(
     rf"^\s*OPTIMIZE\s+({_TBL})"
     rf"(?:\s+SORT\s+BY\s+({_IDENT})(?:\s+SLICES\s+(\d+))?)?"
@@ -520,6 +525,12 @@ class FsCatalog:
                 raise ValueError(f"namespace {ns!r} is not empty")
             shutil.rmtree(os.path.join(self.warehouse, ns))
             return self._ok(spark, "drop_namespace")
+        if m := _ALTER_PROPS.match(sql):
+            _, _, loc, _ = self._resolve(m.group(1))
+            key = m.group(2).replace("''", "'")
+            val = m.group(3).replace("''", "'")
+            ice.set_table_property(loc, key, val)
+            return self._ok(spark, "set_tblproperties", key=key, value=val)
         if m := _ALTER_ADD.match(sql):
             _, _, loc, _ = self._resolve(m.group(1))
             typ = ice._SPARK_TO_ICE.get(m.group(3).lower())
@@ -684,13 +695,30 @@ class FsCatalog:
 
     def _delete(self, spark, ident, where) -> DataFrame:
         _, _, loc, _ = self._resolve(ident)
+        meta = ice.read_table_meta(loc)
         pred = F.expr(where) if where else F.lit(True)
+        prune = _simple_filters(where, meta)
+        # the real engine's table property selects the delete
+        # strategy; merge-on-read writes position deletes instead of
+        # rewriting data files
+        mode = meta.get("properties", {}).get("write.delete.mode", "")
+        if mode == "merge-on-read":
+            snap = ice.mor_delete_where(
+                spark, loc, pred, prune_filters=prune
+            )
+            return self._ok(
+                spark,
+                "delete",
+                rewritten_files="0",
+                added_delete_files=snap["summary"]["added-delete-files"],
+                deleted_rows=snap["summary"]["added-position-deletes"],
+            )
         snap = ice.cow_rewrite_where(
             spark,
             loc,
             pred,
             lambda src, p: src.filter(~F.coalesce(p, F.lit(False))),
-            prune_filters=_simple_filters(where, ice.read_table_meta(loc)),
+            prune_filters=prune,
         )
         return self._ok(
             spark,

@@ -32,6 +32,14 @@ murmur3 routing + equality pruning), truncate[W] (hidden
 order-preserving routing + range pruning). The production DSv2
 path (sources/iceberg.py) covers the remaining transforms when a
 jar exists.
+
+Row-level deletes come in BOTH spec shapes: copy-on-write
+(_cow_rewrite — v1 overwrite snapshots with a pruning-bounded
+rewrite set) and v2 merge-on-read (mor_delete_where — position-
+delete files applied at read time via `_metadata.row_index`,
+zero data files rewritten; compaction materializes them away).
+See the position-delete section below for the sequencing
+simplification vs the full spec.
 """
 
 from __future__ import annotations
@@ -370,6 +378,11 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "manifest_path", "type": "string", "field-id": 500},
         {"name": "manifest_length", "type": "long", "field-id": 501},
         {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        # spec v2 field-id 517: 0 = data manifests, 1 = delete
+        # manifests (position deletes). Default 0 keeps pre-v2
+        # manifest lists readable AND lets carried-forward entries
+        # written before the field existed re-serialize as data.
+        {"name": "content", "type": "int", "default": 0, "field-id": 517},
         {
             "name": "added_snapshot_id",
             "type": ["null", "long"],
@@ -762,6 +775,8 @@ def plan_files(loc: str, snapshot_id=None, filters=()):
     files = []
     total = 0
     for m in manifests:
+        if m.get("content", 0) != 0:
+            continue  # delete manifests are planned separately
         _, entries = read_container(_read_file(m["manifest_path"]))
         for e in entries:
             if e["status"] == 2:  # DELETED
@@ -855,6 +870,86 @@ def _eval_filter(
     return _OPS[op](lo, hi, val)
 
 
+# ---- merge-on-read position deletes (spec v2) ----
+#
+# Delete files are parquet with the spec's position-delete schema —
+# `file_path` (string, field-id 2147483546) and `pos` (long, field-id
+# 2147483545), sorted by (file_path, pos) — stored under
+# ``<loc>/deletes/`` and committed via a content=1 manifest. The
+# vendored simplification vs the full spec: no sequence numbers.
+# They are only needed to scope deletes to OLDER data files, and this
+# writer names every data file with a fresh uuid, so a delete row can
+# never match a data file written after it — the anti-join is exact
+# without them. Readers apply live deletes with a (broadcast when
+# small) left-anti join on Spark's `_metadata.file_path`/`row_index`
+# hidden columns, which is the distributed equivalent of the spec's
+# per-file positional filtering.
+
+
+def _plain(path: str) -> str:
+    """Normalize a Spark `_metadata.file_path` URI to the local path
+    form the manifests store (`file:///x/y` / `file:/x/y` -> /x/y)."""
+    if path.startswith("file:"):
+        path = path[5:]
+        while path.startswith("//"):
+            path = path[1:]
+    return path
+
+
+def plan_delete_files(loc: str, snapshot_id=None):
+    """Live position-delete files of a snapshot: manifest-list
+    entries with content=1, minus DELETED entries."""
+    meta = read_table_meta(loc)
+    snaps = meta["snapshots"]
+    if not snaps:
+        return []
+    if snapshot_id is None:
+        snapshot_id = meta["current-snapshot-id"]
+    snap = next(
+        (s for s in snaps if s["snapshot-id"] == snapshot_id), None
+    )
+    if snap is None:
+        raise ValueError(f"snapshot {snapshot_id} not in {loc}")
+    out = []
+    _, manifests = read_container(_read_file(snap["manifest-list"]))
+    for m in manifests:
+        if m.get("content", 0) != 1:
+            continue
+        _, entries = read_container(_read_file(m["manifest_path"]))
+        out.extend(
+            e["data_file"]["file_path"]
+            for e in entries
+            if e["status"] != 2
+        )
+    return out
+
+
+def _delete_refs(delete_path: str) -> set:
+    """Distinct data-file paths a position-delete file references
+    (normalized) — drives carry-forward vs drop decisions when a CoW
+    commit rewrites data files. One footer+column read of a small
+    file; no Spark job."""
+    import pyarrow.parquet as pq
+
+    col = pq.read_table(delete_path, columns=["file_path"])["file_path"]
+    return {_plain(str(v)) for v in col.unique().to_pylist()}
+
+
+def _read_deletes(spark, deletes):
+    """The union of position-delete rows as (__fp, __pos), broadcast
+    when the files are small (the common case: deletes are a sliver
+    of the data they mask) so the anti-join needs no shuffle of the
+    data side."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(*deletes).select(
+        F.col("file_path").alias("__fp"), F.col("pos").alias("__pos")
+    )
+    if sum(os.path.getsize(p) for p in deletes) <= 64 * 1024 * 1024:
+        df = F.broadcast(df)
+    return df
+
+
 def _apply_filters(df, filters):
     from pyspark.sql import functions as F
 
@@ -888,17 +983,30 @@ def _conjunction(filters):
     )
 
 
-def delete_where(spark, loc: str, filters) -> dict:
-    """Copy-on-write DELETE (the Iceberg v1 overwrite pattern): files
-    whose partition/bounds CAN contain matching rows are rewritten
-    without them; provably-unaffected files survive untouched — the
-    same manifest pruning that accelerates reads bounds the rewrite
-    set. Commits an 'overwrite' snapshot whose manifest carries the
+def delete_where(spark, loc: str, filters, mode: str = "cow") -> dict:
+    """Row-level DELETE, two spec-backed strategies:
+
+    ``mode="cow"`` (v1 overwrite pattern, default): files whose
+    partition/bounds CAN contain matching rows are rewritten without
+    them; provably-unaffected files survive untouched — the same
+    manifest pruning that accelerates reads bounds the rewrite set.
+    Commits an 'overwrite' snapshot whose manifest carries the
     untouched files as EXISTING, the rewrites as ADDED, and the
     replaced files as DELETED (manifest compaction into one manifest,
-    spec-legal)."""
+    spec-legal).
+
+    ``mode="mor"`` (v2 merge-on-read): NO data file is rewritten —
+    matching rows' (file, position) pairs are written to position-
+    delete files applied at read time. O(matches) write cost instead
+    of O(candidate files); the trade the spec makes for
+    delete-heavy / rewrite-expensive tables."""
     from pyspark.sql import functions as F
 
+    if mode == "mor":
+        pred = _conjunction(filters) if filters else F.lit(True)
+        return mor_delete_where(spark, loc, pred, prune_filters=filters)
+    if mode != "cow":
+        raise ValueError(f"unknown delete mode {mode!r}")
     # null-safe: a null predicate keeps the row — DELETE removes only
     # proven matches
     return _cow_rewrite(
@@ -907,6 +1015,173 @@ def delete_where(spark, loc: str, filters) -> dict:
         filters,
         lambda src, conj: src.filter(~F.coalesce(conj, F.lit(False))),
     )
+
+
+def mor_delete_where(spark, loc: str, predicate, prune_filters=()) -> dict:
+    """Merge-on-read DELETE: evaluate ``predicate`` (any Spark
+    boolean Column) over the pruning-bounded candidate files WITH
+    row positions (`_metadata.row_index`), write the matches as
+    position-delete parquet under ``<loc>/deletes/``, and commit a
+    'delete' snapshot whose manifest list carries the previous
+    snapshot's manifests verbatim plus one content=1 delete manifest.
+    Data files are untouched — the plan/no-rewrite property tests
+    pin. Rows already masked by earlier delete files are excluded, so
+    re-deleting is idempotent (no duplicate positions).
+
+    At 100 TB: the write is proportional to MATCHED ROWS, not to the
+    bytes of files containing them — deleting one row from a 1 GB
+    file costs ~40 bytes of delete file instead of a 1 GB rewrite;
+    reads pay one (usually broadcast) anti-join until compaction
+    folds the deletes away. Reference contrast: the reference's only
+    row-level path is DuckDB over a full table download
+    (IcebergConnection.py:107-177)."""
+    from pyspark.sql import functions as F
+
+    meta = read_table_meta(loc)
+    ice_schema = meta["schema"]
+    candidates, _ = plan_files(loc, filters=prune_filters)
+    existing = plan_delete_files(loc)
+    new_files: list[str] = []
+    n_rows = 0
+    if candidates:
+        df = (
+            spark.read.option("basePath", os.path.join(loc, "data"))
+            .option("mergeSchema", "true")
+            .parquet(*candidates)
+            .withColumn("__fp", F.col("_metadata.file_path"))
+            .withColumn("__pos", F.col("_metadata.row_index"))
+        )
+        if existing:
+            df = df.join(
+                _read_deletes(spark, existing),
+                on=["__fp", "__pos"],
+                how="left_anti",
+            )
+        for f in ice_schema["fields"]:
+            if f["name"] not in df.columns:
+                df = df.withColumn(
+                    f["name"], F.lit(None).cast(_ICE_TO_SPARK[f["type"]])
+                )
+        matched = df.filter(F.coalesce(predicate, F.lit(False))).select(
+            F.col("__fp").alias("file_path"),
+            F.col("__pos").cast("long").alias("pos"),
+        )
+        out_dir = os.path.join(loc, "deletes", str(uuid.uuid4()))
+        # spec: position deletes sorted by (file_path, pos); cluster
+        # by file so a reader/compactor touches one delete file per
+        # data-file neighborhood
+        (
+            matched.repartition(F.col("file_path"))
+            .sortWithinPartitions("file_path", "pos")
+            .write.parquet(out_dir)
+        )
+        import pyarrow.parquet as pq
+
+        for p in _list_parquet(out_dir):
+            if pq.ParquetFile(p).metadata.num_rows > 0:
+                new_files.append(p)
+                n_rows += pq.ParquetFile(p).metadata.num_rows
+            else:
+                os.remove(p)
+    return _commit_delete(loc, meta, new_files, n_rows)
+
+
+def _delete_manifest(loc: str, meta: dict, delete_files, snapshot_id):
+    """Write a content=1 manifest listing ``delete_files`` and return
+    its manifest-list entry (None when there are no files). Shared by
+    the MoR commit (new deletes) and the CoW overwrite commit
+    (carrying forward deletes that still reference surviving data
+    files)."""
+    if not delete_files:
+        return None
+    import pyarrow.parquet as pq
+
+    part_names = [e["name"] for e in meta["partition-spec"]]
+    entries = [
+        {
+            "status": 1,
+            "snapshot_id": snapshot_id,
+            "data_file": {
+                "file_path": p,
+                "file_format": "PARQUET",
+                "partition": {n: None for n in part_names},
+                "record_count": pq.ParquetFile(p).metadata.num_rows,
+                "file_size_in_bytes": os.path.getsize(p),
+                "block_size_in_bytes": 64 * 1024 * 1024,
+                "value_counts": None,
+                "null_value_counts": None,
+                "lower_bounds": None,
+                "upper_bounds": None,
+            },
+        }
+        for p in delete_files
+    ]
+    mschema = _manifest_schema(meta["partition-spec"], meta["schema"])
+    mpath = os.path.join(_meta_dir(loc), f"{uuid.uuid4()}-d0.avro")
+    blob = write_container(mschema, entries)
+    with open(mpath, "wb") as fh:
+        fh.write(blob)
+    return {
+        "manifest_path": mpath,
+        "manifest_length": len(blob),
+        "partition_spec_id": 0,
+        "content": 1,
+        "added_snapshot_id": snapshot_id,
+        "added_data_files_count": len(entries),
+    }
+
+
+def _commit_delete(loc: str, meta: dict, new_delete_files, n_rows) -> dict:
+    """Commit a merge-on-read 'delete' snapshot: previous manifests
+    carried verbatim (data files untouched), one new content=1
+    manifest listing the position-delete files. Marks the table
+    format-version 2 — the spec version that introduces delete
+    files."""
+    snapshot_id = int(time.time() * 1000) * 1000 + len(meta["snapshots"])
+    prev_manifests = []
+    cur = next(
+        (
+            s
+            for s in meta["snapshots"]
+            if s["snapshot-id"] == meta["current-snapshot-id"]
+        ),
+        None,
+    )
+    if cur is not None:
+        _, prev_manifests = read_container(_read_file(cur["manifest-list"]))
+    ml_entries = list(prev_manifests)
+    dm = _delete_manifest(loc, meta, new_delete_files, snapshot_id)
+    if dm is not None:
+        ml_entries.append(dm)
+    ml_path = os.path.join(
+        _meta_dir(loc), f"snap-{snapshot_id}-1-{uuid.uuid4()}.avro"
+    )
+    with open(ml_path, "wb") as fh:
+        fh.write(write_container(_MANIFEST_LIST_SCHEMA, ml_entries))
+    now_ms = int(time.time() * 1000)
+    snap = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": now_ms,
+        "summary": {
+            "operation": "delete",
+            "added-delete-files": str(len(new_delete_files)),
+            "added-position-deletes": str(n_rows),
+            "deleted-data-files": "0",
+            "added-data-files": "0",
+        },
+        "manifest-list": ml_path,
+    }
+    if cur is not None:
+        snap["parent-snapshot-id"] = cur["snapshot-id"]
+    meta["snapshots"].append(snap)
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshot-log"].append(
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    )
+    meta["format-version"] = 2
+    meta["last-updated-ms"] = now_ms
+    _write_meta(loc, meta, _read_version(loc) + 1)
+    return snap
 
 
 def update_where(spark, loc: str, filters, assignments) -> dict:
@@ -949,12 +1224,15 @@ _ICE_TO_SPARK = {
 }
 
 
-def _read_files(spark, loc: str, files, ice_schema):
+def _read_files(spark, loc: str, files, ice_schema, deletes=None):
     """Read a set of the table's data files at the CURRENT schema:
     mergeSchema unions per-file parquet schemas, and any schema
     column absent from every file (added by ``add_column`` after the
     files were written) is filled with typed nulls — the Iceberg
-    read-side of metadata-only schema evolution."""
+    read-side of metadata-only schema evolution. ``deletes`` =
+    position-delete files to apply (merge-on-read): rows whose
+    (file, position) appear there are anti-joined away before the
+    caller sees them."""
     from pyspark.sql import functions as F
 
     cols = [f["name"] for f in ice_schema["fields"]]
@@ -963,6 +1241,16 @@ def _read_files(spark, loc: str, files, ice_schema):
         .option("mergeSchema", "true")
         .parquet(*files)
     )
+    if deletes:
+        df = (
+            df.withColumn("__fp", F.col("_metadata.file_path"))
+            .withColumn("__pos", F.col("_metadata.row_index"))
+            .join(
+                _read_deletes(spark, deletes),
+                on=["__fp", "__pos"],
+                how="left_anti",
+            )
+        )
     for f in ice_schema["fields"]:
         if f["name"] not in df.columns:
             df = df.withColumn(
@@ -996,7 +1284,12 @@ def _cow_rewrite(spark, loc: str, filters, rewrite_fn) -> dict:
 
     new_files: list[str] = []
     if candidates:
-        src = _read_files(spark, loc, candidates, ice_schema)
+        # live MoR deletes apply BEFORE the rewrite: a row deleted
+        # merge-on-read must not be resurrected by a later CoW pass
+        src = _read_files(
+            spark, loc, candidates, ice_schema,
+            deletes=plan_delete_files(loc),
+        )
         replacement = rewrite_fn(src, _conjunction(filters)).select(*cols)
         new_files = _write_replacement(spark, loc, replacement, meta)
 
@@ -1013,10 +1306,25 @@ def _commit_overwrite(
     DELETED, ``new_files`` ADDED, ``untouched`` carried as EXISTING —
     one compacted manifest (spec-legal), new manifest list, new
     metadata version. Shared by DELETE/UPDATE (_cow_rewrite), MERGE
-    (merge_into), and compaction (compact_files)."""
+    (merge_into), and compaction (compact_files).
+
+    Merge-on-read interplay: live position-delete files that still
+    reference a SURVIVING (untouched) data file are carried forward
+    in a content=1 manifest — their masked rows must stay masked.
+    Delete files whose every referenced data file was rewritten are
+    dropped (the rewrite read through them, so their effect is now
+    physical); that is how compaction retires MoR overhead."""
     ice_schema = meta["schema"]
     cols = [f["name"] for f in ice_schema["fields"]]
     snapshot_id = int(time.time() * 1000) * 1000 + len(meta["snapshots"])
+    untouched_plain = {_plain(p) for p in untouched}
+    keep_deletes = []
+    if meta.get("current-snapshot-id", -1) != -1 and untouched_plain:
+        keep_deletes = [
+            d
+            for d in plan_delete_files(loc)
+            if _delete_refs(d) & untouched_plain
+        ]
     entries = []
     for status, paths in ((0, untouched), (1, new_files), (2, candidates)):
         for path in paths:
@@ -1047,24 +1355,23 @@ def _commit_overwrite(
     blob = write_container(mschema, entries)
     with open(mpath, "wb") as fh:
         fh.write(blob)
+    ml_entries = [
+        {
+            "manifest_path": mpath,
+            "manifest_length": len(blob),
+            "partition_spec_id": 0,
+            "added_snapshot_id": snapshot_id,
+            "added_data_files_count": len(new_files),
+        }
+    ]
+    dm = _delete_manifest(loc, meta, keep_deletes, snapshot_id)
+    if dm is not None:
+        ml_entries.append(dm)
     ml_path = os.path.join(
         _meta_dir(loc), f"snap-{snapshot_id}-1-{uuid.uuid4()}.avro"
     )
     with open(ml_path, "wb") as fh:
-        fh.write(
-            write_container(
-                _MANIFEST_LIST_SCHEMA,
-                [
-                    {
-                        "manifest_path": mpath,
-                        "manifest_length": len(blob),
-                        "partition_spec_id": 0,
-                        "added_snapshot_id": snapshot_id,
-                        "added_data_files_count": len(new_files),
-                    }
-                ],
-            )
-        )
+        fh.write(write_container(_MANIFEST_LIST_SCHEMA, ml_entries))
     now_ms = int(time.time() * 1000)
     snap = {
         "snapshot-id": snapshot_id,
@@ -1108,7 +1415,10 @@ def read_iceberg(spark, loc: str, snapshot_id=None, filters=(), stats_out=None):
             for f in meta["schema"]["fields"]
         ))
     # Spark drops hive-partition dirs' columns unless basePath is set
-    df = _read_files(spark, loc, files, meta["schema"])
+    df = _read_files(
+        spark, loc, files, meta["schema"],
+        deletes=plan_delete_files(loc, snapshot_id),
+    )
     for col, op, val in filters:
         if op == "=":
             df = df.filter(F.col(col) == val)
@@ -1204,7 +1514,10 @@ def merge_into(spark, loc: str, source_df, on_cols, update_cols=None) -> dict:
         *[F.col(c).alias(f"__s_{c}") for c in update_cols],
     ).withColumn("__matched", F.lit(True))
     if candidates:
-        tgt = _read_files(spark, loc, candidates, ice_schema)
+        tgt = _read_files(
+            spark, loc, candidates, ice_schema,
+            deletes=plan_delete_files(loc),
+        )
         joined = tgt.join(marked, on=on_cols, how="left")
         out = joined
         for c in update_cols:
@@ -1223,6 +1536,18 @@ def merge_into(spark, loc: str, source_df, on_cols, update_cols=None) -> dict:
         replacement = source
     new_files = _write_replacement(spark, loc, replacement, meta)
     return _commit_overwrite(loc, meta, candidates, untouched, new_files)
+
+
+def set_table_property(loc: str, key: str, value: str) -> dict:
+    """Metadata-only table property commit (the Iceberg ALTER TABLE
+    SET TBLPROPERTIES path). fs_catalog honors
+    ``write.delete.mode=merge-on-read`` to route SQL DELETE through
+    position deletes — the same property the real engine reads."""
+    meta = read_table_meta(loc)
+    meta.setdefault("properties", {})[str(key)] = str(value)
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _write_meta(loc, meta, _read_version(loc) + 1)
+    return meta["properties"]
 
 
 def add_column(loc: str, name: str, ice_type: str) -> dict:
@@ -1289,7 +1614,13 @@ def compact_files(
     live, _ = plan_files(loc)
     if not live:
         raise ValueError("nothing to compact: table has no live files")
-    df = _read_files(spark, loc, live, meta["schema"])
+    # compaction MATERIALIZES merge-on-read deletes: the rewrite reads
+    # through them, every data file is replaced, and no delete file
+    # survives into the new snapshot — the maintenance action that
+    # caps MoR read overhead
+    df = _read_files(
+        spark, loc, live, meta["schema"], deletes=plan_delete_files(loc)
+    )
     df, dir_cols = _with_partition_cols(df, meta)
     if sort_by is not None:
         keys = [F.col(c) for c in (*dir_cols, sort_by)]
@@ -1345,10 +1676,14 @@ def expire_snapshots(loc: str, keep_last: int = 1) -> dict:
                     reachable_data.add(e["data_file"]["file_path"])
 
     removed = 0
-    for path in _list_parquet(os.path.join(loc, "data")):
-        if path not in reachable_data:
-            os.remove(path)
-            removed += 1
+    # data files AND position-delete files (deletes/) are reclaimed
+    # by the same reachability rule — a delete file carried forward
+    # by any kept snapshot's content=1 manifest survives
+    for root in ("data", "deletes"):
+        for path in _list_parquet(os.path.join(loc, root)):
+            if path not in reachable_data:
+                os.remove(path)
+                removed += 1
     mdir = _meta_dir(loc)
     for fname in os.listdir(mdir):
         path = os.path.join(mdir, fname)
@@ -1386,7 +1721,10 @@ def cow_rewrite_where(
 
     new_files: list[str] = []
     if candidates:
-        src = _read_files(spark, loc, candidates, ice_schema)
+        src = _read_files(
+            spark, loc, candidates, ice_schema,
+            deletes=plan_delete_files(loc),
+        )
         replacement = rewrite_fn(src, predicate).select(*cols)
         new_files = _write_replacement(spark, loc, replacement, meta)
     return _commit_overwrite(loc, meta, candidates, untouched, new_files)
@@ -1426,6 +1764,8 @@ def read_incremental(
             )
         _, manifests = read_container(_read_file(s["manifest-list"]))
         for m in manifests:
+            if m.get("content", 0) != 0:
+                continue  # carried-forward delete manifests
             _, entries = read_container(_read_file(m["manifest_path"]))
             files.extend(
                 e["data_file"]["file_path"]

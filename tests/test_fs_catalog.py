@@ -573,3 +573,27 @@ def test_select_union_branches_never_pruned(loaded, spark):
     assert rows == [1, 1, 2, 3, 3]
     plan = cat.last_scan_plan["sales.orders"]
     assert plan["files_planned"] == plan["files_total"]
+
+
+def test_sql_merge_on_read_delete_property(loaded, spark):
+    """ALTER TABLE SET TBLPROPERTIES('write.delete.mode'=
+    'merge-on-read') routes SQL DELETE through position deletes —
+    zero data files rewritten, rows masked at read, time travel
+    intact."""
+    cat, run = loaded
+    loc = cat._resolve("sales.orders")[2]
+    run("ALTER TABLE sales.orders SET TBLPROPERTIES"
+        "('write.delete.mode'='merge-on-read')")
+    pre_files = set(ice.plan_files(loc)[0])
+    snap_pre = ice.read_table_meta(loc)["current-snapshot-id"]
+    res = run(
+        "DELETE FROM sales.orders WHERE region = 'eu' AND amount >= 20.0"
+    ).collect()[0]
+    assert res["rewritten_files"] == "0" and res["deleted_rows"] == "1"
+    assert set(ice.plan_files(loc)[0]) == pre_files  # no rewrite
+    got = sorted(r["k"] for r in run("SELECT k FROM sales.orders o").collect())
+    assert got == [1, 2]
+    n = run(
+        f"SELECT count(*) AS n FROM sales.orders VERSION AS OF {snap_pre} o"
+    ).collect()[0]["n"]
+    assert n == 3

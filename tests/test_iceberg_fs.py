@@ -664,3 +664,132 @@ def test_optimize_target_size_sql(spark, tmp_path):
     ).collect()[0]
     assert int(res["new_files"]) >= 2
     assert run("SELECT count(*) AS n FROM default.flat f").collect()[0]["n"] == 10_000
+
+
+# ---- round 11: merge-on-read position deletes (spec v2) ----
+
+
+def test_iceberg_mor_delete_no_rewrite(spark, tmp_path):
+    """MoR DELETE writes position-delete files and touches NO data
+    file: the live data-file set is byte-identical across the commit,
+    the snapshot reports zero rewritten files, and the read path
+    masks exactly the matched rows."""
+    loc, _ = _mini_table(spark, tmp_path, "mor_tbl")
+    pre_files = set(ice.plan_files(loc)[0])
+    pre_sizes = {p: __import__("os").path.getsize(p) for p in pre_files}
+    snap = ice.delete_where(
+        spark, loc, [("p", "=", "A"), ("k", "<", 10)], mode="mor"
+    )
+    assert snap["summary"]["operation"] == "delete"
+    assert snap["summary"]["deleted-data-files"] == "0"
+    assert int(snap["summary"]["added-delete-files"]) >= 1
+    assert int(snap["summary"]["added-position-deletes"]) == 10
+    post_files = set(ice.plan_files(loc)[0])
+    assert post_files == pre_files  # plan/no-rewrite assertion
+    import os as _os
+
+    assert {p: _os.path.getsize(p) for p in post_files} == pre_sizes
+    assert ice.plan_delete_files(loc)
+    got = sorted(r["k"] for r in ice.read_iceberg(spark, loc).collect())
+    assert got == list(range(10, 100))
+    # format version bumped to the spec version that has delete files
+    assert ice.read_table_meta(loc)["format-version"] == 2
+
+
+def test_iceberg_mor_time_travel_and_stacking(spark, tmp_path):
+    """Snapshots before a MoR delete read the full data; stacked MoR
+    deletes compose; re-deleting already-deleted rows adds zero
+    positions (idempotent)."""
+    loc, _ = _mini_table(spark, tmp_path, "mor_tt")
+    snap0 = ice.read_table_meta(loc)["current-snapshot-id"]
+    ice.delete_where(spark, loc, [("k", "<", 10)], mode="mor")
+    snap1 = ice.read_table_meta(loc)["current-snapshot-id"]
+    ice.delete_where(spark, loc, [("k", ">=", 90)], mode="mor")
+    assert ice.read_iceberg(spark, loc, snapshot_id=snap0).count() == 100
+    assert ice.read_iceberg(spark, loc, snapshot_id=snap1).count() == 90
+    assert ice.read_iceberg(spark, loc).count() == 80
+    again = ice.delete_where(spark, loc, [("k", "<", 10)], mode="mor")
+    assert again["summary"]["added-position-deletes"] == "0"
+    assert again["summary"]["added-delete-files"] == "0"
+    assert ice.read_iceberg(spark, loc).count() == 80
+
+
+def test_iceberg_mor_then_cow_interplay(spark, tmp_path):
+    """A CoW UPDATE after a MoR delete must not resurrect the deleted
+    rows: rewritten files read THROUGH the deletes, and delete files
+    still referencing untouched files are carried forward."""
+    loc, _ = _mini_table(spark, tmp_path, "mor_cow")
+    ice.delete_where(spark, loc, [("k", "<", 5)], mode="mor")  # in p=A
+    ice.delete_where(spark, loc, [("k", ">=", 95)], mode="mor")  # in p=B
+    # CoW update confined to partition A: B's delete file must be
+    # carried forward, A's (fully dangled by the rewrite) dropped
+    snap = ice.update_where(
+        spark, loc, [("p", "=", "A")], {"v": F.col("v") + 0.5}
+    )
+    assert snap["summary"]["operation"] == "overwrite"
+    got = {r["k"]: r["v"] for r in ice.read_iceberg(spark, loc).collect()}
+    assert len(got) == 90  # 5 + 5 rows still deleted
+    assert min(got) == 5 and max(got) == 94
+    assert got[5] == 50.5 and got[60] == 600.0
+    # B's mask survives as a carried-forward delete file
+    assert len(ice.plan_delete_files(loc)) == 1
+
+
+def test_iceberg_mor_compaction_materializes_deletes(spark, tmp_path):
+    """Compaction reads through MoR deletes, rewrites every data
+    file, and retires every delete file; expire then reclaims the
+    orphaned delete parquet from disk."""
+    import os as _os
+
+    loc, _ = _mini_table(spark, tmp_path, "mor_compact")
+    ice.append(spark, loc, spark.createDataFrame(
+        [(100 + i, i % 3, float(i), "A") for i in range(10)],
+        "k bigint, g bigint, v double, p string",
+    ))
+    ice.delete_where(spark, loc, [("k", "<", 20)], mode="mor")
+    assert ice.plan_delete_files(loc)
+    snap = ice.compact_files(spark, loc)
+    assert snap["summary"]["operation"] == "replace"
+    assert ice.plan_delete_files(loc) == []
+    got = sorted(r["k"] for r in ice.read_iceberg(spark, loc).collect())
+    assert got == list(range(20, 110))
+    on_disk_deletes = ice._list_parquet(_os.path.join(loc, "deletes"))
+    assert on_disk_deletes  # still reachable via older snapshots
+    ice.expire_snapshots(loc, keep_last=1)
+    assert ice._list_parquet(_os.path.join(loc, "deletes")) == []
+    assert sorted(
+        r["k"] for r in ice.read_iceberg(spark, loc).collect()
+    ) == list(range(20, 110))
+
+
+def test_iceberg_mor_merge_and_incremental_contracts(spark, tmp_path):
+    """MERGE after a MoR delete does not resurrect masked rows, and
+    an incremental scan crossing a 'delete' snapshot raises (a
+    changelog would be required)."""
+    loc, _ = _mini_table(spark, tmp_path, "mor_merge")
+    snap0 = ice.read_table_meta(loc)["current-snapshot-id"]
+    ice.delete_where(spark, loc, [("k", "<", 3)], mode="mor")
+    src = spark.createDataFrame(
+        [(1, 1, 111.0, "A"), (200, 2, 2.0, "C")],
+        "k bigint, g bigint, v double, p string",
+    )
+    ice.merge_into(spark, loc, src, on_cols=["k"])
+    got = {r["k"]: r["v"] for r in ice.read_iceberg(spark, loc).collect()}
+    # k=1 was MoR-deleted -> MERGE sees no match -> INSERT branch
+    assert got[1] == 111.0 and got[200] == 2.0
+    assert 0 not in got and 2 not in got and len(got) == 99
+    with pytest.raises(ValueError, match="non-append"):
+        ice.read_incremental(spark, loc, snap0)
+
+
+def test_iceberg_mor_prune_filters_bound_candidates(spark, tmp_path):
+    """The MoR scan of candidate files is pruning-bounded exactly
+    like the CoW rewrite set: a partition predicate only reads the
+    matching partition's files (cheaper delete planning), and the
+    result is still exact."""
+    loc, _ = _mini_table(spark, tmp_path, "mor_prune")
+    snap = ice.delete_where(spark, loc, [("p", "=", "B")], mode="mor")
+    assert int(snap["summary"]["added-position-deletes"]) == 50
+    assert sorted(
+        r["k"] for r in ice.read_iceberg(spark, loc).collect()
+    ) == list(range(50))
