@@ -23,13 +23,21 @@ from functions/phash.py:
   matrix inverse transform.
 - banding / hamming: int.bit_count and an explicit shift loop.
 
-The ONLY shared code with the engine path is the vendored JPEG codec
-inside `jpeg_phash_ref` (writing a second JPEG implementation is out
-of scope; the codec itself is pinned by its own round-trip +
-truncation-fuzz + PIL cross-check suite, tests/test_jpeg_codec.py).
-Equivalence of this twin with the engine implementation, and the
-mutation test proving a deliberate engine-hash bug is CAUGHT by this
-twin, live in tests/test_phash_ref.py.
+Round 11 closes the last shared-fate corner (VERDICT r10 item 8):
+DECODING now goes through functions/jpeg_ref.py — a second, from-spec
+JPEG (baseline + progressive successive approximation, T.81 Annex
+F/G procedures) and PNG (RFC 2083 unfiltering) implementation that
+imports nothing from the engine codecs. The only engine-codec calls
+left are the ENCODERS, and those are corpus construction: the twin
+must hash the same payload bytes the engine pipeline stores, so the
+encoder is the system under test's input, not shared verification
+logic — and a spec-violating encode is caught anyway, because the
+independent decoder would reconstruct different pixels than the
+engine decoder (cross-checked bit-identical in
+tests/test_phash_ref.py). Equivalence of this twin with the engine
+implementation, and the mutation tests proving deliberate engine
+hash AND decoder bugs are CAUGHT by this twin, live in
+tests/test_phash_ref.py.
 
 Same pattern as the f_url_parse RE2 twin (scalars_extra.py)."""
 
@@ -138,16 +146,17 @@ def planted_gray_ref(doc_id: int) -> np.ndarray:
 
 
 def jpeg_phash_ref(doc_id: int) -> int:
-    """The lossy-robustness twin: independent generator -> vendored
-    JPEG q95 encode/decode (the one shared component, see module
-    docstring) -> independent pHash of the reconstructed pixels."""
-    from mcp_iceberg_duckdb_spark.functions.jpeg import (
-        decode_jpeg,
-        encode_jpeg,
+    """The lossy-robustness twin: independent generator -> engine
+    JPEG q95 encode (corpus construction, see module docstring) ->
+    INDEPENDENT decode (functions/jpeg_ref.py) -> independent pHash
+    of the reconstructed pixels."""
+    from mcp_iceberg_duckdb_spark.functions.jpeg import encode_jpeg
+    from mcp_iceberg_duckdb_spark.functions.jpeg_ref import (
+        decode_jpeg_ref,
     )
 
     g = planted_gray_ref(doc_id)
-    d = decode_jpeg(
+    d = decode_jpeg_ref(
         encode_jpeg(g.shape[1], g.shape[0], g.tobytes(), "L", _JPEG_Q)
     )
     return phash64_ref(
@@ -159,18 +168,18 @@ def jpeg_phash_ref(doc_id: int) -> int:
 
 def mixed_phash_ref(doc_id: int) -> int:
     """Twin of the mixed-codec pipeline: independent generator +
-    independent pHash around the shared vendored codecs (doc_id % 3:
-    0 -> PNG, 1 -> baseline JPEG q95, 2 -> progressive JPEG q95)."""
+    independent pHash + INDEPENDENT decoders around the engine
+    encoders (corpus construction; doc_id % 3: 0 -> PNG, 1 ->
+    baseline JPEG q95, 2 -> progressive JPEG q95)."""
     from mcp_iceberg_duckdb_spark.functions.jpeg import (
-        decode_jpeg,
         encode_jpeg,
         encode_jpeg_progressive,
-        is_jpeg,
     )
-    from mcp_iceberg_duckdb_spark.functions.png import (
-        decode_png,
-        encode_png,
+    from mcp_iceberg_duckdb_spark.functions.jpeg_ref import (
+        decode_jpeg_ref,
+        decode_png_ref,
     )
+    from mcp_iceberg_duckdb_spark.functions.png import encode_png
 
     did = int(doc_id)
     g = planted_gray_ref(did)
@@ -185,7 +194,11 @@ def mixed_phash_ref(doc_id: int) -> int:
         payload = encode_jpeg_progressive(
             g.shape[1], g.shape[0], g.tobytes(), "L", _JPEG_Q
         )
-    d = decode_jpeg(payload) if is_jpeg(payload) else decode_png(payload)
+    d = (
+        decode_jpeg_ref(payload)
+        if payload[:2] == b"\xff\xd8"  # SOI — re-stated, not imported
+        else decode_png_ref(payload)
+    )
     return phash64_ref(
         np.frombuffer(d["pixels"], dtype=np.uint8).reshape(
             d["height"], d["width"]

@@ -23,6 +23,13 @@ Round 10 adds the jar-independent path instead: vendored Iceberg v1
 filesystem tables with spec-built Avro manifests
 (sources/iceberg_fs.py + sources/avro_io.py) — real create/append/
 snapshot/time-travel/pruning reads, oracled as x_iceberg_fs_scan.
+2026-08-16 (round 11) — re-probed: getent on repo1.maven.org still
+NXDOMAIN, `find / -name 'iceberg-spark-runtime*'` still empty, pip
+index still unreachable (NewConnectionError, name resolution) so the
+PIL retry fails identically; tests/test_iceberg_live.py still skips
+cleanly. Round 11 extends the vendored path to the v2 spec instead:
+merge-on-read position deletes (iceberg_fs.mor_delete_where, oracled
+as x_iceberg_fs_mor_delete).
 """
 
 from __future__ import annotations

@@ -161,3 +161,95 @@ def test_twin_shares_no_code_with_engine_path():
     assert "functions import phash" not in src
     with pytest.raises(ValueError):
         R.phash64_ref(np.zeros((31, 32)))  # same input contract
+
+
+# ---- round 11: independent decoder twin (VERDICT r10 item 8) ----
+
+
+def test_independent_decoders_match_engine_bitwise():
+    """functions/jpeg_ref.py (T.81 Annex F/G procedures, RFC 2083
+    unfiltering) must reconstruct BIT-IDENTICAL pixels to the engine
+    codecs on baseline, progressive (all four successive-approximation
+    scans), and PNG payloads across sizes and qualities."""
+    from mcp_iceberg_duckdb_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from mcp_iceberg_duckdb_spark.functions.jpeg_ref import (
+        decode_jpeg_ref,
+        decode_png_ref,
+    )
+    from mcp_iceberg_duckdb_spark.functions.png import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(11)
+    for h, w in ((64, 64), (24, 40), (8, 8), (56, 32)):
+        g = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        for q in (95, 75, 50):
+            for enc in (encode_jpeg, encode_jpeg_progressive):
+                payload = enc(w, h, g.tobytes(), "L", q)
+                assert (
+                    decode_jpeg(payload)["pixels"]
+                    == decode_jpeg_ref(payload)["pixels"]
+                ), (enc.__name__, h, w, q)
+        png = encode_png(w, h, g.tobytes(), "L")
+        assert decode_png(png)["pixels"] == decode_png_ref(png)["pixels"]
+    # and on the actual planted corpus payloads
+    for did in (0, 1, 49, 50, 51, 99, 100):
+        payload = P.planted_jpeg(did)
+        assert (
+            decode_jpeg(payload)["pixels"]
+            == decode_jpeg_ref(payload)["pixels"]
+        )
+
+
+def test_mutation_decoder_bug_is_caught_by_independent_twin():
+    """The shared-fate corner the r11 decoder twin closes: an engine
+    DECODER bug (dequantizing with a transposed quant table — a
+    zigzag-order mistake that corrupts pixels deterministically)
+    now diverges from the twin's independent decode, so the pair
+    certificate FAILS; under the r10 shared-codec twin both sides
+    would have decoded the same wrong pixels and passed."""
+    from mcp_iceberg_duckdb_spark.functions import jpeg as J
+    from mcp_iceberg_duckdb_spark.functions.phash import phash64
+
+    def buggy_decode_hash(did):
+        d = J.decode_jpeg(P.planted_jpeg(did))
+        g = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(
+            d["height"], d["width"]
+        )
+        # simulate the decoder bug downstream: corrupt the block grid
+        # the way a transposed dequant table would (deterministic,
+        # content-dependent)
+        g = g.reshape(8, 8, 8, 8).transpose(0, 3, 2, 1).reshape(64, 64)
+        return phash64(g)
+
+    ids = [i for i in range(300) if i % 10 < 2]
+    oracle = R.reference_phash_pairs_ref(ids, 10, hash_fn=R.jpeg_phash_ref)
+    buggy = P.reference_phash_pairs(ids, 10, hash_fn=buggy_decode_hash)
+    assert buggy != oracle, "decoder mutation was NOT caught"
+    good = P.reference_phash_pairs(ids, 10, hash_fn=P.jpeg_phash)
+    assert good == oracle
+
+
+def test_twin_decoders_share_no_decode_code_with_engine():
+    """Static pin extended (r11): the twin modules must not call the
+    ENGINE decoders anywhere — decode goes through jpeg_ref; the only
+    engine-codec imports left in phash_ref are the encoders (corpus
+    construction), and jpeg_ref imports nothing from the engine
+    codecs."""
+    import inspect
+
+    from mcp_iceberg_duckdb_spark.functions import jpeg_ref as JR
+
+    src = inspect.getsource(R)
+    assert "decode_jpeg," not in src and "decode_png," not in src
+    assert "decode_jpeg(" not in src.replace("decode_jpeg_ref(", "")
+    assert "decode_png(" not in src.replace("decode_png_ref(", "")
+    ref_src = inspect.getsource(JR)
+    assert "functions.jpeg import" not in ref_src
+    assert "functions.png import" not in ref_src
+    assert "functions.phash" not in ref_src
