@@ -658,13 +658,20 @@ class FsCatalog:
         meta = ice.read_table_meta(loc)
         part_set = ice.partition_source_cols(meta)
         schema_cols = {f["name"] for f in meta["schema"]["fields"]}
+        mor = (
+            meta.get("properties", {}).get("write.update.mode", "")
+            == "merge-on-read"
+        )
         assignments = {}
         for item in _split_top_level(set_sql):
             col, _, expr = item.partition("=")
             col = col.strip()
             if not col or not expr.strip():
                 raise ValueError(f"bad SET item {item!r}")
-            if col in part_set:
+            if col in part_set and not mor:
+                # CoW rewrites files in place, so a row cannot move
+                # partitions; MoR appends the updated row, which
+                # re-routes it — partition SETs are legal there
                 raise ValueError(f"cannot update partition column {col!r}")
             if col not in schema_cols:
                 # without this, withColumn would mint a new column the
@@ -673,6 +680,18 @@ class FsCatalog:
                 raise ValueError(f"SET target {col!r} is not a column")
             assignments[col] = F.expr(expr.strip())
         pred = F.expr(where) if where else F.lit(True)
+        prune = _simple_filters(where, meta)
+        if mor:
+            snap = ice.mor_update_where(
+                spark, loc, pred, assignments, prune_filters=prune
+            )
+            return self._ok(
+                spark,
+                "update",
+                rewritten_files="0",
+                added_delete_files=snap["summary"]["added-delete-files"],
+                updated_rows=snap["summary"]["added-position-deletes"],
+            )
 
         def rewrite(src, predicate):
             matched = F.coalesce(predicate, F.lit(False))
@@ -684,8 +703,7 @@ class FsCatalog:
             return out
 
         snap = ice.cow_rewrite_where(
-            spark, loc, pred, rewrite,
-            prune_filters=_simple_filters(where, meta),
+            spark, loc, pred, rewrite, prune_filters=prune
         )
         return self._ok(
             spark,

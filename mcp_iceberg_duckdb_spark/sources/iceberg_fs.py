@@ -569,46 +569,12 @@ def append(spark, loc: str, df, stat_cols=None) -> dict:
     (hive-layout dirs for identity partitions — Iceberg tracks files
     explicitly so layout is irrelevant), then the metadata commit."""
     meta = read_table_meta(loc)
-    ice_schema = meta["schema"]
-    stat_cols = set(
-        stat_cols
-        if stat_cols is not None
-        else [f["name"] for f in ice_schema["fields"]]
-    )
     new_files = _write_replacement(spark, loc, df, meta)
 
     snapshot_id = int(time.time() * 1000) * 1000 + len(meta["snapshots"])
-    entries = []
-    for path in new_files:
-        part = _partition_from_path(
-            path, meta["partition-spec"], ice_schema
-        )
-        stats = _file_stats(path, ice_schema, stat_cols)
-        entries.append(
-            {
-                "status": 1,  # ADDED
-                "snapshot_id": snapshot_id,
-                "data_file": {
-                    "file_path": path,
-                    "file_format": "PARQUET",
-                    "partition": part,
-                    "record_count": stats["record_count"],
-                    "file_size_in_bytes": stats["file_size_in_bytes"],
-                    "block_size_in_bytes": 64 * 1024 * 1024,
-                    "value_counts": None,
-                    "null_value_counts": stats["null_value_counts"],
-                    "lower_bounds": stats["lower_bounds"],
-                    "upper_bounds": stats["upper_bounds"],
-                },
-            }
-        )
-    mschema = _manifest_schema(meta["partition-spec"], ice_schema)
-    mpath = os.path.join(
-        _meta_dir(loc), f"{uuid.uuid4()}-m0.avro"
+    dm = _data_manifest(
+        loc, meta, new_files, snapshot_id, stat_cols=stat_cols
     )
-    blob = write_container(mschema, entries)
-    with open(mpath, "wb") as fh:
-        fh.write(blob)
 
     # carry forward the previous snapshot's manifests (append-only)
     prev_manifests = []
@@ -623,20 +589,14 @@ def append(spark, loc: str, df, stat_cols=None) -> dict:
     if cur is not None:
         _, prev = read_container(_read_file(cur["manifest-list"]))
         prev_manifests = prev
-    ml_entries = prev_manifests + [
-        {
-            "manifest_path": mpath,
-            "manifest_length": len(blob),
-            "partition_spec_id": 0,
-            "added_snapshot_id": snapshot_id,
-            "added_data_files_count": len(entries),
-        }
-    ]
+    ml_entries = prev_manifests + ([dm] if dm is not None else [])
     ml_path = os.path.join(
         _meta_dir(loc), f"snap-{snapshot_id}-1-{uuid.uuid4()}.avro"
     )
     with open(ml_path, "wb") as fh:
         fh.write(write_container(_MANIFEST_LIST_SCHEMA, ml_entries))
+
+    import pyarrow.parquet as pq
 
     now_ms = int(time.time() * 1000)
     snap = {
@@ -644,9 +604,11 @@ def append(spark, loc: str, df, stat_cols=None) -> dict:
         "timestamp-ms": now_ms,
         "summary": {
             "operation": "append",
-            "added-data-files": str(len(entries)),
+            "added-data-files": str(len(new_files)),
             "added-records": str(
-                sum(e["data_file"]["record_count"] for e in entries)
+                sum(
+                    pq.ParquetFile(p).metadata.num_rows for p in new_files
+                )
             ),
         },
         "manifest-list": ml_path,
@@ -1038,52 +1000,119 @@ def mor_delete_where(spark, loc: str, predicate, prune_filters=()) -> dict:
     from pyspark.sql import functions as F
 
     meta = read_table_meta(loc)
-    ice_schema = meta["schema"]
     candidates, _ = plan_files(loc, filters=prune_filters)
-    existing = plan_delete_files(loc)
     new_files: list[str] = []
     n_rows = 0
     if candidates:
-        df = (
-            spark.read.option("basePath", os.path.join(loc, "data"))
-            .option("mergeSchema", "true")
-            .parquet(*candidates)
-            .withColumn("__fp", F.col("_metadata.file_path"))
-            .withColumn("__pos", F.col("_metadata.row_index"))
+        df = _alive_with_pos(spark, loc, meta, candidates)
+        matched = df.filter(F.coalesce(predicate, F.lit(False)))
+        new_files, n_rows = _write_position_deletes(spark, loc, matched)
+    return _commit_mor(loc, meta, new_files, n_rows, [], "delete")
+
+
+def _alive_with_pos(spark, loc: str, meta: dict, files):
+    """Candidate files read at the current schema WITH row positions
+    (__fp, __pos), already-masked rows anti-joined away — the shared
+    head of every merge-on-read writer."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.option("basePath", os.path.join(loc, "data"))
+        .option("mergeSchema", "true")
+        .parquet(*files)
+        .withColumn("__fp", F.col("_metadata.file_path"))
+        .withColumn("__pos", F.col("_metadata.row_index"))
+    )
+    existing = plan_delete_files(loc)
+    if existing:
+        df = df.join(
+            _read_deletes(spark, existing),
+            on=["__fp", "__pos"],
+            how="left_anti",
         )
-        if existing:
-            df = df.join(
-                _read_deletes(spark, existing),
-                on=["__fp", "__pos"],
-                how="left_anti",
+    for f in meta["schema"]["fields"]:
+        if f["name"] not in df.columns:
+            df = df.withColumn(
+                f["name"], F.lit(None).cast(_ICE_TO_SPARK[f["type"]])
             )
-        for f in ice_schema["fields"]:
-            if f["name"] not in df.columns:
-                df = df.withColumn(
-                    f["name"], F.lit(None).cast(_ICE_TO_SPARK[f["type"]])
-                )
-        matched = df.filter(F.coalesce(predicate, F.lit(False))).select(
+    return df
+
+
+def _write_position_deletes(spark, loc: str, matched):
+    """Write ``matched`` rows' (__fp, __pos) as position-delete
+    parquet under <loc>/deletes/, spec-sorted by (file_path, pos) and
+    clustered by file. Returns (files, n_rows)."""
+    from pyspark.sql import functions as F
+
+    out_dir = os.path.join(loc, "deletes", str(uuid.uuid4()))
+    (
+        matched.select(
             F.col("__fp").alias("file_path"),
             F.col("__pos").cast("long").alias("pos"),
         )
-        out_dir = os.path.join(loc, "deletes", str(uuid.uuid4()))
-        # spec: position deletes sorted by (file_path, pos); cluster
-        # by file so a reader/compactor touches one delete file per
-        # data-file neighborhood
-        (
-            matched.repartition(F.col("file_path"))
-            .sortWithinPartitions("file_path", "pos")
-            .write.parquet(out_dir)
-        )
-        import pyarrow.parquet as pq
+        .repartition(F.col("file_path"))
+        .sortWithinPartitions("file_path", "pos")
+        .write.parquet(out_dir)
+    )
+    import pyarrow.parquet as pq
 
-        for p in _list_parquet(out_dir):
-            if pq.ParquetFile(p).metadata.num_rows > 0:
-                new_files.append(p)
-                n_rows += pq.ParquetFile(p).metadata.num_rows
-            else:
-                os.remove(p)
-    return _commit_delete(loc, meta, new_files, n_rows)
+    files, n_rows = [], 0
+    for p in _list_parquet(out_dir):
+        n = pq.ParquetFile(p).metadata.num_rows
+        if n > 0:
+            files.append(p)
+            n_rows += n
+        else:
+            os.remove(p)
+    return files, n_rows
+
+
+def mor_update_where(
+    spark, loc: str, predicate, assignments, prune_filters=()
+) -> dict:
+    """Merge-on-read UPDATE (the v2 ``write.update.mode=
+    merge-on-read`` path): matched rows are position-DELETED and
+    their updated versions APPENDED as new data files in ONE
+    'overwrite' snapshot — no candidate file is rewritten, so the
+    write cost is O(matched rows) like mor_delete_where, not
+    O(candidate file bytes) like the CoW path.
+
+    Because the updated rows are appended (and routed by
+    _write_replacement's hidden-partition materialization), MoR
+    UPDATE may legally change PARTITION-SOURCE columns — the row
+    simply lands in its new partition — which the CoW path must
+    reject (it rewrites files in place). ``assignments`` = {column:
+    Spark Column or literal}."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    meta = read_table_meta(loc)
+    schema_cols = {f["name"] for f in meta["schema"]["fields"]}
+    bad = set(assignments) - schema_cols
+    if bad:
+        raise ValueError(f"SET targets are not columns: {sorted(bad)}")
+    cols = [f["name"] for f in meta["schema"]["fields"]]
+    candidates, _ = plan_files(loc, filters=prune_filters)
+    del_files: list[str] = []
+    n_rows = 0
+    data_files: list[str] = []
+    if candidates:
+        df = _alive_with_pos(spark, loc, meta, candidates)
+        matched = df.filter(F.coalesce(predicate, F.lit(False))).persist()
+        del_files, n_rows = _write_position_deletes(spark, loc, matched)
+        if n_rows:
+            updated = matched
+            for col, val in assignments.items():
+                updated = updated.withColumn(
+                    col, val if isinstance(val, Column) else F.lit(val)
+                )
+            data_files = _write_replacement(
+                spark, loc, updated.select(*cols), meta
+            )
+        matched.unpersist()
+    return _commit_mor(
+        loc, meta, del_files, n_rows, data_files, "overwrite"
+    )
 
 
 def _delete_manifest(loc: str, meta: dict, delete_files, snapshot_id):
@@ -1131,11 +1160,64 @@ def _delete_manifest(loc: str, meta: dict, delete_files, snapshot_id):
     }
 
 
-def _commit_delete(loc: str, meta: dict, new_delete_files, n_rows) -> dict:
-    """Commit a merge-on-read 'delete' snapshot: previous manifests
-    carried verbatim (data files untouched), one new content=1
-    manifest listing the position-delete files. Marks the table
-    format-version 2 — the spec version that introduces delete
+def _data_manifest(loc: str, meta: dict, files, snapshot_id, stat_cols=None):
+    """Write a content=0 manifest of ADDED data files (footer stats,
+    hive-dir partition values) and return its manifest-list entry, or
+    None when ``files`` is empty. Shared by append and the MoR UPDATE
+    commit."""
+    if not files:
+        return None
+    ice_schema = meta["schema"]
+    stat_cols = set(
+        stat_cols
+        if stat_cols is not None
+        else [f["name"] for f in ice_schema["fields"]]
+    )
+    entries = []
+    for path in files:
+        part = _partition_from_path(path, meta["partition-spec"], ice_schema)
+        stats = _file_stats(path, ice_schema, stat_cols)
+        entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "file_path": path,
+                    "file_format": "PARQUET",
+                    "partition": part,
+                    "record_count": stats["record_count"],
+                    "file_size_in_bytes": stats["file_size_in_bytes"],
+                    "block_size_in_bytes": 64 * 1024 * 1024,
+                    "value_counts": None,
+                    "null_value_counts": stats["null_value_counts"],
+                    "lower_bounds": stats["lower_bounds"],
+                    "upper_bounds": stats["upper_bounds"],
+                },
+            }
+        )
+    mschema = _manifest_schema(meta["partition-spec"], ice_schema)
+    mpath = os.path.join(_meta_dir(loc), f"{uuid.uuid4()}-m0.avro")
+    blob = write_container(mschema, entries)
+    with open(mpath, "wb") as fh:
+        fh.write(blob)
+    return {
+        "manifest_path": mpath,
+        "manifest_length": len(blob),
+        "partition_spec_id": 0,
+        "added_snapshot_id": snapshot_id,
+        "added_data_files_count": len(entries),
+    }
+
+
+def _commit_mor(
+    loc: str, meta: dict, new_delete_files, n_rows, new_data_files,
+    operation: str,
+) -> dict:
+    """Commit a merge-on-read snapshot: previous manifests carried
+    verbatim (no data file rewritten), plus a content=1 manifest for
+    the new position-delete files and — for MoR UPDATE — a content=0
+    manifest for the appended updated rows. Marks the table
+    format-version 2, the spec version that introduces delete
     files."""
     snapshot_id = int(time.time() * 1000) * 1000 + len(meta["snapshots"])
     prev_manifests = []
@@ -1150,9 +1232,12 @@ def _commit_delete(loc: str, meta: dict, new_delete_files, n_rows) -> dict:
     if cur is not None:
         _, prev_manifests = read_container(_read_file(cur["manifest-list"]))
     ml_entries = list(prev_manifests)
-    dm = _delete_manifest(loc, meta, new_delete_files, snapshot_id)
+    dm = _data_manifest(loc, meta, new_data_files, snapshot_id)
     if dm is not None:
         ml_entries.append(dm)
+    dlm = _delete_manifest(loc, meta, new_delete_files, snapshot_id)
+    if dlm is not None:
+        ml_entries.append(dlm)
     ml_path = os.path.join(
         _meta_dir(loc), f"snap-{snapshot_id}-1-{uuid.uuid4()}.avro"
     )
@@ -1163,11 +1248,11 @@ def _commit_delete(loc: str, meta: dict, new_delete_files, n_rows) -> dict:
         "snapshot-id": snapshot_id,
         "timestamp-ms": now_ms,
         "summary": {
-            "operation": "delete",
+            "operation": operation,
             "added-delete-files": str(len(new_delete_files)),
             "added-position-deletes": str(n_rows),
             "deleted-data-files": "0",
-            "added-data-files": "0",
+            "added-data-files": str(len(new_data_files)),
         },
         "manifest-list": ml_path,
     }

@@ -597,3 +597,29 @@ def test_sql_merge_on_read_delete_property(loaded, spark):
         f"SELECT count(*) AS n FROM sales.orders VERSION AS OF {snap_pre} o"
     ).collect()[0]["n"]
     assert n == 3
+
+
+def test_sql_merge_on_read_update_property(loaded, spark):
+    """write.update.mode=merge-on-read routes SQL UPDATE through the
+    position-delete + append path: zero rewritten files, partition-
+    column SETs become legal (the appended row re-routes), values
+    exact, time travel intact."""
+    cat, run = loaded
+    loc = cat._resolve("sales.orders")[2]
+    # CoW default still rejects partition SETs
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="partition column"):
+        run("UPDATE sales.orders SET region = 'ap' WHERE k = 1")
+    run("ALTER TABLE sales.orders SET TBLPROPERTIES"
+        "('write.update.mode'='merge-on-read')")
+    pre_files = set(ice.plan_files(loc)[0])
+    res = run(
+        "UPDATE sales.orders SET region = 'ap', amount = amount + 1.0"
+        " WHERE k = 1"
+    ).collect()[0]
+    assert res["rewritten_files"] == "0" and res["updated_rows"] == "1"
+    assert pre_files <= set(ice.plan_files(loc)[0])  # nothing rewritten
+    got = {r["k"]: (r["region"], r["amount"])
+           for r in run("SELECT * FROM sales.orders o").collect()}
+    assert got == {1: ("ap", 11.0), 2: ("us", 20.0), 3: ("eu", 30.0)}

@@ -793,3 +793,45 @@ def test_iceberg_mor_prune_filters_bound_candidates(spark, tmp_path):
     assert sorted(
         r["k"] for r in ice.read_iceberg(spark, loc).collect()
     ) == list(range(50))
+
+
+def test_iceberg_mor_update_appends_not_rewrites(spark, tmp_path):
+    """MoR UPDATE: matched rows are position-deleted and their
+    updated versions appended in ONE 'overwrite' snapshot — every
+    pre-existing data file survives byte-identical, and the read sees
+    exactly the updated values."""
+    import os as _os
+
+    loc, _ = _mini_table(spark, tmp_path, "mor_upd")
+    pre = {p: _os.path.getsize(p) for p in ice.plan_files(loc)[0]}
+    snap = ice.mor_update_where(
+        spark, loc, F.col("k") < 10, {"v": F.col("v") + 0.25}
+    )
+    assert snap["summary"]["operation"] == "overwrite"
+    assert snap["summary"]["added-position-deletes"] == "10"
+    assert int(snap["summary"]["added-data-files"]) >= 1
+    post = set(ice.plan_files(loc)[0])
+    assert set(pre) < post  # old files all survive, new ones appended
+    assert all(_os.path.getsize(p) == pre[p] for p in pre)
+    got = {r["k"]: r["v"] for r in ice.read_iceberg(spark, loc).collect()}
+    assert len(got) == 100
+    assert got[3] == 30.25 and got[50] == 500.0
+
+
+def test_iceberg_mor_update_moves_partition(spark, tmp_path):
+    """The CoW path must reject partition-column SETs; MoR UPDATE
+    re-routes the appended row to its new partition instead — and the
+    old partition's file is untouched."""
+    loc, _ = _mini_table(spark, tmp_path, "mor_move")
+    with pytest.raises(ValueError, match="partition column"):
+        ice.update_where(spark, loc, [("k", "=", 1)], {"p": F.lit("B")})
+    ice.mor_update_where(
+        spark, loc, F.col("k") <= 1, {"p": F.lit("B")}
+    )
+    got = {r["k"]: r["p"] for r in ice.read_iceberg(spark, loc).collect()}
+    assert got[0] == "B" and got[1] == "B" and got[2] == "A"
+    assert len(got) == 100
+    # manifest pruning on the NEW partition value finds the moved rows
+    files, total = ice.plan_files(loc, filters=(("p", "=", "B"),))
+    moved = ice.read_iceberg(spark, loc, filters=(("p", "=", "B"),))
+    assert moved.count() == 52 and len(files) < total
