@@ -835,3 +835,17 @@ def test_iceberg_mor_update_moves_partition(spark, tmp_path):
     files, total = ice.plan_files(loc, filters=(("p", "=", "B"),))
     moved = ice.read_iceberg(spark, loc, filters=(("p", "=", "B"),))
     assert moved.count() == 52 and len(files) < total
+
+
+def test_iceberg_mor_read_plan_broadcasts_deletes(spark, tmp_path):
+    """Scale shape of the MoR read: small position-delete sets apply
+    as a BROADCAST left-anti join — the 100 TB data side is never
+    shuffled on (file, pos); only the KB-sized delete relation
+    moves."""
+    from mcp_iceberg_duckdb_spark.plans import explain_str
+
+    loc, _ = _mini_table(spark, tmp_path, "mor_plan")
+    ice.delete_where(spark, loc, [("k", "<", 10)], mode="mor")
+    plan = explain_str(ice.read_iceberg(spark, loc))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
