@@ -109,6 +109,9 @@ _LIST_TBLS = re.compile(
 _SNAPSHOTS = re.compile(
     rf"^\s*SHOW\s+SNAPSHOTS\s+(?:IN\s+)?({_TBL})\s*;?\s*$", re.I
 )
+_SHOW_PROPS = re.compile(
+    rf"^\s*SHOW\s+TBLPROPERTIES\s+({_TBL})\s*;?\s*$", re.I
+)
 _SELECT = re.compile(r"^\s*(SELECT|WITH)\b", re.I)
 
 # conservative comparison extraction for rewrite-set pruning only
@@ -516,6 +519,12 @@ class FsCatalog:
                 "snapshot_id bigint, parent_id bigint, "
                 "committed_at_ms bigint, operation string",
             )
+        if m := _SHOW_PROPS.match(sql):
+            _, _, loc, _ = self._resolve(m.group(1))
+            props = ice.read_table_meta(loc).get("properties", {})
+            return spark.createDataFrame(
+                sorted(props.items()) or [], "key string, value string"
+            )
         if m := _CREATE_NS.match(sql):
             os.makedirs(os.path.join(self.warehouse, m.group(1)), exist_ok=True)
             return self._ok(spark, "create_namespace")
@@ -770,7 +779,33 @@ class FsCatalog:
                     f"two aliases, got {part.strip()!r}"
                 )
             on_cols.append(c1)
-        snap = ice.merge_into(spark, loc, source, on_cols=on_cols)
+        meta = ice.read_table_meta(loc)
+        missing = [
+            f["name"]
+            for f in meta["schema"]["fields"]
+            if f["name"] not in source.columns
+        ]
+        if missing:
+            raise ValueError(f"MERGE source lacks table columns {missing}")
+        # literals in an inline USING (SELECT ...) arrive as Spark's
+        # inferred types (INT, DECIMAL); cast BY NAME to the table
+        # schema so the appended files carry the table's types
+        source = source.select(
+            *[
+                F.col(f["name"])
+                .cast(ice._ICE_TO_SPARK[f["type"]])
+                .alias(f["name"])
+                for f in meta["schema"]["fields"]
+            ]
+        )
+        mor = (
+            meta.get("properties", {}).get("write.merge.mode", "")
+            == "merge-on-read"
+        )
+        if mor:
+            snap = ice.mor_merge_into(spark, loc, source, on_cols=on_cols)
+        else:
+            snap = ice.merge_into(spark, loc, source, on_cols=on_cols)
         return self._ok(
             spark,
             "merge",

@@ -1635,6 +1635,98 @@ def set_table_property(loc: str, key: str, value: str) -> dict:
     return meta["properties"]
 
 
+def mor_merge_into(
+    spark, loc: str, source_df, on_cols, update_cols=None
+) -> dict:
+    """Merge-on-read MERGE (upsert): matched target rows are
+    position-DELETED and their merged versions (target row with
+    ``update_cols`` replaced by the source's values) APPENDED
+    together with the not-matched source rows — one 'overwrite'
+    snapshot, zero data files rewritten. Same contracts as
+    merge_into: the source must carry every table column, duplicate
+    source keys raise (cardinality violation), candidates are
+    bounds-pruned on the source's key range, and the not-matched
+    anti-join against candidates alone is exact because bounds
+    pruning is conservative. Default ``update_cols`` = every non-key,
+    non-partition column (parity with merge_into; pass partition
+    sources explicitly to move rows across partitions — legal here
+    because merged rows are appended and re-routed, unlike the CoW
+    path).
+
+    At 100 TB: merging a day's increment costs position deletes +
+    appends proportional to the INCREMENT — the CoW path's rewrite of
+    every candidate file (bytes proportional to key-range overlap)
+    disappears; reads pay the broadcast anti-join until compaction
+    materializes."""
+    from pyspark.sql import functions as F
+
+    meta = read_table_meta(loc)
+    part_sources = partition_source_cols(meta)
+    cols = [f["name"] for f in meta["schema"]["fields"]]
+    on_cols = list(on_cols)
+    missing = [c for c in cols if c not in source_df.columns]
+    if missing:
+        raise ValueError(f"MERGE source lacks table columns {missing}")
+    if update_cols is None:
+        update_cols = [
+            c for c in cols if c not in on_cols and c not in part_sources
+        ]
+    if set(update_cols) & set(on_cols):
+        raise ValueError("MERGE cannot update its ON key columns")
+    source = source_df.select(*cols)
+    dup = (
+        source.groupBy(*on_cols)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "MERGE source has duplicate rows for the ON key(s) "
+            f"{on_cols} — each target row may match at most one "
+            "source row (cardinality violation)"
+        )
+
+    types = {f["name"]: f["type"] for f in meta["schema"]["fields"]}
+    filters = []
+    key = on_cols[0]
+    if types.get(key) in ("int", "long", "float", "double", "string", "date"):
+        lo, hi = source.agg(F.min(key), F.max(key)).first()
+        if lo is not None:
+            filters = [(key, ">=", lo), (key, "<=", hi)]
+    candidates, _ = plan_files(loc, filters=filters)
+
+    del_files: list[str] = []
+    n_rows = 0
+    if candidates:
+        alive = _alive_with_pos(spark, loc, meta, candidates)
+        skeys = F.broadcast(source.select(*on_cols).distinct())
+        matched_tgt = alive.join(skeys, on=on_cols, how="semi").persist()
+        del_files, n_rows = _write_position_deletes(spark, loc, matched_tgt)
+        merged = (
+            matched_tgt.select(*[c for c in cols if c not in update_cols])
+            .join(
+                source.select(*on_cols, *update_cols),
+                on=on_cols,
+                how="inner",
+            )
+            .select(*cols)
+        )
+        inserts = source.join(
+            alive.select(*on_cols), on=on_cols, how="left_anti"
+        ).select(*cols)
+        replacement = merged.unionByName(inserts)
+    else:
+        replacement = source
+    data_files = _write_replacement(spark, loc, replacement, meta)
+    if candidates:
+        matched_tgt.unpersist()
+    return _commit_mor(
+        loc, meta, del_files, n_rows, data_files, "overwrite"
+    )
+
+
 def add_column(loc: str, name: str, ice_type: str) -> dict:
     """Metadata-only schema evolution: append an optional column to
     the table schema in a new metadata version. No data file is

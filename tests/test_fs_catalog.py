@@ -623,3 +623,31 @@ def test_sql_merge_on_read_update_property(loaded, spark):
     got = {r["k"]: (r["region"], r["amount"])
            for r in run("SELECT * FROM sales.orders o").collect()}
     assert got == {1: ("ap", 11.0), 2: ("us", 20.0), 3: ("eu", 30.0)}
+
+
+def test_sql_merge_on_read_merge_and_show_tblproperties(loaded, spark):
+    """write.merge.mode=merge-on-read routes SQL MERGE through
+    position deletes + appends; SHOW TBLPROPERTIES surfaces the
+    properties."""
+    cat, run = loaded
+    loc = cat._resolve("sales.orders")[2]
+    run("ALTER TABLE sales.orders SET TBLPROPERTIES"
+        "('write.merge.mode'='merge-on-read')")
+    props = {r["key"]: r["value"]
+             for r in run("SHOW TBLPROPERTIES sales.orders").collect()}
+    assert props["write.merge.mode"] == "merge-on-read"
+    assert props["write.format.default"] == "parquet"
+    pre_files = set(ice.plan_files(loc)[0])
+    res = run(
+        "MERGE INTO sales.orders t USING"
+        " (SELECT 1 AS k, 'eu' AS region, 99.0 AS amount"
+        "  UNION ALL SELECT 9, 'ap', 9.0) s"
+        " ON t.k = s.k"
+        " WHEN MATCHED THEN UPDATE SET *"
+        " WHEN NOT MATCHED THEN INSERT *"
+    ).collect()[0]
+    assert res["rewritten_files"] == "0"
+    assert pre_files <= set(ice.plan_files(loc)[0])
+    got = {r["k"]: r["amount"]
+           for r in run("SELECT k, amount FROM sales.orders o").collect()}
+    assert got == {1: 99.0, 2: 20.0, 3: 30.0, 9: 9.0}

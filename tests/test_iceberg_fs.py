@@ -849,3 +849,40 @@ def test_iceberg_mor_read_plan_broadcasts_deletes(spark, tmp_path):
     plan = explain_str(ice.read_iceberg(spark, loc))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_iceberg_mor_merge_upsert(spark, tmp_path):
+    """MoR MERGE: matched targets position-deleted, merged versions +
+    inserts appended, pre-existing data files byte-identical; result
+    rows equal the CoW merge semantics; duplicate source keys and
+    ON-key updates rejected."""
+    import os as _os
+
+    loc, _ = _mini_table(spark, tmp_path, "mor_merge2")
+    pre = {p: _os.path.getsize(p) for p in ice.plan_files(loc)[0]}
+    src = spark.createDataFrame(
+        [(k, k % 3, float(k * 1000), "A" if k < 50 else "B")
+         for k in range(40, 60)]
+        + [(k, k % 3, float(k), "C") for k in range(200, 210)],
+        "k bigint, g bigint, v double, p string",
+    )
+    snap = ice.mor_merge_into(spark, loc, src, on_cols=["k"])
+    assert snap["summary"]["operation"] == "overwrite"
+    assert snap["summary"]["added-position-deletes"] == "20"
+    assert snap["summary"]["deleted-data-files"] == "0"
+    assert all(
+        _os.path.getsize(p) == pre[p] for p in pre
+    ) and set(pre) < set(ice.plan_files(loc)[0])
+    got = {r["k"]: (r["v"], r["p"])
+           for r in ice.read_iceberg(spark, loc).collect()}
+    assert len(got) == 110
+    assert got[45] == (45000.0, "A")   # matched: updated, partition kept
+    assert got[10] == (100.0, "A")     # unmatched target: untouched
+    assert got[205] == (205.0, "C")    # inserted, own partition
+    with pytest.raises(ValueError, match="cardinality"):
+        ice.mor_merge_into(
+            spark, loc, src.unionByName(src.limit(1)), on_cols=["k"]
+        )
+    with pytest.raises(ValueError, match="ON key"):
+        ice.mor_merge_into(spark, loc, src, on_cols=["k"],
+                           update_cols=["k", "v"])
