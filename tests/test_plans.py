@@ -562,6 +562,10 @@ _BNLJ_ALLOWED = {
     # round 8: 1-row broadcast N joined onto the ranked orders (the
     # two-phase percent_rank/cume_dist rework)
     "w_cume_percent",
+    # round 11: the SAME 16-row broadcast-codebook crossJoin as
+    # x_ann_pq_adc_topk (only the codebook rows differ — Lloyd-trained
+    # vs md5-sampled), plus _ann_contract's 1-row total joins
+    "x_ann_pq_adc_trained_topk",
     # round 8: 1-row broadcast (n0, n1, nb) totals onto the bin grid
     "x_source_psi_drift",
     # round 8: 1-row broadcast N / mid-element / doc-count scalars in
