@@ -671,7 +671,22 @@ def _partition_from_path(path: str, spec, ice_schema):
         raw = vals[c]
         if raw == "__HIVE_DEFAULT_PARTITION__":
             out[c] = None
-        elif t in ("int", "long", "date"):
+        elif t == "date":
+            # identity DATE partitions: Spark writes the hive dir as
+            # the ISO date (d=2023-01-15); the manifest partition
+            # tuple stores epoch days, matching the bound encoding.
+            # (Temporal-transform fields — d_month= etc — resolve to
+            # t="int" above and never reach this branch.)
+            try:
+                out[c] = int(raw)
+            except ValueError:
+                import datetime
+
+                out[c] = (
+                    datetime.date.fromisoformat(raw)
+                    - datetime.date(1970, 1, 1)
+                ).days
+        elif t in ("int", "long"):
             out[c] = int(raw)
         elif t in ("float", "double"):
             out[c] = float(raw)

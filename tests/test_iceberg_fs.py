@@ -886,3 +886,40 @@ def test_iceberg_mor_merge_upsert(spark, tmp_path):
     with pytest.raises(ValueError, match="ON key"):
         ice.mor_merge_into(spark, loc, src, on_cols=["k"],
                            update_cols=["k", "v"])
+
+
+def test_iceberg_identity_date_partition(spark, tmp_path):
+    """Identity partitioning on a DATE column (the layout a reference
+    user gets from PARTITIONED BY (a_date_col)): Spark writes ISO
+    hive dirs, the manifest stores epoch days, and a typed date
+    filter prunes at the manifest level. Round-11 fix: this crashed
+    at append (int('2023-01-15')) before."""
+    import datetime as _dt
+
+    loc = str(tmp_path / "ident_date")
+    df = spark.createDataFrame(
+        [(i,) for i in range(6)], "k bigint"
+    ).select(
+        "k",
+        F.expr("date_add(to_date('2023-01-15'), CAST(k * 31 AS INT))")
+        .alias("d"),
+    )
+    ice.create_table(loc, ice.spark_schema_to_iceberg(df), part_cols=["d"])
+    ice.append(spark, loc, df)
+    got = {r["k"]: r["d"] for r in ice.read_iceberg(spark, loc).collect()}
+    assert len(got) == 6 and got[0] == _dt.date(2023, 1, 15)
+    epoch = (_dt.date(2023, 1, 15) - _dt.date(1970, 1, 1)).days
+    files, total = ice.plan_files(loc, filters=(("d", "=", epoch),))
+    assert len(files) == 1 and total == 6
+    # the SQL surface's typed extraction reaches the same pruning
+    from mcp_iceberg_duckdb_spark.sources.fs_catalog import _simple_filters
+
+    meta = ice.read_table_meta(loc)
+    assert _simple_filters("d = '2023-01-15'", meta) == (("d", "=", epoch),)
+    snap = ice.cow_rewrite_where(
+        spark, loc, F.expr("d = '2023-01-15'"),
+        lambda src, p: src.filter(~F.coalesce(p, F.lit(False))),
+        prune_filters=(("d", "=", epoch),),
+    )
+    assert snap["summary"]["deleted-data-files"] == "1"
+    assert ice.read_iceberg(spark, loc).count() == 5
