@@ -387,7 +387,22 @@ class FsCatalog:
                 if pat.search(chunks[i]):
                     chunks[i] = pat.sub(self._view_name(ns, tbl), chunks[i])
                     used.add((ns, tbl))
+        # a CTE (or named window) defined in the statement shadows a
+        # same-named warehouse table — substituting the FROM position
+        # but not the WITH definition would silently read the TABLE
+        # instead of the CTE
+        cte_names = {
+            m.group(1).lower()
+            for i in range(0, len(chunks), 2)
+            for m in re.finditer(
+                rf"(?:\bWITH\b|,)\s*({_IDENT})\s+AS\s*\(",
+                chunks[i],
+                re.I,
+            )
+        }
         for name in sorted(bare, key=len, reverse=True):
+            if name.lower() in cte_names:
+                continue
             ns, tbl = bare[name]
             view = self._view_name(ns, tbl)
             tpat = re.compile(

@@ -651,3 +651,17 @@ def test_sql_merge_on_read_merge_and_show_tblproperties(loaded, spark):
     got = {r["k"]: r["amount"]
            for r in run("SELECT k, amount FROM sales.orders o").collect()}
     assert got == {1: 99.0, 2: 20.0, 3: 30.0, 9: 9.0}
+
+
+def test_cte_shadows_same_named_table(cat, spark):
+    """A CTE named like a default-namespace table shadows it — the
+    rewrite must leave both the WITH definition and its FROM
+    references alone (substituting only the FROM would silently read
+    the table)."""
+    run = lambda s: cat.execute(spark, s)  # noqa: E731
+    run("CREATE TABLE default.t (k bigint)")
+    run("INSERT INTO default.t VALUES (111)")
+    got = run("WITH t AS (SELECT 5 AS k) SELECT k FROM t").collect()
+    assert [r["k"] for r in got] == [5]
+    # and the table is still reachable when no CTE shadows it
+    assert run("SELECT k FROM t").collect()[0]["k"] == 111
