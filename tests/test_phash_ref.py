@@ -253,3 +253,39 @@ def test_twin_decoders_share_no_decode_code_with_engine():
     assert "functions.jpeg import" not in ref_src
     assert "functions.png import" not in ref_src
     assert "functions.phash" not in ref_src
+
+
+def test_independent_decoder_hypothesis_fuzz():
+    """Property fuzz: for ANY 8-bit grayscale image (random content,
+    dimensions incl. non-multiple-of-8 edges) and any quality, the
+    independent decoder reconstructs bit-identically to the engine on
+    both baseline and progressive streams."""
+    from hypothesis import given, settings, strategies as st
+
+    from mcp_iceberg_duckdb_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from mcp_iceberg_duckdb_spark.functions.jpeg_ref import decode_jpeg_ref
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=40),
+        q=st.integers(min_value=5, max_value=100),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        prog=st.booleans(),
+    )
+    def check(w, h, q, seed, prog):
+        g = np.random.RandomState(seed).randint(
+            0, 256, size=(h, w)
+        ).astype(np.uint8)
+        enc = encode_jpeg_progressive if prog else encode_jpeg
+        payload = enc(w, h, g.tobytes(), "L", q)
+        a = decode_jpeg(payload)
+        b = decode_jpeg_ref(payload)
+        assert (a["width"], a["height"]) == (b["width"], b["height"])
+        assert a["pixels"] == b["pixels"]
+
+    check()
