@@ -665,3 +665,67 @@ def test_cte_shadows_same_named_table(cat, spark):
     assert [r["k"] for r in got] == [5]
     # and the table is still reachable when no CTE shadows it
     assert run("SELECT k FROM t").collect()[0]["k"] == 111
+
+
+def test_split_where_and_top_level_scanner_fuzz():
+    """Property fuzz for the quote/paren-aware scanners: WHERE inside
+    string literals or parens is never taken as the clause split, and
+    a synthesized top-level WHERE always is."""
+    from hypothesis import given, settings, strategies as st
+
+    from mcp_iceberg_duckdb_spark.sources.fs_catalog import (
+        _find_top_level,
+        _split_where,
+    )
+
+    lit = st.text(
+        alphabet="abc WHERE()'", min_size=0, max_size=12
+    ).map(lambda s: "'" + s.replace("'", "''") + "'")
+    safe = st.text(alphabet="abc=1,+ ", min_size=1, max_size=12)
+
+    @settings(max_examples=80, deadline=None)
+    @given(pre=safe, inner=lit, post=safe)
+    def check(pre, inner, post):
+        # WHERE only inside the literal / parens: no split
+        s = f"{pre}{inner}(x WHERE y){post}"
+        body, tail = _split_where(s)
+        assert tail is None and body == s
+        # one genuine top-level WHERE: split at exactly that point
+    # precedence: the FIRST top-level occurrence wins
+        s2 = f"{pre}{inner} WHERE k = 1 AND t = {inner}"
+        body2, tail2 = _split_where(s2)
+        assert body2 == f"{pre}{inner}" and tail2.startswith("k = 1")
+        assert _find_top_level("(WHERE) 'WHERE' WHERE", ("WHERE",)) == 16
+
+    check()
+
+
+def test_select_prune_skips_ambiguous_shared_columns(cat, spark):
+    """A WHERE column present in BOTH joined tables' schemas must not
+    prune either (Spark rejects the ambiguous reference anyway — the
+    safety property the per-table uniqueness check encodes)."""
+    run = lambda s: cat.execute(spark, s)  # noqa: E731
+    run("CREATE TABLE default.a (k bigint, v double)")
+    run("CREATE TABLE default.b (k bigint, w double)")
+    run("INSERT INTO default.a VALUES (1, 1.0), (2, 2.0)")
+    run("INSERT INTO default.b VALUES (1, 10.0), (3, 30.0)")
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.AnalysisException):
+        run(
+            "SELECT v FROM default.a JOIN default.b"
+            " ON default.a.k = default.b.k WHERE k = 1"
+        ).collect()
+    # neither view was pruned while registering
+    for key in ("default.a", "default.b"):
+        plan = cat.last_scan_plan[key]
+        assert plan["filters"] == []
+        assert plan["files_planned"] == plan["files_total"]
+    # unambiguous columns still prune independently
+    rows = run(
+        "SELECT v, w FROM default.a JOIN default.b"
+        " ON default.a.k = default.b.k WHERE v = 1.0 AND w = 10.0"
+    ).collect()
+    assert [(r["v"], r["w"]) for r in rows] == [(1.0, 10.0)]
+    assert cat.last_scan_plan["default.a"]["filters"] == [("v", "=", 1.0)]
+    assert cat.last_scan_plan["default.b"]["filters"] == [("w", "=", 10.0)]
