@@ -120,6 +120,61 @@ _SIMPLE_CMP = re.compile(
     r"((?:-?\d+(?:\.\d+)?)|'(?:[^']|'')*')\s*$"
 )
 
+# SELECT-path variant: an optional single-identifier qualifier
+# (table alias or bare default-namespace table name) is captured so
+# `o.region = 'eu'` can prune once the qualifier resolves to one
+# used table (VERDICT r11 item 8)
+_QUAL_CMP = re.compile(
+    rf"^\s*(?:({_IDENT})\.)?({_IDENT})\s*(=|<=|>=|<|>)\s*"
+    r"((?:-?\d+(?:\.\d+)?)|'(?:[^']|'')*')\s*$"
+)
+
+
+def _qualified_filters(where: str | None):
+    """(qualifier_or_None, col, op, literal) tuples for a WHERE that
+    is a bare conjunction of comparisons with literals — the SELECT
+    pruning twin of _simple_filters, with the same all-or-nothing
+    rule (any non-simple conjunct voids the whole extraction: it may
+    be the arm of an OR)."""
+    if not where:
+        return ()
+    out = []
+    for part in re.split(r"\bAND\b", where, flags=re.I):
+        m = _QUAL_CMP.match(part)
+        if not m:
+            return ()
+        qual, col, op, lit = m.groups()
+        if lit.startswith("'"):
+            val = lit[1:-1].replace("''", "'")
+        elif "." in lit:
+            val = float(lit)
+        else:
+            val = int(lit)
+        out.append((qual, col, op, val))
+    return tuple(out)
+
+
+_PRUNE_UNSAFE_KW = re.compile(
+    r"\b(?:WITH|OVER|WINDOW|QUALIFY)\b", re.I
+)
+_NESTED_SELECT = re.compile(r"\(\s*SELECT\b", re.I)
+
+
+def _single_block_select(sql: str) -> bool:
+    """True only for a single-block SELECT: no CTE (WITH), no window
+    function (OVER / named WINDOW / QUALIFY), no nested (SELECT ...)
+    subquery — checked OUTSIDE single-quoted literals. Top-level
+    WHERE conjuncts provably commute to the base-table scan only in
+    this shape; a window, scalar subquery, or CTE over the same table
+    legitimately reads rows the WHERE excludes, so manifest-pruning
+    them would silently change results (ADVICE r11 item 1)."""
+    chunks = re.split(r"('(?:[^']|'')*')", sql)
+    for i in range(0, len(chunks), 2):
+        c = chunks[i]
+        if _PRUNE_UNSAFE_KW.search(c) or _NESTED_SELECT.search(c):
+            return False
+    return True
+
 
 def _simple_filters(where: str | None, meta: dict | None = None):
     """Extract (col, op, literal) pruning hints from a WHERE clause
@@ -279,6 +334,125 @@ def _split_top_level(s: str, sep: str = ","):
     return [p.strip() for p in out if p.strip()]
 
 
+_ALIAS_STOP = frozenset(
+    w.lower()
+    for w in (
+        "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "OFFSET",
+        "UNION", "INTERSECT", "EXCEPT", "QUALIFY", "WINDOW",
+        "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "ON",
+        "USING", "AS", "VERSION",
+    )
+)
+
+_FROM_ALIAS = re.compile(
+    rf"\b(?:FROM|JOIN)\s+({_TBL})(?:\s+(?:AS\s+)?({_IDENT}))?", re.I
+)
+
+_FROM_KW = re.compile(r"\bFROM\b", re.I)
+_DOTTED_IDENT = re.compile(rf"{_IDENT}(?:\.{_IDENT})?")
+
+
+def _normalize_from_commas(chunk: str) -> str:
+    """Rewrite ``FROM a [x], b [y], ...`` comma cross-join lists into
+    explicit CROSS JOINs (semantically identical per the SQL
+    standard) so bare default-namespace names in comma lists resolve
+    through the same FROM/JOIN table-position matching as everything
+    else (ADVICE r11 item 4). Operates on a code chunk (string
+    literals already split away). Only commas DIRECTLY separating
+    FROM-list items rewrite; commas inside parens (subqueries,
+    function arguments, ``AS t(a, b)`` column aliases) and in SELECT
+    lists are untouched — the scanner walks item (paren group or
+    dotted identifier) + optional alias and stops at the first token
+    that is neither."""
+    commas: list[int] = []
+    n = len(chunk)
+    for m in _FROM_KW.finditer(chunk):
+        i = m.end()
+        while True:
+            while i < n and chunk[i].isspace():
+                i += 1
+            if i < n and chunk[i] == "(":
+                depth, i = 1, i + 1
+                while i < n and depth:
+                    if chunk[i] == "(":
+                        depth += 1
+                    elif chunk[i] == ")":
+                        depth -= 1
+                    i += 1
+                if depth:
+                    break  # unbalanced (split mid-chunk): bail out
+            else:
+                mm = _DOTTED_IDENT.match(chunk, i)
+                if not mm:
+                    break  # not a table item (e.g. extract(.. FROM 1))
+                i = mm.end()
+            save = i
+            while i < n and chunk[i].isspace():
+                i += 1
+            ma = re.match(rf"(?:AS\s+)?({_IDENT})", chunk[i:], re.I)
+            if ma and ma.group(1).lower() not in _ALIAS_STOP:
+                i += ma.end()
+            else:
+                i = save
+            while i < n and chunk[i].isspace():
+                i += 1
+            if i < n and chunk[i] == ",":
+                commas.append(i)
+                i += 1
+                continue
+            break
+    if not commas:
+        return chunk
+    parts, last = [], 0
+    for c in commas:
+        parts.append(chunk[last:c])
+        parts.append(" CROSS JOIN ")
+        last = c + 1
+    parts.append(chunk[last:])
+    return "".join(parts)
+
+
+def _strict_cast(df, pairs):
+    """Cast DML-source columns to the table's types LOUDLY: try_cast
+    each ``(source_col, out_name, spark_type)``, then raise if any
+    NON-NULL input produced a NULL — the ANSI semantics Spark/Iceberg
+    MERGE and INSERT enforce. Plain cast() would silently turn an
+    un-castable value (string 'abc' into an int column) into NULL and
+    commit it as data corruption (ADVICE r11 item 2). Costs one extra
+    limit-1 job over the (small) DML source."""
+    bad = None
+    for src, _, typ in pairs:
+        cond = F.col(src).isNotNull() & F.col(src).try_cast(typ).isNull()
+        bad = cond if bad is None else (bad | cond)
+    offenders = df.filter(bad).limit(1).collect()
+    if offenders:
+        raise ValueError(
+            "DML source value cannot be cast to the table schema "
+            f"(ANSI cast would fail): {offenders[0].asDict()!r}"
+        )
+    return df.select(
+        *[F.col(src).try_cast(typ).alias(name) for src, name, typ in pairs]
+    )
+
+
+def _table_aliases(sql: str, used) -> dict:
+    """alias -> (ns, tbl) for every ``FROM/JOIN <table> [AS] <alias>``
+    in the statement (outside string literals) whose table is one of
+    the ``used`` warehouse tables. Keywords are never aliases."""
+    out: dict = {}
+    chunks = re.split(r"('(?:[^']|'')*')", sql)
+    for i in range(0, len(chunks), 2):
+        for m in _FROM_ALIAS.finditer(chunks[i]):
+            name, alias = m.group(1), m.group(2)
+            if not alias or alias.lower() in _ALIAS_STOP:
+                continue
+            ns, _, tbl = name.rpartition(".")
+            key = (ns or "default", tbl)
+            if key in used:
+                out[alias] = key
+    return out
+
+
 class FsCatalog:
     """A namespace/table tree of vendored Iceberg v1 tables under one
     warehouse directory, with a one-call SQL entry point
@@ -343,8 +517,9 @@ class FsCatalog:
         names are rewritten only in FROM/JOIN table positions (plus
         their ``t.col`` qualifiers once the table position matched),
         so a table named like a query alias no longer captures the
-        alias definition. Bare names in comma cross-join lists are
-        NOT resolved — use JOIN syntax or qualify with ``default.``.
+        alias definition. Comma cross-join lists (``FROM t1, t2``)
+        are first normalized to explicit CROSS JOINs, so bare names
+        in them resolve too (ADVICE r11 item 4).
 
         Pruning (VERDICT r10 item 1): the statement's top-level WHERE
         is mined for the same conservative typed (col, op, literal)
@@ -369,6 +544,10 @@ class FsCatalog:
                 return view
 
             chunks[i] = _VERSION_AS_OF.sub(_tt, chunks[i])
+        # comma cross-join lists become explicit CROSS JOINs so the
+        # bare-name FROM/JOIN pattern below resolves every member
+        for i in range(0, len(chunks), 2):
+            chunks[i] = _normalize_from_commas(chunks[i])
         qualified = {
             f"{ns}.{tbl}": (ns, tbl) for ns, tbl in self.list_tables()
         }
@@ -433,18 +612,28 @@ class FsCatalog:
 
     def _select_prune_filters(self, sql: str, used):
         """Per-table manifest-pruning hints for a SELECT: the typed
-        simple conjunction of its top-level WHERE, each conjunct
-        assigned to the single used table whose schema carries the
-        column (a column in two used tables would be an ambiguous
-        reference — Spark rejects the query — so it never prunes).
-        Conjuncts matching no used table (subquery/CTE outputs) are
-        dropped, which only widens the scan."""
+        simple conjunction of its top-level WHERE. An UNQUALIFIED
+        conjunct is assigned to the single used table whose schema
+        carries the column (a column in two used tables would be an
+        ambiguous reference — Spark rejects the query — so it never
+        prunes); a QUALIFIED conjunct (``o.region = 'eu'``) prunes
+        the table its alias or bare name resolves to. Conjuncts
+        matching no used table (subquery/CTE outputs) are dropped,
+        which only widens the scan.
+
+        Pruning runs ONLY on single-block SELECTs: a CTE, window
+        function, or nested subquery over the pruned table does not
+        commute with the outer WHERE (ADVICE r11 item 1 — e.g.
+        row_number() OVER (ORDER BY y) must number rows the WHERE
+        later drops), so those statements scan all files."""
         if not used:
+            return {}
+        if not _single_block_select(sql):
             return {}
         where = _select_where_clause(sql)
         if where is None:
             return {}
-        raw = _simple_filters(where)
+        raw = _qualified_filters(where)
         if not raw:
             return {}
         metas = {
@@ -453,16 +642,28 @@ class FsCatalog:
             )
             for key in used
         }
+        aliases = _table_aliases(sql, used)
         owners: dict[str, list] = {}
         for key, meta in metas.items():
             for f in meta["schema"]["fields"]:
                 owners.setdefault(f["name"], []).append(key)
         per_table: dict = {}
-        for col, op, val in raw:
-            own = owners.get(col, ())
-            if len(own) != 1:
-                continue
-            key = own[0]
+        for qual, col, op, val in raw:
+            if qual is not None:
+                key = aliases.get(qual)
+                if key is None and ("default", qual) in used:
+                    key = ("default", qual)
+                if key is None:
+                    continue  # unresolvable qualifier: widen, never guess
+                if col not in {
+                    f["name"] for f in metas[key]["schema"]["fields"]
+                }:
+                    continue
+            else:
+                own = owners.get(col, ())
+                if len(own) != 1:
+                    continue
+                key = own[0]
             typed = _type_filters([(col, op, val)], metas[key])
             if typed:
                 per_table.setdefault(key, []).extend(typed)
@@ -479,11 +680,12 @@ class FsCatalog:
             raise ValueError(
                 f"expected {len(fields)} columns, got {len(df.columns)}"
             )
-        return df.select(
-            *[
-                F.col(c).cast(ice._ICE_TO_SPARK[f["type"]]).alias(f["name"])
+        return _strict_cast(
+            df,
+            [
+                (c, f["name"], ice._ICE_TO_SPARK[f["type"]])
                 for c, f in zip(df.columns, fields)
-            ]
+            ],
         )
 
     # ---- the SQL entry point ----
@@ -804,14 +1006,15 @@ class FsCatalog:
             raise ValueError(f"MERGE source lacks table columns {missing}")
         # literals in an inline USING (SELECT ...) arrive as Spark's
         # inferred types (INT, DECIMAL); cast BY NAME to the table
-        # schema so the appended files carry the table's types
-        source = source.select(
-            *[
-                F.col(f["name"])
-                .cast(ice._ICE_TO_SPARK[f["type"]])
-                .alias(f["name"])
+        # schema so the appended files carry the table's types —
+        # loudly (try_cast + raise on non-NULL -> NULL), matching
+        # Spark/Iceberg ANSI MERGE semantics
+        source = _strict_cast(
+            source,
+            [
+                (f["name"], f["name"], ice._ICE_TO_SPARK[f["type"]])
                 for f in meta["schema"]["fields"]
-            ]
+            ],
         )
         mor = (
             meta.get("properties", {}).get("write.merge.mode", "")

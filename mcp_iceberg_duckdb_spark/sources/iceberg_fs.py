@@ -1599,12 +1599,7 @@ def merge_into(spark, loc: str, source_df, on_cols, update_cols=None) -> dict:
 
     # bounds-prune candidates on the first join key's source range
     types = {f["name"]: f["type"] for f in ice_schema["fields"]}
-    filters = []
-    key = on_cols[0]
-    if types.get(key) in ("int", "long", "float", "double", "string", "date"):
-        lo, hi = source.agg(F.min(key), F.max(key)).first()
-        if lo is not None:
-            filters = [(key, ">=", lo), (key, "<=", hi)]
+    filters = _merge_key_filters(source, on_cols[0], types)
     candidates, _ = plan_files(loc, filters=filters)
     live, _ = plan_files(loc)
     untouched = [f for f in live if f not in set(candidates)]
@@ -1636,6 +1631,30 @@ def merge_into(spark, loc: str, source_df, on_cols, update_cols=None) -> dict:
         replacement = source
     new_files = _write_replacement(spark, loc, replacement, meta)
     return _commit_overwrite(loc, meta, candidates, untouched, new_files)
+
+
+def _merge_key_filters(source, key: str, types: dict):
+    """Bounds-prune filters for a MERGE's first join key: one 1-row
+    agg(min, max) over the source. DATE keys convert to epoch days —
+    plan_files stores date partition values and bounds as epoch-day
+    ints, so a datetime.date literal would TypeError inside
+    _eval_filter and silently degrade to keep-every-file (ADVICE r11
+    item 3); the conversion mirrors fs_catalog._type_filters."""
+    from pyspark.sql import functions as F
+
+    if types.get(key) not in (
+        "int", "long", "float", "double", "string", "date"
+    ):
+        return []
+    lo, hi = source.agg(F.min(key), F.max(key)).first()
+    if lo is None:
+        return []
+    if types[key] == "date":
+        import datetime
+
+        epoch = datetime.date(1970, 1, 1)
+        lo, hi = (lo - epoch).days, (hi - epoch).days
+    return [(key, ">=", lo), (key, "<=", hi)]
 
 
 def set_table_property(loc: str, key: str, value: str) -> dict:
@@ -1704,12 +1723,7 @@ def mor_merge_into(
         )
 
     types = {f["name"]: f["type"] for f in meta["schema"]["fields"]}
-    filters = []
-    key = on_cols[0]
-    if types.get(key) in ("int", "long", "float", "double", "string", "date"):
-        lo, hi = source.agg(F.min(key), F.max(key)).first()
-        if lo is not None:
-            filters = [(key, ">=", lo), (key, "<=", hi)]
+    filters = _merge_key_filters(source, on_cols[0], types)
     candidates, _ = plan_files(loc, filters=filters)
 
     del_files: list[str] = []

@@ -729,3 +729,166 @@ def test_select_prune_skips_ambiguous_shared_columns(cat, spark):
     assert [(r["v"], r["w"]) for r in rows] == [(1.0, 10.0)]
     assert cat.last_scan_plan["default.a"]["filters"] == [("v", "=", 1.0)]
     assert cat.last_scan_plan["default.b"]["filters"] == [("w", "=", 10.0)]
+
+
+def test_select_prune_skipped_for_cte_window(loaded, spark):
+    """ADVICE r11 item 1 (high): a WHERE outside a CTE that computes
+    a window does NOT commute to the base scan — pruning the manifest
+    on it would renumber rows. The single-block guard must skip
+    pruning entirely and the window result must reflect ALL rows."""
+    cat, run = loaded
+    row = run(
+        "WITH r AS (SELECT k, row_number() OVER (ORDER BY amount DESC)"
+        " AS rn FROM sales.orders) SELECT rn FROM r WHERE k = 1"
+    ).collect()
+    # amounts 10/20/30 -> k=1 is the SMALLEST -> rn = 3 over the full
+    # table; pruning k=1 to the eu file would have yielded rn = 2
+    assert [r["rn"] for r in row] == [3]
+    plan = cat.last_scan_plan["sales.orders"]
+    assert plan["filters"] == []
+    assert plan["files_planned"] == plan["files_total"]
+
+
+def test_select_prune_skipped_for_scalar_subquery(loaded, spark):
+    """A scalar subquery over the same table reads rows the outer
+    WHERE excludes — pruning the shared base view would change its
+    answer. Guard: any nested (SELECT ...) skips pruning."""
+    cat, run = loaded
+    row = run(
+        "SELECT (SELECT max(amount) FROM sales.orders) AS mx, k"
+        " FROM sales.orders o WHERE region = 'us'"
+    ).collect()
+    assert [(r["mx"], r["k"]) for r in row] == [(30.0, 2)]
+    plan = cat.last_scan_plan["sales.orders"]
+    assert plan["files_planned"] == plan["files_total"]
+
+
+def test_select_plain_window_skips_pruning_conservatively(loaded, spark):
+    """Even a same-block window (where WHERE does precede the window
+    per SQL semantics) conservatively skips pruning — the guard is
+    shape-based, and correctness is preserved either way."""
+    cat, run = loaded
+    rows = run(
+        "SELECT k, sum(amount) OVER (ORDER BY k) AS s"
+        " FROM sales.orders o WHERE region = 'eu'"
+    ).collect()
+    assert sorted((r["k"], r["s"]) for r in rows) == [(1, 10.0), (3, 40.0)]
+    plan = cat.last_scan_plan["sales.orders"]
+    assert plan["files_planned"] == plan["files_total"]
+
+
+def test_select_qualified_predicate_prunes(loaded, spark):
+    """VERDICT r11 item 8: ``alias.col = literal`` prunes the table
+    the alias resolves to — the most common real-world SELECT shape."""
+    cat, run = loaded
+    rows = run(
+        "SELECT k, amount FROM sales.orders o WHERE o.region = 'eu'"
+    ).collect()
+    assert sorted((r["k"], r["amount"]) for r in rows) == [
+        (1, 10.0), (3, 30.0)
+    ]
+    plan = cat.last_scan_plan["sales.orders"]
+    assert plan["files_planned"] < plan["files_total"]
+    assert ("region", "=", "eu") in [tuple(f) for f in plan["filters"]]
+
+
+def test_select_qualified_predicate_disambiguates_shared_column(cat, spark):
+    """A column in BOTH tables never prunes unqualified; qualifying
+    it resolves the owner, so it prunes exactly that table."""
+    run = lambda s: cat.execute(spark, s)  # noqa: E731
+    run("CREATE TABLE default.a (k bigint, v double)")
+    run("CREATE TABLE default.b (k bigint, w double)")
+    run("INSERT INTO default.a VALUES (1, 1.0), (2, 2.0)")
+    run("INSERT INTO default.b VALUES (1, 10.0), (3, 30.0)")
+    rows = run(
+        "SELECT x.v, y.w FROM default.a x JOIN default.b y"
+        " ON x.k = y.k WHERE x.k = 1"
+    ).collect()
+    assert [(r["v"], r["w"]) for r in rows] == [(1.0, 10.0)]
+    assert cat.last_scan_plan["default.a"]["filters"] == [("k", "=", 1)]
+    assert cat.last_scan_plan["default.b"]["filters"] == []
+
+
+def test_select_unresolvable_qualifier_never_prunes(loaded, spark):
+    """A qualifier that maps to no used warehouse table drops that
+    conjunct — widening, never guessing (Spark then rejects the
+    unresolved reference itself); resolvable range qualifiers prune."""
+    cat, run = loaded
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.AnalysisException):
+        run("SELECT k FROM sales.orders o WHERE zz.region = 'eu'").collect()
+    plan = cat.last_scan_plan["sales.orders"]
+    assert plan["filters"] == []
+    assert plan["files_planned"] == plan["files_total"]
+    rows = run(
+        "SELECT o.k FROM sales.orders o WHERE o.k >= 1 AND o.k <= 3"
+    ).collect()
+    assert sorted(r["k"] for r in rows) == [1, 2, 3]
+    plan = cat.last_scan_plan["sales.orders"]
+    assert [tuple(f) for f in plan["filters"]] == [
+        ("k", ">=", 1), ("k", "<=", 3)
+    ]
+
+
+def test_comma_cross_join_bare_names(cat, spark):
+    """ADVICE r11 item 4: bare default-namespace names in a comma
+    cross-join list resolve again (normalized to explicit CROSS
+    JOIN), with and without aliases."""
+    run = lambda s: cat.execute(spark, s)  # noqa: E731
+    run("CREATE TABLE default.t1 (k bigint, v double)")
+    run("CREATE TABLE default.t2 (j bigint, w double)")
+    run("INSERT INTO default.t1 VALUES (1, 1.0), (2, 2.0)")
+    run("INSERT INTO default.t2 VALUES (10, 10.0), (20, 20.0), (30, 3.0)")
+    assert run("SELECT * FROM t1, t2").count() == 6
+    rows = run(
+        "SELECT a.k, b.j FROM t1 a, t2 b WHERE a.k = 1 AND b.j = 10"
+    ).collect()
+    assert [(r["k"], r["j"]) for r in rows] == [(1, 10)]
+    # three-way list, mixed qualified/bare
+    assert run("SELECT * FROM default.t1, t2, t1 z").count() == 12
+    # commas inside function args / SELECT lists are untouched
+    row = run(
+        "SELECT concat(v, ',', w) AS c FROM t1, t2"
+        " WHERE t1.k = 1 AND t2.j = 10"
+    ).collect()
+    assert [r["c"] for r in row] == ["1.0,10.0"]
+
+
+def test_merge_incompatible_source_type_raises(cat, spark):
+    """ADVICE r11 item 2 (medium): a MERGE source value that cannot
+    cast to the table's column type fails LOUDLY instead of merging
+    NULL corruption (ANSI semantics)."""
+    run = lambda s: cat.execute(spark, s)  # noqa: E731
+    run("CREATE TABLE default.m (k bigint, v int)")
+    run("INSERT INTO default.m VALUES (1, 100)")
+    with pytest.raises(ValueError, match="cannot be cast"):
+        run(
+            "MERGE INTO default.m t USING"
+            " (SELECT 1 AS k, 'abc' AS v) s ON t.k = s.k"
+            " WHEN MATCHED THEN UPDATE SET *"
+            " WHEN NOT MATCHED THEN INSERT *"
+        )
+    got = [tuple(r) for r in run("SELECT k, v FROM default.m").collect()]
+    assert got == [(1, 100)]  # table unchanged
+    # castable values still merge fine (int literal into int column)
+    run(
+        "MERGE INTO default.m t USING (SELECT 1 AS k, '200' AS v) s"
+        " ON t.k = s.k WHEN MATCHED THEN UPDATE SET *"
+        " WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = [tuple(r) for r in run("SELECT k, v FROM default.m").collect()]
+    assert got == [(1, 200)]
+
+
+def test_insert_incompatible_type_raises(cat, spark):
+    """INSERT under the same ANSI rule: un-castable values raise, the
+    table stays unchanged; NULLs and castable strings still insert."""
+    run = lambda s: cat.execute(spark, s)  # noqa: E731
+    run("CREATE TABLE default.i (k bigint, v int)")
+    with pytest.raises(ValueError, match="cannot be cast"):
+        run("INSERT INTO default.i VALUES (1, 'oops')")
+    assert run("SELECT * FROM default.i").count() == 0
+    run("INSERT INTO default.i VALUES (1, '42'), (2, NULL)")
+    got = {r["k"]: r["v"] for r in run("SELECT * FROM default.i").collect()}
+    assert got == {1: 42, 2: None}

@@ -923,3 +923,53 @@ def test_iceberg_identity_date_partition(spark, tmp_path):
     )
     assert snap["summary"]["deleted-data-files"] == "1"
     assert ice.read_iceberg(spark, loc).count() == 5
+
+
+def test_iceberg_merge_date_key_bounds_prune(spark, tmp_path):
+    """ADVICE r11 item 3: a MERGE whose join key is a DATE column
+    converts its source min/max to epoch days before pruning —
+    plan_files stores date bounds as epoch-day ints, so a
+    datetime.date literal used to TypeError and silently disable
+    pruning. Two appends with disjoint date ranges -> merging keys in
+    one range rewrites ONE candidate file, not both."""
+    import datetime
+
+    loc = str(tmp_path / "date_merge")
+    d = datetime.date
+    df1 = spark.createDataFrame(
+        [(d(2024, 1, i), float(i)) for i in range(1, 11)],
+        "dt date, v double",
+    )
+    df2 = spark.createDataFrame(
+        [(d(2025, 6, i), float(100 + i)) for i in range(1, 11)],
+        "dt date, v double",
+    )
+    ice.create_table(loc, ice.spark_schema_to_iceberg(df1))
+    ice.append(spark, loc, df1.coalesce(1))
+    ice.append(spark, loc, df2.coalesce(1))
+    pre = set(ice.plan_files(loc)[0])
+    assert len(pre) == 2
+    src = spark.createDataFrame(
+        [(d(2024, 1, 5), -5.0), (d(2024, 1, 20), -20.0)],
+        "dt date, v double",
+    )
+    snap = ice.merge_into(spark, loc, src, on_cols=["dt"])
+    assert int(snap["summary"]["deleted-data-files"]) == 1  # pruned!
+    post = set(ice.plan_files(loc)[0])
+    assert pre & post, "the 2025 file must survive untouched"
+    got = {r["dt"]: r["v"] for r in ice.read_iceberg(spark, loc).collect()}
+    assert got[d(2024, 1, 5)] == -5.0        # matched: updated
+    assert got[d(2024, 1, 20)] == -20.0      # inserted
+    assert got[d(2025, 6, 3)] == 103.0       # untouched
+    assert len(got) == 21
+    # MoR flavor prunes the same way: delete files reference only the
+    # in-range data file's rows
+    snap2 = ice.mor_merge_into(
+        spark,
+        loc,
+        spark.createDataFrame([(d(2025, 6, 2), 0.0)], "dt date, v double"),
+        on_cols=["dt"],
+    )
+    assert int(snap2["summary"]["added-position-deletes"]) == 1
+    got2 = {r["dt"]: r["v"] for r in ice.read_iceberg(spark, loc).collect()}
+    assert got2[d(2025, 6, 2)] == 0.0 and len(got2) == 21
