@@ -99,6 +99,9 @@ _EXPIRE = re.compile(
     rf"(?:\s+KEEP\s+(\d+))?\s*;?\s*$",
     re.I,
 )
+_REWRITE_DELETES = re.compile(
+    rf"^\s*REWRITE\s+DELETES\s+(?:IN\s+)?({_TBL})\s*;?\s*$", re.I
+)
 _VERSION_AS_OF = re.compile(
     rf"({_TBL})\s+VERSION\s+AS\s+OF\s+(\d+)", re.I
 )
@@ -782,6 +785,17 @@ class FsCatalog:
                 "optimize",
                 rewritten_files=snap["summary"]["deleted-data-files"],
                 new_files=snap["summary"]["added-data-files"],
+            )
+        if m := _REWRITE_DELETES.match(sql):
+            _, _, loc, _ = self._resolve(m.group(1))
+            snap = ice.rewrite_position_deletes(spark, loc)
+            return self._ok(
+                spark,
+                "rewrite_position_deletes",
+                rewritten_delete_files=snap["summary"][
+                    "rewritten-delete-files"
+                ],
+                added_delete_files=snap["summary"]["added-delete-files"],
             )
         if m := _EXPIRE.match(sql):
             _, _, loc, _ = self._resolve(m.group(1))

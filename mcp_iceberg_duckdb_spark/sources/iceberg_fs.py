@@ -317,12 +317,31 @@ def _manifest_schema(part_cols, ice_schema):
                 "default": None,
                 "field-id": 1,
             },
+            # spec v2: the entry's data sequence number. Null means
+            # "inherit from the manifest-list entry's sequence_number"
+            # (ADDED files); EXISTING entries carried through a CoW
+            # compaction keep their ORIGINAL number explicitly — the
+            # property equality-delete scoping depends on.
+            {
+                "name": "sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 3,
+            },
             {
                 "name": "data_file",
                 "type": {
                     "type": "record",
                     "name": "r2",
                     "fields": [
+                        # spec v2 content: 0=data, 1=position deletes,
+                        # 2=equality deletes
+                        {
+                            "name": "content",
+                            "type": "int",
+                            "default": 0,
+                            "field-id": 134,
+                        },
                         {"name": "file_path", "type": "string", "field-id": 100},
                         {"name": "file_format", "type": "string", "field-id": 101},
                         {
@@ -363,6 +382,17 @@ def _manifest_schema(part_cols, ice_schema):
                             "default": None,
                             "field-id": 128,
                         },
+                        # spec v2: schema field-ids an EQUALITY delete
+                        # file's rows match on (content=2 only)
+                        {
+                            "name": "equality_ids",
+                            "type": [
+                                "null",
+                                {"type": "array", "items": "int"},
+                            ],
+                            "default": None,
+                            "field-id": 135,
+                        },
                     ],
                 },
                 "field-id": 2,
@@ -383,6 +413,16 @@ _MANIFEST_LIST_SCHEMA = {
         # manifest lists readable AND lets carried-forward entries
         # written before the field existed re-serialize as data.
         {"name": "content", "type": "int", "default": 0, "field-id": 517},
+        # spec v2 field-id 515: the commit sequence number of the
+        # snapshot that ADDED this manifest. Entries written before
+        # the field existed default to 0 — "older than every
+        # equality delete", the conservative direction.
+        {
+            "name": "sequence_number",
+            "type": "long",
+            "default": 0,
+            "field-id": 515,
+        },
         {
             "name": "added_snapshot_id",
             "type": ["null", "long"],
@@ -873,9 +913,37 @@ def _plain(path: str) -> str:
     return path
 
 
-def plan_delete_files(loc: str, snapshot_id=None):
+# the spec's reserved field-id for the position-delete schema's
+# file_path column (2147483546) — delete manifests store min/max
+# referenced-path bounds under it so readers can scope delete files
+# to a scan without opening them
+_DELETE_PATH_FID = "2147483546"
+
+
+def plan_delete_files(loc: str, snapshot_id=None, data_files=None,
+                      stats_out=None):
     """Live position-delete files of a snapshot: manifest-list
-    entries with content=1, minus DELETED entries."""
+    entries with content=1, minus DELETED entries.
+
+    When ``data_files`` (the scan's planned data files) is given, the
+    result is SCOPED to delete files that can actually mask one of
+    them (VERDICT r11 item 1) — two driver-side stages, no Spark job:
+
+    1. manifest bounds: each delete manifest entry carries min/max
+       referenced data-file path under the spec's reserved
+       position-delete file_path field-id; a delete file whose range
+       cannot contain any planned path is skipped without opening it.
+    2. exact refs: survivors' distinct referenced paths (one footer +
+       one small-column read, _delete_refs) intersect the planned
+       set; no overlap -> skipped.
+
+    Correctness never depends on the scoping — the (path, pos)
+    anti-join keys cannot mis-delete — it only stops a
+    partition-pruned read from paying for every delete file in the
+    table. ``stats_out`` receives delete_files_planned /
+    delete_files_total so tests and fs_catalog can surface it.
+    Delete files written before the bounds existed (None bounds)
+    fall through to stage 2."""
     meta = read_table_meta(loc)
     snaps = meta["snapshots"]
     if not snaps:
@@ -887,17 +955,45 @@ def plan_delete_files(loc: str, snapshot_id=None):
     )
     if snap is None:
         raise ValueError(f"snapshot {snapshot_id} not in {loc}")
-    out = []
+    cands = []
     _, manifests = read_container(_read_file(snap["manifest-list"]))
     for m in manifests:
         if m.get("content", 0) != 1:
             continue
         _, entries = read_container(_read_file(m["manifest_path"]))
-        out.extend(
-            e["data_file"]["file_path"]
-            for e in entries
-            if e["status"] != 2
-        )
+        for e in entries:
+            if e["status"] == 2:
+                continue
+            df_ = e["data_file"]
+            lo = decode_bound(
+                "string", (df_.get("lower_bounds") or {}).get(
+                    _DELETE_PATH_FID
+                )
+            )
+            hi = decode_bound(
+                "string", (df_.get("upper_bounds") or {}).get(
+                    _DELETE_PATH_FID
+                )
+            )
+            cands.append((df_["file_path"], lo, hi))
+    total = len(cands)
+    if data_files is None:
+        out = [p for p, _, _ in cands]
+    else:
+        planned = {_plain(q) for q in data_files}
+        out = []
+        for p, lo, hi in cands:
+            if (
+                lo is not None
+                and hi is not None
+                and not any(lo <= q <= hi for q in planned)
+            ):
+                continue
+            if _delete_refs(p) & planned:
+                out.append(p)
+    if stats_out is not None:
+        stats_out["delete_files_planned"] = len(out)
+        stats_out["delete_files_total"] = total
     return out
 
 
@@ -1038,7 +1134,7 @@ def _alive_with_pos(spark, loc: str, meta: dict, files):
         .withColumn("__fp", F.col("_metadata.file_path"))
         .withColumn("__pos", F.col("_metadata.row_index"))
     )
-    existing = plan_delete_files(loc)
+    existing = plan_delete_files(loc, data_files=files)
     if existing:
         df = df.join(
             _read_deletes(spark, existing),
@@ -1141,25 +1237,39 @@ def _delete_manifest(loc: str, meta: dict, delete_files, snapshot_id):
     import pyarrow.parquet as pq
 
     part_names = [e["name"] for e in meta["partition-spec"]]
-    entries = [
-        {
-            "status": 1,
-            "snapshot_id": snapshot_id,
-            "data_file": {
-                "file_path": p,
-                "file_format": "PARQUET",
-                "partition": {n: None for n in part_names},
-                "record_count": pq.ParquetFile(p).metadata.num_rows,
-                "file_size_in_bytes": os.path.getsize(p),
-                "block_size_in_bytes": 64 * 1024 * 1024,
-                "value_counts": None,
-                "null_value_counts": None,
-                "lower_bounds": None,
-                "upper_bounds": None,
-            },
-        }
-        for p in delete_files
-    ]
+    entries = []
+    for p in delete_files:
+        # exact min/max NORMALIZED referenced data-file path (the
+        # distinct set is already read for carry-forward decisions) —
+        # readers scope delete files to a scan on these bounds
+        # without opening them (plan_delete_files stage 1)
+        refs = sorted(_delete_refs(p))
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "data_file": {
+                    "file_path": p,
+                    "file_format": "PARQUET",
+                    "partition": {n: None for n in part_names},
+                    "record_count": pq.ParquetFile(p).metadata.num_rows,
+                    "file_size_in_bytes": os.path.getsize(p),
+                    "block_size_in_bytes": 64 * 1024 * 1024,
+                    "value_counts": None,
+                    "null_value_counts": None,
+                    "lower_bounds": {
+                        _DELETE_PATH_FID: encode_bound("string", refs[0])
+                    }
+                    if refs
+                    else None,
+                    "upper_bounds": {
+                        _DELETE_PATH_FID: encode_bound("string", refs[-1])
+                    }
+                    if refs
+                    else None,
+                },
+            }
+        )
     mschema = _manifest_schema(meta["partition-spec"], meta["schema"])
     mpath = os.path.join(_meta_dir(loc), f"{uuid.uuid4()}-d0.avro")
     blob = write_container(mschema, entries)
@@ -1226,14 +1336,18 @@ def _data_manifest(loc: str, meta: dict, files, snapshot_id, stat_cols=None):
 
 def _commit_mor(
     loc: str, meta: dict, new_delete_files, n_rows, new_data_files,
-    operation: str,
+    operation: str, carry_delete_manifests: bool = True,
+    extra_summary: dict | None = None,
 ) -> dict:
     """Commit a merge-on-read snapshot: previous manifests carried
     verbatim (no data file rewritten), plus a content=1 manifest for
     the new position-delete files and — for MoR UPDATE — a content=0
     manifest for the appended updated rows. Marks the table
     format-version 2, the spec version that introduces delete
-    files."""
+    files. ``carry_delete_manifests=False`` drops the previous
+    content=1 manifests instead (rewrite_position_deletes: the new
+    delete files REPLACE the old set; data manifests still carry
+    verbatim)."""
     snapshot_id = int(time.time() * 1000) * 1000 + len(meta["snapshots"])
     prev_manifests = []
     cur = next(
@@ -1246,7 +1360,11 @@ def _commit_mor(
     )
     if cur is not None:
         _, prev_manifests = read_container(_read_file(cur["manifest-list"]))
-    ml_entries = list(prev_manifests)
+    ml_entries = [
+        m
+        for m in prev_manifests
+        if carry_delete_manifests or m.get("content", 0) != 1
+    ]
     dm = _data_manifest(loc, meta, new_data_files, snapshot_id)
     if dm is not None:
         ml_entries.append(dm)
@@ -1268,6 +1386,7 @@ def _commit_mor(
             "added-position-deletes": str(n_rows),
             "deleted-data-files": "0",
             "added-data-files": str(len(new_data_files)),
+            **(extra_summary or {}),
         },
         "manifest-list": ml_path,
     }
@@ -1388,7 +1507,7 @@ def _cow_rewrite(spark, loc: str, filters, rewrite_fn) -> dict:
         # merge-on-read must not be resurrected by a later CoW pass
         src = _read_files(
             spark, loc, candidates, ice_schema,
-            deletes=plan_delete_files(loc),
+            deletes=plan_delete_files(loc, data_files=candidates),
         )
         replacement = rewrite_fn(src, _conjunction(filters)).select(*cols)
         new_files = _write_replacement(spark, loc, replacement, meta)
@@ -1517,7 +1636,9 @@ def read_iceberg(spark, loc: str, snapshot_id=None, filters=(), stats_out=None):
     # Spark drops hive-partition dirs' columns unless basePath is set
     df = _read_files(
         spark, loc, files, meta["schema"],
-        deletes=plan_delete_files(loc, snapshot_id),
+        deletes=plan_delete_files(
+            loc, snapshot_id, data_files=files, stats_out=stats_out
+        ),
     )
     for col, op, val in filters:
         if op == "=":
@@ -1611,7 +1732,7 @@ def merge_into(spark, loc: str, source_df, on_cols, update_cols=None) -> dict:
     if candidates:
         tgt = _read_files(
             spark, loc, candidates, ice_schema,
-            deletes=plan_delete_files(loc),
+            deletes=plan_delete_files(loc, data_files=candidates),
         )
         joined = tgt.join(marked, on=on_cols, how="left")
         out = joined
@@ -1851,6 +1972,83 @@ def compact_files(
     )
 
 
+def rewrite_position_deletes(
+    spark, loc: str, target_file_bytes: int = 64 * 1024 * 1024
+) -> dict:
+    """Compact accumulated position-delete files WITHOUT rewriting
+    any data file — the RewritePositionDeleteFiles maintenance action
+    real engines ship beside full compaction. Every MoR commit adds
+    >=1 delete file; before this action the only way to shed them was
+    compact_files (a full data rewrite). Here: read all live delete
+    files, drop rows referencing data files that are no longer live
+    (dead masks from CoW rewrites), dedup, and write the union back
+    as ceil(input bytes / target_file_bytes) spec-sorted files. The
+    'replace' commit carries every DATA manifest verbatim — data-file
+    paths are untouched, time travel to pre-rewrite snapshots still
+    reads the original delete files — and swaps the content=1
+    manifests for one fresh one.
+
+    At 100 TB with heavy MoR churn this is the read-amplification
+    cap: scan cost returns to one small anti-join input instead of
+    hundreds of sliver files, at the cost of a delete-only rewrite
+    (no data bytes moved)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    meta = read_table_meta(loc)
+    old = plan_delete_files(loc)
+    if not old:
+        return {
+            "summary": {
+                "operation": "replace",
+                "rewritten-delete-files": "0",
+                "added-delete-files": "0",
+            }
+        }
+    live, _ = plan_files(loc)
+    rows = spark.read.parquet(*old).select("file_path", "pos")
+    # normalize the URI form _metadata.file_path stored
+    # ('file:///x' / 'file:/x' -> '/x') to compare with manifest paths
+    norm = F.regexp_replace(F.col("file_path"), "^file:/+", "/")
+    live_df = F.broadcast(
+        spark.createDataFrame([(p,) for p in live], "lp string")
+    )
+    rows = rows.join(
+        live_df, norm == F.col("lp"), "left_semi"
+    ).dropDuplicates(["file_path", "pos"])
+    n_out = max(
+        1,
+        math.ceil(sum(os.path.getsize(p) for p in old) / target_file_bytes),
+    )
+    out_dir = os.path.join(loc, "deletes", str(uuid.uuid4()))
+    (
+        rows.repartition(n_out, F.col("file_path"))
+        .sortWithinPartitions("file_path", "pos")
+        .write.parquet(out_dir)
+    )
+    import pyarrow.parquet as pq
+
+    new_files, n_rows = [], 0
+    for p in _list_parquet(out_dir):
+        n = pq.ParquetFile(p).metadata.num_rows
+        if n > 0:
+            new_files.append(p)
+            n_rows += n
+        else:
+            os.remove(p)
+    return _commit_mor(
+        loc,
+        meta,
+        new_files,
+        n_rows,
+        [],
+        "replace",
+        carry_delete_manifests=False,
+        extra_summary={"rewritten-delete-files": str(len(old))},
+    )
+
+
 def expire_snapshots(loc: str, keep_last: int = 1) -> dict:
     """Expire all but the last ``keep_last`` snapshots and physically
     delete files no kept snapshot can reach: orphan parquet under
@@ -1929,7 +2127,7 @@ def cow_rewrite_where(
     if candidates:
         src = _read_files(
             spark, loc, candidates, ice_schema,
-            deletes=plan_delete_files(loc),
+            deletes=plan_delete_files(loc, data_files=candidates),
         )
         replacement = rewrite_fn(src, predicate).select(*cols)
         new_files = _write_replacement(spark, loc, replacement, meta)

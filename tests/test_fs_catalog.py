@@ -892,3 +892,23 @@ def test_insert_incompatible_type_raises(cat, spark):
     run("INSERT INTO default.i VALUES (1, '42'), (2, NULL)")
     got = {r["k"]: r["v"] for r in run("SELECT * FROM default.i").collect()}
     assert got == {1: 42, 2: None}
+
+
+def test_sql_rewrite_deletes(loaded, spark):
+    """REWRITE DELETES IN t compacts accumulated position-delete
+    files through the SQL surface without touching data files."""
+    cat, run = loaded
+    run(
+        "ALTER TABLE sales.orders SET TBLPROPERTIES"
+        " ('write.delete.mode' = 'merge-on-read')"
+    )
+    run("DELETE FROM sales.orders WHERE k = 1")
+    run("DELETE FROM sales.orders WHERE k = 2")
+    _, _, loc, _ = cat._resolve("sales.orders")
+    assert len(ice.plan_delete_files(loc)) >= 2
+    row = run("REWRITE DELETES IN sales.orders").collect()[0]
+    assert row["operation"] == "rewrite_position_deletes"
+    assert int(row["rewritten_delete_files"]) >= 2
+    assert len(ice.plan_delete_files(loc)) == 1
+    got = sorted(r["k"] for r in run("SELECT k FROM sales.orders o").collect())
+    assert got == [3]
