@@ -376,6 +376,15 @@ def main() -> None:
     local_path = REPO_ROOT / (
         "BENCH_LOCAL_SUBSET.json" if subset else "BENCH_LOCAL.json"
     )
+    # the PRIOR committed record, read before the overwrite: the
+    # printed line carries calibration-normalized per-family ratios
+    # against it (VERDICT r11 item 5 — the r11 q1/q5/q6 "x3.7 raw /
+    # x1.05 normalized" scare showed leaving normalization to the
+    # reader costs a round of misdiagnosis)
+    try:
+        prior = json.loads(local_path.read_text())
+    except (OSError, ValueError):
+        prior = None
     _carry_sd_forward(full, local_path)
     local_path.write_text(json.dumps(full, indent=1) + "\n")
 
@@ -390,6 +399,25 @@ def main() -> None:
         families[_family(name)] = round(
             families.get(_family(name), 0.0) + secs, 3
         )
+    # per-family (this_run / record) / (this_calibration /
+    # record_calibration), over the SHARED query set only (a query
+    # added this round must not read as a family regression);
+    # > 1.5 after normalization = flag for a human look
+    fam_vs_record: dict[str, float] = {}
+    if prior and prior.get("calibration_sec") and calibration:
+        pq_prior = prior.get("queries", {})
+        cur_f: dict[str, float] = {}
+        pri_f: dict[str, float] = {}
+        for n, secs in per_query.items():
+            if n not in pq_prior:
+                continue
+            f = _family(n)
+            cur_f[f] = cur_f.get(f, 0.0) + secs
+            pri_f[f] = pri_f.get(f, 0.0) + pq_prior[n]
+        crat = calibration / prior["calibration_sec"]
+        for f, cur in cur_f.items():
+            if pri_f.get(f, 0.0) > 0 and crat > 0:
+                fam_vs_record[f] = round(cur / pri_f[f] / crat, 2)
     # subset runs (SPARK_GRAFT_BENCH_QUERIES) are small — print every
     # requested query; full runs print the fixed baseline subset
     printed_names = names if subset else PRINTED_QUERIES
@@ -404,6 +432,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": printed,
                 "families": families,
+                "families_vs_record_calib": fam_vs_record,
+                "calib_flagged": sorted(
+                    f for f, v in fam_vs_record.items() if v > 1.5
+                ),
                 "calibration_sec": calibration,
                 "n_queries": len(per_query),
                 "full": local_path.name,

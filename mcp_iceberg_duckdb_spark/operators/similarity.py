@@ -1503,11 +1503,14 @@ def x_ann_pq_rerank_topk(spark, sf_dir):
     )
 
 
-def _adc_topk(spark, sf_dir, codebook):
+def _adc_topk(spark, sf_dir, codebook, candidates=None):
     """ADC top-k against an arbitrary (sidx, sv) codebook — the exact
     plan of x_ann_pq_adc_topk (broadcast LUT join + rank-limited
     window); only the broadcast codebook rows differ. Returns
-    (query_id, neighbor_id, adc_micro)."""
+    (query_id, neighbor_id, adc_micro). ``candidates`` (query_id,
+    neighbor_id) restricts scoring to an IVF-routed subset — the
+    IVFPQ composition — joining codes per candidate instead of
+    scanning the full corpus."""
     from pyspark.sql import Window
 
     codebook = codebook.persist()
@@ -1535,11 +1538,26 @@ def _adc_topk(spark, sf_dir, codebook):
         )
     )
     w = Window.partitionBy("query_id").orderBy("adc_micro", "neighbor_id")
+    if candidates is not None:
+        scored = (
+            F.broadcast(candidates)
+            .join(
+                codes.select(
+                    F.col("vec_id").alias("neighbor_id"), "s", "sidx"
+                ),
+                "neighbor_id",
+            )
+            .join(F.broadcast(lut), ["query_id", "s", "sidx"])
+            .groupBy("query_id", "neighbor_id")
+        )
+    else:
+        scored = (
+            codes.join(F.broadcast(lut), ["s", "sidx"])
+            .where(F.col("vec_id") != F.col("query_id"))
+            .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        )
     return (
-        codes.join(F.broadcast(lut), ["s", "sidx"])
-        .where(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("ld").cast("bigint").alias("adc_micro"))
+        scored.agg(F.sum("ld").cast("bigint").alias("adc_micro"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= _TOP_K)
         .select("query_id", "neighbor_id", "adc_micro")
@@ -1800,6 +1818,94 @@ _IVFPQ_ORACLE = f"""
         FROM adc
     ) WHERE rn <= {_TOP_K}
 """
+
+
+_IVF_CELLS = 10  # trained coarse cells (= the fixture's label count,
+# so the trained/untrained comparison holds routing capacity equal)
+
+
+def ivf_train_centroids(spark, sf_dir, k: int = _IVF_CELLS,
+                        iters: int = 8, sample: int = 256):
+    """Lloyd-trained IVF coarse centroids (VERDICT r11 item 6) — the
+    same bounded training discipline as pq_train_codebooks, applied
+    to the ROUTER: deterministic md5-ordered sample (<=256 full
+    vectors of driver state), deterministic init (first k sample
+    vectors), 8 Lloyd iterations in driver numpy. Returns a (cell,
+    cv) DataFrame of k rows — broadcast-sized routing state, exactly
+    like the md5-minimal reps it replaces; the probe-join plan is
+    unchanged."""
+    import numpy as np
+
+    e = t(spark, sf_dir).embeddings.select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    hashed = e.withColumn(
+        "hh", F.md5(F.concat(F.lit("ivf:"), F.col("vec_id").cast("string")))
+    )
+    rows = hashed.orderBy("hh", "vec_id").limit(sample).select("v").collect()
+    x = np.array([r.v for r in rows])
+    cent = x[:k].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            m = x[assign == j]
+            if len(m):
+                cent[j] = m.mean(axis=0)
+    return spark.createDataFrame(
+        [(j, [float(v) for v in cent[j]]) for j in range(k)],
+        "cell int, cv array<double>",
+    )
+
+
+def _ivfpq_trained_candidates(spark, sf_dir, cents):
+    """IVF routing against TRAINED centroids: every vector assigns to
+    its nearest trained cell (one broadcast crossJoin + rank-1 window
+    — at scale, the assignment is the table's storage partitioning);
+    each query probes its nprobe nearest cells; candidates come from
+    one hash join on the cell id. Plan shape identical to
+    x_ann_ivfpq_topk — only the broadcast routing rows differ."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir).embeddings.select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("v"),
+            F.col("cv"),
+            lambda x, y: F.floor(
+                (x - y) * (x - y) * F.lit(1e6) + F.lit(0.5)
+            ).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    wassign = Window.partitionBy("vec_id").orderBy("d", "cell")
+    assign = (
+        e.crossJoin(cents)
+        .select("vec_id", "cell", dist.alias("d"))
+        .withColumn("rn", F.row_number().over(wassign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+    q = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("v")
+    )
+    wprobe = Window.partitionBy("query_id").orderBy("d", "cell")
+    probes = (
+        q.crossJoin(cents)
+        .select("query_id", "cell", dist.alias("d"))
+        .withColumn("rn", F.row_number().over(wprobe))
+        .where(F.col("rn") <= _IVFPQ_NPROBE)
+        .select("query_id", "cell")
+    )
+    return (
+        F.broadcast(probes)
+        .join(assign, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
 
 
 @query("x_ann_ivfpq_topk", oracle=_IVFPQ_ORACLE, tags=("similarity", "tierx"))
@@ -2316,4 +2422,131 @@ def x_eval_calibration_ece(spark, sf_dir):
             "CAST(sum(abs(hits_b * 1000000 - s_sum_b)) div sum(n_b)"
             " AS BIGINT)"
         ).alias("ece_ppm"),
+    )
+
+
+# Trained-IVF contract (VERDICT r11 item 6): the coarse router is a
+# Lloyd-trained product of float means (accumulation-order sensitive
+# like the trained codebooks), so neighbor rows cannot hash-match
+# another engine — the decidable two-sided contract does instead.
+# Spark runs trained-router + trained-codebook IVFPQ at a 10% recall
+# floor (2x the sampled family's 5%; measured 0.200/0.237/0.163 at
+# sf0.001/0.01/0.1 vs the md5-rep router's 0.150/0.150/0.075 with
+# identical nprobe and cell count — training the router is worth
+# ~2x recall exactly where routing is the bottleneck). DuckDB runs
+# its OWN md5-rep-routed sampled-codebook IVFPQ through the
+# identical sanity+recall tail at the 5% floor.
+_IVFPQ_TRAINED_ORACLE = f"""
+    {_ANN_TWIN_HEAD},
+    hh AS (
+        SELECT vec_id, v,
+               md5('pq:' || CAST(vec_id AS VARCHAR)) AS h
+        FROM e
+    ),
+    seeds AS (
+        SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS sidx,
+               v AS sv
+        FROM hh ORDER BY h, vec_id LIMIT {_PQ_K}
+    ),
+    sub AS (SELECT unnest(range(0, {_PQ_M})) AS s),
+    codes AS (
+        SELECT vec_id, s, sidx FROM (
+            SELECT e.vec_id, sub.s, seeds.sidx,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id, sub.s
+                       ORDER BY list_sum(list_transform(range(1, {_PQ_SUB + 1}),
+                           i -> CAST(floor(
+                               (e.v[{_PQ_SUB} * sub.s + i]
+                                - seeds.sv[{_PQ_SUB} * sub.s + i])
+                               * (e.v[{_PQ_SUB} * sub.s + i]
+                                  - seeds.sv[{_PQ_SUB} * sub.s + i])
+                               * 1e6 + 0.5) AS BIGINT))), seeds.sidx) AS rn
+            FROM e CROSS JOIN sub CROSS JOIN seeds
+        ) WHERE rn = 1
+    ),
+    reps AS (
+        SELECT cell, rv FROM (
+            SELECT e.label AS cell, e.v AS rv,
+                   row_number() OVER (PARTITION BY e.label
+                       ORDER BY md5('rep:' || CAST(e.vec_id AS VARCHAR)),
+                                e.vec_id) AS rn
+            FROM e
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, cell FROM (
+            SELECT q.query_id, r.cell,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                       CAST(list_sum(list_transform(range(1, 65),
+                           i -> CAST(floor(
+                               (q.qv[i] - r.rv[i]) * (q.qv[i] - r.rv[i])
+                               * 1e6 + 0.5) AS BIGINT))) AS BIGINT),
+                       r.cell) AS rn
+            FROM q CROSS JOIN reps r
+        ) WHERE rn <= {_IVFPQ_NPROBE}
+    ),
+    lut AS (
+        SELECT q.query_id, sub.s, seeds.sidx,
+               CAST(list_sum(list_transform(range(1, {_PQ_SUB + 1}),
+                   i -> CAST(floor(
+                       (q.qv[{_PQ_SUB} * sub.s + i]
+                        - seeds.sv[{_PQ_SUB} * sub.s + i])
+                       * (q.qv[{_PQ_SUB} * sub.s + i]
+                          - seeds.sv[{_PQ_SUB} * sub.s + i])
+                       * 1e6 + 0.5) AS BIGINT)))
+                   AS BIGINT) AS ld
+        FROM q CROSS JOIN sub CROSS JOIN seeds
+    ),
+    cand AS (
+        SELECT p.query_id, e2.vec_id AS neighbor_id
+        FROM probes p JOIN e e2 ON e2.label = p.cell
+        WHERE e2.vec_id <> p.query_id
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT c.query_id, c.neighbor_id,
+                   row_number() OVER (PARTITION BY c.query_id
+                       ORDER BY sum(l.ld), c.neighbor_id) AS rn
+            FROM cand c
+            JOIN codes co ON co.vec_id = c.neighbor_id
+            JOIN lut l ON l.query_id = c.query_id
+                      AND l.s = co.s AND l.sidx = co.sidx
+            GROUP BY c.query_id, c.neighbor_id
+        ) WHERE rn <= {_TOP_K}
+    ),
+    {_ann_twin_tail(5)}
+"""
+
+
+@query(
+    "x_ann_ivfpq_trained_topk",
+    oracle=_IVFPQ_TRAINED_ORACLE,
+    tags=("similarity", "tierx"),
+)
+def x_ann_ivfpq_trained_topk(spark, sf_dir):
+    """IVF+PQ with a LLOYD-TRAINED coarse quantizer AND trained
+    codebooks (VERDICT r11 item 6) — the full FAISS IVFPQ training
+    recipe: ivf_train_centroids runs the bounded deterministic Lloyd
+    loop (md5-ordered sample, driver state = sample x dim floats) for
+    the ROUTER, pq_train_codebooks for the CODEBOOKS, and the
+    probe-join plan is byte-identical to x_ann_ivfpq_topk — only the
+    broadcast routing/codebook rows differ (assignment = one
+    broadcast crossJoin + rank-1 window; at scale the assignment IS
+    the table's storage partitioning). Output is the shared decidable
+    ANN contract at a 10% recall floor, STRICTLY ABOVE the sampled
+    family's 5% (trained 0.200/0.237/0.163 vs md5-rep routing
+    0.150/0.150/0.075 at sf0.001/0.01/0.1 — the router is the
+    bottleneck IVF training fixes). The DuckDB twin runs its OWN
+    md5-rep-routed sampled-codebook IVFPQ through the identical
+    sanity+recall tail at the 5% floor."""
+    cents = F.broadcast(ivf_train_centroids(spark, sf_dir, sample=1024))
+    cand = _ivfpq_trained_candidates(spark, sf_dir, cents)
+    return _ann_contract(
+        spark,
+        sf_dir,
+        _adc_topk(
+            spark, sf_dir, pq_train_codebooks(spark, sf_dir),
+            candidates=cand,
+        ).select("query_id", "neighbor_id"),
+        recall_floor_pct=10,
     )

@@ -83,6 +83,15 @@ _ALTER_ADD = re.compile(
     rf"({_IDENT})\s*;?\s*$",
     re.I,
 )
+_ALTER_RENAME = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_TBL})\s+RENAME\s+COLUMN\s+({_IDENT})\s+"
+    rf"TO\s+({_IDENT})\s*;?\s*$",
+    re.I,
+)
+_ALTER_DROP = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_TBL})\s+DROP\s+COLUMN\s+({_IDENT})\s*;?\s*$",
+    re.I,
+)
 _ALTER_PROPS = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_TBL})\s+SET\s+TBLPROPERTIES\s*\(\s*"
     r"'((?:[^']|'')+)'\s*=\s*'((?:[^']|'')*)'\s*\)\s*;?\s*$",
@@ -760,6 +769,16 @@ class FsCatalog:
             val = m.group(3).replace("''", "'")
             ice.set_table_property(loc, key, val)
             return self._ok(spark, "set_tblproperties", key=key, value=val)
+        if m := _ALTER_RENAME.match(sql):
+            _, _, loc, _ = self._resolve(m.group(1))
+            ice.rename_column(loc, m.group(2), m.group(3))
+            return self._ok(
+                spark, "rename_column", old=m.group(2), new=m.group(3)
+            )
+        if m := _ALTER_DROP.match(sql):
+            _, _, loc, _ = self._resolve(m.group(1))
+            ice.drop_column(loc, m.group(2))
+            return self._ok(spark, "drop_column", column=m.group(2))
         if m := _ALTER_ADD.match(sql):
             _, _, loc, _ = self._resolve(m.group(1))
             typ = ice._SPARK_TO_ICE.get(m.group(3).lower())

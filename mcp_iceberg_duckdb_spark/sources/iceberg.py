@@ -30,6 +30,14 @@ PIL retry fails identically; tests/test_iceberg_live.py still skips
 cleanly. Round 11 extends the vendored path to the v2 spec instead:
 merge-on-read position deletes (iceberg_fs.mor_delete_where, oracled
 as x_iceberg_fs_mor_delete).
+2026-08-16 (round 12) — re-probed: repo1.maven.org DNS still
+NXDOMAIN; pip index host (artifactory) also fails name resolution
+after 5 retries on a --dry-run, so the PIL retry fails identically;
+no jar anywhere on disk. Round 12 closes more of the capability gap
+jar-free instead: equality-delete files with real sequence numbers
+(iceberg_fs.mor_delete_keys, oracled as x_iceberg_fs_eq_delete),
+rewrite_position_deletes, field-ID RENAME/DROP COLUMN
+(x_iceberg_fs_rename).
 """
 
 from __future__ import annotations

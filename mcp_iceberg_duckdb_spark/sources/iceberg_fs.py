@@ -550,6 +550,7 @@ def create_table(loc: str, ice_schema: dict, part_cols=()) -> dict:
         "last-partition-id": 999 + len(spec_fields),
         "properties": {"write.format.default": "parquet"},
         "current-snapshot-id": -1,
+        "last-sequence-number": 0,
         "snapshots": [],
         "snapshot-log": [],
         "metadata-log": [],
@@ -612,8 +613,9 @@ def append(spark, loc: str, df, stat_cols=None) -> dict:
     new_files = _write_replacement(spark, loc, df, meta)
 
     snapshot_id = int(time.time() * 1000) * 1000 + len(meta["snapshots"])
+    seq = _next_seq(meta)
     dm = _data_manifest(
-        loc, meta, new_files, snapshot_id, stat_cols=stat_cols
+        loc, meta, new_files, snapshot_id, stat_cols=stat_cols, seq=seq
     )
 
     # carry forward the previous snapshot's manifests (append-only)
@@ -641,6 +643,7 @@ def append(spark, loc: str, df, stat_cols=None) -> dict:
     now_ms = int(time.time() * 1000)
     snap = {
         "snapshot-id": snapshot_id,
+        "sequence-number": seq,
         "timestamp-ms": now_ms,
         "summary": {
             "operation": "append",
@@ -904,13 +907,122 @@ def _eval_filter(
 
 
 def _plain(path: str) -> str:
-    """Normalize a Spark `_metadata.file_path` URI to the local path
-    form the manifests store (`file:///x/y` / `file:/x/y` -> /x/y)."""
+    """Strip the scheme from a Spark `_metadata.file_path` URI
+    (`file:///x/y` / `file:/x/y` -> /x/y). The percent-encoding stays
+    — see _uri_path for why that is the canonical comparison form."""
     if path.startswith("file:"):
         path = path[5:]
         while path.startswith("//"):
             path = path[1:]
     return path
+
+
+def _uri_path(path: str) -> str:
+    """Percent-encode a FILESYSTEM path (what manifests store) into
+    the URI-path form Spark's `_metadata.file_path` reports, scheme
+    stripped. Spark builds that value via Hadoop Path -> java.net.URI,
+    which encodes characters illegal in a URI path (a hive partition
+    dir like `p=4-NOT SPECIFIED` becomes `...4-NOT%20SPECIFIED...`);
+    comparing raw filesystem paths against it silently misses those
+    files — delete-file refs/bounds and sequence-number lookups must
+    all compare in THIS canonical form. The safe set mirrors Java's
+    URI path component (RFC 2396 unreserved + path punctuation)."""
+    from urllib.parse import quote
+
+    return quote(_plain(path), safe="/!$&'()*+,;=:@-_.~")
+
+
+def _next_seq(meta: dict) -> int:
+    """Bump and return the table's commit sequence number (spec v2
+    ``last-sequence-number``). Tables written before the field
+    existed resume from 0 — every historic file then reads as 'older
+    than any new equality delete', the conservative direction."""
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    meta["last-sequence-number"] = seq
+    return seq
+
+
+def _snapshot_manifests(loc: str, meta: dict, snapshot_id=None):
+    """The manifest-list entries of a snapshot (default current)."""
+    if snapshot_id is None:
+        snapshot_id = meta["current-snapshot-id"]
+    snap = next(
+        (s for s in meta["snapshots"] if s["snapshot-id"] == snapshot_id),
+        None,
+    )
+    if snap is None:
+        raise ValueError(f"snapshot {snapshot_id} not in {loc}")
+    _, manifests = read_container(_read_file(snap["manifest-list"]))
+    return manifests
+
+
+def _plan_file_seqs(loc: str, snapshot_id=None) -> dict:
+    """data-file path -> data sequence number for every live data
+    file of a snapshot. Per-entry explicit numbers (EXISTING files
+    carried through CoW keep their original) win over the
+    manifest-list entry's inherited number; both default 0 for
+    pre-sequence tables."""
+    meta = read_table_meta(loc)
+    if not meta["snapshots"]:
+        return {}
+    out: dict = {}
+    for m in _snapshot_manifests(loc, meta, snapshot_id):
+        if m.get("content", 0) != 0:
+            continue
+        mseq = m.get("sequence_number", 0) or 0
+        _, entries = read_container(_read_file(m["manifest_path"]))
+        for e in entries:
+            if e["status"] == 2:
+                continue
+            eseq = e.get("sequence_number")
+            out[e["data_file"]["file_path"]] = (
+                eseq if eseq is not None else mseq
+            )
+    return out
+
+
+def plan_equality_deletes(loc: str, snapshot_id=None):
+    """Live EQUALITY-delete files (spec v2 content=2) of a snapshot:
+    list of (path, sequence_number, equality_field_ids). A delete
+    applies only to data files with STRICTLY OLDER data sequence
+    numbers — a row re-inserted after the delete survives."""
+    meta = read_table_meta(loc)
+    if not meta["snapshots"]:
+        return []
+    out = []
+    for m in _snapshot_manifests(loc, meta, snapshot_id):
+        if m.get("content", 0) != 1:
+            continue
+        mseq = m.get("sequence_number", 0) or 0
+        _, entries = read_container(_read_file(m["manifest_path"]))
+        for e in entries:
+            if e["status"] == 2:
+                continue
+            df_ = e["data_file"]
+            if df_.get("content", 1) != 2:
+                continue
+            eseq = e.get("sequence_number")
+            out.append(
+                (
+                    df_["file_path"],
+                    eseq if eseq is not None else mseq,
+                    list(df_.get("equality_ids") or ()),
+                )
+            )
+    return out
+
+
+def _manifest_delete_seqs(m):
+    """(path, sequence) pairs of the live POSITION-delete entries in
+    one content=1 manifest-list entry — per-entry explicit numbers
+    win over the manifest's inherited one."""
+    mseq = m.get("sequence_number", 0) or 0
+    _, entries = read_container(_read_file(m["manifest_path"]))
+    for e in entries:
+        if e["status"] == 2 or e["data_file"].get("content", 1) == 2:
+            continue
+        es = e.get("sequence_number")
+        yield e["data_file"]["file_path"], (es if es is not None else mseq)
 
 
 # the spec's reserved field-id for the position-delete schema's
@@ -965,6 +1077,8 @@ def plan_delete_files(loc: str, snapshot_id=None, data_files=None,
             if e["status"] == 2:
                 continue
             df_ = e["data_file"]
+            if df_.get("content", 1) == 2:
+                continue  # equality deletes: plan_equality_deletes
             lo = decode_bound(
                 "string", (df_.get("lower_bounds") or {}).get(
                     _DELETE_PATH_FID
@@ -980,7 +1094,7 @@ def plan_delete_files(loc: str, snapshot_id=None, data_files=None,
     if data_files is None:
         out = [p for p, _, _ in cands]
     else:
-        planned = {_plain(q) for q in data_files}
+        planned = {_uri_path(q) for q in data_files}
         out = []
         for p, lo, hi in cands:
             if (
@@ -1021,6 +1135,70 @@ def _read_deletes(spark, deletes):
     if sum(os.path.getsize(p) for p in deletes) <= 64 * 1024 * 1024:
         df = F.broadcast(df)
     return df
+
+
+def _apply_eq_deletes(spark, df, ice_schema, eq_deletes, file_seqs):
+    """Apply EQUALITY-delete files (spec v2 content=2) to ``df``,
+    which must carry its data-file path in ``__fp``. Each data row
+    joins its file's data sequence number from a broadcast
+    metadata-scale (path, seq) map; a delete row kills data rows
+    whose equality fields match NULL-SAFELY and whose data sequence
+    is STRICTLY OLDER than the delete's — the sequencing rule that
+    lets a key re-inserted after the delete survive. One left-anti
+    join per distinct equality-field set, broadcast when the delete
+    files are small (the CDC-batch common case)."""
+    from pyspark.sql import functions as F
+
+    id_to_name = {f["id"]: f["name"] for f in ice_schema["fields"]}
+    seq_df = F.broadcast(
+        spark.createDataFrame(
+            [(_uri_path(p), int(s)) for p, s in file_seqs.items()]
+            or [("", 0)],
+            "__fpn string, __dseq long",
+        )
+    )
+    df = df.withColumn(
+        "__fpn", F.regexp_replace(F.col("__fp"), "^file:/+", "/")
+    ).join(seq_df, on="__fpn", how="left")
+    df = df.withColumn("__dseq", F.coalesce(F.col("__dseq"), F.lit(0)))
+    groups: dict = {}
+    for path, seq, ids in eq_deletes:
+        groups.setdefault(tuple(sorted(ids)), []).append((path, seq))
+    for ids, items in sorted(groups.items()):
+        keys = [id_to_name[i] for i in ids]
+        dels = None
+        for path, seq in items:
+            one = (
+                spark.read.parquet(path)
+                .select(*keys)
+                .withColumn("__eseq", F.lit(int(seq)))
+            )
+            dels = one if dels is None else dels.unionByName(one)
+        if sum(os.path.getsize(p) for p, _ in items) <= 64 * 1024 * 1024:
+            dels = F.broadcast(dels)
+        t_, d_ = df.alias("__t"), dels.alias("__eq")
+        cond = F.col("__eq.__eseq") > F.col("__t.__dseq")
+        for k in keys:
+            cond = cond & F.col(f"__t.{k}").eqNullSafe(F.col(f"__eq.{k}"))
+        df = t_.join(d_, on=cond, how="left_anti")
+    return df.drop("__fpn", "__dseq")
+
+
+def _read_with_deletes(spark, loc, files, ice_schema, snapshot_id=None):
+    """_read_files with BOTH v2 delete kinds planned and applied:
+    scan-scoped position deletes plus sequence-scoped equality
+    deletes — the shared read head of CoW rewrites, MERGE, and
+    compaction."""
+    eq = plan_equality_deletes(loc, snapshot_id)
+    return _read_files(
+        spark,
+        loc,
+        files,
+        ice_schema,
+        deletes=plan_delete_files(loc, snapshot_id, data_files=files),
+        eq_deletes=eq or None,
+        file_seqs=_plan_file_seqs(loc, snapshot_id) if eq else None,
+    )
 
 
 def _apply_filters(df, filters):
@@ -1123,30 +1301,22 @@ def mor_delete_where(spark, loc: str, predicate, prune_filters=()) -> dict:
 
 def _alive_with_pos(spark, loc: str, meta: dict, files):
     """Candidate files read at the current schema WITH row positions
-    (__fp, __pos), already-masked rows anti-joined away — the shared
-    head of every merge-on-read writer."""
-    from pyspark.sql import functions as F
-
-    df = (
-        spark.read.option("basePath", os.path.join(loc, "data"))
-        .option("mergeSchema", "true")
-        .parquet(*files)
-        .withColumn("__fp", F.col("_metadata.file_path"))
-        .withColumn("__pos", F.col("_metadata.row_index"))
+    (__fp, __pos), already-masked rows (both delete kinds) anti-
+    joined away — the shared head of every merge-on-read writer. A
+    row already masked by an equality delete must neither be
+    re-deleted nor counted as existing for the not-matched
+    anti-join."""
+    eq = plan_equality_deletes(loc)
+    return _read_files(
+        spark,
+        loc,
+        files,
+        meta["schema"],
+        deletes=plan_delete_files(loc, data_files=files),
+        eq_deletes=eq or None,
+        file_seqs=_plan_file_seqs(loc) if eq else None,
+        keep_meta_cols=True,
     )
-    existing = plan_delete_files(loc, data_files=files)
-    if existing:
-        df = df.join(
-            _read_deletes(spark, existing),
-            on=["__fp", "__pos"],
-            how="left_anti",
-        )
-    for f in meta["schema"]["fields"]:
-        if f["name"] not in df.columns:
-            df = df.withColumn(
-                f["name"], F.lit(None).cast(_ICE_TO_SPARK[f["type"]])
-            )
-    return df
 
 
 def _write_position_deletes(spark, loc: str, matched):
@@ -1226,29 +1396,119 @@ def mor_update_where(
     )
 
 
-def _delete_manifest(loc: str, meta: dict, delete_files, snapshot_id):
-    """Write a content=1 manifest listing ``delete_files`` and return
-    its manifest-list entry (None when there are no files). Shared by
-    the MoR commit (new deletes) and the CoW overwrite commit
-    (carrying forward deletes that still reference surviving data
-    files)."""
-    if not delete_files:
+def mor_delete_keys(spark, loc: str, key_cols, keys_df,
+                    n_files: int = 1) -> dict:
+    """EQUALITY-delete DML (spec v2 content=2) — the delete kind
+    streaming CDC writers (Flink upsert sinks) produce: every table
+    row whose ``key_cols`` values match a row of ``keys_df`` is
+    deleted WITHOUT reading, joining, or positioning against any data
+    file. The commit writes the distinct keys as parquet under
+    deletes/ and lists them in a content=1 manifest entry with
+    content=2 + the keys' schema field-ids; readers apply them as a
+    null-safe anti-join scoped by SEQUENCE NUMBER — the delete kills
+    only data files STRICTLY OLDER than it, so a key re-inserted
+    after the delete survives (the property the full spec keeps
+    sequence numbers for, and why this writer stamps real ones while
+    position deletes can stay path-scoped).
+
+    At 100 TB: O(keys) write cost with ZERO table reads — cheaper
+    even than a position-delete commit (which must scan candidates to
+    find positions); the read side pays one broadcast anti-join per
+    key-set until compaction materializes. The computational shape is
+    the engine's s_cdc_upsert_apply twin (streaming/events.py),
+    re-expressed as a table-format commit."""
+    from pyspark.sql import functions as F
+
+    meta = read_table_meta(loc)
+    by_name = {f["name"]: f for f in meta["schema"]["fields"]}
+    key_cols = list(key_cols)
+    bad = [c for c in key_cols if c not in by_name]
+    if bad:
+        raise ValueError(f"equality-delete keys not in schema: {bad}")
+    missing = [c for c in key_cols if c not in keys_df.columns]
+    if missing:
+        raise ValueError(f"keys_df lacks key columns: {missing}")
+    out_dir = os.path.join(loc, "deletes", str(uuid.uuid4()))
+    (
+        keys_df.select(
+            *[
+                F.col(c)
+                .cast(_ICE_TO_SPARK[by_name[c]["type"]])
+                .alias(c)
+                for c in key_cols
+            ]
+        )
+        .distinct()
+        .coalesce(max(1, int(n_files)))
+        .write.parquet(out_dir)
+    )
+    import pyarrow.parquet as pq
+
+    ids = [by_name[c]["id"] for c in key_cols]
+    specs, n_rows = [], 0
+    for p in _list_parquet(out_dir):
+        n = pq.ParquetFile(p).metadata.num_rows
+        if n > 0:
+            specs.append(
+                {"path": p, "seq": None, "content": 2,
+                 "equality_ids": ids}
+            )
+            n_rows += n
+        else:
+            os.remove(p)
+    return _commit_mor(
+        loc,
+        meta,
+        specs,
+        0,
+        [],
+        "delete",
+        extra_summary={"added-equality-deletes": str(n_rows)},
+    )
+
+
+def _delete_manifest(loc: str, meta: dict, delete_specs, snapshot_id,
+                     seq=None):
+    """Write a content=1 manifest of delete files and return its
+    manifest-list entry (None when there are no files). Shared by the
+    MoR commit (new deletes) and the CoW overwrite commit (carrying
+    forward deletes that still apply to surviving data files).
+
+    ``delete_specs``: iterable of either a path string (new
+    POSITION-delete file; sequence inherited from ``seq``) or a dict
+    ``{"path", "seq", "content", "equality_ids"}`` — the carried /
+    equality form, where per-entry sequence numbers must survive
+    verbatim (equality-delete scoping depends on them)."""
+    delete_specs = list(delete_specs)
+    if not delete_specs:
         return None
     import pyarrow.parquet as pq
 
     part_names = [e["name"] for e in meta["partition-spec"]]
     entries = []
-    for p in delete_files:
-        # exact min/max NORMALIZED referenced data-file path (the
-        # distinct set is already read for carry-forward decisions) —
-        # readers scope delete files to a scan on these bounds
-        # without opening them (plan_delete_files stage 1)
-        refs = sorted(_delete_refs(p))
+    for spec in delete_specs:
+        if isinstance(spec, str):
+            spec = {"path": spec, "seq": None, "content": 1,
+                    "equality_ids": None}
+        p = spec["path"]
+        lower = upper = None
+        if spec["content"] == 1:
+            # exact min/max NORMALIZED referenced data-file path (the
+            # distinct set is already read for carry-forward
+            # decisions) — readers scope position-delete files to a
+            # scan on these bounds without opening them
+            # (plan_delete_files stage 1)
+            refs = sorted(_delete_refs(p))
+            if refs:
+                lower = {_DELETE_PATH_FID: encode_bound("string", refs[0])}
+                upper = {_DELETE_PATH_FID: encode_bound("string", refs[-1])}
         entries.append(
             {
                 "status": 1,
                 "snapshot_id": snapshot_id,
+                "sequence_number": spec["seq"],
                 "data_file": {
+                    "content": spec["content"],
                     "file_path": p,
                     "file_format": "PARQUET",
                     "partition": {n: None for n in part_names},
@@ -1257,16 +1517,9 @@ def _delete_manifest(loc: str, meta: dict, delete_files, snapshot_id):
                     "block_size_in_bytes": 64 * 1024 * 1024,
                     "value_counts": None,
                     "null_value_counts": None,
-                    "lower_bounds": {
-                        _DELETE_PATH_FID: encode_bound("string", refs[0])
-                    }
-                    if refs
-                    else None,
-                    "upper_bounds": {
-                        _DELETE_PATH_FID: encode_bound("string", refs[-1])
-                    }
-                    if refs
-                    else None,
+                    "lower_bounds": lower,
+                    "upper_bounds": upper,
+                    "equality_ids": spec["equality_ids"],
                 },
             }
         )
@@ -1280,16 +1533,19 @@ def _delete_manifest(loc: str, meta: dict, delete_files, snapshot_id):
         "manifest_length": len(blob),
         "partition_spec_id": 0,
         "content": 1,
+        "sequence_number": seq or 0,
         "added_snapshot_id": snapshot_id,
         "added_data_files_count": len(entries),
     }
 
 
-def _data_manifest(loc: str, meta: dict, files, snapshot_id, stat_cols=None):
+def _data_manifest(loc: str, meta: dict, files, snapshot_id,
+                   stat_cols=None, seq=None):
     """Write a content=0 manifest of ADDED data files (footer stats,
     hive-dir partition values) and return its manifest-list entry, or
     None when ``files`` is empty. Shared by append and the MoR UPDATE
-    commit."""
+    commit. ``seq`` stamps the manifest-list entry's sequence number;
+    per-entry numbers stay null (= inherit)."""
     if not files:
         return None
     ice_schema = meta["schema"]
@@ -1329,6 +1585,7 @@ def _data_manifest(loc: str, meta: dict, files, snapshot_id, stat_cols=None):
         "manifest_path": mpath,
         "manifest_length": len(blob),
         "partition_spec_id": 0,
+        "sequence_number": seq or 0,
         "added_snapshot_id": snapshot_id,
         "added_data_files_count": len(entries),
     }
@@ -1346,9 +1603,14 @@ def _commit_mor(
     format-version 2, the spec version that introduces delete
     files. ``carry_delete_manifests=False`` drops the previous
     content=1 manifests instead (rewrite_position_deletes: the new
-    delete files REPLACE the old set; data manifests still carry
-    verbatim)."""
+    delete files REPLACE the old POSITION-delete set; live EQUALITY
+    deletes are re-listed in the fresh manifest with their original
+    sequence numbers; data manifests still carry verbatim).
+    ``new_delete_files`` entries are path strings (new position
+    deletes at this commit's sequence) or the dict spec form
+    (_delete_manifest) for equality deletes."""
     snapshot_id = int(time.time() * 1000) * 1000 + len(meta["snapshots"])
+    seq = _next_seq(meta)
     prev_manifests = []
     cur = next(
         (
@@ -1360,15 +1622,21 @@ def _commit_mor(
     )
     if cur is not None:
         _, prev_manifests = read_container(_read_file(cur["manifest-list"]))
+    delete_specs = list(new_delete_files)
+    if not carry_delete_manifests and cur is not None:
+        delete_specs += [
+            {"path": pth, "seq": sq, "content": 2, "equality_ids": ids}
+            for pth, sq, ids in plan_equality_deletes(loc)
+        ]
     ml_entries = [
         m
         for m in prev_manifests
         if carry_delete_manifests or m.get("content", 0) != 1
     ]
-    dm = _data_manifest(loc, meta, new_data_files, snapshot_id)
+    dm = _data_manifest(loc, meta, new_data_files, snapshot_id, seq=seq)
     if dm is not None:
         ml_entries.append(dm)
-    dlm = _delete_manifest(loc, meta, new_delete_files, snapshot_id)
+    dlm = _delete_manifest(loc, meta, delete_specs, snapshot_id, seq=seq)
     if dlm is not None:
         ml_entries.append(dlm)
     ml_path = os.path.join(
@@ -1379,6 +1647,7 @@ def _commit_mor(
     now_ms = int(time.time() * 1000)
     snap = {
         "snapshot-id": snapshot_id,
+        "sequence-number": seq,
         "timestamp-ms": now_ms,
         "summary": {
             "operation": operation,
@@ -1443,39 +1712,103 @@ _ICE_TO_SPARK = {
 }
 
 
-def _read_files(spark, loc: str, files, ice_schema, deletes=None):
-    """Read a set of the table's data files at the CURRENT schema:
-    mergeSchema unions per-file parquet schemas, and any schema
-    column absent from every file (added by ``add_column`` after the
-    files were written) is filled with typed nulls — the Iceberg
-    read-side of metadata-only schema evolution. ``deletes`` =
-    position-delete files to apply (merge-on-read): rows whose
-    (file, position) appear there are anti-joined away before the
-    caller sees them."""
+def _schema_at(schema_log, current_schema, seq: int) -> dict:
+    """The schema a data file with sequence number ``seq`` was
+    written under: schema-log entries record, in chronological order,
+    the schema VALID BEFORE each rename/drop together with the
+    last-sequence-number at the change — the first entry whose
+    boundary is >= seq governs; files newer than every boundary read
+    at the current schema."""
+    for entry in schema_log:
+        if seq <= entry["up-to-seq"]:
+            return entry["schema"]
+    return current_schema
+
+
+def _read_files(spark, loc: str, files, ice_schema, deletes=None,
+                eq_deletes=None, file_seqs=None, keep_meta_cols=False):
+    """Read a set of the table's data files at the CURRENT schema
+    with FIELD-ID resolution — the property that distinguishes
+    Iceberg schema evolution from parquet-mergeSchema:
+
+    - a column added after a file was written reads as typed nulls;
+    - a column RENAMED after a file was written resolves by field id
+      through the schema generation the file was written under
+      (meta['schema-log'], grouped by the file's sequence number), so
+      pre-rename files still populate the new name;
+    - a column DROPPED and later re-ADDED under the same name gets a
+      NEW field id, so the old files' stale values do NOT resurrect —
+      name-based mergeSchema alone would leak them.
+
+    Tables that never renamed/dropped (no schema-log) take the
+    single-scan fast path. ``deletes`` = position-delete files to
+    anti-join away (merge-on-read); ``eq_deletes`` (+ ``file_seqs``)
+    = equality-delete files applied null-safely with sequence-number
+    scoping. ``keep_meta_cols`` keeps __fp/__pos in the output (the
+    MoR writers' shared read head)."""
+    from functools import reduce
+
     from pyspark.sql import functions as F
 
     cols = [f["name"] for f in ice_schema["fields"]]
-    df = (
-        spark.read.option("basePath", os.path.join(loc, "data"))
-        .option("mergeSchema", "true")
-        .parquet(*files)
-    )
-    if deletes:
+    schema_log = read_table_meta(loc).get("schema-log") or []
+    need_meta = bool(deletes or eq_deletes or keep_meta_cols)
+
+    def _scan(paths, gen_schema):
         df = (
-            df.withColumn("__fp", F.col("_metadata.file_path"))
-            .withColumn("__pos", F.col("_metadata.row_index"))
-            .join(
-                _read_deletes(spark, deletes),
-                on=["__fp", "__pos"],
-                how="left_anti",
-            )
+            spark.read.option("basePath", os.path.join(loc, "data"))
+            .option("mergeSchema", "true")
+            .parquet(*paths)
         )
-    for f in ice_schema["fields"]:
-        if f["name"] not in df.columns:
-            df = df.withColumn(
-                f["name"], F.lit(None).cast(_ICE_TO_SPARK[f["type"]])
-            )
-    return df.select(*cols)
+        if need_meta:
+            # materialize the metadata columns before any join makes
+            # the pseudo-column unreachable
+            df = df.withColumn("__fp", F.col("_metadata.file_path"))
+            df = df.withColumn("__pos", F.col("_metadata.row_index"))
+        gen_by_id = {f["id"]: f for f in gen_schema["fields"]}
+        sel = []
+        for f in ice_schema["fields"]:
+            g = gen_by_id.get(f["id"])
+            if g is not None and g["name"] in df.columns:
+                sel.append(
+                    F.col(g["name"])
+                    .cast(_ICE_TO_SPARK[f["type"]])
+                    .alias(f["name"])
+                )
+            else:
+                sel.append(
+                    F.lit(None)
+                    .cast(_ICE_TO_SPARK[f["type"]])
+                    .alias(f["name"])
+                )
+        if need_meta:
+            sel += [F.col("__fp"), F.col("__pos")]
+        return df.select(*sel)
+
+    if schema_log:
+        seqs = file_seqs if file_seqs is not None else _plan_file_seqs(loc)
+        groups: dict = {}
+        for p in files:
+            gsch = _schema_at(schema_log, ice_schema, seqs.get(p, 0))
+            groups.setdefault(id(gsch), (gsch, []))[1].append(p)
+        df = reduce(
+            lambda a, b: a.unionByName(b),
+            [_scan(paths, gsch) for gsch, paths in groups.values()],
+        )
+    else:
+        df = _scan(files, ice_schema)
+    if deletes:
+        df = df.join(
+            _read_deletes(spark, deletes),
+            on=["__fp", "__pos"],
+            how="left_anti",
+        )
+    if eq_deletes:
+        df = _apply_eq_deletes(
+            spark, df, ice_schema, eq_deletes, file_seqs or {}
+        )
+    out = cols + (["__fp", "__pos"] if keep_meta_cols else [])
+    return df.select(*out)
 
 
 def _write_replacement(spark, loc: str, replacement, meta):
@@ -1505,10 +1838,7 @@ def _cow_rewrite(spark, loc: str, filters, rewrite_fn) -> dict:
     if candidates:
         # live MoR deletes apply BEFORE the rewrite: a row deleted
         # merge-on-read must not be resurrected by a later CoW pass
-        src = _read_files(
-            spark, loc, candidates, ice_schema,
-            deletes=plan_delete_files(loc, data_files=candidates),
-        )
+        src = _read_with_deletes(spark, loc, candidates, ice_schema)
         replacement = rewrite_fn(src, _conjunction(filters)).select(*cols)
         new_files = _write_replacement(spark, loc, replacement, meta)
 
@@ -1532,17 +1862,46 @@ def _commit_overwrite(
     in a content=1 manifest — their masked rows must stay masked.
     Delete files whose every referenced data file was rewritten are
     dropped (the rewrite read through them, so their effect is now
-    physical); that is how compaction retires MoR overhead."""
+    physical); that is how compaction retires MoR overhead. The same
+    rule by SEQUENCE for equality deletes: an equality-delete file is
+    carried while any surviving data file is strictly older than it;
+    rewritten files re-enter at the new commit's sequence, so carried
+    equality deletes no longer apply to them (the rewrite read
+    through the masks). EXISTING data files keep their ORIGINAL
+    sequence numbers per-entry — bumping them would un-delete
+    equality-masked rows."""
     ice_schema = meta["schema"]
     cols = [f["name"] for f in ice_schema["fields"]]
     snapshot_id = int(time.time() * 1000) * 1000 + len(meta["snapshots"])
-    untouched_plain = {_plain(p) for p in untouched}
-    keep_deletes = []
-    if meta.get("current-snapshot-id", -1) != -1 and untouched_plain:
+    seq = _next_seq(meta)
+    has_snap = meta.get("current-snapshot-id", -1) != -1
+    file_seqs = _plan_file_seqs(loc) if has_snap else {}
+    untouched_plain = {_uri_path(p) for p in untouched}
+    untouched_seqs = [file_seqs.get(p, 0) for p in untouched]
+    keep_deletes: list = []
+    if has_snap and untouched_plain:
+        pos_seqs = {
+            p: s
+            for m in _snapshot_manifests(loc, meta)
+            if m.get("content", 0) == 1
+            for p, s in _manifest_delete_seqs(m)
+        }
         keep_deletes = [
-            d
+            {
+                "path": d,
+                "seq": pos_seqs.get(d, 0),
+                "content": 1,
+                "equality_ids": None,
+            }
             for d in plan_delete_files(loc)
             if _delete_refs(d) & untouched_plain
+        ]
+    if has_snap and untouched_seqs:
+        oldest_surviving = min(untouched_seqs)
+        keep_deletes += [
+            {"path": p, "seq": s, "content": 2, "equality_ids": ids}
+            for p, s, ids in plan_equality_deletes(loc)
+            if s > oldest_surviving
         ]
     entries = []
     for status, paths in ((0, untouched), (1, new_files), (2, candidates)):
@@ -1555,6 +1914,11 @@ def _commit_overwrite(
                 {
                     "status": status,
                     "snapshot_id": snapshot_id,
+                    # ADDED files inherit this commit's sequence
+                    # (null); EXISTING/DELETED keep their original
+                    "sequence_number": None
+                    if status == 1
+                    else file_seqs.get(path, 0),
                     "data_file": {
                         "file_path": path,
                         "file_format": "PARQUET",
@@ -1579,11 +1943,12 @@ def _commit_overwrite(
             "manifest_path": mpath,
             "manifest_length": len(blob),
             "partition_spec_id": 0,
+            "sequence_number": seq,
             "added_snapshot_id": snapshot_id,
             "added_data_files_count": len(new_files),
         }
     ]
-    dm = _delete_manifest(loc, meta, keep_deletes, snapshot_id)
+    dm = _delete_manifest(loc, meta, keep_deletes, snapshot_id, seq=seq)
     if dm is not None:
         ml_entries.append(dm)
     ml_path = os.path.join(
@@ -1594,6 +1959,7 @@ def _commit_overwrite(
     now_ms = int(time.time() * 1000)
     snap = {
         "snapshot-id": snapshot_id,
+        "sequence-number": seq,
         "timestamp-ms": now_ms,
         "summary": {
             "operation": operation,
@@ -1634,11 +2000,24 @@ def read_iceberg(spark, loc: str, snapshot_id=None, filters=(), stats_out=None):
             for f in meta["schema"]["fields"]
         ))
     # Spark drops hive-partition dirs' columns unless basePath is set
+    eq = plan_equality_deletes(loc, snapshot_id)
+    file_seqs = _plan_file_seqs(loc, snapshot_id) if eq else None
+    if eq:
+        # an equality delete older than every planned file masks
+        # nothing in this scan — skip reading it
+        min_seq = min((file_seqs.get(p, 0) for p in files), default=0)
+        kept = [e for e in eq if e[1] > min_seq]
+        if stats_out is not None:
+            stats_out["eq_delete_files_planned"] = len(kept)
+            stats_out["eq_delete_files_total"] = len(eq)
+        eq = kept
     df = _read_files(
         spark, loc, files, meta["schema"],
         deletes=plan_delete_files(
             loc, snapshot_id, data_files=files, stats_out=stats_out
         ),
+        eq_deletes=eq or None,
+        file_seqs=file_seqs,
     )
     for col, op, val in filters:
         if op == "=":
@@ -1730,10 +2109,7 @@ def merge_into(spark, loc: str, source_df, on_cols, update_cols=None) -> dict:
         *[F.col(c).alias(f"__s_{c}") for c in update_cols],
     ).withColumn("__matched", F.lit(True))
     if candidates:
-        tgt = _read_files(
-            spark, loc, candidates, ice_schema,
-            deletes=plan_delete_files(loc, data_files=candidates),
-        )
+        tgt = _read_with_deletes(spark, loc, candidates, ice_schema)
         joined = tgt.join(marked, on=on_cols, how="left")
         out = joined
         for c in update_cols:
@@ -1900,6 +2276,70 @@ def add_column(loc: str, name: str, ice_type: str) -> dict:
     return field
 
 
+def _log_schema_generation(meta: dict) -> None:
+    """Snapshot the CURRENT schema into meta['schema-log'] before a
+    rename/drop mutates it: files with sequence numbers <= the
+    current last-sequence-number were written under it, and reads
+    resolve their columns BY FIELD ID through it (_schema_at /
+    _read_files)."""
+    import copy
+
+    meta.setdefault("schema-log", []).append(
+        {
+            "up-to-seq": int(meta.get("last-sequence-number", 0)),
+            "schema": copy.deepcopy(meta["schema"]),
+        }
+    )
+
+
+def rename_column(loc: str, old: str, new: str) -> dict:
+    """Metadata-only RENAME COLUMN with field-ID resolution: the
+    field keeps its id, so files written BEFORE the rename (which
+    carry the old parquet column name) still populate the new name on
+    read — the property that distinguishes Iceberg evolution from
+    parquet-mergeSchema, where the rename would null out history.
+    Partition-source columns are rejected (the vendored hive-dir
+    partition routing is name-based)."""
+    meta = read_table_meta(loc)
+    by_name = {f["name"]: f for f in meta["schema"]["fields"]}
+    if old not in by_name:
+        raise ValueError(f"column {old!r} does not exist")
+    if new in by_name:
+        raise ValueError(f"column {new!r} already exists")
+    if old in partition_source_cols(meta):
+        raise ValueError(f"cannot rename partition column {old!r}")
+    _log_schema_generation(meta)
+    by_name[old]["name"] = new
+    meta["schemas"] = [meta["schema"]]
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _write_meta(loc, meta, _read_version(loc) + 1)
+    return by_name[old]
+
+
+def drop_column(loc: str, name: str) -> dict:
+    """Metadata-only DROP COLUMN: the field id RETIRES with the
+    column, so a later ADD COLUMN under the same name gets a fresh id
+    and the dropped files' stale values can never resurrect into it
+    (the field-ID test's second half). Partition-source columns are
+    rejected."""
+    meta = read_table_meta(loc)
+    fields = meta["schema"]["fields"]
+    by_name = {f["name"]: f for f in fields}
+    if name not in by_name:
+        raise ValueError(f"column {name!r} does not exist")
+    if name in partition_source_cols(meta):
+        raise ValueError(f"cannot drop partition column {name!r}")
+    if len(fields) == 1:
+        raise ValueError("cannot drop the table's only column")
+    _log_schema_generation(meta)
+    dropped = by_name[name]
+    meta["schema"]["fields"] = [f for f in fields if f["name"] != name]
+    meta["schemas"] = [meta["schema"]]
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _write_meta(loc, meta, _read_version(loc) + 1)
+    return dropped
+
+
 def compact_files(
     spark,
     loc: str,
@@ -1945,9 +2385,7 @@ def compact_files(
     # through them, every data file is replaced, and no delete file
     # survives into the new snapshot — the maintenance action that
     # caps MoR read overhead
-    df = _read_files(
-        spark, loc, live, meta["schema"], deletes=plan_delete_files(loc)
-    )
+    df = _read_with_deletes(spark, loc, live, meta["schema"])
     df, dir_cols = _with_partition_cols(df, meta)
     if sort_by is not None:
         keys = [F.col(c) for c in (*dir_cols, sort_by)]
@@ -2012,7 +2450,7 @@ def rewrite_position_deletes(
     # ('file:///x' / 'file:/x' -> '/x') to compare with manifest paths
     norm = F.regexp_replace(F.col("file_path"), "^file:/+", "/")
     live_df = F.broadcast(
-        spark.createDataFrame([(p,) for p in live], "lp string")
+        spark.createDataFrame([(_uri_path(p),) for p in live], "lp string")
     )
     rows = rows.join(
         live_df, norm == F.col("lp"), "left_semi"
@@ -2125,10 +2563,7 @@ def cow_rewrite_where(
 
     new_files: list[str] = []
     if candidates:
-        src = _read_files(
-            spark, loc, candidates, ice_schema,
-            deletes=plan_delete_files(loc, data_files=candidates),
-        )
+        src = _read_with_deletes(spark, loc, candidates, ice_schema)
         replacement = rewrite_fn(src, predicate).select(*cols)
         new_files = _write_replacement(spark, loc, replacement, meta)
     return _commit_overwrite(loc, meta, candidates, untouched, new_files)

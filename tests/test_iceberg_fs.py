@@ -1088,3 +1088,342 @@ def test_iceberg_rewrite_deletes_drops_dead_refs(spark, tmp_path):
     assert new_rows == 10 < old_rows
     got = sorted(r["k"] for r in ice.read_iceberg(spark, loc).collect())
     assert got == want
+
+
+def test_iceberg_equality_delete_basic(spark, tmp_path):
+    """VERDICT r11 item 2: equality-delete files (spec v2 content=2)
+    delete by KEY VALUE with zero data files read or rewritten; the
+    read applies them as a sequence-scoped null-safe anti-join."""
+    loc, _ = _mini_table(spark, tmp_path, "eq_basic")
+    pre = set(ice.plan_files(loc)[0])
+    keys = spark.createDataFrame([(k,) for k in range(10, 20)], "k bigint")
+    snap = ice.mor_delete_keys(spark, loc, ["k"], keys)
+    assert snap["summary"]["operation"] == "delete"
+    assert snap["summary"]["added-equality-deletes"] == "10"
+    assert snap["summary"]["deleted-data-files"] == "0"
+    assert set(ice.plan_files(loc)[0]) == pre  # no data file touched
+    assert ice.plan_delete_files(loc) == []  # not a position delete
+    eq = ice.plan_equality_deletes(loc)
+    assert len(eq) == 1 and eq[0][2] == [1]  # field-id of k
+    got = sorted(r["k"] for r in ice.read_iceberg(spark, loc).collect())
+    assert got == list(range(0, 10)) + list(range(20, 100))
+    assert ice.read_table_meta(loc)["format-version"] == 2
+    # contracts
+    with pytest.raises(ValueError, match="not in schema"):
+        ice.mor_delete_keys(spark, loc, ["nope"], keys)
+    with pytest.raises(ValueError, match="lacks key columns"):
+        ice.mor_delete_keys(
+            spark, loc, ["v"], spark.createDataFrame([(1,)], "k bigint")
+        )
+
+
+def test_iceberg_equality_delete_sequencing(spark, tmp_path):
+    """THE sequencing property: an equality delete applies only to
+    data files with STRICTLY OLDER sequence numbers — a key
+    re-inserted AFTER the delete survives, and a second delete kills
+    it again. Time travel sees each epoch."""
+    loc, _ = _mini_table(spark, tmp_path, "eq_seq", parted=False)
+    keys = spark.createDataFrame([(5,), (6,)], "k bigint")
+    ice.mor_delete_keys(spark, loc, ["k"], keys)
+    mid_snap = ice.read_table_meta(loc)["current-snapshot-id"]
+    # re-insert k=5 with a new value AFTER the delete
+    ice.append(
+        spark,
+        loc,
+        spark.createDataFrame([(5, 0, -555.0, "A")],
+                              "k bigint, g bigint, v double, p string"),
+    )
+    got = {r["k"]: r["v"] for r in ice.read_iceberg(spark, loc).collect()}
+    assert 6 not in got
+    assert got[5] == -555.0  # the re-inserted row SURVIVES the delete
+    assert len(got) == 99
+    # time travel to the post-delete, pre-reinsert snapshot
+    old = sorted(
+        r["k"]
+        for r in ice.read_iceberg(spark, loc, snapshot_id=mid_snap).collect()
+    )
+    assert 5 not in old and 6 not in old and len(old) == 98
+    # a SECOND equality delete (newer sequence) kills the new row too
+    ice.mor_delete_keys(
+        spark, loc, ["k"], spark.createDataFrame([(5,)], "k bigint")
+    )
+    got2 = sorted(r["k"] for r in ice.read_iceberg(spark, loc).collect())
+    assert 5 not in got2 and len(got2) == 98
+
+
+def test_iceberg_equality_delete_multi_key_and_nulls(spark, tmp_path):
+    """Multi-column equality keys; NULL key values match null-safely
+    (a delete row with NULL g deletes rows where g IS NULL)."""
+    loc = str(tmp_path / "eq_null")
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, None, 2.0), (3, "a", 3.0), (4, None, 4.0)],
+        "k bigint, tag string, v double",
+    )
+    ice.create_table(loc, ice.spark_schema_to_iceberg(df))
+    ice.append(spark, loc, df)
+    dels = spark.createDataFrame(
+        [(2, None), (3, "a")], "k bigint, tag string"
+    )
+    ice.mor_delete_keys(spark, loc, ["k", "tag"], dels)
+    got = sorted(r["k"] for r in ice.read_iceberg(spark, loc).collect())
+    assert got == [1, 4]
+
+
+def test_iceberg_equality_delete_cow_and_compaction(spark, tmp_path):
+    """CoW interplay: a bounds-pruned rewrite carries the equality
+    delete for SURVIVING older files (still masked) while rewritten
+    files re-enter at a newer sequence having read through the masks;
+    compaction materializes everything and retires the delete."""
+    loc = str(tmp_path / "eq_cow")
+    df1 = spark.createDataFrame(
+        [(i, float(i)) for i in range(0, 50)], "k bigint, v double"
+    )
+    df2 = spark.createDataFrame(
+        [(i, float(i)) for i in range(100, 150)], "k bigint, v double"
+    )
+    ice.create_table(loc, ice.spark_schema_to_iceberg(df1))
+    ice.append(spark, loc, df1.coalesce(1))
+    ice.append(spark, loc, df2.coalesce(1))
+    ice.mor_delete_keys(
+        spark,
+        loc,
+        ["k"],
+        spark.createDataFrame([(10,), (110,)], "k bigint"),
+    )
+    # CoW update bounds-pruned to file 2's range
+    ice.update_where(spark, loc, [("k", ">=", 100)], {"v": F.lit(-1.0)})
+    assert len(ice.plan_equality_deletes(loc)) == 1  # carried
+    got = {r["k"]: r["v"] for r in ice.read_iceberg(spark, loc).collect()}
+    assert 10 not in got and 110 not in got  # both still masked
+    assert got[120] == -1.0 and got[5] == 5.0
+    assert len(got) == 98
+    # compaction reads through and retires the equality delete
+    ice.compact_files(spark, loc)
+    assert ice.plan_equality_deletes(loc) == []
+    got2 = {r["k"]: r["v"] for r in ice.read_iceberg(spark, loc).collect()}
+    assert got2 == got
+
+
+def test_iceberg_rewrite_deletes_preserves_equality(spark, tmp_path):
+    """rewrite_position_deletes compacts POSITION deletes only —
+    live equality deletes survive with their original sequence
+    numbers (re-listed in the fresh manifest)."""
+    loc, _ = _mini_table(spark, tmp_path, "eq_rpd", parted=False)
+    ice.mor_delete_keys(
+        spark, loc, ["k"], spark.createDataFrame([(0,)], "k bigint")
+    )
+    (eq_path, eq_seq, _) = ice.plan_equality_deletes(loc)[0]
+    ice.delete_where(spark, loc, [("k", "<", 3)], mode="mor")
+    ice.delete_where(spark, loc, [("k", "<", 5)], mode="mor")
+    assert len(ice.plan_delete_files(loc)) >= 2
+    ice.rewrite_position_deletes(spark, loc)
+    assert len(ice.plan_delete_files(loc)) == 1
+    eq_after = ice.plan_equality_deletes(loc)
+    assert eq_after == [(eq_path, eq_seq, [1])]
+    got = sorted(r["k"] for r in ice.read_iceberg(spark, loc).collect())
+    assert got == list(range(5, 100))
+
+
+def test_iceberg_sequence_numbers_monotonic(spark, tmp_path):
+    """Every commit kind bumps last-sequence-number; snapshots record
+    theirs; EXISTING files carried through CoW keep their ORIGINAL
+    data sequence (the invariant equality scoping rests on)."""
+    loc, _ = _mini_table(spark, tmp_path, "seqs")  # append = seq 1
+    meta = ice.read_table_meta(loc)
+    assert meta["last-sequence-number"] == 1
+    assert meta["snapshots"][-1]["sequence-number"] == 1
+    ice.delete_where(spark, loc, [("p", "=", "A"), ("k", "<", 2)],
+                     mode="mor")  # seq 2
+    ice.update_where(spark, loc, [("k", ">=", 98)],
+                     {"v": F.lit(0.0)})  # CoW, seq 3
+    meta = ice.read_table_meta(loc)
+    assert meta["last-sequence-number"] == 3
+    assert [s["sequence-number"] for s in meta["snapshots"]] == [1, 2, 3]
+    seqs = ice._plan_file_seqs(loc)
+    # untouched files keep seq 1; the rewritten candidate is at seq 3
+    assert set(seqs.values()) == {1, 3}
+
+
+def test_iceberg_deletes_on_paths_needing_uri_encoding(spark, tmp_path):
+    """A partition VALUE with a space (TPC-H '4-NOT SPECIFIED' shape)
+    makes the on-disk path differ from the URI form Spark's
+    _metadata.file_path reports ('%20'). Every python-side path
+    comparison — position-delete ref scoping, equality-delete
+    sequence lookup, CoW carry decisions — must canonicalize via
+    _uri_path or rows silently unmask / stay masked."""
+    loc = str(tmp_path / "uri enc")  # space in the TABLE path too
+    df = spark.createDataFrame(
+        [(i, "NOT SPECIFIED" if i % 2 else "plain", float(i))
+         for i in range(40)],
+        "k bigint, p string, v double",
+    )
+    ice.create_table(loc, ice.spark_schema_to_iceberg(df), part_cols=["p"])
+    ice.append(spark, loc, df)
+    # position delete confined to the SPACED partition: scoping must
+    # still plan its delete file when scanning that partition
+    ice.delete_where(
+        spark, loc, [("p", "=", "NOT SPECIFIED"), ("k", "<", 10)],
+        mode="mor",
+    )
+    stats: dict = {}
+    got = sorted(
+        r["k"]
+        for r in ice.read_iceberg(
+            spark, loc, filters=[("p", "=", "NOT SPECIFIED")],
+            stats_out=stats,
+        ).collect()
+    )
+    assert got == [i for i in range(10, 40) if i % 2]
+    assert stats["delete_files_planned"] >= 1
+    # equality delete + re-insert in the spaced partition: sequence
+    # lookup must resolve the %20 path (else __dseq=0 masks the
+    # re-inserted row)
+    ice.mor_delete_keys(
+        spark, loc, ["k"], spark.createDataFrame([(11,), (13,)], "k bigint")
+    )
+    ice.append(
+        spark,
+        loc,
+        spark.createDataFrame(
+            [(11, "NOT SPECIFIED", -11.0)], "k bigint, p string, v double"
+        ),
+    )
+    got2 = {r["k"]: r["v"] for r in ice.read_iceberg(spark, loc).collect()}
+    assert 13 not in got2
+    assert got2[11] == -11.0  # re-inserted row survives
+    # CoW rewrite of the OTHER partition must carry the spaced
+    # partition's delete files (refs compare in URI form)
+    ice.update_where(
+        spark, loc, [("p", "=", "plain"), ("k", ">=", 30)],
+        {"v": F.lit(0.0)},
+    )
+    got3 = sorted(r["k"] for r in ice.read_iceberg(spark, loc).collect())
+    # survivors: every even row (plain partition), plus the odd rows
+    # 11..39 minus the eq-deleted 13 (11 is the re-insert)
+    assert got3 == sorted(
+        [i for i in range(10, 40) if i % 2 and i != 13]
+        + [i for i in range(40) if i % 2 == 0]
+    )
+
+
+def test_iceberg_rename_column_field_id_resolution(spark, tmp_path):
+    """VERDICT r11 item 4: RENAME COLUMN keeps the field id, so files
+    written BEFORE the rename (old parquet column name) still
+    populate the new name — write -> rename -> append -> scan reads
+    both generations correctly; a parquet-mergeSchema read would null
+    the old generation."""
+    loc = str(tmp_path / "ren")
+    df1 = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k bigint, amount double"
+    )
+    ice.create_table(loc, ice.spark_schema_to_iceberg(df1))
+    ice.append(spark, loc, df1)
+    ice.rename_column(loc, "amount", "price")
+    ice.append(
+        spark,
+        loc,
+        spark.createDataFrame(
+            [(i, float(i * 100)) for i in range(10, 20)],
+            "k bigint, price double",
+        ),
+    )
+    got = {r["k"]: r["price"] for r in ice.read_iceberg(spark, loc).collect()}
+    assert got[3] == 3.0        # pre-rename generation, resolved by id
+    assert got[15] == 1500.0    # post-rename generation
+    assert len(got) == 20
+    # DML through the rename: predicate on the NEW name hits both
+    # generations (CoW delete)
+    ice.delete_where(spark, loc, [("price", ">=", 1500.0)])
+    assert ice.read_iceberg(spark, loc).count() == 15
+    with pytest.raises(ValueError, match="does not exist"):
+        ice.rename_column(loc, "amount", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        ice.rename_column(loc, "price", "k")
+
+
+def test_iceberg_drop_column_no_resurrection(spark, tmp_path):
+    """DROP COLUMN retires the field id: a later ADD COLUMN with the
+    SAME NAME gets a fresh id, and old files' stale values must NOT
+    resurrect into it (the property name-based mergeSchema cannot
+    provide)."""
+    loc = str(tmp_path / "dropres")
+    df1 = spark.createDataFrame(
+        [(i, f"old{i}", float(i)) for i in range(5)],
+        "k bigint, tag string, v double",
+    )
+    ice.create_table(loc, ice.spark_schema_to_iceberg(df1))
+    ice.append(spark, loc, df1)
+    ice.drop_column(loc, "tag")
+    assert [f["name"] for f in ice.read_table_meta(loc)["schema"]["fields"]] \
+        == ["k", "v"]
+    got = ice.read_iceberg(spark, loc)
+    assert got.columns == ["k", "v"] and got.count() == 5
+    # re-add the same NAME -> new field id
+    ice.add_column(loc, "tag", "string")
+    rows = {r["k"]: r["tag"] for r in ice.read_iceberg(spark, loc).collect()}
+    assert all(v is None for v in rows.values()), (
+        "dropped column's stale values resurrected into the re-added "
+        "column"
+    )
+    # new writes populate the new field
+    ice.append(
+        spark,
+        loc,
+        spark.createDataFrame(
+            [(100, 100.0, "new")], "k bigint, v double, tag string"
+        ),
+    )
+    rows = {r["k"]: r["tag"] for r in ice.read_iceberg(spark, loc).collect()}
+    assert rows[100] == "new" and rows[3] is None
+    with pytest.raises(ValueError, match="partition column"):
+        loc2 = str(tmp_path / "dp")
+        d = spark.createDataFrame([(1, "a")], "k bigint, p string")
+        ice.create_table(loc2, ice.spark_schema_to_iceberg(d),
+                         part_cols=["p"])
+        ice.drop_column(loc2, "p")
+
+
+def test_iceberg_rename_through_mor_and_compaction(spark, tmp_path):
+    """Renames compose with the v2 machinery: MoR deletes written
+    before a rename still mask; compaction rewrites everything under
+    the CURRENT names and collapses the generations."""
+    loc = str(tmp_path / "ren_mor")
+    df1 = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "k bigint, amount double"
+    )
+    ice.create_table(loc, ice.spark_schema_to_iceberg(df1))
+    ice.append(spark, loc, df1)
+    ice.delete_where(spark, loc, [("k", "<", 3)], mode="mor")
+    ice.rename_column(loc, "amount", "price")
+    ice.append(
+        spark,
+        loc,
+        spark.createDataFrame([(50, 50.0)], "k bigint, price double"),
+    )
+    got = sorted(r["k"] for r in ice.read_iceberg(spark, loc).collect())
+    assert got == list(range(3, 20)) + [50]
+    ice.compact_files(spark, loc)
+    assert ice.plan_delete_files(loc) == []
+    df = ice.read_iceberg(spark, loc)
+    assert df.columns == ["k", "price"]
+    got2 = {r["k"]: r["price"] for r in df.collect()}
+    assert got2[5] == 5.0 and got2[50] == 50.0 and len(got2) == 18
+
+
+def test_sql_rename_and_drop_column(spark, tmp_path):
+    """ALTER TABLE ... RENAME COLUMN / DROP COLUMN through the SQL
+    surface."""
+    from mcp_iceberg_duckdb_spark.sources.fs_catalog import FsCatalog
+
+    cat = FsCatalog(str(tmp_path / "wh"))
+    run = lambda s: cat.execute(spark, s)  # noqa: E731
+    run("CREATE TABLE default.t (k bigint, a double, b string)")
+    run("INSERT INTO default.t VALUES (1, 1.5, 'x')")
+    run("ALTER TABLE default.t RENAME COLUMN a TO amount")
+    run("INSERT INTO default.t VALUES (2, 2.5, 'y')")
+    got = {r["k"]: r["amount"]
+           for r in run("SELECT k, amount FROM default.t").collect()}
+    assert got == {1: 1.5, 2: 2.5}
+    run("ALTER TABLE default.t DROP COLUMN b")
+    desc = [r["col_name"] for r in run("DESCRIBE TABLE default.t").collect()]
+    assert desc == ["k", "amount"]
