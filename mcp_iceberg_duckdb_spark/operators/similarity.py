@@ -2538,7 +2538,17 @@ def x_ann_ivfpq_trained_topk(spark, sf_dir):
     0.150/0.150/0.075 at sf0.001/0.01/0.1 — the router is the
     bottleneck IVF training fixes). The DuckDB twin runs its OWN
     md5-rep-routed sampled-codebook IVFPQ through the identical
-    sanity+recall tail at the 5% floor."""
+    sanity+recall tail at the 5% floor.
+
+    sf1 caveat (measured, same as the trained-ADC precedent): the
+    composed sf1 fixture regenerates embeddings from empirical
+    MARGINALS (scripts/make_sf1_fixture.py), which destroys the
+    label-cluster geometry every IVF scheme depends on — recall
+    becomes ~touch_fraction x fullscan there (trained 0.062 vs
+    untrained 0.0125, still the 5x training lift) and BOTH engines'
+    contracts report the floor miss identically, so the sf1
+    differential stays green while the floor booleans pin the lift
+    at the driver scales."""
     cents = F.broadcast(ivf_train_centroids(spark, sf_dir, sample=1024))
     cand = _ivfpq_trained_candidates(spark, sf_dir, cents)
     return _ann_contract(

@@ -912,3 +912,63 @@ def test_sql_rewrite_deletes(loaded, spark):
     assert len(ice.plan_delete_files(loc)) == 1
     got = sorted(r["k"] for r in run("SELECT k FROM sales.orders o").collect())
     assert got == [3]
+
+
+def test_normalize_from_commas_fuzz():
+    """Property test for the FROM comma-list normalizer: it must
+    rewrite ONLY commas that directly separate FROM-list items, and
+    be a no-op on statements without comma lists — including the
+    hostile shapes (function args, SELECT lists, substring..FROM,
+    subquery items, AS t(a, b) aliases)."""
+    from mcp_iceberg_duckdb_spark.sources.fs_catalog import (
+        _normalize_from_commas,
+    )
+
+    noops = [
+        "SELECT a, b FROM t",
+        "SELECT concat(a, b) FROM t WHERE x = 1",
+        "SELECT substring(s FROM 2 FOR 3), y FROM t",
+        "SELECT extract(YEAR FROM d), n FROM t",
+        "SELECT * FROM t JOIN u ON t.k = u.k",
+        "SELECT (SELECT max(x) FROM a), y FROM b",
+        "SELECT * FROM range(10)",
+        "SELECT * FROM t GROUP BY a, b ORDER BY c, d",
+        "INSERT INTO t VALUES (1, 2), (3, 4)",
+    ]
+    for s in noops:
+        assert _normalize_from_commas(s) == s, s
+    cases = {
+        "SELECT * FROM t1, t2": "SELECT * FROM t1 CROSS JOIN t2",
+        "SELECT * FROM t1 a, t2 b WHERE a.k = b.k":
+            "SELECT * FROM t1 a CROSS JOIN t2 b WHERE a.k = b.k",
+        "SELECT * FROM ns.t1, t2, t3":
+            "SELECT * FROM ns.t1 CROSS JOIN t2 CROSS JOIN t3",
+        "SELECT * FROM (SELECT 1 AS x) s, t2":
+            "SELECT * FROM (SELECT 1 AS x) s CROSS JOIN t2",
+        "SELECT (SELECT count(*) FROM a, b) AS n FROM c":
+            "SELECT (SELECT count(*) FROM a CROSS JOIN b) AS n FROM c",
+    }
+    ws = lambda s: " ".join(s.split())  # noqa: E731
+    for src, want in cases.items():
+        assert ws(_normalize_from_commas(src)) == ws(want), src
+    # idempotent: normalizing an already-normalized statement is a
+    # no-op (no comma lists remain)
+    for want in cases.values():
+        assert ws(_normalize_from_commas(want)) == ws(want)
+    # fuzz sweep: random token soup never crashes, statements without
+    # FROM are untouched, and the ONLY possible edit is a comma
+    # becoming CROSS JOIN (undoing it reproduces the input)
+    import random
+
+    rnd = random.Random(7)
+    toks = ["SELECT", "a", "b", ",", "(", ")", "FROM", "t", "WHERE",
+            "=", "'x,y'", "1"]
+    for _ in range(300):
+        s = " ".join(rnd.choice(toks) for _ in range(rnd.randint(1, 15)))
+        out = _normalize_from_commas(s)
+        if "FROM" not in s.upper():
+            assert out == s
+        assert ws(out.replace(" CROSS JOIN ", " , ")) in (
+            ws(s),
+            ws(s.replace(",", " , ")),
+        )

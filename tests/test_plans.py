@@ -566,6 +566,12 @@ _BNLJ_ALLOWED = {
     # x_ann_pq_adc_topk (only the codebook rows differ — Lloyd-trained
     # vs md5-sampled), plus _ann_contract's 1-row total joins
     "x_ann_pq_adc_trained_topk",
+    # round 12: the trained IVF router — the same reviewed pattern
+    # twice over: a 10-row broadcast trained-centroid crossJoin for
+    # cell assignment/probing (bounded like x_ann_ivfpq_topk's reps)
+    # + the 16-row broadcast-codebook crossJoin + _ann_contract's
+    # 1-row total joins; every BNLJ side is constant-bounded
+    "x_ann_ivfpq_trained_topk",
     # round 8: 1-row broadcast (n0, n1, nb) totals onto the bin grid
     "x_source_psi_drift",
     # round 8: 1-row broadcast N / mid-element / doc-count scalars in
