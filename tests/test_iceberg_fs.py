@@ -1427,3 +1427,24 @@ def test_sql_rename_and_drop_column(spark, tmp_path):
     run("ALTER TABLE default.t DROP COLUMN b")
     desc = [r["col_name"] for r in run("DESCRIBE TABLE default.t").collect()]
     assert desc == ["k", "amount"]
+
+
+def test_iceberg_eq_delete_read_plan_broadcasts(spark, tmp_path):
+    """Scale shape of the equality-delete read: the KB-sized key set
+    AND the metadata-scale (path, seq) map both broadcast — the data
+    side is never shuffled; no SortMergeJoin anywhere in the plan,
+    and the anti-join keeps the sequence inequality as its residual
+    condition."""
+    from mcp_iceberg_duckdb_spark.plans import explain_str
+
+    loc, _ = _mini_table(spark, tmp_path, "eq_plan", parted=False)
+    ice.mor_delete_keys(
+        spark, loc, ["k"],
+        spark.createDataFrame([(1,), (2,)], "k bigint"),
+    )
+    plan = explain_str(ice.read_iceberg(spark, loc))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    # sequence scoping survives as the anti-join's residual condition
+    # (__eseq constant-folds to the literal commit sequence)
+    assert "> __dseq" in plan
