@@ -711,7 +711,15 @@ def _partition_from_path(path: str, spec, ice_schema):
             )
         if c not in vals:
             raise ValueError(f"partition column {c} missing in {path}")
-        raw = vals[c]
+        # Spark writes hive dirs through escapePathName ('a:b' ->
+        # 'a%3Ab', '=' -> '%3D', '%' itself -> '%25'); the manifest
+        # must store the REAL value or identity pruning on it drops
+        # every file — a silent-data-loss bug for string partition
+        # values with escaped characters. unquote is Hive's exact
+        # inverse (unescapePathName decodes every %XX too).
+        from urllib.parse import unquote
+
+        raw = unquote(vals[c])
         if raw == "__HIVE_DEFAULT_PARTITION__":
             out[c] = None
         elif t == "date":

@@ -1448,3 +1448,47 @@ def test_iceberg_eq_delete_read_plan_broadcasts(spark, tmp_path):
     # sequence scoping survives as the anti-join's residual condition
     # (__eseq constant-folds to the literal commit sequence)
     assert "> __dseq" in plan
+
+
+def test_iceberg_hive_escaped_partition_values(spark, tmp_path):
+    """Spark writes identity string partitions through Hive
+    escapePathName ('a:b' -> dir 'p=a%3Ab'); the manifest must store
+    the REAL value or identity pruning on it silently drops every
+    file (pruned read returned [] for data that exists — the
+    data-loss shape). Covers read pruning, MoR position + equality
+    deletes, CoW rewrite, and compaction over escaped values."""
+    loc = str(tmp_path / "hive_esc")
+    df = spark.createDataFrame(
+        [(1, "a:b", 1.0), (2, "a=b", 2.0), (3, "plain", 3.0),
+         (4, "a:b", 4.0), (5, "100%", 5.0)],
+        "k bigint, p string, v double",
+    )
+    ice.create_table(loc, ice.spark_schema_to_iceberg(df), part_cols=["p"])
+    ice.append(spark, loc, df)
+    # the dirs really are escaped on disk (else this test is vacuous)
+    import os as _os
+
+    dirs = set(_os.listdir(_os.path.join(loc, "data")))
+    assert any("%3A" in d for d in dirs), dirs
+    for val, want in (("a:b", [1, 4]), ("a=b", [2]), ("100%", [5])):
+        stats: dict = {}
+        got = sorted(
+            r["k"]
+            for r in ice.read_iceberg(
+                spark, loc, filters=[("p", "=", val)], stats_out=stats
+            ).collect()
+        )
+        assert got == want, (val, got)
+        assert stats["files_planned"] < stats["files_total"]  # pruned
+    # row-level ops on the escaped partition
+    ice.delete_where(spark, loc, [("p", "=", "a:b"), ("k", "<", 2)],
+                     mode="mor")
+    ice.mor_delete_keys(
+        spark, loc, ["k"], spark.createDataFrame([(2,)], "k bigint")
+    )
+    ice.update_where(spark, loc, [("p", "=", "100%")], {"v": F.lit(-5.0)})
+    got = {r["k"]: r["v"] for r in ice.read_iceberg(spark, loc).collect()}
+    assert got == {3: 3.0, 4: 4.0, 5: -5.0}
+    ice.compact_files(spark, loc)
+    got2 = {r["k"]: r["v"] for r in ice.read_iceberg(spark, loc).collect()}
+    assert got2 == got
