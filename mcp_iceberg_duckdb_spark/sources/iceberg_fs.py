@@ -1224,6 +1224,25 @@ def _apply_filters(df, filters):
     return df
 
 
+def _residual_filters(filters, ice_schema):
+    """Filters re-typed for ROW-LEVEL evaluation inside Spark:
+    plan_files takes DATE literals as epoch-day ints (the bound and
+    partition-tuple encoding), but a Spark residual comparison
+    against a DATE column needs a date literal — `d = 19372` is a
+    DATATYPE_MISMATCH analysis error, which used to crash every
+    SELECT with a date predicate through fs_catalog. Non-date
+    filters pass through unchanged."""
+    import datetime
+
+    types = {f["name"]: f["type"] for f in ice_schema["fields"]}
+    out = []
+    for col, op, val in filters:
+        if types.get(col) == "date" and isinstance(val, int):
+            val = datetime.date(1970, 1, 1) + datetime.timedelta(days=val)
+        out.append((col, op, val))
+    return out
+
+
 def _conjunction(filters):
     from functools import reduce
 
@@ -1262,7 +1281,9 @@ def delete_where(spark, loc: str, filters, mode: str = "cow") -> dict:
     from pyspark.sql import functions as F
 
     if mode == "mor":
-        pred = _conjunction(filters) if filters else F.lit(True)
+        meta = read_table_meta(loc)
+        residual = _residual_filters(filters, meta["schema"])
+        pred = _conjunction(residual) if residual else F.lit(True)
         return mor_delete_where(spark, loc, pred, prune_filters=filters)
     if mode != "cow":
         raise ValueError(f"unknown delete mode {mode!r}")
@@ -1847,7 +1868,9 @@ def _cow_rewrite(spark, loc: str, filters, rewrite_fn) -> dict:
         # live MoR deletes apply BEFORE the rewrite: a row deleted
         # merge-on-read must not be resurrected by a later CoW pass
         src = _read_with_deletes(spark, loc, candidates, ice_schema)
-        replacement = rewrite_fn(src, _conjunction(filters)).select(*cols)
+        replacement = rewrite_fn(
+            src, _conjunction(_residual_filters(filters, ice_schema))
+        ).select(*cols)
         new_files = _write_replacement(spark, loc, replacement, meta)
 
     return _commit_overwrite(
@@ -2027,7 +2050,7 @@ def read_iceberg(spark, loc: str, snapshot_id=None, filters=(), stats_out=None):
         eq_deletes=eq or None,
         file_seqs=file_seqs,
     )
-    for col, op, val in filters:
+    for col, op, val in _residual_filters(filters, meta["schema"]):
         if op == "=":
             df = df.filter(F.col(col) == val)
         elif op == "<":

@@ -997,3 +997,47 @@ def test_sql_select_surfaces_delete_scoping_stats(loaded, spark):
     assert plan["files_planned"] < plan["files_total"]
     assert plan["delete_files_total"] >= 2
     assert plan["delete_files_planned"] < plan["delete_files_total"]
+
+
+def test_select_date_predicate_works_and_prunes(cat, spark):
+    """A SELECT with a date predicate used to CRASH: the typed
+    extraction converts the literal to epoch days for manifest
+    pruning, and read_iceberg re-applied that INT as the residual
+    row filter against the DATE column (DATATYPE_MISMATCH). The
+    residual must convert back to a date literal — including
+    pre-epoch (negative) days — while pruning still happens."""
+    run = lambda s: cat.execute(spark, s)  # noqa: E731
+    run("CREATE TABLE default.t (k bigint, d date) PARTITIONED BY (d)")
+    run(
+        "INSERT INTO default.t VALUES (1, DATE'2023-01-15'),"
+        " (2, DATE'2024-06-01'), (3, DATE'1969-12-30')"
+    )
+    for val, want in (("2023-01-15", [1]), ("1969-12-30", [3])):
+        got = sorted(
+            r["k"]
+            for r in run(
+                f"SELECT k FROM default.t WHERE d = '{val}'"
+            ).collect()
+        )
+        assert got == want
+        plan = cat.last_scan_plan["default.t"]
+        assert plan["files_planned"] < plan["files_total"]
+    got = sorted(
+        r["k"]
+        for r in run(
+            "SELECT k FROM default.t WHERE d >= '2023-01-01'"
+        ).collect()
+    )
+    assert got == [1, 2]
+    # API-level DML with epoch-day filters on the date column works
+    # in both modes (the same residual conversion)
+    import datetime as _dt
+
+    loc = cat._resolve("default.t")[2]
+    epoch = (_dt.date(2024, 6, 1) - _dt.date(1970, 1, 1)).days
+    ice.delete_where(spark, loc, [("d", "=", epoch)], mode="mor")
+    ice.delete_where(spark, loc, [("d", "<", 0)], mode="cow")
+    got = sorted(
+        r["k"] for r in run("SELECT k FROM default.t").collect()
+    )
+    assert got == [1]
