@@ -1171,14 +1171,21 @@ def _apply_eq_deletes(spark, df, ice_schema, eq_deletes, file_seqs):
     df = df.withColumn("__dseq", F.coalesce(F.col("__dseq"), F.lit(0)))
     groups: dict = {}
     for path, seq, ids in eq_deletes:
-        groups.setdefault(tuple(sorted(ids)), []).append((path, seq))
+        # group by the ORDERED id tuple: the delete parquet's columns
+        # are in the writer's key order, so ids must stay aligned
+        groups.setdefault(tuple(ids), []).append((path, seq))
     for ids, items in sorted(groups.items()):
         keys = [id_to_name[i] for i in ids]
         dels = None
         for path, seq in items:
+            # resolve the delete file's columns POSITIONALLY by the
+            # manifest's equality_ids, NOT by name: the file carries
+            # the key columns' names AS OF THE DELETE, and a later
+            # RENAME COLUMN must keep masking (field-id semantics,
+            # same contract as the data side)
             one = (
                 spark.read.parquet(path)
-                .select(*keys)
+                .toDF(*keys)
                 .withColumn("__eseq", F.lit(int(seq)))
             )
             dels = one if dels is None else dels.unionByName(one)

@@ -1492,3 +1492,43 @@ def test_iceberg_hive_escaped_partition_values(spark, tmp_path):
     ice.compact_files(spark, loc)
     got2 = {r["k"]: r["v"] for r in ice.read_iceberg(spark, loc).collect()}
     assert got2 == got
+
+
+def test_iceberg_eq_delete_survives_key_rename(spark, tmp_path):
+    """Equality-delete files carry the key columns' NAMES as of the
+    delete; the manifest carries their FIELD IDS. A later RENAME
+    COLUMN of the key must keep masking (positional resolution by
+    equality_ids — the read used to crash on the new name), and key
+    columns given in non-ascending field-id order must stay aligned."""
+    loc = str(tmp_path / "eq_ren")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k bigint, v double"
+    )
+    ice.create_table(loc, ice.spark_schema_to_iceberg(df))
+    ice.append(spark, loc, df)
+    ice.mor_delete_keys(
+        spark, loc, ["k"], spark.createDataFrame([(3,)], "k bigint")
+    )
+    ice.rename_column(loc, "k", "kid")
+    got = sorted(r["kid"] for r in ice.read_iceberg(spark, loc).collect())
+    assert got == [i for i in range(10) if i != 3]
+    # sequencing post-rename: a newer re-insert of the key survives
+    ice.append(
+        spark, loc,
+        spark.createDataFrame([(3, -3.0)], "kid bigint, v double"),
+    )
+    got2 = {r["kid"]: r["v"] for r in ice.read_iceberg(spark, loc).collect()}
+    assert got2[3] == -3.0
+    # multi-key delete with REVERSED column order vs field-id order
+    loc2 = str(tmp_path / "eq_rev")
+    df2 = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k bigint, tag string, v double"
+    )
+    ice.create_table(loc2, ice.spark_schema_to_iceberg(df2))
+    ice.append(spark, loc2, df2)
+    ice.mor_delete_keys(
+        spark, loc2, ["tag", "k"],
+        spark.createDataFrame([("b", 2)], "tag string, k bigint"),
+    )
+    got3 = sorted(r["k"] for r in ice.read_iceberg(spark, loc2).collect())
+    assert got3 == [1]
