@@ -2369,6 +2369,16 @@ def drop_column(loc: str, name: str) -> dict:
         raise ValueError(f"cannot drop partition column {name!r}")
     if len(fields) == 1:
         raise ValueError("cannot drop the table's only column")
+    # a LIVE equality-delete file matches on this field id: dropping
+    # the column would make its masks unevaluatable (the reader
+    # resolves equality_ids through the current schema) — refuse
+    # loudly; compact or REWRITE DELETES first
+    fid = by_name[name]["id"]
+    if any(fid in ids for _, _, ids in plan_equality_deletes(loc)):
+        raise ValueError(
+            f"cannot drop column {name!r}: live equality-delete "
+            "files match on it — compact the table first"
+        )
     _log_schema_generation(meta)
     dropped = by_name[name]
     meta["schema"]["fields"] = [f for f in fields if f["name"] != name]

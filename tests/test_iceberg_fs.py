@@ -1532,3 +1532,26 @@ def test_iceberg_eq_delete_survives_key_rename(spark, tmp_path):
     )
     got3 = sorted(r["k"] for r in ice.read_iceberg(spark, loc2).collect())
     assert got3 == [1]
+
+
+def test_iceberg_drop_eq_delete_key_refused(spark, tmp_path):
+    """Dropping a column that LIVE equality-delete files match on is
+    refused loudly (the reader resolves equality_ids through the
+    current schema; a silent KeyError on every subsequent read is the
+    alternative). Compaction materializes the deletes, after which
+    the drop succeeds."""
+    loc = str(tmp_path / "eq_drop")
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k bigint, tag string, v double"
+    )
+    ice.create_table(loc, ice.spark_schema_to_iceberg(df))
+    ice.append(spark, loc, df)
+    ice.mor_delete_keys(
+        spark, loc, ["tag"], spark.createDataFrame([("b",)], "tag string")
+    )
+    with pytest.raises(ValueError, match="equality-delete"):
+        ice.drop_column(loc, "tag")
+    ice.compact_files(spark, loc)
+    ice.drop_column(loc, "tag")
+    got = [tuple(r) for r in ice.read_iceberg(spark, loc).collect()]
+    assert got == [(1, 1.0)]
