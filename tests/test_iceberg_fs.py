@@ -1555,3 +1555,43 @@ def test_iceberg_drop_eq_delete_key_refused(spark, tmp_path):
     ice.drop_column(loc, "tag")
     got = [tuple(r) for r in ice.read_iceberg(spark, loc).collect()]
     assert got == [(1, 1.0)]
+
+
+def test_iceberg_rename_chain_and_bounds_pruning(spark, tmp_path):
+    """Field-id semantics through CHAINED renames (a -> b -> c): old
+    generations resolve via the first schema-log boundary at or after
+    their sequence; and bounds pruning on the NEWEST name still
+    prunes OLD files because bounds maps are keyed by the stable
+    field id, not the name."""
+    loc = str(tmp_path / "ren_chain")
+    df1 = spark.createDataFrame(
+        [(i, float(i)) for i in range(0, 50)], "k bigint, v double"
+    )
+    df2 = spark.createDataFrame(
+        [(i, float(i)) for i in range(100, 150)], "k bigint, v double"
+    )
+    ice.create_table(loc, ice.spark_schema_to_iceberg(df1))
+    ice.append(spark, loc, df1.coalesce(1))
+    ice.rename_column(loc, "k", "kid")
+    ice.append(spark, loc, df2.coalesce(1).withColumnRenamed("k", "kid"))
+    stats: dict = {}
+    got = sorted(
+        r["kid"]
+        for r in ice.read_iceberg(
+            spark, loc, filters=[("kid", ">=", 100)], stats_out=stats
+        ).collect()
+    )
+    assert stats["files_planned"] == 1 < stats["files_total"]
+    assert got == list(range(100, 150))
+    ice.rename_column(loc, "kid", "ident")
+    got2 = sorted(
+        r["ident"] for r in ice.read_iceberg(spark, loc).collect()
+    )
+    assert got2 == list(range(0, 50)) + list(range(100, 150))
+    got3 = sorted(
+        r["ident"]
+        for r in ice.read_iceberg(
+            spark, loc, filters=[("ident", "<", 10)]
+        ).collect()
+    )
+    assert got3 == list(range(10))
