@@ -1595,3 +1595,32 @@ def test_iceberg_rename_chain_and_bounds_pruning(spark, tmp_path):
         ).collect()
     )
     assert got3 == list(range(10))
+
+
+def test_iceberg_expire_reclaims_rewritten_deletes(spark, tmp_path):
+    """expire_snapshots after rewrite_position_deletes physically
+    reclaims the retired position-delete files (unreachable from the
+    kept snapshot) while the re-listed equality-delete file and the
+    compacted position file survive; values stay exact."""
+    import os as _os
+
+    loc = str(tmp_path / "exp_rpd")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(30)], "k bigint, v double"
+    )
+    ice.create_table(loc, ice.spark_schema_to_iceberg(df))
+    ice.append(spark, loc, df)
+    for hi in (3, 6):
+        ice.delete_where(spark, loc, [("k", "<", hi)], mode="mor")
+    ice.mor_delete_keys(
+        spark, loc, ["k"], spark.createDataFrame([(29,)], "k bigint")
+    )
+    old = set(ice.plan_delete_files(loc))
+    ice.rewrite_position_deletes(spark, loc)
+    res = ice.expire_snapshots(loc, keep_last=1)
+    assert res["removed_snapshots"] >= 3
+    assert all(not _os.path.exists(p) for p in old)
+    got = sorted(r["k"] for r in ice.read_iceberg(spark, loc).collect())
+    assert got == list(range(6, 29))
+    eq = ice.plan_equality_deletes(loc)
+    assert len(eq) == 1 and _os.path.exists(eq[0][0])
