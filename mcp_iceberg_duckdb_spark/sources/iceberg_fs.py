@@ -1020,6 +1020,13 @@ def plan_equality_deletes(loc: str, snapshot_id=None):
     return out
 
 
+# delete relations at or under this byte size broadcast into the
+# anti-join (the common case: deletes are a sliver of the data they
+# mask); larger sets fall back to Spark's own join planning (shuffle)
+# — the correctness of both paths is pinned in tests
+_BROADCAST_DELETE_BYTES = 64 * 1024 * 1024
+
+
 def _manifest_delete_seqs(m):
     """(path, sequence) pairs of the live POSITION-delete entries in
     one content=1 manifest-list entry — per-entry explicit numbers
@@ -1140,7 +1147,7 @@ def _read_deletes(spark, deletes):
     df = spark.read.parquet(*deletes).select(
         F.col("file_path").alias("__fp"), F.col("pos").alias("__pos")
     )
-    if sum(os.path.getsize(p) for p in deletes) <= 64 * 1024 * 1024:
+    if sum(os.path.getsize(p) for p in deletes) <= _BROADCAST_DELETE_BYTES:
         df = F.broadcast(df)
     return df
 
@@ -1189,7 +1196,8 @@ def _apply_eq_deletes(spark, df, ice_schema, eq_deletes, file_seqs):
                 .withColumn("__eseq", F.lit(int(seq)))
             )
             dels = one if dels is None else dels.unionByName(one)
-        if sum(os.path.getsize(p) for p, _ in items) <= 64 * 1024 * 1024:
+        if (sum(os.path.getsize(p) for p, _ in items)
+                <= _BROADCAST_DELETE_BYTES):
             dels = F.broadcast(dels)
         t_, d_ = df.alias("__t"), dels.alias("__eq")
         cond = F.col("__eq.__eseq") > F.col("__t.__dseq")

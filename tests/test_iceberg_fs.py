@@ -1624,3 +1624,27 @@ def test_iceberg_expire_reclaims_rewritten_deletes(spark, tmp_path):
     assert got == list(range(6, 29))
     eq = ice.plan_equality_deletes(loc)
     assert len(eq) == 1 and _os.path.exists(eq[0][0])
+
+
+def test_iceberg_delete_reads_correct_without_broadcast(
+    spark, tmp_path, monkeypatch
+):
+    """The size-gated broadcast is an OPTIMIZATION: with the gate
+    forced shut (threshold -1, simulating >64 MB delete sets) both
+    delete kinds still apply exactly through Spark's own join
+    planning — the fallback path a 100 TB delete-heavy table would
+    actually take."""
+    monkeypatch.setattr(ice, "_BROADCAST_DELETE_BYTES", -1)
+    loc = str(tmp_path / "nobcast")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "k bigint, v double"
+    )
+    ice.create_table(loc, ice.spark_schema_to_iceberg(df))
+    ice.append(spark, loc, df)
+    ice.delete_where(spark, loc, [("k", "<", 5)], mode="mor")
+    ice.mor_delete_keys(
+        spark, loc, ["k"],
+        spark.createDataFrame([(10,), (11,)], "k bigint"),
+    )
+    got = sorted(r["k"] for r in ice.read_iceberg(spark, loc).collect())
+    assert got == [i for i in range(5, 50) if i not in (10, 11)]
