@@ -2651,6 +2651,12 @@ def read_incremental(
     if hi < lo:
         raise ValueError("to_snapshot precedes from_snapshot")
     files: list[str] = []
+    # each file's sequence number comes from ITS ADDING SNAPSHOT, not
+    # the current snapshot's plan: a later compaction rewrites files
+    # out of the current manifests, and resolving a historical file
+    # as sequence 0 would read it under the wrong schema generation
+    # (pre-rename names -> silently NULLed columns)
+    seqs: dict[str, int] = {}
     for s in snaps[lo + 1 : hi + 1]:
         if s["summary"].get("operation") != "append":
             raise ValueError(
@@ -2662,15 +2668,17 @@ def read_incremental(
             if m.get("content", 0) != 0:
                 continue  # carried-forward delete manifests
             _, entries = read_container(_read_file(m["manifest_path"]))
-            files.extend(
-                e["data_file"]["file_path"]
-                for e in entries
-                if e["status"] == 1
-                and e.get("snapshot_id") == s["snapshot-id"]
-            )
+            for e in entries:
+                if (
+                    e["status"] == 1
+                    and e.get("snapshot_id") == s["snapshot-id"]
+                ):
+                    p_ = e["data_file"]["file_path"]
+                    files.append(p_)
+                    seqs[p_] = s.get("sequence-number", 0)
     if not files:
         return spark.createDataFrame([], schema=", ".join(
             f"{f['name']} {_ICE_TO_SPARK[f['type']]}"
             for f in meta["schema"]["fields"]
         ))
-    return _read_files(spark, loc, files, meta["schema"])
+    return _read_files(spark, loc, files, meta["schema"], file_seqs=seqs)

@@ -1648,3 +1648,27 @@ def test_iceberg_delete_reads_correct_without_broadcast(
     )
     got = sorted(r["k"] for r in ice.read_iceberg(spark, loc).collect())
     assert got == [i for i in range(5, 50) if i not in (10, 11)]
+
+
+def test_iceberg_incremental_across_rename_and_compaction(spark, tmp_path):
+    """read_incremental resolves each historical file's schema
+    generation from ITS ADDING SNAPSHOT's sequence number: after a
+    later compaction rewrites the current manifests, the current
+    plan no longer knows those files, and falling back to sequence 0
+    silently NULLed post-rename columns."""
+    loc = str(tmp_path / "incr_ren")
+    df1 = spark.createDataFrame(
+        [(i, float(i)) for i in range(5)], "k bigint, v double"
+    )
+    ice.create_table(loc, ice.spark_schema_to_iceberg(df1))
+    s1 = ice.append(spark, loc, df1)
+    ice.rename_column(loc, "k", "kid")
+    s2 = ice.append(
+        spark, loc,
+        spark.createDataFrame([(10, 10.0)], "kid bigint, v double"),
+    )
+    ice.compact_files(spark, loc)
+    inc = ice.read_incremental(
+        spark, loc, s1["snapshot-id"], s2["snapshot-id"]
+    )
+    assert [tuple(r) for r in inc.collect()] == [(10, 10.0)]
