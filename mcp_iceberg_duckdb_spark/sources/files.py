@@ -73,7 +73,16 @@ def read_csv(
     """Lazy CSV load with pinned schema. Defaults: header on, empty
     string as NULL, FAILFAST, µs-precision NTZ timestamps. CSV
     carries no nested types — tables with array columns (embeddings)
-    must arrive as JSONL/parquet."""
+    must arrive as JSONL/parquet.
+
+    Embedded newlines: the writer quotes them (standard CSV), but
+    parsing quoted newlines requires ``multiLine="true"``, which
+    makes every file NON-SPLITTABLE (one task per file — a real cost
+    at 100 TB). The default therefore stays splittable and FAILFAST
+    makes the mismatch LOUD, never silent; pass multiLine for
+    newline-bearing data, or prefer JSONL (splittable AND
+    newline-safe) — the round-trip contract is pinned in
+    tests/test_file_sources.py."""
     resolved = _resolve_schema(table, schema)
     if isinstance(resolved, T.StructType) and any(
         isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))

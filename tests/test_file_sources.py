@@ -168,3 +168,47 @@ def test_merge_schema_reads_evolved_batches(spark, sf_dir, tmp_path):
     n = v1.count()
     assert merged.count() == 2 * n
     assert merged.where(F.col("n_regionkey").isNull()).count() == n
+
+
+def test_csv_hostile_values_roundtrip_contract(spark, tmp_path):
+    """Round-trip contract for hostile strings: commas, quotes,
+    unicode, empty-vs-NULL survive the default (splittable) CSV
+    path; embedded NEWLINES fail LOUDLY by default (FAILFAST — the
+    splittable reader cannot parse quoted newlines) and round-trip
+    exactly with multiLine=true; JSONL handles everything splittably."""
+    from mcp_iceberg_duckdb_spark.sources import files as fsrc
+
+    safe = [
+        (1, "plain", 1.0), (2, "comma,inside", 2.0),
+        (3, 'quote"inside', 3.0), (5, None, 5.0),
+        (7, "unicode żółw", 7.0), (9, "tab\tinside", 9.0),
+    ]
+    schema = "k bigint, s string, v double"
+    df = spark.createDataFrame(safe, schema)
+    p = str(tmp_path / "safe_csv")
+    fsrc.write_csv(df, p)
+    got = sorted(
+        tuple(r) for r in fsrc.read_csv(spark, p, schema=schema).collect()
+    )
+    assert got == sorted(safe)
+    hostile = safe + [(4, "newline\ninside", 4.0)]
+    df2 = spark.createDataFrame(hostile, schema)
+    p2 = str(tmp_path / "nl_csv")
+    fsrc.write_csv(df2, p2)
+    with pytest.raises(Exception, match="FAILED_READ_FILE|Malformed"):
+        fsrc.read_csv(spark, p2, schema=schema).collect()  # LOUD
+    got2 = sorted(
+        tuple(r)
+        for r in fsrc.read_csv(
+            spark, p2, schema=schema, multiLine="true"
+        ).collect()
+    )
+    assert got2 == sorted(hostile)
+    # JSONL: splittable AND newline-safe
+    p3 = str(tmp_path / "nl_jsonl")
+    fsrc.write_jsonl(df2, p3)
+    got3 = sorted(
+        tuple(r)
+        for r in fsrc.read_jsonl(spark, p3, schema=schema).collect()
+    )
+    assert got3 == sorted(hostile)
