@@ -142,6 +142,26 @@ _QUAL_CMP = re.compile(
 )
 
 
+def _split_and(s: str):
+    """Split a predicate on top-level AND, but never inside a string
+    literal: ``note = 'x AND y'`` is ONE conjunct (hypothesis-found —
+    the naive split cut the comparison in half and voided pruning for
+    any literal containing the word AND)."""
+    chunks = re.split(r"('(?:[^']|'')*')", s)
+    parts, cur = [], ""
+    for i, ch in enumerate(chunks):
+        if i % 2 == 1:  # odd chunks are string literals
+            cur += ch
+            continue
+        pieces = re.split(r"\bAND\b", ch, flags=re.I)
+        cur += pieces[0]
+        for p in pieces[1:]:
+            parts.append(cur)
+            cur = p
+    parts.append(cur)
+    return parts
+
+
 def _qualified_filters(where: str | None):
     """(qualifier_or_None, col, op, literal) tuples for a WHERE that
     is a bare conjunction of comparisons with literals — the SELECT
@@ -151,7 +171,7 @@ def _qualified_filters(where: str | None):
     if not where:
         return ()
     out = []
-    for part in re.split(r"\bAND\b", where, flags=re.I):
+    for part in _split_and(where):
         m = _QUAL_CMP.match(part)
         if not m:
             return ()
@@ -205,7 +225,7 @@ def _simple_filters(where: str | None, meta: dict | None = None):
     if not where:
         return ()
     out = []
-    for part in re.split(r"\bAND\b", where, flags=re.I):
+    for part in _split_and(where):
         m = _SIMPLE_CMP.match(part)
         if not m:
             # all-or-nothing: a non-simple part may be the right arm
@@ -465,6 +485,23 @@ def _table_aliases(sql: str, used) -> dict:
     return out
 
 
+def _table_ref_counts(sql: str, used) -> dict:
+    """(ns, tbl) -> number of FROM/JOIN positions referencing that
+    used table (outside string literals). Each table registers ONE
+    temp view, so a table referenced twice (self-join) cannot take a
+    per-alias pruning filter — the filter would reach BOTH references
+    and silently drop the other alias's rows."""
+    counts: dict = {}
+    chunks = re.split(r"('(?:[^']|'')*')", sql)
+    for i in range(0, len(chunks), 2):
+        for m in _FROM_ALIAS.finditer(chunks[i]):
+            ns, _, tbl = m.group(1).rpartition(".")
+            key = (ns or "default", tbl)
+            if key in used:
+                counts[key] = counts.get(key, 0) + 1
+    return counts
+
+
 class FsCatalog:
     """A namespace/table tree of vendored Iceberg v1 tables under one
     warehouse directory, with a one-call SQL entry point
@@ -655,6 +692,13 @@ class FsCatalog:
             for key in used
         }
         aliases = _table_aliases(sql, used)
+        # ADVICE r12 (high): a table in more than one FROM/JOIN
+        # position (self-join) shares one temp view across its
+        # references — any pruning filter would row-filter BOTH
+        # aliases, silently dropping the other reference's rows.
+        # Such tables never prune.
+        refs = _table_ref_counts(sql, used)
+        multi_ref = {k for k, n in refs.items() if n > 1}
         owners: dict[str, list] = {}
         for key, meta in metas.items():
             for f in meta["schema"]["fields"]:
@@ -676,6 +720,8 @@ class FsCatalog:
                 if len(own) != 1:
                     continue
                 key = own[0]
+            if key in multi_ref:
+                continue
             typed = _type_filters([(col, op, val)], metas[key])
             if typed:
                 per_table.setdefault(key, []).extend(typed)

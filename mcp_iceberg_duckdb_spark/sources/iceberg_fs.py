@@ -1220,7 +1220,14 @@ def _read_with_deletes(spark, loc, files, ice_schema, snapshot_id=None):
         ice_schema,
         deletes=plan_delete_files(loc, snapshot_id, data_files=files),
         eq_deletes=eq or None,
-        file_seqs=_plan_file_seqs(loc, snapshot_id) if eq else None,
+        # snapshot-correct even without eq deletes: the schema-log
+        # fallback inside _read_files plans at CURRENT, which is the
+        # wrong generation for time-travel reads (ADVICE r12 medium)
+        file_seqs=(
+            _plan_file_seqs(loc, snapshot_id)
+            if eq or read_table_meta(loc).get("schema-log")
+            else None
+        ),
     )
 
 
@@ -1472,13 +1479,27 @@ def mor_delete_keys(spark, loc: str, key_cols, keys_df,
     missing = [c for c in key_cols if c not in keys_df.columns]
     if missing:
         raise ValueError(f"keys_df lacks key columns: {missing}")
+    # ADVICE r12 (low): cast LOUDLY. A plain cast() would turn an
+    # un-castable key value into NULL, and the null-safe anti-join
+    # would then delete every table row whose key IS NULL — silent
+    # data loss from a typo'd keys_df. Same ANSI discipline as the
+    # SQL-surface DML _strict_cast.
+    types = {c: _ICE_TO_SPARK[by_name[c]["type"]] for c in key_cols}
+    bad_cast = None
+    for c in key_cols:
+        cond = F.col(c).isNotNull() & F.col(c).try_cast(types[c]).isNull()
+        bad_cast = cond if bad_cast is None else (bad_cast | cond)
+    offenders = keys_df.filter(bad_cast).limit(1).collect()
+    if offenders:
+        raise ValueError(
+            "equality-delete key value cannot be cast to the table "
+            f"schema (ANSI cast would fail): {offenders[0].asDict()!r}"
+        )
     out_dir = os.path.join(loc, "deletes", str(uuid.uuid4()))
     (
         keys_df.select(
             *[
-                F.col(c)
-                .cast(_ICE_TO_SPARK[by_name[c]["type"]])
-                .alias(c)
+                F.col(c).try_cast(types[c]).alias(c)
                 for c in key_cols
             ]
         )
@@ -2047,7 +2068,17 @@ def read_iceberg(spark, loc: str, snapshot_id=None, filters=(), stats_out=None):
         ))
     # Spark drops hive-partition dirs' columns unless basePath is set
     eq = plan_equality_deletes(loc, snapshot_id)
-    file_seqs = _plan_file_seqs(loc, snapshot_id) if eq else None
+    # ADVICE r12 (medium): resolve file sequence numbers AT THE
+    # REQUESTED SNAPSHOT whenever the table has a schema-log, not only
+    # when equality deletes exist — otherwise _read_files falls back
+    # to the CURRENT snapshot's plan, and a time-travel read of files
+    # since compacted away resolves them to seq 0 (the oldest schema
+    # generation): silently NULLed/misresolved columns.
+    file_seqs = (
+        _plan_file_seqs(loc, snapshot_id)
+        if eq or meta.get("schema-log")
+        else None
+    )
     if eq:
         # an equality delete older than every planned file masks
         # nothing in this scan — skip reading it

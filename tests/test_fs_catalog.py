@@ -731,6 +731,38 @@ def test_select_prune_skips_ambiguous_shared_columns(cat, spark):
     assert cat.last_scan_plan["default.b"]["filters"] == [("w", "=", 10.0)]
 
 
+def test_select_prune_skipped_for_self_join(cat, spark):
+    """ADVICE r12 (high): a table referenced TWICE (self-join)
+    registers one shared temp view, so a per-alias qualified filter
+    would row-filter BOTH references. The multi-reference guard must
+    skip pruning that table entirely."""
+    run = lambda s: cat.execute(spark, s)  # noqa: E731
+    run("CREATE TABLE default.t (k bigint, r string)")
+    run("INSERT INTO default.t VALUES (1, 'eu'), (2, 'us')")
+    rows = run(
+        "SELECT a.k AS ak, b.k AS bk FROM default.t a"
+        " JOIN default.t b ON b.k = a.k + 1 WHERE a.r = 'eu'"
+    ).collect()
+    # pre-fix this returned [] — alias b's view lost the 'us' row
+    assert [(r["ak"], r["bk"]) for r in rows] == [(1, 2)]
+    plan = cat.last_scan_plan["default.t"]
+    assert plan["filters"] == []
+    assert plan["files_planned"] == plan["files_total"]
+    # bare + qualified mixed references count too
+    rows = run(
+        "SELECT a.k AS ak, t.k AS bk FROM default.t a"
+        " JOIN t ON t.k = a.k + 1 WHERE a.r = 'eu'"
+    ).collect()
+    assert [(r["ak"], r["bk"]) for r in rows] == [(1, 2)]
+    assert cat.last_scan_plan["default.t"]["filters"] == []
+    # a single reference still prunes
+    rows = run("SELECT k FROM default.t WHERE r = 'eu'").collect()
+    assert [r["k"] for r in rows] == [1]
+    assert cat.last_scan_plan["default.t"]["filters"] == [
+        ("r", "=", "eu")
+    ]
+
+
 def test_select_prune_skipped_for_cte_window(loaded, spark):
     """ADVICE r11 item 1 (high): a WHERE outside a CTE that computes
     a window does NOT commute to the base scan — pruning the manifest

@@ -1672,3 +1672,57 @@ def test_iceberg_incremental_across_rename_and_compaction(spark, tmp_path):
         spark, loc, s1["snapshot-id"], s2["snapshot-id"]
     )
     assert [tuple(r) for r in inc.collect()] == [(10, 10.0)]
+
+def test_iceberg_time_travel_across_rename_and_compaction(spark, tmp_path):
+    """ADVICE r12 (medium): a TIME-TRAVEL read must resolve each
+    file's schema generation from the REQUESTED snapshot's plan.
+    After a later compaction, the current plan no longer knows the
+    historical files; the old fallback resolved them to sequence 0
+    (the pre-rename generation), silently NULLing the renamed
+    column in every post-rename file."""
+    loc = str(tmp_path / "tt_ren")
+    df1 = spark.createDataFrame(
+        [(i, float(i)) for i in range(5)], "k bigint, v double"
+    )
+    ice.create_table(loc, ice.spark_schema_to_iceberg(df1))
+    ice.append(spark, loc, df1)
+    ice.rename_column(loc, "k", "kid")
+    s2 = ice.append(
+        spark, loc,
+        spark.createDataFrame([(10, 10.0)], "kid bigint, v double"),
+    )
+    ice.compact_files(spark, loc)
+    got = sorted(
+        tuple(r)
+        for r in ice.read_iceberg(
+            spark, loc, snapshot_id=s2["snapshot-id"]
+        ).collect()
+    )
+    assert got == [(i, float(i)) for i in range(5)] + [(10, 10.0)]
+
+
+def test_iceberg_eq_delete_keys_strict_cast(spark, tmp_path):
+    """ADVICE r12 (low): an un-castable equality-delete key must
+    RAISE, not silently become NULL — a NULL key would null-safe
+    anti-join away every table row whose key IS NULL."""
+    loc = str(tmp_path / "eqd_strict")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "nullkey")], "k bigint, v string"
+    )
+    ice.create_table(loc, ice.spark_schema_to_iceberg(df))
+    ice.append(spark, loc, df)
+    with pytest.raises(ValueError, match="ANSI cast"):
+        ice.mor_delete_keys(
+            spark, loc, ["k"],
+            spark.createDataFrame([("oops",)], "k string"),
+        )
+    # the NULL-keyed row is untouched, and castable string keys work
+    ice.mor_delete_keys(
+        spark, loc, ["k"],
+        spark.createDataFrame([("2",)], "k string"),
+    )
+    got = {
+        (r["k"], r["v"])
+        for r in ice.read_iceberg(spark, loc).collect()
+    }
+    assert got == {(1, "a"), (None, "nullkey")}
