@@ -189,6 +189,40 @@ def _carry_sd_forward(full: dict, local_path) -> None:
     }
 
 
+def _query_calib_flags(per_query: dict, calibration: float,
+                       prior: dict | None):
+    """PER-QUERY calibrated ratios vs the committed record (VERDICT
+    r12 item 4): family sums absorb single-query spikes — the r12
+    driver run had s_anomaly_zscore at 14.5x the record while its
+    family read 1.15 and `calib_flagged` stayed empty. Returns
+    (ratios, flagged): ``ratios`` maps every shared query to
+    (this_run / record) / (this_calibration / record_calibration);
+    ``flagged`` keeps those exceeding an SD-AWARE threshold —
+    max(1.5, (mean + 3*sd) / mean) from the record's variance block —
+    so intrinsically noisy queries (iterative graph/CC at toy scale)
+    need a bigger excursion than stable ones. Sub-100ms measurements
+    are never flagged (scheduler noise dominates them)."""
+    ratios: dict[str, float] = {}
+    flagged: dict[str, float] = {}
+    if not (prior and prior.get("calibration_sec") and calibration):
+        return ratios, flagged
+    crat = calibration / prior["calibration_sec"]
+    if crat <= 0:
+        return ratios, flagged
+    pq_prior = prior.get("queries", {})
+    sd_prior = prior.get("queries_sd", {})
+    for n, secs in per_query.items():
+        p = pq_prior.get(n)
+        if not p or p <= 0:
+            continue
+        ratio = round(secs / p / crat, 2)
+        ratios[n] = ratio
+        thr = max(1.5, (p + 3 * sd_prior.get(n, 0.0)) / p)
+        if secs >= 0.1 and p >= 0.05 and ratio > thr:
+            flagged[n] = ratio
+    return ratios, flagged
+
+
 def _family(name: str) -> str:
     """Coarse per-family grouping for the compact bench summary."""
     if name.startswith("q"):
@@ -386,6 +420,13 @@ def main() -> None:
     except (OSError, ValueError):
         prior = None
     _carry_sd_forward(full, local_path)
+    # full per-query calibrated ratios vs the committed record live in
+    # the sidecar; the printed line carries only the flags (bounded)
+    q_ratios, q_flagged = _query_calib_flags(
+        per_query, calibration, prior
+    )
+    if q_ratios:
+        full["queries_vs_record_calib"] = q_ratios
     local_path.write_text(json.dumps(full, indent=1) + "\n")
 
     # Printed line: suite total, per-family subtotals, and the
@@ -435,6 +476,14 @@ def main() -> None:
                 "families_vs_record_calib": fam_vs_record,
                 "calib_flagged": sorted(
                     f for f, v in fam_vs_record.items() if v > 1.5
+                ),
+                # worst offenders first, capped so the line stays
+                # inside the driver's stdout-tail budget
+                "query_calib_flagged": dict(
+                    sorted(
+                        q_flagged.items(),
+                        key=lambda kv: -kv[1],
+                    )[:8]
                 ),
                 "calibration_sec": calibration,
                 "n_queries": len(per_query),

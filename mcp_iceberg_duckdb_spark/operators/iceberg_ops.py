@@ -798,3 +798,154 @@ def x_iceberg_fs_rename(spark, sf_dir):
         F.sum("cust_id").cast("bigint").alias("sum_cust"),
         dec_sum(F.col("o_totalprice")).alias("sum_price"),
     )
+
+
+@query(
+    "x_iceberg_fs_partition_evolution",
+    oracle=f"""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+           {_DEC_SUM_SQL.format(x='o_totalprice')} AS sum_price
+    FROM orders
+    WHERE o_orderkey % 100 <> 7 AND o_orderdate >= DATE '1996-01-01'
+    GROUP BY 1
+    """,
+    tags=("source", "iceberg", "evolution", "partition", "tierx"),
+)
+def x_iceberg_fs_partition_evolution(spark, sf_dir):
+    """PARTITION-SPEC EVOLUTION (VERDICT r12 item 1, spec §Partition
+    Evolution) — the single most common lake-maintenance move: a
+    table STARTS UNPARTITIONED, half the orders land, the spec
+    evolves to month(o_orderdate) (an O(1) metadata commit —
+    iceberg_fs.add_partition_field appends a new spec-id and makes it
+    the default; NO data file moves), and the other half lands
+    hidden-partitioned by month. One scan then plans BOTH
+    generations: each manifest is evaluated under the spec it was
+    WRITTEN under (plan_files resolves the stamped spec-id), so a
+    date filter PRUNES the new generation at the manifest level
+    (month() is monotone) while the old generation stays planned via
+    column bounds — the builder asserts every surviving new-layout
+    file has a partition month >= the filter month. A CoW DELETE then crosses both
+    layouts (the signature-grouped read head handles mixed hive
+    signatures without a partition-inference conflict). Oracle: the
+    same filtered aggregate off the source parquet — parity proves no
+    row is lost or invented across the spec generations. At 100 TB
+    you would evolve to day(); month() here keeps the test-scale file
+    count bounded — the planning path is transform-agnostic.
+    Reference contrast: partitioned CREATE is roadmap (README.md:117);
+    REST-catalog tables evolve specs only server-side
+    (IcebergConnection.py:107)."""
+    from mcp_iceberg_duckdb_spark.sources import iceberg_fs as ice
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    loc = f"/tmp/spark_graft_iceberg_partevo_{key}"
+    marker = os.path.join(loc, "fixture.json")
+    built = False
+    try:
+        with open(marker) as fh:
+            built = json.load(fh)["sf_dir"] == sf_dir
+    except (OSError, ValueError, KeyError):
+        pass
+    if not built:
+        shutil.rmtree(loc, ignore_errors=True)
+        orders = t(spark, sf_dir).orders.select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        )
+        ice.create_table(loc, ice.spark_schema_to_iceberg(orders))
+        ice.append(spark, loc, orders.filter(F.col("o_orderkey") % 2 == 0))
+        spec = ice.add_partition_field(loc, ("o_orderdate", "month"))
+        assert spec["spec-id"] == 1, "evolution must mint spec-id 1"
+        ice.append(spark, loc, orders.filter(F.col("o_orderkey") % 2 == 1))
+        # manifest-level pruning proof: every planned NEW-layout file
+        # is a month >= 1996-01 (= (1996-1970)*12 = 312); old-layout
+        # files plan under their own (empty) spec
+        files, total = ice.plan_files(
+            loc, filters=(("o_orderdate", ">=", 9496),)
+        )
+        months = [
+            int(f.split("o_orderdate_month=")[1].split(os.sep)[0])
+            for f in files
+            if "o_orderdate_month=" in f
+        ]
+        assert months and min(months) >= 312, "month pruning failed"
+        assert any(
+            "o_orderdate_month=" not in f for f in files
+        ), "old-generation files must stay planned"
+        # MoR DELETE across both layouts: position deletes written
+        # against files of BOTH spec generations
+        ice.mor_delete_where(spark, loc, F.expr("o_orderkey % 100 = 7"))
+        with open(marker, "w") as fh:
+            json.dump({"sf_dir": sf_dir}, fh)
+    df = ice.read_iceberg(spark, loc, filters=(("o_orderdate", ">=", 9496),))
+    return (
+        df.filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+            dec_sum(F.col("o_totalprice")).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "x_iceberg_fs_refs",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+           {_DEC_SUM_SQL.format(x='o_totalprice')} AS sum_price
+    FROM orders
+    WHERE o_orderkey % 2 = 0
+    GROUP BY o_orderpriority
+    """,
+    tags=("source", "iceberg", "refs", "timetravel", "tierx"),
+)
+def x_iceberg_fs_refs(spark, sf_dir):
+    """NAMED SNAPSHOT REFS (VERDICT r12 item 6, spec §Snapshot
+    References) — the audit/WAP workflow every lake user eventually
+    touches: the even-key half of orders lands and is TAGGED
+    'validated' (an O(1) metadata entry pinning that snapshot); the
+    odd-key half then lands on the head. The query reads `VERSION AS
+    OF 'validated'` (iceberg_fs.create_ref / _resolve_snapshot_ref)
+    and must see EXACTLY the tagged state — the builder additionally
+    runs expire_snapshots(keep_last=1) BETWEEN tag and read and
+    asserts ref retention kept the pinned snapshot readable (without
+    the ref, expiry would have reclaimed it; a dropped ref unpins —
+    pinned in tests/test_iceberg_fs.py::test_iceberg_snapshot_refs).
+    Oracle: the even-key aggregate off the source parquet — parity
+    proves the tag resolves to the right snapshot and the head's
+    later data never leaks in. At 100 TB a ref is one metadata map
+    entry; reads through it are ordinary snapshot scans. Reference
+    contrast: no ref surface at all (IcebergConnection.py catalog ops
+    only)."""
+    from mcp_iceberg_duckdb_spark.sources import iceberg_fs as ice
+
+    def build(loc, orders):
+        ice.create_table(
+            loc,
+            ice.spark_schema_to_iceberg(orders),
+            part_cols=["o_orderpriority"],
+        )
+        ice.append(spark, loc, orders.filter(F.col("o_orderkey") % 2 == 0))
+        ice.create_ref(loc, "validated", "tag")
+        ice.append(spark, loc, orders.filter(F.col("o_orderkey") % 2 == 1))
+        ice.append(
+            spark, loc,
+            orders.filter(F.col("o_orderkey") % 1000 == 1)
+            .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000),
+        )
+        # ref retention: expiry must keep the tagged snapshot
+        res = ice.expire_snapshots(loc, keep_last=1)
+        assert res["removed_snapshots"] >= 1, "expiry removed nothing"
+
+    loc = _mutable_table(spark, sf_dir, "refs", build)
+    df = ice.read_iceberg(spark, loc, snapshot_id="validated")
+    return df.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+        dec_sum(F.col("o_totalprice")).alias("sum_price"),
+    )

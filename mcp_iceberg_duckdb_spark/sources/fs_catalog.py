@@ -44,7 +44,10 @@ from pyspark.sql import DataFrame, functions as F
 from mcp_iceberg_duckdb_spark.sources import iceberg_fs as ice
 
 _IDENT = r"[A-Za-z_]\w*"
-_TBL = rf"(?:{_IDENT}\.)?{_IDENT}"
+# a table-part identifier, optionally backtick-quoted (Spark's
+# quoting form); statement-head regexes accept either
+_QIDENT = rf"(?:`[^`\n]+`|{_IDENT})"
+_TBL = rf"(?:{_QIDENT}\.)?{_QIDENT}"
 
 _CREATE_NS = re.compile(
     rf"^\s*CREATE\s+NAMESPACE\s+(?:IF\s+NOT\s+EXISTS\s+)?({_IDENT})\s*;?\s*$",
@@ -92,6 +95,17 @@ _ALTER_DROP = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_TBL})\s+DROP\s+COLUMN\s+({_IDENT})\s*;?\s*$",
     re.I,
 )
+_ALTER_ADD_PART = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_TBL})\s+ADD\s+PARTITION\s+FIELD\s+"
+    rf"(?:({_IDENT})\s*\(\s*(?:(\d+)\s*,\s*)?({_IDENT})\s*\)|({_IDENT}))"
+    r"\s*;?\s*$",
+    re.I,
+)
+_ALTER_DROP_PART = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_TBL})\s+DROP\s+PARTITION\s+FIELD\s+"
+    rf"({_IDENT})\s*;?\s*$",
+    re.I,
+)
 _ALTER_PROPS = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_TBL})\s+SET\s+TBLPROPERTIES\s*\(\s*"
     r"'((?:[^']|'')+)'\s*=\s*'((?:[^']|'')*)'\s*\)\s*;?\s*$",
@@ -111,8 +125,29 @@ _EXPIRE = re.compile(
 _REWRITE_DELETES = re.compile(
     rf"^\s*REWRITE\s+DELETES\s+(?:IN\s+)?({_TBL})\s*;?\s*$", re.I
 )
+_CONVERT_DELETES = re.compile(
+    rf"^\s*CONVERT\s+DELETES\s+(?:IN\s+)?({_TBL})\s*;?\s*$", re.I
+)
 _VERSION_AS_OF = re.compile(
     rf"({_TBL})\s+VERSION\s+AS\s+OF\s+(\d+)", re.I
+)
+# quoted-ref form: after the literal split the ref name sits in the
+# NEXT odd chunk, so this matches an even chunk's TAIL
+_VERSION_AS_OF_REF = re.compile(
+    rf"({_TBL})\s+VERSION\s+AS\s+OF\s*$", re.I
+)
+_CREATE_REF = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_TBL})\s+CREATE\s+(TAG|BRANCH)\s+"
+    rf"({_IDENT})(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$",
+    re.I,
+)
+_DROP_REF = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_TBL})\s+DROP\s+(?:TAG|BRANCH)\s+"
+    rf"({_IDENT})\s*;?\s*$",
+    re.I,
+)
+_SHOW_REFS = re.compile(
+    rf"^\s*SHOW\s+REFS\s+(?:IN\s+)?({_TBL})\s*;?\s*$", re.I
 )
 _LIST_NS = re.compile(r"^\s*LIST\s+NAMESPACES\s*;?\s*$", re.I)
 _LIST_TBLS = re.compile(
@@ -140,6 +175,23 @@ _QUAL_CMP = re.compile(
     rf"^\s*(?:({_IDENT})\.)?({_IDENT})\s*(=|<=|>=|<|>)\s*"
     r"((?:-?\d+(?:\.\d+)?)|'(?:[^']|'')*')\s*$"
 )
+
+
+def _part_pat(p: str) -> str:
+    """Regex for one table-part identifier as it may appear in SQL:
+    bare or backtick-quoted (matched case-insensitively by callers —
+    unquoted SQL identifiers are case-insensitive)."""
+    e = re.escape(p)
+    return rf"(?:`{e}`|{e})"
+
+
+def _used_ci(used) -> dict:
+    """(ns_lower, tbl_lower) -> canonical (ns, tbl) for used tables —
+    the case-insensitive resolution every identifier-matching helper
+    must share with the view rewrite (a mixed-case self-join must
+    count as TWO references of ONE table, or pruning re-opens the
+    shared-view bug)."""
+    return {(n.lower(), t.lower()): (n, t) for n, t in used}
 
 
 def _split_and(s: str):
@@ -472,16 +524,17 @@ def _table_aliases(sql: str, used) -> dict:
     in the statement (outside string literals) whose table is one of
     the ``used`` warehouse tables. Keywords are never aliases."""
     out: dict = {}
+    ci = _used_ci(used)
     chunks = re.split(r"('(?:[^']|'')*')", sql)
     for i in range(0, len(chunks), 2):
         for m in _FROM_ALIAS.finditer(chunks[i]):
             name, alias = m.group(1), m.group(2)
             if not alias or alias.lower() in _ALIAS_STOP:
                 continue
-            ns, _, tbl = name.rpartition(".")
-            key = (ns or "default", tbl)
-            if key in used:
-                out[alias] = key
+            ns, _, tbl = name.replace("`", "").rpartition(".")
+            key = ci.get(((ns or "default").lower(), tbl.lower()))
+            if key is not None:
+                out[alias.lower()] = key
     return out
 
 
@@ -492,12 +545,13 @@ def _table_ref_counts(sql: str, used) -> dict:
     per-alias pruning filter — the filter would reach BOTH references
     and silently drop the other alias's rows."""
     counts: dict = {}
+    ci = _used_ci(used)
     chunks = re.split(r"('(?:[^']|'')*')", sql)
     for i in range(0, len(chunks), 2):
         for m in _FROM_ALIAS.finditer(chunks[i]):
-            ns, _, tbl = m.group(1).rpartition(".")
-            key = (ns or "default", tbl)
-            if key in used:
+            ns, _, tbl = m.group(1).replace("`", "").rpartition(".")
+            key = ci.get(((ns or "default").lower(), tbl.lower()))
+            if key is not None:
                 counts[key] = counts.get(key, 0) + 1
     return counts
 
@@ -536,12 +590,26 @@ class FsCatalog:
         return out
 
     def _resolve(self, ident: str, must_exist: bool = True):
+        # strip Spark backtick quoting; unquoted SQL identifiers are
+        # case-INSENSITIVE, so when the exact directory is absent fall
+        # back to a case-insensitive match against the catalog tree
+        # (hostile-probe r13: `SELECT k FROM default.t1` against a
+        # table created as T1 used to fail TABLE_OR_VIEW_NOT_FOUND)
+        ident = ident.replace("`", "")
         if "." in ident:
             ns, tbl = ident.split(".", 1)
         else:
             ns, tbl = "default", ident
         loc = os.path.join(self.warehouse, ns, tbl)
         exists = os.path.isdir(os.path.join(loc, "metadata"))
+        if not exists:
+            nsl, tbll = ns.lower(), tbl.lower()
+            for n2, t2 in self.list_tables():
+                if n2.lower() == nsl and t2.lower() == tbll:
+                    ns, tbl = n2, t2
+                    loc = os.path.join(self.warehouse, ns, tbl)
+                    exists = True
+                    break
         if must_exist and not exists:
             raise ValueError(f"table {ns}.{tbl} does not exist")
         return ns, tbl, loc, exists
@@ -593,6 +661,21 @@ class FsCatalog:
                 return view
 
             chunks[i] = _VERSION_AS_OF.sub(_tt, chunks[i])
+            # `t VERSION AS OF 'ref'`: the quoted ref NAME is the
+            # following odd (string-literal) chunk
+            m = _VERSION_AS_OF_REF.search(chunks[i])
+            if m and i + 1 < len(chunks) and chunks[i + 1]:
+                ns, tbl, loc, _ = self._resolve(m.group(1))
+                ref = chunks[i + 1][1:-1].replace("''", "'")
+                view = (
+                    f"{self._view_name(ns, tbl)}__ref_"
+                    f"{re.sub(r'[^A-Za-z0-9_]', '_', ref)}"
+                )
+                ice.read_iceberg(
+                    spark, loc, snapshot_id=ref
+                ).createOrReplaceTempView(view)
+                chunks[i] = chunks[i][: m.start(1)] + view
+                chunks[i + 1] = ""
         # comma cross-join lists become explicit CROSS JOINs so the
         # bare-name FROM/JOIN pattern below resolves every member
         for i in range(0, len(chunks), 2):
@@ -609,8 +692,13 @@ class FsCatalog:
         for name in sorted(qualified, key=len, reverse=True):
             ns, tbl = qualified[name]
             # (?!\w) — NOT (?![\w.]) — so `ns.t.col` qualifier
-            # prefixes rewrite along with table positions
-            pat = re.compile(rf"(?<![\w.]){re.escape(name)}(?!\w)")
+            # prefixes rewrite along with table positions. Unquoted
+            # SQL identifiers are case-insensitive, and either part
+            # may be backtick-quoted (hostile-probe r13).
+            pat = re.compile(
+                rf"(?<![\w.`]){_part_pat(ns)}\.{_part_pat(tbl)}(?!\w)",
+                re.I,
+            )
             for i in range(0, len(chunks), 2):  # even chunks = code
                 if pat.search(chunks[i]):
                     chunks[i] = pat.sub(self._view_name(ns, tbl), chunks[i])
@@ -634,13 +722,15 @@ class FsCatalog:
             ns, tbl = bare[name]
             view = self._view_name(ns, tbl)
             tpat = re.compile(
-                rf"(\b(?:FROM|JOIN)\s+){re.escape(name)}(?![\w.])", re.I
+                rf"(\b(?:FROM|JOIN)\s+){_part_pat(name)}(?![\w.`])", re.I
             )
             if not any(
                 tpat.search(chunks[i]) for i in range(0, len(chunks), 2)
             ):
                 continue
-            qpat = re.compile(rf"(?<![\w.]){re.escape(name)}(?=\.\w)")
+            qpat = re.compile(
+                rf"(?<![\w.`]){_part_pat(name)}(?=\.[\w`])", re.I
+            )
             for i in range(0, len(chunks), 2):
                 chunks[i] = tpat.sub(rf"\g<1>{view}", chunks[i])
                 chunks[i] = qpat.sub(view, chunks[i])
@@ -704,11 +794,12 @@ class FsCatalog:
             for f in meta["schema"]["fields"]:
                 owners.setdefault(f["name"], []).append(key)
         per_table: dict = {}
+        ci = _used_ci(used)
         for qual, col, op, val in raw:
             if qual is not None:
-                key = aliases.get(qual)
-                if key is None and ("default", qual) in used:
-                    key = ("default", qual)
+                key = aliases.get(qual.lower())
+                if key is None:
+                    key = ci.get(("default", qual.lower()))
                 if key is None:
                     continue  # unresolvable qualifier: widen, never guess
                 if col not in {
@@ -815,6 +906,79 @@ class FsCatalog:
             val = m.group(3).replace("''", "'")
             ice.set_table_property(loc, key, val)
             return self._ok(spark, "set_tblproperties", key=key, value=val)
+        if m := _CREATE_REF.match(sql):
+            _, _, loc, _ = self._resolve(m.group(1))
+            ref = ice.create_ref(
+                loc,
+                m.group(3),
+                ref_type=m.group(2).lower(),
+                snapshot_id=int(m.group(4)) if m.group(4) else None,
+            )
+            return self._ok(
+                spark,
+                f"create_{ref['type']}",
+                name=ref["name"],
+                snapshot_id=str(ref["snapshot-id"]),
+            )
+        if m := _DROP_REF.match(sql):
+            _, _, loc, _ = self._resolve(m.group(1))
+            ref = ice.drop_ref(loc, m.group(2))
+            return self._ok(spark, "drop_ref", name=ref["name"])
+        if m := _SHOW_REFS.match(sql):
+            _, _, loc, _ = self._resolve(m.group(1))
+            refs = ice.read_table_meta(loc).get("refs") or {}
+            return spark.createDataFrame(
+                [
+                    (n, r["type"], r["snapshot-id"])
+                    for n, r in sorted(refs.items())
+                ]
+                or [],
+                "name string, type string, snapshot_id bigint",
+            )
+        if m := _ALTER_ADD_PART.match(sql):
+            # ADD PARTITION FIELD day(d) / bucket(8, k) /
+            # truncate(10, s) / bare column (identity)
+            _, _, loc, _ = self._resolve(m.group(1))
+            fn, n, col, bare = (
+                m.group(2), m.group(3), m.group(4), m.group(5)
+            )
+            if bare is not None:
+                part = bare
+            else:
+                kind = fn.lower()
+                if kind in ("bucket", "truncate"):
+                    if n is None:
+                        raise ValueError(
+                            f"{kind} transform needs a width: "
+                            f"{kind}(N, column)"
+                        )
+                    part = (col, kind, int(n))
+                elif kind in ("year", "month", "day"):
+                    if n is not None:
+                        raise ValueError(
+                            f"{kind} transform takes one column"
+                        )
+                    part = (col, kind)
+                else:
+                    raise ValueError(
+                        f"unsupported partition transform {fn!r}"
+                    )
+            spec = ice.add_partition_field(loc, part)
+            return self._ok(
+                spark,
+                "add_partition_field",
+                spec_id=str(spec["spec-id"]),
+                field=spec["fields"][-1]["name"],
+            )
+        if m := _ALTER_DROP_PART.match(sql):
+            _, _, loc, _ = self._resolve(m.group(1))
+            spec = ice.drop_partition_field(loc, m.group(2))
+            return self._ok(
+                spark,
+                "drop_partition_field",
+                spec_id=str(spec["spec-id"]),
+                field=m.group(2),
+            )
         if m := _ALTER_RENAME.match(sql):
             _, _, loc, _ = self._resolve(m.group(1))
             ice.rename_column(loc, m.group(2), m.group(3))
@@ -862,6 +1026,17 @@ class FsCatalog:
                 ],
                 added_delete_files=snap["summary"]["added-delete-files"],
             )
+        if m := _CONVERT_DELETES.match(sql):
+            _, _, loc, _ = self._resolve(m.group(1))
+            snap = ice.convert_equality_deletes(spark, loc)
+            return self._ok(
+                spark,
+                "convert_equality_deletes",
+                converted_equality_delete_files=snap["summary"][
+                    "converted-equality-delete-files"
+                ],
+                added_delete_files=snap["summary"]["added-delete-files"],
+            )
         if m := _EXPIRE.match(sql):
             _, _, loc, _ = self._resolve(m.group(1))
             res = ice.expire_snapshots(
@@ -906,7 +1081,9 @@ class FsCatalog:
             parts = coldef.split()
             if len(parts) < 2:
                 raise ValueError(f"bad column definition {coldef!r}")
-            name, typ = parts[0], parts[1].lower()
+            # strip backtick quoting: `order` names the column order,
+            # not a column literally containing backticks
+            name, typ = parts[0].strip("`"), parts[1].lower()
             ice_t = ice._SPARK_TO_ICE.get(typ)
             if ice_t is None:
                 raise ValueError(f"unsupported column type {typ!r}")

@@ -878,3 +878,75 @@ def test_bench_sd_carry_forward(tmp_path):
     empty = {"queries": {}}
     _carry_sd_forward(empty, tmp_path / "missing.json")
     assert "queries_sd" not in empty
+
+
+def test_query_calib_flags_spikes_and_self():
+    """VERDICT r12 item 4: per-query calibrated flags. The committed
+    record against itself flags nothing; the r12 driver run's
+    transient spikes (s_anomaly_zscore 7.18s vs 0.50s record,
+    x_graph_triangles 16.25s vs 4.66s, x_text_novelty ~4.3x) flag
+    exactly those queries; the sd-aware threshold spares a query
+    whose record says it is intrinsically that noisy."""
+    import json
+    from pathlib import Path
+
+    from bench import _query_calib_flags
+
+    record = json.loads(
+        (Path(__file__).parents[1] / "BENCH_LOCAL.json").read_text()
+    )
+    calib = record["calibration_sec"]
+
+    # self-comparison: every shared ratio 1.0, nothing flagged
+    ratios, flagged = _query_calib_flags(
+        dict(record["queries"]), calib, record
+    )
+    assert flagged == {}
+    assert ratios and all(abs(r - 1.0) < 0.01 for r in ratios.values())
+
+    # the r12 driver spikes replayed over the r12 QUIET 3-repeat
+    # record (a265240 values, quoted in the r12 verdict): exactly the
+    # three transient spikes flag, the untouched queries do not
+    quiet = {
+        "calibration_sec": 0.548,
+        "queries": {
+            "s_anomaly_zscore": 0.50,
+            "x_graph_triangles": 4.66,
+            "x_text_novelty": 1.83,
+            "q1_pricing_summary": 1.73,
+        },
+        "queries_sd": {
+            "s_anomaly_zscore": 0.07,
+            "x_graph_triangles": 0.63,
+            "x_text_novelty": 0.20,
+            "q1_pricing_summary": 0.05,
+        },
+    }
+    cur = {
+        "s_anomaly_zscore": 7.18,
+        "x_graph_triangles": 16.25,
+        "x_text_novelty": 1.83 * 4.3,
+        "q1_pricing_summary": 1.81,
+    }
+    _, flagged = _query_calib_flags(cur, 0.548, quiet)
+    assert set(flagged) == {
+        "s_anomaly_zscore", "x_graph_triangles", "x_text_novelty"
+    }
+    assert flagged["s_anomaly_zscore"] > 10
+
+    # sd-aware: a query whose record sd says +-40% is NOT flagged at
+    # 1.6x, while a stable one at the same ratio IS
+    prior = {
+        "calibration_sec": 1.0,
+        "queries": {"noisy": 1.0, "stable": 1.0},
+        "queries_sd": {"noisy": 0.4, "stable": 0.01},
+    }
+    _, flagged = _query_calib_flags(
+        {"noisy": 1.6, "stable": 1.6}, 1.0, prior
+    )
+    assert set(flagged) == {"stable"}
+
+    # sub-100ms measurements never flag (scheduler noise)
+    prior = {"calibration_sec": 1.0, "queries": {"tiny": 0.06}}
+    _, flagged = _query_calib_flags({"tiny": 0.09}, 1.0, prior)
+    assert flagged == {}

@@ -1073,3 +1073,138 @@ def test_select_date_predicate_works_and_prunes(cat, spark):
         r["k"] for r in run("SELECT k FROM default.t").collect()
     )
     assert got == [1]
+
+def test_alter_partition_field_sql(cat, spark):
+    """ALTER TABLE ... ADD/DROP PARTITION FIELD through the SQL
+    surface: evolve an unpartitioned table to identity partitioning,
+    append across both layouts, prune on the new field, drop it."""
+    run = lambda s: cat.execute(spark, s)  # noqa: E731
+    run("CREATE TABLE default.ev (k bigint, r string)")
+    run("INSERT INTO default.ev VALUES (1, 'eu'), (2, 'us')")
+    res = run("ALTER TABLE default.ev ADD PARTITION FIELD r").collect()[0]
+    assert res["operation"] == "add_partition_field"
+    assert res["field"] == "r" and res["spec_id"] == "1"
+    run("INSERT INTO default.ev VALUES (3, 'eu'), (4, 'us')")
+    rows = run("SELECT k FROM default.ev WHERE r = 'eu'").collect()
+    assert sorted(r["k"] for r in rows) == [1, 3]
+    plan = cat.last_scan_plan["default.ev"]
+    # the post-evolution us-file pruned; both pre-evolution files and
+    # the eu file planned
+    assert plan["files_planned"] < plan["files_total"]
+    res = run("ALTER TABLE default.ev DROP PARTITION FIELD r").collect()[0]
+    assert res["operation"] == "drop_partition_field"
+    run("INSERT INTO default.ev VALUES (5, 'eu')")
+    rows = run("SELECT k FROM default.ev WHERE r = 'eu'").collect()
+    assert sorted(r["k"] for r in rows) == [1, 3, 5]
+
+
+def test_alter_partition_field_transforms_sql(cat, spark):
+    """Transform syntax through SQL: day(d) and bucket(8, k)."""
+    run = lambda s: cat.execute(spark, s)  # noqa: E731
+    run("CREATE TABLE default.evt (k bigint, d date)")
+    run(
+        "INSERT INTO default.evt VALUES (1, DATE '2023-01-01'),"
+        " (2, DATE '2023-01-02')"
+    )
+    res = run(
+        "ALTER TABLE default.evt ADD PARTITION FIELD day(d)"
+    ).collect()[0]
+    assert res["field"] == "d_day"
+    res = run(
+        "ALTER TABLE default.evt ADD PARTITION FIELD bucket(8, k)"
+    ).collect()[0]
+    assert res["field"] == "k_bucket" and res["spec_id"] == "2"
+    run(
+        "INSERT INTO default.evt VALUES (3, DATE '2023-01-03'),"
+        " (4, DATE '2023-01-01')"
+    )
+    rows = run(
+        "SELECT k FROM default.evt WHERE d = DATE '2023-01-01'"
+    ).collect()
+    assert sorted(r["k"] for r in rows) == [1, 4]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="needs a width"):
+        run("ALTER TABLE default.evt ADD PARTITION FIELD bucket(d)")
+
+def test_sql_convert_deletes(loaded, spark):
+    """CONVERT DELETES IN t rewrites equality deletes as position
+    deletes through the SQL surface: data files untouched, values
+    identical, eq-delete anti-join chain gone."""
+    cat, run = loaded
+    _, _, loc, _ = cat._resolve("sales.orders")
+    ice.mor_delete_keys(
+        spark, loc, ["k"],
+        spark.createDataFrame([(1,)], "k bigint"),
+    )
+    assert len(ice.plan_equality_deletes(loc)) == 1
+    pre_files = sorted(ice.plan_files(loc)[0])
+    row = run("CONVERT DELETES IN sales.orders").collect()[0]
+    assert row["operation"] == "convert_equality_deletes"
+    assert row["converted_equality_delete_files"] == "1"
+    assert ice.plan_equality_deletes(loc) == []
+    assert sorted(ice.plan_files(loc)[0]) == pre_files
+    got = sorted(r["k"] for r in run("SELECT k FROM sales.orders o").collect())
+    assert got == [2, 3]
+    # idempotent no-op when nothing to convert
+    row = run("CONVERT DELETES IN sales.orders").collect()[0]
+    assert row["converted_equality_delete_files"] == "0"
+
+def test_sql_snapshot_refs(loaded, spark):
+    """CREATE TAG / VERSION AS OF 'tag' / SHOW REFS / DROP TAG
+    through the SQL surface — the audit/WAP workflow."""
+    cat, run = loaded
+    res = run("ALTER TABLE sales.orders CREATE TAG audited").collect()[0]
+    assert res["operation"] == "create_tag" and res["name"] == "audited"
+    run("INSERT INTO sales.orders VALUES (9, 'ap', 90.0)")
+    old = run(
+        "SELECT count(*) AS n FROM sales.orders VERSION AS OF 'audited'"
+    ).collect()[0]["n"]
+    new = run("SELECT count(*) AS n FROM sales.orders o").collect()[0]["n"]
+    assert (old, new) == (3, 4)
+    # a ref name containing the word AND must not break literal-aware
+    # parsing anywhere
+    refs = {(r["name"], r["type"])
+            for r in run("SHOW REFS IN sales.orders").collect()}
+    assert refs == {("audited", "tag")}
+    run("ALTER TABLE sales.orders CREATE BRANCH wip")
+    assert run("SHOW REFS IN sales.orders").count() == 2
+    run("ALTER TABLE sales.orders DROP TAG audited")
+    run("ALTER TABLE sales.orders DROP BRANCH wip")
+    assert run("SHOW REFS IN sales.orders").count() == 0
+
+def test_identifier_case_and_quoting(cat, spark):
+    """Hostile-probe r13: unquoted SQL identifiers are
+    case-insensitive and may be backtick-quoted — a table created as
+    T1 must resolve from default.t1, DEFAULT.T1, and
+    `default`.`T1`; a quoted column name must not store its
+    backticks; a MIXED-CASE self-join still counts as two references
+    of one table (no pruning)."""
+    run = lambda s: cat.execute(spark, s)  # noqa: E731
+    run("CREATE TABLE default.T1 (k bigint, V string)")
+    run("INSERT INTO default.T1 VALUES (1, 'a')")
+    for q in (
+        "SELECT k FROM default.T1",
+        "SELECT K FROM default.t1",
+        "select k from DEFAULT.T1",
+        "SELECT k FROM `default`.`T1`",
+        "SELECT `k` FROM t1",
+    ):
+        assert [tuple(r) for r in run(q).collect()] == [(1,)], q
+    assert [r["col_name"] for r in
+            run("DESCRIBE TABLE default.t1").collect()] == ["k", "V"]
+    run("INSERT INTO DEFAULT.t1 VALUES (2, 'b')")
+    assert run("SELECT count(*) AS n FROM t1").collect()[0]["n"] == 2
+    # quoted column name stores WITHOUT backticks
+    run("CREATE TABLE default.t2 (`order` bigint)")
+    run("INSERT INTO default.t2 VALUES (5)")
+    assert run("SELECT `order` FROM default.t2").collect()[0][0] == 5
+    # mixed-case self-join: two references of ONE table -> no pruning
+    run("CREATE TABLE default.sj (k bigint, r string)")
+    run("INSERT INTO default.sj VALUES (1, 'eu'), (2, 'us')")
+    rows = run(
+        "SELECT a.k AS ak, b.k AS bk FROM default.sj a"
+        " JOIN default.SJ b ON b.k = a.k + 1 WHERE a.r = 'eu'"
+    ).collect()
+    assert sorted((r["ak"], r["bk"]) for r in rows) == [(1, 2)]
+    assert cat.last_scan_plan["default.sj"]["filters"] == []
