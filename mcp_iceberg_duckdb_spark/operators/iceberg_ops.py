@@ -949,3 +949,91 @@ def x_iceberg_fs_refs(spark, sf_dir):
         F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
         dec_sum(F.col("o_totalprice")).alias("sum_price"),
     )
+
+
+@query(
+    "x_iceberg_fs_ts_day",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(user_id) AS BIGINT) AS sum_users,
+           {_DEC_SUM_SQL.format(x='value')} AS sum_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts < TIMESTAMP '2024-01-13 00:00:00'
+    GROUP BY event_type
+    """,
+    tags=("source", "iceberg", "timestamp", "tierx"),
+)
+def x_iceberg_fs_ts_day(spark, sf_dir):
+    """TIMESTAMP columns in the vendored Iceberg format (hostile-
+    probe r13: the format previously supported no timestamp type at
+    all — the events table, the archetypal lake workload, could not
+    land in it). The events fixture (TIMESTAMP(NANOS) parquet,
+    normalized to micros ntz by sources/tables.load) commits as an
+    Iceberg table hidden-partitioned by day(ts): bounds store epoch
+    MICROS (spec appendix D), the day() transform is evaluated
+    zone-free, and a three-day window prunes at the MANIFEST level —
+    the builder asserts the planned file count drops and that every
+    surviving partition value lies inside the window's day range.
+    Oracle: the same window aggregate off the source parquet — parity
+    proves micros round-trip (write, dir encoding, bounds, residual
+    filter) exactly. At 100 TB day(ts) hidden partitioning is THE
+    standard event-lake layout; scans with time predicates skip
+    whole days without listing a file. Reference contrast: the
+    reference reads whatever PyIceberg downloads — no transform
+    planning of its own (IcebergConnection.py:109)."""
+    from mcp_iceberg_duckdb_spark.sources import iceberg_fs as ice
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    loc = f"/tmp/spark_graft_iceberg_tsday_{key}"
+    marker = os.path.join(loc, "fixture.json")
+    built = False
+    try:
+        with open(marker) as fh:
+            built = json.load(fh)["sf_dir"] == sf_dir
+    except (OSError, ValueError, KeyError):
+        pass
+    import datetime
+
+    epoch = datetime.datetime(1970, 1, 1)
+    lo = int(
+        (datetime.datetime(2024, 1, 10) - epoch).total_seconds() * 1e6
+    )
+    hi = int(
+        (datetime.datetime(2024, 1, 13) - epoch).total_seconds() * 1e6
+    )
+    if not built:
+        shutil.rmtree(loc, ignore_errors=True)
+        events = t(spark, sf_dir).events.select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        ice.create_table(
+            loc,
+            ice.spark_schema_to_iceberg(events),
+            part_cols=[("ts", "day")],
+        )
+        ice.append(spark, loc, events)
+        files, total = ice.plan_files(
+            loc, filters=(("ts", ">=", lo), ("ts", "<", hi))
+        )
+        assert 0 < len(files) < total, "day(ts) pruning did not bite"
+        days = {
+            int(f.split("ts_day=")[1].split(os.sep)[0])
+            for f in files
+            if "ts_day=" in f
+        }
+        assert days and all(
+            lo // 86_400_000_000 <= d < hi // 86_400_000_000
+            for d in days
+        ), "planned files outside the day window"
+        with open(marker, "w") as fh:
+            json.dump({"sf_dir": sf_dir}, fh)
+    df = ice.read_iceberg(
+        spark, loc, filters=(("ts", ">=", lo), ("ts", "<", hi))
+    )
+    return df.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("user_id").cast("bigint").alias("sum_users"),
+        dec_sum(F.col("value")).alias("sum_value"),
+    )

@@ -312,6 +312,21 @@ def _type_filters(filters, meta: dict):
             except ValueError:
                 continue
             val = (d - datetime.date(1970, 1, 1)).days
+        elif t == "timestamp" and isinstance(val, str):
+            # ISO timestamp literal -> epoch micros (the bound and
+            # partition-tuple encoding for Iceberg timestamps)
+            import datetime
+
+            try:
+                dt = datetime.datetime.fromisoformat(val)
+            except ValueError:
+                continue
+            if dt.tzinfo is not None:
+                continue  # zoned literal vs ntz column: widen
+            val = int(
+                (dt - datetime.datetime(1970, 1, 1)).total_seconds()
+                * 1_000_000
+            )
         elif t == "string" and isinstance(val, str):
             pass
         elif t in ("int", "long") and isinstance(val, int):
@@ -953,7 +968,7 @@ class FsCatalog:
                             f"{kind}(N, column)"
                         )
                     part = (col, kind, int(n))
-                elif kind in ("year", "month", "day"):
+                elif kind in ("year", "month", "day", "hour"):
                     if n is not None:
                         raise ValueError(
                             f"{kind} transform takes one column"
@@ -991,7 +1006,10 @@ class FsCatalog:
             return self._ok(spark, "drop_column", column=m.group(2))
         if m := _ALTER_ADD.match(sql):
             _, _, loc, _ = self._resolve(m.group(1))
-            typ = ice._SPARK_TO_ICE.get(m.group(3).lower())
+            spelled = m.group(3).lower()
+            if spelled == "timestamp":
+                spelled = "timestamp_ntz"
+            typ = ice._SPARK_TO_ICE.get(spelled)
             if typ is None:
                 raise ValueError(f"unsupported column type {m.group(3)!r}")
             ice.add_column(loc, m.group(2), typ)
@@ -1084,6 +1102,10 @@ class FsCatalog:
             # strip backtick quoting: `order` names the column order,
             # not a column literally containing backticks
             name, typ = parts[0].strip("`"), parts[1].lower()
+            # DDL spelling: TIMESTAMP means the Iceberg timestamp
+            # (micros, no zone = Spark timestamp_ntz)
+            if typ == "timestamp":
+                typ = "timestamp_ntz"
             ice_t = ice._SPARK_TO_ICE.get(typ)
             if ice_t is None:
                 raise ValueError(f"unsupported column type {typ!r}")
@@ -1099,7 +1121,9 @@ class FsCatalog:
                 re.I,
             )
             m3 = re.match(
-                rf"^(year|month|day)\s*\(\s*({_IDENT})\s*\)$", item, re.I
+                rf"^(year|month|day|hour)\s*\(\s*({_IDENT})\s*\)$",
+                item,
+                re.I,
             )
             if m2:
                 kind, n, col = m2.groups()

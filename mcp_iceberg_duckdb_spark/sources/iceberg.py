@@ -38,6 +38,13 @@ jar-free instead: equality-delete files with real sequence numbers
 (iceberg_fs.mor_delete_keys, oracled as x_iceberg_fs_eq_delete),
 rewrite_position_deletes, field-ID RENAME/DROP COLUMN
 (x_iceberg_fs_rename).
+2026-08-16 (round 13) — re-probed: repo1.maven.org and pypi.org both
+fail DNS resolution (Errno -2), pip download pillow fails, PIL and
+google.protobuf still unimportable; tests/test_iceberg_live.py still
+skips cleanly. Round 13 widens the vendored format instead:
+partition-spec evolution, atomic metadata commits, equality-delete
+conversion, snapshot refs, and the TIMESTAMP type with day()/hour()
+transforms (x_iceberg_fs_ts_day).
 """
 
 from __future__ import annotations

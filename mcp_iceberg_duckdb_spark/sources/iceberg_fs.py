@@ -65,6 +65,11 @@ _SPARK_TO_ICE = {
     "string": "string",
     "boolean": "boolean",
     "date": "date",
+    # Iceberg `timestamp` = microseconds since epoch, no zone —
+    # Spark's timestamp_ntz. (Zoned timestamptz is intentionally not
+    # vendored: the fixture pipeline normalizes to ntz, and zone
+    # bookkeeping without a catalog-level session zone is a trap.)
+    "timestamp_ntz": "timestamp",
 }
 
 # ---- bucket transform (spec appendix B: 32-bit Murmur3, seed 0) ----
@@ -112,7 +117,21 @@ def bucket_value(v, ice_type: str, n: int) -> int:
     int/long/date hash their 8-byte little-endian two's-complement;
     strings hash raw UTF-8 (spec appendix B — pinned against the
     spec's own test vectors in tests)."""
-    if ice_type in ("int", "long", "date"):
+    if ice_type == "timestamp" and not isinstance(v, int):
+        # normalize datetime-ish values to epoch micros: the write
+        # path's pandas_udf hands pandas.Timestamp (ns resolution),
+        # probes hand datetime
+        if hasattr(v, "value"):
+            v = int(v.value) // 1000
+        elif hasattr(v, "timetuple"):
+            import calendar
+
+            v = (
+                calendar.timegm(v.timetuple()) * 1_000_000
+                + v.microsecond
+            )
+    if ice_type in ("int", "long", "date", "timestamp"):
+        # timestamps hash their epoch-micros long (spec appendix B)
         data = int(v).to_bytes(8, "little", signed=True)
     elif ice_type == "string":
         data = str(v).encode("utf-8")
@@ -130,7 +149,7 @@ def _transform_parts(transform: str):
         return "bucket", int(transform[7:-1])
     if transform.startswith("truncate[") and transform.endswith("]"):
         return "truncate", int(transform[9:-1])
-    if transform in ("year", "month", "day"):
+    if transform in ("year", "month", "day", "hour"):
         return transform, None
     raise ValueError(f"unsupported partition transform {transform!r}")
 
@@ -151,6 +170,18 @@ def temporal_value(epoch_days: int, kind: str) -> int:
     if kind == "day":
         return int(epoch_days)
     raise ValueError(f"not a temporal transform {kind!r}")
+
+
+def temporal_value_micros(epoch_micros: int, kind: str) -> int:
+    """Temporal transforms of a TIMESTAMP (epoch microseconds, the
+    bound encoding): same year/month/day meaning as the date variant
+    plus ``hour`` -> hours from 1970-01-01T00. Floor-division keeps
+    pre-1970 values monotone (spec: transforms floor toward
+    negative infinity)."""
+    us = int(epoch_micros)
+    if kind == "hour":
+        return us // 3_600_000_000
+    return temporal_value(us // 86_400_000_000, kind)
 
 
 def truncate_value(v, ice_type: str, w: int):
@@ -195,12 +226,20 @@ def _with_partition_cols(df, meta: dict):
         if kind == "identity" or e["name"] in out.columns:
             continue
         src = by_id[e["source-id"]]
-        if kind in ("year", "month", "day"):
+        if kind in ("year", "month", "day", "hour"):
             c = F.col(src["name"])
+            # zone-free component arithmetic: correct for both DATE
+            # and TIMESTAMP_NTZ sources (unix_timestamp would drag
+            # the session zone into an ntz value)
             expr = {
                 "year": F.year(c) - 1970,
                 "month": (F.year(c) - 1970) * 12 + F.month(c) - 1,
-                "day": F.datediff(c, F.to_date(F.lit("1970-01-01"))),
+                "day": F.datediff(
+                    F.to_date(c), F.to_date(F.lit("1970-01-01"))
+                ),
+                "hour": F.datediff(
+                    F.to_date(c), F.to_date(F.lit("1970-01-01"))
+                ) * 24 + F.hour(c),
             }[kind]
             out = out.withColumn(e["name"], expr.cast("int"))
             continue
@@ -236,11 +275,21 @@ def encode_bound(ice_type: str, v):
         return None
     if ice_type == "int":
         return struct.pack("<i", int(v))
-    if ice_type in ("long", "date"):
+    if ice_type in ("long", "date", "timestamp"):
         if ice_type == "date" and hasattr(v, "toordinal"):
             # pyarrow surfaces date statistics as datetime.date;
             # bounds store days since 1970-01-01 (epoch ordinal)
             v = v.toordinal() - 719163
+        if ice_type == "timestamp" and hasattr(v, "timestamp"):
+            # pyarrow surfaces timestamp statistics as
+            # datetime.datetime (naive); bounds store MICROSECONDS
+            # since epoch (spec appendix D)
+            import calendar
+
+            v = (
+                calendar.timegm(v.timetuple()) * 1_000_000
+                + v.microsecond
+            )
         return struct.pack("<q", int(v))
     if ice_type == "float":
         return struct.pack("<f", float(v))
@@ -259,7 +308,7 @@ def decode_bound(ice_type: str, raw):
     raw = bytes(raw)
     if ice_type == "int":
         return struct.unpack("<i", raw)[0]
-    if ice_type in ("long", "date"):
+    if ice_type in ("long", "date", "timestamp"):
         return struct.unpack("<q", raw)[0]
     if ice_type == "float":
         return struct.unpack("<f", raw)[0]
@@ -284,6 +333,7 @@ def _partition_avro_fields(spec, ice_schema):
     types = {f["name"]: f["type"] for f in ice_schema["fields"]}
     avro_t = {
         "int": "int", "long": "long", "date": "int",
+        "timestamp": "long",
         "float": "float", "double": "double",
         "string": "string", "boolean": "boolean",
     }
@@ -511,11 +561,15 @@ def _build_spec_field(by_name: dict, c, field_id: int) -> dict:
         n = int(rest[0])
         truncate_value(probe, by_name[col]["type"], n)
         name, transform = f"{col}_trunc", f"truncate[{n}]"
-    elif kind in ("year", "month", "day"):
-        if by_name[col]["type"] != "date":
+    elif kind in ("year", "month", "day", "hour"):
+        src_t = by_name[col]["type"]
+        ok_types = (
+            ("timestamp",) if kind == "hour" else ("date", "timestamp")
+        )
+        if src_t not in ok_types:
             raise ValueError(
-                f"{kind} transform requires a date column, "
-                f"{col} is {by_name[col]['type']}"
+                f"{kind} transform requires a "
+                f"{' or '.join(ok_types)} column, {col} is {src_t}"
             )
         name, transform = f"{col}_{kind}", kind
     else:
@@ -772,6 +826,20 @@ def _partition_from_path(path: str, spec, ice_schema, missing_ok=False):
                     datetime.date.fromisoformat(raw)
                     - datetime.date(1970, 1, 1)
                 ).days
+        elif t == "timestamp":
+            # identity TIMESTAMP partitions: Spark writes the hive
+            # dir as the ISO form ('ts=2023-01-01 00%3A00%3A00'); the
+            # manifest partition tuple stores epoch micros
+            try:
+                out[c] = int(raw)
+            except ValueError:
+                import datetime
+
+                dt = datetime.datetime.fromisoformat(raw)
+                out[c] = int(
+                    (dt - datetime.datetime(1970, 1, 1)).total_seconds()
+                    * 1_000_000
+                )
         elif t in ("int", "long"):
             out[c] = int(raw)
         elif t in ("float", "double"):
@@ -920,13 +988,17 @@ def _eval_filter(
         # fall through: source-column bounds still apply
     if col in temporal_specs:
         # monotone transforms admit conservative range pruning on the
-        # transformed value (filter values are epoch days, matching
-        # the date bound encoding)
+        # transformed value (filter values are epoch days for dates /
+        # epoch micros for timestamps, matching the bound encodings)
         for fname, kind in temporal_specs[col]:
             pv = df_["partition"].get(fname)
             if pv is None:
                 continue
-            tv = temporal_value(val, kind)
+            tv = (
+                temporal_value_micros(val, kind)
+                if t == "timestamp"
+                else temporal_value(val, kind)
+            )
             if (
                 (op == "=" and pv != tv)
                 or (op in ("<", "<=") and not pv <= tv)
@@ -1353,6 +1425,12 @@ def _residual_filters(filters, ice_schema):
     for col, op, val in filters:
         if types.get(col) == "date" and isinstance(val, int):
             val = datetime.date(1970, 1, 1) + datetime.timedelta(days=val)
+        elif types.get(col) == "timestamp" and isinstance(val, int):
+            # plan literals for timestamps are epoch MICROS (the
+            # bound encoding); Spark ntz comparison needs a datetime
+            val = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+                microseconds=val
+            )
         out.append((col, op, val))
     return out
 
@@ -1868,6 +1946,7 @@ _ICE_TO_SPARK = {
     "string": "string",
     "boolean": "boolean",
     "date": "date",
+    "timestamp": "timestamp_ntz",
 }
 
 

@@ -1208,3 +1208,62 @@ def test_identifier_case_and_quoting(cat, spark):
     ).collect()
     assert sorted((r["ak"], r["bk"]) for r in rows) == [(1, 2)]
     assert cat.last_scan_plan["default.sj"]["filters"] == []
+
+def test_sql_timestamp_columns(cat, spark):
+    """Hostile-probe r13: TIMESTAMP through the SQL surface — DDL
+    spelling, day(ts) hidden partitioning with pruning, DML with
+    timestamp predicates, eq-delete keyed on a timestamp."""
+    run = lambda s: cat.execute(spark, s)  # noqa: E731
+    run(
+        "CREATE TABLE default.ev (k bigint, ts timestamp)"
+        " PARTITIONED BY (day(ts))"
+    )
+    run(
+        "INSERT INTO default.ev VALUES"
+        " (1, TIMESTAMP '2023-01-01 10:00:00'),"
+        " (2, TIMESTAMP '2023-01-02 11:30:00'),"
+        " (3, TIMESTAMP '2023-01-02 23:59:59')"
+    )
+    rows = run(
+        "SELECT k FROM default.ev WHERE ts >= '2023-01-02 00:00:00'"
+    ).collect()
+    assert sorted(r["k"] for r in rows) == [2, 3]
+    plan = cat.last_scan_plan["default.ev"]
+    assert plan["files_planned"] < plan["files_total"]
+    assert plan["filters"] == [("ts", ">=", 1672617600000000)]
+    run("DELETE FROM default.ev WHERE ts < '2023-01-02 00:00:00'")
+    run(
+        "UPDATE default.ev SET k = k + 10"
+        " WHERE ts >= '2023-01-02 12:00:00'"
+    )
+    rows = run("SELECT k FROM default.ev e").collect()
+    assert sorted(r["k"] for r in rows) == [2, 13]
+    # ALTER ADD COLUMN with the timestamp spelling
+    run("ALTER TABLE default.ev ADD COLUMN seen timestamp")
+    assert run(
+        "SELECT count(*) AS n FROM default.ev e WHERE seen IS NULL"
+    ).collect()[0]["n"] == 2
+
+def test_version_as_of_ref_edges(cat, spark):
+    """Quoted-ref time travel edges: alias after the ref, a join of
+    head vs tag, and a string literal containing the words VERSION AS
+    OF must never trigger the rewrite."""
+    run = lambda s: cat.execute(spark, s)  # noqa: E731
+    run("CREATE TABLE default.t (k bigint, r string)")
+    run("INSERT INTO default.t VALUES (1, 'eu')")
+    run("ALTER TABLE default.t CREATE TAG snap1")
+    run("INSERT INTO default.t VALUES (2, 'us')")
+    rows = run(
+        "SELECT a.k FROM default.t VERSION AS OF 'snap1' a"
+        " WHERE a.r = 'eu'"
+    ).collect()
+    assert sorted(r["k"] for r in rows) == [1]
+    rows = run(
+        "SELECT h.k AS hk, o.k AS ok FROM default.t h"
+        " JOIN default.t VERSION AS OF 'snap1' o ON o.k = h.k"
+    ).collect()
+    assert sorted((r["hk"], r["ok"]) for r in rows) == [(1, 1)]
+    row = run(
+        "SELECT 'x VERSION AS OF y' AS s, count(*) AS n FROM default.t z"
+    ).collect()[0]
+    assert (row["s"], row["n"]) == ("x VERSION AS OF y", 2)

@@ -602,7 +602,7 @@ def test_iceberg_temporal_partitioning(spark, tmp_path):
     )
     # non-date sources are rejected at create time
     df2 = spark.createDataFrame([(1,)], "k bigint")
-    with pytest.raises(ValueError, match="requires a date column"):
+    with pytest.raises(ValueError, match="requires a date or timestamp"):
         ice.create_table(
             str(tmp_path / "bad"),
             ice.spark_schema_to_iceberg(df2),
@@ -2025,3 +2025,118 @@ def test_iceberg_snapshot_refs(spark, tmp_path):
     assert res["removed_snapshots"] == 1
     with pytest.raises(ValueError, match="unknown snapshot ref"):
         ice.read_iceberg(spark, loc, snapshot_id="audit")
+
+
+def test_iceberg_timestamp_type_and_transforms(spark, tmp_path):
+    """Hostile-probe r13: TIMESTAMP columns (Iceberg micros, Spark
+    timestamp_ntz) through the whole vendored stack — day() and
+    hour() hidden partitioning with manifest pruning, bounds, and
+    row-level residual filters."""
+    import datetime
+
+    loc = str(tmp_path / "ts_day")
+    rows = [
+        (i, datetime.datetime(2023, 1, 1 + i % 3, 6 + i % 12, 30))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "k bigint, ts timestamp_ntz")
+    ice.create_table(
+        loc, ice.spark_schema_to_iceberg(df), part_cols=[("ts", "day")]
+    )
+    ice.append(spark, loc, df)
+    epoch = datetime.datetime(1970, 1, 1)
+    day2 = int(
+        (datetime.datetime(2023, 1, 2) - epoch).total_seconds() * 1e6
+    )
+    day3 = day2 + 86_400_000_000
+    files, total = ice.plan_files(
+        loc, filters=(("ts", ">=", day2), ("ts", "<", day3))
+    )
+    assert 0 < len(files) < total  # day() pruned at the manifest level
+    got = sorted(
+        r["k"]
+        for r in ice.read_iceberg(
+            spark, loc, filters=(("ts", ">=", day2), ("ts", "<", day3))
+        ).collect()
+    )
+    assert got == [i for i in range(12) if i % 3 == 1]
+
+    # hour(): a one-hour window hits exactly the 2023-01-02 07:30 row
+    loc2 = str(tmp_path / "ts_hour")
+    ice.create_table(
+        loc2, ice.spark_schema_to_iceberg(df), part_cols=[("ts", "hour")]
+    )
+    ice.append(spark, loc2, df)
+    h = int(
+        (datetime.datetime(2023, 1, 2, 7) - epoch).total_seconds() * 1e6
+    )
+    files, total = ice.plan_files(
+        loc2, filters=(("ts", ">=", h), ("ts", "<", h + 3_600_000_000))
+    )
+    assert 0 < len(files) < total
+    got = sorted(
+        r["k"]
+        for r in ice.read_iceberg(
+            spark, loc2,
+            filters=(("ts", ">=", h), ("ts", "<", h + 3_600_000_000)),
+        ).collect()
+    )
+    assert got == [1]
+    # hour() on a DATE column is refused; day() on timestamp is not
+    with pytest.raises(ValueError, match="hour transform requires"):
+        ddf = spark.createDataFrame([(1,)], "k bigint").withColumn(
+            "d", F.lit("2023-01-01").cast("date")
+        )
+        ice.create_table(
+            str(tmp_path / "bad"),
+            ice.spark_schema_to_iceberg(ddf),
+            part_cols=[("d", "hour")],
+        )
+
+
+def test_iceberg_rewrite_deletes_interleaved_with_compaction(spark, tmp_path):
+    """Hostile-probe r13: REWRITE DELETES -> compaction -> new MoR
+    delete -> REWRITE DELETES again — every interleaving keeps the
+    surviving-row set exact."""
+    loc = str(tmp_path / "rdc")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k bigint, v double"
+    )
+    ice.create_table(loc, ice.spark_schema_to_iceberg(df))
+    ice.append(spark, loc, df)
+    ice.delete_where(spark, loc, [("k", "=", 1)], mode="mor")
+    ice.delete_where(spark, loc, [("k", "=", 2)], mode="mor")
+    ice.rewrite_position_deletes(spark, loc)
+    ice.compact_files(spark, loc)
+    ice.delete_where(spark, loc, [("k", "=", 3)], mode="mor")
+    ice.rewrite_position_deletes(spark, loc)
+    got = sorted(r["k"] for r in ice.read_iceberg(spark, loc).collect())
+    assert got == [0, 4, 5, 6, 7, 8, 9]
+
+
+def test_iceberg_eq_delete_null_keys(spark, tmp_path):
+    """Hostile-probe r13: equality deletes match NULL keys
+    null-safely (the upsert-sink contract); a NULL key re-inserted
+    after the delete survives by sequence; conversion to position
+    deletes preserves all of it."""
+    loc = str(tmp_path / "eqnull")
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (None, "c"), (4, "d")],
+        "k bigint, v string",
+    )
+    ice.create_table(loc, ice.spark_schema_to_iceberg(df))
+    ice.append(spark, loc, df)
+    ice.mor_delete_keys(
+        spark, loc, ["k"], spark.createDataFrame([(None,)], "k bigint")
+    )
+    got = {(r["k"], r["v"]) for r in ice.read_iceberg(spark, loc).collect()}
+    assert got == {(1, "a"), (4, "d")}
+    ice.append(
+        spark, loc,
+        spark.createDataFrame([(None, "e")], "k bigint, v string"),
+    )
+    got = {(r["k"], r["v"]) for r in ice.read_iceberg(spark, loc).collect()}
+    assert got == {(1, "a"), (4, "d"), (None, "e")}
+    ice.convert_equality_deletes(spark, loc)
+    got2 = {(r["k"], r["v"]) for r in ice.read_iceberg(spark, loc).collect()}
+    assert got2 == got
