@@ -2140,3 +2140,27 @@ def test_iceberg_eq_delete_null_keys(spark, tmp_path):
     ice.convert_equality_deletes(spark, loc)
     got2 = {(r["k"], r["v"]) for r in ice.read_iceberg(spark, loc).collect()}
     assert got2 == got
+
+
+def test_iceberg_mixed_layout_scan_shape(spark, tmp_path):
+    """Plan shape after spec evolution: a single-layout table scans
+    as ONE parquet scan (no union); a two-layout table unions exactly
+    its two signature groups — never one scan per file."""
+    from mcp_iceberg_duckdb_spark.plans import explain_str
+
+    loc = str(tmp_path / "shape")
+    df = spark.createDataFrame(
+        [(i, "eu" if i % 2 else "us") for i in range(8)],
+        "k bigint, r string",
+    )
+    ice.create_table(loc, ice.spark_schema_to_iceberg(df))
+    ice.append(spark, loc, df)
+    ice.append(spark, loc, df)  # two appends, one layout
+    plan = explain_str(ice.read_iceberg(spark, loc), "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    ice.add_partition_field(loc, "r")
+    ice.append(spark, loc, df)
+    ice.append(spark, loc, df)  # two appends in the NEW layout
+    plan = explain_str(ice.read_iceberg(spark, loc), "simple")
+    assert plan.count("Scan parquet") == 2, plan
+    assert "Union" in plan
