@@ -2733,9 +2733,16 @@ def compact_files(
     if sort_by is not None:
         keys = [F.col(c) for c in (*dir_cols, sort_by)]
         # partition-value count straight off the manifest metadata —
-        # no Spark job, no driver-side row data
+        # no Spark job, no driver-side row data. missing_ok: files
+        # written under an OLDER partition spec (spec evolution) lack
+        # the current fields in their paths; they count toward one
+        # (None-valued) group, which only widens the slice count.
         n_parts = max(1, len({
-            tuple(_partition_from_path(p, spec, meta["schema"]).items())
+            tuple(
+                _partition_from_path(
+                    p, spec, meta["schema"], missing_ok=True
+                ).items()
+            )
             for p in live
         })) if dir_cols else 1
         df = df.repartitionByRange(
@@ -3060,9 +3067,13 @@ def read_incremental(
     cost proportional to the increment, not the table. Matches the
     engine contract: only 'append' snapshots are valid in the range
     (an overwrite would need row-level diffing — a changelog scan);
-    anything else raises ValueError."""
+    anything else raises ValueError. Either endpoint may be a named
+    ref ('tag'/'branch'/'main') — the CDC-consumer idiom: read the
+    increment between two tagged audit points."""
     meta = read_table_meta(loc)
     snaps = meta["snapshots"]
+    from_snapshot_id = _resolve_snapshot_ref(meta, from_snapshot_id)
+    to_snapshot_id = _resolve_snapshot_ref(meta, to_snapshot_id)
     ids = [s["snapshot-id"] for s in snaps]
     if from_snapshot_id not in ids:
         raise ValueError(f"snapshot {from_snapshot_id} not in {loc}")

@@ -2164,3 +2164,39 @@ def test_iceberg_mixed_layout_scan_shape(spark, tmp_path):
     plan = explain_str(ice.read_iceberg(spark, loc), "simple")
     assert plan.count("Scan parquet") == 2, plan
     assert "Union" in plan
+
+
+def test_iceberg_incremental_between_refs(spark, tmp_path):
+    """read_incremental accepts named refs as endpoints — the
+    CDC-consumer idiom of reading the increment between two tagged
+    audit points (probe-found: refs resolved everywhere but here)."""
+    loc = str(tmp_path / "incref")
+    df = spark.createDataFrame([(1,)], "k bigint")
+    ice.create_table(loc, ice.spark_schema_to_iceberg(df))
+    ice.append(spark, loc, df)
+    ice.create_ref(loc, "start", "tag")
+    ice.append(spark, loc, spark.createDataFrame([(2,)], "k bigint"))
+    ice.append(spark, loc, spark.createDataFrame([(3,)], "k bigint"))
+    ice.create_ref(loc, "end", "tag")
+    inc = ice.read_incremental(spark, loc, "start", "end")
+    assert sorted(r["k"] for r in inc.collect()) == [2, 3]
+    inc = ice.read_incremental(spark, loc, "start", "main")
+    assert sorted(r["k"] for r in inc.collect()) == [2, 3]
+
+
+def test_iceberg_sorted_compaction_after_evolution(spark, tmp_path):
+    """OPTIMIZE..SORT BY on a spec-evolved table (probe-found: the
+    partition-count estimate read old-layout paths under the NEW spec
+    and crashed on the missing field)."""
+    loc = str(tmp_path / "optevo")
+    df = spark.createDataFrame(
+        [(i, "eu" if i % 2 else "us") for i in range(8)],
+        "k bigint, r string",
+    )
+    ice.create_table(loc, ice.spark_schema_to_iceberg(df))
+    ice.append(spark, loc, df)
+    ice.add_partition_field(loc, "r")
+    ice.append(spark, loc, df)
+    ice.compact_files(spark, loc, sort_by="k", n_slices=2)
+    got = sorted(r["k"] for r in ice.read_iceberg(spark, loc).collect())
+    assert got == sorted(list(range(8)) * 2)
