@@ -61,7 +61,8 @@ _CREATE_TBL = re.compile(
 )
 _DROP_TBL = re.compile(rf"^\s*DROP\s+TABLE\s+({_TBL})\s*;?\s*$", re.I)
 _INSERT = re.compile(
-    rf"^\s*INSERT\s+INTO\s+({_TBL})\s+(VALUES\s+.+|SELECT\s+.+?)\s*;?\s*$",
+    rf"^\s*INSERT\s+INTO\s+({_TBL})\s*(?:\(([^)]*)\)\s*)?"
+    rf"(VALUES\s+.+|SELECT\s+.+?)\s*;?\s*$",
     re.I | re.S,
 )
 _UPDATE = re.compile(
@@ -1068,7 +1069,9 @@ class FsCatalog:
             shutil.rmtree(loc)
             return self._ok(spark, "drop_table")
         if m := _INSERT.match(sql):
-            return self._insert(spark, m.group(1), m.group(2))
+            return self._insert(
+                spark, m.group(1), m.group(3), cols_sql=m.group(2)
+            )
         if m := _MERGE.match(sql):
             return self._merge(spark, m)
         if m := _UPDATE.match(sql):
@@ -1144,7 +1147,7 @@ class FsCatalog:
         )
         return self._ok(spark, "create_table")
 
-    def _insert(self, spark, ident, tail) -> DataFrame:
+    def _insert(self, spark, ident, tail, cols_sql=None) -> DataFrame:
         _, _, loc, _ = self._resolve(ident)
         if re.match(r"^\s*VALUES\b", tail, re.I):
             # Spark SQL parses the tuples — no hand-rolled literal
@@ -1152,6 +1155,36 @@ class FsCatalog:
             src = spark.sql(tail)
         else:
             src = self._run_select(spark, tail)
+        if cols_sql:
+            # column-list INSERT (hostile-probe r13): route the
+            # source positionally into the NAMED columns; every
+            # omitted column is NULL (SQL standard semantics)
+            from pyspark.sql import functions as F
+
+            fields = ice.read_table_meta(loc)["schema"]["fields"]
+            by_name = {f["name"]: f for f in fields}
+            names = [c.strip().strip("`") for c in cols_sql.split(",")]
+            bad = [c for c in names if c not in by_name]
+            if bad:
+                raise ValueError(f"INSERT columns not in schema: {bad}")
+            if len(names) != len(set(names)):
+                raise ValueError("duplicate INSERT column")
+            if len(src.columns) != len(names):
+                raise ValueError(
+                    f"expected {len(names)} columns, got "
+                    f"{len(src.columns)}"
+                )
+            named = src.toDF(*names)
+            src = named.select(
+                *[
+                    F.col(f["name"])
+                    if f["name"] in names
+                    else F.lit(None)
+                    .cast(ice._ICE_TO_SPARK[f["type"]])
+                    .alias(f["name"])
+                    for f in fields
+                ]
+            )
         snap = ice.append(spark, loc, self._aligned(spark, src, loc))
         return self._ok(
             spark,

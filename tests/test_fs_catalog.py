@@ -1267,3 +1267,25 @@ def test_version_as_of_ref_edges(cat, spark):
         "SELECT 'x VERSION AS OF y' AS s, count(*) AS n FROM default.t z"
     ).collect()[0]
     assert (row["s"], row["n"]) == ("x VERSION AS OF y", 2)
+
+def test_insert_column_list(cat, spark):
+    """Hostile-probe r13: column-list INSERT — values route into the
+    NAMED columns (any order), omitted columns become NULL, unknown
+    or duplicate columns error."""
+    run = lambda s: cat.execute(spark, s)  # noqa: E731
+    run("CREATE TABLE default.t (k bigint, r string, v double)")
+    run("INSERT INTO default.t (k, v) VALUES (1, 1.5)")
+    run("INSERT INTO default.t (v, k) VALUES (2.5, 2)")
+    run("INSERT INTO default.t (k, r, v) SELECT 3, 'eu', 3.5")
+    rows = sorted(
+        ((r["k"], r["r"], r["v"]) for r in
+         run("SELECT * FROM default.t x").collect()),
+        key=str,
+    )
+    assert rows == [(1, None, 1.5), (2, None, 2.5), (3, "eu", 3.5)]
+    with pytest.raises(ValueError, match="not in schema"):
+        run("INSERT INTO default.t (nope) VALUES (1)")
+    with pytest.raises(ValueError, match="duplicate"):
+        run("INSERT INTO default.t (k, k) VALUES (1, 2)")
+    with pytest.raises(ValueError, match="expected 2 columns"):
+        run("INSERT INTO default.t (k, v) VALUES (1, 2, 3)")
