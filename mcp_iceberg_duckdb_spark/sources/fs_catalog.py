@@ -65,6 +65,20 @@ _INSERT = re.compile(
     rf"(VALUES\s+.+|SELECT\s+.+?)\s*;?\s*$",
     re.I | re.S,
 )
+_INSERT_OVER = re.compile(
+    rf"^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?({_TBL})\s*"
+    rf"(?:\(([^)]*)\)\s*)?(VALUES\s+.+|SELECT\s+.+?)\s*;?\s*$",
+    re.I | re.S,
+)
+_TRUNCATE = re.compile(
+    rf"^\s*TRUNCATE\s+TABLE\s+({_TBL})\s*;?\s*$", re.I
+)
+_CTAS = re.compile(
+    rf"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?({_TBL})\s*"
+    rf"(?:PARTITIONED\s+BY\s*\((.*?)\)\s*)?AS\s+((?:SELECT|WITH)\b.+)"
+    rf"\s*;?\s*$",
+    re.I | re.S,
+)
 _UPDATE = re.compile(
     rf"^\s*UPDATE\s+({_TBL})\s+SET\s+(.+?)\s*;?\s*$",
     re.I | re.S,
@@ -533,6 +547,36 @@ def _strict_cast(df, pairs):
     return df.select(
         *[F.col(src).try_cast(typ).alias(name) for src, name, typ in pairs]
     )
+
+
+def _parse_part_cols(part_sql, names):
+    """PARTITIONED BY clause items -> create_table/add_partition_field
+    shorthand: bare column (identity), bucket(N, c), truncate(N, c),
+    year/month/day/hour(c). Shared by CREATE TABLE and CTAS."""
+    part_cols = []
+    for item in _split_top_level(part_sql) if part_sql else []:
+        m2 = re.match(
+            rf"^(bucket|truncate)\s*\(\s*(\d+)\s*,\s*({_IDENT})\s*\)$",
+            item,
+            re.I,
+        )
+        m3 = re.match(
+            rf"^(year|month|day|hour)\s*\(\s*({_IDENT})\s*\)$",
+            item,
+            re.I,
+        )
+        if m2:
+            kind, n, col = m2.groups()
+            part_cols.append((col, kind.lower(), int(n)))
+        elif m3:
+            kind, col = m3.groups()
+            part_cols.append((col, kind.lower()))
+        else:
+            col = item
+            part_cols.append(col)
+        if col not in names:
+            raise ValueError(f"partition column {col!r} not in schema")
+    return part_cols
 
 
 def _table_aliases(sql: str, used) -> dict:
@@ -1062,8 +1106,28 @@ class FsCatalog:
                 loc, keep_last=int(m.group(2) or 1)
             )
             return self._ok(spark, "expire_snapshots", **res)
+        if m := _CTAS.match(sql):
+            return self._ctas(
+                spark, m.group(1), m.group(2), m.group(3), sql
+            )
         if m := _CREATE_TBL.match(sql):
             return self._create_table(spark, *m.groups(), sql=sql)
+        if m := _TRUNCATE.match(sql):
+            _, _, loc, _ = self._resolve(m.group(1))
+            snap = ice.overwrite_table(spark, loc, None)
+            return self._ok(
+                spark,
+                "truncate",
+                removed_files=snap["summary"]["deleted-data-files"],
+            )
+        if m := _INSERT_OVER.match(sql):
+            return self._insert(
+                spark,
+                m.group(1),
+                m.group(3),
+                cols_sql=m.group(2),
+                overwrite=True,
+            )
         if m := _DROP_TBL.match(sql):
             _, _, loc, _ = self._resolve(m.group(1))
             shutil.rmtree(loc)
@@ -1116,29 +1180,7 @@ class FsCatalog:
                 {"id": i + 1, "name": name, "required": False, "type": ice_t}
             )
         names = {f["name"] for f in fields}
-        part_cols = []
-        for item in _split_top_level(part_sql) if part_sql else []:
-            m2 = re.match(
-                rf"^(bucket|truncate)\s*\(\s*(\d+)\s*,\s*({_IDENT})\s*\)$",
-                item,
-                re.I,
-            )
-            m3 = re.match(
-                rf"^(year|month|day|hour)\s*\(\s*({_IDENT})\s*\)$",
-                item,
-                re.I,
-            )
-            if m2:
-                kind, n, col = m2.groups()
-                part_cols.append((col, kind.lower(), int(n)))
-            elif m3:
-                kind, col = m3.groups()
-                part_cols.append((col, kind.lower()))
-            else:
-                col = item
-                part_cols.append(col)
-            if col not in names:
-                raise ValueError(f"partition column {col!r} not in schema")
+        part_cols = _parse_part_cols(part_sql, names)
         os.makedirs(os.path.join(self.warehouse, ns), exist_ok=True)
         ice.create_table(
             loc,
@@ -1147,7 +1189,26 @@ class FsCatalog:
         )
         return self._ok(spark, "create_table")
 
-    def _insert(self, spark, ident, tail, cols_sql=None) -> DataFrame:
+    def _ctas(self, spark, ident, part_sql, select_sql, sql) -> DataFrame:
+        """CREATE TABLE ... AS SELECT: schema inferred from the
+        query, table created (optionally partitioned), result
+        appended as the first snapshot."""
+        ns, tbl, loc, exists = self._resolve(ident, must_exist=False)
+        if exists:
+            if re.search(r"IF\s+NOT\s+EXISTS", sql, re.I):
+                return self._ok(spark, "create_table", skipped=True)
+            raise ValueError(f"table {ns}.{tbl} already exists")
+        src = self._run_select(spark, select_sql)
+        schema = ice.spark_schema_to_iceberg(src)
+        names = {f["name"] for f in schema["fields"]}
+        part_cols = _parse_part_cols(part_sql, names)
+        os.makedirs(os.path.join(self.warehouse, ns), exist_ok=True)
+        ice.create_table(loc, schema, part_cols=part_cols)
+        ice.append(spark, loc, src)
+        return self._ok(spark, "create_table_as_select")
+
+    def _insert(self, spark, ident, tail, cols_sql=None,
+                overwrite=False) -> DataFrame:
         _, _, loc, _ = self._resolve(ident)
         if re.match(r"^\s*VALUES\b", tail, re.I):
             # Spark SQL parses the tuples — no hand-rolled literal
@@ -1185,7 +1246,16 @@ class FsCatalog:
                     for f in fields
                 ]
             )
-        snap = ice.append(spark, loc, self._aligned(spark, src, loc))
+        aligned = self._aligned(spark, src, loc)
+        if overwrite:
+            snap = ice.overwrite_table(spark, loc, aligned)
+            return self._ok(
+                spark,
+                "insert_overwrite",
+                replaced_files=snap["summary"]["deleted-data-files"],
+                new_files=snap["summary"]["added-data-files"],
+            )
+        snap = ice.append(spark, loc, aligned)
         return self._ok(
             spark,
             "insert",

@@ -2760,6 +2760,27 @@ def compact_files(
     )
 
 
+def overwrite_table(spark, loc: str, df=None) -> dict:
+    """Replace the table's ENTIRE contents in one overwrite snapshot —
+    the INSERT OVERWRITE / TRUNCATE primitive: every live data file
+    is recorded DELETED, ``df``'s rows (if any; None = TRUNCATE) are
+    written and ADDED, and no delete file carries forward (nothing
+    survives for a mask to apply to). Time travel to the
+    pre-overwrite snapshot stays intact until expiry — the property
+    that makes INSERT OVERWRITE safe on a lake where a bad batch must
+    be revertible by snapshot rollback."""
+    meta = read_table_meta(loc)
+    live, _ = plan_files(loc)
+    new_files = (
+        _write_replacement(spark, loc, df, meta)
+        if df is not None
+        else []
+    )
+    return _commit_overwrite(
+        loc, meta, live, [], new_files, operation="overwrite"
+    )
+
+
 def rewrite_position_deletes(
     spark, loc: str, target_file_bytes: int = 64 * 1024 * 1024
 ) -> dict:

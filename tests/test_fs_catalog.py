@@ -1289,3 +1289,41 @@ def test_insert_column_list(cat, spark):
         run("INSERT INTO default.t (k, k) VALUES (1, 2)")
     with pytest.raises(ValueError, match="expected 2 columns"):
         run("INSERT INTO default.t (k, v) VALUES (1, 2, 3)")
+
+def test_ctas_truncate_insert_overwrite(cat, spark):
+    """Hostile-probe r13: CTAS, TRUNCATE TABLE, and INSERT OVERWRITE
+    through the SQL surface — all as proper snapshots (time travel to
+    the pre-overwrite state intact)."""
+    run = lambda s: cat.execute(spark, s)  # noqa: E731
+    run("CREATE TABLE default.src (k bigint, r string)")
+    run("INSERT INTO default.src VALUES (1, 'eu'), (2, 'us')")
+    res = run(
+        "CREATE TABLE default.ctas PARTITIONED BY (r) AS"
+        " SELECT k, r FROM default.src WHERE r = 'eu'"
+    ).collect()[0]
+    assert res["operation"] == "create_table_as_select"
+    assert [tuple(r) for r in
+            run("SELECT k, r FROM default.ctas c").collect()] == [(1, "eu")]
+    desc = {r["col_name"]: r["comment"]
+            for r in run("DESCRIBE TABLE default.ctas").collect()}
+    assert desc["r"] == "partition"
+    with pytest.raises(ValueError, match="already exists"):
+        run("CREATE TABLE default.ctas AS SELECT 1 AS x")
+    # INSERT OVERWRITE replaces contents in one snapshot
+    snaps = run("SHOW SNAPSHOTS IN default.src").collect()
+    pre = snaps[-1]["snapshot_id"]
+    run("INSERT OVERWRITE default.src VALUES (9, 'ap')")
+    assert [tuple(r) for r in
+            run("SELECT * FROM default.src s").collect()] == [(9, "ap")]
+    old = run(
+        f"SELECT count(*) AS n FROM default.src VERSION AS OF {pre}"
+    ).collect()[0]["n"]
+    assert old == 2
+    # column-list overwrite fills omitted columns with NULL
+    run("INSERT OVERWRITE default.src (k) VALUES (7)")
+    assert [tuple(r) for r in
+            run("SELECT * FROM default.src s").collect()] == [(7, None)]
+    # TRUNCATE empties; history intact
+    res = run("TRUNCATE TABLE default.src").collect()[0]
+    assert res["operation"] == "truncate"
+    assert run("SELECT count(*) AS n FROM default.src s").collect()[0]["n"] == 0
