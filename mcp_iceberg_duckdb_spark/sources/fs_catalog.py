@@ -1288,7 +1288,14 @@ class FsCatalog:
                 # UPDATE instead of an error
                 raise ValueError(f"SET target {col!r} is not a column")
             assignments[col] = F.expr(expr.strip())
-        pred = F.expr(where) if where else F.lit(True)
+        # subquery predicates (k IN (SELECT ...)) reference other
+        # warehouse tables: register them as views and substitute
+        # names, exactly like the SELECT path (hostile-probe r13)
+        pred = (
+            F.expr(self._rewrite_select(spark, where))
+            if where
+            else F.lit(True)
+        )
         prune = _simple_filters(where, meta)
         if mor:
             snap = ice.mor_update_where(
@@ -1323,7 +1330,14 @@ class FsCatalog:
     def _delete(self, spark, ident, where) -> DataFrame:
         _, _, loc, _ = self._resolve(ident)
         meta = ice.read_table_meta(loc)
-        pred = F.expr(where) if where else F.lit(True)
+        # subquery predicates (k IN (SELECT ...)) reference other
+        # warehouse tables: register them as views and substitute
+        # names, exactly like the SELECT path (hostile-probe r13)
+        pred = (
+            F.expr(self._rewrite_select(spark, where))
+            if where
+            else F.lit(True)
+        )
         prune = _simple_filters(where, meta)
         # the real engine's table property selects the delete
         # strategy; merge-on-read writes position deletes instead of

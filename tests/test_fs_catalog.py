@@ -1327,3 +1327,23 @@ def test_ctas_truncate_insert_overwrite(cat, spark):
     res = run("TRUNCATE TABLE default.src").collect()[0]
     assert res["operation"] == "truncate"
     assert run("SELECT count(*) AS n FROM default.src s").collect()[0]["n"] == 0
+
+def test_dml_subquery_predicates(cat, spark):
+    """Hostile-probe r13: DELETE/UPDATE with IN-subquery predicates
+    referencing OTHER warehouse tables — the predicate fragment goes
+    through the same view-registration rewrite as SELECT."""
+    run = lambda s: cat.execute(spark, s)  # noqa: E731
+    run("CREATE TABLE default.t (k bigint, r string)")
+    run("INSERT INTO default.t VALUES (1, 'eu'), (2, 'us'), (3, 'ap')")
+    run("CREATE TABLE default.bad (k bigint)")
+    run("INSERT INTO default.bad VALUES (2)")
+    run("DELETE FROM default.t WHERE k IN (SELECT k FROM default.bad)")
+    assert sorted(
+        tuple(r) for r in run("SELECT * FROM default.t x").collect()
+    ) == [(1, "eu"), (3, "ap")]
+    run("INSERT INTO default.bad VALUES (3)")
+    run("UPDATE default.t SET r = 'xx'"
+        " WHERE k IN (SELECT k FROM default.bad)")
+    assert sorted(
+        tuple(r) for r in run("SELECT * FROM default.t x").collect()
+    ) == [(1, "eu"), (3, "xx")]
