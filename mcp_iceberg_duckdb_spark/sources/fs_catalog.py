@@ -55,7 +55,7 @@ _CREATE_NS = re.compile(
 )
 _DROP_NS = re.compile(rf"^\s*DROP\s+NAMESPACE\s+({_IDENT})\s*;?\s*$", re.I)
 _CREATE_TBL = re.compile(
-    rf"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?({_TBL})\s*\((.*?)\)"
+    rf"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_TBL})\s*\((.*?)\)"
     rf"\s*(?:PARTITIONED\s+BY\s*\((.*)\))?\s*;?\s*$",
     re.I | re.S,
 )
@@ -74,7 +74,7 @@ _TRUNCATE = re.compile(
     rf"^\s*TRUNCATE\s+TABLE\s+({_TBL})\s*;?\s*$", re.I
 )
 _CTAS = re.compile(
-    rf"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?({_TBL})\s*"
+    rf"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?({_TBL})\s*"
     rf"(?:PARTITIONED\s+BY\s*\((.*?)\)\s*)?AS\s+((?:SELECT|WITH)\b.+)"
     rf"\s*;?\s*$",
     re.I | re.S,
@@ -338,9 +338,14 @@ def _type_filters(filters, meta: dict):
                 continue
             if dt.tzinfo is not None:
                 continue  # zoned literal vs ntz column: widen
-            val = int(
-                (dt - datetime.datetime(1970, 1, 1)).total_seconds()
-                * 1_000_000
+            # EXACT integer micros: total_seconds() is a float and
+            # truncates ~1.25% of microsecond values one low, which
+            # would mis-prune boundary equality/range filters
+            td = dt - datetime.datetime(1970, 1, 1)
+            val = (
+                td.days * 86_400_000_000
+                + td.seconds * 1_000_000
+                + td.microseconds
             )
         elif t == "string" and isinstance(val, str):
             pass
@@ -579,41 +584,32 @@ def _parse_part_cols(part_sql, names):
     return part_cols
 
 
-def _table_aliases(sql: str, used) -> dict:
-    """alias -> (ns, tbl) for every ``FROM/JOIN <table> [AS] <alias>``
-    in the statement (outside string literals) whose table is one of
-    the ``used`` warehouse tables. Keywords are never aliases."""
-    out: dict = {}
-    ci = _used_ci(used)
-    chunks = re.split(r"('(?:[^']|'')*')", sql)
-    for i in range(0, len(chunks), 2):
-        for m in _FROM_ALIAS.finditer(chunks[i]):
-            name, alias = m.group(1), m.group(2)
-            if not alias or alias.lower() in _ALIAS_STOP:
-                continue
-            ns, _, tbl = name.replace("`", "").rpartition(".")
-            key = ci.get(((ns or "default").lower(), tbl.lower()))
-            if key is not None:
-                out[alias.lower()] = key
-    return out
-
-
-def _table_ref_counts(sql: str, used) -> dict:
-    """(ns, tbl) -> number of FROM/JOIN positions referencing that
-    used table (outside string literals). Each table registers ONE
-    temp view, so a table referenced twice (self-join) cannot take a
-    per-alias pruning filter — the filter would reach BOTH references
-    and silently drop the other alias's rows."""
+def _from_positions(sql: str, used):
+    """One walk over the statement's FROM/JOIN table positions
+    (outside string literals, commas normalized to CROSS JOIN first —
+    a comma-form self-join ``FROM t a, t b`` must count as TWO
+    references or the multi-ref prune guard does not engage).
+    Returns (aliases, counts): alias_lower -> canonical (ns, tbl) for
+    aliased positions, and (ns, tbl) -> reference count. Each table
+    registers ONE temp view, so a table referenced more than once
+    (self-join) can never take a per-alias pruning filter — it would
+    row-filter BOTH references."""
+    aliases: dict = {}
     counts: dict = {}
     ci = _used_ci(used)
     chunks = re.split(r"('(?:[^']|'')*')", sql)
     for i in range(0, len(chunks), 2):
-        for m in _FROM_ALIAS.finditer(chunks[i]):
-            ns, _, tbl = m.group(1).replace("`", "").rpartition(".")
+        code = _normalize_from_commas(chunks[i])
+        for m in _FROM_ALIAS.finditer(code):
+            name, alias = m.group(1), m.group(2)
+            ns, _, tbl = name.replace("`", "").rpartition(".")
             key = ci.get(((ns or "default").lower(), tbl.lower()))
-            if key is not None:
-                counts[key] = counts.get(key, 0) + 1
-    return counts
+            if key is None:
+                continue
+            counts[key] = counts.get(key, 0) + 1
+            if alias and alias.lower() not in _ALIAS_STOP:
+                aliases[alias.lower()] = key
+    return aliases, counts
 
 
 class FsCatalog:
@@ -650,25 +646,41 @@ class FsCatalog:
         return out
 
     def _resolve(self, ident: str, must_exist: bool = True):
-        # strip Spark backtick quoting; unquoted SQL identifiers are
-        # case-INSENSITIVE, so when the exact directory is absent fall
-        # back to a case-insensitive match against the catalog tree
-        # (hostile-probe r13: `SELECT k FROM default.t1` against a
-        # table created as T1 used to fail TABLE_OR_VIEW_NOT_FOUND)
-        ident = ident.replace("`", "")
-        if "." in ident:
-            ns, tbl = ident.split(".", 1)
+        # Split namespace.table on a dot OUTSIDE backticks (a quoted
+        # `a.b` is ONE default-namespace table named 'a.b' — Spark
+        # semantics), then strip the quoting. Unquoted SQL
+        # identifiers are case-INSENSITIVE, so when the exact
+        # directory is absent fall back to a case-insensitive match
+        # scoped to the target namespace (hostile-probe r13:
+        # `SELECT k FROM default.t1` against a table created as T1
+        # used to fail TABLE_OR_VIEW_NOT_FOUND).
+        m = re.match(rf"^\s*(?:({_QIDENT})\.)?({_QIDENT})\s*$", ident)
+        if m:
+            unq = lambda p: p[1:-1] if p.startswith("`") else p  # noqa: E731
+            ns = unq(m.group(1)) if m.group(1) else "default"
+            tbl = unq(m.group(2))
+        elif "." in ident:
+            ns, tbl = ident.replace("`", "").split(".", 1)
         else:
-            ns, tbl = "default", ident
+            ns, tbl = "default", ident.replace("`", "")
         loc = os.path.join(self.warehouse, ns, tbl)
         exists = os.path.isdir(os.path.join(loc, "metadata"))
         if not exists:
             nsl, tbll = ns.lower(), tbl.lower()
-            for n2, t2 in self.list_tables():
-                if n2.lower() == nsl and t2.lower() == tbll:
-                    ns, tbl = n2, t2
-                    loc = os.path.join(self.warehouse, ns, tbl)
-                    exists = True
+            for n2 in os.listdir(self.warehouse):
+                if n2.lower() != nsl or not os.path.isdir(
+                    os.path.join(self.warehouse, n2)
+                ):
+                    continue
+                for t2 in os.listdir(os.path.join(self.warehouse, n2)):
+                    if t2.lower() == tbll and os.path.isdir(
+                        os.path.join(self.warehouse, n2, t2, "metadata")
+                    ):
+                        ns, tbl = n2, t2
+                        loc = os.path.join(self.warehouse, ns, tbl)
+                        exists = True
+                        break
+                if exists:
                     break
         if must_exist and not exists:
             raise ValueError(f"table {ns}.{tbl} does not exist")
@@ -677,7 +689,19 @@ class FsCatalog:
     # ---- SELECT support: temp views + literal-safe substitution ----
 
     def _view_name(self, ns: str, tbl: str) -> str:
-        return f"__fs_{ns}__{tbl}"
+        base = f"__fs_{ns}__{tbl}"
+        if re.fullmatch(r"\w+", base):
+            return base
+        # names with non-identifier characters (quoted `a.b` tables)
+        # sanitize plus a digest so distinct tables never collide
+        import hashlib as _hl
+
+        return (
+            "__fs_"
+            + re.sub(r"[^0-9A-Za-z_]", "_", f"{ns}__{tbl}")
+            + "_"
+            + _hl.md5(f"{ns}.{tbl}".encode()).hexdigest()[:8]
+        )
 
     def _rewrite_select(self, spark, sql: str) -> str:
         """Register every referenced warehouse table as a temp view
@@ -727,9 +751,15 @@ class FsCatalog:
             if m and i + 1 < len(chunks) and chunks[i + 1]:
                 ns, tbl, loc, _ = self._resolve(m.group(1))
                 ref = chunks[i + 1][1:-1].replace("''", "'")
+                # digest suffix: two refs differing only in
+                # punctuation ('v1.0' vs 'v1-0') must not collide on
+                # one sanitized view name (review r13)
+                import hashlib as _hl
+
                 view = (
                     f"{self._view_name(ns, tbl)}__ref_"
-                    f"{re.sub(r'[^A-Za-z0-9_]', '_', ref)}"
+                    f"{re.sub(r'[^A-Za-z0-9_]', '_', ref)}_"
+                    f"{_hl.md5(ref.encode()).hexdigest()[:8]}"
                 )
                 ice.read_iceberg(
                     spark, loc, snapshot_id=ref
@@ -841,13 +871,12 @@ class FsCatalog:
             )
             for key in used
         }
-        aliases = _table_aliases(sql, used)
         # ADVICE r12 (high): a table in more than one FROM/JOIN
         # position (self-join) shares one temp view across its
         # references — any pruning filter would row-filter BOTH
         # aliases, silently dropping the other reference's rows.
         # Such tables never prune.
-        refs = _table_ref_counts(sql, used)
+        aliases, refs = _from_positions(sql, used)
         multi_ref = {k for k, n in refs.items() if n > 1}
         owners: dict[str, list] = {}
         for key, meta in metas.items():
@@ -1108,10 +1137,14 @@ class FsCatalog:
             return self._ok(spark, "expire_snapshots", **res)
         if m := _CTAS.match(sql):
             return self._ctas(
-                spark, m.group(1), m.group(2), m.group(3), sql
+                spark, m.group(2), m.group(3), m.group(4),
+                if_not_exists=bool(m.group(1)),
             )
         if m := _CREATE_TBL.match(sql):
-            return self._create_table(spark, *m.groups(), sql=sql)
+            return self._create_table(
+                spark, m.group(2), m.group(3), m.group(4),
+                if_not_exists=bool(m.group(1)),
+            )
         if m := _TRUNCATE.match(sql):
             _, _, loc, _ = self._resolve(m.group(1))
             snap = ice.overwrite_table(spark, loc, None)
@@ -1155,10 +1188,15 @@ class FsCatalog:
             ", ".join(f"{k} string" for k in cols),
         )
 
-    def _create_table(self, spark, ident, cols_sql, part_sql, sql):
+    def _create_table(self, spark, ident, cols_sql, part_sql,
+                      if_not_exists=False):
         ns, tbl, loc, exists = self._resolve(ident, must_exist=False)
         if exists:
-            if re.search(r"IF\s+NOT\s+EXISTS", sql, re.I):
+            # the flag comes from the statement HEAD (regex capture),
+            # never from scanning the whole text — a string literal
+            # containing "if not exists" must not flip the error into
+            # a silent no-op (review r13)
+            if if_not_exists:
                 return self._ok(spark, "create_table", skipped=True)
             raise ValueError(f"table {ns}.{tbl} already exists")
         fields = []
@@ -1189,13 +1227,14 @@ class FsCatalog:
         )
         return self._ok(spark, "create_table")
 
-    def _ctas(self, spark, ident, part_sql, select_sql, sql) -> DataFrame:
+    def _ctas(self, spark, ident, part_sql, select_sql,
+              if_not_exists=False) -> DataFrame:
         """CREATE TABLE ... AS SELECT: schema inferred from the
         query, table created (optionally partitioned), result
         appended as the first snapshot."""
         ns, tbl, loc, exists = self._resolve(ident, must_exist=False)
         if exists:
-            if re.search(r"IF\s+NOT\s+EXISTS", sql, re.I):
+            if if_not_exists:
                 return self._ok(spark, "create_table", skipped=True)
             raise ValueError(f"table {ns}.{tbl} already exists")
         src = self._run_select(spark, select_sql)
@@ -1223,11 +1262,16 @@ class FsCatalog:
             from pyspark.sql import functions as F
 
             fields = ice.read_table_meta(loc)["schema"]["fields"]
-            by_name = {f["name"]: f for f in fields}
-            names = [c.strip().strip("`") for c in cols_sql.split(",")]
-            bad = [c for c in names if c not in by_name]
+            # unquoted identifiers are case-insensitive: resolve the
+            # list to the schema's canonical casing first
+            canon = {f["name"].lower(): f["name"] for f in fields}
+            raw_names = [
+                c.strip().strip("`") for c in cols_sql.split(",")
+            ]
+            bad = [c for c in raw_names if c.lower() not in canon]
             if bad:
                 raise ValueError(f"INSERT columns not in schema: {bad}")
+            names = [canon[c.lower()] for c in raw_names]
             if len(names) != len(set(names)):
                 raise ValueError("duplicate INSERT column")
             if len(src.columns) != len(names):

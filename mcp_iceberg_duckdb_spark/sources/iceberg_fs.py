@@ -497,19 +497,28 @@ def _meta_dir(loc: str) -> str:
 
 
 def _read_version(loc: str) -> int:
+    """Current metadata version: the MAX of the hint and the
+    directory scan. The hint alone is only advisory (Iceberg
+    semantics): a writer killed between linking v<N> into place and
+    updating the hint leaves a stale hint, and trusting it would
+    wedge the table — every retry recomputes the same taken version
+    and CommitFails forever. v<N> files are complete by construction
+    (_write_meta links fully-written temp files), so the newest one
+    on disk IS the committed state."""
+    vs = [
+        int(f[1:].split(".")[0])
+        for f in os.listdir(_meta_dir(loc))
+        if f.startswith("v") and f.endswith(".metadata.json")
+    ]
     hint = os.path.join(_meta_dir(loc), "version-hint.text")
     try:
         with open(hint) as fh:
-            return int(fh.read().strip())
+            hinted = int(fh.read().strip())
     except (OSError, ValueError):
-        vs = [
-            int(f[1:].split(".")[0])
-            for f in os.listdir(_meta_dir(loc))
-            if f.startswith("v") and f.endswith(".metadata.json")
-        ]
-        if not vs:
-            raise ValueError(f"no Iceberg metadata at {loc}") from None
-        return max(vs)
+        hinted = -1
+    if not vs and hinted < 0:
+        raise ValueError(f"no Iceberg metadata at {loc}")
+    return max([hinted, *vs])
 
 
 def read_table_meta(loc: str) -> dict:
@@ -634,17 +643,24 @@ class CommitFailedError(RuntimeError):
 
 def _write_meta(loc: str, meta: dict, version: int) -> None:
     path = os.path.join(_meta_dir(loc), f"v{version}.metadata.json")
+    # write the FULL content to a temp name, then link(2) it into
+    # place: the atomic compare-and-swap (exactly one writer can mint
+    # v<N>; every other concurrent committer of the same base version
+    # fails LOUDLY instead of clobbering), with the extra property
+    # that v<N> NEVER exists half-written — a writer killed mid-dump
+    # leaves only a .tmp, so readers and retriers never parse garbage
+    tmp = f"{path}.{uuid.uuid4()}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, indent=1)
     try:
-        # O_EXCL create = the atomic compare-and-swap: exactly one
-        # writer can mint v<N>, every other concurrent committer of
-        # the same base version fails LOUDLY instead of clobbering
-        with open(path, "x") as fh:
-            json.dump(meta, fh, indent=1)
+        os.link(tmp, path)
     except FileExistsError:
         raise CommitFailedError(
             f"metadata version v{version} already committed by a "
             f"concurrent writer at {loc} — re-read and retry"
         ) from None
+    finally:
+        os.unlink(tmp)
     with open(os.path.join(_meta_dir(loc), "version-hint.text"), "w") as fh:
         fh.write(str(version))
 
@@ -836,9 +852,13 @@ def _partition_from_path(path: str, spec, ice_schema, missing_ok=False):
                 import datetime
 
                 dt = datetime.datetime.fromisoformat(raw)
-                out[c] = int(
-                    (dt - datetime.datetime(1970, 1, 1)).total_seconds()
-                    * 1_000_000
+                # exact integer micros (total_seconds() is float and
+                # truncates ~1.25% of microsecond values one low)
+                td = dt - datetime.datetime(1970, 1, 1)
+                out[c] = (
+                    td.days * 86_400_000_000
+                    + td.seconds * 1_000_000
+                    + td.microseconds
                 )
         elif t in ("int", "long"):
             out[c] = int(raw)
@@ -2646,10 +2666,26 @@ def add_partition_field(loc: str, part_col) -> dict:
         raise ValueError(
             f"partition field {field['name']!r} already exists"
         )
-    new_fields = cur + [field]
     specs = meta.setdefault(
         "partition-specs", [{"spec-id": 0, "fields": cur}]
     )
+    # a name that appeared in ANY historical spec may only come back
+    # with the IDENTICAL transform+source: old hive dirs keep the old
+    # name, and a CoW re-stamp would otherwise parse bucket[4] values
+    # under a bucket[8] spec — silent mis-pruning (review r13)
+    for s in specs:
+        for e in s["fields"]:
+            if e["name"] == field["name"] and (
+                e["transform"] != field["transform"]
+                or e["source-id"] != field["source-id"]
+            ):
+                raise ValueError(
+                    f"partition field name {field['name']!r} was used "
+                    f"by spec {s['spec-id']} with transform "
+                    f"{e['transform']!r}; pick a different source "
+                    "column or transform width"
+                )
+    new_fields = cur + [field]
     spec_id = max(s["spec-id"] for s in specs) + 1
     specs.append({"spec-id": spec_id, "fields": new_fields})
     meta["default-spec-id"] = spec_id

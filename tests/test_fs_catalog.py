@@ -1347,3 +1347,79 @@ def test_dml_subquery_predicates(cat, spark):
     assert sorted(
         tuple(r) for r in run("SELECT * FROM default.t x").collect()
     ) == [(1, "eu"), (3, "xx")]
+
+def test_comma_self_join_never_prunes(cat, spark):
+    """Review r13 (high): a COMMA-form self-join must count as two
+    references of one table — pruning the shared view would drop the
+    other reference's rows, the same bug class as the explicit-JOIN
+    self-join fix."""
+    run = lambda s: cat.execute(spark, s)  # noqa: E731
+    run("CREATE TABLE default.t (k bigint, r string)")
+    run("INSERT INTO default.t VALUES (1, 'eu'), (2, 'us')")
+    rows = run(
+        "SELECT a.k AS ak, b.k AS bk FROM default.t a, default.t b"
+        " WHERE a.r = 'eu' AND b.k = a.k + 1"
+    ).collect()
+    assert sorted((r["ak"], r["bk"]) for r in rows) == [(1, 2)]
+    assert cat.last_scan_plan["default.t"]["filters"] == []
+
+
+def test_timestamp_literal_exact_micros(cat, spark):
+    """Review r13 (high): microsecond boundary equality — float
+    total_seconds() conversion truncated ~1.25% of values one micro
+    low, mis-pruning boundary filters."""
+    run = lambda s: cat.execute(spark, s)  # noqa: E731
+    run("CREATE TABLE default.tt (k bigint, ts timestamp)")
+    run(
+        "INSERT INTO default.tt VALUES"
+        " (1, TIMESTAMP '2038-02-27 21:18:46.981929')"
+    )
+    rows = run(
+        "SELECT k FROM default.tt WHERE ts = '2038-02-27 21:18:46.981929'"
+    ).collect()
+    assert [r["k"] for r in rows] == [1]
+    # the extracted pruning literal is the EXACT micros value
+    td_us = cat.last_scan_plan["default.tt"]["filters"][0][2]
+    assert td_us % 10 == 9  # ...981929, not ...981928
+
+
+def test_ctas_if_not_exists_from_head_not_literals(cat, spark):
+    """Review r13: IF NOT EXISTS comes from the statement head; a
+    string literal containing the words must not turn the
+    already-exists error into a silent no-op."""
+    run = lambda s: cat.execute(spark, s)  # noqa: E731
+    run("CREATE TABLE default.c (k bigint)")
+    run("INSERT INTO default.c VALUES (1)")
+    with pytest.raises(ValueError, match="already exists"):
+        run(
+            "CREATE TABLE default.c AS"
+            " SELECT k, 'if not exists' AS note FROM default.c"
+        )
+    res = run(
+        "CREATE TABLE IF NOT EXISTS default.c AS SELECT 1 AS x"
+    ).collect()[0]
+    assert res["skipped"] == "True"
+
+
+def test_insert_column_list_case_insensitive(cat, spark):
+    """Review r13: column-list INSERT resolves names
+    case-insensitively, like every other unquoted identifier."""
+    run = lambda s: cat.execute(spark, s)  # noqa: E731
+    run("CREATE TABLE default.ci (k bigint, r string)")
+    run("INSERT INTO default.ci (K) VALUES (1)")
+    assert [tuple(r) for r in
+            run("SELECT * FROM default.ci x").collect()] == [(1, None)]
+    with pytest.raises(ValueError, match="duplicate"):
+        run("INSERT INTO default.ci (k, K) VALUES (1, 2)")
+
+
+def test_backtick_dotted_table_name(cat, spark):
+    """Review r13: a backtick-quoted identifier containing a dot is
+    ONE default-namespace table, distinct from ns.tbl."""
+    run = lambda s: cat.execute(spark, s)  # noqa: E731
+    run("CREATE TABLE `a.b` (k bigint)")
+    run("INSERT INTO `a.b` VALUES (7)")
+    assert run("SELECT k FROM `a.b`").collect()[0]["k"] == 7
+    # and it did NOT create namespace 'a' table 'b'
+    with pytest.raises(ValueError, match="does not exist"):
+        run("DELETE FROM a.b")

@@ -2200,3 +2200,47 @@ def test_iceberg_sorted_compaction_after_evolution(spark, tmp_path):
     ice.compact_files(spark, loc, sort_by="k", n_slices=2)
     got = sorted(r["k"] for r in ice.read_iceberg(spark, loc).collect())
     assert got == sorted(list(range(8)) * 2)
+
+
+def test_iceberg_partition_field_name_reuse_refused(spark, tmp_path):
+    """Review r13: re-adding a partition-field NAME with a different
+    transform (bucket width resize) is refused — old hive dirs keep
+    the old name, and a CoW re-stamp would parse bucket[4] values
+    under a bucket[8] spec (silent mis-pruning). The identical
+    transform may come back."""
+    loc = str(tmp_path / "reuse")
+    df = spark.createDataFrame([(1,)], "k bigint")
+    ice.create_table(
+        loc, ice.spark_schema_to_iceberg(df), part_cols=[("k", "bucket", 4)]
+    )
+    ice.append(spark, loc, df)
+    ice.drop_partition_field(loc, "k_bucket")
+    with pytest.raises(ValueError, match="was used by spec"):
+        ice.add_partition_field(loc, ("k", "bucket", 8))
+    # identical transform is fine
+    spec = ice.add_partition_field(loc, ("k", "bucket", 4))
+    assert spec["fields"][-1]["transform"] == "bucket[4]"
+
+
+def test_iceberg_commit_crash_between_meta_and_hint_self_heals(
+    spark, tmp_path
+):
+    """Review r13: a writer killed between linking v<N> into place
+    and updating version-hint must not wedge the table — the version
+    resolver takes max(hint, scan), so the completed orphan IS the
+    table state and the next commit targets N+1."""
+    loc = str(tmp_path / "crash")
+    df = spark.createDataFrame([(1,)], "k bigint")
+    ice.create_table(loc, ice.spark_schema_to_iceberg(df))
+    ice.append(spark, loc, df)
+    # simulate the crash: roll the hint back one version (metadata
+    # file exists, hint stale)
+    v = ice._read_version(loc)
+    with open(
+        f"{loc}/metadata/version-hint.text", "w"
+    ) as fh:
+        fh.write(str(v - 1))
+    assert ice._read_version(loc) == v  # scan wins over stale hint
+    ice.append(spark, loc, spark.createDataFrame([(2,)], "k bigint"))
+    got = sorted(r["k"] for r in ice.read_iceberg(spark, loc).collect())
+    assert got == [1, 2]
