@@ -91,8 +91,14 @@ _MERGE = re.compile(
     rf"^\s*MERGE\s+INTO\s+({_TBL})\s+(?:AS\s+)?({_IDENT})\s+"
     rf"USING\s+(?:\((.+)\)|({_TBL}))\s+(?:AS\s+)?({_IDENT})\s+"
     rf"ON\s+(.+?)\s+"
-    rf"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+"
-    rf"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$",
+    rf"WHEN\s+MATCHED\s+THEN\s+(.+?)\s*;?\s*$",
+    re.I | re.S,
+)
+# the MATCHED action tail: full upsert (SET * or explicit
+# col = src.col assignments) or a pure key-tombstone DELETE
+_MERGE_UPSERT_TAIL = re.compile(
+    r"^UPDATE\s+SET\s+(.+?)\s+"
+    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*$",
     re.I | re.S,
 )
 _DESCRIBE = re.compile(rf"^\s*DESCRIBE\s+TABLE\s+({_TBL})\s*;?\s*$", re.I)
@@ -1412,9 +1418,10 @@ class FsCatalog:
         )
 
     def _merge(self, spark, m) -> DataFrame:
-        (tgt_ident, tgt_alias, sub_sql, src_ident, src_alias, on_sql) = (
+        (tgt_ident, tgt_alias, sub_sql, src_ident, src_alias, on_sql,
+         action_sql) = (
             m.group(1), m.group(2), m.group(3), m.group(4), m.group(5),
-            m.group(6),
+            m.group(6), m.group(7).strip(),
         )
         _, _, loc, _ = self._resolve(tgt_ident)
         source = (
@@ -1423,7 +1430,7 @@ class FsCatalog:
             else self._run_select(spark, f"SELECT * FROM {src_ident}")
         )
         on_cols = []
-        for part in re.split(r"\bAND\b", on_sql, flags=re.I):
+        for part in _split_and(on_sql):
             mm = re.match(
                 rf"^\s*({_IDENT})\.({_IDENT})\s*=\s*({_IDENT})\.({_IDENT})\s*$",
                 part,
@@ -1438,6 +1445,70 @@ class FsCatalog:
                 )
             on_cols.append(c1)
         meta = ice.read_table_meta(loc)
+        mor = (
+            meta.get("properties", {}).get("write.merge.mode", "")
+            == "merge-on-read"
+        )
+
+        # WHEN MATCHED THEN DELETE: a key-tombstone batch — the
+        # source only needs the ON columns
+        if re.fullmatch(r"DELETE", action_sql, re.I):
+            missing = [c for c in on_cols if c not in source.columns]
+            if missing:
+                raise ValueError(
+                    f"MERGE source lacks ON columns {missing}"
+                )
+            types = {
+                f["name"]: f["type"] for f in meta["schema"]["fields"]
+            }
+            keys = _strict_cast(
+                source.select(*on_cols),
+                [(c, c, ice._ICE_TO_SPARK[types[c]]) for c in on_cols],
+            )
+            fn = ice.mor_merge_delete if mor else ice.merge_delete
+            snap = fn(spark, loc, keys, on_cols=on_cols)
+            return self._ok(
+                spark,
+                "merge_delete",
+                rewritten_files=snap["summary"].get(
+                    "deleted-data-files", "0"
+                ),
+                added_delete_files=snap["summary"].get(
+                    "added-delete-files", "0"
+                ),
+            )
+
+        mm = _MERGE_UPSERT_TAIL.fullmatch(action_sql)
+        if not mm:
+            raise ValueError(
+                f"unsupported MERGE clause {action_sql!r} — expected "
+                "UPDATE SET ... WHEN NOT MATCHED THEN INSERT *, or "
+                "DELETE"
+            )
+        set_sql = mm.group(1).strip()
+        update_cols = None
+        if set_sql != "*":
+            # explicit assignments: each must be [tgt.]col = src.col
+            # with matching names — column-level update routing
+            update_cols = []
+            for item in _split_top_level(set_sql):
+                am = re.match(
+                    rf"^(?:({_IDENT})\.)?({_IDENT})\s*=\s*"
+                    rf"({_IDENT})\.({_IDENT})$",
+                    item.strip(),
+                )
+                if (
+                    not am
+                    or (am.group(1) or tgt_alias) != tgt_alias
+                    or am.group(3) != src_alias
+                    or am.group(2) != am.group(4)
+                ):
+                    raise ValueError(
+                        f"unsupported MERGE SET item {item.strip()!r}"
+                        " — expected [tgt.]col = src.col with the"
+                        " same column name"
+                    )
+                update_cols.append(am.group(2))
         missing = [
             f["name"]
             for f in meta["schema"]["fields"]
@@ -1457,14 +1528,10 @@ class FsCatalog:
                 for f in meta["schema"]["fields"]
             ],
         )
-        mor = (
-            meta.get("properties", {}).get("write.merge.mode", "")
-            == "merge-on-read"
+        fn = ice.mor_merge_into if mor else ice.merge_into
+        snap = fn(
+            spark, loc, source, on_cols=on_cols, update_cols=update_cols
         )
-        if mor:
-            snap = ice.mor_merge_into(spark, loc, source, on_cols=on_cols)
-        else:
-            snap = ice.merge_into(spark, loc, source, on_cols=on_cols)
         return self._ok(
             spark,
             "merge",

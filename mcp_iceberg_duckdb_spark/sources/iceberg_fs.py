@@ -2460,6 +2460,58 @@ def set_table_property(loc: str, key: str, value: str) -> dict:
     return meta["properties"]
 
 
+def merge_delete(spark, loc: str, source_df, on_cols) -> dict:
+    """MERGE ... WHEN MATCHED THEN DELETE (copy-on-write): target
+    rows whose ``on_cols`` equal a source row's are removed; nothing
+    is inserted. SQL equality semantics (a NULL key never matches —
+    unlike the spec's null-safe EQUALITY-delete files). The rewrite
+    set is bounds-pruned on the source's key range exactly like
+    merge_into — deleting a day's tombstone batch from a 100 TB
+    table rewrites only the files whose key bounds overlap it."""
+    from pyspark.sql import functions as F
+
+    meta = read_table_meta(loc)
+    ice_schema = meta["schema"]
+    cols = [f["name"] for f in ice_schema["fields"]]
+    on_cols = list(on_cols)
+    keys = source_df.select(*on_cols).distinct()
+    types = {f["name"]: f["type"] for f in ice_schema["fields"]}
+    filters = _merge_key_filters(keys, on_cols[0], types)
+    candidates, _ = plan_files(loc, filters=filters)
+    live, _ = plan_files(loc)
+    untouched = [f for f in live if f not in set(candidates)]
+    new_files: list[str] = []
+    if candidates:
+        tgt = _read_with_deletes(spark, loc, candidates, ice_schema)
+        replacement = tgt.join(
+            F.broadcast(keys), on=on_cols, how="left_anti"
+        ).select(*cols)
+        new_files = _write_replacement(spark, loc, replacement, meta)
+    return _commit_overwrite(loc, meta, candidates, untouched, new_files)
+
+
+def mor_merge_delete(spark, loc: str, source_df, on_cols) -> dict:
+    """MERGE ... WHEN MATCHED THEN DELETE, merge-on-read: matched
+    rows become POSITION deletes — zero data files rewritten, cost
+    proportional to the matches. Candidates are bounds-pruned on the
+    source key range; SQL equality (NULL keys never match)."""
+    from pyspark.sql import functions as F
+
+    meta = read_table_meta(loc)
+    on_cols = list(on_cols)
+    keys = source_df.select(*on_cols).distinct()
+    types = {f["name"]: f["type"] for f in meta["schema"]["fields"]}
+    filters = _merge_key_filters(keys, on_cols[0], types)
+    candidates, _ = plan_files(loc, filters=filters)
+    del_files: list[str] = []
+    n_rows = 0
+    if candidates:
+        alive = _alive_with_pos(spark, loc, meta, candidates)
+        matched = alive.join(F.broadcast(keys), on=on_cols, how="semi")
+        del_files, n_rows = _write_position_deletes(spark, loc, matched)
+    return _commit_mor(loc, meta, del_files, n_rows, [], "delete")
+
+
 def mor_merge_into(
     spark, loc: str, source_df, on_cols, update_cols=None
 ) -> dict:

@@ -1423,3 +1423,60 @@ def test_backtick_dotted_table_name(cat, spark):
     # and it did NOT create namespace 'a' table 'b'
     with pytest.raises(ValueError, match="does not exist"):
         run("DELETE FROM a.b")
+
+def test_merge_matched_delete_and_column_set(loaded, spark):
+    """MERGE extensions: WHEN MATCHED THEN DELETE (key tombstones,
+    source needs only the ON columns) and column-level UPDATE SET
+    assignments — in both write modes."""
+    cat, run = loaded
+    run("CREATE TABLE sales.tomb (k bigint)")
+    run("INSERT INTO sales.tomb VALUES (1), (99)")
+    res = run(
+        "MERGE INTO sales.orders t USING sales.tomb s ON t.k = s.k"
+        " WHEN MATCHED THEN DELETE"
+    ).collect()[0]
+    assert res["operation"] == "merge_delete"
+    got = sorted(r["k"] for r in run("SELECT k FROM sales.orders o").collect())
+    assert got == [2, 3]
+    # column-level SET: only amount updates, region keeps its value
+    run("CREATE TABLE sales.upd (k bigint, region string, amount double)")
+    run("INSERT INTO sales.upd VALUES (2, 'XX', 220.0), (7, 'ap', 7.0)")
+    run(
+        "MERGE INTO sales.orders t USING sales.upd s ON t.k = s.k"
+        " WHEN MATCHED THEN UPDATE SET t.amount = s.amount"
+        " WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {r["k"]: (r["region"], r["amount"])
+           for r in run("SELECT * FROM sales.orders o").collect()}
+    assert got[2] == ("us", 220.0)  # amount updated, region untouched
+    assert got[7] == ("ap", 7.0)    # not-matched inserted
+    # MoR mode: matched delete writes position deletes, no rewrite
+    run(
+        "ALTER TABLE sales.orders SET TBLPROPERTIES"
+        " ('write.merge.mode' = 'merge-on-read')"
+    )
+    loc = cat._resolve("sales.orders")[2]
+    pre = sorted(ice.plan_files(loc)[0])
+    res = run(
+        "MERGE INTO sales.orders t USING sales.tomb s ON t.k = s.k"
+        " WHEN MATCHED THEN DELETE"
+    ).collect()[0]
+    # tomb still holds (1, 99): nothing matches now (k=1 already
+    # deleted) — exercise a real match
+    run("INSERT INTO sales.tomb VALUES (3)")
+    res = run(
+        "MERGE INTO sales.orders t USING sales.tomb s ON t.k = s.k"
+        " WHEN MATCHED THEN DELETE"
+    ).collect()[0]
+    assert res["operation"] == "merge_delete"
+    assert int(res["added_delete_files"]) >= 1
+    assert sorted(ice.plan_files(loc)[0]) == pre  # no data rewrite
+    got = sorted(r["k"] for r in run("SELECT k FROM sales.orders o").collect())
+    assert got == [2, 7]
+    # bad SET items are refused
+    with pytest.raises(ValueError, match="unsupported MERGE SET"):
+        run(
+            "MERGE INTO sales.orders t USING sales.upd s ON t.k = s.k"
+            " WHEN MATCHED THEN UPDATE SET t.amount = s.amount + 1"
+            " WHEN NOT MATCHED THEN INSERT *"
+        )
