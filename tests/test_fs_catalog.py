@@ -1480,3 +1480,38 @@ def test_merge_matched_delete_and_column_set(loaded, spark):
             " WHEN MATCHED THEN UPDATE SET t.amount = s.amount + 1"
             " WHEN NOT MATCHED THEN INSERT *"
         )
+
+def test_server_routes_round13_statements(loaded, spark, monkeypatch):
+    """Every round-13 statement is reachable through the MCP
+    query_table tool (raw-SQL passthrough, no whitelist): refs,
+    partition evolution, CTAS, TRUNCATE, INSERT OVERWRITE, CONVERT
+    DELETES, MERGE MATCHED-DELETE."""
+    import json
+
+    from mcp_iceberg_duckdb_spark import server
+
+    cat, run = loaded
+    monkeypatch.setenv("SPARK_GRAFT_FS_WAREHOUSE", cat.warehouse)
+    t = lambda q: server.query_table(spark, q)  # noqa: E731
+    for q in (
+        "ALTER TABLE sales.orders CREATE TAG audited",
+        "ALTER TABLE sales.orders ADD PARTITION FIELD bucket(4, k)",
+        "CREATE TABLE sales.arch AS SELECT * FROM sales.orders o",
+        "INSERT OVERWRITE sales.arch VALUES (9, 'ap', 90.0)",
+        "TRUNCATE TABLE sales.arch",
+        "CONVERT DELETES IN sales.orders",
+        "SHOW REFS IN sales.orders",
+    ):
+        res = t(q)
+        assert not res.is_error, (q, res.text)
+    res = t("SELECT count(*) AS n FROM sales.orders VERSION AS OF 'audited'")
+    assert json.loads(res.text.split("\n", 1)[1]) == [{"n": 3}]
+    run("CREATE TABLE sales.tomb2 (k bigint)")
+    run("INSERT INTO sales.tomb2 VALUES (2)")
+    res = t(
+        "MERGE INTO sales.orders a USING sales.tomb2 b ON a.k = b.k"
+        " WHEN MATCHED THEN DELETE"
+    )
+    assert not res.is_error, res.text
+    res = t("SELECT count(*) AS n FROM sales.orders o")
+    assert json.loads(res.text.split("\n", 1)[1]) == [{"n": 2}]
