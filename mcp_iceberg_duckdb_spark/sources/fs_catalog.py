@@ -669,7 +669,27 @@ class FsCatalog:
             ns, tbl = ident.replace("`", "").split(".", 1)
         else:
             ns, tbl = "default", ident.replace("`", "")
+        # A quoted identifier may contain almost any character, but a
+        # table/namespace part must stay a single path component under
+        # the warehouse: reject separators and dot-dirs so
+        # ``DROP TABLE `../../x` `` can never resolve (and rmtree)
+        # outside the warehouse root (r13 ADVICE high — traversal via
+        # backtick quoting).
+        for part in (ns, tbl):
+            if (
+                os.sep in part
+                or "/" in part
+                or "\\" in part
+                or part in (".", "..")
+                or not part
+            ):
+                raise ValueError(
+                    f"invalid table identifier part: {part!r}"
+                )
         loc = os.path.join(self.warehouse, ns, tbl)
+        real_wh = os.path.realpath(self.warehouse)
+        if not os.path.realpath(loc).startswith(real_wh + os.sep):
+            raise ValueError(f"identifier resolves outside warehouse: {ident!r}")
         exists = os.path.isdir(os.path.join(loc, "metadata"))
         if not exists:
             nsl, tbll = ns.lower(), tbl.lower()
@@ -1438,13 +1458,22 @@ class FsCatalog:
             if not mm:
                 raise ValueError(f"unsupported ON term {part.strip()!r}")
             a1, c1, a2, c2 = mm.groups()
-            if {a1, a2} != {tgt_alias, src_alias} or c1 != c2:
+            # case-insensitive alias/column matching (r13 ADVICE low
+            # — same rule as every other identifier on this surface)
+            if {a1.lower(), a2.lower()} != {
+                tgt_alias.lower(),
+                src_alias.lower(),
+            } or c1.lower() != c2.lower():
                 raise ValueError(
                     "ON terms must equate the same column across the "
                     f"two aliases, got {part.strip()!r}"
                 )
             on_cols.append(c1)
         meta = ice.read_table_meta(loc)
+        # resolve ON columns through the schema's canonical casing so
+        # downstream joins/selects hit real columns
+        _canon = {f["name"].lower(): f["name"] for f in meta["schema"]["fields"]}
+        on_cols = [_canon.get(c.lower(), c) for c in on_cols]
         mor = (
             meta.get("properties", {}).get("write.merge.mode", "")
             == "merge-on-read"
@@ -1497,18 +1526,28 @@ class FsCatalog:
                     rf"({_IDENT})\.({_IDENT})$",
                     item.strip(),
                 )
+                # identifiers are case-insensitive, like everywhere
+                # else on this surface (r13 ADVICE low): compare
+                # aliases/columns lowercased and resolve the column
+                # through the schema's canonical casing
                 if (
                     not am
-                    or (am.group(1) or tgt_alias) != tgt_alias
-                    or am.group(3) != src_alias
-                    or am.group(2) != am.group(4)
+                    or (am.group(1) or tgt_alias).lower() != tgt_alias.lower()
+                    or am.group(3).lower() != src_alias.lower()
+                    or am.group(2).lower() != am.group(4).lower()
                 ):
                     raise ValueError(
                         f"unsupported MERGE SET item {item.strip()!r}"
                         " — expected [tgt.]col = src.col with the"
                         " same column name"
                     )
-                update_cols.append(am.group(2))
+                canon = {
+                    f["name"].lower(): f["name"]
+                    for f in meta["schema"]["fields"]
+                }
+                update_cols.append(
+                    canon.get(am.group(2).lower(), am.group(2))
+                )
         missing = [
             f["name"]
             for f in meta["schema"]["fields"]

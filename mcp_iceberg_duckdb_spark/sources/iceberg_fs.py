@@ -2592,8 +2592,6 @@ def merge_delete(spark, loc: str, source_df, on_cols) -> dict:
     set is bounds-pruned on the source's key range exactly like
     merge_into — deleting a day's tombstone batch from a 100 TB
     table rewrites only the files whose key bounds overlap it."""
-    from pyspark.sql import functions as F
-
     meta = read_table_meta(loc)
     ice_schema = meta["schema"]
     cols = [f["name"] for f in ice_schema["fields"]]
@@ -2607,8 +2605,12 @@ def merge_delete(spark, loc: str, source_df, on_cols) -> dict:
     new_files: list[str] = []
     if candidates:
         tgt = _read_with_deletes(spark, loc, candidates, ice_schema)
+        # no forced broadcast: a large USING relation would OOM the
+        # driver; AQE picks broadcast at runtime when the distinct
+        # key set is actually small (r13 ADVICE low, parity with
+        # merge_into)
         replacement = tgt.join(
-            F.broadcast(keys), on=on_cols, how="left_anti"
+            keys, on=on_cols, how="left_anti"
         ).select(*cols)
         new_files = _write_replacement(spark, loc, replacement, meta)
     return _commit_overwrite(loc, meta, candidates, untouched, new_files)
@@ -2619,8 +2621,6 @@ def mor_merge_delete(spark, loc: str, source_df, on_cols) -> dict:
     rows become POSITION deletes — zero data files rewritten, cost
     proportional to the matches. Candidates are bounds-pruned on the
     source key range; SQL equality (NULL keys never match)."""
-    from pyspark.sql import functions as F
-
     meta = read_table_meta(loc)
     on_cols = list(on_cols)
     keys = source_df.select(*on_cols).distinct()
@@ -2631,7 +2631,9 @@ def mor_merge_delete(spark, loc: str, source_df, on_cols) -> dict:
     n_rows = 0
     if candidates:
         alive = _alive_with_pos(spark, loc, meta, candidates)
-        matched = alive.join(F.broadcast(keys), on=on_cols, how="semi")
+        # AQE chooses broadcast when the key set is small (see
+        # merge_delete above)
+        matched = alive.join(keys, on=on_cols, how="semi")
         del_files, n_rows = _write_position_deletes(spark, loc, matched)
     return _commit_mor(loc, meta, del_files, n_rows, [], "delete")
 

@@ -1515,3 +1515,47 @@ def test_server_routes_round13_statements(loaded, spark, monkeypatch):
     assert not res.is_error, res.text
     res = t("SELECT count(*) AS n FROM sales.orders o")
     assert json.loads(res.text.split("\n", 1)[1]) == [{"n": 2}]
+
+
+def test_identifier_traversal_rejected(cat, spark, tmp_path):
+    """r13 ADVICE high: a backtick-quoted identifier containing path
+    separators or '..' must never resolve (or rmtree) outside the
+    warehouse root."""
+    run = lambda s: cat.execute(spark, s)  # noqa: E731
+    victim = tmp_path / "victim_dir" / "metadata"
+    victim.mkdir(parents=True)
+    (victim / "keep.txt").write_text("x")
+    run("CREATE TABLE t0 (k bigint)")  # ensures default/ exists
+    for ident in (
+        "`../../victim_dir`",
+        "`..`.`victim_dir`",
+        "`a/b`",
+        "`a\\b`",
+        "`.`",
+        "``.t0" if False else "`..`",
+    ):
+        with pytest.raises(ValueError, match="invalid table identifier"):
+            run(f"DROP TABLE {ident}")
+        with pytest.raises(ValueError, match="invalid table identifier"):
+            run(f"CREATE TABLE {ident} (k bigint)")
+    assert (victim / "keep.txt").exists()
+
+
+def test_merge_set_case_insensitive(loaded, spark):
+    """r13 ADVICE low: MERGE column-level UPDATE SET must compare
+    aliases and column names case-insensitively like every other
+    identifier on this surface."""
+    cat, run = loaded
+    run("CREATE TABLE sales.src (k bigint, region string, amount double)")
+    run("INSERT INTO sales.src VALUES (1, 'eu', 99.0)")
+    res = run(
+        "MERGE INTO sales.orders TGT USING sales.src SRC ON tgt.k = src.k"
+        " WHEN MATCHED THEN UPDATE SET TGT.AMOUNT = SRC.amount"
+        " WHEN NOT MATCHED THEN INSERT *"
+    ).collect()[0]
+    assert res["operation"] in ("merge", "merge_into")
+    got = {
+        r["k"]: r["amount"]
+        for r in run("SELECT k, amount FROM sales.orders o").collect()
+    }
+    assert got[1] == 99.0
