@@ -102,9 +102,11 @@ _MERGE_UPSERT_TAIL = re.compile(
     re.I | re.S,
 )
 _DESCRIBE = re.compile(rf"^\s*DESCRIBE\s+TABLE\s+({_TBL})\s*;?\s*$", re.I)
+# a DDL type: bare word, decimal(P,S)-style args, or array<elem>
+_SQLTYPE = r"[A-Za-z_]\w*(?:\s*\(\s*\d+\s*,\s*\d+\s*\)|\s*<\s*[A-Za-z_]\w*\s*>)?"
 _ALTER_ADD = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_TBL})\s+ADD\s+COLUMN\s+({_IDENT})\s+"
-    rf"({_IDENT})\s*;?\s*$",
+    rf"({_SQLTYPE})\s*;?\s*$",
     re.I,
 )
 _ALTER_RENAME = re.compile(
@@ -333,7 +335,7 @@ def _type_filters(filters, meta: dict):
             except ValueError:
                 continue
             val = (d - datetime.date(1970, 1, 1)).days
-        elif t == "timestamp" and isinstance(val, str):
+        elif t in ("timestamp", "timestamptz") and isinstance(val, str):
             # ISO timestamp literal -> epoch micros (the bound and
             # partition-tuple encoding for Iceberg timestamps)
             import datetime
@@ -342,8 +344,18 @@ def _type_filters(filters, meta: dict):
                 dt = datetime.datetime.fromisoformat(val)
             except ValueError:
                 continue
+            if (dt.tzinfo is not None) != (t == "timestamptz"):
+                # prune only when literal and column agree on zone
+                # semantics: a NAIVE literal against a timestamptz
+                # column is parsed by Spark's residual filter in the
+                # SESSION zone — pruning in UTC could disagree and
+                # drop matching files. Zoned literal + tz column is
+                # an unambiguous instant; naive + ntz is zone-free.
+                continue
             if dt.tzinfo is not None:
-                continue  # zoned literal vs ntz column: widen
+                dt = dt.astimezone(datetime.timezone.utc).replace(
+                    tzinfo=None
+                )
             # EXACT integer micros: total_seconds() is a float and
             # truncates ~1.25% of microsecond values one low, which
             # would mis-prune boundary equality/range filters
@@ -359,6 +371,16 @@ def _type_filters(filters, meta: dict):
             pass
         elif t in ("float", "double") and isinstance(val, (int, float)):
             pass
+        elif (
+            t
+            and isinstance(t, str)
+            and t.startswith("decimal(")
+            and isinstance(val, (int, float))
+        ):
+            # compare in the Decimal domain the bounds decode to
+            from decimal import Decimal
+
+            val = Decimal(str(val))
         else:
             continue  # unknown column or literal/column type mismatch
         typed.append((col, op, val))
@@ -431,6 +453,22 @@ def _select_where_clause(sql: str) -> str | None:
         return None
     cut = _find_top_level(where, _CLAUSE_AFTER_WHERE)
     return (where[:cut] if cut >= 0 else where).strip() or None
+
+
+def _sql_type_to_ice(spelled: str, next_id=None):
+    """DDL type spelling -> Iceberg type. TIMESTAMP means the
+    Iceberg timestamp (micros, no zone = Spark timestamp_ntz);
+    TIMESTAMPTZ / TIMESTAMP_LTZ the zoned timestamptz. Accepts
+    decimal(P,S), binary, and array<primitive>."""
+    s = spelled.lower().replace(" ", "")
+    if s == "timestamp":
+        s = "timestamp_ntz"
+    elif s in ("timestamptz", "timestamp_ltz"):
+        s = "timestamp"
+    try:
+        return ice.spark_to_ice_type(s, next_id=next_id)
+    except ValueError:
+        raise ValueError(f"unsupported column type {spelled!r}") from None
 
 
 def _split_top_level(s: str, sep: str = ","):
@@ -947,7 +985,7 @@ class FsCatalog:
         return _strict_cast(
             df,
             [
-                (c, f["name"], ice._ICE_TO_SPARK[f["type"]])
+                (c, f["name"], ice.ice_to_spark_type(f["type"]))
                 for c, f in zip(df.columns, fields)
             ],
         )
@@ -977,7 +1015,7 @@ class FsCatalog:
                 [
                     (
                         f["name"],
-                        f["type"],
+                        ice.ice_type_str(f["type"]),
                         "partition" if f["name"] in parts else "",
                     )
                     for f in meta["schema"]["fields"]
@@ -1106,12 +1144,9 @@ class FsCatalog:
             return self._ok(spark, "drop_column", column=m.group(2))
         if m := _ALTER_ADD.match(sql):
             _, _, loc, _ = self._resolve(m.group(1))
-            spelled = m.group(3).lower()
-            if spelled == "timestamp":
-                spelled = "timestamp_ntz"
-            typ = ice._SPARK_TO_ICE.get(spelled)
-            if typ is None:
-                raise ValueError(f"unsupported column type {m.group(3)!r}")
+            # element-id for a list type is minted by add_column
+            # itself (it knows the table's last-column-id)
+            typ = _sql_type_to_ice(m.group(3), next_id=lambda: 0)
             ice.add_column(loc, m.group(2), typ)
             return self._ok(spark, "add_column", column=m.group(2))
         if m := _OPTIMIZE.match(sql):
@@ -1225,21 +1260,22 @@ class FsCatalog:
             if if_not_exists:
                 return self._ok(spark, "create_table", skipped=True)
             raise ValueError(f"table {ns}.{tbl} already exists")
+        coldefs = _split_top_level(cols_sql)
+        # list element-ids continue the counter after all top columns
+        # (spec: field ids unique across the whole schema)
+        _next = iter(range(len(coldefs) + 1, 2 * len(coldefs) + 1))
         fields = []
-        for i, coldef in enumerate(_split_top_level(cols_sql)):
+        for i, coldef in enumerate(coldefs):
             parts = coldef.split()
             if len(parts) < 2:
                 raise ValueError(f"bad column definition {coldef!r}")
             # strip backtick quoting: `order` names the column order,
-            # not a column literally containing backticks
-            name, typ = parts[0].strip("`"), parts[1].lower()
-            # DDL spelling: TIMESTAMP means the Iceberg timestamp
-            # (micros, no zone = Spark timestamp_ntz)
-            if typ == "timestamp":
-                typ = "timestamp_ntz"
-            ice_t = ice._SPARK_TO_ICE.get(typ)
-            if ice_t is None:
-                raise ValueError(f"unsupported column type {typ!r}")
+            # not a column literally containing backticks; the type
+            # may contain spaces ("decimal(10, 2)") — rejoin the tail
+            name = parts[0].strip("`")
+            ice_t = _sql_type_to_ice(
+                "".join(parts[1:]), next_id=lambda: next(_next)
+            )
             fields.append(
                 {"id": i + 1, "name": name, "required": False, "type": ice_t}
             )
@@ -1311,7 +1347,7 @@ class FsCatalog:
                     F.col(f["name"])
                     if f["name"] in names
                     else F.lit(None)
-                    .cast(ice._ICE_TO_SPARK[f["type"]])
+                    .cast(ice.ice_to_spark_type(f["type"]))
                     .alias(f["name"])
                     for f in fields
                 ]
@@ -1492,7 +1528,7 @@ class FsCatalog:
             }
             keys = _strict_cast(
                 source.select(*on_cols),
-                [(c, c, ice._ICE_TO_SPARK[types[c]]) for c in on_cols],
+                [(c, c, ice.ice_to_spark_type(types[c])) for c in on_cols],
             )
             fn = ice.mor_merge_delete if mor else ice.merge_delete
             snap = fn(spark, loc, keys, on_cols=on_cols)
@@ -1563,7 +1599,7 @@ class FsCatalog:
         source = _strict_cast(
             source,
             [
-                (f["name"], f["name"], ice._ICE_TO_SPARK[f["type"]])
+                (f["name"], f["name"], ice.ice_to_spark_type(f["type"]))
                 for f in meta["schema"]["fields"]
             ],
         )

@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import struct
 import time
 import uuid
@@ -66,11 +67,78 @@ _SPARK_TO_ICE = {
     "boolean": "boolean",
     "date": "date",
     # Iceberg `timestamp` = microseconds since epoch, no zone —
-    # Spark's timestamp_ntz. (Zoned timestamptz is intentionally not
-    # vendored: the fixture pipeline normalizes to ntz, and zone
-    # bookkeeping without a catalog-level session zone is a trap.)
+    # Spark's timestamp_ntz. Spark's zoned `timestamp` (LTZ) maps to
+    # Iceberg `timestamptz`: the same epoch micros with UTC-instant
+    # semantics (spec §Primitive Types).
     "timestamp_ntz": "timestamp",
+    "timestamp": "timestamptz",
+    "binary": "binary",
 }
+
+_DECIMAL_RE = re.compile(r"^decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)$")
+
+
+def spark_to_ice_type(simple: str, next_id=None):
+    """Spark ``simpleString`` -> Iceberg type. Primitives return the
+    spec's string spelling (incl. ``decimal(P,S)``, ``timestamptz``,
+    ``binary``); ``array<prim>`` returns the spec's JSON list struct
+    — ``next_id`` (callable -> int) supplies the element-id. Nested
+    lists / struct / map stay unsupported loudly (spec cost is low
+    but no fixture exercises them)."""
+    simple = simple.strip()
+    if simple in _SPARK_TO_ICE:
+        return _SPARK_TO_ICE[simple]
+    m = _DECIMAL_RE.match(simple)
+    if m:
+        p, s = int(m.group(1)), int(m.group(2))
+        if p > 38:
+            raise ValueError(f"decimal precision {p} > 38")
+        return f"decimal({p},{s})"
+    if simple.startswith("array<") and simple.endswith(">"):
+        elem = spark_to_ice_type(simple[6:-1])
+        if not isinstance(elem, str):
+            raise ValueError(f"nested list type unsupported: {simple}")
+        return {
+            "type": "list",
+            "element-id": next_id() if next_id else 0,
+            "element": elem,
+            "element-required": False,
+        }
+    raise ValueError(f"unsupported column type {simple!r}")
+
+
+def ice_to_spark_type(t) -> str:
+    """Iceberg type (string or JSON list struct) -> Spark DDL type
+    string. Inverse of spark_to_ice_type for everything the vendored
+    format stores."""
+    if isinstance(t, dict):
+        if t.get("type") == "list":
+            return f"array<{ice_to_spark_type(t['element'])}>"
+        raise ValueError(f"unsupported Iceberg type {t!r}")
+    if t in _ICE_TO_SPARK:
+        return _ICE_TO_SPARK[t]
+    if t.startswith("decimal("):
+        return t.replace(" ", "")  # same spelling in Spark DDL
+    raise ValueError(f"unsupported Iceberg type {t!r}")
+
+
+def _decimal_scale(ice_type: str) -> int:
+    m = _DECIMAL_RE.match(ice_type)
+    if not m:
+        raise ValueError(f"not a decimal type: {ice_type}")
+    return int(m.group(2))
+
+
+def _is_primitive(t) -> bool:
+    return isinstance(t, str)
+
+
+def ice_type_str(t) -> str:
+    """Display form of an Iceberg type for DESCRIBE-style output:
+    primitives are their spec spelling, lists render ``list<elem>``."""
+    if isinstance(t, dict) and t.get("type") == "list":
+        return f"list<{ice_type_str(t['element'])}>"
+    return str(t)
 
 # ---- bucket transform (spec appendix B: 32-bit Murmur3, seed 0) ----
 
@@ -117,6 +185,8 @@ def bucket_value(v, ice_type: str, n: int) -> int:
     int/long/date hash their 8-byte little-endian two's-complement;
     strings hash raw UTF-8 (spec appendix B — pinned against the
     spec's own test vectors in tests)."""
+    if ice_type == "timestamptz":
+        ice_type = "timestamp"  # same epoch-micros long hash
     if ice_type == "timestamp" and not isinstance(v, int):
         # normalize datetime-ish values to epoch micros: the write
         # path's pandas_udf hands pandas.Timestamp (ns resolution),
@@ -124,12 +194,7 @@ def bucket_value(v, ice_type: str, n: int) -> int:
         if hasattr(v, "value"):
             v = int(v.value) // 1000
         elif hasattr(v, "timetuple"):
-            import calendar
-
-            v = (
-                calendar.timegm(v.timetuple()) * 1_000_000
-                + v.microsecond
-            )
+            v = _micros_of(v)
     if ice_type in ("int", "long", "date", "timestamp"):
         # timestamps hash their epoch-micros long (spec appendix B)
         data = int(v).to_bytes(8, "little", signed=True)
@@ -228,6 +293,17 @@ def _with_partition_cols(df, meta: dict):
         src = by_id[e["source-id"]]
         if kind in ("year", "month", "day", "hour"):
             c = F.col(src["name"])
+            if src["type"] == "timestamptz":
+                # Iceberg defines timestamptz transforms on the UTC
+                # instant. An LTZ column's year()/datediff() follow
+                # the SESSION zone, so first re-render the instant as
+                # its UTC wall clock: to_utc_timestamp(c, session_tz)
+                # shifts by exactly (session_tz - UTC), making every
+                # session-zone-rendered component read UTC values.
+                tz = df.sparkSession.conf.get(
+                    "spark.sql.session.timeZone", "UTC"
+                )
+                c = F.to_utc_timestamp(c, tz)
             # zone-free component arithmetic: correct for both DATE
             # and TIMESTAMP_NTZ sources (unix_timestamp would drag
             # the session zone into an ntz value)
@@ -270,26 +346,39 @@ def _with_partition_cols(df, meta: dict):
 # ---- single-value binary serialization (spec appendix D) ----
 
 
+def _micros_of(v) -> int:
+    """datetime-ish -> EXACT integer epoch micros. A tz-aware value
+    converts through UTC (timestamptz semantics); naive values are
+    taken as the wall clock itself (timestamp ntz). Integer
+    arithmetic only — float ``total_seconds()`` truncates ~1.25% of
+    microsecond values one low (r13 review fix 641783c)."""
+    import calendar
+
+    if getattr(v, "tzinfo", None) is not None:
+        import datetime
+
+        v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    return calendar.timegm(v.timetuple()) * 1_000_000 + v.microsecond
+
+
 def encode_bound(ice_type: str, v):
     if v is None:
         return None
     if ice_type == "int":
         return struct.pack("<i", int(v))
-    if ice_type in ("long", "date", "timestamp"):
+    if ice_type in ("long", "date", "timestamp", "timestamptz"):
         if ice_type == "date" and hasattr(v, "toordinal"):
             # pyarrow surfaces date statistics as datetime.date;
             # bounds store days since 1970-01-01 (epoch ordinal)
             v = v.toordinal() - 719163
-        if ice_type == "timestamp" and hasattr(v, "timestamp"):
+        if (
+            ice_type in ("timestamp", "timestamptz")
+            and hasattr(v, "timestamp")
+        ):
             # pyarrow surfaces timestamp statistics as
-            # datetime.datetime (naive); bounds store MICROSECONDS
-            # since epoch (spec appendix D)
-            import calendar
-
-            v = (
-                calendar.timegm(v.timetuple()) * 1_000_000
-                + v.microsecond
-            )
+            # datetime.datetime; bounds store MICROSECONDS since
+            # epoch (spec appendix D) — timestamptz through UTC
+            v = _micros_of(v)
         return struct.pack("<q", int(v))
     if ice_type == "float":
         return struct.pack("<f", float(v))
@@ -299,6 +388,19 @@ def encode_bound(ice_type: str, v):
         return str(v).encode("utf-8")
     if ice_type == "boolean":
         return b"\x01" if v else b"\x00"
+    if ice_type == "binary":
+        return bytes(v)
+    if ice_type.startswith("decimal("):
+        # spec appendix D: the UNSCALED value as minimal-length
+        # two's-complement big-endian bytes
+        from decimal import Decimal
+
+        unscaled = int(
+            Decimal(str(v)).scaleb(_decimal_scale(ice_type))
+            .to_integral_value()
+        )
+        nbytes = (unscaled.bit_length() // 8) + 1
+        return unscaled.to_bytes(nbytes, "big", signed=True)
     raise ValueError(f"unsupported bound type {ice_type}")
 
 
@@ -308,7 +410,7 @@ def decode_bound(ice_type: str, raw):
     raw = bytes(raw)
     if ice_type == "int":
         return struct.unpack("<i", raw)[0]
-    if ice_type in ("long", "date", "timestamp"):
+    if ice_type in ("long", "date", "timestamp", "timestamptz"):
         return struct.unpack("<q", raw)[0]
     if ice_type == "float":
         return struct.unpack("<f", raw)[0]
@@ -318,7 +420,53 @@ def decode_bound(ice_type: str, raw):
         return raw.decode("utf-8")
     if ice_type == "boolean":
         return raw != b"\x00"
+    if ice_type == "binary":
+        return raw
+    if ice_type.startswith("decimal("):
+        from decimal import Decimal
+
+        return Decimal(
+            int.from_bytes(raw, "big", signed=True)
+        ).scaleb(-_decimal_scale(ice_type))
     raise ValueError(f"unsupported bound type {ice_type}")
+
+
+def _decimal_from_raw(raw, ice_type: str):
+    """Parquet's raw decimal statistic -> Decimal: the UNSCALED value
+    as a plain int (INT32/INT64 physical) or two's-complement
+    big-endian bytes (FIXED_LEN_BYTE_ARRAY physical)."""
+    if raw is None:
+        return None
+    from decimal import Decimal
+
+    unscaled = (
+        int.from_bytes(bytes(raw), "big", signed=True)
+        if isinstance(raw, (bytes, bytearray))
+        else int(raw)
+    )
+    return Decimal(unscaled).scaleb(-_decimal_scale(ice_type))
+
+
+def _canon_stat(ice_type: str, v):
+    """Normalize a pyarrow footer statistic to the canonical
+    comparable domain decode_bound returns: epoch days/micros ints
+    for date/timestamp[tz], Decimal for decimals, bytes for binary —
+    so cross-row-group min/max folding compares like with like."""
+    if v is None:
+        return None
+    if ice_type == "date" and hasattr(v, "toordinal"):
+        return v.toordinal() - 719163
+    if ice_type in ("timestamp", "timestamptz") and hasattr(
+        v, "timestamp"
+    ):
+        return _micros_of(v)
+    if ice_type.startswith("decimal("):
+        from decimal import Decimal
+
+        return Decimal(str(v))
+    if ice_type == "binary":
+        return bytes(v)
+    return v
 
 
 # ---- manifest Avro schemas (spec v1, required fields) ----
@@ -333,7 +481,7 @@ def _partition_avro_fields(spec, ice_schema):
     types = {f["name"]: f["type"] for f in ice_schema["fields"]}
     avro_t = {
         "int": "int", "long": "long", "date": "int",
-        "timestamp": "long",
+        "timestamp": "long", "timestamptz": "long",
         "float": "float", "double": "double",
         "string": "string", "boolean": "boolean",
     }
@@ -528,20 +676,41 @@ def read_table_meta(loc: str) -> dict:
 
 
 def spark_schema_to_iceberg(df) -> dict:
+    """Infer the Iceberg schema from a DataFrame. Top-level columns
+    take ids 1..n; list element-ids continue the counter after them
+    (every field id in a schema must be unique — spec §Schemas)."""
+    n_top = len(df.schema.fields)
+    counter = iter(range(n_top + 1, n_top + 1 + n_top))
+
+    def next_id() -> int:
+        return next(counter)
+
     fields = []
     for i, f in enumerate(df.schema.fields, 1):
         t = f.dataType.simpleString()
-        if t not in _SPARK_TO_ICE:
-            raise ValueError(f"unsupported column type {t} for {f.name}")
+        try:
+            ice_t = spark_to_ice_type(t, next_id=next_id)
+        except ValueError:
+            raise ValueError(
+                f"unsupported column type {t} for {f.name}"
+            ) from None
         fields.append(
-            {
-                "id": i,
-                "name": f.name,
-                "required": False,
-                "type": _SPARK_TO_ICE[t],
-            }
+            {"id": i, "name": f.name, "required": False, "type": ice_t}
         )
     return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+def _max_field_id(ice_schema: dict) -> int:
+    """Highest field id in the schema, INCLUDING list element-ids —
+    last-column-id must cover them or a later ADD COLUMN would mint
+    a duplicate id."""
+    mx = 0
+    for f in ice_schema["fields"]:
+        mx = max(mx, f["id"])
+        t = f["type"]
+        if isinstance(t, dict) and t.get("type") == "list":
+            mx = max(mx, t.get("element-id", 0))
+    return mx
 
 
 def _build_spec_field(by_name: dict, c, field_id: int) -> dict:
@@ -549,9 +718,18 @@ def _build_spec_field(by_name: dict, c, field_id: int) -> dict:
     bare column name (identity transform) or a
     ``(column, transform, [N])`` tuple. Shared by create_table and
     add_partition_field so both validate transforms identically."""
+    _partitionable = (
+        "int", "long", "date", "timestamp", "timestamptz",
+        "float", "double", "string", "boolean",
+    )
     if isinstance(c, str):
         if c not in by_name:
             raise ValueError(f"unknown partition column {c!r}")
+        if by_name[c]["type"] not in _partitionable:
+            raise ValueError(
+                f"cannot partition on {c!r} of type "
+                f"{by_name[c]['type']!r} — use a primitive column"
+            )
         return {
             "name": c,
             "transform": "identity",
@@ -561,6 +739,11 @@ def _build_spec_field(by_name: dict, c, field_id: int) -> dict:
     col, kind, *rest = c
     if col not in by_name:
         raise ValueError(f"unknown partition column {col!r}")
+    if by_name[col]["type"] not in _partitionable:
+        raise ValueError(
+            f"cannot partition on {col!r} of type "
+            f"{by_name[col]['type']!r} — use a primitive column"
+        )
     probe = 0 if by_name[col]["type"] != "string" else ""
     if kind == "bucket":
         n = int(rest[0])
@@ -573,7 +756,9 @@ def _build_spec_field(by_name: dict, c, field_id: int) -> dict:
     elif kind in ("year", "month", "day", "hour"):
         src_t = by_name[col]["type"]
         ok_types = (
-            ("timestamp",) if kind == "hour" else ("date", "timestamp")
+            ("timestamp", "timestamptz")
+            if kind == "hour"
+            else ("date", "timestamp", "timestamptz")
         )
         if src_t not in ok_types:
             raise ValueError(
@@ -611,7 +796,7 @@ def create_table(loc: str, ice_schema: dict, part_cols=()) -> dict:
         "table-uuid": str(uuid.uuid4()),
         "location": loc,
         "last-updated-ms": int(time.time() * 1000),
-        "last-column-id": max(f["id"] for f in ice_schema["fields"]),
+        "last-column-id": _max_field_id(ice_schema),
         "schema": ice_schema,
         "schemas": [ice_schema],
         "current-schema-id": 0,
@@ -683,12 +868,33 @@ def _file_stats(path: str, ice_schema: dict, stat_cols):
             name = col.path_in_schema
             if name not in by_name or name not in stat_cols:
                 continue
+            t = by_name[name]["type"]
+            if not _is_primitive(t):
+                continue  # list/struct columns carry no bounds
             st = col.statistics
             if st is None or not st.has_min_max:
                 continue
             fid = str(by_name[name]["id"])
-            t = by_name[name]["type"]
-            lo, hi = st.min, st.max
+            # fold per-row-group stats in the CANONICAL domain (ints
+            # for date/ts, Decimal, bytes) — decode_bound returns
+            # canonical, so comparing it against a raw pyarrow
+            # datetime would TypeError on multi-row-group files
+            if t.startswith("decimal("):
+                # pyarrow cannot cast decimal statistics (INT32/64 or
+                # FLBA physical) — decode the UNSCALED raw values
+                lo = _decimal_from_raw(st.min_raw, t)
+                hi = _decimal_from_raw(st.max_raw, t)
+                if lo is None or hi is None:
+                    continue
+            else:
+                try:
+                    lo = _canon_stat(t, st.min)
+                    hi = _canon_stat(t, st.max)
+                except Exception:
+                    # pyarrow advertises has_min_max but cannot
+                    # extract stats for some physical types — no
+                    # bounds, no prune
+                    continue
             if fid not in lower or decode_bound(t, lower[fid]) > lo:
                 lower[fid] = encode_bound(t, lo)
             if fid not in upper or decode_bound(t, upper[fid]) < hi:
@@ -842,16 +1048,21 @@ def _partition_from_path(path: str, spec, ice_schema, missing_ok=False):
                     datetime.date.fromisoformat(raw)
                     - datetime.date(1970, 1, 1)
                 ).days
-        elif t == "timestamp":
+        elif t in ("timestamp", "timestamptz"):
             # identity TIMESTAMP partitions: Spark writes the hive
             # dir as the ISO form ('ts=2023-01-01 00%3A00%3A00'); the
-            # manifest partition tuple stores epoch micros
+            # manifest partition tuple stores epoch micros. A zoned
+            # dir value (timestamptz) converts through UTC.
             try:
                 out[c] = int(raw)
             except ValueError:
                 import datetime
 
                 dt = datetime.datetime.fromisoformat(raw)
+                if dt.tzinfo is not None:
+                    dt = dt.astimezone(
+                        datetime.timezone.utc
+                    ).replace(tzinfo=None)
                 # exact integer micros (total_seconds() is float and
                 # truncates ~1.25% of microsecond values one low)
                 td = dt - datetime.datetime(1970, 1, 1)
@@ -1016,7 +1227,7 @@ def _eval_filter(
                 continue
             tv = (
                 temporal_value_micros(val, kind)
-                if t == "timestamp"
+                if t in ("timestamp", "timestamptz")
                 else temporal_value(val, kind)
             )
             if (
@@ -1554,6 +1765,13 @@ def _residual_filters(filters, ice_schema):
             val = datetime.datetime(1970, 1, 1) + datetime.timedelta(
                 microseconds=val
             )
+        elif types.get(col) == "timestamptz" and isinstance(val, int):
+            # zoned column: the micros are a UTC instant — a
+            # tz-AWARE literal compares as that exact instant
+            # regardless of the session zone
+            val = datetime.datetime(
+                1970, 1, 1, tzinfo=datetime.timezone.utc
+            ) + datetime.timedelta(microseconds=val)
         out.append((col, op, val))
     return out
 
@@ -1777,7 +1995,7 @@ def mor_delete_keys(spark, loc: str, key_cols, keys_df,
     # would then delete every table row whose key IS NULL — silent
     # data loss from a typo'd keys_df. Same ANSI discipline as the
     # SQL-surface DML _strict_cast.
-    types = {c: _ICE_TO_SPARK[by_name[c]["type"]] for c in key_cols}
+    types = {c: ice_to_spark_type(by_name[c]["type"]) for c in key_cols}
     bad_cast = None
     for c in key_cols:
         cond = F.col(c).isNotNull() & F.col(c).try_cast(types[c]).isNull()
@@ -2085,6 +2303,10 @@ _ICE_TO_SPARK = {
     "boolean": "boolean",
     "date": "date",
     "timestamp": "timestamp_ntz",
+    # timestamptz = UTC-instant micros; Spark's zoned timestamp.
+    # decimal(P,S) and array<...> resolve via ice_to_spark_type.
+    "timestamptz": "timestamp",
+    "binary": "binary",
 }
 
 
@@ -2148,13 +2370,13 @@ def _read_files(spark, loc: str, files, ice_schema, deletes=None,
             if g is not None and g["name"] in df.columns:
                 sel.append(
                     F.col(g["name"])
-                    .cast(_ICE_TO_SPARK[f["type"]])
+                    .cast(ice_to_spark_type(f["type"]))
                     .alias(f["name"])
                 )
             else:
                 sel.append(
                     F.lit(None)
-                    .cast(_ICE_TO_SPARK[f["type"]])
+                    .cast(ice_to_spark_type(f["type"]))
                     .alias(f["name"])
                 )
         if need_meta:
@@ -2218,7 +2440,21 @@ def _write_replacement(spark, loc: str, replacement, meta):
     writer = replacement.write.mode("append")
     if dir_cols:
         writer = writer.partitionBy(*dir_cols)
-    writer.parquet(data_dir)
+    # Spark's default for zoned timestamps is INT96 — a deprecated
+    # physical type parquet keeps NO column statistics for, which
+    # would silently void every timestamptz bound. Pin micros for
+    # the write (and restore the session's setting after).
+    sess = replacement.sparkSession
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = sess.conf.get(key, None)
+    sess.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        writer.parquet(data_dir)
+    finally:
+        if prev is None:
+            sess.conf.unset(key)
+        else:
+            sess.conf.set(key, prev)
     return sorted(set(_list_parquet(data_dir)) - set(before))
 
 
@@ -2398,7 +2634,7 @@ def read_iceberg(spark, loc: str, snapshot_id=None, filters=(), stats_out=None):
         stats_out["files_total"] = total
     if not files:
         return spark.createDataFrame([], schema=", ".join(
-            f"{f['name']} {_ICE_TO_SPARK[f['type']]}"
+            f"{f['name']} {ice_to_spark_type(f['type'])}"
             for f in meta["schema"]["fields"]
         ))
     # Spark drops hive-partition dirs' columns unless basePath is set
@@ -2733,16 +2969,23 @@ def add_column(loc: str, name: str, ice_type: str) -> dict:
     carry it, with bounds collected for manifest pruning. This is
     the Iceberg property that makes ALTER TABLE on a 100 TB table an
     O(1) metadata commit instead of a full rewrite."""
-    if ice_type not in _ICE_TO_SPARK:
-        raise ValueError(f"unsupported type {ice_type!r}")
+    try:
+        ice_to_spark_type(ice_type)  # validates
+    except ValueError:
+        raise ValueError(f"unsupported type {ice_type!r}") from None
     meta = read_table_meta(loc)
     if any(f["name"] == name for f in meta["schema"]["fields"]):
         raise ValueError(f"column {name!r} already exists")
     fid = meta["last-column-id"] + 1
+    last = fid
+    if isinstance(ice_type, dict) and ice_type.get("type") == "list":
+        # the element gets its own fresh field id
+        ice_type = dict(ice_type, **{"element-id": fid + 1})
+        last = fid + 1
     field = {"id": fid, "name": name, "required": False, "type": ice_type}
     meta["schema"]["fields"].append(field)
     meta["schemas"] = [meta["schema"]]
-    meta["last-column-id"] = fid
+    meta["last-column-id"] = last
     meta["last-updated-ms"] = int(time.time() * 1000)
     _write_meta(loc, meta, _read_version(loc) + 1)
     return field
@@ -3347,7 +3590,7 @@ def read_incremental(
                     seqs[p_] = s.get("sequence-number", 0)
     if not files:
         return spark.createDataFrame([], schema=", ".join(
-            f"{f['name']} {_ICE_TO_SPARK[f['type']]}"
+            f"{f['name']} {ice_to_spark_type(f['type'])}"
             for f in meta["schema"]["fields"]
         ))
     return _read_files(spark, loc, files, meta["schema"], file_seqs=seqs)

@@ -2298,3 +2298,216 @@ def test_iceberg_eq_delete_bounds_scoping(spark, tmp_path):
     }
     assert got == {(1, "a")}  # the NULL row IS deleted
     assert stats2["eq_delete_files_planned"] == 1
+
+
+# ---- rich types: decimal / timestamptz / binary / list (r14) ----
+
+
+def _rich_rows():
+    import datetime
+    from decimal import Decimal
+
+    utc = datetime.timezone.utc
+    return [
+        (
+            1,
+            Decimal("12.34"),
+            datetime.datetime(2024, 1, 10, 5, 30, 0, 123456, tzinfo=utc),
+            b"\x00\x01",
+            [1.0, 2.0, 3.0],
+        ),
+        (
+            2,
+            Decimal("-7.01"),
+            datetime.datetime(2024, 1, 12, 23, 59, 59, 999999, tzinfo=utc),
+            b"\xff",
+            [0.5, 0.5, 0.5],
+        ),
+        (
+            3,
+            Decimal("100.00"),
+            datetime.datetime(2024, 2, 1, tzinfo=utc),
+            None,
+            None,
+        ),
+    ]
+
+
+_RICH_DDL = (
+    "k bigint, price decimal(10,2), ts timestamp, blob binary,"
+    " emb array<double>"
+)
+
+
+def test_rich_types_roundtrip_and_pruning(spark, tmp_path):
+    """decimal(P,S), timestamptz, binary, and list columns round-trip
+    through the vendored format exactly; decimal BOUNDS prune at the
+    manifest level (spec appendix D unscaled big-endian) and day(ts)
+    hidden partitioning on a ZONED timestamp prunes by UTC day."""
+    import datetime
+    from decimal import Decimal
+
+    utc = datetime.timezone.utc
+    loc = str(tmp_path / "rich")
+    df = spark.createDataFrame(_rich_rows(), _RICH_DDL)
+    schema = ice.spark_schema_to_iceberg(df)
+    types = {f["name"]: f["type"] for f in schema["fields"]}
+    assert types["price"] == "decimal(10,2)"
+    assert types["ts"] == "timestamptz"
+    assert types["blob"] == "binary"
+    assert types["emb"]["type"] == "list"
+    # list element-id is a real, unique field id
+    assert types["emb"]["element-id"] > max(
+        f["id"] for f in schema["fields"]
+    ) - 1
+    ice.create_table(loc, schema, part_cols=[("ts", "day")])
+    ice.append(spark, loc, df)
+
+    back = {r["k"]: r for r in ice.read_iceberg(spark, loc).collect()}
+    assert back[1]["price"] == Decimal("12.34")
+    assert back[2]["price"] == Decimal("-7.01")
+    assert bytes(back[2]["blob"]) == b"\xff"
+    assert back[1]["emb"] == [1.0, 2.0, 3.0]
+    assert back[3]["blob"] is None and back[3]["emb"] is None
+
+    # decimal bounds pruning: only the k=3 file can hold price > 50
+    files, total = ice.plan_files(
+        loc, filters=(("price", ">", Decimal("50")),)
+    )
+    assert total == 3 and len(files) == 1
+
+    # day(ts) partition pruning on the zoned column — UTC days
+    lo = int(datetime.datetime(2024, 1, 10, tzinfo=utc).timestamp() * 1e6)
+    hi = int(datetime.datetime(2024, 1, 13, tzinfo=utc).timestamp() * 1e6)
+    files, total = ice.plan_files(
+        loc, filters=(("ts", ">=", lo), ("ts", "<", hi))
+    )
+    assert len(files) == 2
+    got = ice.read_iceberg(
+        spark, loc, filters=(("ts", ">=", lo), ("ts", "<", hi))
+    )
+    assert sorted(r["k"] for r in got.collect()) == [1, 2]
+
+
+def test_rich_types_tz_instant_preserved(spark, tmp_path):
+    """A timestamptz value is ONE instant: writing under one session
+    zone and reading under another returns the same epoch micros
+    (and bounds store exactly those micros — integer arithmetic)."""
+    import calendar
+    import datetime
+
+    utc = datetime.timezone.utc
+    loc = str(tmp_path / "tzi")
+    df = spark.createDataFrame(_rich_rows(), _RICH_DDL)
+    ice.create_table(loc, ice.spark_schema_to_iceberg(df))
+    ice.append(spark, loc, df)
+
+    def micros(dt):
+        if dt.tzinfo is None:
+            # collect() renders in the process zone (UTC container)
+            return (
+                calendar.timegm(dt.timetuple()) * 1_000_000
+                + dt.microsecond
+            )
+        dt = dt.astimezone(utc)
+        return (
+            calendar.timegm(dt.utctimetuple()) * 1_000_000
+            + dt.microsecond
+        )
+
+    want = {k: micros(ts) for k, _, ts, _, _ in _rich_rows()}
+    back = {
+        r["k"]: micros(r["ts"])
+        for r in ice.read_iceberg(spark, loc).collect()
+    }
+    assert back == want
+    # bounds carry the exact micros
+    meta = ice.read_table_meta(loc)
+    fid = str(
+        next(
+            f["id"]
+            for f in meta["schema"]["fields"]
+            if f["name"] == "ts"
+        )
+    )
+    lows, highs = [], []
+    for m in ice._snapshot_manifests(loc, meta, None):
+        _, entries = read_container(ice._read_file(m["manifest_path"]))
+        for e in entries:
+            df_ = e["data_file"]
+            lows.append(ice.decode_bound("timestamptz", (df_.get("lower_bounds") or {}).get(fid)))
+            highs.append(ice.decode_bound("timestamptz", (df_.get("upper_bounds") or {}).get(fid)))
+    lows = [v for v in lows if v is not None]
+    highs = [v for v in highs if v is not None]
+    assert min(lows) == min(want.values())
+    assert max(highs) == max(want.values())
+
+
+def test_rich_types_dml_and_sql_surface(spark, tmp_path):
+    """The statement surface accepts the rich types: CREATE TABLE
+    with decimal/timestamptz/binary/array columns, INSERT, UPDATE on
+    a decimal measure, DESCRIBE shows readable type names, ALTER
+    ADD COLUMN decimal(6,3) and array<float> work."""
+    from decimal import Decimal
+
+    from mcp_iceberg_duckdb_spark.sources.fs_catalog import FsCatalog
+
+    cat = FsCatalog(str(tmp_path / "wh"))
+    run = lambda s: cat.execute(spark, s)  # noqa: E731
+    run(
+        "CREATE TABLE rich (k bigint, price decimal(10,2),"
+        " ts timestamptz, blob binary, emb array<double>)"
+    )
+    run(
+        "INSERT INTO rich VALUES"
+        " (1, CAST(12.34 AS DECIMAL(10,2)),"
+        "  TIMESTAMP '2024-01-10 05:30:00', X'00FF', array(1.0, 2.0)),"
+        " (2, CAST(99.99 AS DECIMAL(10,2)),"
+        "  TIMESTAMP '2024-02-01 00:00:00', NULL, NULL)"
+    )
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in run("DESCRIBE TABLE rich").collect()
+    }
+    assert desc["price"] == "decimal(10,2)"
+    assert desc["ts"] == "timestamptz"
+    assert desc["blob"] == "binary"
+    assert desc["emb"] == "list<double>"
+    got = {
+        r["k"]: r
+        for r in run("SELECT k, price, emb FROM rich r").collect()
+    }
+    assert got[1]["price"] == Decimal("12.34")
+    assert got[1]["emb"] == [1.0, 2.0]
+    run("UPDATE rich SET price = CAST(0.01 AS DECIMAL(10,2)) WHERE k = 2")
+    got = {
+        r["k"]: r["price"]
+        for r in run("SELECT k, price FROM rich r").collect()
+    }
+    assert got == {1: Decimal("12.34"), 2: Decimal("0.01")}
+    run("ALTER TABLE rich ADD COLUMN tax decimal(6,3)")
+    run("ALTER TABLE rich ADD COLUMN emb2 array<float>")
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in run("DESCRIBE TABLE rich").collect()
+    }
+    assert desc["tax"] == "decimal(6,3)"
+    assert desc["emb2"] == "list<float>"
+    # element-ids must not collide with any existing field id
+    meta = ice.read_table_meta(str(tmp_path / "wh" / "default" / "rich"))
+    ids = [f["id"] for f in meta["schema"]["fields"]]
+    for f in meta["schema"]["fields"]:
+        if isinstance(f["type"], dict):
+            ids.append(f["type"]["element-id"])
+    assert len(ids) == len(set(ids))
+
+
+def test_partition_on_nonprimitive_rejected(spark, tmp_path):
+    """list/binary/decimal columns cannot be partition sources — the
+    error is loud, not an Avro KeyError at manifest-write time."""
+    loc = str(tmp_path / "np")
+    df = spark.createDataFrame(_rich_rows(), _RICH_DDL)
+    schema = ice.spark_schema_to_iceberg(df)
+    for col in ("emb", "blob", "price"):
+        with pytest.raises(ValueError, match="cannot partition|primitive"):
+            ice.create_table(loc + col, schema, part_cols=[col])
