@@ -172,6 +172,16 @@ _DROP_REF = re.compile(
 _SHOW_REFS = re.compile(
     rf"^\s*SHOW\s+REFS\s+(?:IN\s+)?({_TBL})\s*;?\s*$", re.I
 )
+_WRITE_BRANCH = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_TBL})\s+WRITE\s+TO\s+BRANCH\s+"
+    rf"({_IDENT})\s*;?\s*$",
+    re.I,
+)
+_FAST_FORWARD = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_TBL})\s+FAST\s+FORWARD\s+"
+    rf"({_IDENT})\s+({_IDENT})\s*;?\s*$",
+    re.I,
+)
 _LIST_NS = re.compile(r"^\s*LIST\s+NAMESPACES\s*;?\s*$", re.I)
 _LIST_TBLS = re.compile(
     rf"^\s*LIST\s+TABLES(?:\s+(?:IN\s+)?({_IDENT}))?\s*;?\s*$", re.I
@@ -453,6 +463,28 @@ def _select_where_clause(sql: str) -> str | None:
         return None
     cut = _find_top_level(where, _CLAUSE_AFTER_WHERE)
     return (where[:cut] if cut >= 0 else where).strip() or None
+
+
+def _write_branch(loc: str):
+    """The table's routed write branch (the ``write.branch``
+    property set by ALTER TABLE ... WRITE TO BRANCH), or None when
+    writes go to the table head."""
+    props = ice.read_table_meta(loc).get("properties") or {}
+    b = props.get("write.branch")
+    return b if b and b != "main" else None
+
+
+def _no_write_branch(loc: str, verb: str) -> None:
+    """Row-mutating verbs other than INSERT are not branch-routed:
+    refuse rather than silently mutate MAIN while the user believes
+    they are staging on a branch (WAP safety)."""
+    b = _write_branch(loc)
+    if b:
+        raise ValueError(
+            f"{verb} is unsupported while write.branch={b!r} is set"
+            " — FAST FORWARD to publish or WRITE TO BRANCH main to"
+            " clear it first"
+        )
 
 
 def _sql_type_to_ice(spelled: str, next_id=None):
@@ -1059,6 +1091,28 @@ class FsCatalog:
             val = m.group(3).replace("''", "'")
             ice.set_table_property(loc, key, val)
             return self._ok(spark, "set_tblproperties", key=key, value=val)
+        if m := _WRITE_BRANCH.match(sql):
+            _, _, loc, _ = self._resolve(m.group(1))
+            name = m.group(2)
+            if name != "main":
+                refs = ice.read_table_meta(loc).get("refs") or {}
+                r = refs.get(name)
+                if r is None:
+                    raise ValueError(f"branch {name!r} does not exist")
+                if r["type"] != "branch":
+                    raise ValueError(f"ref {name!r} is a tag")
+            ice.set_table_property(loc, "write.branch", name)
+            return self._ok(spark, "write_to_branch", branch=name)
+        if m := _FAST_FORWARD.match(sql):
+            _, _, loc, _ = self._resolve(m.group(1))
+            out = ice.fast_forward(loc, m.group(2), m.group(3))
+            return self._ok(
+                spark,
+                "fast_forward",
+                target=m.group(2),
+                snapshot_id=str(out["snapshot-id"]),
+                advanced=str(out["advanced"]),
+            )
         if m := _CREATE_REF.match(sql):
             _, _, loc, _ = self._resolve(m.group(1))
             ref = ice.create_ref(
@@ -1208,6 +1262,7 @@ class FsCatalog:
             )
         if m := _TRUNCATE.match(sql):
             _, _, loc, _ = self._resolve(m.group(1))
+            _no_write_branch(loc, "TRUNCATE")
             snap = ice.overwrite_table(spark, loc, None)
             return self._ok(
                 spark,
@@ -1353,7 +1408,14 @@ class FsCatalog:
                 ]
             )
         aligned = self._aligned(spark, src, loc)
+        branch = _write_branch(loc)
         if overwrite:
+            if branch:
+                raise ValueError(
+                    "INSERT OVERWRITE is unsupported while "
+                    f"write.branch={branch!r} is set — publish or "
+                    "clear the branch first"
+                )
             snap = ice.overwrite_table(spark, loc, aligned)
             return self._ok(
                 spark,
@@ -1361,15 +1423,17 @@ class FsCatalog:
                 replaced_files=snap["summary"]["deleted-data-files"],
                 new_files=snap["summary"]["added-data-files"],
             )
-        snap = ice.append(spark, loc, aligned)
+        snap = ice.append(spark, loc, aligned, branch=branch)
         return self._ok(
             spark,
             "insert",
             added_records=snap["summary"].get("added-records", "0"),
+            **({"branch": branch} if branch else {}),
         )
 
     def _update(self, spark, ident, set_sql, where) -> DataFrame:
         _, _, loc, _ = self._resolve(ident)
+        _no_write_branch(loc, "UPDATE")
         meta = ice.read_table_meta(loc)
         part_set = ice.partition_source_cols(meta)
         schema_cols = {f["name"] for f in meta["schema"]["fields"]}
@@ -1435,6 +1499,7 @@ class FsCatalog:
 
     def _delete(self, spark, ident, where) -> DataFrame:
         _, _, loc, _ = self._resolve(ident)
+        _no_write_branch(loc, "DELETE")
         meta = ice.read_table_meta(loc)
         # subquery predicates (k IN (SELECT ...)) reference other
         # warehouse tables: register them as views and substitute
@@ -1480,6 +1545,7 @@ class FsCatalog:
             m.group(6), m.group(7).strip(),
         )
         _, _, loc, _ = self._resolve(tgt_ident)
+        _no_write_branch(loc, "MERGE")
         source = (
             self._run_select(spark, sub_sql)
             if sub_sql

@@ -909,11 +909,31 @@ def _file_stats(path: str, ice_schema: dict, stat_cols):
     }
 
 
-def append(spark, loc: str, df, stat_cols=None) -> dict:
+def append(spark, loc: str, df, stat_cols=None, branch=None) -> dict:
     """Append a DataFrame as a new snapshot: parquet out via Spark
     (hive-layout dirs for identity partitions — Iceberg tracks files
-    explicitly so layout is irrelevant), then the metadata commit."""
+    explicitly so layout is irrelevant), then the metadata commit.
+
+    ``branch``: write to a NAMED BRANCH instead of the table head —
+    the new snapshot's parent is the branch's current head and the
+    branch ref advances to it, while ``current-snapshot-id`` (main)
+    is untouched. This is the write half of write-audit-publish:
+    land data on ``audit``, validate reading `VERSION AS OF
+    'audit'`, then ``fast_forward(loc, 'main', 'audit')`` publishes
+    atomically (one metadata commit, zero data movement)."""
     meta = read_table_meta(loc)
+    base_id = meta["current-snapshot-id"]
+    if branch == "main":
+        branch = None  # the implicit head branch
+    if branch is not None:
+        r = (meta.get("refs") or {}).get(branch)
+        if r is None:
+            raise ValueError(f"branch {branch!r} does not exist")
+        if r["type"] != "branch":
+            raise ValueError(
+                f"ref {branch!r} is a tag — tags are immutable"
+            )
+        base_id = r["snapshot-id"]
     new_files = _write_replacement(spark, loc, df, meta)
 
     snapshot_id = int(time.time() * 1000) * 1000 + len(meta["snapshots"])
@@ -922,13 +942,14 @@ def append(spark, loc: str, df, stat_cols=None) -> dict:
         loc, meta, new_files, snapshot_id, stat_cols=stat_cols, seq=seq
     )
 
-    # carry forward the previous snapshot's manifests (append-only)
+    # carry forward the BASE snapshot's manifests (append-only):
+    # the branch head when writing to a branch, else the table head
     prev_manifests = []
     cur = next(
         (
             s
             for s in meta["snapshots"]
-            if s["snapshot-id"] == meta["current-snapshot-id"]
+            if s["snapshot-id"] == base_id
         ),
         None,
     )
@@ -963,10 +984,14 @@ def append(spark, loc: str, df, stat_cols=None) -> dict:
     if cur is not None:
         snap["parent-snapshot-id"] = cur["snapshot-id"]
     meta["snapshots"].append(snap)
-    meta["current-snapshot-id"] = snapshot_id
-    meta["snapshot-log"].append(
-        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
-    )
+    if branch is None:
+        meta["current-snapshot-id"] = snapshot_id
+        # snapshot-log records the MAIN branch history (spec)
+        meta["snapshot-log"].append(
+            {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+        )
+    else:
+        meta["refs"][branch]["snapshot-id"] = snapshot_id
     meta["last-updated-ms"] = now_ms
     version = _read_version(loc) + 1
     _write_meta(loc, meta, version)
@@ -3428,6 +3453,64 @@ def create_ref(loc: str, name: str, ref_type: str = "tag",
     return {"name": name, **refs[name]}
 
 
+def fast_forward(loc: str, target: str, source: str) -> dict:
+    """Fast-forward ``target`` (a branch name, or 'main' for the
+    table head) to ``source``'s snapshot — the publish half of
+    write-audit-publish. Only a true fast-forward commits: the
+    target's current head must be an ANCESTOR of the source head
+    (walked over parent-snapshot-id), otherwise the branches have
+    diverged and the caller must rebase/rewrite. One metadata
+    commit; zero data or manifest bytes move."""
+    meta = read_table_meta(loc)
+    refs = meta.get("refs") or {}
+    if source not in refs:
+        raise ValueError(f"ref {source!r} does not exist")
+    src_id = refs[source]["snapshot-id"]
+    if target == "main":
+        tgt_id = meta["current-snapshot-id"]
+    else:
+        r = refs.get(target)
+        if r is None:
+            raise ValueError(f"branch {target!r} does not exist")
+        if r["type"] != "branch":
+            raise ValueError(f"ref {target!r} is a tag — immutable")
+        tgt_id = r["snapshot-id"]
+    if src_id == tgt_id:
+        return {"target": target, "snapshot-id": src_id, "advanced": 0}
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    # walk source's ancestry back to the target head, collecting the
+    # published path (oldest-first) for the snapshot log
+    path = []
+    cur = src_id
+    while cur is not None and cur != tgt_id:
+        s = by_id.get(cur)
+        if s is None:
+            break
+        path.append(s)
+        cur = s.get("parent-snapshot-id")
+    if cur != tgt_id and not (tgt_id == -1 and cur is None):
+        raise ValueError(
+            f"{target!r} is not an ancestor of {source!r} — "
+            "not a fast-forward"
+        )
+    now_ms = int(time.time() * 1000)
+    if target == "main":
+        meta["current-snapshot-id"] = src_id
+        for s in reversed(path):
+            meta["snapshot-log"].append(
+                {"timestamp-ms": now_ms, "snapshot-id": s["snapshot-id"]}
+            )
+    else:
+        refs[target]["snapshot-id"] = src_id
+    meta["last-updated-ms"] = now_ms
+    _write_meta(loc, meta, _read_version(loc) + 1)
+    return {
+        "target": target,
+        "snapshot-id": src_id,
+        "advanced": len(path),
+    }
+
+
 def drop_ref(loc: str, name: str) -> dict:
     """Drop a named ref; its pinned snapshot becomes expirable."""
     meta = read_table_meta(loc)
@@ -3458,16 +3541,19 @@ def expire_snapshots(loc: str, keep_last: int = 1) -> dict:
         r["snapshot-id"] for r in (meta.get("refs") or {}).values()
     }
     keep_tail = snaps[-keep_last:]
+    # the table head is ALWAYS kept explicitly: with branch writes
+    # the snapshots list is commit-ordered across ALL branches, so
+    # the tail may be a branch snapshot, not the main head
     keep = [
         s
         for s in snaps
-        if s in keep_tail or s["snapshot-id"] in ref_ids
+        if s in keep_tail
+        or s["snapshot-id"] in ref_ids
+        or s["snapshot-id"] == meta["current-snapshot-id"]
     ]
     if len(snaps) <= len(keep):
         return {"removed_snapshots": 0, "removed_files": 0}
     kept_ids = {s["snapshot-id"] for s in keep}
-    if meta["current-snapshot-id"] not in kept_ids:
-        raise ValueError("cannot expire the current snapshot")
 
     reachable_data: set[str] = set()
     reachable_meta: set[str] = set()
