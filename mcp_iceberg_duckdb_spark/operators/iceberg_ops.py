@@ -1286,3 +1286,82 @@ def x_iceberg_fs_wap(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_orders"),
         F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
     )
+
+
+@query(
+    "x_iceberg_fs_merge_mirror",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+           CAST(floor(CAST(sum(CAST(o_totalprice + 1.0 AS DECIMAL(18,6))) AS DECIMAL(30,6)) * CAST(100 AS DECIMAL(3,0)) + 0.5) AS DOUBLE) / CAST(100 AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_orderkey % 4 IN (1, 2, 3)
+    GROUP BY o_orderpriority
+    """,
+    tags=("source", "iceberg", "tierx"),
+)
+def x_iceberg_fs_merge_mirror(spark, sf_dir):
+    """The full CDC mirror — MERGE WHEN MATCHED UPDATE / NOT MATCHED
+    INSERT / NOT MATCHED BY SOURCE DELETE (r13 VERDICT next-round #3;
+    Spark 3.4+/Iceberg syntax, previously absent from the SQL layer)
+    in MERGE-ON-READ mode: the target holds orders with key%4 in
+    {0,1,2}; the CDC state holds key%4 in {1,2,3} with a bumped
+    price. One MERGE makes the table mirror the source — matched
+    rows position-delete + re-append merged, key%4==3 inserts,
+    key%4==0 VANISHED rows become position deletes (zero data files
+    rewritten; the builder asserts the pre-merge state stays
+    time-travelable). Oracle: the aggregate DERIVED from the mirror
+    definition straight off the source parquet. At 100 TB this is
+    the table-maintenance primitive for replicating an upstream
+    OLTP table into the lake: one statement, write cost proportional
+    to the CHANGES (matched + vanished + new), not the table."""
+    from mcp_iceberg_duckdb_spark.sources import iceberg_fs as ice
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    loc = f"/tmp/spark_graft_iceberg_mirror_{key}"
+    marker = os.path.join(loc, "fixture.json")
+    built = False
+    try:
+        with open(marker) as fh:
+            built = json.load(fh)["sf_dir"] == sf_dir
+    except (OSError, ValueError, KeyError):
+        pass
+    if not built:
+        shutil.rmtree(loc, ignore_errors=True)
+        orders = t(spark, sf_dir).orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_totalprice").alias("amount"),
+        )
+        target = orders.filter(F.col("o_orderkey") % 4 < 3)
+        cdc = orders.filter(F.col("o_orderkey") % 4 > 0).withColumn(
+            "amount", F.col("amount") + F.lit(1.0)
+        )
+        ice.create_table(loc, ice.spark_schema_to_iceberg(target))
+        ice.set_table_property(loc, "write.merge.mode", "merge-on-read")
+        ice.append(spark, loc, target)
+        pre_snap = ice.read_table_meta(loc)["current-snapshot-id"]
+        n_pre = ice.read_iceberg(spark, loc).count()
+        snap = ice.mor_merge_into(
+            spark,
+            loc,
+            cdc,
+            on_cols=["o_orderkey"],
+            not_matched_by_source="delete",
+        )
+        # zero data files rewritten: MoR mirrors via position deletes
+        assert snap["summary"].get("deleted-data-files", "0") == "0"
+        # the vanished rows remain time-travelable
+        assert (
+            ice.read_iceberg(spark, loc, snapshot_id=pre_snap).count()
+            == n_pre
+        )
+        with open(marker, "w") as fh:
+            json.dump({"sf_dir": sf_dir}, fh)
+    df = ice.read_iceberg(spark, loc)
+    return df.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+        dec_sum(F.col("amount")).alias("sum_price"),
+    )

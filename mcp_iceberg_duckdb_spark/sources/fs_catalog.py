@@ -98,7 +98,9 @@ _MERGE = re.compile(
 # col = src.col assignments) or a pure key-tombstone DELETE
 _MERGE_UPSERT_TAIL = re.compile(
     r"^UPDATE\s+SET\s+(.+?)\s+"
-    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*$",
+    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*"
+    r"(?:\s+WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+"
+    r"(DELETE|UPDATE\s+SET\s+.+?))?\s*$",
     re.I | re.S,
 )
 _DESCRIBE = re.compile(rf"^\s*DESCRIBE\s+TABLE\s+({_TBL})\s*;?\s*$", re.I)
@@ -1613,10 +1615,51 @@ class FsCatalog:
         if not mm:
             raise ValueError(
                 f"unsupported MERGE clause {action_sql!r} — expected "
-                "UPDATE SET ... WHEN NOT MATCHED THEN INSERT *, or "
-                "DELETE"
+                "UPDATE SET ... WHEN NOT MATCHED THEN INSERT * "
+                "[WHEN NOT MATCHED BY SOURCE THEN DELETE | "
+                "UPDATE SET ...], or DELETE"
             )
         set_sql = mm.group(1).strip()
+        # WHEN NOT MATCHED BY SOURCE — the CDC-mirror clause
+        nmbs = None
+        if mm.group(2):
+            act = mm.group(2).strip()
+            if re.fullmatch(r"DELETE", act, re.I):
+                nmbs = "delete"
+            else:
+                from pyspark.sql import functions as F
+
+                canon = {
+                    f["name"].lower(): f["name"]
+                    for f in meta["schema"]["fields"]
+                }
+                nmbs = {}
+                nm_sql = re.sub(r"^UPDATE\s+SET\s+", "", act, flags=re.I)
+                for item in _split_top_level(nm_sql):
+                    col, eq, expr = item.partition("=")
+                    col = col.strip().strip("`")
+                    # strip an optional target-alias qualifier
+                    if "." in col:
+                        qual, _, bare = col.partition(".")
+                        if qual.strip().lower() != tgt_alias.lower():
+                            raise ValueError(
+                                "NOT MATCHED BY SOURCE SET may only "
+                                f"assign target columns, got {item!r}"
+                            )
+                        col = bare.strip().strip("`")
+                    if not eq or not expr.strip() or not col:
+                        raise ValueError(
+                            f"bad NOT MATCHED BY SOURCE SET item {item!r}"
+                        )
+                    if col.lower() not in canon:
+                        raise ValueError(
+                            f"unknown column {col!r} in NOT MATCHED "
+                            "BY SOURCE SET"
+                        )
+                    # no source row exists for these target rows, so
+                    # the expression may reference only literals and
+                    # target columns
+                    nmbs[canon[col.lower()]] = F.expr(expr.strip())
         update_cols = None
         if set_sql != "*":
             # explicit assignments: each must be [tgt.]col = src.col
@@ -1671,7 +1714,8 @@ class FsCatalog:
         )
         fn = ice.mor_merge_into if mor else ice.merge_into
         snap = fn(
-            spark, loc, source, on_cols=on_cols, update_cols=update_cols
+            spark, loc, source, on_cols=on_cols, update_cols=update_cols,
+            not_matched_by_source=nmbs,
         )
         return self._ok(
             spark,

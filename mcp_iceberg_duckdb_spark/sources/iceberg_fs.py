@@ -2715,7 +2715,8 @@ def read_iceberg(spark, loc: str, snapshot_id=None, filters=(), stats_out=None):
 # ---- MERGE INTO (upsert), schema evolution, maintenance ----
 
 
-def merge_into(spark, loc: str, source_df, on_cols, update_cols=None) -> dict:
+def merge_into(spark, loc: str, source_df, on_cols, update_cols=None,
+               not_matched_by_source=None) -> dict:
     """MERGE INTO (upsert) as a copy-on-write overwrite snapshot:
     WHEN MATCHED on ``on_cols`` the target row's ``update_cols`` are
     replaced by the source's values; WHEN NOT MATCHED the source row
@@ -2736,7 +2737,16 @@ def merge_into(spark, loc: str, source_df, on_cols, update_cols=None) -> dict:
     contract as update_where). Reference parity: the reference
     routes MERGE-shaped DML to DuckDB over its full table download
     (IcebergConnection.py:107-177); here it is a real Iceberg
-    overwrite commit."""
+    overwrite commit.
+
+    ``not_matched_by_source``: the full CDC mirror (Spark 3.4+ /
+    Iceberg `WHEN NOT MATCHED BY SOURCE`) — target rows whose key
+    has NO source row are either dropped (``"delete"``) or get a
+    dict of {column: Column} assignments applied. This clause
+    inspects EVERY live row, so the rewrite set becomes all live
+    files — bounds pruning cannot apply (a vanished key can hide in
+    any file); that cost is inherent to the semantics, the same in
+    real engines."""
     from pyspark.sql import functions as F
 
     meta = read_table_meta(loc)
@@ -2776,11 +2786,19 @@ def merge_into(spark, loc: str, source_df, on_cols, update_cols=None) -> dict:
             "source row (cardinality violation)"
         )
 
-    # bounds-prune candidates on the first join key's source range
+    if not_matched_by_source is not None:
+        _check_nmbs(not_matched_by_source, on_cols, part_sources)
+
+    # bounds-prune candidates on the first join key's source range —
+    # unless a NOT MATCHED BY SOURCE clause forces a full-candidate
+    # rewrite (any file may hold a vanished key)
     types = {f["name"]: f["type"] for f in ice_schema["fields"]}
-    filters = _merge_key_filters(source, on_cols[0], types)
-    candidates, _ = plan_files(loc, filters=filters)
     live, _ = plan_files(loc)
+    if not_matched_by_source is None:
+        filters = _merge_key_filters(source, on_cols[0], types)
+        candidates, _ = plan_files(loc, filters=filters)
+    else:
+        candidates = live
     untouched = [f for f in live if f not in set(candidates)]
 
     marked = source.select(
@@ -2798,6 +2816,18 @@ def merge_into(spark, loc: str, source_df, on_cols, update_cols=None) -> dict:
                     F.col(c)
                 ),
             )
+        if not_matched_by_source == "delete":
+            # __matched is True for matched rows, NULL otherwise
+            out = out.filter(F.col("__matched").isNotNull())
+        elif isinstance(not_matched_by_source, dict):
+            for c, expr in not_matched_by_source.items():
+                out = out.withColumn(
+                    c,
+                    F.when(
+                        F.col("__matched").isNull(),
+                        expr.cast(ice_to_spark_type(types[c])),
+                    ).otherwise(F.col(c)),
+                )
         rewritten = out.select(*cols)
         inserts = source.join(
             tgt.select(*on_cols), on=on_cols, how="left_anti"
@@ -2807,6 +2837,30 @@ def merge_into(spark, loc: str, source_df, on_cols, update_cols=None) -> dict:
         replacement = source
     new_files = _write_replacement(spark, loc, replacement, meta)
     return _commit_overwrite(loc, meta, candidates, untouched, new_files)
+
+
+def _check_nmbs(nmbs, on_cols, part_sources) -> None:
+    """Validate a not_matched_by_source action: 'delete' or a dict
+    of {column: Column} assignments that must not touch the ON keys
+    or any partition source column."""
+    if nmbs == "delete":
+        return
+    if not isinstance(nmbs, dict):
+        raise ValueError(
+            "not_matched_by_source must be 'delete' or a "
+            f"{{column: Column}} dict, got {nmbs!r}"
+        )
+    bad = set(nmbs) & set(on_cols)
+    if bad:
+        raise ValueError(
+            f"NOT MATCHED BY SOURCE cannot update ON keys {sorted(bad)}"
+        )
+    bad = set(nmbs) & set(part_sources)
+    if bad:
+        raise ValueError(
+            "NOT MATCHED BY SOURCE cannot update partition columns "
+            f"{sorted(bad)}"
+        )
 
 
 def _merge_key_filters(source, key: str, types: dict):
@@ -2900,7 +2954,8 @@ def mor_merge_delete(spark, loc: str, source_df, on_cols) -> dict:
 
 
 def mor_merge_into(
-    spark, loc: str, source_df, on_cols, update_cols=None
+    spark, loc: str, source_df, on_cols, update_cols=None,
+    not_matched_by_source=None,
 ) -> dict:
     """Merge-on-read MERGE (upsert): matched target rows are
     position-DELETED and their merged versions (target row with
@@ -2921,7 +2976,14 @@ def mor_merge_into(
     appends proportional to the INCREMENT — the CoW path's rewrite of
     every candidate file (bytes proportional to key-range overlap)
     disappears; reads pay the broadcast anti-join until compaction
-    materializes."""
+    materializes.
+
+    ``not_matched_by_source`` ('delete' or {column: Column}): the
+    CDC mirror — a vanished target row becomes a POSITION DELETE
+    (and for the update form is re-appended with the assignments
+    applied). The clause inspects every live row, so candidates are
+    all live files; the WRITE cost still scales with the number of
+    matched + vanished rows, not the table (MoR's whole point)."""
     from pyspark.sql import functions as F
 
     meta = read_table_meta(loc)
@@ -2952,9 +3014,14 @@ def mor_merge_into(
             "source row (cardinality violation)"
         )
 
+    if not_matched_by_source is not None:
+        _check_nmbs(not_matched_by_source, on_cols, part_sources)
     types = {f["name"]: f["type"] for f in meta["schema"]["fields"]}
-    filters = _merge_key_filters(source, on_cols[0], types)
-    candidates, _ = plan_files(loc, filters=filters)
+    if not_matched_by_source is None:
+        filters = _merge_key_filters(source, on_cols[0], types)
+        candidates, _ = plan_files(loc, filters=filters)
+    else:
+        candidates, _ = plan_files(loc)
 
     del_files: list[str] = []
     n_rows = 0
@@ -2962,7 +3029,16 @@ def mor_merge_into(
         alive = _alive_with_pos(spark, loc, meta, candidates)
         skeys = F.broadcast(source.select(*on_cols).distinct())
         matched_tgt = alive.join(skeys, on=on_cols, how="semi").persist()
-        del_files, n_rows = _write_position_deletes(spark, loc, matched_tgt)
+        to_delete = matched_tgt
+        vanished = None
+        if not_matched_by_source is not None:
+            vanished = alive.join(
+                source.select(*on_cols).distinct(),
+                on=on_cols,
+                how="left_anti",
+            ).persist()
+            to_delete = matched_tgt.unionByName(vanished)
+        del_files, n_rows = _write_position_deletes(spark, loc, to_delete)
         merged = (
             matched_tgt.select(*[c for c in cols if c not in update_cols])
             .join(
@@ -2976,11 +3052,22 @@ def mor_merge_into(
             alive.select(*on_cols), on=on_cols, how="left_anti"
         ).select(*cols)
         replacement = merged.unionByName(inserts)
+        if isinstance(not_matched_by_source, dict):
+            # the update form re-appends the vanished rows with the
+            # assignments applied (the delete form simply drops them)
+            upd = vanished
+            for c, expr in not_matched_by_source.items():
+                upd = upd.withColumn(
+                    c, expr.cast(ice_to_spark_type(types[c]))
+                )
+            replacement = replacement.unionByName(upd.select(*cols))
     else:
         replacement = source
     data_files = _write_replacement(spark, loc, replacement, meta)
     if candidates:
         matched_tgt.unpersist()
+        if not_matched_by_source is not None and vanished is not None:
+            vanished.unpersist()
     return _commit_mor(
         loc, meta, del_files, n_rows, data_files, "overwrite"
     )

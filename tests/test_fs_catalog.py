@@ -1622,3 +1622,126 @@ def test_wap_branch_validation(loaded, spark):
     run("INSERT INTO sales.orders VALUES (50, 'eu', 5.0)")
     with pytest.raises(ValueError, match="not a fast-forward"):
         run("ALTER TABLE sales.orders FAST FORWARD main b1")
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_merge_not_matched_by_source(cat, spark, mode):
+    """MERGE ... WHEN NOT MATCHED BY SOURCE THEN DELETE | UPDATE SET
+    (r13 VERDICT next-round #3 — the full CDC mirror) in both write
+    modes, with time travel preserving the pre-merge state."""
+    run = lambda s: cat.execute(spark, s)  # noqa: E731
+    run("CREATE TABLE t (k bigint, v string, amt double)")
+    run("CREATE TABLE s (k bigint, v string, amt double)")
+    if mode == "mor":
+        run(
+            "ALTER TABLE t SET TBLPROPERTIES"
+            " ('write.merge.mode' = 'merge-on-read')"
+        )
+    run("INSERT INTO t VALUES (1,'a',1.0),(2,'b',2.0),(3,'c',3.0)")
+    run("INSERT INTO s VALUES (2,'B',20.0),(4,'D',40.0)")
+    run(
+        "MERGE INTO t tg USING s sr ON tg.k = sr.k"
+        " WHEN MATCHED THEN UPDATE SET *"
+        " WHEN NOT MATCHED THEN INSERT *"
+        " WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    got = sorted(
+        (r["k"], r["v"], r["amt"])
+        for r in run("SELECT * FROM t x").collect()
+    )
+    assert got == [(2, "B", 20.0), (4, "D", 40.0)]
+    # the vanished rows remain time-travelable
+    snaps = [
+        r["snapshot_id"] for r in run("SHOW SNAPSHOTS IN t").collect()
+    ]
+    pre = sorted(
+        r["k"]
+        for r in run(
+            f"SELECT k FROM t VERSION AS OF {snaps[0]} x"
+        ).collect()
+    )
+    assert pre == [1, 2, 3]
+    if mode == "mor":
+        # MoR mirrors via position deletes: no data file rewritten
+        res = run("SHOW SNAPSHOTS IN t").collect()[-1]
+        assert res["operation"] == "overwrite"
+
+    # the UPDATE SET form: vanished rows soft-flagged, not dropped
+    run("CREATE TABLE t2 (k bigint, v string, amt double)")
+    if mode == "mor":
+        run(
+            "ALTER TABLE t2 SET TBLPROPERTIES"
+            " ('write.merge.mode' = 'merge-on-read')"
+        )
+    run("INSERT INTO t2 VALUES (1,'a',1.0),(2,'b',2.0)")
+    run(
+        "MERGE INTO t2 tg USING s sr ON tg.k = sr.k"
+        " WHEN MATCHED THEN UPDATE SET *"
+        " WHEN NOT MATCHED THEN INSERT *"
+        " WHEN NOT MATCHED BY SOURCE THEN UPDATE SET"
+        " tg.v = 'gone', amt = 0.0"
+    )
+    got = sorted(
+        (r["k"], r["v"], r["amt"])
+        for r in run("SELECT * FROM t2 x").collect()
+    )
+    assert got == [(1, "gone", 0.0), (2, "B", 20.0), (4, "D", 40.0)]
+
+
+def test_merge_nmbs_validation(loaded, spark):
+    """NMBS assignments cannot touch ON keys or partition columns,
+    and a non-target alias is rejected."""
+    cat, run = loaded
+    run("CREATE TABLE sales.src2 (k bigint, region string, amount double)")
+    run("INSERT INTO sales.src2 VALUES (1, 'eu', 9.0)")
+    base = (
+        "MERGE INTO sales.orders tg USING sales.src2 sr ON tg.k = sr.k"
+        " WHEN MATCHED THEN UPDATE SET *"
+        " WHEN NOT MATCHED THEN INSERT *"
+        " WHEN NOT MATCHED BY SOURCE THEN UPDATE SET {}"
+    )
+    with pytest.raises(ValueError, match="ON keys"):
+        run(base.format("k = 0"))
+    with pytest.raises(ValueError, match="partition"):
+        run(base.format("region = 'xx'"))
+    with pytest.raises(ValueError, match="target columns"):
+        run(base.format("sr.amount = 0.0"))
+
+
+def test_server_routes_round14_statements(loaded, spark, monkeypatch):
+    """Every round-14 statement is reachable through the MCP
+    query_table tool: rich-type DDL, WAP branch routing + fast
+    forward, MERGE NOT MATCHED BY SOURCE."""
+    import json
+
+    from mcp_iceberg_duckdb_spark import server
+
+    cat, run = loaded
+    monkeypatch.setenv("SPARK_GRAFT_FS_WAREHOUSE", cat.warehouse)
+    t = lambda q: server.query_table(spark, q)  # noqa: E731
+    for q in (
+        "CREATE TABLE sales.rich (k bigint, price decimal(10,2),"
+        " ts timestamptz, blob binary, emb array<float>)",
+        "ALTER TABLE sales.rich ADD COLUMN tax decimal(6,3)",
+        "DESCRIBE TABLE sales.rich",
+        "ALTER TABLE sales.orders CREATE BRANCH audit",
+        "ALTER TABLE sales.orders WRITE TO BRANCH audit",
+        "INSERT INTO sales.orders VALUES (77, 'eu', 7.0)",
+        "ALTER TABLE sales.orders FAST FORWARD main audit",
+        "ALTER TABLE sales.orders WRITE TO BRANCH main",
+    ):
+        res = t(q)
+        assert not res.is_error, (q, res.text)
+    res = t("SELECT count(*) AS n FROM sales.orders o")
+    assert json.loads(res.text.split("\n", 1)[1]) == [{"n": 4}]
+    run("CREATE TABLE sales.mir (k bigint, region string, amount double)")
+    run("INSERT INTO sales.mir VALUES (1, 'eu', 10.0)")
+    res = t(
+        "MERGE INTO sales.orders a USING sales.mir b ON a.k = b.k"
+        " WHEN MATCHED THEN UPDATE SET *"
+        " WHEN NOT MATCHED THEN INSERT *"
+        " WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    assert not res.is_error, res.text
+    res = t("SELECT count(*) AS n FROM sales.orders o")
+    assert json.loads(res.text.split("\n", 1)[1]) == [{"n": 1}]
