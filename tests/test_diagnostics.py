@@ -950,3 +950,53 @@ def test_query_calib_flags_spikes_and_self():
     prior = {"calibration_sec": 1.0, "queries": {"tiny": 0.06}}
     _, flagged = _query_calib_flags({"tiny": 0.09}, 1.0, prior)
     assert flagged == {}
+
+
+def test_query_calib_flags_absolute_excess_gate():
+    """VERDICT r13 wrong #1: the r13 driver run's 8 sub-0.3s flags
+    were +50-150 ms of uniform host drift (the CPU-loop calibration
+    under-corrects per-job fixed overhead). Replayed against the
+    committed record, the REAL r13 driver numbers must flag nothing,
+    while an injected true 2x regression on a >=1 s query still
+    flags."""
+    import json
+    from pathlib import Path
+
+    from bench import _query_calib_flags
+
+    root = Path(__file__).parents[1]
+    r13 = json.loads((root / "BENCH_r13.json").read_text())["parsed"]
+    record = json.loads((root / "BENCH_LOCAL.json").read_text())
+
+    _, flagged = _query_calib_flags(
+        r13["queries"], r13["calibration_sec"], record
+    )
+    assert flagged == {}, (
+        "host-drift noise on sub-0.3s queries must not flag"
+    )
+
+    # injected true regression on the slowest shared query (>=1 s)
+    pq = dict(r13["queries"])
+    big = max(pq, key=lambda n: pq[n])
+    assert pq[big] >= 1.0
+    pq[big] *= 2.2
+    _, flagged = _query_calib_flags(pq, r13["calibration_sec"], record)
+    assert big in flagged and flagged[big] > 2.0
+
+    # a mid-range query (~0.5 s record) with a genuine 3x excursion
+    # clears the 0.25 s absolute gate too
+    prior = {
+        "calibration_sec": 1.0,
+        "queries": {"mid": 0.5},
+        "queries_sd": {"mid": 0.02},
+    }
+    _, flagged = _query_calib_flags({"mid": 1.5}, 1.0, prior)
+    assert flagged == {"mid": 3.0}
+    # ...but +150 ms of drift on a 0.15 s query does not
+    prior = {
+        "calibration_sec": 1.0,
+        "queries": {"small": 0.15},
+        "queries_sd": {"small": 0.01},
+    }
+    _, flagged = _query_calib_flags({"small": 0.30}, 1.0, prior)
+    assert flagged == {}
