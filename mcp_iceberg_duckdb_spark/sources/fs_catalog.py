@@ -111,6 +111,11 @@ _ALTER_ADD = re.compile(
     rf"({_SQLTYPE})\s*;?\s*$",
     re.I,
 )
+_ALTER_TYPE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_TBL})\s+ALTER\s+COLUMN\s+"
+    rf"({_IDENT})\s+TYPE\s+({_SQLTYPE})\s*;?\s*$",
+    re.I,
+)
 _ALTER_RENAME = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_TBL})\s+RENAME\s+COLUMN\s+({_IDENT})\s+"
     rf"TO\s+({_IDENT})\s*;?\s*$",
@@ -138,7 +143,10 @@ _ALTER_PROPS = re.compile(
 )
 _OPTIMIZE = re.compile(
     rf"^\s*OPTIMIZE\s+({_TBL})"
-    rf"(?:\s+SORT\s+BY\s+({_IDENT})(?:\s+SLICES\s+(\d+))?)?"
+    rf"(?:\s+SORT\s+BY\s+({_IDENT}))?"
+    # SLICES no longer requires SORT BY: a table default sort order
+    # (WRITE ORDERED BY) supplies the clustering key
+    rf"(?:\s+SLICES\s+(\d+))?"
     rf"(?:\s+TARGET\s+SIZE\s+(\d+))?\s*;?\s*$",
     re.I,
 )
@@ -173,6 +181,15 @@ _DROP_REF = re.compile(
 )
 _SHOW_REFS = re.compile(
     rf"^\s*SHOW\s+REFS\s+(?:IN\s+)?({_TBL})\s*;?\s*$", re.I
+)
+_WRITE_ORDERED = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_TBL})\s+WRITE\s+ORDERED\s+BY\s+"
+    rf"\(?\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\)?\s*;?\s*$",
+    re.I,
+)
+_WRITE_UNORDERED = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_TBL})\s+WRITE\s+UNORDERED\s*;?\s*$",
+    re.I,
 )
 _WRITE_BRANCH = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_TBL})\s+WRITE\s+TO\s+BRANCH\s+"
@@ -1045,12 +1062,23 @@ class FsCatalog:
             _, _, loc, _ = self._resolve(m.group(1))
             meta = ice.read_table_meta(loc)
             parts = {f["name"] for f in meta["partition-spec"]}
+            sort_cols = ice.default_sort_cols(meta)
+            sort_pos = {c: i + 1 for i, c in enumerate(sort_cols)}
+
+            def _facets(name: str) -> str:
+                out = []
+                if name in parts:
+                    out.append("partition")
+                if name in sort_pos:
+                    out.append(f"sort({sort_pos[name]})")
+                return " ".join(out)
+
             return spark.createDataFrame(
                 [
                     (
                         f["name"],
                         ice.ice_type_str(f["type"]),
-                        "partition" if f["name"] in parts else "",
+                        _facets(f["name"]),
                     )
                     for f in meta["schema"]["fields"]
                 ],
@@ -1093,6 +1121,29 @@ class FsCatalog:
             val = m.group(3).replace("''", "'")
             ice.set_table_property(loc, key, val)
             return self._ok(spark, "set_tblproperties", key=key, value=val)
+        if m := _WRITE_ORDERED.match(sql):
+            _, _, loc, _ = self._resolve(m.group(1))
+            meta = ice.read_table_meta(loc)
+            canon = {
+                f["name"].lower(): f["name"]
+                for f in meta["schema"]["fields"]
+            }
+            cols = [
+                canon.get(c.strip().strip("`").lower(),
+                          c.strip().strip("`"))
+                for c in m.group(2).split(",")
+            ]
+            out = ice.set_sort_order(loc, cols)
+            return self._ok(
+                spark,
+                "write_ordered_by",
+                order_id=str(out["order-id"]),
+                columns=",".join(cols),
+            )
+        if m := _WRITE_UNORDERED.match(sql):
+            _, _, loc, _ = self._resolve(m.group(1))
+            ice.set_sort_order(loc, [])
+            return self._ok(spark, "write_unordered", order_id="0")
         if m := _WRITE_BRANCH.match(sql):
             _, _, loc, _ = self._resolve(m.group(1))
             name = m.group(2)
@@ -1187,6 +1238,29 @@ class FsCatalog:
                 "drop_partition_field",
                 spec_id=str(spec["spec-id"]),
                 field=m.group(2),
+            )
+        if m := _ALTER_TYPE.match(sql):
+            _, _, loc, _ = self._resolve(m.group(1))
+            meta = ice.read_table_meta(loc)
+            canon = {
+                f["name"].lower(): f["name"]
+                for f in meta["schema"]["fields"]
+            }
+            col = canon.get(
+                m.group(2).strip("`").lower(), m.group(2).strip("`")
+            )
+            new_t = _sql_type_to_ice(m.group(3), next_id=lambda: 0)
+            if not isinstance(new_t, str):
+                raise ValueError(
+                    f"cannot promote to nested type {m.group(3)!r}"
+                )
+            out = ice.promote_column_type(loc, col, new_t)
+            return self._ok(
+                spark,
+                "alter_column_type",
+                column=col,
+                from_type=ice.ice_type_str(out["from"]),
+                to_type=out["to"],
             )
         if m := _ALTER_RENAME.match(sql):
             _, _, loc, _ = self._resolve(m.group(1))

@@ -411,10 +411,18 @@ def decode_bound(ice_type: str, raw):
     if ice_type == "int":
         return struct.unpack("<i", raw)[0]
     if ice_type in ("long", "date", "timestamp", "timestamptz"):
+        # a 4-byte bound was written before an int -> long promotion
+        # (manifests are never rewritten on ALTER COLUMN TYPE; the
+        # spec makes readers decode under the file's original width)
+        if len(raw) == 4:
+            return struct.unpack("<i", raw)[0]
         return struct.unpack("<q", raw)[0]
     if ice_type == "float":
         return struct.unpack("<f", raw)[0]
     if ice_type == "double":
+        # 4-byte bound from before a float -> double promotion
+        if len(raw) == 4:
+            return struct.unpack("<f", raw)[0]
         return struct.unpack("<d", raw)[0]
     if ice_type == "string":
         return raw.decode("utf-8")
@@ -803,6 +811,9 @@ def create_table(loc: str, ice_schema: dict, part_cols=()) -> dict:
         "partition-spec": spec_fields,
         "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
         "default-spec-id": 0,
+        # spec §Sort Orders: order 0 is the canonical unsorted order
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
         "last-partition-id": 999 + len(spec_fields),
         "properties": {"write.format.default": "parquet"},
         "current-snapshot-id": -1,
@@ -2377,10 +2388,29 @@ def _read_files(spark, loc: str, files, ice_schema, deletes=None,
     schema_log = read_table_meta(loc).get("schema-log") or []
     need_meta = bool(deletes or eq_deletes or keep_meta_cols)
 
+    cur_by_id = {f["id"]: f["type"] for f in ice_schema["fields"]}
+
     def _scan(paths, gen_schema):
+        # EXPLICIT read schema, per generation: each field reads
+        # under its generation's NAME but the CURRENT type (by field
+        # id) — Spark 4's parquet type widening upcasts files written
+        # before an int->long / float->double / decimal-precision
+        # promotion in the scan itself, which mergeSchema refuses to
+        # merge. This also kills the mergeSchema footer sweep: at
+        # 100 TB, schema inference over every file's footer is a real
+        # planning cost; the manifest already knows the schema.
+        # Columns a file lacks (added after its write) read as NULL;
+        # hive partition-dir columns in the schema resolve from the
+        # path, extra dir fields (hidden transforms) are appended by
+        # Spark and dropped by the select below.
+        read_ddl = ", ".join(
+            f"`{g['name']}` "
+            + ice_to_spark_type(cur_by_id.get(g["id"], g["type"]))
+            for g in gen_schema["fields"]
+        )
         df = (
             spark.read.option("basePath", os.path.join(loc, "data"))
-            .option("mergeSchema", "true")
+            .schema(read_ddl)
             .parquet(*paths)
         )
         if need_meta:
@@ -2887,6 +2917,88 @@ def _merge_key_filters(source, key: str, types: dict):
     return [(key, ">=", lo), (key, "<=", hi)]
 
 
+def set_sort_order(loc: str, cols) -> dict:
+    """ALTER TABLE ... WRITE ORDERED BY (c1, c2): mint a new sort
+    order (identity transform, asc, nulls-first — the spec defaults)
+    and make it the table default — metadata-only, O(1). Existing
+    files keep their layout; compact_files (OPTIMIZE) picks the
+    order up as its clustering default, after which the rewritten
+    files carry range-disjoint sort-key bounds and manifest pruning
+    on the key skips whole files. Pass an empty list (SQL: WRITE
+    UNORDERED) to reset to order 0. Reference parity: DESCRIBE shows
+    all four facets incl. sort order (IcebergConnection.py:68-74)."""
+    meta = read_table_meta(loc)
+    orders = meta.setdefault(
+        "sort-orders", [{"order-id": 0, "fields": []}]
+    )
+    if not cols:
+        meta["default-sort-order-id"] = 0
+    else:
+        by_name = {f["name"]: f for f in meta["schema"]["fields"]}
+        fields = []
+        for c in cols:
+            if c not in by_name:
+                raise ValueError(f"unknown sort column {c!r}")
+            if not _is_primitive(by_name[c]["type"]):
+                raise ValueError(
+                    f"cannot sort on {c!r} of type "
+                    f"{by_name[c]['type']!r}"
+                )
+            fields.append(
+                {
+                    "transform": "identity",
+                    "source-id": by_name[c]["id"],
+                    "direction": "asc",
+                    "null-order": "nulls-first",
+                }
+            )
+        same = next(
+            (
+                o
+                for o in orders
+                if [f["source-id"] for f in o["fields"]]
+                == [f["source-id"] for f in fields]
+            ),
+            None,
+        )
+        if same is None:
+            oid = max(o["order-id"] for o in orders) + 1
+            orders.append({"order-id": oid, "fields": fields})
+        else:
+            oid = same["order-id"]
+        meta["default-sort-order-id"] = oid
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _write_meta(loc, meta, _read_version(loc) + 1)
+    return {
+        "order-id": meta["default-sort-order-id"],
+        "columns": list(cols),
+    }
+
+
+def default_sort_cols(meta: dict) -> list:
+    """Column names of the table's default sort order ([] when
+    unsorted or a sort source column was since dropped)."""
+    oid = meta.get("default-sort-order-id", 0)
+    order = next(
+        (
+            o
+            for o in meta.get("sort-orders", [])
+            if o["order-id"] == oid
+        ),
+        None,
+    )
+    if not order:
+        return []
+    by_id = {f["id"]: f["name"] for f in meta["schema"]["fields"]}
+    cols = []
+    for f in order["fields"]:
+        name = by_id.get(f["source-id"])
+        if name is None:
+            return []  # dropped source: order no longer applicable
+        cols.append(name)
+    return cols
+
+
 def set_table_property(loc: str, key: str, value: str) -> dict:
     """Metadata-only table property commit (the Iceberg ALTER TABLE
     SET TBLPROPERTIES path). fs_catalog honors
@@ -3103,6 +3215,54 @@ def add_column(loc: str, name: str, ice_type: str) -> dict:
     return field
 
 
+_PROMOTIONS = {("int", "long"), ("float", "double")}
+
+
+def promote_column_type(loc: str, name: str, new_type: str) -> dict:
+    """ALTER COLUMN TYPE — the spec's safe type promotions only
+    (§Schema Evolution): int -> long, float -> double, and
+    decimal(P,S) -> decimal(P',S) with P' > P (same scale). Metadata-
+    only commit; no data file or manifest is rewritten. Old files
+    resolve by field-id and Spark's mergeSchema widens their values
+    losslessly; old manifest BOUNDS stay in their original 4-byte
+    encoding and decode_bound detects the width — a pre-promotion
+    file still prunes correctly (pinned in tests)."""
+    meta = read_table_meta(loc)
+    f = next(
+        (x for x in meta["schema"]["fields"] if x["name"] == name),
+        None,
+    )
+    if f is None:
+        raise ValueError(f"column {name!r} does not exist")
+    old_t, new_t = f["type"], new_type.strip().replace(" ", "")
+    ok = (old_t, new_t) in _PROMOTIONS
+    if (
+        not ok
+        and isinstance(old_t, str)
+        and old_t.startswith("decimal(")
+        and new_t.startswith("decimal(")
+    ):
+        mo, mn = _DECIMAL_RE.match(old_t), _DECIMAL_RE.match(new_t)
+        ok = bool(
+            mo
+            and mn
+            and int(mn.group(2)) == int(mo.group(2))  # same scale
+            and int(mn.group(1)) > int(mo.group(1))  # wider precision
+            and int(mn.group(1)) <= 38
+        )
+    if not ok:
+        raise ValueError(
+            f"unsupported type promotion {ice_type_str(old_t)} -> "
+            f"{new_t} — spec allows int->long, float->double, "
+            "decimal precision widening at the same scale"
+        )
+    f["type"] = new_t
+    meta["schemas"] = [meta["schema"]]
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _write_meta(loc, meta, _read_version(loc) + 1)
+    return {"column": name, "from": old_t, "to": new_t}
+
+
 def _log_schema_generation(meta: dict) -> None:
     """Snapshot the CURRENT schema into meta['schema-log'] before a
     rename/drop mutates it: files with sequence numbers <= the
@@ -3290,6 +3450,12 @@ def compact_files(
 
     meta = read_table_meta(loc)
     spec = meta["partition-spec"]
+    if sort_by is None:
+        # OPTIMIZE without SORT BY honors the table's default sort
+        # order (ALTER TABLE ... WRITE ORDERED BY)
+        sort_by = default_sort_cols(meta) or None
+    if isinstance(sort_by, str):
+        sort_by = [sort_by]
     live, _ = plan_files(loc)
     if not live:
         raise ValueError("nothing to compact: table has no live files")
@@ -3300,7 +3466,7 @@ def compact_files(
     df = _read_with_deletes(spark, loc, live, meta["schema"])
     df, dir_cols = _with_partition_cols(df, meta)
     if sort_by is not None:
-        keys = [F.col(c) for c in (*dir_cols, sort_by)]
+        keys = [F.col(c) for c in (*dir_cols, *sort_by)]
         # partition-value count straight off the manifest metadata —
         # no Spark job, no driver-side row data. missing_ok: files
         # written under an OLDER partition spec (spec evolution) lack

@@ -1745,3 +1745,56 @@ def test_server_routes_round14_statements(loaded, spark, monkeypatch):
     assert not res.is_error, res.text
     res = t("SELECT count(*) AS n FROM sales.orders o")
     assert json.loads(res.text.split("\n", 1)[1]) == [{"n": 1}]
+
+
+def test_write_ordered_by_and_default_compaction(cat, spark):
+    """Sort-order metadata (r13 VERDICT next-round #5): WRITE
+    ORDERED BY mints a sort order and makes it the default, DESCRIBE
+    exposes it, and OPTIMIZE WITHOUT a SORT BY clause clusters on
+    the table order — the rewritten files carry range-disjoint
+    sort-key bounds, so a key-range SELECT prunes files at the
+    manifest level."""
+    from mcp_iceberg_duckdb_spark.sources import iceberg_fs as ice
+
+    run = lambda s: cat.execute(spark, s)  # noqa: E731
+    run("CREATE TABLE ord (k bigint, v double)")
+    # several appends -> several files, each spanning the full range
+    import random
+
+    rng = random.Random(7)
+    ks = list(range(400))
+    rng.shuffle(ks)
+    for i in range(4):
+        vals = ",".join(
+            f"({k}, {float(k)})" for k in ks[i * 100:(i + 1) * 100]
+        )
+        run(f"INSERT INTO ord VALUES {vals}")
+    loc = cat.warehouse + "/default/ord"
+    res = run("ALTER TABLE ord WRITE ORDERED BY (k)").collect()[0]
+    assert res["operation"] == "write_ordered_by"
+    desc = {
+        r["col_name"]: r["comment"]
+        for r in run("DESCRIBE TABLE ord").collect()
+    }
+    assert desc["k"] == "sort(1)"
+    meta = ice.read_table_meta(loc)
+    assert meta["default-sort-order-id"] == 1
+    assert meta["sort-orders"][1]["fields"][0]["direction"] == "asc"
+    run("OPTIMIZE ord SLICES 4")
+    # compaction under the table order: few range-disjoint files,
+    # and the key-range filter prunes most of them
+    files, total = ice.plan_files(loc, filters=(("k", "<", 100),))
+    assert total <= 8, total
+    assert 0 < len(files) < total, (len(files), total)
+    got = sorted(
+        r["k"] for r in run("SELECT k FROM ord x WHERE k < 100").collect()
+    )
+    assert got == list(range(100))
+    # WRITE UNORDERED resets to order 0
+    run("ALTER TABLE ord WRITE UNORDERED")
+    assert ice.read_table_meta(loc)["default-sort-order-id"] == 0
+    desc = {
+        r["col_name"]: r["comment"]
+        for r in run("DESCRIBE TABLE ord").collect()
+    }
+    assert desc["k"] == ""

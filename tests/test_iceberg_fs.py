@@ -2543,3 +2543,56 @@ def test_convert_eq_deletes_scoped_candidates(spark, tmp_path):
     assert got == [k for k in range(100) if not 10 <= k < 20]
     # after conversion the eq-delete chain is gone
     assert ice.plan_equality_deletes(loc) == []
+
+
+def test_alter_column_type_promotion(spark, tmp_path):
+    """ALTER COLUMN TYPE (r13 VERDICT next-round #6): int->long,
+    float->double, decimal precision widening — metadata-only; a
+    PRE-promotion file's 4-byte bounds still decode and PRUNE
+    correctly, and values read back widened."""
+    from decimal import Decimal
+
+    from mcp_iceberg_duckdb_spark.sources.fs_catalog import FsCatalog
+
+    cat = FsCatalog(str(tmp_path / "wh"))
+    run = lambda s: cat.execute(spark, s)  # noqa: E731
+    run("CREATE TABLE p (k int, r float, d decimal(6,2))")
+    run(
+        "INSERT INTO p VALUES"
+        " (CAST(1 AS INT), CAST(1.5 AS FLOAT), CAST(10.25 AS DECIMAL(6,2))),"
+        " (CAST(2000000 AS INT), CAST(2.5 AS FLOAT), CAST(99.99 AS DECIMAL(6,2)))"
+    )
+    loc = str(tmp_path / "wh" / "default" / "p")
+    # pre-promotion pruning baseline: bounds exist and prune
+    files, total = ice.plan_files(loc, filters=(("k", ">", 3_000_000),))
+    assert len(files) == 0 and total >= 1
+    run("ALTER TABLE p ALTER COLUMN k TYPE bigint")
+    run("ALTER TABLE p ALTER COLUMN r TYPE double")
+    run("ALTER TABLE p ALTER COLUMN d TYPE decimal(12,2)")
+    meta = ice.read_table_meta(loc)
+    types = {f["name"]: f["type"] for f in meta["schema"]["fields"]}
+    assert types == {"k": "long", "r": "double", "d": "decimal(12,2)"}
+    # the OLD file's 4-byte int bound must still decode: a filter
+    # above its max prunes it, one inside keeps it (the probe that
+    # would crash or mis-prune under a blind 8-byte decode)
+    files, _ = ice.plan_files(loc, filters=(("k", ">", 3_000_000),))
+    assert files == []
+    files, _ = ice.plan_files(loc, filters=(("k", ">=", 2_000_000),))
+    assert len(files) >= 1
+    # post-promotion appends mix widths; both generations read back
+    run(
+        "INSERT INTO p VALUES"
+        " (CAST(9000000000 AS BIGINT), 3.5,"
+        " CAST(12345678.90 AS DECIMAL(12,2)))"
+    )
+    got = {r["k"]: r for r in run("SELECT * FROM p x").collect()}
+    assert set(got) == {1, 2000000, 9000000000}
+    assert got[1]["r"] == 1.5 and got[1]["d"] == Decimal("10.25")
+    assert got[9000000000]["d"] == Decimal("12345678.90")
+    dtypes = dict(run("SELECT * FROM p x").dtypes)
+    assert dtypes == {"k": "bigint", "r": "double", "d": "decimal(12,2)"}
+    # narrowing / scale changes refused
+    with pytest.raises(ValueError, match="promotion"):
+        run("ALTER TABLE p ALTER COLUMN k TYPE int")
+    with pytest.raises(ValueError, match="promotion"):
+        run("ALTER TABLE p ALTER COLUMN d TYPE decimal(14,4)")
