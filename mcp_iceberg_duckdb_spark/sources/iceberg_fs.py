@@ -680,7 +680,23 @@ def _read_version(loc: str) -> int:
 def read_table_meta(loc: str) -> dict:
     v = _read_version(loc)
     with open(os.path.join(_meta_dir(loc), f"v{v}.metadata.json")) as fh:
-        return json.load(fh)
+        meta = json.load(fh)
+    # the OPTIMISTIC-CONCURRENCY base: committers write at THIS
+    # version + 1 (not the version current at commit time), so a
+    # writer racing past them makes their link(2) collide and
+    # CommitFail instead of silently clobbering the other commit
+    # (hostile-probe r14: convert_equality_deletes committed over a
+    # racing append and LOST its rows). Stripped before dump.
+    meta["__base-version"] = v
+    return meta
+
+
+def _base_version(meta: dict, loc: str) -> int:
+    """The version this metadata was read at — the only legal commit
+    base. Falls back to the on-disk version for metadata dicts built
+    without read_table_meta (fresh create_table)."""
+    v = meta.get("__base-version")
+    return v if v is not None else _read_version(loc)
 
 
 def spark_schema_to_iceberg(df) -> dict:
@@ -846,6 +862,7 @@ def _write_meta(loc: str, meta: dict, version: int) -> None:
     # that v<N> NEVER exists half-written — a writer killed mid-dump
     # leaves only a .tmp, so readers and retriers never parse garbage
     tmp = f"{path}.{uuid.uuid4()}.tmp"
+    meta = {k: v for k, v in meta.items() if not k.startswith("__")}
     with open(tmp, "w") as fh:
         json.dump(meta, fh, indent=1)
     try:
@@ -1004,7 +1021,7 @@ def append(spark, loc: str, df, stat_cols=None, branch=None) -> dict:
     else:
         meta["refs"][branch]["snapshot-id"] = snapshot_id
     meta["last-updated-ms"] = now_ms
-    version = _read_version(loc) + 1
+    version = _base_version(meta, loc) + 1
     _write_meta(loc, meta, version)
     return snap
 
@@ -2297,7 +2314,7 @@ def _commit_mor(
     )
     meta["format-version"] = 2
     meta["last-updated-ms"] = now_ms
-    _write_meta(loc, meta, _read_version(loc) + 1)
+    _write_meta(loc, meta, _base_version(meta, loc) + 1)
     return snap
 
 
@@ -2669,7 +2686,7 @@ def _commit_overwrite(
         {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
     )
     meta["last-updated-ms"] = now_ms
-    _write_meta(loc, meta, _read_version(loc) + 1)
+    _write_meta(loc, meta, _base_version(meta, loc) + 1)
     return snap
 
 
@@ -2968,7 +2985,7 @@ def set_sort_order(loc: str, cols) -> dict:
             oid = same["order-id"]
         meta["default-sort-order-id"] = oid
     meta["last-updated-ms"] = int(time.time() * 1000)
-    _write_meta(loc, meta, _read_version(loc) + 1)
+    _write_meta(loc, meta, _base_version(meta, loc) + 1)
     return {
         "order-id": meta["default-sort-order-id"],
         "columns": list(cols),
@@ -3007,7 +3024,7 @@ def set_table_property(loc: str, key: str, value: str) -> dict:
     meta = read_table_meta(loc)
     meta.setdefault("properties", {})[str(key)] = str(value)
     meta["last-updated-ms"] = int(time.time() * 1000)
-    _write_meta(loc, meta, _read_version(loc) + 1)
+    _write_meta(loc, meta, _base_version(meta, loc) + 1)
     return meta["properties"]
 
 
@@ -3211,7 +3228,7 @@ def add_column(loc: str, name: str, ice_type: str) -> dict:
     meta["schemas"] = [meta["schema"]]
     meta["last-column-id"] = last
     meta["last-updated-ms"] = int(time.time() * 1000)
-    _write_meta(loc, meta, _read_version(loc) + 1)
+    _write_meta(loc, meta, _base_version(meta, loc) + 1)
     return field
 
 
@@ -3259,7 +3276,7 @@ def promote_column_type(loc: str, name: str, new_type: str) -> dict:
     f["type"] = new_t
     meta["schemas"] = [meta["schema"]]
     meta["last-updated-ms"] = int(time.time() * 1000)
-    _write_meta(loc, meta, _read_version(loc) + 1)
+    _write_meta(loc, meta, _base_version(meta, loc) + 1)
     return {"column": name, "from": old_t, "to": new_t}
 
 
@@ -3285,21 +3302,47 @@ def rename_column(loc: str, old: str, new: str) -> dict:
     carry the old parquet column name) still populate the new name on
     read — the property that distinguishes Iceberg evolution from
     parquet-mergeSchema, where the rename would null out history.
-    Partition-source columns are rejected (the vendored hive-dir
-    partition routing is name-based)."""
+    IDENTITY partition sources are rejected (the vendored hive-dir
+    routing writes the COLUMN name into the path); a column that is
+    only a TRANSFORM source (month(d), bucket(8, k)...) renames
+    freely — the spec field keeps its own name and resolves the
+    source by field-id, exactly like real Iceberg (hostile-probe
+    r14: ADD PARTITION FIELD month(d) then RENAME d was refused)."""
     meta = read_table_meta(loc)
     by_name = {f["name"]: f for f in meta["schema"]["fields"]}
     if old not in by_name:
         raise ValueError(f"column {old!r} does not exist")
     if new in by_name:
         raise ValueError(f"column {new!r} already exists")
-    if old in partition_source_cols(meta):
-        raise ValueError(f"cannot rename partition column {old!r}")
+    identity_sources = {
+        by_id_name
+        for s in meta.get(
+            "partition-specs",
+            [{"spec-id": 0, "fields": meta["partition-spec"]}],
+        )
+        for e in s["fields"]
+        if e["transform"] == "identity"
+        for by_id_name in [
+            next(
+                (
+                    f["name"]
+                    for f in meta["schema"]["fields"]
+                    if f["id"] == e["source-id"]
+                ),
+                None,
+            )
+        ]
+        if by_id_name is not None
+    }
+    if old in identity_sources:
+        raise ValueError(
+            f"cannot rename identity-partition column {old!r}"
+        )
     _log_schema_generation(meta)
     by_name[old]["name"] = new
     meta["schemas"] = [meta["schema"]]
     meta["last-updated-ms"] = int(time.time() * 1000)
-    _write_meta(loc, meta, _read_version(loc) + 1)
+    _write_meta(loc, meta, _base_version(meta, loc) + 1)
     return by_name[old]
 
 
@@ -3333,7 +3376,7 @@ def drop_column(loc: str, name: str) -> dict:
     meta["schema"]["fields"] = [f for f in fields if f["name"] != name]
     meta["schemas"] = [meta["schema"]]
     meta["last-updated-ms"] = int(time.time() * 1000)
-    _write_meta(loc, meta, _read_version(loc) + 1)
+    _write_meta(loc, meta, _base_version(meta, loc) + 1)
     return dropped
 
 
@@ -3385,7 +3428,7 @@ def add_partition_field(loc: str, part_col) -> dict:
     meta["partition-spec"] = new_fields
     meta["last-partition-id"] = fid
     meta["last-updated-ms"] = int(time.time() * 1000)
-    _write_meta(loc, meta, _read_version(loc) + 1)
+    _write_meta(loc, meta, _base_version(meta, loc) + 1)
     return {"spec-id": spec_id, "fields": new_fields}
 
 
@@ -3408,7 +3451,7 @@ def drop_partition_field(loc: str, name: str) -> dict:
     meta["default-spec-id"] = spec_id
     meta["partition-spec"] = new_fields
     meta["last-updated-ms"] = int(time.time() * 1000)
-    _write_meta(loc, meta, _read_version(loc) + 1)
+    _write_meta(loc, meta, _base_version(meta, loc) + 1)
     return {"spec-id": spec_id, "fields": new_fields}
 
 
@@ -3768,7 +3811,7 @@ def create_ref(loc: str, name: str, ref_type: str = "tag",
         raise ValueError(f"snapshot {sid} not in {loc}")
     refs[name] = {"snapshot-id": sid, "type": ref_type}
     meta["last-updated-ms"] = int(time.time() * 1000)
-    _write_meta(loc, meta, _read_version(loc) + 1)
+    _write_meta(loc, meta, _base_version(meta, loc) + 1)
     return {"name": name, **refs[name]}
 
 
@@ -3822,7 +3865,7 @@ def fast_forward(loc: str, target: str, source: str) -> dict:
     else:
         refs[target]["snapshot-id"] = src_id
     meta["last-updated-ms"] = now_ms
-    _write_meta(loc, meta, _read_version(loc) + 1)
+    _write_meta(loc, meta, _base_version(meta, loc) + 1)
     return {
         "target": target,
         "snapshot-id": src_id,
@@ -3838,7 +3881,7 @@ def drop_ref(loc: str, name: str) -> dict:
         raise ValueError(f"ref {name!r} does not exist")
     dropped = refs.pop(name)
     meta["last-updated-ms"] = int(time.time() * 1000)
-    _write_meta(loc, meta, _read_version(loc) + 1)
+    _write_meta(loc, meta, _base_version(meta, loc) + 1)
     return {"name": name, **dropped}
 
 
@@ -3908,7 +3951,7 @@ def expire_snapshots(loc: str, keep_last: int = 1) -> dict:
         e for e in meta["snapshot-log"] if e["snapshot-id"] in kept_ids
     ]
     meta["last-updated-ms"] = int(time.time() * 1000)
-    _write_meta(loc, meta, _read_version(loc) + 1)
+    _write_meta(loc, meta, _base_version(meta, loc) + 1)
     return {"removed_snapshots": n_expired, "removed_files": removed}
 
 

@@ -2596,3 +2596,81 @@ def test_alter_column_type_promotion(spark, tmp_path):
         run("ALTER TABLE p ALTER COLUMN k TYPE int")
     with pytest.raises(ValueError, match="promotion"):
         run("ALTER TABLE p ALTER COLUMN d TYPE decimal(14,4)")
+
+
+def test_commit_base_version_prevents_lost_update(spark, tmp_path):
+    """Hostile-probe r14: a maintenance action (convert_equality_
+    deletes) whose commit lands AFTER a racing append must
+    CommitFail, not clobber — before this fix commits wrote at
+    (current on-disk version + 1) rather than (READ version + 1), so
+    the conversion silently erased the racing append's rows. The
+    retry from fresh metadata then succeeds with both effects."""
+    loc = str(tmp_path / "race")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "k bigint, v double"
+    )
+    ice.create_table(loc, ice.spark_schema_to_iceberg(df))
+    ice.append(spark, loc, df)
+    ice.mor_delete_keys(
+        spark, loc, ["k"], spark.createDataFrame([(3,), (4,)], "k bigint")
+    )
+    orig = ice._commit_mor
+
+    def racing(loc_, meta, *a, **kw):
+        ice._commit_mor = orig  # race exactly once
+        ice.append(
+            spark,
+            loc_,
+            spark.createDataFrame([(99, 99.0)], "k bigint, v double"),
+        )
+        return orig(loc_, meta, *a, **kw)
+
+    ice._commit_mor = racing
+    try:
+        with pytest.raises(ice.CommitFailedError):
+            ice.convert_equality_deletes(spark, loc)
+    finally:
+        ice._commit_mor = orig
+    ice.convert_equality_deletes(spark, loc)
+    got = sorted(r["k"] for r in ice.read_iceberg(spark, loc).collect())
+    assert got == sorted(
+        [k for k in range(20) if k not in (3, 4)] + [99]
+    )
+
+
+def test_rename_transform_source_column(spark, tmp_path):
+    """Hostile-probe r14: renaming a column that is only a TRANSFORM
+    partition source (month(d)) is legal — the spec field resolves
+    its source by field-id — while identity sources stay refused
+    (the hive dir embeds the column name)."""
+    import datetime
+
+    from mcp_iceberg_duckdb_spark.sources.fs_catalog import FsCatalog
+
+    cat = FsCatalog(str(tmp_path / "wh"))
+    run = lambda s: cat.execute(spark, s)  # noqa: E731
+    run("CREATE TABLE pe (k bigint, d date)")
+    run("INSERT INTO pe VALUES (1, DATE '2024-01-05'), (2, DATE '2024-03-05')")
+    run("ALTER TABLE pe ADD PARTITION FIELD month(d)")
+    run("INSERT INTO pe VALUES (3, DATE '2024-05-05')")
+    run("ALTER TABLE pe RENAME COLUMN d TO dt")
+    run("INSERT INTO pe VALUES (4, DATE '2024-07-05')")
+    got = sorted(
+        (r["k"], str(r["dt"]))
+        for r in run("SELECT k, dt FROM pe x").collect()
+    )
+    assert got == [
+        (1, "2024-01-05"),
+        (2, "2024-03-05"),
+        (3, "2024-05-05"),
+        (4, "2024-07-05"),
+    ]
+    # manifest pruning through the transform still keys on the NEW
+    # source name
+    loc = str(tmp_path / "wh" / "default" / "pe")
+    days = (datetime.date(2024, 6, 1) - datetime.date(1970, 1, 1)).days
+    files, total = ice.plan_files(loc, filters=(("dt", ">=", days),))
+    assert 0 < len(files) < total
+    run("CREATE TABLE idp (k bigint, p string) PARTITIONED BY (p)")
+    with pytest.raises(ValueError, match="identity"):
+        run("ALTER TABLE idp RENAME COLUMN p TO q")
