@@ -45,6 +45,13 @@ skips cleanly. Round 13 widens the vendored format instead:
 partition-spec evolution, atomic metadata commits, equality-delete
 conversion, snapshot refs, and the TIMESTAMP type with day()/hour()
 transforms (x_iceberg_fs_ts_day).
+2026-08-17 (round 14) — re-probed: repo1.maven.org and pypi.org DNS
+both Errno -2; `pip download pillow` finds no distribution; PIL and
+google.protobuf still unimportable; no iceberg-spark-runtime jar on
+disk. Round 14 widens the vendored format instead: decimal /
+timestamptz / binary / list types, branch writes + WAP fast-forward,
+MERGE NOT MATCHED BY SOURCE, sort orders, type promotion, and
+read-version-based optimistic commit bases.
 """
 
 from __future__ import annotations
