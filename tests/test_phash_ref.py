@@ -258,8 +258,22 @@ def test_twin_decoders_share_no_decode_code_with_engine():
 def test_independent_decoder_hypothesis_fuzz():
     """Property fuzz: for ANY 8-bit grayscale image (random content,
     dimensions incl. non-multiple-of-8 edges) and any quality, the
-    independent decoder reconstructs bit-identically to the engine on
-    both baseline and progressive streams."""
+    independent decoder reconstructs within one gray level of the
+    engine on both baseline and progressive streams, and identically
+    on all but a vanishing fraction of pixels.
+
+    Why not bit-identical: the two IDCTs are deliberately independent
+    float implementations (separable per-block vs einsum over the
+    basis tensor), so a pixel whose exact IDCT value lands ON a .5
+    rounding tie can legitimately round either way — measured
+    falsifier (w=1,h=25,q=26,seed=27910): vendored 50.500000000000014
+    vs twin 50.499999999999986, a 2.8e-14 association-order gap. The
+    JPEG spec's own IDCT conformance (ISO/IEC 10918-1 Annex A via
+    IEEE 1180) permits ±1 per-pixel differences between compliant
+    IDCTs for exactly this reason. A REAL decoder bug (wrong
+    coefficient, mis-ordered scan, block offset) shifts many pixels
+    by many levels, which the ≤1-level / ≤1%-of-pixels bound still
+    fails loudly."""
     from hypothesis import given, settings, strategies as st
 
     from mcp_iceberg_duckdb_spark.functions.jpeg import (
@@ -286,6 +300,17 @@ def test_independent_decoder_hypothesis_fuzz():
         a = decode_jpeg(payload)
         b = decode_jpeg_ref(payload)
         assert (a["width"], a["height"]) == (b["width"], b["height"])
-        assert a["pixels"] == b["pixels"]
+        pa = np.frombuffer(a["pixels"], dtype=np.uint8).astype(np.int64)
+        pb = np.frombuffer(b["pixels"], dtype=np.uint8).astype(np.int64)
+        diff = np.abs(pa - pb)
+        assert diff.max(initial=0) <= 1, (
+            f"decoders diverge by {diff.max()} gray levels — "
+            "beyond an IDCT rounding tie"
+        )
+        n_diff = int((diff > 0).sum())
+        assert n_diff <= max(1, pa.size // 100), (
+            f"{n_diff}/{pa.size} pixels differ — rounding ties are "
+            "vanishingly rare; this is a systematic decoder divergence"
+        )
 
     check()

@@ -566,6 +566,11 @@ _BNLJ_ALLOWED = {
     # x_ann_pq_adc_topk (only the codebook rows differ — Lloyd-trained
     # vs md5-sampled), plus _ann_contract's 1-row total joins
     "x_ann_pq_adc_trained_topk",
+    # round 14: the SAME ≤4-row broadcast query-vector non-equi join
+    # as x_ann_cosine_topk (vec_id < 4 queries against the corpus
+    # scan), only the scan source differs (vendored Iceberg table
+    # instead of the parquet fixture) — build side constant-bounded
+    "x_iceberg_fs_embedding_col",
     # round 12: the trained IVF router — the same reviewed pattern
     # twice over: a 10-row broadcast trained-centroid crossJoin for
     # cell assignment/probing (bounded like x_ann_ivfpq_topk's reps)
