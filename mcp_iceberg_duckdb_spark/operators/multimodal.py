@@ -467,17 +467,28 @@ def banded_hamming_pairs(sig, max_hamming: int):
 _PH_DCT_MAX_HAMMING = 10  # real-pHash verify threshold
 
 
-def planted_image_assets(spark, sf_dir) -> DataFrame:
+def planted_image_assets(spark, sf_dir, spread: bool = False) -> DataFrame:
     """The image-asset table: one real grayscale PNG payload per
     doc_id, synthesized deterministically executor-side
     (functions/phash.py planted_gray/planted_png — md5-seeded DCT
     spectrum, with a planted brightness-shifted near-duplicate per
     50 docs). At 100 TB the payloads would arrive as parquet binary
     chunks; here generation IS the scan stage — same partitioning,
-    same mapInPandas batch shape, payloads never touch the driver."""
+    same mapInPandas batch shape, payloads never touch the driver.
+
+    ``spread=True`` round-robins the 8-byte id relation across the
+    cluster BEFORE generation (guide §8: move decisions/placement on
+    small rows, heavy bytes once): the codec stages downstream cost
+    ~ms per row, so a one-task scan of the single-row-group fixture
+    file would serialize the whole decode pipeline on one core. The
+    exchange carries only ids — at any scale its cost is noise next
+    to the per-row decode work it load-balances. Callers whose plan
+    is pinned shuffle-free (x_multimodal_features) keep the default."""
     ids = t(spark, sf_dir).documents.select(
         F.col("doc_id").alias("asset_id")
     )
+    if spread:
+        ids = parallelize(ids)
 
     # closure-cell reference: the phash/png modules are registered
     # for BY-VALUE cloudpickle serialization (top of this module), so
@@ -615,7 +626,7 @@ def x_multimodal_phash_dedup(spark, sf_dir):
     keys). The oracle is a local numpy reference over the same
     deterministic corpus (certificate pattern, see
     _phash_dedup_oracle)."""
-    sigs = dct_phash_sigs(planted_image_assets(spark, sf_dir))
+    sigs = dct_phash_sigs(planted_image_assets(spark, sf_dir, spread=True))
     return banded_hamming_pairs(sigs, _PH_DCT_MAX_HAMMING)
 
 
@@ -771,7 +782,7 @@ def x_multimodal_brightness_profile(spark, sf_dir):
     (map-side combine). Cross-asset sums are int64-exact, so the
     result is order/partitioning-independent — certificate-checked
     against a local reference (see _brightness_oracle)."""
-    assets = planted_image_assets(spark, sf_dir)
+    assets = planted_image_assets(spark, sf_dir, spread=True)
     decode_png = _png_mod.decode_png
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -888,7 +899,10 @@ def x_multimodal_phash_jpeg_robust(spark, sf_dir):
     bucket join); the JPEG codec is the heavier decode (~7 ms/img),
     hence the deterministic 20% subset at bench scales. Certificate
     oracle: the same lossy pipeline run locally (no Spark)."""
-    ids = (
+    # spread the id relation before the ~7 ms/row JPEG encode+decode
+    # stage (guide §8: the exchange moves 8-byte ids; the compute it
+    # load-balances dwarfs it at any scale)
+    ids = parallelize(
         t(spark, sf_dir)
         .documents.select(F.col("doc_id").alias("asset_id"))
         .where(F.col("doc_id") % 10 < 2)
@@ -999,7 +1013,9 @@ def x_multimodal_mixed_codec_dedup(spark, sf_dir):
     shuffle-free generate+sniff+decode+hash mapInPandas stage, band
     bucket join, never all-pairs. Certificate oracle: the independent
     twin pipeline run locally (see _mixed_codec_oracle)."""
-    ids = (
+    # spread before the sniff+decode stage — same rationale as
+    # x_multimodal_phash_jpeg_robust (ids are 8 bytes; decode is ~ms)
+    ids = parallelize(
         t(spark, sf_dir)
         .documents.select(F.col("doc_id").alias("asset_id"))
         .where(F.col("doc_id") % 10 < 2)

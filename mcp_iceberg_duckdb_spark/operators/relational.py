@@ -480,10 +480,27 @@ def a_median_percentile(spark, sf_dir):
     F.percentile == DuckDB median / quantile_cont). The approximate
     scale path is percentile_approx — see a_percentile_approx."""
     li = t(spark, sf_dir).lineitem
-    return li.groupBy("l_linestatus").agg(
-        r4(F.median("l_extendedprice")).alias("med_price"),
-        r4(F.percentile("l_extendedprice", 0.95)).alias("p95_price"),
-        r4(F.percentile("l_quantity", 0.25)).alias("q1_qty"),
+    # ONE percentile buffer for the price column: median(x) is
+    # exactly percentile(x, 0.5), and percentile with an array of
+    # percentages sorts the (same) value buffer once and reads both
+    # ranks from it — two separate holistic aggregates would each
+    # collect and sort all values per group (guide §1.2: don't do
+    # the same pass twice). Values are bit-identical to the scalar
+    # calls (same sort, same interpolation).
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.percentile(
+                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95))
+            ).alias("_pp"),
+            F.percentile("l_quantity", 0.25).alias("_q1"),
+        )
+        .select(
+            "l_linestatus",
+            r4(F.col("_pp")[0]).alias("med_price"),
+            r4(F.col("_pp")[1]).alias("p95_price"),
+            r4(F.col("_q1")).alias("q1_qty"),
+        )
     )
 
 
@@ -513,12 +530,24 @@ def a_percentile_approx(spark, sf_dir):
     compare; at these ≥100k-row groups the ±0.01-rank band is wide
     for both sketches."""
     li = t(spark, sf_dir).lineitem
+    # one exact-percentile buffer for all three ranks (0.49/0.5/0.51)
+    # instead of three independent holistic aggregates over the same
+    # column — same sort, same interpolation, identical values
     pa = F.percentile_approx("l_extendedprice", 0.5, 10000)
-    lo = F.percentile("l_extendedprice", 0.49)
-    hi = F.percentile("l_extendedprice", 0.51)
-    return li.groupBy("l_linestatus").agg(
-        rn(F.percentile("l_extendedprice", 0.5), 4).alias("exact_median"),
-        ((pa >= lo) & (pa <= hi)).alias("approx_within_rank_eps"),
+    pct = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.49), F.lit(0.5), F.lit(0.51))
+    )
+    return (
+        li.groupBy("l_linestatus")
+        .agg(pct.alias("_pct"), pa.alias("_pa"))
+        .select(
+            "l_linestatus",
+            rn(F.col("_pct")[1], 4).alias("exact_median"),
+            (
+                (F.col("_pa") >= F.col("_pct")[0])
+                & (F.col("_pa") <= F.col("_pct")[2])
+            ).alias("approx_within_rank_eps"),
+        )
     )
 
 
