@@ -10,6 +10,8 @@ total order with a unique tiebreak key.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -26,14 +28,68 @@ def views(spark: SparkSession, sf_dir: str, *names: str) -> None:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
-def parallelize(df: DataFrame) -> DataFrame:
-    """Repartition to the session's default parallelism before a
-    CPU-heavy per-row stage (signatures, cosine scoring). Small-file
-    corpora otherwise run those stages in ONE task — a 0.5 MB parquet
-    with a single row group cannot be split by maxPartitionBytes. The
-    shuffle moves only the raw input rows; at production scale inputs
-    arrive well-partitioned and AQE coalesces the extra exchange."""
+# (path, size, mtime) -> row-group count; parquet footers are
+# immutable for a given file version, so this never goes stale
+_RG_CACHE: dict[tuple, int] = {}
+
+# files examined per gate decision before assuming "splittable":
+# a scan with more input files than cores parallelizes by file
+# count alone, no footers needed
+_RG_PROBE_CAP = 64
+
+
+def _scan_splits(df: DataFrame) -> int | None:
+    """Independently-readable units of ``df``'s file source: parquet
+    row groups summed across input files (Spark can split a file no
+    finer than its row groups). None = no file source / unknowable
+    cheaply — callers treat that as "not splittable"."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
     sc = df.sparkSession.sparkContext
+    if len(files) >= sc.defaultParallelism or len(files) > _RG_PROBE_CAP:
+        # enough files to fill the cluster (or too many to probe):
+        # the scan parallelizes by file count alone
+        return len(files)
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in files:
+        path = f[len("file:"):] if f.startswith("file:") else f
+        try:
+            st = os.stat(path)
+            key = (path, st.st_size, int(st.st_mtime))
+            if key not in _RG_CACHE:
+                _RG_CACHE[key] = pq.ParquetFile(path).metadata.num_row_groups
+            total += _RG_CACHE[key]
+        except Exception:
+            return None
+    return total
+
+
+def parallelize(df: DataFrame) -> DataFrame:
+    """LAYOUT-GATED repartition to the session's default parallelism
+    before a CPU-heavy per-row stage (signatures, codecs, cosine
+    scoring, shingle/n-gram expansion).
+
+    The gate (guide §2.5 "unsplittable input" / §6 input-split
+    sizing): a parquet scan can split no finer than its row groups,
+    so a small single-row-group fixture file runs every downstream
+    narrow stage in ONE task no matter what maxPartitionBytes says.
+    When the source provides fewer independently-readable units than
+    HALF the default parallelism, round-robin the rows across the
+    cluster; when the input already splits (production: thousands of
+    files/row groups), return the plan UNCHANGED — no exchange, no
+    cost, identical to not calling this at all. Partitioning is thus
+    derived from the input layout, never a constant tuned to either
+    local mode or the cluster."""
+    sc = df.sparkSession.sparkContext
+    splits = _scan_splits(df)
+    if splits is not None and splits * 2 >= sc.defaultParallelism:
+        return df
     return df.repartition(sc.defaultParallelism)
 
 

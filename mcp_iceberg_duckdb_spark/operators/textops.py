@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from mcp_iceberg_duckdb_spark.functions.textfns import EN_STOPWORDS, distinct_tokens, tokens
-from mcp_iceberg_duckdb_spark.operators._util import r6, rn, t
+from mcp_iceberg_duckdb_spark.operators._util import parallelize, r6, rn, t
 from mcp_iceberg_duckdb_spark.registry import query
 
 _SW_SQL = "', '".join(EN_STOPWORDS)
@@ -190,8 +190,10 @@ def x_text_ngram_freq(spark, sf_dir):
     data pipeline uses for contamination checks and corpus weighting.
     Plan: the explode fans each doc into ~|tokens| rows, partial
     counts combine map-side, and WindowGroupLimit caps each language
-    at 5 rows before the final gather."""
-    d = t(spark, sf_dir).documents
+    at 5 rows before the final gather. Layout-gated parallelize
+    spreads the bigram expansion when the scan is one row group;
+    no-op on splittable input."""
+    d = parallelize(t(spark, sf_dir).documents.select("lang", "text"))
     bigrams = F.expr(
         "transform(sequence(0, greatest(size(split(text, ' ')) - 2, 0)),"
         " i -> array_join(slice(split(text, ' '), i + 1, 2), ' '))"
@@ -461,8 +463,12 @@ def x_text_span_dedup(spark, sf_dir):
     100 TB shuffle a fingerprint instead of the text: swap the span
     string for xxhash64(span) as the groupBy key and keep min(doc_id)
     + an example span via min_by — same plan shape, 8-byte keys
-    (string keys kept here for the value-level oracle)."""
-    d = t(spark, sf_dir).documents
+    (string keys kept here for the value-level oracle). The window
+    expansion (~|tokens| string builds per doc) rides behind the
+    layout-gated parallelize: on a splittable source the plan is
+    unchanged; on the one-row-group fixture the expansion spreads
+    instead of running in one task."""
+    d = parallelize(t(spark, sf_dir).documents.select("doc_id", "text"))
     toks = tokens("text")
 
     def spans(tk):
@@ -592,7 +598,8 @@ def x_text_contamination(spark, sf_dir):
     corpus-vs-corpus join."""
     from mcp_iceberg_duckdb_spark.functions.textfns import word_shingles
 
-    d = t(spark, sf_dir).documents
+    # layout-gated spread before the 5-gram expansion map
+    d = parallelize(t(spark, sf_dir).documents.select("doc_id", "text"))
     g = d.select("doc_id", word_shingles("text", 5).alias("sh"))
     ev = (
         g.filter(F.col("doc_id") < 5)
@@ -1038,7 +1045,9 @@ def x_sketch_countmin_topk(spark, sf_dir):
     twin). The sketch build is ONE groupBy over (depth, cell) — 4096
     result rows regardless of vocab size; the probe side is
     top-K-bounded."""
-    d = t(spark, sf_dir).documents
+    # layout-gated spread before tokenize/explode: the 4x md5-per-
+    # token sketch expansion below inherits tok's partitioning
+    d = parallelize(t(spark, sf_dir).documents.select("text"))
     tok = d.select(F.explode(tokens("text")).alias("tk")).persist()
     cells = (
         tok.select(
@@ -2550,7 +2559,8 @@ def x_text_winnowing_overlap(spark, sf_dir):
     from mcp_iceberg_duckdb_spark.functions.textfns import bind
     from mcp_iceberg_duckdb_spark.operators._util import cap_basket
 
-    d = t(spark, sf_dir).documents
+    # layout-gated spread before the md5-per-k-gram extraction map
+    d = parallelize(t(spark, sf_dir).documents.select("doc_id", "text"))
 
     def fps(tk):
         g = _rep_ngrams(tk, _WIN_K)
@@ -2709,7 +2719,9 @@ def x_sketch_minhash_merge(spark, sf_dir):
     the merge-equality bit onto the pair rows."""
     from mcp_iceberg_duckdb_spark.functions.textfns import word_shingles
 
-    d = t(spark, sf_dir).documents
+    # layout-gated spread before the shingle expansion feeding the
+    # distinct's exchange
+    d = parallelize(t(spark, sf_dir).documents.select("source", "text"))
     # localCheckpoint (the graph.py cap_basket precedent): the
     # distinct (source, shingle) relation is referenced FIVE times
     # (signatures, direct-recompute, sizes, both exact-intersect
@@ -2934,9 +2946,16 @@ def x_text_exactsubstr_emit(spark, sf_dir):
     array_sort AFTER collection — the s_session_paths discipline).
     At 100 TB every stage is a hash shuffle on doc_id or the window
     hash; nothing global, nothing driver-side."""
-    from mcp_iceberg_duckdb_spark.functions.textfns import bind
-
-    d = t(spark, sf_dir).documents
+    # tokenize ONCE into a spread, persisted relation: win / toks /
+    # base below each consumed their own tokens("text") pass over the
+    # scan before (three tokenizations of the corpus, each one task
+    # on the single-row-group fixture); now one layout-gated pass
+    # feeds all three branches
+    tk_docs = parallelize(
+        t(spark, sf_dir).documents.select(
+            "doc_id", tokens("text").alias("tk")
+        )
+    ).persist()
 
     def spans(tk):
         idx = F.sequence(F.lit(0), F.size(tk) - 10)
@@ -2945,8 +2964,8 @@ def x_text_exactsubstr_emit(spark, sf_dir):
             F.transform(idx, lambda i: F.xxhash64(F.slice(tk, i + 1, 10))),
         ).otherwise(F.array().cast("array<bigint>"))
 
-    win = d.select(
-        "doc_id", F.posexplode(bind(tokens("text"), spans)).alias("p", "h")
+    win = tk_docs.select(
+        "doc_id", F.posexplode(spans(F.col("tk"))).alias("p", "h")
     ).persist()
     shared = (
         win.groupBy("h")
@@ -2962,10 +2981,10 @@ def x_text_exactsubstr_emit(spark, sf_dir):
         )
         .distinct()
     )
-    toks = d.select(
+    toks = tk_docs.select(
         "doc_id",
-        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
-        F.posexplode(tokens("text")).alias("pos", "tok"),
+        F.size("tk").cast("bigint").alias("n_tokens"),
+        F.posexplode("tk").alias("pos", "tok"),
     )
     kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
     rebuilt = kept.groupBy("doc_id", "n_tokens").agg(
@@ -2983,8 +3002,8 @@ def x_text_exactsubstr_emit(spark, sf_dir):
     # fully-scrubbed docs vanish from the anti-join — restore them
     # with n_kept = 0 and the empty-string hash, so the output is a
     # total function of the corpus (books always balance)
-    base = d.select(
-        "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+    base = tk_docs.select(
+        "doc_id", F.size("tk").cast("bigint").alias("n_tokens")
     )
     return (
         base.join(rebuilt, ["doc_id", "n_tokens"], "left")
