@@ -267,8 +267,12 @@ def strong_pairs(spark, sf_dir):
     from mcp_iceberg_duckdb_spark.functions.simjoin import exact_jaccard_pairs
 
     d = t(spark, sf_dir).documents
-    docs = parallelize(
-        d.select("doc_id", word_shingles("text", 3).alias("sh"))
+    # repartition the RAW text, THEN shingle: a projection inside the
+    # parallelize ran below the exchange, i.e. in the single scan
+    # task of a one-row-group file (and shuffled the bigger shingle
+    # arrays instead of the text)
+    docs = parallelize(d.select("doc_id", "text")).select(
+        "doc_id", word_shingles("text", 3).alias("sh")
     )
     return exact_jaccard_pairs(docs, 9, 10, out_sim_col=None)
 
@@ -340,9 +344,12 @@ def minhash_mllib_pairs(spark, sf_dir):
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     d = t(spark, sf_dir).documents
-    docs = parallelize(
-        d.select("doc_id", word_shingles("text", 3).alias("sh"))
-    ).persist()
+    # raw text below the exchange, shingles above it (see strong_pairs)
+    docs = (
+        parallelize(d.select("doc_id", "text"))
+        .select("doc_id", word_shingles("text", 3).alias("sh"))
+        .persist()
+    )
     tf = HashingTF(
         inputCol="sh", outputCol="features", binary=True, numFeatures=1 << 18
     )
@@ -620,8 +627,8 @@ def x_dedup_ngram_jaccard(spark, sf_dir):
     from mcp_iceberg_duckdb_spark.functions.simjoin import exact_jaccard_pairs
 
     d = t(spark, sf_dir).documents
-    docs = parallelize(
-        d.select("doc_id", "source", word_shingles("text", 3).alias("sh"))
+    docs = parallelize(d.select("doc_id", "source", "text")).select(
+        "doc_id", "source", word_shingles("text", 3).alias("sh")
     )
     return exact_jaccard_pairs(
         docs, 1, 2, block_cols=("source",), out_sim_col="jaccard"
@@ -703,8 +710,8 @@ def x_dedup_containment(spark, sf_dir):
         F.array_join(F.slice(words, F.lit(1), k), " ").alias("text"),
     )
     base = d.select("doc_id", "source", "text").unionByName(ex)
-    docs = parallelize(
-        base.select("doc_id", "source", word_shingles("text", 3).alias("sh"))
+    docs = parallelize(base.select("doc_id", "source", "text")).select(
+        "doc_id", "source", word_shingles("text", 3).alias("sh")
     )
     return exact_containment_pairs(
         docs, 4, 5, block_cols=("source",), min_len=30
@@ -837,8 +844,8 @@ def x_dedup_cluster_cc(spark, sf_dir):
     from mcp_iceberg_duckdb_spark.functions.simjoin import exact_jaccard_pairs
 
     d = t(spark, sf_dir).documents
-    docs = parallelize(
-        d.select("doc_id", "source", word_shingles("text", 3).alias("sh"))
+    docs = parallelize(d.select("doc_id", "source", "text")).select(
+        "doc_id", "source", word_shingles("text", 3).alias("sh")
     )
     pairs = exact_jaccard_pairs(
         docs, 1, 2, block_cols=("source",), out_sim_col=None
@@ -890,8 +897,8 @@ def x_dedup_cluster_cc_stars(spark, sf_dir):
     from mcp_iceberg_duckdb_spark.functions.simjoin import exact_jaccard_pairs
 
     d = t(spark, sf_dir).documents
-    docs = parallelize(
-        d.select("doc_id", "source", word_shingles("text", 3).alias("sh"))
+    docs = parallelize(d.select("doc_id", "source", "text")).select(
+        "doc_id", "source", word_shingles("text", 3).alias("sh")
     )
     pairs = exact_jaccard_pairs(
         docs, 1, 2, block_cols=("source",), out_sim_col=None
@@ -1211,9 +1218,11 @@ def x_dedup_incremental(spark, sf_dir):
     from mcp_iceberg_duckdb_spark.functions.simjoin import exact_jaccard_join
 
     d = t(spark, sf_dir).documents
-    shingled = parallelize(
-        d.select("doc_id", "source", word_shingles("text", 3).alias("sh"))
-    ).persist()
+    shingled = (
+        parallelize(d.select("doc_id", "source", "text"))
+        .select("doc_id", "source", word_shingles("text", 3).alias("sh"))
+        .persist()
+    )
     new = shingled.filter(F.col("doc_id") % 10 == 0)
     old = shingled.filter(F.col("doc_id") % 10 != 0)
     pairs = exact_jaccard_join(
@@ -1388,8 +1397,8 @@ def x_dedup_cluster_report(spark, sf_dir):
     from mcp_iceberg_duckdb_spark.functions.simjoin import exact_jaccard_pairs
 
     d = t(spark, sf_dir).documents
-    docs = parallelize(
-        d.select("doc_id", "source", word_shingles("text", 3).alias("sh"))
+    docs = parallelize(d.select("doc_id", "source", "text")).select(
+        "doc_id", "source", word_shingles("text", 3).alias("sh")
     )
     pairs = exact_jaccard_pairs(
         docs, 1, 2, block_cols=("source",), out_sim_col=None
@@ -1493,8 +1502,8 @@ def x_corpus_leakage_safe_split(spark, sf_dir):
     from mcp_iceberg_duckdb_spark.functions.simjoin import exact_jaccard_pairs
 
     d = t(spark, sf_dir).documents
-    docs = parallelize(
-        d.select("doc_id", "source", word_shingles("text", 3).alias("sh"))
+    docs = parallelize(d.select("doc_id", "source", "text")).select(
+        "doc_id", "source", word_shingles("text", 3).alias("sh")
     )
     pairs = exact_jaccard_pairs(
         docs, 1, 2, block_cols=("source",), out_sim_col=None
@@ -1629,8 +1638,8 @@ def x_pipeline_release_manifest(spark, sf_dir):
     from mcp_iceberg_duckdb_spark.functions.textfns import tokens as _toks
 
     d = t(spark, sf_dir).documents
-    docs = parallelize(
-        d.select("doc_id", "source", word_shingles("text", 3).alias("sh"))
+    docs = parallelize(d.select("doc_id", "source", "text")).select(
+        "doc_id", "source", word_shingles("text", 3).alias("sh")
     )
     pairs = exact_jaccard_pairs(
         docs, 1, 2, block_cols=("source",), out_sim_col=None
