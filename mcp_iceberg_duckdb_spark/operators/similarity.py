@@ -624,7 +624,10 @@ def x_embed_kmeans(spark, sf_dir):
             "vec_id", as_double("embedding").alias("v")
         )
     )
-    asg = kmeans_assign(spark, sf_dir).join(e, "vec_id")
+    # materialize the assignment once (eager, the CC-loop precedent):
+    # cmean's broadcast build and the stats pass below each re-ran the
+    # whole 2-iteration crossJoin+window assignment subtree otherwise
+    asg = kmeans_assign(spark, sf_dir).join(e, "vec_id").localCheckpoint()
     cmean = (
         asg.select("cluster", F.posexplode("v").alias("i", "x"))
         .groupBy("cluster", "i")
