@@ -124,7 +124,19 @@ BENCH_QUERIES = [
 
 # Baseline-comparable subset printed per-query on the final stdout
 # line (the round-1 headline set; full map lives in BENCH_LOCAL.json).
-PRINTED_QUERIES = BENCH_QUERIES[:22]
+# Round 15 (VERDICT r14 item 6, additions-only — the original 22 keys
+# stay untouched): the printed headline gains the top tier-x costs the
+# optimization rounds actually touched, so the driver's
+# round-over-round per-query comparison covers the optimized surface
+# instead of only the TPC-H-dominated r1 set. Compare these five from
+# BENCH_r15 on.
+PRINTED_QUERIES = BENCH_QUERIES[:22] + [
+    "x_dedup_minhash_mllib",
+    "x_graph_pagerank",
+    "x_multimodal_phash_jpeg_robust",
+    "a_percentile_approx",
+    "x_text_span_dedup",
+]
 
 # Timing-protocol marker so cross-round comparisons can detect
 # methodology changes. v2 = per-query warm + clearCache + GC settle

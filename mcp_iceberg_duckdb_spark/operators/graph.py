@@ -588,16 +588,20 @@ def x_graph_kcore(spark, sf_dir):
     deg0 = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("d")
     )
-    # 1-row threshold, checkpointed once: the unrolled rounds would
-    # otherwise re-run the median aggregate per round
-    thr = deg0.agg(
+    # 1-row threshold, collected once to a driver int64 (round 15):
+    # the previous shape checkpointed it and crossJoin-broadcast it
+    # back into EVERY round's filter — one BroadcastExchange build
+    # job per round for a value that is a single bounded scalar (the
+    # CC convergence-sum precedent for driver state). The collect is
+    # the same one job the checkpoint was; the five BNLJ crossJoins
+    # and their broadcast builds disappear from the unrolled plan.
+    k_thr = deg0.agg(
         F.floor(F.median("d")).cast("bigint").alias("k")
-    ).localCheckpoint()
-    alive = (
-        deg0.crossJoin(F.broadcast(thr))
-        .where(F.col("d") >= F.col("k"))
-        .select("node", "d")
-    )
+    ).collect()[0][0]
+    # empty graph: median over zero rows is NULL; `d >= NULL` kept no
+    # survivors in the crossJoin shape — F.lit(None) preserves that
+    k_lit = F.lit(k_thr).cast("bigint")
+    alive = deg0.where(F.col("d") >= k_lit).select("node", "d")
     for _ in range(_KC_ROUNDS):
         # localCheckpoint per round (the CC-loop precedent, dedup.py):
         # without it round i's plan re-derives rounds 1..i-1 — the
@@ -611,11 +615,7 @@ def x_graph_kcore(spark, sf_dir):
         deg_i = e.groupBy(F.col("src").alias("node")).agg(
             F.count("*").alias("d")
         )
-        alive = (
-            deg_i.crossJoin(F.broadcast(thr))
-            .where(F.col("d") >= F.col("k"))
-            .select("node", "d")
-        )
+        alive = deg_i.where(F.col("d") >= k_lit).select("node", "d")
     return alive.select("node", F.col("d").alias("core_degree"))
 
 
@@ -875,24 +875,38 @@ def x_graph_hits(spark, sf_dir):
         F.lit(_HITS_ONE).cast("bigint").alias("v"),
     )
 
+    from pyspark.sql import Observation
+
     def _half(scores, in_key, out_key):
         # localCheckpoint BEFORE the double reference below: `raw`
         # feeds both the 1-row max aggregate and the normalize join,
         # so without lineage truncation each half-step DOUBLES the
         # unrolled subtree — 2^8 plan copies over 4 iterations (the
         # x_graph_triangles plan-reuse regression, graph.py:313).
+        # Round 15: the max-normalizer rides the checkpoint job as an
+        # observed metric (the CC-loop fusion, dedup.py) instead of a
+        # separate 1-row aggregate + BNLJ crossJoin per half-step —
+        # halves the job count of the loop (8 broadcast-build jobs
+        # gone) and shrinks each half-step's plan by the crossJoin.
+        # Driver state: one int64 per half-step, same bound as the
+        # CC convergence sum.
+        obs = Observation()
         raw = (
             edges.join(
                 scores.select(F.col("node").alias(in_key), "v"), in_key
             )
             .groupBy(F.col(out_key).alias("node"))
             .agg(F.sum("v").cast("bigint").alias("v"))
+            .observe(obs, F.max("v").alias("m"))
             .localCheckpoint()  # eager: truncates BEFORE analysis of
             # the next half-step, keeping plan size flat per step
         )
-        m = raw.agg(F.max("v").alias("m"))
-        return raw.crossJoin(F.broadcast(m)).select(
-            "node", F.expr("CAST(v * 1000000 div m AS BIGINT)").alias("v")
+        m = obs.get["m"]
+        if m is None:  # empty graph: keep the (empty) relation's shape
+            return raw.select("node", "v")
+        return raw.select(
+            "node",
+            F.expr(f"CAST(v * 1000000 div {int(m)} AS BIGINT)").alias("v"),
         )
 
     a = None

@@ -2430,30 +2430,32 @@ def _read_files(spark, loc: str, files, ice_schema, deletes=None,
             .schema(read_ddl)
             .parquet(*paths)
         )
-        if need_meta:
-            # materialize the metadata columns before any join makes
-            # the pseudo-column unreachable
-            df = df.withColumn("__fp", F.col("_metadata.file_path"))
-            df = df.withColumn("__pos", F.col("_metadata.row_index"))
         gen_by_id = {f["id"]: f for f in gen_schema["fields"]}
+        # ONE selectExpr call instead of per-column Column-object
+        # construction (round 15, VERDICT r14 item 5): every F.col /
+        # .cast / .alias is a py4j round-trip, and the per-generation
+        # projection ran ~6 of them per column — ~400 driver-side
+        # round-trips per read, 0.2-0.5 s of pure planning latency per
+        # iceberg query. The SQL-text casts parse to the identical
+        # expressions in one round-trip. The metadata pseudo-columns
+        # are materialized by the same projection (a select
+        # materializes them exactly like the previous withColumn did —
+        # they must be bound before any join hides the scan).
+        df_cols = set(df.columns)
         sel = []
         for f in ice_schema["fields"]:
             g = gen_by_id.get(f["id"])
-            if g is not None and g["name"] in df.columns:
-                sel.append(
-                    F.col(g["name"])
-                    .cast(ice_to_spark_type(f["type"]))
-                    .alias(f["name"])
-                )
+            typ = ice_to_spark_type(f["type"])
+            if g is not None and g["name"] in df_cols:
+                sel.append(f"CAST(`{g['name']}` AS {typ}) AS `{f['name']}`")
             else:
-                sel.append(
-                    F.lit(None)
-                    .cast(ice_to_spark_type(f["type"]))
-                    .alias(f["name"])
-                )
+                sel.append(f"CAST(NULL AS {typ}) AS `{f['name']}`")
         if need_meta:
-            sel += [F.col("__fp"), F.col("__pos")]
-        return df.select(*sel)
+            sel += [
+                "_metadata.file_path AS __fp",
+                "_metadata.row_index AS __pos",
+            ]
+        return df.selectExpr(*sel)
 
     data_root = os.path.join(loc, "data")
 
