@@ -937,9 +937,19 @@ def connected_components(pairs):
     # pairs, so an unpersisted input runs the (expensive) pair
     # generation twice — at scale that doubles the LSH verify join
     pairs = pairs.persist()
-    edges = pairs.union(
-        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    # cache the symmetric edges ALREADY hash-partitioned on the
+    # per-round join key (round 15, guide §2.4): InMemoryRelation
+    # preserves the cached plan's partitioning, so every round's
+    # edges⋈labels join reads the cache without re-exchanging the
+    # |E|-row side — one up-front exchange into the cache instead of
+    # one per round.
+    edges = (
+        pairs.union(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .repartition("dst")
+        .persist()
+    )
     from pyspark.sql import Observation
 
     # seed labels with min(node, min neighbor) — identical to

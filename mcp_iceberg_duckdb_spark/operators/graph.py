@@ -106,6 +106,14 @@ def x_graph_pagerank(spark, sf_dir):
     # joins of plan, all AQE/codegen overhead. Checkpointing the
     # (src, d) contribution relation once truncates the lineage so
     # each iteration plans as scan ⋈ ranks + one groupBy.
+    # Round 15, measured and REVERTED: pre-partitioning+sorting the
+    # checkpoint on the join key (repartition("src") + sortWithin
+    # before localCheckpoint) does NOT survive the checkpoint in this
+    # API path — the probe showed the downstream join re-adds
+    # Exchange hashpartitioning(src) over the Scan ExistingRDD in all
+    # variants, and AQE additionally coalesced the keyed repartition
+    # to ONE partition. The per-iteration exchange of the checkpointed
+    # relation stays (it is what the join requires).
     contrib_src = edges.join(
         deg.select(F.col("node").alias("src"), "d"), "src"
     ).localCheckpoint()
@@ -358,6 +366,15 @@ def x_graph_triangles(spark, sf_dir):
         )
         .where(F.col("k1.src") < F.col("k1.dst"))
         .select(F.col("k1.src").alias("u"), F.col("k1.dst").alias("v"))
+        # round 15 — the x_graph_adamic_adar precedent: und (≤ Kn/2
+        # rows, bounded by the sparsification) is referenced by the
+        # degree pass AND (through ed) all three wedge-join sides;
+        # without the checkpoint the pair-join+window+mutuality
+        # subtree above is inlined into every reference — a 295 KB
+        # 1024-operator plan (measured; adamic_adar's checkpointed
+        # twin plans at 7 KB). Exchange reuse dedups some runtime
+        # work but not the planning/codegen of the inlined copies.
+        .localCheckpoint()
     )
     both = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = both.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))

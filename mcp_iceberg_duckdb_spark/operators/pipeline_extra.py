@@ -1396,7 +1396,9 @@ def x_semdedup_hier_assign(spark, sf_dir):
             ).alias("agree_frac"),
         )
     )
-    k = t(spark, sf_dir).embeddings.select("label").distinct().count()
+    # k from the already-persisted e (same value: e carries every row's
+    # label) instead of a second scan of the embeddings table
+    k = e.select("label").distinct().count()
     cand_n = candidates.agg(F.count("*").cast("bigint").alias("cand_n"))
     return (
         agree.crossJoin(F.broadcast(cand_n))

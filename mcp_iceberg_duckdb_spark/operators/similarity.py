@@ -496,7 +496,8 @@ def kmeans_assign(spark, sf_dir):
     iterations, deterministic init = the first k vectors by vec_id) —
     the iterative companion to x_embed_centroid_assign's single
     assignment step, and the canonical corpus re-clustering /
-    IVF-index-build loop. Returns (vec_id, cluster).
+    IVF-index-build loop. Returns (vec_id, cluster, v) — the vector
+    rides along so consumers don't re-join it (round 15).
 
     Per iteration: the k×dim centroid table broadcasts (assignment is
     a shuffle-free map + per-vector argmin window over k candidate
@@ -544,7 +545,7 @@ def kmeans_assign(spark, sf_dir):
         )
         # k×dim rows to the driver — bounded state, not corpus-sized
         cents = [(r.cid, list(r.cv)) for r in comp.collect()]
-    return assigned.select("vec_id", F.col("cid").alias("cluster"))
+    return assigned.select("vec_id", F.col("cid").alias("cluster"), "v")
 
 
 @query(
@@ -626,8 +627,16 @@ def x_embed_kmeans(spark, sf_dir):
     )
     # materialize the assignment once (eager, the CC-loop precedent):
     # cmean's broadcast build and the stats pass below each re-ran the
-    # whole 2-iteration crossJoin+window assignment subtree otherwise
-    asg = kmeans_assign(spark, sf_dir).join(e, "vec_id").localCheckpoint()
+    # whole 2-iteration crossJoin+window assignment subtree otherwise.
+    # (The eager checkpoint runs a job at plan-BUILD time and truncates
+    # fault-tolerance lineage — acceptable per the cap_basket/CC-loop
+    # precedent, ADVICE r14; bench times builder+action together.)
+    # Round 15: kmeans_assign already carries each vector through its
+    # argmin — returning it directly drops the join(e) that re-attached
+    # v to 2000 rows it was already on (one shuffle join less).
+    asg = kmeans_assign(spark, sf_dir).select(
+        "vec_id", "cluster", "v"
+    ).localCheckpoint()
     cmean = (
         asg.select("cluster", F.posexplode("v").alias("i", "x"))
         .groupBy("cluster", "i")
