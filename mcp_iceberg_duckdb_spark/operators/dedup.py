@@ -1050,6 +1050,13 @@ def star_components(pairs, max_rounds: int = 30):
         .distinct()
         .persist()
     )
+    # only the INITIAL edge relation needs a persist (it shields the
+    # expensive pair generation from round 1's four references); from
+    # round 1 on, `edges` is an eager localCheckpoint — already
+    # materialized — and the former per-round ss.persist() layered an
+    # InMemoryRelation copy on top of the checkpoint blocks (round 15:
+    # double-caching removed, one materialization per round)
+    initial = edges
     for _ in range(max_rounds):
         sym = edges.select(
             F.col("big").alias("u"), F.col("small").alias("v")
@@ -1084,11 +1091,13 @@ def star_components(pairs, max_rounds: int = 30):
             .distinct()
             .localCheckpoint()  # truncate per-round lineage
         )
-        old = edges
-        edges = ss.persist()
-        old.unpersist()
+        edges = ss
+        if initial is not None:
+            initial.unpersist()
+            initial = None
         # star-forest fixed point: leaves (big) and centers (small)
-        # are disjoint node sets
+        # are disjoint node sets — a cheap semi-join count over the
+        # checkpointed blocks
         chained = (
             edges.select(F.col("small").alias("n"))
             .join(edges.select(F.col("big").alias("n")), "n", "leftsemi")
@@ -1104,20 +1113,20 @@ def star_components(pairs, max_rounds: int = 30):
         raise RuntimeError(
             f"star_components did not converge in {max_rounds} rounds"
         )
-    labels = (
-        edges.select(F.col("big").alias("node"), F.col("small").alias("label"))
-        .unionByName(
-            edges.select(
-                F.col("small").alias("node"), F.col("small").alias("label")
-            )
+    # plain view over the (already checkpointed) star forest — the
+    # former extra localCheckpoint existed only so the per-round cache
+    # entry could be unpersisted before returning; with the
+    # double-caching gone there is no cache entry to release and the
+    # distinct runs once in the caller's single action
+    labels = edges.select(
+        F.col("big").alias("node"), F.col("small").alias("label")
+    ).unionByName(
+        edges.select(
+            F.col("small").alias("node"), F.col("small").alias("label")
         )
-        .distinct()
-        # eager checkpoint so the cache entry below can be released
-        # before returning (connected_components' hygiene precedent —
-        # callers otherwise accumulate one cached star forest per run)
-        .localCheckpoint()
-    )
-    edges.unpersist()
+    ).distinct()
+    if initial is not None:
+        initial.unpersist()
     return labels
 
 
